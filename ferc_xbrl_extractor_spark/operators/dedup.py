@@ -1,0 +1,128 @@
+"""Deduplication operators (SURVEY.md §2.4 A2/A3, §2.12 G1).
+
+``fuzzy_dedup`` is the reference's one custom UDAF
+(/root/reference/src/ferc_xbrl_extractor/datapackage.py:548-575), here
+re-expressed as pure Catalyst window expressions — no Python in the loop, so
+it rides whole-stage codegen and scales with the shuffle, not with Python
+throughput.
+
+Reference semantics (pinned by tests/unit/datapackage_test.py:139-192):
+after exact-duplicate removal, a key group with >1 distinct value resolves
+to the value that is *uniquely most precise*: the single value not equal to
+its rounding at the smallest probe precision p in 0..5. Groups that never
+isolate exactly one value (string conflicts, precision ties, all-integers)
+raise a ValueError in the reference; at cluster scale a task failure is the
+wrong tool, so the default here is a quarantine channel — conflicted keys
+are routed to an ``errors`` DataFrame and strict mode turns them into a
+driver-side raise.
+
+Equivalent closed form used here: let nd(v) = number of decimal digits of v
+probed up to 6 (min p in 0..6 with round(v,p) == v, else 7). A group
+resolves iff all values are numeric, exactly one value attains max(nd), and
+the runner-up precision is <= 5; the winner is max_by(value, nd).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_exact(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """A2/G1: exact duplicate elimination. With ``keys=None`` the whole row
+    is the key (reference ``drop_duplicates()``, datapackage.py:437)."""
+    return df.dropDuplicates(keys) if keys else df.dropDuplicates()
+
+
+def dedup_exact_keep(
+    df: DataFrame, keys: list[str], order_by: list, keep: str = "first"
+) -> DataFrame:
+    """G1 with deterministic survivor selection: keep the first/last row per
+    key under an explicit ordering (row_number window)."""
+    ordering = [c.desc() if keep == "last" else c for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _ndigits(col, max_precision: int = 6):
+    """Decimal-digit count of a double, probed like the reference's loop:
+    smallest p with round(v, p) == v, else max_precision + 1."""
+    expr = F.lit(max_precision + 1)
+    for p in range(max_precision, -1, -1):
+        expr = F.when(F.round(col, p) == col, F.lit(p)).otherwise(expr)
+    return expr
+
+
+@dataclass
+class FuzzyDedupResult:
+    resolved: DataFrame  # one row per key: keys + value
+    errors: DataFrame  # conflicted keys + collected values
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str = "value",
+    max_precision: int = 6,
+) -> FuzzyDedupResult:
+    """A3: resolve near-duplicate numeric facts to the uniquely-most-precise
+    value; non-resolvable groups go to ``errors``.
+
+    Input should already be exact-deduped on ``keys + [value_col]``. All
+    window expressions share one partitioning, so this costs a single
+    shuffle on ``keys`` — and Catalyst reuses that clustering for any
+    downstream groupBy on the same keys (the pivot).
+    """
+    w = Window.partitionBy(*keys)
+    num = F.col("__num")
+    nd = F.col("__nd")
+
+    staged = (
+        df.withColumn("__num", F.col(value_col).try_cast("double"))
+        .withColumn("__nd", _ndigits(num, max_precision))
+        .withColumn("__cnt", F.count(F.lit(1)).over(w))
+        .withColumn("__all_num", F.min(num.isNotNull()).over(w))
+        .withColumn("__max_nd", F.max(nd).over(w))
+    )
+    staged = staged.withColumn(
+        "__cnt_at_max", F.sum((nd == F.col("__max_nd")).cast("int")).over(w)
+    ).withColumn(
+        "__runner_up",
+        F.max(F.when(nd < F.col("__max_nd"), nd)).over(w),
+    )
+    resolvable = (F.col("__cnt") == 1) | (
+        F.col("__all_num")
+        & (F.col("__cnt_at_max") == 1)
+        & (F.coalesce(F.col("__runner_up"), F.lit(max_precision + 1)) <= max_precision - 1)
+    )
+    aux = [c for c in staged.columns if c.startswith("__")]
+
+    winners = staged.filter(
+        resolvable & ((F.col("__cnt") == 1) | (nd == F.col("__max_nd")))
+    ).drop(*aux)
+    errors = (
+        staged.filter(~resolvable)
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list(value_col)).alias("values"))
+    )
+    return FuzzyDedupResult(resolved=winners, errors=errors)
+
+
+def fuzzy_dedup_strict(
+    df: DataFrame, keys: list[str], value_col: str = "value"
+) -> DataFrame:
+    """Reference-exact error semantics: raise on the first conflicted group
+    (E2). Prefer the quarantine channel for large runs."""
+    result = fuzzy_dedup(df, keys, value_col)
+    bad = result.errors.limit(1).collect()
+    if bad:
+        row = bad[0]
+        key_repr = ":".join(str(row[k]) for k in keys)
+        raise ValueError(f"Fact {key_repr} has values {row['values']}")
+    return result.resolved

@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are tuned so the same logical plans behave on local[32] for tests
+and on a large cluster: AQE enabled (runtime coalesce, skew-join handling),
+Arrow for any pandas exchange, UTC session timezone so timestamp semantics
+match the DuckDB oracle, and a shuffle-partition count sized from the
+available parallelism rather than Spark's static 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "ferc-xbrl-extractor-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    On a real cluster the caller passes ``master=None`` with an external
+    deployment (spark-submit / k8s) — every setting here is advisory and
+    cluster-safe. On local mode we size to SPARK_GRAFT_CPUS.
+    """
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing + skew-join splitting; at 100 TB
+        # this is what turns a static 32-partition plan into a sane one.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for all pandas_udf / mapInPandas / toPandas exchange.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Deterministic timestamp semantics == DuckDB naive-UTC reads.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or max(cpus, 2) * 2),
+        )
+        # Dimension tables (region/nation/contexts-per-filing) are small;
+        # raise the auto-broadcast ceiling so Catalyst picks BHJ for them.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
