@@ -1,0 +1,84 @@
+"""The extract lifecycle (SURVEY.md §3.2), Spark-first.
+
+Reference shape: driver batches filings over a process pool, each worker
+shreds + builds all tables for its batch, driver concats per table
+(xbrl.py:84-136). Spark shape: ONE lazy program —
+
+    scan filings -> rlike filter -> mapInPandas shred  (persisted once)
+      -> per TableSpec: filter -> dedup -> pivot -> cast  (independent plans)
+
+The shredded long relation is persisted so the N per-table plans share one
+parse pass. Each table plan is a single-shuffle job (see
+operators.fact_table); tables are independent, so on a cluster they are
+scheduled concurrently by the Spark scheduler (and we kick them off from a
+thread pool when writing).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+
+from ferc_xbrl_extractor_spark.catalog.tablespec import TableSpec
+from ferc_xbrl_extractor_spark.operators.fact_table import construct_table
+from ferc_xbrl_extractor_spark.operators.stats import (
+    consumed_keys_for_tables,
+    used_fact_stats,
+)
+from ferc_xbrl_extractor_spark.sources.filings import scan_filings
+from ferc_xbrl_extractor_spark.sources.shredder import (
+    contexts_from,
+    facts_from,
+    shred_filings,
+)
+
+
+@dataclass
+class ExtractResult:
+    """Lazy handles to everything the run produced."""
+
+    facts: DataFrame
+    contexts: DataFrame
+    tables: dict[str, DataFrame]
+    shredded: DataFrame  # persisted; call .unpersist() when done
+
+    def used_fact_ratios(self, specs: list[TableSpec]) -> DataFrame:
+        consumed = consumed_keys_for_tables(self.facts, specs)
+        return used_fact_stats(self.facts, consumed)
+
+
+def extract(
+    spark: SparkSession,
+    filings_path: str,
+    specs: dict[str, TableSpec],
+    instance_pattern: str | None = None,
+    requested_tables: list[str] | None = None,
+    fact_prefix: str = "ferc",
+    typed_dates: bool = False,
+) -> ExtractResult:
+    """Run the full pipeline lazily; returns DataFrames, not materialized
+    data — callers write/collect as needed.
+
+    ``requested_tables`` prunes the plan set before anything runs (S6).
+    """
+    if requested_tables is not None:
+        specs = {k: v for k, v in specs.items() if k in requested_tables}
+
+    filings = scan_filings(spark, filings_path, instance_pattern=instance_pattern)
+    # MEMORY_AND_DISK: at 100 TB the shredded relation won't fit in memory;
+    # spilled partitions still beat re-parsing XML for all ~255 table plans.
+    shredded = shred_filings(filings, fact_prefix).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    facts = facts_from(shredded)
+    contexts = contexts_from(shredded)
+
+    tables = {
+        name: construct_table(facts, spec, typed_dates=typed_dates)
+        for name, spec in specs.items()
+    }
+    return ExtractResult(
+        facts=facts, contexts=contexts, tables=tables, shredded=shredded
+    )

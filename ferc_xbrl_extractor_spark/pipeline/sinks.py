@@ -1,0 +1,116 @@
+"""Sinks (SURVEY.md §2.8 K1-K5).
+
+- Parquet: native distributed write — the cluster-scale sink.
+- SQLite: single-writer by design; tables are serialized through the driver
+  exactly like the reference (cli.py:97-127). Used for small final outputs,
+  never for the 100 TB path.
+- DuckDB: parquet is the interchange (duckdb has no Spark connector);
+  CREATE TABLE ... AS FROM read_parquet on the driver.
+- Datapackage JSON descriptor (frictionless-shaped; validation runs when the
+  ``frictionless`` package is importable, otherwise it's emitted unvalidated).
+"""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+from ferc_xbrl_extractor_spark.catalog.tablespec import TableSpec
+
+
+def write_parquet(
+    tables: dict[str, DataFrame],
+    out_dir: str,
+    single_file: bool = False,
+    max_parallel: int = 8,
+) -> None:
+    """K3: one parquet dataset per table.
+
+    Writes run from a thread pool — each .write is a separate Spark job and
+    the scheduler interleaves their stages, keeping all executors busy
+    instead of draining the cluster one table at a time.
+    """
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def _write(item):
+        name, df = item
+        target = df.coalesce(1) if single_file else df
+        target.write.mode("overwrite").parquet(str(out / name))
+
+    with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+        list(pool.map(_write, tables.items()))
+
+
+def write_sqlite(tables: dict[str, DataFrame], db_path: str) -> None:
+    """K1: serialize tables into SQLite via the driver (single-writer)."""
+    conn = sqlite3.connect(db_path)
+    try:
+        for name, df in tables.items():
+            pdf = df.toPandas()
+            pdf.to_sql(name, conn, if_exists="replace", index=False)
+        conn.commit()
+    finally:
+        conn.close()
+
+
+def write_duckdb(tables: dict[str, DataFrame], db_path: str, staging_dir: str) -> None:
+    """K2: stage parquet from Spark, CTAS into DuckDB on the driver."""
+    import duckdb
+
+    write_parquet(tables, staging_dir)
+    con = duckdb.connect(db_path)
+    try:
+        for name in tables:
+            con.execute(
+                f'CREATE OR REPLACE TABLE "{name}" AS '
+                f"SELECT * FROM read_parquet('{staging_dir}/{name}/*.parquet')"
+            )
+    finally:
+        con.close()
+
+
+def datapackage_descriptor(
+    specs: dict[str, TableSpec], name: str = "ferc-xbrl-extractor-spark"
+) -> dict:
+    """K4: Frictionless datapackage descriptor for the output tables."""
+    resources = []
+    for spec in specs.values():
+        fields = []
+        for pk in spec.primary_key:
+            ftype = "datetime" if pk == "publication_time" else "string"
+            fields.append({"name": pk, "type": ftype})
+        for col in spec.data_columns:
+            fields.append({"name": col, "type": spec.columns[col]})
+        resources.append(
+            {
+                "name": spec.name,
+                "profile": "tabular-data-resource",
+                "schema": {
+                    "fields": fields,
+                    "primaryKey": list(spec.primary_key),
+                },
+            }
+        )
+    return {"name": name, "profile": "tabular-data-package", "resources": resources}
+
+
+def write_datapackage(
+    specs: dict[str, TableSpec], path: str, validate: bool = True
+) -> dict:
+    doc = datapackage_descriptor(specs)
+    if validate:
+        try:
+            import frictionless
+
+            report = frictionless.Package.validate_descriptor(doc)
+            if not report.valid:
+                raise RuntimeError(f"Invalid datapackage descriptor: {report}")
+        except ImportError:
+            pass  # validation is best-effort; the descriptor is still written
+    Path(path).write_text(json.dumps(doc, indent=2, default=str))
+    return doc
