@@ -1,38 +1,1078 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` declares one entry per implemented operator from SURVEY.md §2
+(XBRL surface ops re-expressed over the synthetic star schema, plus the
+G1-G10 gap operators), and ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for everything SQL-expressible. Approximate/sketch operators (SimHash
+bucketing, hyperplane-LSH top-k, HLL/t-digest) are declared without an
+oracle → the driver records the weaker rows-only check, by design.
+
+The XBRL source/sink operators that need XML/zip inputs (S1-S4, K1-K5) are
+exercised by the pytest suite and the CLI end-to-end test instead — parquet
+testdata can't drive an XML shredder. Every relational operator in between
+(P1-P7, A1-A8, J1/J2, U1, O1/O2, F1-F10) is declared here by synthesizing
+an XBRL-shaped long facts relation from ``lineitem`` and running the real
+engine operators (construct_table, fuzzy_dedup, context_join, ...) on it.
+
+Cross-engine determinism rules used throughout:
+- every float produced by arithmetic is ``round(x, 2..6)`` in BOTH engines;
+- raw column passthrough (no arithmetic) is compared exactly;
+- orderings that feed row_number/rank always carry a unique tie-break key;
+- md5 (identical hex in every engine) is the only hash primitive.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from ferc_xbrl_extractor_spark.catalog.tablespec import TableSpec
+from ferc_xbrl_extractor_spark.operators import analytics, neardup, similarity, text
+from ferc_xbrl_extractor_spark.operators import multimodal
+from ferc_xbrl_extractor_spark.operators.dedup import (
+    dedup_exact,
+    dedup_exact_keep,
+    fuzzy_dedup,
+)
+from ferc_xbrl_extractor_spark.operators.fact_table import construct_table
+from ferc_xbrl_extractor_spark.operators.filters import at_least_one_non_null
+from ferc_xbrl_extractor_spark.operators.joins import (
+    asof_join,
+    context_join,
+    referential_integrity_violations,
+)
+from ferc_xbrl_extractor_spark.operators.stats import (
+    duplicated_fact_ids,
+    used_fact_stats,
+)
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+PUB_TS = "2024-01-01 00:00:00"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ferc_xbrl_extractor_spark.sources.star import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic XBRL-shaped facts relation over lineitem.
+#
+# One lineitem row becomes three long facts (quantity/price/discount) with
+# the full shredder schema (filing, context id, entity, period, dims), so the
+# real per-table pipeline operators run unchanged. Rows with l_linenumber=7
+# carry an extra 'junk_axis' dimension → P4 must drop them; rows with
+# l_returnflag='R' carry flag_axis='returned', everything else backfills to
+# 'total' (P7).
+#
+# The context id is md5 over the full row: the synthetic lineitem has
+# duplicate (l_orderkey, l_linenumber) pairs but unique full rows, and md5
+# is the one engine-portable way to mint the same unique key in Spark and
+# the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_CID_COLS = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+]
+
+
+def _cid() -> Column:
+    parts = [F.col(c).cast("string") for c in _CID_COLS] + [
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss")
+    ]
+    return F.md5(F.concat_ws("|", *parts))
+
+
+_CID_SQL = (
+    "md5(concat_ws('|', "
+    + ", ".join(f"CAST({c} AS VARCHAR)" for c in _CID_COLS)
+    + ", strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')))"
+)
+
+
+def _lineitem_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    c_id = _cid()
+    line_pair = [F.lit("line_axis"), c_id]
+    dims = (
+        F.when(
+            F.col("l_linenumber") == 7,
+            F.create_map(*line_pair, F.lit("junk_axis"), F.lit("x")),
+        )
+        .when(
+            F.col("l_returnflag") == "R",
+            F.create_map(*line_pair, F.lit("flag_axis"), F.lit("returned")),
+        )
+        .otherwise(F.create_map(*line_pair))
+    )
+    return li.select(
+        F.concat(F.lit("filing-"), F.col("l_returnflag")).alias("filing_name"),
+        c_id.alias("c_id"),
+        F.col("l_suppkey").cast("string").alias("entity_id"),
+        F.lit(False).alias("instant"),
+        F.lit("1995-01-01").alias("start_date"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("end_date"),
+        dims.alias("dims"),
+        F.to_timestamp(F.lit(PUB_TS)).alias("publication_time"),
+        F.expr(
+            "stack(3, 'quantity', cast(l_quantity as string), "
+            "'price', cast(l_extendedprice as string), "
+            "'discount', cast(l_discount as string)) as (name, value)"
+        ),
+    )
+
+
+_FACTS_CTE = f"""
+facts AS (
+    SELECT 'filing-' || l_returnflag AS filing_name,
+           {_CID_SQL} AS c_id,
+           v.name AS name, v.value AS value,
+           l_returnflag, l_linenumber
+    FROM lineitem,
+         LATERAL (VALUES ('quantity', CAST(l_quantity AS VARCHAR)),
+                         ('price', CAST(l_extendedprice AS VARCHAR)),
+                         ('discount', CAST(l_discount AS VARCHAR))) v(name, value)
+)
+"""
+
+_TOKENS_CTE = """
+toks AS (
+    SELECT *, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS w
+    FROM documents
+)
+"""
+
+_SHINGLES_CTE = (
+    _TOKENS_CTE
+    + """,
+ ds AS (
+    SELECT DISTINCT doc_id, w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+    FROM toks, UNNEST(range(greatest(len(w) - 2, 0))) AS t(i)
+)
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# XBRL reference-surface queries
+# ---------------------------------------------------------------------------
+
+def q_xbrl_fact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the full per-table pipeline (P1-P7, A1-A3, J1-denorm, F9,
+    O-determinism) over the synthesized facts. Exact duplicates are
+    injected (every 'quantity' fact twice) so A2 provably collapses them."""
+    facts = _lineitem_facts(spark, sf_dir)
+    facts = facts.unionByName(facts.filter(F.col("name") == "quantity"))
+    spec = TableSpec(
+        name="lineitem_fact_table",
+        period_type="duration",
+        columns={"quantity": "number", "price": "number", "discount": "number"},
+        axes=["line_axis", "flag_axis"],
+    )
+    return construct_table(facts, spec)
+
+
+_ORACLE_FACT_PIPELINE = f"""
+SELECT CAST(l_suppkey AS VARCHAR) AS entity_id,
+       'filing-' || l_returnflag AS filing_name,
+       TIMESTAMP '{PUB_TS}' AS publication_time,
+       '1995-01-01' AS start_date,
+       strftime(l_shipdate, '%Y-%m-%d') AS end_date,
+       {_CID_SQL} AS line_axis,
+       CASE WHEN l_returnflag = 'R' THEN 'returned' ELSE 'total' END AS flag_axis,
+       l_quantity AS quantity,
+       l_extendedprice AS price,
+       l_discount AS discount
+FROM lineitem
+WHERE l_linenumber <> 7
+"""
+
+
+def q_xbrl_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 isolated: pivot(unpivot(lineitem)) == lineitem measures."""
+    facts = _lineitem_facts(spark, sf_dir)
+    wide = (
+        facts.groupBy("c_id")
+        .pivot("name", ["quantity", "price", "discount"])
+        .agg(F.first("value"))
+    )
+    return wide.select(
+        "c_id",
+        F.col("quantity").cast("double").alias("quantity"),
+        F.col("price").cast("double").alias("price"),
+        F.col("discount").cast("double").alias("discount"),
+    )
+
+
+def q_xbrl_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: duplicated long relation collapses to the distinct facts."""
+    facts = _lineitem_facts(spark, sf_dir).select("filing_name", "c_id", "name", "value")
+    doubled = facts.unionByName(facts)
+    return dedup_exact(doubled).select(
+        "filing_name", "c_id", "name", F.col("value").cast("double").alias("value")
+    )
+
+
+def _fuzzy_fixture(spark: SparkSession, sf_dir: str, with_strings: bool) -> DataFrame:
+    """Conflicting-precision fixture built from exact-binary offsets
+    (x, x+0.5, x+0.25 — all dyadic, so round() probes are exact in every
+    engine). with_strings adds a non-numeric value → unresolvable group."""
+    li = _t(spark, sf_dir, "lineitem")
+    c_id = _cid()
+    if with_strings:
+        stack = (
+            "stack(2, 'qty', cast(l_quantity as string), 'qty', 'N/A') as (name, value)"
+        )
+    else:
+        stack = (
+            "stack(3, 'qty', cast(l_quantity as string), "
+            "'qty', cast(l_quantity + 0.5 as string), "
+            "'qty', cast(l_quantity + 0.25 as string)) as (name, value)"
+        )
+    return li.select(
+        F.lit("f1").alias("filing_name"), c_id.alias("c_id"), F.expr(stack)
+    )
+
+
+def q_xbrl_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: the uniquely-most-precise value (x+0.25, 2 decimals) wins."""
+    fixture = _fuzzy_fixture(spark, sf_dir, with_strings=False)
+    resolved = fuzzy_dedup(fixture, ["filing_name", "c_id", "name"]).resolved
+    return resolved.select(
+        "c_id", "name", F.col("value").cast("double").alias("value")
+    )
+
+
+def q_xbrl_fuzzy_dedup_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 quarantine channel: string conflicts land in .errors, not in the
+    resolved output and not in a task failure (E2 at cluster scale)."""
+    fixture = _fuzzy_fixture(spark, sf_dir, with_strings=True)
+    errors = fuzzy_dedup(fixture, ["filing_name", "c_id", "name"]).errors
+    return errors.select("c_id", "name", F.size("values").alias("n_values"))
+
+
+def q_xbrl_context_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: broadcast context-enrichment equi-join (orders ⋈ customer)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    wide = orders.select(
+        F.col("o_custkey").cast("string").alias("c_id"), "o_orderkey", "o_totalprice"
+    )
+    contexts = customer.select(
+        F.col("c_custkey").cast("string").alias("c_id"),
+        F.col("c_name").alias("entity_name"),
+        "c_mktsegment",
+    )
+    return context_join(wide, contexts, keys=("c_id",))
+
+
+def q_xbrl_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left-anti referential check — orders whose customer fails the
+    ids predicate (acctbal > 0) are the violations."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("entity_id"), "o_orderkey"
+    )
+    ids = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("entity_id"))
+    )
+    return referential_integrity_violations(orders, ids, keys=("entity_id",))
+
+
+def q_xbrl_fact_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: duplicated fact ids (count >= 2) after injecting dup 'price'
+    facts for line 1 of every order."""
+    facts = _lineitem_facts(spark, sf_dir).select("filing_name", "c_id", "name")
+    facts = facts.unionByName(
+        _lineitem_facts(spark, sf_dir)
+        .filter((F.col("name") == "price") & F.col("c_id").endswith("1"))
+        .select("filing_name", "c_id", "name")
+    )
+    dup = duplicated_fact_ids(facts.withColumn("value", F.lit("x")))
+    return dup.select("filing_name", "c_id", "name", "n")
+
+
+def q_xbrl_used_fact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-filing used/total fact coverage (consumed = quantity+price)."""
+    facts = _lineitem_facts(spark, sf_dir)
+    consumed = facts.filter(F.col("name").isin("quantity", "price"))
+    stats = used_fact_stats(facts, consumed)
+    return stats.select(
+        "filing_name",
+        "total_facts",
+        "used_facts",
+        F.round(F.col("used_facts") / F.col("total_facts"), 6).alias("ratio"),
+    )
+
+
+def q_xbrl_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-table row counts as one unioned DataFrame (not N driver
+    count() jobs)."""
+    parts = [
+        _t(spark, sf_dir, name)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(name).alias("table_name"), "n")
+        for name in TABLES
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def q_xbrl_nonnull_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/P6: at-least-one-non-null row pruning over an injected-null frame."""
+    orders = _t(spark, sf_dir, "orders")
+    frame = orders.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("status_or_null"),
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio_or_null"),
+    )
+    return at_least_one_non_null(frame, ["status_or_null", "prio_or_null"])
+
+
+def q_xbrl_union_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: unionByName(allowMissingColumns) across per-filing frames with
+    drifted schemas, then a stable aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    b = orders.filter(F.col("o_orderstatus") != "O").select(
+        "o_orderkey", "o_totalprice"
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q_xbrl_sorted_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2: deterministic PK ordering made hash-visible via row_number."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    return (
+        li.select("l_orderkey", "l_linenumber", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 100)
+    )
+
+
+def q_f_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F3 name-mangling semantics as data-plane expressions."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower(F.regexp_replace(F.col("p_type"), r"\s+", "_")).alias("snake_type"),
+        F.regexp_replace(F.concat(F.lit("ferc:"), F.col("p_brand")), "^.*:", "").alias(
+            "stripped_brand"
+        ),
+        F.lower(F.col("p_name")).alias("lower_name"),
+    )
+
+
+def q_f_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: try_cast semantics — malformed values become NULL, never task
+    failures. (Known deviation, documented: reference bool('false') is
+    truthy via Python bool(); both engines here parse it as false.)"""
+    orders = _t(spark, sf_dir, "orders")
+    num_s = F.when(F.col("o_orderkey") % 10 == 0, F.lit("bogus")).otherwise(
+        F.col("o_totalprice").cast("string")
+    )
+    bool_s = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("true"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("false"))
+        .otherwise(F.lit("zzz"))
+    )
+    date_s = F.when(F.col("o_orderkey") % 7 == 0, F.lit("not-a-date")).otherwise(
+        F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    return orders.select(
+        "o_orderkey",
+        num_s.try_cast("double").alias("as_number"),
+        bool_s.try_cast("boolean").alias("as_boolean"),
+        # Reference stores dates as ISO strings (datapackage.py:121); emit
+        # the same shape: try_cast validates, format re-serializes.
+        F.date_format(date_s.try_cast("date"), "yyyy-MM-dd").alias("as_date"),
+    )
+
+
+def q_f_report_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: report_date with fallback concept (the FERC-714 workaround
+    shape: coalesce(primary, fallback))."""
+    orders = _t(spark, sf_dir, "orders")
+    primary = F.when(F.col("o_orderstatus") == "F", F.lit(None)).otherwise(
+        F.col("o_orderdate")
+    )
+    fallback = F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.coalesce(primary, fallback), "yyyy-MM-dd").alias(
+            "report_date"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap operators (G1-G11)
+# ---------------------------------------------------------------------------
+
+def q_g1_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: keyed dedup with deterministic survivor (first line per order)."""
+    li = _t(spark, sf_dir, "lineitem")
+    order_by = [
+        F.col(c)
+        for c in [
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_partkey",
+            "l_suppkey",
+        ]
+    ]
+    return dedup_exact_keep(li, ["l_orderkey"], order_by=order_by).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+def q_g2_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 exact: inverted-index n-gram Jaccard join (no all-pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return neardup.jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+def q_g2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 scale path: MinHash(md5)+LSH banding, then exact verification of
+    candidates only. md5-based permutations make the signature — and thus
+    the whole approximate join — reproducible by the SQL oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return neardup.minhash_lsh_pairs(
+        docs, n=3, num_hashes=12, bands=6, threshold=0.5
+    )
+
+
+def q_g2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 SimHash variant — declared rows-only (bit-level hash arithmetic
+    is not portable to the oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return neardup.simhash_pairs(
+        docs, bits=32, prefix_bits=4, max_hamming=10
+    )
+
+
+def q_g3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: exact brute-force top-5 cosine neighbors for 20 query vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+def q_g3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 scale path: sign-LSH bucketed ANN — approximate, rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.hyperplane_lsh_topk(emb, queries, dim=64, k=5, planes=6)
+
+
+def q_g4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: per-document quality features."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.with_text_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_uniq_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        "uniq_ratio",
+    )
+
+
+def q_g4_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: corpus token frequencies, top 20 (explode → count → top-k)."""
+    docs = _t(spark, sf_dir, "documents")
+    freq = text.token_frequencies(docs)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return freq.select("token", "n", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= 20
+    )
+
+
+def q_g4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: heuristic marker-word language ID vs the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+def q_g4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: whitespace-normalized md5 document fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.fingerprint(docs).select("doc_id", "fp")
+
+
+def q_g5_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: analytic pack (row_number, lag, running sum) over one window."""
+    orders = _t(spark, sf_dir, "orders")
+    out = analytics.ranked(
+        orders,
+        ["o_custkey"],
+        [F.col("o_orderdate"), F.col("o_orderkey")],
+        exprs={
+            "prev_price": F.lag("o_totalprice", 1),
+            "run_sum": F.sum("o_totalprice"),
+        },
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        "row_num",
+        "prev_price",
+        F.round("run_sum", 2).alias("run_sum"),
+    )
+
+
+def q_g6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: hierarchical subtotals (Expand + one shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return analytics.rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        ],
+    )
+
+
+def q_g6_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: full cube over two dims."""
+    orders = _t(spark, sf_dir, "orders")
+    return analytics.cube_agg(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ],
+    )
+
+
+def q_g7_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 (oracle-checkable side): exact interpolated percentiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return analytics.exact_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.25, 0.5, 0.75]
+    )
+
+
+def q_g7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 sketches (HLL++ / t-digest) — rows-only by nature."""
+    li = _t(spark, sf_dir, "lineitem")
+    return analytics.approx_metrics(li, ["l_returnflag"], "l_partkey", "l_extendedprice")
+
+
+def q_g8_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: epoch-aligned tumbling event-time windows."""
+    events = _t(spark, sf_dir, "events")
+    return analytics.tumbling_window_agg(
+        events,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value")],
+    )
+
+
+def q_g8_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: gap-based session windows (oracle = gaps-and-islands)."""
+    events = _t(spark, sf_dir, "events")
+    return analytics.session_window_agg(
+        events,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [F.count(F.lit(1)).alias("n")],
+    ).select("user_id", "session_start", "n")
+
+
+def q_g9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: as-of join (events ← latest order at-or-before the event),
+    union+LOCF implementation — one keyed shuffle, no range blowup."""
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    right = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_totalprice").alias("last_price"),
+            F.max("o_orderkey").alias("o_orderkey"),
+        )
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    return asof_join(
+        events,
+        right,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey", "last_price"],
+    )
+
+
+def q_g10_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10: JSON field extraction + typed aggregation."""
+    events = _t(spark, sf_dir, "events")
+    parsed = analytics.json_extract(events, "props", {"k_str": "$.k"})
+    return (
+        parsed.withColumn("k", F.col("k_str").try_cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+def q_g11_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11: multimodal plumbing — binary media column through the Arrow
+    mapInPandas feature extractor (decode kernel stubbed; md5/byte-count
+    are real and oracle-checked)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.media_table_from_binary(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("bin")),
+        "doc_id",
+        "bin",
+        "image",
+        "text/plain",
+    )
+    feats = multimodal.extract_features(media, dim=8)
+    return feats.select("media_id", "n_bytes", "content_md5")
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_xbrl_fact_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "xbrl_fact_pipeline": q_xbrl_fact_pipeline,
+        "xbrl_pivot": q_xbrl_pivot,
+        "xbrl_dedup_exact": q_xbrl_dedup_exact,
+        "xbrl_fuzzy_dedup": q_xbrl_fuzzy_dedup,
+        "xbrl_fuzzy_dedup_errors": q_xbrl_fuzzy_dedup_errors,
+        "xbrl_context_join": q_xbrl_context_join,
+        "xbrl_ref_integrity": q_xbrl_ref_integrity,
+        "xbrl_fact_multiplicity": q_xbrl_fact_multiplicity,
+        "xbrl_used_fact_stats": q_xbrl_used_fact_stats,
+        "xbrl_table_counts": q_xbrl_table_counts,
+        "xbrl_nonnull_rows": q_xbrl_nonnull_rows,
+        "xbrl_union_filings": q_xbrl_union_filings,
+        "xbrl_sorted_rows": q_xbrl_sorted_rows,
+        "f_naming": q_f_naming,
+        "f_casts": q_f_casts,
+        "f_report_date": q_f_report_date,
+        "g1_dedup_keep": q_g1_dedup_keep,
+        "g2_jaccard": q_g2_jaccard,
+        "g2_minhash_lsh": q_g2_minhash_lsh,
+        "g2_simhash": q_g2_simhash,
+        "g3_cosine_topk": q_g3_cosine_topk,
+        "g3_lsh_topk": q_g3_lsh_topk,
+        "g4_text_stats": q_g4_text_stats,
+        "g4_token_topk": q_g4_token_topk,
+        "g4_language_id": q_g4_language_id,
+        "g4_fingerprint": q_g4_fingerprint,
+        "g5_window_funcs": q_g5_window_funcs,
+        "g6_rollup": q_g6_rollup,
+        "g6_cube": q_g6_cube,
+        "g7_exact_quantiles": q_g7_exact_quantiles,
+        "g7_approx_distinct": q_g7_approx_distinct,
+        "g8_tumbling": q_g8_tumbling,
+        "g8_session": q_g8_session,
+        "g9_asof_join": q_g9_asof_join,
+        "g10_json": q_g10_json,
+        "g11_multimodal": q_g11_multimodal,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-equivalent SQL. Keys absent on purpose (approx/sketch ops →
+    rows-only): g2_simhash, g3_lsh_topk, g7_approx_distinct."""
+    sql: dict[str, str] = {}
+
+    sql["xbrl_fact_pipeline"] = _ORACLE_FACT_PIPELINE
+
+    sql["xbrl_pivot"] = f"""
+        SELECT {_CID_SQL} AS c_id,
+               l_quantity AS quantity, l_extendedprice AS price,
+               l_discount AS discount
+        FROM lineitem
     """
-    return {}
+
+    sql["xbrl_dedup_exact"] = f"""
+        WITH {_FACTS_CTE}
+        SELECT DISTINCT filing_name, c_id, name, CAST(value AS DOUBLE) AS value
+        FROM facts
+    """
+
+    sql["xbrl_fuzzy_dedup"] = f"""
+        SELECT {_CID_SQL} AS c_id,
+               'qty' AS name, l_quantity + 0.25 AS value
+        FROM lineitem
+    """
+
+    sql["xbrl_fuzzy_dedup_errors"] = f"""
+        SELECT {_CID_SQL} AS c_id,
+               'qty' AS name, 2 AS n_values
+        FROM lineitem
+    """
+
+    sql["xbrl_context_join"] = """
+        SELECT CAST(o_custkey AS VARCHAR) AS c_id, o_orderkey, o_totalprice,
+               c_name AS entity_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """
+
+    sql["xbrl_ref_integrity"] = """
+        SELECT o_custkey AS entity_id, o_orderkey
+        FROM orders
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer
+            WHERE c_custkey = o_custkey AND c_acctbal > 0
+        )
+    """
+
+    sql["xbrl_fact_multiplicity"] = f"""
+        SELECT 'filing-' || l_returnflag AS filing_name,
+               {_CID_SQL} AS c_id,
+               'price' AS name, CAST(2 AS BIGINT) AS n
+        FROM lineitem
+        WHERE {_CID_SQL} LIKE '%1'
+    """
+
+    sql["xbrl_used_fact_stats"] = """
+        SELECT 'filing-' || l_returnflag AS filing_name,
+               CAST(3 * count(*) AS BIGINT) AS total_facts,
+               CAST(2 * count(*) AS BIGINT) AS used_facts,
+               ROUND(CAST(2 * count(*) AS DOUBLE) / CAST(3 * count(*) AS DOUBLE), 6) AS ratio
+        FROM lineitem
+        GROUP BY 1
+    """
+
+    sql["xbrl_table_counts"] = "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS n FROM {t}"
+        for t in TABLES
+    )
+
+    sql["xbrl_nonnull_rows"] = """
+        SELECT o_orderkey,
+               NULLIF(o_orderstatus, 'F') AS status_or_null,
+               NULLIF(o_orderpriority, '1-URGENT') AS prio_or_null
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
+    """
+
+    sql["xbrl_union_filings"] = """
+        WITH u AS (
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderstatus = 'O'
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, NULL
+            FROM orders WHERE o_orderstatus <> 'O'
+        )
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM u GROUP BY 1
+    """
+
+    sql["xbrl_sorted_rows"] = """
+        SELECT l_orderkey, l_linenumber,
+               CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS INT) AS rn
+        FROM lineitem
+        QUALIFY rn <= 100
+    """
+
+    sql["f_naming"] = """
+        SELECT p_partkey,
+               lower(regexp_replace(p_type, '\\s+', '_', 'g')) AS snake_type,
+               regexp_replace('ferc:' || p_brand, '^.*:', '') AS stripped_brand,
+               lower(p_name) AS lower_name
+        FROM part
+    """
+
+    sql["f_casts"] = """
+        SELECT o_orderkey,
+               TRY_CAST(CASE WHEN o_orderkey % 10 = 0 THEN 'bogus'
+                             ELSE CAST(o_totalprice AS VARCHAR) END AS DOUBLE) AS as_number,
+               TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'true'
+                             WHEN o_orderkey % 3 = 1 THEN 'false'
+                             ELSE 'zzz' END AS BOOLEAN) AS as_boolean,
+               strftime(TRY_CAST(CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-date'
+                               ELSE strftime(o_orderdate, '%Y-%m-%d') END AS DATE),
+                        '%Y-%m-%d') AS as_date
+        FROM orders
+    """
+
+    sql["f_report_date"] = """
+        SELECT o_orderkey,
+               strftime(COALESCE(
+                   CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderdate END,
+                   o_orderdate + INTERVAL 30 DAY
+               ), '%Y-%m-%d') AS report_date
+        FROM orders
+    """
+
+    sql["g1_dedup_keep"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        QUALIFY row_number() OVER (
+            PARTITION BY l_orderkey
+            ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount,
+                     l_tax, l_partkey, l_suppkey) = 1
+    """
+
+    _jaccard_body = """
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM ds a JOIN ds b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1)
+        SELECT id_a, id_b,
+               ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """
+    sql["g2_jaccard"] = f"WITH {_SHINGLES_CTE}, {_jaccard_body}"
+
+    sql["g2_minhash_lsh"] = f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (
+            SELECT doc_id, t.h AS h,
+                   min(md5(CAST(t.h AS VARCHAR) || ':' || shingle)) AS m
+            FROM ds, UNNEST(range(12)) AS t(h)
+            GROUP BY doc_id, t.h
+        ),
+        band AS (
+            SELECT doc_id, h // 2 AS b,
+                   md5(string_agg(m, '|' ORDER BY h)) AS bh
+            FROM sig GROUP BY doc_id, h // 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM band a JOIN band c ON a.b = c.b AND a.bh = c.bh
+            WHERE a.doc_id < c.doc_id
+        ),
+        pairs AS (
+            SELECT cand.id_a, cand.id_b, count(*) AS n_common
+            FROM cand
+            JOIN ds sa ON sa.doc_id = cand.id_a
+            JOIN ds sb ON sb.doc_id = cand.id_b AND sb.shingle = sa.shingle
+            GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1)
+        SELECT id_a, id_b,
+               ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """
+
+    sql["g3_cosine_topk"] = """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 20
+        ),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+              FROM embeddings),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   ROUND(
+                       list_inner_product(qe, ce) /
+                       (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(ce, ce))),
+                       4
+                   ) AS sim
+            FROM c, q
+            WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, neighbor_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+    """
+
+    sql["g4_text_stats"] = f"""
+        WITH {_TOKENS_CTE}
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq_tokens,
+               ROUND(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+                     / NULLIF(CAST(len(w) AS DOUBLE), 0.0), 4) AS avg_token_len,
+               ROUND(CAST(len(list_filter(w, x -> list_contains(
+                       ['the','a','of','and','to','in'], x))) AS DOUBLE)
+                     / NULLIF(CAST(len(w) AS DOUBLE), 0.0), 4) AS stopword_ratio,
+               ROUND(CAST(len(list_distinct(w)) AS DOUBLE)
+                     / NULLIF(CAST(len(w) AS DOUBLE), 0.0), 4) AS uniq_ratio
+        FROM toks
+    """
+
+    sql["g4_token_topk"] = f"""
+        WITH {_TOKENS_CTE},
+        freq AS (
+            SELECT t.token AS token, CAST(count(*) AS BIGINT) AS n
+            FROM toks, UNNEST(w) AS t(token)
+            GROUP BY 1
+        )
+        SELECT token, n,
+               CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
+        FROM freq
+        QUALIFY rank <= 20
+    """
+
+    sql["g4_language_id"] = f"""
+        WITH {_TOKENS_CTE},
+        s AS (
+            SELECT doc_id, lang,
+                   len(list_intersect(list_distinct(w), ['the','and','of','to'])) AS s_en,
+                   len(list_intersect(list_distinct(w), ['el','la','de','que'])) AS s_es,
+                   len(list_intersect(list_distinct(w), ['der','die','und','das'])) AS s_de
+            FROM toks
+        )
+        SELECT doc_id, lang,
+               CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                    WHEN s_es >= s_de THEN 'es'
+                    ELSE 'de' END AS lang_pred
+        FROM s
+    """
+
+    sql["g4_fingerprint"] = f"""
+        WITH {_TOKENS_CTE}
+        SELECT doc_id, md5(array_to_string(w, ' ')) AS fp
+        FROM toks
+    """
+
+    sql["g5_window_funcs"] = """
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER w AS INT) AS row_num,
+               lag(o_totalprice, 1) OVER w AS prev_price,
+               ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     RANGE UNBOUNDED PRECEDING), 2) AS run_sum
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
+
+    sql["g6_rollup"] = """
+        SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    sql["g6_cube"] = """
+        SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+
+    sql["g7_exact_quantiles"] = """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p5,
+               ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        FROM lineitem
+        GROUP BY 1
+    """
+
+    sql["g8_tumbling"] = """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 4) AS sum_value,
+               date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    """
+
+    sql["g8_session"] = """
+        WITH x AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ),
+        y AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM x
+        )
+        SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n
+        FROM y GROUP BY user_id, sid
+    """
+
+    sql["g9_asof_join"] = """
+        WITH r AS (
+            SELECT o_custkey AS user_id, o_orderdate,
+                   max(o_totalprice) AS last_price,
+                   max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.last_price
+        FROM events e
+        ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+    """
+
+    sql["g10_json"] = """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+        FROM events
+        GROUP BY 1
+    """
+
+    sql["g11_multimodal"] = """
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents
+    """
+
+    return sql

@@ -1,0 +1,135 @@
+"""Declared analytic operators (G5-G8, G10): window functions, rollup/cube,
+approximate aggregates, event-time windows, JSON column ops.
+
+These are thin, deliberately: each is the built-in Catalyst operator used
+the way a 100 TB pipeline should use it (explicit orderings so results are
+deterministic, partial-agg-friendly groupings, epoch-aligned time buckets).
+Declaring them as first-class named operators gives each a correctness
+contract (__spark_entry__ queries + DuckDB oracle) rather than leaving them
+as incidental API calls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ranked(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list,
+    exprs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """G5: standard analytic pack over one window definition — row_number
+    always, plus any caller-supplied window expressions evaluated over the
+    same (keys, order) spec so Catalyst plans ONE sort+shuffle for all."""
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    out = df.withColumn("row_num", F.row_number().over(w))
+    for name, col in (exprs or {}).items():
+        out = out.withColumn(name, col.over(w))
+    return out
+
+
+def rollup_agg(df: DataFrame, group_cols: list[str], aggs: list[Column]) -> DataFrame:
+    """G6: hierarchical subtotals. Spark plans rollup as Expand + one
+    aggregate — a single shuffle regardless of the number of levels."""
+    return df.rollup(*group_cols).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, group_cols: list[str], aggs: list[Column]) -> DataFrame:
+    """G6: all 2^n grouping combinations, same Expand+single-shuffle plan."""
+    return df.cube(*group_cols).agg(*aggs)
+
+
+def approx_metrics(
+    df: DataFrame,
+    group_cols: list[str],
+    distinct_col: str,
+    quantile_col: str,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """G7: HyperLogLog++ distinct count + t-digest quantiles — the sketches
+    that replace exact distinct/sort at 100 TB (constant memory per group,
+    mergeable partials, no sort)."""
+    return df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(distinct_col, rsd).alias("approx_distinct"),
+        F.percentile_approx(quantile_col, [0.5, 0.95, 0.99], 10000).alias(
+            "approx_quantiles"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def exact_quantiles(
+    df: DataFrame, group_cols: list[str], col: str, qs: list[float]
+) -> DataFrame:
+    """G7 exact counterpart (oracle-checkable): linear-interpolated
+    percentiles. Exact percentile sorts per group — use the approx form for
+    the genuinely large cases and keep this for verification slices."""
+    aggs = [
+        F.round(F.percentile(F.col(col), F.lit(q)), 4).alias(
+            f"p{str(q).replace('0.', '')}"
+        )
+        for q in qs
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """G8: epoch-aligned tumbling event-time windows. Batch-mode
+    ``F.window`` — the identical expression works under readStream with a
+    watermark, which is how the streaming surface reuses this operator."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration).alias("w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """G8: session windows (gap-based). Spark's native session_window does
+    the gaps-and-islands merge in one pass; an ANSI oracle reproduces it
+    with lag + cumulative-sum island ids."""
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("w.start"))
+        .drop("w")
+    )
+
+
+def json_extract(
+    df: DataFrame, json_col: str, fields: dict[str, str]
+) -> DataFrame:
+    """G10: pull JSONPath fields out of a JSON string column.
+
+    ``fields`` maps output column name -> JSONPath (``$.k``). Uses
+    get_json_object (no schema needed); callers with a fixed schema should
+    prefer ``from_json`` so Catalyst prunes unused fields — provided via
+    json_parse below.
+    """
+    out = df
+    for name, path in fields.items():
+        out = out.withColumn(name, F.get_json_object(F.col(json_col), path))
+    return out
+
+
+def json_parse(df: DataFrame, json_col: str, schema: str, out_col: str = "parsed") -> DataFrame:
+    """G10 schema-full variant: from_json into a struct column; nested field
+    pruning then applies to downstream selects."""
+    return df.withColumn(out_col, F.from_json(F.col(json_col), schema))

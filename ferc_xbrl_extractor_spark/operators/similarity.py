@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (G3).
+
+The corpus is the big side (billions of vectors at 100 TB); queries are the
+small side. So the brute-force baseline broadcasts the *queries*, computes
+dot products map-side over the corpus scan (``zip_with`` + ``aggregate`` —
+JVM codegen, no Python), and reduces with a two-phase top-k:
+
+    per-partition top-k (window over (query, spark_partition_id))
+    → global top-k (window over query)
+
+The first phase cuts the shuffle from |corpus|×|queries| rows to
+k × partitions × |queries|, and the second phase's per-query partitions are
+tiny — no single-reducer skew even with one query.
+
+The scale path is sign-LSH bucketing (``hyperplane_lsh_topk``): deterministic
+pseudo-random hyperplanes (seeded from md5, no RNG state to ship), bucket
+equi-join, top-k within bucket. Approximate (recall set by the number of
+planes/probes), but the shuffle is keyed by bucket.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float|double> columns in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list,
+    k: int,
+    two_phase: bool = True,
+) -> DataFrame:
+    """Generic distributed top-k per key.
+
+    With ``two_phase`` the first window partitions by (keys, physical
+    partition id) so each task pre-prunes to k rows before the single keyed
+    shuffle — the standard scalable top-k; without it, one window, one
+    shuffle, fine for small inputs.
+    """
+    if two_phase:
+        local = Window.partitionBy(*keys, F.spark_partition_id()).orderBy(*order_cols)
+        df = (
+            df.withColumn("__lrn", F.row_number().over(local))
+            .filter(F.col("__lrn") <= k)
+            .drop("__lrn")
+        )
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Brute-force exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, sim, rank) with sim rounded to 4
+    decimals and rank ties broken by neighbor id (deterministic across
+    engines and runs).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    crossed = c.crossJoin(q)
+    if exclude_self:
+        crossed = crossed.filter(F.col("neighbor_id") != F.col(query_id_col))
+    scored = crossed.select(
+        query_id_col,
+        "neighbor_id",
+        F.round(cosine(F.col("__qvec"), F.col("__cvec")), 4).alias("sim"),
+    )
+    return topk_per_key(
+        scored,
+        [query_id_col],
+        [F.col("sim").desc(), F.col("neighbor_id")],
+        k,
+    ).select(query_id_col, "neighbor_id", "sim", "rank")
+
+
+def _plane_coeff(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random ±1 hyperplane coefficient derived from
+    md5 — identical on every executor with zero broadcast state."""
+    h = hashlib.md5(f"{plane}:{dim}".encode()).digest()
+    return 1.0 if h[0] & 1 else -1.0
+
+
+def hyperplane_signature(vec_col: Column, dim: int, planes: int) -> Column:
+    """Sign-LSH bucket id: bit p = sign(v · r_p) for ``planes`` fixed
+    ±1-valued hyperplanes. Compiles to a wide but branch-free projection."""
+    out = F.lit(0).cast("bigint")
+    for p in range(planes):
+        proj = F.lit(0.0)
+        for d in range(dim):
+            coeff = _plane_coeff(p, d)
+            proj = proj + vec_col[d].cast("double") * F.lit(coeff)
+        out = out + F.when(proj > 0, F.lit(2**p).cast("bigint")).otherwise(0)
+    return out
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: bucket both sides by sign-LSH signature, join on
+    the bucket (keyed shuffle — never a cross join), rank within bucket.
+    Vectors in other buckets are unseen (that's the approximation)."""
+    sig = lambda col: hyperplane_signature(col, dim, planes)  # noqa: E731
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        sig(F.col(vec_col)).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        sig(F.col(vec_col)).alias("__bucket"),
+    )
+    scored = (
+        c.join(q, "__bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 4).alias("sim"),
+        )
+    )
+    return topk_per_key(
+        scored, [query_id_col], [F.col("sim").desc(), F.col("neighbor_id")], k
+    ).select(query_id_col, "neighbor_id", "sim", "rank")

@@ -1,0 +1,144 @@
+"""Text-analysis operators for large-scale training-data pipelines (G4).
+
+Everything here is pure Catalyst column expressions — no Python UDFs — so
+the whole stage rides whole-stage codegen and scales linearly with the
+scan. Tokenization is regex ``\\s+`` split with empty-token pruning so the
+semantics are reproducible in any ANSI engine (the DuckDB oracle uses
+``regexp_split_to_array`` + list filter).
+
+These operators have no reference counterpart (the reference,
+/root/reference/src/ferc_xbrl_extractor, is an XBRL ETL); they are the
+gap surface SURVEY.md §2.12 declares for the new engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small, fixed stopword list shared with the oracle SQL. Deliberately
+# tiny: the point is the ratio machinery, not linguistic coverage.
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space
+# symbols — the shape GPT-2-style byte-pair pre-tokenization produces.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text_col: str | Column = "text") -> Column:
+    """Whitespace tokens with empties removed (leading/trailing space safe)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality/statistics columns:
+
+    n_tokens, n_uniq_tokens, avg_token_len, stopword_ratio, punct_ratio,
+    uniq_ratio — the standard cheap quality-scoring features a pretraining
+    pipeline filters on.
+    """
+    toks = tokens(text_col)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", ""))
+    return (
+        df.withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("n_uniq_tokens", n_uniq.cast("long"))
+        .withColumn(
+            "avg_token_len",
+            F.round(total_len / F.nullif(n_tokens.cast("double"), F.lit(0.0)), 4),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(n_stop / F.nullif(n_tokens.cast("double"), F.lit(0.0)), 4),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(
+                n_punct / F.nullif(F.length(text_col).cast("double"), F.lit(0.0)), 4
+            ),
+        )
+        .withColumn(
+            "uniq_ratio",
+            F.round(n_uniq / F.nullif(n_tokens.cast("double"), F.lit(0.0)), 4),
+        )
+    )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", pattern: str | None = None
+) -> Column:
+    """Token count column; with ``pattern`` uses the BPE-ish regex counter
+    instead of whitespace splitting."""
+    if pattern is None:
+        return F.size(tokens(text_col)).cast("long")
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)).cast(
+        "long"
+    )
+
+
+def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide token frequency table: explode → count. One shuffle on
+    token; partial aggregation (map-side combine) keeps the exploded volume
+    off the wire, so this survives 100 TB of text."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    profiles: dict[str, list[str]] | None = None,
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """Heuristic language ID: score each language profile by how many of its
+    marker words occur in the document; argmax wins (ties broken by profile
+    order). Pure expressions — a 100-language profile set compiles to a wide
+    but fully codegen'd projection.
+    """
+    profiles = profiles or {
+        "en": ["the", "and", "of", "to"],
+        "es": ["el", "la", "de", "que"],
+        "de": ["der", "die", "und", "das"],
+    }
+    toks = F.array_distinct(tokens(text_col))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+                ).alias("score"),
+                F.lit(i).alias("order"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, words) in enumerate(profiles.items())
+        ]
+    )
+    best = F.array_max(
+        F.transform(
+            scored,
+            lambda s: F.struct(
+                s["score"].alias("score"),
+                (-s["order"]).alias("neg_order"),
+                s["lang"].alias("lang"),
+            ),
+        )
+    )
+    return df.withColumn(out_col, best["lang"])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized text. Stable
+    across engines (md5 is md5 everywhere), so it doubles as an exact-dup
+    key that's robust to whitespace differences."""
+    normalized = F.array_join(tokens(text_col), " ")
+    return df.withColumn(out_col, F.md5(normalized))
