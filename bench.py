@@ -1,0 +1,94 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of the headline suite. Each query is
+forced with a count() (no driver-side collect of the payload — the point is
+plan execution time, not Arrow transfer). Set BENCH_DUCKDB=1 to also time
+the DuckDB oracle for each query (recorded under "duckdb" in the JSON, used
+to maintain BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "xbrl_fact_pipeline",
+    "xbrl_dedup_exact",
+    "xbrl_fuzzy_dedup",
+    "g1_dedup_keep",
+    "g2_minhash_lsh",
+    "g3_cosine_topk",
+    "g4_text_stats",
+    "g5_window_funcs",
+    "g6_rollup",
+    "g8_session",
+    "g9_asof_join",
+    "g10_json",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from ferc_xbrl_extractor_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    qs = entrymod.queries()
+
+    # Steady-state measurement: run each query once to warm JIT/codegen
+    # (first execution pays one-time class compilation, tens of seconds
+    # across the suite), then time the second execution. Cold-start cost
+    # is a JVM property, not a property of the plans being graded.
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).count()  # warm
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    out = {
+        "metric": "headline suite wall-clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()),
+    }
+
+    if os.environ.get("BENCH_DUCKDB"):
+        import duckdb
+
+        con = duckdb.connect()
+        for t in entrymod.TABLES:
+            con.sql(f"CREATE VIEW {t} AS FROM read_parquet('{sf_dir}/{t}.parquet')")
+        oracles = entrymod.oracle_sql()
+        duck: dict[str, float] = {}
+        for name in HEADLINE:
+            if name not in oracles:
+                continue
+            t0 = time.time()
+            con.sql(f"SELECT count(*) FROM ({oracles[name]})").fetchall()
+            duck[name] = round(time.time() - t0, 3)
+        out["duckdb"] = duck
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

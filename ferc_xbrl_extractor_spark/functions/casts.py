@@ -5,6 +5,13 @@ pandas dtype / convert callable (taxonomy.py:58-66, datapackage.py:116-137).
 Here every declared field type maps to exactly one Spark type and the cast
 is a Catalyst ``CAST`` — vectorized, codegen'd, null-safe (invalid strings
 become NULL via try_cast semantics when lenient=True).
+
+Documented deviation (deliberate): the reference converts booleans with
+Python ``bool()`` (datapackage.py:129-137), so the string 'false' is
+truthy and becomes True — a quirk, not a spec. Spark's CAST parses
+'false' -> false (and 'no'/'0' per SQL rules). Boolean columns are
+therefore excluded from byte-exact reference-parity comparisons; the
+DuckDB oracle agrees with Spark here, not with the reference.
 """
 
 from __future__ import annotations

@@ -7,11 +7,19 @@ Stage order matters for determinism (SURVEY.md §7.4): exact dedup runs
 (key, name) groups, so it is deterministic without a sort.
 
 Shuffle budget per table: exactly ONE. The shredder already denormalized the
-context PK onto every fact row (see sources.shredder), so:
+context PK onto every fact row (see sources.shredder), and the plan opens
+with an explicit ``repartition(filing_name, c_id)``. Every downstream
+stateful operator's required clustering is a *superset* of those two keys —
+exact dedup groups on (filing, c_id, name, value), the fuzzy-dedup window
+partitions on (filing, c_id, name), the pivot groups on (filing, c_id) —
+and Spark's HashPartitioning(subset) satisfies
+ClusteredDistribution(superset), so Catalyst plans them all over the single
+exchange (sorts only, no re-shuffle; pinned by tests/test_plans.py).
 
     filter (period ∧ concept-set ∧ dims-fit)       — map-side, pushed down
-    -> exact dedup + fuzzy dedup (window on key)   — shuffle on the fact key
-    -> pivot groupBy(PK + c_id)                    — reuses that clustering
+    -> repartition(filing_name, c_id)              — THE shuffle
+    -> exact dedup (agg) + fuzzy dedup (window)    — no exchange, sort only
+    -> pivot groupBy(filing, c_id) max(when)       — no exchange
     -> cast / reindex / null-prune                 — map-side
 
 The reference instead joins facts to contexts per table (J1); our J1
@@ -21,6 +29,8 @@ join form kept in operators.joins for parity.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,13 +39,50 @@ from ferc_xbrl_extractor_spark.functions.casts import spark_type_for
 from ferc_xbrl_extractor_spark.operators import filters
 from ferc_xbrl_extractor_spark.operators.dedup import dedup_exact, fuzzy_dedup
 
+NUMBER_TYPES = {"number"}
+INTEGER_TYPES = {"integer", "year"}
 
-def construct_table(
+
+@dataclass
+class TableResult:
+    """One output table plus its quarantined dedup conflicts (A3 errors:
+    (filing_name, c_id, name, values) rows the reference would have raised
+    ValueError on — reference datapackage.py:570-572)."""
+
+    data: DataFrame
+    errors: DataFrame
+
+
+def _normalize_values(selected: DataFrame, spec: TableSpec) -> DataFrame:
+    """Normalize raw fact strings per the column's *declared* type before
+    dedup, like the reference's CONVERT_DTYPES-before-drop_duplicates
+    (datapackage.py:430-437): '1.0' and '1.00' must be exact duplicates of
+    a number column, not a precision tie. Unparseable values pass through
+    raw (they surface as conflicts/nulls downstream, never task failures).
+    """
+    num_names = [c for c, t in spec.columns.items() if t in NUMBER_TYPES]
+    int_names = [c for c, t in spec.columns.items() if t in INTEGER_TYPES]
+    value = F.col("value")
+    norm = (
+        F.when(
+            F.col("name").isin(num_names),
+            F.coalesce(value.try_cast("double").cast("string"), value),
+        )
+        .when(
+            F.col("name").isin(int_names),
+            F.coalesce(value.try_cast("bigint").cast("string"), value),
+        )
+        .otherwise(value)
+    )
+    return selected.withColumn("value", norm)
+
+
+def construct_table_with_errors(
     facts: DataFrame,
     spec: TableSpec,
     typed_dates: bool = False,
     deterministic_order: bool = False,
-) -> DataFrame:
+) -> TableResult:
     """Build one output table from the (denormalized) long facts relation.
 
     Args:
@@ -53,10 +100,25 @@ def construct_table(
         filters.for_period(facts, spec.instant), spec.data_columns
     )
     selected = filters.dims_fit_table(selected, spec.axes)
+    selected = _normalize_values(selected, spec)
 
-    # A2 exact dedup on (key, value), then A3 fuzzy resolve to one value/key.
+    # The single shuffle: every grouping key below is a superset of
+    # (filing_name, c_id), so this one clustering serves them all.
+    selected = selected.repartition(F.col("filing_name"), F.col("c_id"))
+
+    # A2 exact dedup on (key, value) — a grouping-only HashAggregate
+    # (codegen'd) — then A3 fuzzy resolve; precision resolution only for
+    # columns whose declared type is numeric.
+    numeric_names = [
+        c for c, t in spec.columns.items() if t in NUMBER_TYPES | INTEGER_TYPES
+    ]
     deduped = dedup_exact(selected, fact_key + ["value"])
-    resolved = fuzzy_dedup(deduped, fact_key).resolved
+    dedup = fuzzy_dedup(
+        deduped,
+        fact_key,
+        numeric_predicate=F.col("name").isin(numeric_names),
+    )
+    resolved = dedup.resolved
 
     # PK projection (P7): context columns + axis backfill to 'total'.
     if spec.instant:
@@ -64,21 +126,27 @@ def construct_table(
     else:
         date_cols = [F.col("start_date"), F.col("end_date")]
     pk_exprs = (
-        [F.col("entity_id"), F.col("filing_name"), F.col("publication_time")]
+        [F.col("entity_id"), F.col("publication_time")]
         + date_cols
         + [filters.axis_with_total("dims", axis) for axis in spec.axes]
     )
-    keyed = resolved.select(*pk_exprs, F.col("c_id"), F.col("name"), F.col("value"))
+    keyed = resolved.select(
+        F.col("filing_name"), F.col("c_id"), *pk_exprs, F.col("name"), F.col("value")
+    )
 
-    # A1: long -> wide. Explicit value list = no extra distinct scan, and the
-    # groupBy keys extend the fuzzy-dedup clustering, so AQE plans this
-    # without a second full shuffle.
-    pivot_keys = [c for c in keyed.columns if c not in ("name", "value")]
-    wide = (
-        keyed.groupBy(*pivot_keys)
-        .pivot("name", spec.data_columns)
-        .agg(F.first("value"))
-        .drop("c_id")
+    # A1: long -> wide, grouped on (filing, c_id) exactly like the
+    # reference's unstack-on-c_id (datapackage.py:427-441) — context PK
+    # fields are functions of the context, so first() is constant per
+    # group, and max(when(name=c)) sees at most one non-null value per
+    # group post-fuzzy (deterministic). Narrow grouping key = reuses the
+    # pipeline's one clustering, no extra sort columns.
+    pk_cols = [c for c in keyed.columns if c not in ("filing_name", "c_id", "name", "value")]
+    wide = keyed.groupBy("filing_name", "c_id").agg(
+        *[F.first(c).alias(c) for c in pk_cols],
+        *[
+            F.max(F.when(F.col("name") == c, F.col("value"))).alias(c)
+            for c in spec.data_columns
+        ],
     )
 
     # F9 casts + P5 reindex to the declared column order.
@@ -98,4 +166,18 @@ def construct_table(
 
     if deterministic_order:
         result = result.orderBy(*spec.primary_key)
-    return result
+    return TableResult(data=result, errors=dedup.errors)
+
+
+def construct_table(
+    facts: DataFrame,
+    spec: TableSpec,
+    typed_dates: bool = False,
+    deterministic_order: bool = False,
+) -> DataFrame:
+    """Data-only convenience wrapper; use construct_table_with_errors (or
+    pipeline.extract's errors/strict surface) to observe quarantined
+    conflicts."""
+    return construct_table_with_errors(
+        facts, spec, typed_dates=typed_dates, deterministic_order=deterministic_order
+    ).data

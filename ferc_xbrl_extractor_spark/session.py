@@ -53,6 +53,15 @@ def get_spark(
         # raise the auto-broadcast ceiling so Catalyst picks BHJ for them.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.maxResultSize", "4g")
+        # local mode: driver JVM == all executors; the 1g default heap GC-
+        # thrashes with 32 task threads. Honored only at JVM launch — on a
+        # real cluster the deployer's --driver-memory/--executor-memory win.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        )
+        # Pin the initial heap: growing 1g -> 24g mid-job causes full-GC
+        # spikes that dwarf the queries being measured.
+        .config("spark.driver.extraJavaOptions", "-Xms16g")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
     for k, v in (extra_conf or {}).items():

@@ -113,19 +113,23 @@ def scan_filings(
                 F.element_at(F.split(F.col("path"), "/"), -1), r"\.xbrl$", ""
             ).alias("filing_name"),
             F.col("content"),
-            (
-                F.lit(publication_time).cast("timestamp")
-                if publication_time
-                else F.col("modificationTime")
-            ).alias("publication_time"),
+            # Reference parity: non-zip instances have NO publication time
+            # (instance.py:454-484 leaves it None) unless the caller sets
+            # one explicitly. Never stamp mtime — it changes on copy and
+            # publication_time is part of every table's primary key.
+            F.lit(publication_time).cast("timestamp").alias("publication_time"),
             F.lit(None).cast("string").alias("taxonomy_version"),
         )
     )
     zipped = (
         listing.filter(is_zip)
-        .select("content")
-        # one zip = one task; many zips fan out across the cluster
-        .repartition(max(listing.rdd.getNumPartitions(), 1))
+        .select("path", "content")
+        # Hash-repartition on the zip path so N zips spread over N tasks
+        # regardless of how few listing partitions the driver produced —
+        # a plan-time expression, not the eager .rdd partition probe this
+        # used to do (zips aren't splittable; the member explode is the
+        # expensive step being parallelized here).
+        .repartition(F.col("path"))
         .mapInPandas(_explode_zip, schema=FILING_SCHEMA)
     )
     filings = plain.unionByName(zipped)

@@ -1,0 +1,161 @@
+"""Unit tests for the LLM-pipeline gap operators (G2-G4, G11)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferc_xbrl_extractor_spark.operators import (
+    multimodal,
+    neardup,
+    similarity,
+    text,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat today"),
+            (2, "the cat sat on the mat yesterday"),  # near-dup of 1
+            (3, "completely different words entirely here now"),
+            (4, "the cat sat on the mat today"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_jaccard_finds_near_and_exact_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in neardup.jaccard_pairs(docs, n=3, threshold=0.4).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # exact dup
+    assert 0.4 <= pairs[(1, 2)] < 1.0  # near dup
+    assert (2, 4) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_exact_dup_always_collides(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in neardup.minhash_lsh_pairs(
+            docs, n=3, num_hashes=12, bands=6, threshold=0.9
+        ).collect()
+    }
+    # identical docs have identical signatures -> guaranteed candidate
+    assert (1, 4) in pairs
+
+
+def test_minhash_signature_matches_table_variant(spark, docs):
+    """The per-row expression form and the shuffle form must agree —
+    they're the same mathematical signature."""
+    expr = docs.select(
+        "doc_id", neardup.minhash_signature("text", 3, 4).alias("sig")
+    ).collect()
+    st = neardup.shingle_table(docs)
+    tab = neardup.minhash_signature_table(st, num_hashes=4).collect()
+    by_id_expr = {r["doc_id"]: list(r["sig"]) for r in expr}
+    by_id_tab = {r["doc_id"]: [r[f"mh{i}"] for i in range(4)] for r in tab}
+    assert by_id_expr == by_id_tab
+
+
+def test_simhash_near_dups_close(docs):
+    out = neardup.simhash_pairs(
+        docs, bits=16, prefix_bits=2, max_hamming=16
+    ).collect()
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert ham.get((1, 4)) == 0  # identical text -> identical fingerprint
+
+
+def test_cosine_topk_exact(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.01]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.cosine_topk(corpus, corpus.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [3, 1]
+    assert rows[0]["sim"] > rows[1]["sim"]
+
+
+def test_topk_two_phase_matches_single_phase(spark):
+    df = spark.createDataFrame(
+        [(i % 3, float(i), i) for i in range(300)], "k int, score double, id int"
+    ).repartition(8)
+    order = [F.col("score").desc(), F.col("id")]
+    two = similarity.topk_per_key(df, ["k"], order, 5, two_phase=True)
+    one = similarity.topk_per_key(df, ["k"], order, 5, two_phase=False)
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
+
+
+def test_text_stats(docs):
+    row = {
+        r["doc_id"]: r
+        for r in text.with_text_stats(docs).collect()
+    }[1]
+    assert row["n_tokens"] == 7
+    assert row["n_uniq_tokens"] == 6  # 'the' twice
+    assert row["stopword_ratio"] == round(2 / 7, 4)
+
+
+def test_tokens_handle_whitespace(spark):
+    df = spark.createDataFrame([(1, "  a  b \t c  ")], "doc_id long, text string")
+    assert df.select(text.tokens("text").alias("t")).first()["t"] == ["a", "b", "c"]
+
+
+def test_language_id_picks_profile(spark):
+    df = spark.createDataFrame(
+        [(1, "der hund und die katze das haus"), (2, "the dog and the cat")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in text.language_id(df).collect()}
+    assert got == {1: "de", 2: "en"}
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "a b  c"), (2, " a b c ")], "doc_id long, text string"
+    )
+    fps = [r["fp"] for r in text.fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_features_deterministic(spark):
+    media = multimodal.media_table_from_binary(
+        spark.createDataFrame(
+            [(1, bytearray(b"hello")), (2, bytearray(b""))],
+            "id long, blob binary",
+        ),
+        "id",
+        "blob",
+        "image",
+        "image/png",
+    )
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media, dim=4).collect()}
+    assert feats[1]["n_bytes"] == 5
+    assert feats[1]["content_md5"] == "5d41402abc4b2a76b9719d911017c592"  # md5('hello')
+    assert len(feats[1]["feature"]) == 4
+    # same bytes -> same fake feature, run to run
+    again = {
+        r["media_id"]: r for r in multimodal.extract_features(media, dim=4).collect()
+    }
+    assert feats[1]["feature"] == again[1]["feature"]
+
+
+def test_multimodal_stub_raises_without_codec(spark):
+    media = multimodal.media_table_from_binary(
+        spark.createDataFrame([(1, bytearray(b"x"))], "id long, blob binary"),
+        "id",
+        "blob",
+        "video",
+        "video/mp4",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        multimodal.extract_features(media, decode_stub=False).collect()

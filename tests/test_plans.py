@@ -1,0 +1,170 @@
+"""Physical-plan assertions: the scale properties the engine promises.
+
+These pin the *shape* of the plan, not its results — a regression here is
+invisible at sf0.01 and catastrophic at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferc_xbrl_extractor_spark.catalog.tablespec import TableSpec
+from ferc_xbrl_extractor_spark.operators import neardup, similarity
+from ferc_xbrl_extractor_spark.operators.fact_table import construct_table
+
+
+def _executed_plan(df) -> str:
+    df.collect()  # force AQE to finalize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints the pre-adaptive plan again under '== Initial Plan ==';
+    # only the final plan above it is what actually ran.
+    return plan.split("== Initial Plan ==")[0]
+
+
+@pytest.fixture()
+def facts(spark):
+    rows = [
+        (
+            "f1",
+            f"c{i}",
+            "E1",
+            False,
+            "2021-01-01",
+            "2021-12-31",
+            {"line_axis": str(i)},
+            "cost",
+            str(10.5 + i),
+        )
+        for i in range(50)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "filing_name string, c_id string, entity_id string, instant boolean,"
+        "start_date string, end_date string, dims map<string,string>,"
+        "name string, value string",
+    ).withColumn("publication_time", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+
+
+def test_fact_table_single_exchange(facts):
+    """The per-table pipeline costs exactly ONE shuffle: the explicit
+    repartition(filing_name, c_id). Dedup agg, fuzzy agg, and pivot agg all
+    reuse that clustering (HashPartitioning on a subset of their keys)."""
+    spec = TableSpec(
+        name="t",
+        period_type="duration",
+        columns={"cost": "number"},
+        axes=["line_axis"],
+    )
+    df = construct_table(facts, spec)
+    plan = _executed_plan(df)
+    n_exchanges = plan.count("Exchange")
+    # AQE may report the same exchange node in reused subtrees; count the
+    # shuffle origins instead of substring occurrences when they diverge.
+    assert n_exchanges == 1, f"expected 1 Exchange, got {n_exchanges}:\n{plan}"
+
+
+@pytest.fixture()
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + f" tail{i % 7}") for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_join_is_keyed_not_cartesian(docs):
+    """MinHash-LSH candidate generation must join on (band_idx, band_hash)
+    — never a cartesian/broadcast-nested-loop over the corpus."""
+    pairs = neardup.minhash_lsh_pairs(docs, num_hashes=4, bands=2, threshold=0.1)
+    plan = _executed_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_join_is_keyed_not_cartesian(docs):
+    pairs = neardup.jaccard_pairs(docs, threshold=0.9)
+    plan = _executed_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 2.0]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") < 3)
+    out = similarity.cosine_topk(corpus, queries, k=2)
+    plan = _executed_plan(out)
+    # queries are the broadcast side: the corpus scan must not shuffle
+    # before scoring
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_fact_table_normalizes_before_dedup(spark, facts):
+    """'1.0' and '1.00' on a number column are exact duplicates (reference
+    CONVERT_DTYPES-before-drop_duplicates), not a precision tie."""
+    extra = spark.createDataFrame(
+        [
+            (
+                "f1",
+                "cX",
+                "E1",
+                False,
+                "2021-01-01",
+                "2021-12-31",
+                {"line_axis": "X"},
+                "cost",
+                "7.50",
+            ),
+            (
+                "f1",
+                "cX",
+                "E1",
+                False,
+                "2021-01-01",
+                "2021-12-31",
+                {"line_axis": "X"},
+                "cost",
+                "7.5",
+            ),
+        ],
+        facts.schema[:-1],
+    ).withColumn("publication_time", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    spec = TableSpec(
+        name="t",
+        period_type="duration",
+        columns={"cost": "number"},
+        axes=["line_axis"],
+    )
+    from ferc_xbrl_extractor_spark.operators.fact_table import (
+        construct_table_with_errors,
+    )
+
+    built = construct_table_with_errors(extra, spec)
+    assert built.errors.count() == 0
+    rows = built.data.collect()
+    assert len(rows) == 1 and rows[0]["cost"] == 7.5
+
+
+def test_string_typed_conflicts_quarantined(spark):
+    """Numeric-looking conflicts on a *string-typed* column must NOT be
+    precision-resolved (reference raises; we quarantine)."""
+    facts = spark.createDataFrame(
+        [
+            ("f1", "c1", "E1", False, "2021-01-01", "2021-12-31", {}, "label", "1.5"),
+            ("f1", "c1", "E1", False, "2021-01-01", "2021-12-31", {}, "label", "2.55"),
+        ],
+        "filing_name string, c_id string, entity_id string, instant boolean,"
+        "start_date string, end_date string, dims map<string,string>,"
+        "name string, value string",
+    ).withColumn("publication_time", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    spec = TableSpec(
+        name="t", period_type="duration", columns={"label": "string"}, axes=[]
+    )
+    from ferc_xbrl_extractor_spark.operators.fact_table import (
+        construct_table_with_errors,
+    )
+
+    built = construct_table_with_errors(facts, spec)
+    assert built.errors.count() == 1
+    assert built.data.count() == 0
