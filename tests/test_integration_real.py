@@ -1,0 +1,206 @@
+"""Integration tests on the reference's real Form-1 fixtures
+(/root/reference/examples, /root/reference/tests/integration/data — public
+FERC data shipped with the reference repo, used here as inputs only).
+
+Mirrors the reference's integration suite:
+- 255-table catalog from the two-version taxonomy archive
+  (datapackage_test.py:56-58);
+- CLI end-to-end + U3 cross-engine oracle: SQLite and DuckDB outputs must
+  be frame-equal per table (console_scripts_test.py:92-118);
+- data-quality invariants: used-fact ratios, non-null publication_time,
+  referential integrity to the identification table
+  (data_quality_test.py:10-100).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+import duckdb
+import pytest
+
+TAXONOMY_2V = "/root/reference/tests/integration/data/ferc1-xbrl-taxonomies.zip"
+TAXONOMY_1V = "/root/reference/examples/ferc1-xbrl-taxonomies.zip"
+SAMPLE_FILINGS = "/root/reference/examples/ferc1-2021-sample.zip"
+
+REQUESTED = [
+    "identification_001_duration",
+    "list_of_schedules_002_duration",
+    "corporations_controlled_by_respondent_103_duration",
+]
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    from ferc_xbrl_extractor_spark.catalog.taxonomy_xml import catalog_from_archive
+
+    return catalog_from_archive(TAXONOMY_2V)
+
+
+def test_catalog_matches_reference_table_count(catalog):
+    # Reference integration test pins 255 tables for these two versions
+    # (tests/integration/datapackage_test.py:56-58).
+    assert len(catalog) == 255
+
+
+def test_identification_table_schema(catalog):
+    spec = catalog["identification_001_duration"]
+    assert spec.primary_key == [
+        "entity_id",
+        "filing_name",
+        "publication_time",
+        "start_date",
+        "end_date",
+    ]
+    for col in ["form_type", "respondent_legal_name", "report_year", "report_period"]:
+        assert col in spec.columns
+    # ReportYear is declared xbrli:integerItemType in both taxonomy
+    # versions (ferc-core_*.xsd), not gYear.
+    assert spec.columns["report_year"] == "integer"
+
+
+def test_catalog_freeze_roundtrip(catalog, tmp_path):
+    import json
+
+    from ferc_xbrl_extractor_spark.catalog.tablespec import (
+        specs_from_json,
+        specs_to_json,
+    )
+
+    path = tmp_path / "catalog.json"
+    path.write_text(json.dumps(specs_to_json(catalog)))
+    thawed = specs_from_json(path)
+    assert set(thawed) == set(catalog)
+    spec = thawed["identification_001_duration"]
+    assert spec.columns == catalog["identification_001_duration"].columns
+
+
+def test_metadata_k5_has_calculations_and_references():
+    from ferc_xbrl_extractor_spark.catalog.taxonomy_xml import (
+        metadata_from_versions,
+        parse_taxonomy_archive,
+    )
+
+    meta = metadata_from_versions(parse_taxonomy_archive(TAXONOMY_1V))
+    ident = meta["identification_001_duration"]
+    assert "form_type" in ident
+    assert ident["form_type"]["name"] == "form_type"
+    has_calc = any(
+        col["calculations"] for table in meta.values() for col in table.values()
+    )
+    has_ref = any(
+        col["references"] for table in meta.values() for col in table.values()
+    )
+    has_balance = any(
+        col["balance"] in ("credit", "debit")
+        for table in meta.values()
+        for col in table.values()
+    )
+    assert has_calc and has_ref and has_balance
+
+
+@pytest.fixture(scope="module")
+def cli_outputs(tmp_path_factory):
+    from ferc_xbrl_extractor_spark import cli
+
+    out = tmp_path_factory.mktemp("cli")
+    rc = cli.run_main(
+        cli.parse(
+            [
+                SAMPLE_FILINGS,
+                "--taxonomy",
+                TAXONOMY_1V,
+                "--sqlite-path",
+                str(out / "ferc1.sqlite"),
+                "--duckdb-path",
+                str(out / "ferc1.duckdb"),
+                "--output-dir",
+                str(out / "parquet"),
+                "--datapackage-path",
+                str(out / "datapackage.json"),
+                "--freeze-catalog-path",
+                str(out / "catalog.json"),
+                "--requested-tables",
+                *REQUESTED,
+            ]
+        )
+    )
+    assert rc == 0
+    return out
+
+
+def test_cli_u3_sqlite_duckdb_consistency(cli_outputs):
+    """U3: both engines hold the same tables with frame-equal contents
+    (reference console_scripts_test.py:92-118)."""
+    sconn = sqlite3.connect(cli_outputs / "ferc1.sqlite")
+    stables = {
+        r[0]
+        for r in sconn.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'"
+        ).fetchall()
+    }
+    dcon = duckdb.connect(str(cli_outputs / "ferc1.duckdb"))
+    dtables = {r[0] for r in dcon.sql("SHOW TABLES").fetchall()}
+    assert stables == dtables
+    assert stables  # no empty outputs
+
+    import pandas as pd
+
+    def normalize(df, key):
+        out = df[key].apply(
+            lambda s: s.map(lambda v: "NULL" if pd.isna(v) else str(v))
+        )
+        return out.sort_values(key).reset_index(drop=True)
+
+    for table in stables:
+        sdf = pd.read_sql_query(f'SELECT * FROM "{table}"', sconn)
+        ddf = dcon.sql(f'SELECT * FROM "{table}"').df()
+        assert len(sdf) > 0, f"{table} is empty"
+        key = sorted(sdf.columns)
+        pd.testing.assert_frame_equal(
+            normalize(sdf, key), normalize(ddf, key), check_dtype=False
+        )
+
+
+@pytest.fixture(scope="module")
+def real_extract(spark):
+    from ferc_xbrl_extractor_spark.catalog.taxonomy_xml import catalog_from_archive
+    from ferc_xbrl_extractor_spark.pipeline.extract import extract
+
+    specs = catalog_from_archive(TAXONOMY_1V)
+    return extract(spark, SAMPLE_FILINGS, specs), specs
+
+
+def test_data_quality_used_fact_ratio(real_extract):
+    """Reference data_quality_test.py:37-55: >99% of facts consumed
+    overall, >95% per filing, across the full catalog."""
+    result, specs = real_extract
+    stats = result.used_fact_ratios(list(specs.values())).collect()
+    total = sum(r["total_facts"] for r in stats)
+    used = sum(r["used_facts"] for r in stats)
+    assert 0.99 < used / total <= 1.0
+    for r in stats:
+        assert r["ratio"] > 0.95, f"{r['filing_name']}: {r['ratio']}"
+
+
+def test_data_quality_referential_integrity(real_extract):
+    """Every extracted table's (entity_id, filing_name) must exist in the
+    identification table (reference data_quality_test.py:70-89)."""
+    from ferc_xbrl_extractor_spark.operators.joins import (
+        referential_integrity_violations,
+    )
+
+    result, _specs = real_extract
+    ids = result.tables["identification_001_duration"]
+    for name in REQUESTED:
+        violations = referential_integrity_violations(result.tables[name], ids)
+        assert violations.isEmpty(), name
+
+
+def test_data_quality_publication_time_non_null(real_extract):
+    from pyspark.sql import functions as F
+
+    result, _specs = real_extract
+    for name in REQUESTED:
+        df = result.tables[name]
+        assert df.filter(F.col("publication_time").isNull()).isEmpty(), name
