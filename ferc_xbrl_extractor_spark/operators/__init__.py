@@ -1,11 +1,26 @@
-"""Operator library: SURVEY.md §2 inventory as pure DataFrame transforms."""
+"""Operator library: SURVEY.md §2 inventory as pure DataFrame transforms.
 
+Submodules: filters (P1-P7), dedup (A2/A3/G1), fact_table (the per-table
+pipeline), joins (J1/J2/G9), stats (A4-A8), analytics (G5-G8/G10),
+text (G4), neardup (G2), similarity (G3), multimodal (G11).
+"""
+
+from ferc_xbrl_extractor_spark.operators import (  # noqa: F401
+    analytics,
+    multimodal,
+    neardup,
+    similarity,
+    text,
+)
 from ferc_xbrl_extractor_spark.operators.dedup import (
     dedup_exact,
     dedup_exact_keep,
     fuzzy_dedup,
 )
-from ferc_xbrl_extractor_spark.operators.fact_table import construct_table
+from ferc_xbrl_extractor_spark.operators.fact_table import (
+    construct_table,
+    construct_table_with_errors,
+)
 from ferc_xbrl_extractor_spark.operators.filters import (
     at_least_one_non_null,
     dims_fit_table,
@@ -14,10 +29,16 @@ from ferc_xbrl_extractor_spark.operators.filters import (
 )
 
 __all__ = [
+    "analytics",
+    "multimodal",
+    "neardup",
+    "similarity",
+    "text",
     "dedup_exact",
     "dedup_exact_keep",
     "fuzzy_dedup",
     "construct_table",
+    "construct_table_with_errors",
     "at_least_one_non_null",
     "dims_fit_table",
     "for_period",

@@ -102,6 +102,25 @@ def construct_table_with_errors(
     selected = filters.dims_fit_table(selected, spec.axes)
     selected = _normalize_values(selected, spec)
 
+    # Shrink the shuffle payload map-side BEFORE the exchange: resolve the
+    # dims map into the table's axis string columns (P7 backfill) and keep
+    # only the columns the rest of the plan reads. Shipping the map through
+    # the shuffle measures ~4× slower than shipping flat strings.
+    if spec.instant:
+        date_cols = [F.col("end_date").alias("date")]
+    else:
+        date_cols = [F.col("start_date"), F.col("end_date")]
+    selected = selected.select(
+        "filing_name",
+        "c_id",
+        "entity_id",
+        "publication_time",
+        *date_cols,
+        *[filters.axis_with_total("dims", axis) for axis in spec.axes],
+        "name",
+        "value",
+    )
+
     # The single shuffle: every grouping key below is a superset of
     # (filing_name, c_id), so this one clustering serves them all.
     selected = selected.repartition(F.col("filing_name"), F.col("c_id"))
@@ -120,26 +139,13 @@ def construct_table_with_errors(
     )
     resolved = dedup.resolved
 
-    # PK projection (P7): context columns + axis backfill to 'total'.
-    if spec.instant:
-        date_cols = [F.col("end_date").alias("date")]
-    else:
-        date_cols = [F.col("start_date"), F.col("end_date")]
-    pk_exprs = (
-        [F.col("entity_id"), F.col("publication_time")]
-        + date_cols
-        + [filters.axis_with_total("dims", axis) for axis in spec.axes]
-    )
-    keyed = resolved.select(
-        F.col("filing_name"), F.col("c_id"), *pk_exprs, F.col("name"), F.col("value")
-    )
-
     # A1: long -> wide, grouped on (filing, c_id) exactly like the
     # reference's unstack-on-c_id (datapackage.py:427-441) — context PK
     # fields are functions of the context, so first() is constant per
     # group, and max(when(name=c)) sees at most one non-null value per
     # group post-fuzzy (deterministic). Narrow grouping key = reuses the
     # pipeline's one clustering, no extra sort columns.
+    keyed = resolved
     pk_cols = [c for c in keyed.columns if c not in ("filing_name", "c_id", "name", "value")]
     wide = keyed.groupBy("filing_name", "c_id").agg(
         *[F.first(c).alias(c) for c in pk_cols],

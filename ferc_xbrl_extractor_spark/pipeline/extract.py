@@ -52,6 +52,20 @@ class ExtractResult:
         consumed = consumed_keys_for_tables(self.facts, specs)
         return used_fact_stats(self.facts, consumed)
 
+    def stats(self, specs: list[TableSpec]) -> dict[str, dict[str, int]]:
+        """A8: the reference's per-filing stats artifact
+        ({filing: {used_facts, total_facts}}, ExtractOutput.stats /
+        xbrl.py:120-136). The reference merges per-batch fact-id dicts on
+        the driver; here the same quantities fall out of one aggregate over
+        the facts relation — no driver-side set mutation to merge."""
+        return {
+            r["filing_name"]: {
+                "used_facts": r["used_facts"],
+                "total_facts": r["total_facts"],
+            }
+            for r in self.used_fact_ratios(specs).collect()
+        }
+
     def raise_on_conflicts(self, max_show: int = 5) -> None:
         """Strict mode (reference E2 semantics): fail the run if any table
         quarantined a conflict. Driver-side check over already-built lazy
