@@ -534,6 +534,17 @@ def q_g4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(docs).select("doc_id", "fp")
 
 
+def q_g4_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: BPE-ish regex token counting (letter runs / digit runs /
+    symbols) vs plain whitespace tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_counts(docs).alias("n_ws_tokens"),
+        text.token_counts(docs, pattern=text.BPE_ISH_PATTERN).alias("n_bpe_tokens"),
+    )
+
+
 def q_g5_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5: analytic pack (row_number, lag, running sum) over one window."""
     orders = _t(spark, sf_dir, "orders")
@@ -552,6 +563,36 @@ def q_g5_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_num",
         "prev_price",
         F.round("run_sum", 2).alias("run_sum"),
+    )
+
+
+def q_g5_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: explicit row frames — moving average + lead over one window."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    moving = w.rowsBetween(-2, 0)
+    # moving SUM, not avg: summands have 2 decimals, so the true value has
+    # <=2 decimals and round(x, 2) can never sit on a cross-engine .005
+    # boundary (an avg's division can).
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(moving), 2).alias("moving_sum"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+    )
+
+
+def q_g6_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: explicit grouping sets (not expressible via rollup/cube alone)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
     )
 
 
@@ -587,6 +628,15 @@ def q_g7_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return analytics.exact_quantiles(
         li, ["l_returnflag"], "l_extendedprice", [0.25, 0.5, 0.75]
+    )
+
+
+def q_g7_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: exact median (linear interpolation, matches quantile_cont 0.5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
@@ -640,6 +690,28 @@ def q_g9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_time="ts",
         right_time="o_orderdate",
         right_values=["o_orderkey", "last_price"],
+    )
+
+
+def q_g9_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 forward direction: each order matched to the user's first event
+    at-or-after the order date (left join; users without events -> null)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    events = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    return asof_join(
+        orders,
+        events,
+        on="user_id",
+        left_time="o_orderdate",
+        right_time="ts",
+        right_values=["event_id"],
+        direction="forward",
     )
 
 
@@ -711,14 +783,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_token_topk": q_g4_token_topk,
         "g4_language_id": q_g4_language_id,
         "g4_fingerprint": q_g4_fingerprint,
+        "g4_bpe_tokens": q_g4_bpe_tokens,
         "g5_window_funcs": q_g5_window_funcs,
+        "g5_moving_agg": q_g5_moving_agg,
         "g6_rollup": q_g6_rollup,
         "g6_cube": q_g6_cube,
+        "g6_grouping_sets": q_g6_grouping_sets,
         "g7_exact_quantiles": q_g7_exact_quantiles,
+        "g7_median": q_g7_median,
         "g7_approx_distinct": q_g7_approx_distinct,
         "g8_tumbling": q_g8_tumbling,
         "g8_session": q_g8_session,
         "g9_asof_join": q_g9_asof_join,
+        "g9_asof_forward": q_g9_asof_forward,
         "g10_json": q_g10_json,
         "g11_multimodal": q_g11_multimodal,
     }
@@ -983,6 +1060,51 @@ def oracle_sql() -> dict[str, str]:
         WITH {_TOKENS_CTE}
         SELECT doc_id, md5(array_to_string(w, ' ')) AS fp
         FROM toks
+    """
+
+    sql["g4_bpe_tokens"] = f"""
+        WITH {_TOKENS_CTE}
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+        FROM toks
+    """
+
+    sql["g5_moving_agg"] = """
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_sum,
+               lead(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS next_price
+        FROM orders
+    """
+
+    sql["g6_grouping_sets"] = """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """
+
+    sql["g7_median"] = """
+        SELECT l_linestatus,
+               ROUND(median(l_extendedprice), 4) AS median_price,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY 1
+    """
+
+    sql["g9_asof_forward"] = """
+        WITH e AS (
+            SELECT user_id, ts, max(event_id) AS event_id
+            FROM events GROUP BY 1, 2
+        )
+        SELECT o.o_orderkey, o.o_custkey AS user_id, o.o_orderdate, e.event_id
+        FROM orders o
+        ASOF LEFT JOIN e ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
     """
 
     sql["g5_window_funcs"] = """

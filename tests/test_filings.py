@@ -1,0 +1,76 @@
+"""Filing scans (S1/S2/S5/F7): zip explode, rssfeed sidecar, name filter."""
+
+from __future__ import annotations
+
+import datetime
+import io
+import json
+import zipfile
+
+import pytest
+
+from ferc_xbrl_extractor_spark.sources.filings import scan_filings
+
+FILING_A = b"<?xml version='1.0'?><root>a</root>"
+FILING_B = b"<?xml version='1.0'?><root>b</root>"
+
+
+@pytest.fixture()
+def filing_zip(tmp_path):
+    rss = {
+        "respondent": [
+            {
+                "filename": "company_a.xbrl",
+                "rss_metadata": {"published_parsed": "2023-04-07T12:30:00-04:00"},
+                "taxonomy_zip_name": "form-1_2022-01-01.zip",
+            }
+        ]
+    }
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("company_a.xbrl", FILING_A)
+        z.writestr("company_b.xbrl", FILING_B)
+        z.writestr("not_a_filing.txt", b"junk")
+        z.writestr("rssfeed", json.dumps(rss))
+    path = tmp_path / "filings.zip"
+    path.write_bytes(buf.getvalue())
+    return str(path)
+
+
+def test_zip_scan_with_rssfeed(spark, filing_zip):
+    rows = {r["filing_name"]: r for r in scan_filings(spark, filing_zip).collect()}
+    assert set(rows) == {"company_a", "company_b"}
+    # F7: rssfeed timestamp normalized to naive UTC (16:30 from 12:30-04:00)
+    assert rows["company_a"]["publication_time"] == datetime.datetime(
+        2023, 4, 7, 16, 30
+    )
+    assert rows["company_a"]["taxonomy_version"] == "form-1_2022-01-01.zip"
+    # filings without an rssfeed entry get no publication time
+    assert rows["company_b"]["publication_time"] is None
+    assert bytes(rows["company_a"]["content"]) == FILING_A
+
+
+def test_instance_pattern_prefilter(spark, filing_zip):
+    rows = scan_filings(spark, filing_zip, instance_pattern="_a$").collect()
+    assert [r["filing_name"] for r in rows] == ["company_a"]
+
+
+def test_directory_scan_null_publication_time(spark, tmp_path):
+    d = tmp_path / "filings"
+    d.mkdir()
+    (d / "x.xbrl").write_bytes(FILING_A)
+    (d / "skip.json").write_bytes(b"{}")
+    rows = scan_filings(spark, str(d)).collect()
+    assert [r["filing_name"] for r in rows] == ["x"]
+    # reference parity: directory scans have NO publication_time (it is part
+    # of every PK; mtime would make outputs non-reproducible across copies)
+    assert rows[0]["publication_time"] is None
+
+
+def test_directory_scan_explicit_publication_time(spark, tmp_path):
+    d = tmp_path / "filings2"
+    d.mkdir()
+    (d / "x.xbrl").write_bytes(FILING_A)
+    ts = datetime.datetime(2024, 1, 1, 9, 0)
+    rows = scan_filings(spark, str(d), publication_time=ts).collect()
+    assert rows[0]["publication_time"] == ts
