@@ -262,15 +262,31 @@ def _parse_linkbase(version: TaxonomyVersion, data: bytes) -> None:
 
 
 def parse_taxonomy_version(archive: zipfile.ZipFile) -> TaxonomyVersion:
-    """Parse one dated taxonomy zip (schemas first, then linkbases)."""
+    """Parse one dated taxonomy zip (schemas first, then linkbases).
+
+    Unparseable members are skipped with a warning: published FERC archives
+    really do contain corrupt entries (e.g. the form-6 2023-04-01 archive
+    ships an HTML 'Request Rejected' page saved as sched-602's .xsd) — one
+    bad schedule must not sink the other ~250 tables.
+    """
+    import logging
+    import xml.etree.ElementTree as ET
+
+    logger = logging.getLogger(__name__)
     version = TaxonomyVersion()
     names = sorted(archive.namelist())
     for n in names:
         if n.endswith(".xsd"):
-            _parse_schema(version, archive.read(n))
+            try:
+                _parse_schema(version, archive.read(n))
+            except ET.ParseError as err:
+                logger.warning("skipping unparseable schema %s: %s", n, err)
     for n in names:
         if n.endswith(".xml"):
-            _parse_linkbase(version, archive.read(n))
+            try:
+                _parse_linkbase(version, archive.read(n))
+            except ET.ParseError as err:
+                logger.warning("skipping unparseable linkbase %s: %s", n, err)
     return version
 
 
@@ -368,6 +384,12 @@ def catalog_from_version(version: TaxonomyVersion) -> dict[str, TableSpec]:
     matching Resource.from_link_role)."""
     specs: dict[str, TableSpec] = {}
     for role_uri, role in version.roles.items():
+        # Arelle's relationship view only lists roles that actually carry
+        # parent-child arcs; roleTypes declared but never used in a
+        # presentation network (e.g. form-6's bare 'Default' role) are not
+        # fact tables.
+        if not version.presentation.get(role_uri):
+            continue
         cleaned = clean_table_name(role.definition)
         if cleaned is None:
             continue
@@ -436,6 +458,8 @@ def metadata_from_versions(versions: dict[str, TaxonomyVersion]) -> dict:
     out: dict[str, dict] = {}
     for _date, version in sorted(versions.items()):
         for role_uri, role in version.roles.items():
+            if not version.presentation.get(role_uri):
+                continue
             cleaned = clean_table_name(role.definition)
             if cleaned is None:
                 continue

@@ -9,8 +9,6 @@ healthy), so checks run cluster-side with no driver state.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,20 +52,38 @@ def used_fact_stats(facts: DataFrame, consumed_keys: DataFrame) -> DataFrame:
 
 
 def consumed_keys_for_tables(facts: DataFrame, specs) -> DataFrame:
-    """Union of fact keys consumed by a set of TableSpecs (pre-dedup, like
-    the reference which records raw_facts before dropping duplicates)."""
-    from ferc_xbrl_extractor_spark.operators import filters
+    """Fact keys consumed by a set of TableSpecs (pre-dedup, like the
+    reference which records raw_facts before dropping duplicates).
 
-    parts = []
-    for spec in specs:
-        part = filters.with_concepts(
-            filters.for_period(facts, spec.instant), spec.data_columns
-        )
-        part = filters.dims_fit_table(part, spec.axes)
-        parts.append(part.select(*FACT_KEY))
-    if not parts:
+    A fact is consumed iff SOME spec has its name among that spec's data
+    columns, the matching period type, and a PK axis set covering the
+    fact's dims (P2∧P3∧P4). Rather than unioning one filtered plan per
+    spec (a 255-branch plan that takes longer to optimize than to run),
+    the spec surface is exploded into a tiny (name, instant, axes) lookup
+    relation and consumption is ONE broadcast join + subset predicate —
+    constant plan size no matter how many tables the catalog has.
+    """
+    spark = facts.sparkSession
+    rows = [
+        (name, spec.instant, sorted(spec.axes))
+        for spec in specs
+        for name in spec.data_columns
+    ]
+    if not rows:
         return facts.select(*FACT_KEY).limit(0)
-    return reduce(DataFrame.unionByName, parts).distinct()
+    lookup = spark.createDataFrame(
+        rows, "name string, instant boolean, __axes array<string>"
+    ).dropDuplicates()
+    fits = F.forall(
+        F.map_keys(F.coalesce(F.col("dims"), F.create_map())),
+        lambda k: F.array_contains(F.col("__axes"), k),
+    )
+    return (
+        facts.join(F.broadcast(lookup), ["name", "instant"], "inner")
+        .filter(fits)
+        .select(*FACT_KEY)
+        .distinct()
+    )
 
 
 def rows_all_null(df: DataFrame, data_columns: list[str]) -> DataFrame:

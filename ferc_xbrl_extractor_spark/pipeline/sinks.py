@@ -27,12 +27,18 @@ def write_parquet(
     out_dir: str,
     single_file: bool = False,
     max_parallel: int = 8,
+    partition_by: list[str] | None = None,
 ) -> None:
     """K3: one parquet dataset per table.
 
     Writes run from a thread pool — each .write is a separate Spark job and
     the scheduler interleaves their stages, keeping all executors busy
     instead of draining the cluster one table at a time.
+
+    ``partition_by`` (e.g. ["filing_name"]) produces hive-partitioned
+    layout, giving downstream readers partition pruning on the named
+    columns — the right default at 100 TB where consumers slice by filing
+    or period (columns must exist in every table passed).
     """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -40,7 +46,10 @@ def write_parquet(
     def _write(item):
         name, df = item
         target = df.coalesce(1) if single_file else df
-        target.write.mode("overwrite").parquet(str(out / name))
+        writer = target.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(out / name))
 
     with ThreadPoolExecutor(max_workers=max_parallel) as pool:
         list(pool.map(_write, tables.items()))

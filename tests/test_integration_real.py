@@ -204,3 +204,31 @@ def test_data_quality_publication_time_non_null(real_extract):
     for name in REQUESTED:
         df = result.tables[name]
         assert df.filter(F.col("publication_time").isNull()).isEmpty(), name
+
+
+DATA = "/root/reference/tests/integration/data"
+
+
+@pytest.mark.parametrize(
+    ("form", "n_tables"),
+    [(60, 67), (714, 15)],
+)
+def test_other_forms_end_to_end(spark, form, n_tables):
+    """Reference data_quality_test parametrizes forms {1,2,6,60,714}; run
+    the two smallest here end-to-end: catalog -> shred 2021 filings ->
+    used-fact ratios above the reference thresholds. Form 714 also
+    exercises the report_date fallback workaround (F6)."""
+    from ferc_xbrl_extractor_spark.catalog.taxonomy_xml import catalog_from_archive
+    from ferc_xbrl_extractor_spark.pipeline.extract import extract
+
+    specs = catalog_from_archive(f"{DATA}/ferc{form}-xbrl-taxonomies.zip")
+    assert len(specs) == n_tables
+    result = extract(spark, f"{DATA}/ferc{form}-xbrl-2021.zip", specs)
+    stats = result.used_fact_ratios(list(specs.values())).collect()
+    assert stats
+    total = sum(r["total_facts"] for r in stats)
+    used = sum(r["used_facts"] for r in stats)
+    assert 0.99 < used / total <= 1.0, (form, used / total)
+    for r in stats:
+        assert r["ratio"] > 0.95, (form, r["filing_name"], r["ratio"])
+    result.shredded.unpersist()
