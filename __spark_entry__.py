@@ -68,6 +68,10 @@ PUB_TS = "2024-01-01 00:00:00"
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from ferc_xbrl_extractor_spark.sources.star import load_table
 
+    # The driver owns the session; pin the one semantic conf the oracle
+    # comparison depends on (timestamp rendering must match DuckDB's naive
+    # UTC reads). Runtime-settable, idempotent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return load_table(spark, sf_dir, name)
 
 

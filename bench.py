@@ -25,13 +25,19 @@ HEADLINE = [
     "xbrl_dedup_exact",
     "xbrl_fuzzy_dedup",
     "g1_dedup_keep",
+    "g2_jaccard",
     "g2_minhash_lsh",
     "g3_cosine_topk",
     "g4_text_stats",
     "g5_window_funcs",
+    "g5_moving_agg",
     "g6_rollup",
+    "g6_grouping_sets",
+    "g7_exact_quantiles",
+    "g8_tumbling",
     "g8_session",
     "g9_asof_join",
+    "g9_asof_forward",
     "g10_json",
 ]
 

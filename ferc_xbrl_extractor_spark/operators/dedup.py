@@ -104,19 +104,24 @@ def fuzzy_dedup(
     # prefix of ``keys``) plus one codegen'd sort — measured ~3× faster
     # than a collect_set/ObjectHashAggregate formulation at 1.8M facts
     # (object aggregation is GC-bound and falls out of whole-stage codegen).
-    staged = (
-        df.withColumn("__num", F.col(value_col).try_cast("double"))
-        .withColumn("__nd", _ndigits(num, max_precision))
-        .withColumn("__allow", allow_numeric)
-        .withColumn("__cnt", F.count(F.lit(1)).over(w))
-        .withColumn("__all_num", F.min(num.isNotNull()).over(w))
-        .withColumn("__max_nd", F.max(nd).over(w))
+    # Exactly TWO window projections (each select with N window exprs plans
+    # ONE Window node; a withColumn chain plans one node per column — four
+    # full passes over the sorted partition, measured on the SQL metrics).
+    staged = df.select(
+        "*",
+        F.col(value_col).try_cast("double").alias("__num"),
+        _ndigits(F.col(value_col).try_cast("double"), max_precision).alias("__nd"),
+        allow_numeric.alias("__allow"),
+    ).select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("__cnt"),
+        F.min(num.isNotNull()).over(w).alias("__all_num"),
+        F.max(nd).over(w).alias("__max_nd"),
     )
-    staged = staged.withColumn(
-        "__cnt_at_max", F.sum((nd == F.col("__max_nd")).cast("int")).over(w)
-    ).withColumn(
-        "__runner_up",
-        F.max(F.when(nd < F.col("__max_nd"), nd)).over(w),
+    staged = staged.select(
+        "*",
+        F.sum((nd == F.col("__max_nd")).cast("int")).over(w).alias("__cnt_at_max"),
+        F.max(F.when(nd < F.col("__max_nd"), nd)).over(w).alias("__runner_up"),
     )
     resolvable = (F.col("__cnt") == 1) | (
         F.col("__allow")

@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Local-scale tuning: the 64MB default advisory size coalesces a
+        # ~100MB shuffle onto 1-2 cores, serializing every post-shuffle
+        # operator. 8MB keeps ~CPU-count partitions at test scale; a real
+        # cluster deployment should raise this back toward 64-256MB.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         # Arrow for all pandas_udf / mapInPandas / toPandas exchange.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

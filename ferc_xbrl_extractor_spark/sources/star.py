@@ -20,23 +20,39 @@ from pyspark.sql import functions as F
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
-def _nano_columns(path: str) -> list[str]:
+def _file_meta(path: str) -> tuple[list[str], int, int]:
+    """(nano timestamp columns, num_rows, num_row_groups) from the footer."""
     import pyarrow.parquet as pq
 
     try:
-        schema = pq.read_schema(path)
+        pf = pq.ParquetFile(path)
     except Exception:
-        return []
-    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+        return [], 0, 1
+    nano = [f.name for f in pf.schema_arrow if str(f.type) == "timestamp[ns]"]
+    return nano, pf.metadata.num_rows, pf.num_row_groups
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read ``{sf_dir}/{name}.parquet`` with ns-timestamp repair."""
+    """Read ``{sf_dir}/{name}.parquet`` with ns-timestamp repair and
+    row-group-aware re-parallelization.
+
+    A parquet file is only splittable at row-group boundaries: a large file
+    written as ONE row group (pandas/Arrow default for modest frames) scans
+    as ONE task no matter how many cores the cluster has, and everything
+    computed on top of the scan serializes. When the footer shows
+    many-rows-few-groups, insert a cheap round-robin repartition right
+    after the scan so downstream expression work parallelizes.
+    """
+    from ferc_xbrl_extractor_spark.session import default_parallelism
+
     path = f"{sf_dir}/{name}.parquet"
-    nano_cols = _nano_columns(path)
+    nano_cols, num_rows, row_groups = _file_meta(path)
     if nano_cols:
         spark.conf.set(NANOS_CONF, "true")
     df = spark.read.parquet(path)
+    cpus = default_parallelism()
+    if num_rows >= 100_000 and row_groups < cpus // 2:
+        df = df.repartition(cpus)
     for c in nano_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df
