@@ -189,9 +189,14 @@ _SHINGLES_CTE = (
 def q_xbrl_fact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the full per-table pipeline (P1-P7, A1-A3, J1-denorm, F9,
     O-determinism) over the synthesized facts. Exact duplicates are
-    injected (every 'quantity' fact twice) so A2 provably collapses them."""
+    injected (every 'quantity' fact twice, via explode — one scan, unlike a
+    self-union which would recompute the whole facts projection) so A2
+    provably collapses them."""
     facts = _lineitem_facts(spark, sf_dir)
-    facts = facts.unionByName(facts.filter(F.col("name") == "quantity"))
+    dup_n = F.when(F.col("name") == "quantity", 2).otherwise(1)
+    facts = facts.withColumn("__copy", F.explode(F.sequence(F.lit(1), dup_n))).drop(
+        "__copy"
+    )
     spec = TableSpec(
         name="lineitem_fact_table",
         period_type="duration",
@@ -503,6 +508,13 @@ def q_g3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hyperplane_lsh_topk(emb, queries, dim=64, k=5, planes=6)
 
 
+def q_g3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/G3: embedding-cosine near-duplicate pairs (exact form; the
+    sign-LSH bucketed form is the declared scale path, tested in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.4)
+
+
 def q_g4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: per-document quality features."""
     docs = _t(spark, sf_dir, "documents")
@@ -783,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_simhash": q_g2_simhash,
         "g3_cosine_topk": q_g3_cosine_topk,
         "g3_lsh_topk": q_g3_lsh_topk,
+        "g3_embedding_neardup": q_g3_embedding_neardup,
         "g4_text_stats": q_g4_text_stats,
         "g4_token_topk": q_g4_token_topk,
         "g4_language_id": q_g4_language_id,
@@ -1014,6 +1027,18 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY sim DESC, neighbor_id) AS INT) AS rank
         FROM scored
         QUALIFY rank <= 5
+    """
+
+    sql["g3_embedding_neardup"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_inner_product(a.e, b.e) /
+                     (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))),
+                     4) AS sim
+        FROM v a, v b
+        WHERE a.vec_id < b.vec_id
+          AND list_inner_product(a.e, b.e) /
+              (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.4
     """
 
     sql["g4_text_stats"] = f"""

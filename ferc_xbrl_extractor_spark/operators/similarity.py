@@ -132,6 +132,42 @@ def hyperplane_signature(vec_col: Column, dim: int, planes: int) -> Column:
     return out
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    planes: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate join: (id_a, id_b, sim) for pairs
+    with cosine ≥ threshold, id_a < id_b.
+
+    With ``planes`` > 0 (requires ``dim``), candidates are restricted to
+    sign-LSH bucket collisions — the keyed-join scale path (high-cosine
+    pairs land in the same bucket with probability (1-θ/π)^planes).
+    planes=0 scores all pairs via a self-join on a constant key split —
+    only for oracle-checkable small inputs.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if planes > 0:
+        if not dim:
+            raise ValueError("dim is required when planes > 0")
+        sig = lambda col: hyperplane_signature(col, dim, planes)  # noqa: E731
+        a = a.withColumn("__bucket", sig(F.col("__va")))
+        b = b.withColumn("__bucket", sig(F.col("__vb")))
+        joined = a.join(b, "__bucket")
+    else:
+        joined = a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("__sim") >= threshold)
+        .select("id_a", "id_b", F.round("__sim", 4).alias("sim"))
+    )
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

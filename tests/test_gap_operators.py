@@ -85,6 +85,32 @@ def test_cosine_topk_exact(spark):
     assert rows[0]["sim"] > rows[1]["sim"]
 
 
+def test_embedding_neardup_bucketed_finds_identicals(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.5, 0.2]),
+            (1, [1.0, 0.0, 0.5, 0.2]),  # identical to 0
+            (2, [-1.0, 0.3, -0.5, 0.1]),
+            (3, [0.99, 0.01, 0.52, 0.19]),  # near 0/1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(corpus, 0.99).collect()
+    }
+    assert (0, 1) in exact and (0, 3) in exact
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(
+            corpus, 0.99, dim=4, planes=4
+        ).collect()
+    }
+    # identical vectors share every LSH bucket -> guaranteed recall
+    assert (0, 1) in bucketed
+    assert bucketed <= exact  # bucketing only ever loses pairs, never invents
+
+
 def test_topk_two_phase_matches_single_phase(spark):
     df = spark.createDataFrame(
         [(i % 3, float(i), i) for i in range(300)], "k int, score double, id int"
