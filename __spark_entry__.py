@@ -508,6 +508,15 @@ def q_g3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hyperplane_lsh_topk(emb, queries, dim=64, k=5, planes=6)
 
 
+def q_g3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 scale path #2: IVF (k-means coarse quantizer, nprobe cluster-
+    pruned cosine search) — approximate, rows-only; recall vs brute force
+    is pinned in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_topk(emb, queries, k=5, nlist=8, nprobe=3)
+
+
 def q_g3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2/G3: embedding-cosine near-duplicate pairs (exact form; the
     sign-LSH bucketed form is the declared scale path, tested in pytest)."""
@@ -795,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_simhash": q_g2_simhash,
         "g3_cosine_topk": q_g3_cosine_topk,
         "g3_lsh_topk": q_g3_lsh_topk,
+        "g3_ivf_topk": q_g3_ivf_topk,
         "g3_embedding_neardup": q_g3_embedding_neardup,
         "g4_text_stats": q_g4_text_stats,
         "g4_token_topk": q_g4_token_topk,

@@ -168,6 +168,118 @@ def embedding_neardup_pairs(
     )
 
 
+def _unit(vec_col: Column) -> Column:
+    """L2-normalize an array column (zero vectors pass through unscaled)."""
+    n = norm(vec_col)
+    return F.when(n > 0, F.transform(vec_col, lambda v: v.cast("double") / n)).otherwise(
+        F.transform(vec_col, lambda v: v.cast("double"))
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    seed: int = 7,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit an IVF coarse quantizer and assign every corpus vector to its
+    inverted list.
+
+    Spherical k-means: vectors are L2-normalized first, so Euclidean
+    k-means centroids order clusters by cosine. Fitting uses MLlib KMeans
+    (distributed Lloyd iterations, model broadcast for map-side assignment
+    — no driver-side loop over the corpus).
+
+    Returns ``(assigned, centroids)``:
+      assigned  — corpus columns + ``__nvec`` (unit vector) + ``__cluster``;
+                  at scale, write this bucketed/partitioned by ``__cluster``
+                  so probes prune file groups.
+      centroids — (``__cluster``, ``__cvec``) with unit centroid vectors;
+                  nlist rows, always broadcast-side.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    prepped = corpus.withColumn("__nvec", _unit(F.col(vec_col)))
+    feats = prepped.withColumn("__feat", array_to_vector("__nvec"))
+    model = KMeans(
+        k=nlist,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="__feat",
+        predictionCol="__cluster",
+    ).fit(feats)
+    assigned = model.transform(feats).drop("__feat")
+    spark = corpus.sparkSession
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    centroids = spark.createDataFrame(
+        centers, "__cluster int, __cvec array<double>"
+    ).withColumn("__cvec", _unit(F.col("__cvec")))
+    return assigned, centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k cosine search: probe the ``nprobe`` inverted
+    lists whose centroids are nearest each query, brute-force only inside
+    them.
+
+    The search is a join keyed on ``__cluster`` — each query row fans out
+    to nprobe rows against a cluster-partitioned corpus, touching
+    ~nprobe/nlist of the data. Centroids (nlist rows) are broadcast on both
+    the probe and search sides; nothing is ever cross-joined against the
+    full corpus. Output schema matches ``cosine_topk``:
+    (query_id, neighbor_id, sim, rank).
+    """
+    assigned, centroids = ivf_index(
+        corpus, nlist=nlist, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), "__nvec", "__cluster"
+    )
+    # Probe assignment: nearest-nprobe centroids per query (queries are the
+    # small side; centroids are tiny — broadcast).
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _unit(F.col(vec_col)).alias("__qvec")
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cdist").desc(), F.col("__cluster")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__cdist", dot(F.col("__qvec"), F.col("__cvec")))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= nprobe)
+        .select(query_id_col, "__qvec", "__cluster")
+    )
+    scored = (
+        c.join(F.broadcast(probes), "__cluster")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            # unit vectors: dot == cosine
+            F.round(dot(F.col("__qvec"), F.col("__nvec")), 4).alias("sim"),
+        )
+    )
+    return topk_per_key(
+        scored, [query_id_col], [F.col("sim").desc(), F.col("neighbor_id")], k
+    ).select(query_id_col, "neighbor_id", "sim", "rank")
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

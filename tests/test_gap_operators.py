@@ -111,6 +111,34 @@ def test_embedding_neardup_bucketed_finds_identicals(spark):
     assert bucketed <= exact  # bucketing only ever loses pairs, never invents
 
 
+def test_ivf_topk_recall_vs_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, nlist=8, nprobe=4, seed=7
+        ).collect()
+    }
+    # nprobe=4 of 8 lists scans ~half the corpus; the true neighbors are
+    # concentrated in the probed lists, so recall should be well above the
+    # 50% a random half-scan would give.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
+    # full-probe IVF is exhaustive: must equal brute force exactly
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, nlist=8, nprobe=8, seed=7
+        ).collect()
+    }
+    assert full == exact
+
+
 def test_topk_two_phase_matches_single_phase(spark):
     df = spark.createDataFrame(
         [(i % 3, float(i), i) for i in range(300)], "k int, score double, id int"
