@@ -771,6 +771,86 @@ def q_g11_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "content_md5")
 
 
+def _drain_stream(spark: SparkSession, stream: DataFrame, prefix: str) -> DataFrame:
+    """Run a finite streaming plan to completion (availableNow) into a
+    uniquely-named memory sink and return the drained batch table."""
+    import uuid
+
+    from ferc_xbrl_extractor_spark.streaming import run_stream_to_memory
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(stream, name)
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def q_g12_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12: custom stateful streaming op #1 — keep-first dedup via
+    applyInPandasWithState (one boolean of state per key; suppresses
+    re-observed keys across microbatches). Run on a finite stream of the
+    events table, so the result is the batch keep-first and the DuckDB
+    row_number()=1 oracle checks it exactly."""
+    import tempfile
+
+    from ferc_xbrl_extractor_spark.streaming import stream_dedup_first
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="g12_dedup_in_")
+    events.write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema(events.schema).parquet(tmp)
+    out = stream_dedup_first(
+        stream, ["user_id", "event_type"], "ts", "event_id", ["value"]
+    )
+    return _drain_stream(spark, out, "g12_dedup")
+
+
+def q_g12_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12: custom stateful streaming op #2 — as-of (LOCF) enrichment over a
+    tagged union stream via applyInPandasWithState; per-key state is the
+    single latest reference row. Same result shape as g9_asof_join, checked
+    by the same DuckDB ASOF JOIN oracle."""
+    import tempfile
+
+    from ferc_xbrl_extractor_spark.streaming import stream_asof_enrich
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    right = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_totalprice").alias("last_price"),
+            F.max("o_orderkey").alias("o_orderkey"),
+        )
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    ref = right.select(
+        F.lit(0).alias("side"),
+        "user_id",
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        "last_price",
+    )
+    evt = events.select(
+        F.lit(1).alias("side"),
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("last_price"),
+    )
+    tmp = tempfile.mkdtemp(prefix="g12_asof_in_")
+    ref.unionByName(evt).write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema(ref.schema).parquet(tmp)
+    out = stream_asof_enrich(
+        stream, "user_id", "ts", ["event_id"], ["o_orderkey", "last_price"]
+    )
+    return _drain_stream(spark, out, "g12_asof")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -825,6 +905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g9_asof_forward": q_g9_asof_forward,
         "g10_json": q_g10_json,
         "g11_multimodal": q_g11_multimodal,
+        "g12_stream_dedup": q_g12_stream_dedup,
+        "g12_stream_asof": q_g12_stream_asof,
     }
 
 
@@ -1234,6 +1316,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS content_md5
         FROM documents
+    """
+
+    sql["g12_stream_dedup"] = """
+        SELECT user_id, event_type, ts, event_id, value
+        FROM (
+            SELECT user_id, event_type, ts, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """
+
+    # identical semantics to g9_asof_join: streaming LOCF == backward as-of
+    sql["g12_stream_asof"] = """
+        WITH r AS (
+            SELECT o_custkey AS user_id, o_orderdate,
+                   max(o_totalprice) AS last_price,
+                   max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.last_price
+        FROM events e
+        ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
     """
 
     return sql

@@ -1,5 +1,10 @@
-"""Structured Streaming surface: the G8 event-time operators on streams."""
+"""Structured Streaming surface: the G8 event-time operators on streams,
+plus custom stateful operators (G12) via ``applyInPandasWithState``."""
 
+from ferc_xbrl_extractor_spark.streaming.stateful import (
+    stream_asof_enrich,
+    stream_dedup_first,
+)
 from ferc_xbrl_extractor_spark.streaming.windows import (
     run_stream_to_memory,
     stream_session_counts,
@@ -8,6 +13,8 @@ from ferc_xbrl_extractor_spark.streaming.windows import (
 
 __all__ = [
     "run_stream_to_memory",
+    "stream_asof_enrich",
+    "stream_dedup_first",
     "stream_session_counts",
     "stream_tumbling_counts",
 ]

@@ -1,0 +1,149 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+These cover semantics Spark's built-in streaming operators can't express:
+
+- ``stream_dedup_first``: emit only the first-observed row per key across
+  the life of the stream. Built-in ``dropDuplicates`` keeps *all* columns
+  as the key or needs a watermark-bounded event-time column; this keeps an
+  explicit (ts, tiebreak)-ordered survivor per arbitrary key and one
+  boolean of state per key.
+- ``stream_asof_enrich``: streaming as-of (LOCF) enrichment — events are
+  joined to the most recent reference row at-or-before their event time.
+  Stream-stream as-of joins don't exist in Spark; interval joins buffer
+  both sides. Here the two sides arrive as ONE tagged stream (``side`` 0 =
+  reference, 1 = event), grouped by key; per-key state carries the latest
+  reference row forward across microbatches, so reference rows can be
+  dropped as soon as a newer one arrives.
+
+Scale shape: both operators shuffle once on the group key; state lives in
+the state store keyed by that key and is O(1) per key (a flag / one
+reference row), never O(rows). The per-batch Python work is Arrow-batched
+pandas (``pd.merge_asof`` — vectorized, no per-row loop).
+
+Batch equivalents (what the DuckDB oracles check): keep-first ==
+``row_number() OVER (PARTITION BY key ORDER BY ts, tiebreak) = 1``;
+as-of enrich == ``ASOF LEFT JOIN`` (see ``operators/joins.py::asof_join``
+for the batch form; reference has no streaming at all — SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_dedup_first(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Keep-first dedup on a streaming DataFrame: for each key, emit the
+    (ts, tiebreak)-minimal row of the first microbatch in which the key
+    appears; suppress the key forever after (one boolean of state).
+
+    Output columns: ``key_cols + [ts_col, tiebreak_col] + payload_cols``.
+    """
+    out_fields = [events.schema[c] for c in (*key_cols, ts_col, tiebreak_col)]
+    out_fields += [events.schema[c] for c in payload_cols]
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    order = [ts_col, tiebreak_col]
+    cols = [f.name for f in out_fields]
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        state.update((True,))
+        yield pdf.sort_values(order, kind="mergesort").head(1)[cols]
+
+    return (
+        events.select(*cols)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def stream_asof_enrich(
+    tagged: DataFrame,
+    key_col: str,
+    ts_col: str,
+    event_cols: list[str],
+    ref_cols: list[str],
+    side_col: str = "side",
+) -> DataFrame:
+    """Streaming backward as-of enrichment over a tagged union stream.
+
+    ``tagged`` carries both sides: ``side_col`` 0 = reference rows (their
+    ``ref_cols`` are set), 1 = event rows (their ``event_cols`` are set).
+    Each event is emitted once, enriched with the reference row having the
+    greatest ts <= the event's ts for the same key (ties: reference at the
+    same instant matches). Per-key state is the single latest reference
+    row, so a reference seen in batch N enriches events in batch N+1.
+
+    Output columns: ``event_cols + [key_col, ts_col] + ref_cols``.
+    """
+    out_fields = [tagged.schema[c] for c in (*event_cols, key_col, ts_col)]
+    out_fields += [tagged.schema[c] for c in ref_cols]
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType(
+        [T.StructField("ts", tagged.schema[ts_col].dataType)]
+        + [T.StructField(c, tagged.schema[c].dataType) for c in ref_cols]
+    )
+    out_cols = [f.name for f in out_fields]
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        ref = (
+            pdf[pdf[side_col] == 0][[ts_col, *ref_cols]]
+            .sort_values(ts_col, kind="mergesort")
+        )
+        if state.exists:
+            st = state.get
+            prior = pd.DataFrame(
+                {ts_col: [st[0]], **{c: [v] for c, v in zip(ref_cols, st[1:])}}
+            )
+            ref = pd.concat([prior, ref], ignore_index=True)
+        evt = (
+            pdf[pdf[side_col] == 1][[*event_cols, key_col, ts_col]]
+            .sort_values(ts_col, kind="mergesort")
+        )
+        if len(ref):
+            last = ref.iloc[-1]
+            vals = (
+                v.item() if hasattr(v, "item") else v
+                for v in (last[c] for c in ref_cols)
+            )
+            state.update((last[ts_col].to_pydatetime(), *vals))
+        if not len(evt):
+            return
+        if len(ref):
+            out = pd.merge_asof(evt, ref, on=ts_col, direction="backward")
+        else:
+            out = evt.assign(**{c: None for c in ref_cols})
+        # pandas promotes unmatched integer ref cols to float NaN; restore
+        # nullable ints so Arrow hands Spark the declared long/int type
+        for f in out_fields:
+            if f.name in ref_cols and isinstance(
+                f.dataType, (T.LongType, T.IntegerType)
+            ):
+                out[f.name] = out[f.name].astype(
+                    "Int64" if isinstance(f.dataType, T.LongType) else "Int32"
+                )
+        yield out[out_cols]
+
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from ferc_xbrl_extractor_spark.streaming import (
     run_stream_to_memory,
+    stream_asof_enrich,
+    stream_dedup_first,
     stream_session_counts,
     stream_tumbling_counts,
 )
@@ -67,3 +69,99 @@ def test_stream_sessions(spark, event_dir):
         ("2024-01-01 01:10:00", "view"): 2,
         ("2024-01-01 03:00:00", "click"): 1,
     }
+
+
+def _drain(spark, stream, name, mode="append"):
+    q = run_stream_to_memory(stream, name, output_mode=mode)
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_dedup_first_single_batch(spark, tmp_path):
+    rows = [
+        (3, "2024-01-01 00:10:00", "click", "late"),
+        (1, "2024-01-01 00:05:00", "click", "first"),
+        (2, "2024-01-01 00:05:00", "click", "tie-loser"),  # ts tie -> id wins
+        (4, "2024-01-01 00:01:00", "view", "first"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, tag string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    path = str(tmp_path / "in")
+    df.write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = stream_dedup_first(
+        stream, ["event_type"], "ts", "event_id", ["tag"]
+    )
+    got = {
+        r["event_type"]: (r["event_id"], r["tag"])
+        for r in _drain(spark, out, "dedup_single").collect()
+    }
+    assert got == {"click": (1, "first"), "view": (4, "first")}
+
+
+def test_stream_dedup_state_suppresses_across_batches(spark, tmp_path):
+    path = str(tmp_path / "in")
+    b1 = spark.createDataFrame(
+        [(10, "2024-01-01 00:05:00", "click")],
+        "event_id long, ts_s string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    b1.write.parquet(path)
+    # earlier-ts row for the same key arrives in a LATER file: streaming
+    # keep-first means the batch-1 survivor stands (state suppresses it)
+    b2 = spark.createDataFrame(
+        [(9, "2024-01-01 00:00:00", "click"), (20, "2024-01-01 00:06:00", "view")],
+        "event_id long, ts_s string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    b2.write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_dedup_first(stream, ["event_type"], "ts", "event_id", [])
+    rows = _drain(spark, out, "dedup_batches").collect()
+    got = {r["event_type"]: r["event_id"] for r in rows}
+    assert got["view"] == 20
+    assert got["click"] in (9, 10)  # whichever file triggered first won
+    assert len(rows) == 2  # the other click row was state-suppressed
+
+
+def test_stream_asof_enrich_carries_state_across_batches(spark, tmp_path):
+    path = str(tmp_path / "in")
+    schema = (
+        "side int, user_id long, ts_s string, event_id long, "
+        "ref_val long"
+    )
+    # batch 1: one reference row for user 7
+    b1 = spark.createDataFrame([(0, 7, "2024-01-01 00:00:00", None, 100)], schema)
+    b1 = b1.withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    b1.write.parquet(path)
+    # batch 2: events before/after a newer reference
+    b2 = spark.createDataFrame(
+        [
+            (1, 7, "2024-01-01 00:10:00", 1, None),   # matches ref 100 (state)
+            (0, 7, "2024-01-01 00:20:00", None, 200),
+            (1, 7, "2024-01-01 00:30:00", 2, None),   # matches ref 200
+            (1, 8, "2024-01-01 00:30:00", 3, None),   # no ref at all
+        ],
+        schema,
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    b2.write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_asof_enrich(
+        stream, "user_id", "ts", ["event_id"], ["ref_val"]
+    )
+    rows = _drain(spark, out, "asof_batches").collect()
+    got = {r["event_id"]: r["ref_val"] for r in rows}
+    # file trigger order isn't guaranteed; if batch 2 ran first, event 1
+    # sees ref 100 only when batch 1 preceded it
+    assert got[2] == 200
+    assert got[3] is None
+    assert got[1] in (100, None)
+    assert len(rows) == 3
