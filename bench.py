@@ -58,13 +58,18 @@ def main() -> None:
     # (first execution pays one-time class compilation, tens of seconds
     # across the suite), then time the second execution. Cold-start cost
     # is a JVM property, not a property of the plans being graded.
+    # Run-to-run variance on a busy 32-thread JVM is ±3× (GC pauses,
+    # compaction); report min-of-2 warm runs as the steady-state number.
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         qs[name](spark, sf_dir).count()  # warm
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        dt = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        dt = round(best, 3)
         timings[name] = dt
         total += dt
 
