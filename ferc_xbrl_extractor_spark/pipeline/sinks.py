@@ -55,13 +55,38 @@ def write_parquet(
         list(pool.map(_write, tables.items()))
 
 
-def write_sqlite(tables: dict[str, DataFrame], db_path: str) -> None:
-    """K1: serialize tables into SQLite via the driver (single-writer)."""
+def write_sqlite(
+    tables: dict[str, DataFrame], db_path: str, staging_dir: str | None = None
+) -> None:
+    """K1: serialize tables into SQLite via the driver (single-writer).
+
+    SQLite is inherently a driver-side single-writer sink, but the driver
+    never materializes a whole table: Spark writes parquet distributed
+    (same staging pattern as the DuckDB sink), then the driver streams it
+    into SQLite one record batch at a time via a pyarrow dataset scan.
+    Peak driver memory is one batch (~100k rows), independent of table
+    size — the previous ``df.toPandas()`` collect was a scale-killer for
+    any table bigger than driver RAM."""
+    import tempfile
+
+    import pyarrow.dataset as pads
+
+    staging = staging_dir or tempfile.mkdtemp(prefix="sqlite_stage_")
+    write_parquet(tables, staging)
     conn = sqlite3.connect(db_path)
     try:
         for name, df in tables.items():
-            pdf = df.toPandas()
-            pdf.to_sql(name, conn, if_exists="replace", index=False)
+            first = True
+            ds = pads.dataset(f"{staging}/{name}", format="parquet")
+            for batch in ds.to_batches(batch_size=100_000):
+                batch.to_pandas().to_sql(
+                    name, conn, if_exists="replace" if first else "append", index=False
+                )
+                first = False
+            if first:  # empty table: still create it with the right columns
+                df.limit(0).toPandas().to_sql(
+                    name, conn, if_exists="replace", index=False
+                )
         conn.commit()
     finally:
         conn.close()
