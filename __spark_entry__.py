@@ -222,6 +222,92 @@ WHERE l_linenumber <> 7
 """
 
 
+def q_xbrl_shredder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/F1/F2/P1 under the oracle: build real XBRL instance XML from a
+    deterministic lineitem slice in-plan (contexts with entity/period/
+    explicitMember dims, namespaced facts, empty-bodied discount facts
+    where l_discount=0), push the bytes through the actual mapInPandas
+    shredder, and emit the extracted facts. The DuckDB oracle computes the
+    same facts directly from lineitem — so XML serialization, namespace
+    detection, dimension snakecasing, and P1 null-fact dropping are all
+    value-checked, not just pytest-pinned."""
+    from ferc_xbrl_extractor_spark.sources import shredder
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    cid = _cid()
+    seg = (
+        F.when(
+            F.col("l_returnflag") == "R",
+            F.lit(
+                '<xbrli:segment><xbrldi:explicitMember dimension="ferc:FlagAxis">'
+                "returned</xbrldi:explicitMember></xbrli:segment>"
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    ctx_xml = F.format_string(
+        '<xbrli:context id="%s"><xbrli:entity>'
+        '<xbrli:identifier scheme="http://ferc.gov">%s</xbrli:identifier>%s'
+        "</xbrli:entity><xbrli:period><xbrli:startDate>1995-01-01</xbrli:startDate>"
+        "<xbrli:endDate>%s</xbrli:endDate></xbrli:period></xbrli:context>",
+        cid,
+        F.col("l_suppkey").cast("string"),
+        seg,
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+    )
+    fact_xml = F.format_string(
+        '<ferc:quantity contextRef="%s">%s</ferc:quantity>'
+        '<ferc:price contextRef="%s">%s</ferc:price>'
+        '<ferc:discount contextRef="%s">%s</ferc:discount>',
+        cid,
+        F.col("l_quantity").cast("string"),
+        cid,
+        F.col("l_extendedprice").cast("string"),
+        cid,
+        F.when(F.col("l_discount") > 0, F.col("l_discount").cast("string")).otherwise(
+            F.lit("")
+        ),
+    )
+    per_row = li.select(
+        F.concat(F.lit("filing-"), F.col("l_returnflag")).alias("filing_name"),
+        ctx_xml.alias("cx"),
+        fact_xml.alias("fx"),
+    )
+    filings = (
+        per_row.groupBy("filing_name")
+        .agg(
+            F.concat(
+                F.lit(
+                    '<xbrli:xbrl xmlns:xbrli="http://www.xbrl.org/2003/instance" '
+                    'xmlns:ferc="http://ferc.gov/form" '
+                    'xmlns:xbrldi="http://xbrl.org/2006/xbrldi">'
+                ),
+                F.concat_ws("", F.collect_list("cx")),
+                F.concat_ws("", F.collect_list("fx")),
+                F.lit("</xbrli:xbrl>"),
+            ).alias("xml")
+        )
+        .select(
+            "filing_name",
+            F.encode("xml", "UTF-8").alias("content"),
+            F.lit(None).cast("timestamp").alias("publication_time"),
+            F.lit(None).cast("string").alias("taxonomy_version"),
+        )
+    )
+    facts = shredder.facts_from(shredder.shred_filings(filings))
+    return facts.select(
+        "filing_name",
+        "c_id",
+        "entity_id",
+        "instant",
+        "start_date",
+        "end_date",
+        F.col("dims")["flag_axis"].alias("flag_axis"),
+        "name",
+        "value",
+    )
+
+
 def q_xbrl_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 isolated: pivot(unpivot(lineitem)) == lineitem measures."""
     facts = _lineitem_facts(spark, sf_dir)
@@ -863,6 +949,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "xbrl_fact_pipeline": q_xbrl_fact_pipeline,
+        "xbrl_shredder_roundtrip": q_xbrl_shredder_roundtrip,
         "xbrl_pivot": q_xbrl_pivot,
         "xbrl_dedup_exact": q_xbrl_dedup_exact,
         "xbrl_fuzzy_dedup": q_xbrl_fuzzy_dedup,
@@ -916,6 +1003,29 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
     sql["xbrl_fact_pipeline"] = _ORACLE_FACT_PIPELINE
+
+    sql["xbrl_shredder_roundtrip"] = f"""
+        WITH src AS (
+            SELECT *, {_CID_SQL} AS cid
+            FROM lineitem WHERE l_orderkey % 100 = 0
+        )
+        SELECT 'filing-' || l_returnflag AS filing_name,
+               cid AS c_id,
+               CAST(l_suppkey AS VARCHAR) AS entity_id,
+               FALSE AS instant,
+               '1995-01-01' AS start_date,
+               strftime(l_shipdate, '%Y-%m-%d') AS end_date,
+               CASE WHEN l_returnflag = 'R' THEN 'returned' END AS flag_axis,
+               v.name AS name, v.value AS value
+        FROM src,
+             LATERAL (VALUES
+                 ('quantity', CAST(l_quantity AS VARCHAR)),
+                 ('price', CAST(l_extendedprice AS VARCHAR)),
+                 ('discount', CASE WHEN l_discount > 0
+                                   THEN CAST(l_discount AS VARCHAR) END)
+             ) v(name, value)
+        WHERE v.value IS NOT NULL
+    """
 
     sql["xbrl_pivot"] = f"""
         SELECT {_CID_SQL} AS c_id,
