@@ -233,6 +233,30 @@ def q_xbrl_shredder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked, not just pytest-pinned."""
     from ferc_xbrl_extractor_spark.sources import shredder
 
+    filings = _synthetic_filing_xml(spark, sf_dir).select(
+        "filing_name",
+        F.encode("xml", "UTF-8").alias("content"),
+        F.lit(None).cast("timestamp").alias("publication_time"),
+        F.lit(None).cast("string").alias("taxonomy_version"),
+    )
+    facts = shredder.facts_from(shredder.shred_filings(filings))
+    return facts.select(
+        "filing_name",
+        "c_id",
+        "entity_id",
+        "instant",
+        "start_date",
+        "end_date",
+        F.col("dims")["flag_axis"].alias("flag_axis"),
+        "name",
+        "value",
+    )
+
+
+def _synthetic_filing_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(filing_name, xml): one XBRL instance document per l_returnflag,
+    built with Catalyst string expressions over a deterministic lineitem
+    slice (shared by the shredder-roundtrip and zip-scan oracle queries)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
     cid = _cid()
     seg = (
@@ -273,38 +297,70 @@ def q_xbrl_shredder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ctx_xml.alias("cx"),
         fact_xml.alias("fx"),
     )
-    filings = (
-        per_row.groupBy("filing_name")
-        .agg(
-            F.concat(
-                F.lit(
-                    '<xbrli:xbrl xmlns:xbrli="http://www.xbrl.org/2003/instance" '
-                    'xmlns:ferc="http://ferc.gov/form" '
-                    'xmlns:xbrldi="http://xbrl.org/2006/xbrldi">'
-                ),
-                F.concat_ws("", F.collect_list("cx")),
-                F.concat_ws("", F.collect_list("fx")),
-                F.lit("</xbrli:xbrl>"),
-            ).alias("xml")
-        )
-        .select(
-            "filing_name",
-            F.encode("xml", "UTF-8").alias("content"),
-            F.lit(None).cast("timestamp").alias("publication_time"),
-            F.lit(None).cast("string").alias("taxonomy_version"),
-        )
+    return per_row.groupBy("filing_name").agg(
+        F.concat(
+            F.lit(
+                '<xbrli:xbrl xmlns:xbrli="http://www.xbrl.org/2003/instance" '
+                'xmlns:ferc="http://ferc.gov/form" '
+                'xmlns:xbrldi="http://xbrl.org/2006/xbrldi">'
+            ),
+            F.concat_ws("", F.collect_list("cx")),
+            F.concat_ws("", F.collect_list("fx")),
+            F.lit("</xbrli:xbrl>"),
+        ).alias("xml")
     )
+
+
+# Per-filing rssfeed publication times: non-UTC offsets so the F7
+# naive-UTC normalization actually shifts the clock (+4h here).
+_ZIP_PUB = {
+    "filing-A": ("2023-04-07T10:30:00-04:00", "2023-04-07 14:30:00"),
+    "filing-N": ("2023-05-01T08:15:00-04:00", "2023-05-01 12:15:00"),
+    "filing-R": ("2023-06-12T23:45:00-04:00", "2023-06-13 03:45:00"),
+}
+
+
+def q_xbrl_zip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S5/F7 under the oracle: pack the synthetic filings into a real
+    zip archive with an rssfeed JSON sidecar (driver-side fixture build —
+    3 small documents), scan it with scan_filings using an instance
+    pattern that keeps only filing-A/filing-R (S5 listing-level pushdown),
+    shred, and aggregate per filing. Publication times carry a -04:00
+    offset, so the emitted naive-UTC timestamps prove the F7 conversion."""
+    import io
+    import json
+    import tempfile
+    import zipfile
+
+    from ferc_xbrl_extractor_spark.sources import shredder
+    from ferc_xbrl_extractor_spark.sources.filings import scan_filings
+
+    xml_rows = _synthetic_filing_xml(spark, sf_dir).collect()
+    feed: dict[str, list] = {"filer": []}
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for r in xml_rows:
+            member = f"{r['filing_name']}.xbrl"
+            z.writestr(member, r["xml"])
+            feed["filer"].append(
+                {
+                    "filename": member,
+                    "rss_metadata": {
+                        "published_parsed": _ZIP_PUB[r["filing_name"]][0]
+                    },
+                    "taxonomy_zip_name": "taxonomy-" + r["filing_name"],
+                }
+            )
+        z.writestr("rssfeed", json.dumps(feed))
+    d = tempfile.mkdtemp(prefix="zipscan_")
+    with open(f"{d}/filings.zip", "wb") as fh:
+        fh.write(buf.getvalue())
+
+    filings = scan_filings(spark, d, instance_pattern="filing-[AR]")
     facts = shredder.facts_from(shredder.shred_filings(filings))
-    return facts.select(
-        "filing_name",
-        "c_id",
-        "entity_id",
-        "instant",
-        "start_date",
-        "end_date",
-        F.col("dims")["flag_axis"].alias("flag_axis"),
-        "name",
-        "value",
+    return facts.groupBy("filing_name", "publication_time", "taxonomy_version").agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.countDistinct("c_id").alias("n_contexts"),
     )
 
 
@@ -950,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "xbrl_fact_pipeline": q_xbrl_fact_pipeline,
         "xbrl_shredder_roundtrip": q_xbrl_shredder_roundtrip,
+        "xbrl_zip_scan": q_xbrl_zip_scan,
         "xbrl_pivot": q_xbrl_pivot,
         "xbrl_dedup_exact": q_xbrl_dedup_exact,
         "xbrl_fuzzy_dedup": q_xbrl_fuzzy_dedup,
@@ -1025,6 +1082,25 @@ def oracle_sql() -> dict[str, str]:
                                    THEN CAST(l_discount AS VARCHAR) END)
              ) v(name, value)
         WHERE v.value IS NOT NULL
+    """
+
+    sql["xbrl_zip_scan"] = f"""
+        WITH src AS (
+            SELECT l_returnflag AS flag,
+                   count(*) AS n_rows,
+                   sum(CASE WHEN l_discount > 0 THEN 3 ELSE 2 END) AS n_facts
+            FROM lineitem WHERE l_orderkey % 100 = 0
+            GROUP BY 1
+        )
+        SELECT 'filing-' || flag AS filing_name,
+               CASE flag
+                   WHEN 'A' THEN TIMESTAMP '{_ZIP_PUB["filing-A"][1]}'
+                   WHEN 'R' THEN TIMESTAMP '{_ZIP_PUB["filing-R"][1]}'
+               END AS publication_time,
+               'taxonomy-filing-' || flag AS taxonomy_version,
+               CAST(n_facts AS BIGINT) AS n_facts,
+               CAST(n_rows AS BIGINT) AS n_contexts
+        FROM src WHERE flag IN ('A', 'R')
     """
 
     sql["xbrl_pivot"] = f"""
