@@ -364,6 +364,27 @@ def q_xbrl_zip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xbrl_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 under the oracle: write the synthetic filings as loose .xbrl
+    files in a directory, scan_filings it, shred, and aggregate. Directory
+    instances carry NULL publication_time (reference parity — never the
+    file mtime, which would break reproducibility across copies)."""
+    import tempfile
+
+    from ferc_xbrl_extractor_spark.sources import shredder
+    from ferc_xbrl_extractor_spark.sources.filings import scan_filings
+
+    d = tempfile.mkdtemp(prefix="dirscan_")
+    for r in _synthetic_filing_xml(spark, sf_dir).collect():
+        with open(f"{d}/{r['filing_name']}.xbrl", "w") as fh:
+            fh.write(r["xml"])
+    facts = shredder.facts_from(shredder.shred_filings(scan_filings(spark, d)))
+    return facts.groupBy("filing_name", "publication_time", "taxonomy_version").agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.countDistinct("c_id").alias("n_contexts"),
+    )
+
+
 def q_xbrl_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 isolated: pivot(unpivot(lineitem)) == lineitem measures."""
     facts = _lineitem_facts(spark, sf_dir)
@@ -1007,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xbrl_fact_pipeline": q_xbrl_fact_pipeline,
         "xbrl_shredder_roundtrip": q_xbrl_shredder_roundtrip,
         "xbrl_zip_scan": q_xbrl_zip_scan,
+        "xbrl_dir_scan": q_xbrl_dir_scan,
         "xbrl_pivot": q_xbrl_pivot,
         "xbrl_dedup_exact": q_xbrl_dedup_exact,
         "xbrl_fuzzy_dedup": q_xbrl_fuzzy_dedup,
@@ -1101,6 +1123,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_facts AS BIGINT) AS n_facts,
                CAST(n_rows AS BIGINT) AS n_contexts
         FROM src WHERE flag IN ('A', 'R')
+    """
+
+    sql["xbrl_dir_scan"] = """
+        SELECT 'filing-' || l_returnflag AS filing_name,
+               CAST(NULL AS TIMESTAMP) AS publication_time,
+               CAST(NULL AS VARCHAR) AS taxonomy_version,
+               CAST(sum(CASE WHEN l_discount > 0 THEN 3 ELSE 2 END) AS BIGINT)
+                   AS n_facts,
+               CAST(count(*) AS BIGINT) AS n_contexts
+        FROM lineitem WHERE l_orderkey % 100 = 0
+        GROUP BY 1
     """
 
     sql["xbrl_pivot"] = f"""
