@@ -107,14 +107,14 @@ def test_stream_dedup_state_suppresses_across_batches(spark, tmp_path):
         [(10, "2024-01-01 00:05:00", "click")],
         "event_id long, ts_s string, event_type string",
     ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
-    b1.write.parquet(path)
+    b1.coalesce(1).write.parquet(path)
     # earlier-ts row for the same key arrives in a LATER file: streaming
     # keep-first means the batch-1 survivor stands (state suppresses it)
     b2 = spark.createDataFrame(
         [(9, "2024-01-01 00:00:00", "click"), (20, "2024-01-01 00:06:00", "view")],
         "event_id long, ts_s string, event_type string",
     ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
-    b2.write.mode("append").parquet(path)
+    b2.coalesce(1).write.mode("append").parquet(path)
     stream = (
         spark.readStream.schema(b1.schema)
         .option("maxFilesPerTrigger", 1)
@@ -137,7 +137,7 @@ def test_stream_asof_enrich_carries_state_across_batches(spark, tmp_path):
     # batch 1: one reference row for user 7
     b1 = spark.createDataFrame([(0, 7, "2024-01-01 00:00:00", None, 100)], schema)
     b1 = b1.withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
-    b1.write.parquet(path)
+    b1.coalesce(1).write.parquet(path)
     # batch 2: events before/after a newer reference
     b2 = spark.createDataFrame(
         [
@@ -148,7 +148,7 @@ def test_stream_asof_enrich_carries_state_across_batches(spark, tmp_path):
         ],
         schema,
     ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
-    b2.write.mode("append").parquet(path)
+    b2.coalesce(1).write.mode("append").parquet(path)
     stream = (
         spark.readStream.schema(b1.schema)
         .option("maxFilesPerTrigger", 1)
