@@ -117,6 +117,56 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame, width: int, height: int, decode_stub: bool = True
+) -> DataFrame:
+    """Image resize over ``mapInPandas``: same media layout in and out,
+    with ``meta.width/height`` set to the target and ``content`` replaced
+    by the resized encoding. The codec is stubbed (deterministic truncated/
+    md5-padded bytes sized ~proportionally to the pixel count) so the
+    plumbing — blob-through-Arrow round trip, struct metadata rewrite,
+    output schema stability — is real and testable without PIL.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image codecs are not available in this environment; "
+                    "run with decode_stub=True or install one and replace the "
+                    "stub kernel"
+                )
+
+            def fake_resize(b):
+                b = bytes(b) if b is not None else b""
+                if len(b) >= target:
+                    return b[:target]
+                pad = b
+                while len(pad) < target:
+                    pad += hashlib.md5(pad[-16:] or b"seed").digest()
+                return pad[:target]
+
+            meta = pd.DataFrame(
+                {
+                    "media_type": pdf["meta"].apply(lambda m: m["media_type"]),
+                    "mime": pdf["meta"].apply(lambda m: m["mime"]),
+                    "width": width,
+                    "height": height,
+                    "duration_ms": pdf["meta"].apply(lambda m: m["duration_ms"]),
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": pdf["content"].apply(fake_resize),
+                    "meta": meta.to_dict("records"),
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: explode per-media sample timestamps
     from metadata (duration), leaving the frame decode itself to the

@@ -213,3 +213,18 @@ def test_multimodal_stub_raises_without_codec(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         multimodal.extract_features(media, decode_stub=False).collect()
+
+
+def test_resize_images_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, b"x" * 500), (2, b"y" * 10), (3, None)], "doc_id long, bin binary"
+    )
+    media = multimodal.media_table_from_binary(df, "doc_id", "bin", "image", "image/png")
+    out = multimodal.resize_images(media, width=8, height=8).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert all(len(by_id[i]["content"]) == 64 for i in (1, 2, 3))
+    assert by_id[1]["meta"]["width"] == 8 and by_id[1]["meta"]["height"] == 8
+    assert by_id[1]["meta"]["mime"] == "image/png"
+    # deterministic: same input bytes -> same resized bytes
+    again = {r["media_id"]: r for r in multimodal.resize_images(media, 8, 8).collect()}
+    assert again[2]["content"] == by_id[2]["content"]
