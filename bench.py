@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "xbrl_fact_pipeline",
+    "xbrl_shredder_roundtrip",
     "xbrl_dedup_exact",
     "xbrl_fuzzy_dedup",
     "g1_dedup_keep",
