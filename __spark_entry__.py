@@ -858,6 +858,36 @@ def q_g8_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "session_start", "n")
 
 
+def q_g8_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: sliding windows (1h duration, 30m hop) — every event lands in
+    two overlapping windows."""
+    events = _t(spark, sf_dir, "events")
+    return analytics.sliding_window_agg(
+        events,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value")],
+    )
+
+
+def q_g13_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13: skew-safe two-phase salted aggregation — l_returnflag is a
+    3-value key (extreme skew by construction); the salted result must
+    equal the plain GROUP BY the oracle runs."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = analytics.salted_agg(
+        li, ["l_returnflag"], ["l_quantity", "l_extendedprice"]
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_l_quantity", 4).alias("sum_qty"),
+        F.round("sum_l_extendedprice", 4).alias("sum_price"),
+    )
+
+
 def q_g9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G9: as-of join (events ← latest order at-or-before the event),
     union+LOCF implementation — one keyed shuffle, no range blowup."""
@@ -1066,7 +1096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g7_median": q_g7_median,
         "g7_approx_distinct": q_g7_approx_distinct,
         "g8_tumbling": q_g8_tumbling,
+        "g8_sliding": q_g8_sliding,
         "g8_session": q_g8_session,
+        "g13_salted_agg": q_g13_salted_agg,
         "g9_asof_join": q_g9_asof_join,
         "g9_asof_forward": q_g9_asof_forward,
         "g10_json": q_g10_json,
@@ -1489,6 +1521,29 @@ def oracle_sql() -> dict[str, str]:
                date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end
         FROM events
         GROUP BY event_type, date_trunc('hour', ts)
+    """
+
+    sql["g8_sliding"] = """
+        SELECT event_type,
+               ws AS window_start,
+               ws + INTERVAL 1 HOUR AS window_end,
+               CAST(count(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events,
+             LATERAL (VALUES
+                 (time_bucket(INTERVAL 30 MINUTE, ts)),
+                 (time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE)
+             ) w(ws)
+        GROUP BY 1, 2, 3
+    """
+
+    sql["g13_salted_agg"] = """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 4) AS sum_price
+        FROM lineitem
+        GROUP BY 1
     """
 
     sql["g8_session"] = """

@@ -95,6 +95,58 @@ def tumbling_window_agg(
     )
 
 
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """G8: sliding (hopping) event-time windows — each row lands in
+    duration/slide overlapping windows. Spark's ``F.window`` with a slide
+    expands the assignment inline (no self-join); the ANSI oracle is a
+    generate_series of window starts range-joined to events."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration, slide).alias("w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    count_alias: str = "n",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: aggregate on (key, salt) first so a
+    hot key's rows spread over ``salt_buckets`` reducers, then re-aggregate
+    the per-salt partials on the key alone. Algebraic aggregates only
+    (sum/count here — min/max/avg-of-sums follow the same shape).
+
+    This is the explicit fallback for skew too extreme for AQE's runtime
+    skew-join/partition splitting; the second shuffle moves only
+    |keys| × salt_buckets rows.
+    """
+    salt = (F.rand(seed=7) * salt_buckets).cast("int").alias("__salt")
+    partial = (
+        df.select(*group_cols, salt, *sum_cols)
+        .groupBy(*group_cols, "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("__pn"),
+            *[F.sum(c).alias(f"__ps_{c}") for c in sum_cols],
+        )
+    )
+    return partial.groupBy(*group_cols).agg(
+        F.sum("__pn").alias(count_alias),
+        *[F.sum(f"__ps_{c}").alias(f"sum_{c}") for c in sum_cols],
+    )
+
+
 def session_window_agg(
     df: DataFrame,
     ts_col: str,

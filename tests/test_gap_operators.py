@@ -228,3 +228,28 @@ def test_resize_images_plumbing(spark):
     # deterministic: same input bytes -> same resized bytes
     again = {r["media_id"]: r for r in multimodal.resize_images(media, 8, 8).collect()}
     assert again[2]["content"] == by_id[2]["content"]
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    from ferc_xbrl_extractor_spark.operators import analytics
+
+    # one hot key carrying 90% of rows
+    df = spark.createDataFrame(
+        [("hot" if i % 10 else f"k{i % 7}", float(i), 1.0) for i in range(1000)],
+        "k string, a double, b double",
+    )
+    salted = {
+        r["k"]: (r["n"], r["sum_a"], r["sum_b"])
+        for r in analytics.salted_agg(df, ["k"], ["a", "b"]).collect()
+    }
+    plain = {
+        r["k"]: (r["n"], r["sum_a"], r["sum_b"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a").alias("sum_a"),
+            F.sum("b").alias("sum_b"),
+        )
+        .collect()
+    }
+    assert salted == plain
