@@ -279,10 +279,14 @@ def _synthetic_filing_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg,
         F.date_format("l_shipdate", "yyyy-MM-dd"),
     )
+    # The dangling-contextRef fact must be dropped by the shredder
+    # (reference: facts without a declared context never materialize) —
+    # the oracles never count it.
     fact_xml = F.format_string(
         '<ferc:quantity contextRef="%s">%s</ferc:quantity>'
         '<ferc:price contextRef="%s">%s</ferc:price>'
-        '<ferc:discount contextRef="%s">%s</ferc:discount>',
+        '<ferc:discount contextRef="%s">%s</ferc:discount>'
+        '<ferc:orphan contextRef="missing-%s">1</ferc:orphan>',
         cid,
         F.col("l_quantity").cast("string"),
         cid,
@@ -291,6 +295,7 @@ def _synthetic_filing_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("l_discount") > 0, F.col("l_discount").cast("string")).otherwise(
             F.lit("")
         ),
+        cid,
     )
     per_row = li.select(
         F.concat(F.lit("filing-"), F.col("l_returnflag")).alias("filing_name"),
@@ -351,6 +356,10 @@ def q_xbrl_zip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "taxonomy_zip_name": "taxonomy-" + r["filing_name"],
                 }
             )
+        # E1: a corrupt member whose name passes the instance pattern —
+        # the shredder must skip it without failing the scan (the oracle
+        # counts nothing for it).
+        z.writestr("filing-A-corrupt.xbrl", "<xbrli:xbrl unterminated")
         z.writestr("rssfeed", json.dumps(feed))
     d = tempfile.mkdtemp(prefix="zipscan_")
     with open(f"{d}/filings.zip", "wb") as fh:
