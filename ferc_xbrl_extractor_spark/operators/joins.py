@@ -41,7 +41,7 @@ def asof_join(
     left_time: str,
     right_time: str,
     right_values: list[str],
-    tolerance: str | None = None,
+    tolerance: str | int | float | None = None,
     direction: str = "backward",
 ) -> DataFrame:
     """G9: for each left row, attach the most recent right row at or before
@@ -51,7 +51,9 @@ def asof_join(
     carry the last non-null right value forward. One shuffle on ``on``;
     no range-join blowup; skewed keys are handled by AQE.
 
-    ``tolerance`` (e.g. "30 minutes") bounds how stale the match may be.
+    ``tolerance`` bounds how stale the match may be: an interval string
+    (e.g. "30 minutes") for timestamp time columns, or a number for
+    numeric time axes (versions, sequence numbers).
     """
     lt, rt = F.col(left_time), F.col(right_time)
     if direction not in ("backward", "forward"):
@@ -95,10 +97,13 @@ def asof_join(
 
     result = carried.filter(F.col("__is_left") == 1)
     if tolerance is not None:
+        tol = (
+            F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.lit(tolerance)
+        )
         bound = (
-            F.col("__t") - F.expr(f"INTERVAL {tolerance}")
-            if direction == "backward"
-            else F.col("__t") + F.expr(f"INTERVAL {tolerance}")
+            F.col("__t") - tol if direction == "backward" else F.col("__t") + tol
         )
         ok = (
             (F.col("__match_t") >= bound)
