@@ -8,6 +8,7 @@ from ferc_xbrl_extractor_spark.streaming.stateful import (
 from ferc_xbrl_extractor_spark.streaming.windows import (
     run_stream_to_memory,
     stream_session_counts,
+    stream_sliding_counts,
     stream_tumbling_counts,
 )
 
@@ -16,5 +17,6 @@ __all__ = [
     "stream_asof_enrich",
     "stream_dedup_first",
     "stream_session_counts",
+    "stream_sliding_counts",
     "stream_tumbling_counts",
 ]

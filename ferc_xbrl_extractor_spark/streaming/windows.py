@@ -47,6 +47,32 @@ def stream_tumbling_counts(
     )
 
 
+def stream_sliding_counts(
+    events: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_cols: list[str],
+    aggs: list[Column] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding (hopping) event-time aggregation on a stream: each event
+    contributes to duration/slide overlapping windows; state per (window,
+    group) is bounded by the watermark exactly as for tumbling windows."""
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    out = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration, slide).alias("w"), *group_cols)
+        .agg(*aggs)
+    )
+    rest = [c for c in out.columns if c != "w"]
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *rest,
+    )
+
+
 def stream_session_counts(
     events: DataFrame,
     ts_col: str,

@@ -165,3 +165,35 @@ def test_stream_asof_enrich_carries_state_across_batches(spark, tmp_path):
     assert got[3] is None
     assert got[1] in (100, None)
     assert len(rows) == 3
+
+
+def test_stream_sliding_matches_batch(spark, event_dir):
+    from ferc_xbrl_extractor_spark.streaming import stream_sliding_counts
+
+    path, schema = event_dir
+    stream = spark.readStream.schema(schema).parquet(path)
+    windowed = stream_sliding_counts(
+        stream, "ts", "1 hour", "30 minutes", ["event_type"]
+    )
+    q = run_stream_to_memory(windowed, "sliding_test", output_mode="update")
+    q.processAllAvailable()
+    q.stop()
+    from ferc_xbrl_extractor_spark.operators import analytics
+    from pyspark.sql import functions as F2
+
+    batch = analytics.sliding_window_agg(
+        spark.read.schema(schema).parquet(path),
+        "ts",
+        "1 hour",
+        "30 minutes",
+        ["event_type"],
+        [F2.count(F2.lit(1)).alias("n")],
+    )
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM sliding_test").collect()
+    }
+    want = {
+        (str(r["window_start"]), r["event_type"]): r["n"] for r in batch.collect()
+    }
+    assert got == want
