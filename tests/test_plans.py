@@ -196,3 +196,18 @@ def test_ivf_search_join_is_broadcast_keyed(spark):
     plan = _executed_plan(out)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_agg_two_exchange_shape(spark):
+    """Salted aggregation must plan exactly two exchanges: (key, salt)
+    partial, then key final — and the map-side partial of the first
+    aggregate is what spreads the hot key."""
+    from ferc_xbrl_extractor_spark.operators import analytics
+
+    df = spark.createDataFrame(
+        [("hot", float(i), 1.0) for i in range(500)], "k string, a double, b double"
+    )
+    out = analytics.salted_agg(df, ["k"], ["a", "b"])
+    plan = _executed_plan(out)
+    assert plan.count("Exchange") == 2, plan
+    assert "__salt" in plan
