@@ -316,6 +316,25 @@ def _synthetic_filing_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixture-building queries (zip/dir scans, g12 streams) are invoked
+# repeatedly by the gate/bench; build each input directory once per
+# (kind, sf_dir) and reuse it instead of stranding a fresh mkdtemp per call.
+_FIXTURE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _cached_fixture(kind: str, sf_dir: str, build) -> str:
+    import os
+    import tempfile
+
+    key = (kind, sf_dir)
+    path = _FIXTURE_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix=f"{kind}_")
+        build(path)
+        _FIXTURE_CACHE[key] = path
+    return path
+
+
 # Per-filing rssfeed publication times: non-UTC offsets so the F7
 # naive-UTC normalization actually shifts the clock (+4h here).
 _ZIP_PUB = {
@@ -334,37 +353,37 @@ def q_xbrl_zip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset, so the emitted naive-UTC timestamps prove the F7 conversion."""
     import io
     import json
-    import tempfile
     import zipfile
 
     from ferc_xbrl_extractor_spark.sources import shredder
     from ferc_xbrl_extractor_spark.sources.filings import scan_filings
 
-    xml_rows = _synthetic_filing_xml(spark, sf_dir).collect()
-    feed: dict[str, list] = {"filer": []}
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w") as z:
-        for r in xml_rows:
-            member = f"{r['filing_name']}.xbrl"
-            z.writestr(member, r["xml"])
-            feed["filer"].append(
-                {
-                    "filename": member,
-                    "rss_metadata": {
-                        "published_parsed": _ZIP_PUB[r["filing_name"]][0]
-                    },
-                    "taxonomy_zip_name": "taxonomy-" + r["filing_name"],
-                }
-            )
-        # E1: a corrupt member whose name passes the instance pattern —
-        # the shredder must skip it without failing the scan (the oracle
-        # counts nothing for it).
-        z.writestr("filing-A-corrupt.xbrl", "<xbrli:xbrl unterminated")
-        z.writestr("rssfeed", json.dumps(feed))
-    d = tempfile.mkdtemp(prefix="zipscan_")
-    with open(f"{d}/filings.zip", "wb") as fh:
-        fh.write(buf.getvalue())
+    def build(d: str) -> None:
+        xml_rows = _synthetic_filing_xml(spark, sf_dir).collect()
+        feed: dict[str, list] = {"filer": []}
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for r in xml_rows:
+                member = f"{r['filing_name']}.xbrl"
+                z.writestr(member, r["xml"])
+                feed["filer"].append(
+                    {
+                        "filename": member,
+                        "rss_metadata": {
+                            "published_parsed": _ZIP_PUB[r["filing_name"]][0]
+                        },
+                        "taxonomy_zip_name": "taxonomy-" + r["filing_name"],
+                    }
+                )
+            # E1: a corrupt member whose name passes the instance pattern —
+            # the shredder must skip it without failing the scan (the oracle
+            # counts nothing for it).
+            z.writestr("filing-A-corrupt.xbrl", "<xbrli:xbrl unterminated")
+            z.writestr("rssfeed", json.dumps(feed))
+        with open(f"{d}/filings.zip", "wb") as fh:
+            fh.write(buf.getvalue())
 
+    d = _cached_fixture("zipscan", sf_dir, build)
     filings = scan_filings(spark, d, instance_pattern="filing-[AR]")
     facts = shredder.facts_from(shredder.shred_filings(filings))
     return facts.groupBy("filing_name", "publication_time", "taxonomy_version").agg(
@@ -378,15 +397,15 @@ def q_xbrl_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     files in a directory, scan_filings it, shred, and aggregate. Directory
     instances carry NULL publication_time (reference parity — never the
     file mtime, which would break reproducibility across copies)."""
-    import tempfile
-
     from ferc_xbrl_extractor_spark.sources import shredder
     from ferc_xbrl_extractor_spark.sources.filings import scan_filings
 
-    d = tempfile.mkdtemp(prefix="dirscan_")
-    for r in _synthetic_filing_xml(spark, sf_dir).collect():
-        with open(f"{d}/{r['filing_name']}.xbrl", "w") as fh:
-            fh.write(r["xml"])
+    def build(d: str) -> None:
+        for r in _synthetic_filing_xml(spark, sf_dir).collect():
+            with open(f"{d}/{r['filing_name']}.xbrl", "w") as fh:
+                fh.write(r["xml"])
+
+    d = _cached_fixture("dirscan", sf_dir, build)
     facts = shredder.facts_from(shredder.shred_filings(scan_filings(spark, d)))
     return facts.groupBy("filing_name", "publication_time", "taxonomy_version").agg(
         F.count(F.lit(1)).alias("n_facts"),
@@ -993,15 +1012,16 @@ def q_g12_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-observed keys across microbatches). Run on a finite stream of the
     events table, so the result is the batch keep-first and the DuckDB
     row_number()=1 oracle checks it exactly."""
-    import tempfile
-
     from ferc_xbrl_extractor_spark.streaming import stream_dedup_first
 
     events = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type", "value"
     )
-    tmp = tempfile.mkdtemp(prefix="g12_dedup_in_")
-    events.write.mode("overwrite").parquet(tmp)
+    tmp = _cached_fixture(
+        "g12_dedup_in",
+        sf_dir,
+        lambda d: events.write.mode("overwrite").parquet(d),
+    )
     stream = spark.readStream.schema(events.schema).parquet(tmp)
     out = stream_dedup_first(
         stream, ["user_id", "event_type"], "ts", "event_id", ["value"]
@@ -1014,8 +1034,6 @@ def q_g12_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged union stream via applyInPandasWithState; per-key state is the
     single latest reference row. Same result shape as g9_asof_join, checked
     by the same DuckDB ASOF JOIN oracle."""
-    import tempfile
-
     from ferc_xbrl_extractor_spark.streaming import stream_asof_enrich
 
     events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
@@ -1044,8 +1062,11 @@ def q_g12_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("o_orderkey"),
         F.lit(None).cast("double").alias("last_price"),
     )
-    tmp = tempfile.mkdtemp(prefix="g12_asof_in_")
-    ref.unionByName(evt).write.mode("overwrite").parquet(tmp)
+    tmp = _cached_fixture(
+        "g12_asof_in",
+        sf_dir,
+        lambda d: ref.unionByName(evt).write.mode("overwrite").parquet(d),
+    )
     stream = spark.readStream.schema(ref.schema).parquet(tmp)
     out = stream_asof_enrich(
         stream, "user_id", "ts", ["event_id"], ["o_orderkey", "last_price"]

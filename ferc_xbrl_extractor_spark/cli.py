@@ -152,13 +152,15 @@ def run_main(args: argparse.Namespace) -> int:
     tables = {n: df for n, df in result.tables.items() if not df.isEmpty()}
     logger.info("extracted %d non-empty tables", len(tables))
 
+    # If parquet output was requested, the SQLite/DuckDB sinks reuse it as
+    # their staging layout — each table's plan executes exactly once.
+    staging = str(args.output_dir) if args.output_dir else None
     if args.output_dir:
         sinks.write_parquet(tables, str(args.output_dir))
     if args.sqlite_path:
-        sinks.write_sqlite(tables, str(args.sqlite_path))
+        sinks.write_sqlite(tables, str(args.sqlite_path), staging_dir=staging)
     if args.duckdb_path:
-        staging = str(args.duckdb_path) + ".staging"
-        sinks.write_duckdb(tables, str(args.duckdb_path), staging)
+        sinks.write_duckdb(tables, str(args.duckdb_path), staging_dir=staging)
     result.shredded.unpersist()
     return 0
 

@@ -82,12 +82,17 @@ def tumbling_window_agg(
     duration: str,
     group_cols: list[str],
     aggs: list[Column],
+    slide: str | None = None,
 ) -> DataFrame:
-    """G8: epoch-aligned tumbling event-time windows. Batch-mode
-    ``F.window`` — the identical expression works under readStream with a
-    watermark, which is how the streaming surface reuses this operator."""
+    """G8: epoch-aligned event-time windows — tumbling by default, sliding
+    (hopping) when ``slide`` < ``duration``. Batch-mode ``F.window`` — the
+    identical expression works under readStream with a watermark, which is
+    how the streaming surface reuses this operator."""
+    w = F.window(F.col(ts_col), duration, slide) if slide else F.window(
+        F.col(ts_col), duration
+    )
     return (
-        df.groupBy(F.window(F.col(ts_col), duration).alias("w"), *group_cols)
+        df.groupBy(w.alias("w"), *group_cols)
         .agg(*aggs)
         .withColumn("window_start", F.col("w.start"))
         .withColumn("window_end", F.col("w.end"))
@@ -103,17 +108,9 @@ def sliding_window_agg(
     group_cols: list[str],
     aggs: list[Column],
 ) -> DataFrame:
-    """G8: sliding (hopping) event-time windows — each row lands in
-    duration/slide overlapping windows. Spark's ``F.window`` with a slide
-    expands the assignment inline (no self-join); the ANSI oracle is a
-    generate_series of window starts range-joined to events."""
-    return (
-        df.groupBy(F.window(F.col(ts_col), duration, slide).alias("w"), *group_cols)
-        .agg(*aggs)
-        .withColumn("window_start", F.col("w.start"))
-        .withColumn("window_end", F.col("w.end"))
-        .drop("w")
-    )
+    """G8: sliding (hopping) windows — each row lands in duration/slide
+    overlapping windows, expanded inline by ``F.window`` (no self-join)."""
+    return tumbling_window_agg(df, ts_col, duration, group_cols, aggs, slide=slide)
 
 
 def salted_agg(

@@ -66,13 +66,20 @@ def write_sqlite(
     into SQLite one record batch at a time via a pyarrow dataset scan.
     Peak driver memory is one batch (~100k rows), independent of table
     size — the previous ``df.toPandas()`` collect was a scale-killer for
-    any table bigger than driver RAM."""
+    any table bigger than driver RAM.
+
+    ``staging_dir``: a directory already holding ``write_parquet`` output
+    for these tables — reused as-is (no rewrite, not deleted). When None,
+    a temp staging dir is written and cleaned up."""
+    import shutil
     import tempfile
 
     import pyarrow.dataset as pads
 
+    owns_staging = staging_dir is None
     staging = staging_dir or tempfile.mkdtemp(prefix="sqlite_stage_")
-    write_parquet(tables, staging)
+    if owns_staging:
+        write_parquet(tables, staging)
     conn = sqlite3.connect(db_path)
     try:
         for name, df in tables.items():
@@ -90,22 +97,38 @@ def write_sqlite(
         conn.commit()
     finally:
         conn.close()
+        if owns_staging:
+            shutil.rmtree(staging, ignore_errors=True)
 
 
-def write_duckdb(tables: dict[str, DataFrame], db_path: str, staging_dir: str) -> None:
-    """K2: stage parquet from Spark, CTAS into DuckDB on the driver."""
+def write_duckdb(
+    tables: dict[str, DataFrame], db_path: str, staging_dir: str | None = None
+) -> None:
+    """K2: stage parquet from Spark, CTAS into DuckDB on the driver.
+
+    ``staging_dir`` semantics match ``write_sqlite``: an existing
+    ``write_parquet`` layout is reused as-is; None stages to a temp dir
+    and cleans it up."""
+    import shutil
+    import tempfile
+
     import duckdb
 
-    write_parquet(tables, staging_dir)
+    owns_staging = staging_dir is None
+    staging = staging_dir or tempfile.mkdtemp(prefix="duckdb_stage_")
+    if owns_staging:
+        write_parquet(tables, staging)
     con = duckdb.connect(db_path)
     try:
         for name in tables:
             con.execute(
                 f'CREATE OR REPLACE TABLE "{name}" AS '
-                f"SELECT * FROM read_parquet('{staging_dir}/{name}/*.parquet')"
+                f"SELECT * FROM read_parquet('{staging}/{name}/*.parquet')"
             )
     finally:
         con.close()
+        if owns_staging:
+            shutil.rmtree(staging, ignore_errors=True)
 
 
 def datapackage_descriptor(

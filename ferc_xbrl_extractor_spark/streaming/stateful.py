@@ -115,18 +115,25 @@ def stream_asof_enrich(
             prior = pd.DataFrame(
                 {ts_col: [st[0]], **{c: [v] for c, v in zip(ref_cols, st[1:])}}
             )
-            ref = pd.concat([prior, ref], ignore_index=True)
+            # a batch may carry a reference OLDER than the carried state
+            # (late data) — re-sort so merge_asof stays valid and the
+            # max-ts row stays last
+            ref = pd.concat([prior, ref], ignore_index=True).sort_values(
+                ts_col, kind="mergesort"
+            )
         evt = (
             pdf[pdf[side_col] == 1][[*event_cols, key_col, ts_col]]
             .sort_values(ts_col, kind="mergesort")
         )
         if len(ref):
             last = ref.iloc[-1]
-            vals = (
-                v.item() if hasattr(v, "item") else v
-                for v in (last[c] for c in ref_cols)
-            )
-            state.update((last[ts_col].to_pydatetime(), *vals))
+
+            def plain(v):
+                if hasattr(v, "to_pydatetime"):  # pandas Timestamp
+                    return v.to_pydatetime()
+                return v.item() if hasattr(v, "item") else v  # numpy scalar
+
+            state.update((plain(last[ts_col]), *(plain(last[c]) for c in ref_cols)))
         if not len(evt):
             return
         if len(ref):

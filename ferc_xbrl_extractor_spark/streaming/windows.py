@@ -27,16 +27,21 @@ def stream_tumbling_counts(
     group_cols: list[str],
     aggs: list[Column] | None = None,
     watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time aggregation over a streaming DataFrame.
+    """Tumbling (or, with ``slide``, sliding) event-time aggregation over a
+    streaming DataFrame.
 
     ``events`` comes from ``spark.readStream`` (or a batch frame — the plan
     is identical minus the watermark node, which batch mode ignores).
     """
     aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    w = F.window(F.col(ts_col), duration, slide) if slide else F.window(
+        F.col(ts_col), duration
+    )
     out = (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), duration).alias("w"), *group_cols)
+        .groupBy(w.alias("w"), *group_cols)
         .agg(*aggs)
     )
     rest = [c for c in out.columns if c != "w"]
@@ -59,17 +64,8 @@ def stream_sliding_counts(
     """Sliding (hopping) event-time aggregation on a stream: each event
     contributes to duration/slide overlapping windows; state per (window,
     group) is bounded by the watermark exactly as for tumbling windows."""
-    aggs = aggs or [F.count(F.lit(1)).alias("n")]
-    out = (
-        events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), duration, slide).alias("w"), *group_cols)
-        .agg(*aggs)
-    )
-    rest = [c for c in out.columns if c != "w"]
-    return out.select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
-        *rest,
+    return stream_tumbling_counts(
+        events, ts_col, duration, group_cols, aggs, watermark, slide=slide
     )
 
 

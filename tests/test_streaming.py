@@ -197,3 +197,53 @@ def test_stream_sliding_matches_batch(spark, event_dir):
         (str(r["window_start"]), r["event_type"]): r["n"] for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_asof_enrich_late_reference_does_not_regress_state(spark, tmp_path):
+    """A reference OLDER than the carried state must neither crash
+    merge_asof (unsorted right side) nor roll state back."""
+    path = str(tmp_path / "in")
+    schema = "side int, user_id long, ts_s string, event_id long, ref_val long"
+    b1 = spark.createDataFrame(
+        [(0, 7, "2024-01-01 00:20:00", None, 200)], schema
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    b1.coalesce(1).write.parquet(path)
+    import time as _time
+
+    _time.sleep(1.1)  # distinct mtimes pin file (= batch) order
+    b2 = spark.createDataFrame(
+        [
+            (0, 7, "2024-01-01 00:10:00", None, 100),  # late, older than state
+            (1, 7, "2024-01-01 00:30:00", 1, None),    # must match 200, not 100
+        ],
+        schema,
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    b2.coalesce(1).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_asof_enrich(stream, "user_id", "ts", ["event_id"], ["ref_val"])
+    rows = _drain(spark, out, "asof_late_ref").collect()
+    assert {r["event_id"]: r["ref_val"] for r in rows} == {1: 200}
+
+
+def test_stream_asof_enrich_numeric_time_axis(spark, tmp_path):
+    """The stateful as-of also works over a numeric time column
+    (versions/sequence numbers), matching the batch asof_join contract."""
+    path = str(tmp_path / "in")
+    df = spark.createDataFrame(
+        [
+            (0, 1, 10, None, 100),
+            (1, 1, 15, 1, None),
+            (0, 1, 20, None, 200),
+            (1, 1, 25, 2, None),
+        ],
+        "side int, k long, t long, event_id long, ref_val long",
+    )
+    df.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = stream_asof_enrich(stream, "k", "t", ["event_id"], ["ref_val"])
+    rows = _drain(spark, out, "asof_numeric").collect()
+    assert {r["event_id"]: r["ref_val"] for r in rows} == {1: 100, 2: 200}
