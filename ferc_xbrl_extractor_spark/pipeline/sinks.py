@@ -55,6 +55,32 @@ def write_parquet(
         list(pool.map(_write, tables.items()))
 
 
+def write_bucketed(
+    tables: dict[str, DataFrame],
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    database: str | None = None,
+) -> None:
+    """K3 at-scale variant: persist tables bucketed (and sorted) on the
+    join/group key via ``bucketBy`` + ``saveAsTable``.
+
+    A downstream equi-join or aggregation on ``bucket_cols`` between two
+    tables bucketed the same way runs with ZERO exchanges — the scan
+    itself reports the hash distribution (pinned in
+    tests/test_plans.py::test_bucketed_join_skips_exchange). This is the
+    co-located-join strategy for relations too big to broadcast, e.g.
+    facts × per-filing metadata at 100 TB.
+    """
+    for name, df in tables.items():
+        target = f"{database}.{name}" if database else name
+        (
+            df.write.mode("overwrite")
+            .bucketBy(num_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .saveAsTable(target)
+        )
+
+
 def write_sqlite(
     tables: dict[str, DataFrame], db_path: str, staging_dir: str | None = None
 ) -> None:
