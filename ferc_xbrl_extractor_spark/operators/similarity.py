@@ -222,6 +222,22 @@ def ivf_index(
     return assigned, centroids
 
 
+def ivf_write_index(assigned: DataFrame, path: str) -> None:
+    """Persist an IVF-assigned corpus partitioned by inverted list, so a
+    probe-time read scans only nprobe/nlist of the files (Hive partition
+    pruning — the on-disk analogue of the keyed search join)."""
+    assigned.write.mode("overwrite").partitionBy("__cluster").parquet(path)
+
+
+def ivf_read_probed(spark, path: str, clusters: list[int]) -> DataFrame:
+    """Read only the probed inverted lists from a persisted IVF index; the
+    ``__cluster`` filter lands in the scan's PartitionFilters (pinned in
+    tests/test_plans.py), never touching unprobed files."""
+    from pyspark.sql import functions as _F
+
+    return spark.read.parquet(path).filter(_F.col("__cluster").isin(clusters))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

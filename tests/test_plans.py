@@ -241,3 +241,22 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    """A persisted IVF index is partitioned by inverted list; probing must
+    prune at the partition level (scan only nprobe directories)."""
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, float(i % 3), 2.0]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, _ = similarity.ivf_index(corpus, nlist=4)
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write_index(assigned, path)
+    probed = similarity.ivf_read_probed(spark, path, [0, 1])
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cluster" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    got_clusters = {r["__cluster"] for r in probed.select("__cluster").distinct().collect()}
+    assert got_clusters <= {0, 1}
