@@ -32,6 +32,33 @@ def _file_meta(path: str) -> tuple[list[str], int, int]:
     return nano, pf.metadata.num_rows, pf.num_row_groups
 
 
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_star(spark: SparkSession, sf_dir: str, suffix: str = "") -> list[str]:
+    """Register every star-schema table as a temp view (ns-repaired,
+    re-parallelized via ``load_table``) so callers can drive the engine
+    through plain ``spark.sql`` — the declarative surface Catalyst
+    optimizes end-to-end. Returns the view names registered."""
+    names = []
+    for name in TABLES:
+        view = f"{name}{suffix}"
+        load_table(spark, sf_dir, name).createOrReplaceTempView(view)
+        names.append(view)
+    return names
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read ``{sf_dir}/{name}.parquet`` with ns-timestamp repair and
     row-group-aware re-parallelization.

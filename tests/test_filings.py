@@ -74,3 +74,18 @@ def test_directory_scan_explicit_publication_time(spark, tmp_path):
     ts = datetime.datetime(2024, 1, 1, 9, 0)
     rows = scan_filings(spark, str(d), publication_time=ts).collect()
     assert rows[0]["publication_time"] == ts
+
+
+def test_register_star_sql_surface(spark):
+    from ferc_xbrl_extractor_spark.sources.star import register_star
+
+    views = register_star(spark, "/root/testdata/sf0.001", suffix="_t")
+    assert len(views) == 10
+    # events goes through the nanos repair; a SQL join across views works
+    n = spark.sql(
+        "SELECT count(*) AS n FROM lineitem_t l JOIN orders_t o "
+        "ON l.l_orderkey = o.o_orderkey"
+    ).first()["n"]
+    assert n > 0
+    ts = spark.sql("SELECT max(ts) AS m FROM events_t").first()["m"]
+    assert ts is not None
