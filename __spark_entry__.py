@@ -413,6 +413,42 @@ def q_xbrl_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xbrl_extract_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole user-facing pipeline under the oracle: pipeline.extract()
+    over a directory of real XML filings (scan -> shred -> persist ->
+    per-table build), with a decoy spec pruned away by requested_tables
+    (S6). The returned table must be value-identical to the direct DuckDB
+    projection of lineitem."""
+    from ferc_xbrl_extractor_spark.pipeline.extract import extract
+
+    def build(d: str) -> None:
+        for r in _synthetic_filing_xml(spark, sf_dir).collect():
+            with open(f"{d}/{r['filing_name']}.xbrl", "w") as fh:
+                fh.write(r["xml"])
+
+    d = _cached_fixture("dirscan", sf_dir, build)
+    specs = {
+        "lineitem_xml_table": TableSpec(
+            name="lineitem_xml_table",
+            period_type="duration",
+            columns={"quantity": "number", "price": "number", "discount": "number"},
+            axes=["flag_axis"],
+        ),
+        # decoy: requested_tables must prune this before any plan is built
+        "decoy_table": TableSpec(
+            name="decoy_table",
+            period_type="instant",
+            columns={"nothing": "string"},
+            axes=[],
+        ),
+    }
+    result = extract(spark, d, specs, requested_tables=["lineitem_xml_table"])
+    assert set(result.tables) == {"lineitem_xml_table"}
+    out = result.tables["lineitem_xml_table"]
+    result.shredded.unpersist()
+    return out
+
+
 def q_xbrl_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 isolated: pivot(unpivot(lineitem)) == lineitem measures."""
     facts = _lineitem_facts(spark, sf_dir)
@@ -1089,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xbrl_shredder_roundtrip": q_xbrl_shredder_roundtrip,
         "xbrl_zip_scan": q_xbrl_zip_scan,
         "xbrl_dir_scan": q_xbrl_dir_scan,
+        "xbrl_extract_e2e": q_xbrl_extract_e2e,
         "xbrl_pivot": q_xbrl_pivot,
         "xbrl_dedup_exact": q_xbrl_dedup_exact,
         "xbrl_fuzzy_dedup": q_xbrl_fuzzy_dedup,
@@ -1196,6 +1233,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_contexts
         FROM lineitem WHERE l_orderkey % 100 = 0
         GROUP BY 1
+    """
+
+    sql["xbrl_extract_e2e"] = """
+        SELECT CAST(l_suppkey AS VARCHAR) AS entity_id,
+               'filing-' || l_returnflag AS filing_name,
+               CAST(NULL AS TIMESTAMP) AS publication_time,
+               '1995-01-01' AS start_date,
+               strftime(l_shipdate, '%Y-%m-%d') AS end_date,
+               CASE WHEN l_returnflag = 'R' THEN 'returned' ELSE 'total' END
+                   AS flag_axis,
+               l_quantity AS quantity,
+               l_extendedprice AS price,
+               CASE WHEN l_discount > 0 THEN l_discount END AS discount
+        FROM lineitem WHERE l_orderkey % 100 = 0
     """
 
     sql["xbrl_pivot"] = f"""
