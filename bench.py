@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "xbrl_fact_pipeline",
     "xbrl_shredder_roundtrip",
+    "xbrl_extract_e2e",
     "xbrl_dedup_exact",
     "xbrl_fuzzy_dedup",
     "g1_dedup_keep",
