@@ -893,9 +893,23 @@ def q_g7_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_g7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G7 sketches (HLL++ / t-digest) — rows-only by nature."""
+    """G7 sketches (HLL++ / t-digest) — rows-only by nature.
+
+    Output is scalar columns (p50/p95/p99 unpacked from the t-digest array)
+    so the driver's pandas canonicalizer can sort the frame; an
+    array<double> column is unhashable in pandas' lexsort."""
     li = _t(spark, sf_dir, "lineitem")
-    return analytics.approx_metrics(li, ["l_returnflag"], "l_partkey", "l_extendedprice")
+    out = analytics.approx_metrics(
+        li, ["l_returnflag"], "l_partkey", "l_extendedprice"
+    )
+    return out.select(
+        "l_returnflag",
+        "approx_distinct",
+        F.col("approx_quantiles")[0].alias("p50"),
+        F.col("approx_quantiles")[1].alias("p95"),
+        F.col("approx_quantiles")[2].alias("p99"),
+        "n",
+    )
 
 
 def q_g8_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1030,15 +1044,27 @@ def q_g11_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _drain_stream(spark: SparkSession, stream: DataFrame, prefix: str) -> DataFrame:
     """Run a finite streaming plan to completion (availableNow) into a
-    uniquely-named memory sink and return the drained batch table."""
+    uniquely-named memory sink and return the drained batch table.
+
+    Shuffle partitions are pinned low for the drain: a stateful streaming
+    query creates a state-store instance per shuffle partition per batch,
+    and at gate scale (10-60k rows) 32-64 near-empty state stores dominate
+    wall-clock. The partition count is baked into the checkpoint at start,
+    so this only affects the stream, and the prior conf is restored for
+    every subsequent batch query."""
     import uuid
 
     from ferc_xbrl_extractor_spark.streaming import run_stream_to_memory
 
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = run_stream_to_memory(stream, name)
-    q.processAllAvailable()
-    q.stop()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = run_stream_to_memory(stream, name)
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -1056,7 +1082,7 @@ def q_g12_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = _cached_fixture(
         "g12_dedup_in",
         sf_dir,
-        lambda d: events.write.mode("overwrite").parquet(d),
+        lambda d: events.coalesce(4).write.mode("overwrite").parquet(d),
     )
     stream = spark.readStream.schema(events.schema).parquet(tmp)
     out = stream_dedup_first(
@@ -1101,7 +1127,7 @@ def q_g12_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = _cached_fixture(
         "g12_asof_in",
         sf_dir,
-        lambda d: ref.unionByName(evt).write.mode("overwrite").parquet(d),
+        lambda d: ref.unionByName(evt).coalesce(4).write.mode("overwrite").parquet(d),
     )
     stream = spark.readStream.schema(ref.schema).parquet(tmp)
     out = stream_asof_enrich(
@@ -1142,6 +1168,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_casts": q_f_casts,
         "f_report_date": q_f_report_date,
         "g1_dedup_keep": q_g1_dedup_keep,
+        # G12 streaming sits mid-list on purpose: these are the slowest
+        # per-query entries (state-store setup), and round 2 showed the
+        # gate can run out of budget on the tail — keep the tail cheap.
+        "g12_stream_dedup": q_g12_stream_dedup,
+        "g12_stream_asof": q_g12_stream_asof,
         "g2_jaccard": q_g2_jaccard,
         "g2_minhash_lsh": q_g2_minhash_lsh,
         "g2_simhash": q_g2_simhash,
@@ -1170,8 +1201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g9_asof_forward": q_g9_asof_forward,
         "g10_json": q_g10_json,
         "g11_multimodal": q_g11_multimodal,
-        "g12_stream_dedup": q_g12_stream_dedup,
-        "g12_stream_asof": q_g12_stream_asof,
     }
 
 
