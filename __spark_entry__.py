@@ -65,14 +65,19 @@ TABLES = [
 PUB_TS = "2024-01-01 00:00:00"
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    repartition_cols: list[str] | None = None,
+) -> DataFrame:
     from ferc_xbrl_extractor_spark.sources.star import load_table
 
     # The driver owns the session; pin the one semantic conf the oracle
     # comparison depends on (timestamp rendering must match DuckDB's naive
     # UTC reads). Runtime-settable, idempotent.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return load_table(spark, sf_dir, name)
+    return load_table(spark, sf_dir, name, repartition_cols=repartition_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -677,20 +682,25 @@ def q_f_report_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_g1_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G1: keyed dedup with deterministic survivor (first line per order)."""
-    li = _t(spark, sf_dir, "lineitem")
-    order_by = [
-        F.col(c)
-        for c in [
-            "l_linenumber",
-            "l_quantity",
-            "l_extendedprice",
-            "l_discount",
-            "l_tax",
-            "l_partkey",
-            "l_suppkey",
-        ]
+    """G1: keyed dedup with deterministic survivor (first line per order).
+
+    Loaded hash-partitioned on the dedup key so the row-group repair
+    shuffle doubles as the aggregation shuffle (single complete min_by
+    pass, no second exchange), and column-pruned to what the output +
+    ordering need so the one shuffle carries 8 columns, not 11."""
+    ocols = [
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_partkey",
+        "l_suppkey",
     ]
+    li = _t(spark, sf_dir, "lineitem", repartition_cols=["l_orderkey"]).select(
+        "l_orderkey", *ocols
+    )
+    order_by = [F.col(c) for c in ocols]
     return dedup_exact_keep(li, ["l_orderkey"], order_by=order_by).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )

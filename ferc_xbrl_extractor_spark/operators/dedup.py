@@ -48,13 +48,23 @@ def dedup_exact_keep(
     df: DataFrame, keys: list[str], order_by: list, keep: str = "first"
 ) -> DataFrame:
     """G1 with deterministic survivor selection: keep the first/last row per
-    key under an explicit ordering (row_number window)."""
-    ordering = [c.desc() if keep == "last" else c for c in order_by]
-    w = Window.partitionBy(*keys).orderBy(*ordering)
+    key under an explicit ordering.
+
+    Formulated as ONE hash aggregate — ``min_by(struct(<all columns>),
+    struct(order_by))`` (``max_by`` for ``keep='last'``); struct comparison
+    is lexicographic, so the struct of ordering columns reproduces the
+    multi-column sort order without sorting. Versus the row_number-window
+    form this drops the full per-partition sort AND gets map-side partial
+    aggregation: each map task forwards one candidate row per key, so the
+    shuffle carries |distinct keys| rows instead of |rows| — the difference
+    between a bounded and unbounded shuffle at 100 TB.
+    """
+    pick = F.min_by if keep == "first" else F.max_by
+    payload = F.struct(*[F.col(c) for c in df.columns])
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*keys)
+        .agg(pick(payload, F.struct(*order_by)).alias("__row"))
+        .select("__row.*")
     )
 
 

@@ -59,7 +59,12 @@ def register_star(spark: SparkSession, sf_dir: str, suffix: str = "") -> list[st
     return names
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    repartition_cols: list[str] | None = None,
+) -> DataFrame:
     """Read ``{sf_dir}/{name}.parquet`` with ns-timestamp repair and
     row-group-aware re-parallelization.
 
@@ -67,8 +72,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     written as ONE row group (pandas/Arrow default for modest frames) scans
     as ONE task no matter how many cores the cluster has, and everything
     computed on top of the scan serializes. When the footer shows
-    many-rows-few-groups, insert a cheap round-robin repartition right
-    after the scan so downstream expression work parallelizes.
+    many-rows-few-groups, insert a repartition right after the scan so
+    downstream work parallelizes.
+
+    ``repartition_cols``: when the caller knows the first shuffle key of
+    its plan (an aggregation or join key), hash-repartitioning on it here
+    makes the repair shuffle *be* that shuffle — the aggregate then plans
+    as a single complete pass with no second exchange (measured 3-4×
+    faster than round-robin + partial/final at sf0.1). Round-robin is the
+    keyless fallback.
+
+    Note: reading a TIMESTAMP(NANOS) file flips ``nanosAsLong`` for the
+    whole session and it stays set — execution consults the conf lazily,
+    so restoring it right after this call would break the very read it
+    enabled. Route all star-table reads through this function (it always
+    rebuilds proper microsecond timestamps) rather than raw
+    ``spark.read.parquet``.
     """
     from ferc_xbrl_extractor_spark.session import default_parallelism
 
@@ -79,7 +98,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     cpus = default_parallelism()
     if num_rows >= 100_000 and row_groups < cpus // 2:
-        df = df.repartition(cpus)
+        if repartition_cols:
+            df = df.repartition(cpus, *[F.col(c) for c in repartition_cols])
+        else:
+            df = df.repartition(cpus)
     for c in nano_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df
