@@ -84,6 +84,35 @@ def main() -> None:
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()),
     }
 
+    # Scale slope: re-time the suite at a second (smaller) scale factor so
+    # every bench record carries two scale points per query — the
+    # 100×-scale argument needs d(time)/d(data), not one sample. Skipped
+    # only if the alternate dir is missing or BENCH_SLOPE=0.
+    slope_dir = os.environ.get("BENCH_SLOPE_SF_DIR", "/root/testdata/sf0.01")
+    if os.environ.get("BENCH_SLOPE", "1") != "0" and os.path.isdir(slope_dir) and \
+            os.path.abspath(slope_dir) != os.path.abspath(sf_dir):
+        small: dict[str, float] = {}
+        for name in HEADLINE:
+            qs[name](spark, slope_dir).count()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, slope_dir).count()
+                best = min(best, time.time() - t0)
+            small[name] = round(best, 3)
+        out["slope"] = {
+            "sf": float(slope_dir.rstrip("/").rsplit("sf", 1)[-1]),
+            "queries": small,
+            # per-query wall-clock ratio main/small; data ratio is
+            # sf/slope.sf (10× by default). Flat ratios (≈1) mean the
+            # query is overhead-dominated at this size; the interesting
+            # signal is ratios well below the data ratio.
+            "time_ratio": {
+                n: round(timings[n] / small[n], 2) if small[n] > 0 else None
+                for n in HEADLINE
+            },
+        }
+
     if os.environ.get("BENCH_DUCKDB"):
         import duckdb
 

@@ -130,7 +130,8 @@ def run_main(args: argparse.Namespace) -> int:
 
         args.metadata_path.write_text(json.dumps(metadata_from_versions(versions)))
     if args.datapackage_path:
-        sinks.write_datapackage(specs, str(args.datapackage_path))
+        db_uri = f"sqlite:///{args.sqlite_path}" if args.sqlite_path else None
+        sinks.write_datapackage(specs, str(args.datapackage_path), db_uri=db_uri)
 
     if not (args.output_dir or args.sqlite_path or args.duckdb_path):
         logger.info("no data sink requested; schema artifacts written, done")
@@ -139,7 +140,7 @@ def run_main(args: argparse.Namespace) -> int:
     spark = get_spark("xbrl-extract")
     result = extract(
         spark,
-        ",".join(args.filings) if len(args.filings) > 1 else args.filings[0],
+        args.filings,
         specs,
         instance_pattern=args.instance_pattern or None,
         requested_tables=args.requested_tables,
@@ -147,21 +148,24 @@ def run_main(args: argparse.Namespace) -> int:
     if args.strict:
         result.raise_on_conflicts()
 
-    # Drop empty tables like the reference (cli.py:122) — count via one
-    # job per table off the shared persisted shredded relation.
-    tables = {n: df for n, df in result.tables.items() if not df.isEmpty()}
-    logger.info("extracted %d non-empty tables", len(tables))
-
-    # If parquet output was requested, the SQLite/DuckDB sinks reuse it as
-    # their staging layout — each table's plan executes exactly once.
-    staging = str(args.output_dir) if args.output_dir else None
-    if args.output_dir:
-        sinks.write_parquet(tables, str(args.output_dir))
-    if args.sqlite_path:
-        sinks.write_sqlite(tables, str(args.sqlite_path), staging_dir=staging)
-    if args.duckdb_path:
-        sinks.write_duckdb(tables, str(args.duckdb_path), staging_dir=staging)
-    result.shredded.unpersist()
+    # ONE execution per table plan: stage-first with footer-based empty
+    # table dropping (no per-table isEmpty probes, which executed every
+    # plan twice — 2×255 serial jobs on a Form-1 run). output_dir, when
+    # given, doubles as staging and gets a parquet-flavored
+    # datapackage.json (reference cli.py:185-230).
+    try:
+        counts = sinks.stage_and_sink(
+            result.tables,
+            specs=specs,
+            output_dir=str(args.output_dir) if args.output_dir else None,
+            sqlite_path=str(args.sqlite_path) if args.sqlite_path else None,
+            duckdb_path=str(args.duckdb_path) if args.duckdb_path else None,
+        )
+        logger.info(
+            "extracted %d non-empty tables", sum(1 for c in counts.values() if c)
+        )
+    finally:
+        result.shredded.unpersist()
     return 0
 
 

@@ -2,11 +2,10 @@
 
 ``fuzzy_dedup`` is the reference's one custom UDAF
 (/root/reference/src/ferc_xbrl_extractor/datapackage.py:548-575), here
-re-expressed as pure Catalyst window expressions — no Python in the loop,
-so it rides whole-stage codegen and scales with the shuffle, not with
-Python throughput. All windows share one partitioning, so the cost is one
-sort over whatever clustering the plan already has (see
-operators.fact_table's single-shuffle budget). Input should be
+re-expressed as a single Catalyst aggregation — no Python in the loop,
+so it rides codegen and scales with the shuffle, not with Python
+throughput. The aggregate reuses whatever clustering the plan already
+has (see operators.fact_table's single-shuffle budget). Input should be
 exact-deduped on ``keys + [value_col]`` first (A2 before A3, like the
 reference).
 
@@ -34,7 +33,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -60,11 +59,20 @@ def dedup_exact_keep(
     between a bounded and unbounded shuffle at 100 TB.
     """
     pick = F.min_by if keep == "first" else F.max_by
-    payload = F.struct(*[F.col(c) for c in df.columns])
-    return (
-        df.groupBy(*keys)
-        .agg(pick(payload, F.struct(*order_by)).alias("__row"))
-        .select("__row.*")
+    payload = F.struct(*[F.col(c) for c in df.columns if c not in keys])
+    agged = df.groupBy(*keys).agg(
+        pick(payload, F.struct(*order_by)).alias("__row")
+    )
+    # Project the survivor back to the input column order, taking the key
+    # columns from the aggregate's own grouping attributes — NOT from the
+    # struct. Struct-field extraction mints fresh attribute ids, which
+    # erases the plan's output partitioning/ordering and forces any
+    # downstream keyed operator to re-shuffle; grouping attributes keep it.
+    return agged.select(
+        *[
+            F.col(c) if c in keys else F.col(f"__row.{c}").alias(c)
+            for c in df.columns
+        ]
     )
 
 
@@ -93,64 +101,116 @@ def fuzzy_dedup(
     """A3: resolve near-duplicate numeric facts to the uniquely-most-precise
     value; non-resolvable groups go to ``errors``.
 
-    One hash aggregation (collect_set — exact duplicates collapse for
-    free), then pure array expressions choose the winner. No window, no
-    sort; at scale this is a single keyed shuffle with map-side partials,
-    and it reuses an existing clustering on any prefix of ``keys``.
+    Single-aggregate formulation: ONE pass per group computes everything —
+    per-precision-bucket string min/max (``nd`` has the tiny domain
+    0..max+1, so "does the max precision hold exactly one distinct value"
+    and "second-highest precision present" are conditional min/max
+    aggregates plus post-aggregation CASE arithmetic, no self-reference on
+    the group's max) and the winner row via
+    ``max_by(struct(row), struct(nd, num, value))``. Versus the previous
+    two-window formulation this replaces two full-width window projections
+    over every row (then a filter) with one aggregate emitting one row per
+    group — same single keyed shuffle (reusing an existing clustering on
+    any prefix of ``keys``), one sort instead of two passes, and the
+    output ordering (sorted by ``keys``) lets a downstream aggregate on a
+    key prefix (the pivot) skip its own sort entirely. The struct/string
+    buffers plan this as SortAggregate rather than HashAggregate; that
+    sort is by the grouping key only.
+
+    Distinctness is tested with min==max per bucket, NOT counts, so the
+    aggregate is multiplicity-insensitive: exact duplicates of
+    ``(keys, value)`` collapse for free and a separate A2 pass is NOT
+    required for correctness (construct_table drops a full-relation
+    HashAggregate on the strength of this). On exact-deduped input the
+    semantics are bit-identical to the reference's post-drop_duplicates
+    resolve.
 
     ``numeric_predicate``: column expression true for rows whose *declared*
     type is numeric (e.g. ``F.col("name").isin(numeric_names)``); precision
     resolution only applies to those groups. Default: all groups.
+
+    The ``errors`` channel is a separate consumer (semi-join of conflicted
+    keys back onto the input, then ``collect_set``): conflicts are the
+    cold path, and keeping collection out of the hot aggregate keeps the
+    resolved plan free of ObjectHashAggregate.
     """
     allow_numeric = (
         numeric_predicate if numeric_predicate is not None else F.lit(True)
     )
-    w = Window.partitionBy(*keys)
-    num = F.col("__num")
-    nd = F.col("__nd")
-
-    # Window formulation: all expressions share one partitioning, so this
-    # is a single shuffle (or zero, when the plan is already clustered on a
-    # prefix of ``keys``) plus one codegen'd sort — measured ~3× faster
-    # than a collect_set/ObjectHashAggregate formulation at 1.8M facts
-    # (object aggregation is GC-bound and falls out of whole-stage codegen).
-    # Exactly TWO window projections (each select with N window exprs plans
-    # ONE Window node; a withColumn chain plans one node per column — four
-    # full passes over the sorted partition, measured on the SQL metrics).
+    overflow = max_precision + 1  # nd for "rounds exactly nowhere" + strings
+    # Compute the parsed double and its digit count ONCE in a projection —
+    # ``_ndigits`` is a 7-deep CASE of round() probes, and referencing the
+    # raw expression from every bucket aggregate would re-evaluate it per
+    # aggregate per row (measured 1.4× slower on the fact pipeline).
     staged = df.select(
         "*",
         F.col(value_col).try_cast("double").alias("__num"),
         _ndigits(F.col(value_col).try_cast("double"), max_precision).alias("__nd"),
         allow_numeric.alias("__allow"),
-    ).select(
-        "*",
-        F.count(F.lit(1)).over(w).alias("__cnt"),
-        F.min(num.isNotNull()).over(w).alias("__all_num"),
-        F.max(nd).over(w).alias("__max_nd"),
     )
-    staged = staged.select(
-        "*",
-        F.sum((nd == F.col("__max_nd")).cast("int")).over(w).alias("__cnt_at_max"),
-        F.max(F.when(nd < F.col("__max_nd"), nd)).over(w).alias("__runner_up"),
-    )
-    resolvable = (F.col("__cnt") == 1) | (
-        F.col("__allow")
-        & F.col("__all_num")
-        & (F.col("__cnt_at_max") == 1)
-        & (
-            F.coalesce(F.col("__runner_up"), F.lit(max_precision + 1))
-            <= max_precision - 1
-        )
-    )
-    aux = [c for c in staged.columns if c.startswith("__")]
+    num, nd = F.col("__num"), F.col("__nd")
 
-    winners = staged.filter(
-        resolvable & ((F.col("__cnt") == 1) | (nd == F.col("__max_nd")))
-    ).drop(*aux)
+    # Per-precision-bucket distinctness via string min/max equality:
+    # ``vmin_p == vmax_p`` ⇔ exactly one distinct value at precision p,
+    # regardless of how many times it repeats. This makes the whole
+    # aggregate multiplicity-insensitive, so callers do NOT need a
+    # separate exact-dedup (A2) pass — construct_table drops a full-relation
+    # HashAggregate on the strength of this.
+    bucket_aggs = []
+    for p in range(overflow + 1):
+        in_p = F.when(nd == p, F.col(value_col))
+        bucket_aggs.append(F.min(in_p).alias(f"__vmin_{p}"))
+        bucket_aggs.append(F.max(in_p).alias(f"__vmax_{p}"))
+    stats = staged.groupBy(*keys).agg(
+        F.min(F.col(value_col)).alias("__vmin"),
+        F.max(F.col(value_col)).alias("__vmax"),
+        F.min(num.isNotNull()).alias("__all_num"),
+        F.min(F.col("__allow")).alias("__allow_all"),
+        F.max_by(
+            F.struct(*[F.col(c) for c in df.columns if c not in keys]),
+            F.struct(nd, num, F.col(value_col)),
+        ).alias("__row"),
+        *bucket_aggs,
+    )
+
+    # Post-aggregation arithmetic over the buckets (one codegen'd
+    # projection): highest precision present, whether it holds exactly one
+    # distinct value, and the runner-up precision.
+    max_nd = F.lit(0)
+    for p in range(1, overflow + 1):
+        max_nd = F.when(F.col(f"__vmin_{p}").isNotNull(), p).otherwise(max_nd)
+    unique_at_max = F.lit(None).cast("boolean")
+    runner_up = F.lit(None).cast("int")
+    for p in range(overflow + 1):
+        unique_at_max = F.when(
+            max_nd == p, F.col(f"__vmin_{p}") == F.col(f"__vmax_{p}")
+        ).otherwise(unique_at_max)
+        runner_up = F.when(
+            (F.lit(p) < max_nd) & F.col(f"__vmin_{p}").isNotNull(), p
+        ).otherwise(runner_up)
+
+    single_value = F.col("__vmin") == F.col("__vmax")
+    resolvable = single_value | (
+        F.col("__allow_all")
+        & F.col("__all_num")
+        & unique_at_max
+        & (F.coalesce(runner_up, F.lit(overflow)) <= max_precision - 1)
+    )
+
+    # Key columns come from the grouping attributes (preserves the output
+    # partitioning/ordering for downstream prefix-keyed operators — see
+    # dedup_exact_keep); only non-key columns come out of the struct.
+    winners = stats.filter(resolvable).select(
+        *[
+            F.col(c) if c in keys else F.col(f"__row.{c}").alias(c)
+            for c in df.columns
+        ]
+    )
+    conflicted = stats.filter(~resolvable).select(*keys)
     errors = (
-        staged.filter(~resolvable)
+        df.join(conflicted, keys, "left_semi")
         .groupBy(*keys)
-        .agg(F.sort_array(F.collect_list(value_col)).alias("values"))
+        .agg(F.sort_array(F.collect_set(value_col)).alias("values"))
     )
     return FuzzyDedupResult(resolved=winners, errors=errors)
 

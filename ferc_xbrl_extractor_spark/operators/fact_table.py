@@ -10,16 +10,18 @@ Shuffle budget per table: exactly ONE. The shredder already denormalized the
 context PK onto every fact row (see sources.shredder), and the plan opens
 with an explicit ``repartition(filing_name, c_id)``. Every downstream
 stateful operator's required clustering is a *superset* of those two keys —
-exact dedup groups on (filing, c_id, name, value), the fuzzy-dedup window
-partitions on (filing, c_id, name), the pivot groups on (filing, c_id) —
-and Spark's HashPartitioning(subset) satisfies
-ClusteredDistribution(superset), so Catalyst plans them all over the single
-exchange (sorts only, no re-shuffle; pinned by tests/test_plans.py).
+exact dedup groups on the full row, the fuzzy-dedup aggregate groups on
+(filing, c_id, name), the pivot groups on (filing, c_id) — and Spark's
+HashPartitioning(subset) satisfies ClusteredDistribution(superset), so
+Catalyst plans them all over the single exchange. Sort budget: exactly ONE —
+the fuzzy aggregate's key sort; the pivot aggregate consumes a *prefix* of
+that order, so its Sort node is elided (pinned by tests/test_plans.py).
 
     filter (period ∧ concept-set ∧ dims-fit)       — map-side, pushed down
     -> repartition(filing_name, c_id)              — THE shuffle
-    -> exact dedup (agg) + fuzzy dedup (window)    — no exchange, sort only
-    -> pivot groupBy(filing, c_id) max(when)       — no exchange
+    -> exact dedup (grouping-only HashAggregate)   — no exchange, no sort
+    -> fuzzy dedup (one agg, sort by fact key)     — no exchange, THE sort
+    -> pivot groupBy(filing, c_id) max(when)       — no exchange, no sort
     -> cast / reindex / null-prune                 — map-side
 
 The reference instead joins facts to contexts per table (J1); our J1
@@ -37,7 +39,7 @@ from pyspark.sql import functions as F
 from ferc_xbrl_extractor_spark.catalog.tablespec import TableSpec
 from ferc_xbrl_extractor_spark.functions.casts import spark_type_for
 from ferc_xbrl_extractor_spark.operators import filters
-from ferc_xbrl_extractor_spark.operators.dedup import dedup_exact, fuzzy_dedup
+from ferc_xbrl_extractor_spark.operators.dedup import fuzzy_dedup
 
 NUMBER_TYPES = {"number"}
 INTEGER_TYPES = {"integer", "year"}
@@ -125,15 +127,17 @@ def construct_table_with_errors(
     # (filing_name, c_id), so this one clustering serves them all.
     selected = selected.repartition(F.col("filing_name"), F.col("c_id"))
 
-    # A2 exact dedup on (key, value) — a grouping-only HashAggregate
-    # (codegen'd) — then A3 fuzzy resolve; precision resolution only for
-    # columns whose declared type is numeric.
+    # A2+A3 in ONE aggregate: fuzzy_dedup is multiplicity-insensitive
+    # (per-bucket min==max distinctness), so exact duplicates collapse
+    # inside the same pass that resolves precision conflicts — no separate
+    # dropDuplicates aggregate over the full relation (measured ~1.4s of
+    # the sf0.1 pipeline). Precision resolution only for columns whose
+    # declared type is numeric.
     numeric_names = [
         c for c, t in spec.columns.items() if t in NUMBER_TYPES | INTEGER_TYPES
     ]
-    deduped = dedup_exact(selected, fact_key + ["value"])
     dedup = fuzzy_dedup(
-        deduped,
+        selected,
         fact_key,
         numeric_predicate=F.col("name").isin(numeric_names),
     )

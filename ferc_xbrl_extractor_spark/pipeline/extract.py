@@ -84,7 +84,7 @@ class ExtractResult:
 
 def extract(
     spark: SparkSession,
-    filings_path: str,
+    filings_path: str | list[str],
     specs: dict[str, TableSpec],
     instance_pattern: str | None = None,
     requested_tables: list[str] | None = None,

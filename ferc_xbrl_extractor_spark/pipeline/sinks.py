@@ -81,6 +81,36 @@ def write_bucketed(
         )
 
 
+def _is_hive_partitioned(table_dir: Path) -> bool:
+    """True when the staged layout is hive-partitioned (``col=value``
+    subdirectories from ``write_parquet(partition_by=...)``)."""
+    return any(
+        child.is_dir() and "=" in child.name for child in table_dir.iterdir()
+    )
+
+
+def staged_row_counts(staging_dir: str, names: list[str]) -> dict[str, int]:
+    """Row count per staged table from parquet footer metadata only — no
+    Spark job, no data read. This is how the CLI drops empty tables
+    without re-executing any table plan (reference cli.py:122 gates on
+    ``df.empty``, which re-runs the plan; the footer already knows)."""
+    import pyarrow.dataset as pads
+
+    counts: dict[str, int] = {}
+    for name in names:
+        table_dir = Path(staging_dir) / name
+        if not table_dir.exists():
+            counts[name] = 0
+            continue
+        ds = pads.dataset(
+            str(table_dir),
+            format="parquet",
+            partitioning="hive" if _is_hive_partitioned(table_dir) else None,
+        )
+        counts[name] = ds.count_rows()
+    return counts
+
+
 def write_sqlite(
     tables: dict[str, DataFrame], db_path: str, staging_dir: str | None = None
 ) -> None:
@@ -110,7 +140,15 @@ def write_sqlite(
     try:
         for name, df in tables.items():
             first = True
-            ds = pads.dataset(f"{staging}/{name}", format="parquet")
+            table_dir = Path(staging) / name
+            # A partition_by staging layout stores the partition column in
+            # directory names; read it back as a column (hive partitioning)
+            # or SQLite rows silently lose it.
+            ds = pads.dataset(
+                str(table_dir),
+                format="parquet",
+                partitioning="hive" if _is_hive_partitioned(table_dir) else None,
+            )
             for batch in ds.to_batches(batch_size=100_000):
                 batch.to_pandas().to_sql(
                     name, conn, if_exists="replace" if first else "append", index=False
@@ -147,9 +185,17 @@ def write_duckdb(
     con = duckdb.connect(db_path)
     try:
         for name in tables:
+            if _is_hive_partitioned(Path(staging) / name):
+                # Recursive glob + hive_partitioning so partition columns
+                # written as directory names come back as real columns.
+                src = (
+                    f"read_parquet('{staging}/{name}/**/*.parquet', "
+                    "hive_partitioning = true)"
+                )
+            else:
+                src = f"read_parquet('{staging}/{name}/*.parquet')"
             con.execute(
-                f'CREATE OR REPLACE TABLE "{name}" AS '
-                f"SELECT * FROM read_parquet('{staging}/{name}/*.parquet')"
+                f'CREATE OR REPLACE TABLE "{name}" AS SELECT * FROM {src}'
             )
     finally:
         con.close()
@@ -157,10 +203,81 @@ def write_duckdb(
             shutil.rmtree(staging, ignore_errors=True)
 
 
+def stage_and_sink(
+    tables: dict[str, DataFrame],
+    specs: dict[str, TableSpec] | None = None,
+    output_dir: str | None = None,
+    sqlite_path: str | None = None,
+    duckdb_path: str | None = None,
+) -> dict[str, int]:
+    """Execute every table plan exactly ONCE: stage all tables to parquet
+    (thread-pooled distributed writes), drop empty tables from the staged
+    output via parquet footer row counts (a metadata read — no second
+    execution, unlike the reference's per-table ``df.empty`` gate,
+    cli.py:122), then feed the SQLite/DuckDB sinks from the same staging.
+
+    When ``output_dir`` is set it doubles as the staging (kept on disk,
+    with a parquet-flavored datapackage.json when ``specs`` is given);
+    otherwise a temp staging is used and cleaned up. Returns the staged
+    row count per table.
+
+    Final user-facing layout under ``output_dir`` renames each kept table
+    dataset to ``{name}.parquet`` so the descriptor's per-resource path
+    (reference cli.py:210-230) resolves on disk. Each is a *directory* of
+    part files (the distributed layout), not the reference's single
+    pandas-written file — ``pd.read_parquet``/pyarrow read both the same.
+    """
+    import shutil
+    import tempfile
+
+    owns_staging = output_dir is None
+    staging = output_dir or tempfile.mkdtemp(prefix="xbrl_stage_")
+    try:
+        write_parquet(tables, staging)
+        counts = staged_row_counts(staging, list(tables))
+        kept = {n: df for n, df in tables.items() if counts[n] > 0}
+        for name in set(tables) - set(kept):
+            shutil.rmtree(Path(staging) / name, ignore_errors=True)
+        if sqlite_path:
+            write_sqlite(kept, sqlite_path, staging_dir=staging)
+        if duckdb_path:
+            write_duckdb(kept, duckdb_path, staging_dir=staging)
+        if output_dir:
+            for name in kept:
+                target = Path(output_dir) / f"{name}.parquet"
+                shutil.rmtree(target, ignore_errors=True)
+                (Path(output_dir) / name).rename(target)
+            if specs is not None:
+                write_datapackage(
+                    {n: s for n, s in specs.items() if n in kept},
+                    str(Path(output_dir) / "datapackage.json"),
+                    flavor="parquet",
+                )
+        return counts
+    finally:
+        if owns_staging:
+            shutil.rmtree(staging, ignore_errors=True)
+
+
 def datapackage_descriptor(
-    specs: dict[str, TableSpec], name: str = "ferc-xbrl-extractor-spark"
+    specs: dict[str, TableSpec],
+    name: str = "ferc-xbrl-extractor-spark",
+    flavor: str = "sqlite",
+    db_uri: str | None = None,
 ) -> dict:
-    """K4: Frictionless datapackage descriptor for the output tables."""
+    """K4: Frictionless datapackage descriptor for the output tables.
+
+    Two flavors, matching the reference:
+    - ``sqlite`` (reference datapackage.py:292-306): every resource points
+      at the one database (``path=db_uri``), declares
+      ``format=sqlite`` / ``mediatype=application/vnd.sqlite3`` and a
+      ``dialect`` naming its table.
+    - ``parquet`` (reference cli.py:210-230): per-resource
+      ``path={name}.parquet``, ``format=parquet``,
+      ``mediatype=application/vnd.apache.parquet``, and NO dialect.
+    """
+    if flavor not in ("sqlite", "parquet"):
+        raise ValueError(f"unknown datapackage flavor: {flavor}")
     resources = []
     for spec in specs.values():
         fields = []
@@ -178,31 +295,64 @@ def datapackage_descriptor(
             fields.append({"name": pk, "type": ftype})
         for col in spec.data_columns:
             fields.append({"name": col, "type": spec.columns[col]})
-        resources.append(
-            {
-                "name": spec.name,
-                "profile": "tabular-data-resource",
-                "schema": {
-                    "fields": fields,
-                    "primaryKey": list(spec.primary_key),
-                },
-            }
-        )
+        resource = {
+            "name": spec.name,
+            "profile": "tabular-data-resource",
+            "schema": {
+                "fields": fields,
+                "primaryKey": list(spec.primary_key),
+            },
+        }
+        if flavor == "sqlite":
+            resource["path"] = db_uri or "sqlite:///ferc.sqlite"
+            resource["format"] = "sqlite"
+            resource["mediatype"] = "application/vnd.sqlite3"
+            resource["dialect"] = {"table": spec.name}
+        else:
+            resource["path"] = f"{spec.name}.parquet"
+            resource["format"] = "parquet"
+            resource["mediatype"] = "application/vnd.apache.parquet"
+        resources.append(resource)
     return {"name": name, "profile": "tabular-data-package", "resources": resources}
 
 
-def write_datapackage(
-    specs: dict[str, TableSpec], path: str, validate: bool = True
-) -> dict:
-    doc = datapackage_descriptor(specs)
-    if validate:
-        try:
-            import frictionless
+def datapackage_to_parquet_flavor(doc: dict) -> dict:
+    """Rewrite an existing (sqlite-flavored) descriptor to point at parquet
+    files — the reference's convert_and_validate_datapackage_sqlite_to_parquet
+    (cli.py:210-230): per-resource path/format/mediatype rewrite, dialect
+    dropped."""
+    out = json.loads(json.dumps(doc))  # deep copy
+    for resource in out["resources"]:
+        resource["path"] = f"{resource['name']}.parquet"
+        resource["format"] = "parquet"
+        resource["mediatype"] = "application/vnd.apache.parquet"
+        resource.pop("dialect", None)
+    return out
 
-            report = frictionless.Package.validate_descriptor(doc)
-            if not report.valid:
-                raise RuntimeError(f"Invalid datapackage descriptor: {report}")
-        except ImportError:
-            pass  # validation is best-effort; the descriptor is still written
+
+def write_datapackage(
+    specs: dict[str, TableSpec],
+    path: str,
+    validate: bool = True,
+    flavor: str = "sqlite",
+    db_uri: str | None = None,
+) -> dict:
+    doc = datapackage_descriptor(specs, flavor=flavor, db_uri=db_uri)
+    if validate:
+        validate_descriptor(doc)
     Path(path).write_text(json.dumps(doc, indent=2, default=str))
     return doc
+
+
+def validate_descriptor(doc: dict) -> None:
+    """E5: frictionless validation when the package is importable (the
+    reference hard-requires it, cli.py:226-229; best-effort here because
+    the sandbox may not carry frictionless)."""
+    try:
+        import frictionless
+
+        report = frictionless.Package.validate_descriptor(doc)
+        if not report.valid:
+            raise RuntimeError(f"Invalid datapackage descriptor: {report}")
+    except ImportError:
+        pass  # validation is best-effort; the descriptor is still written

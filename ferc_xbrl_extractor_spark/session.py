@@ -18,6 +18,22 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _driver_mem() -> str:
+    return os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+
+
+def _driver_xms() -> str:
+    """Initial heap: explicit SPARK_GRAFT_DRIVER_XMS, else 2/3 of the max
+    heap (same unit suffix), else a safe 1g if the mem string is exotic."""
+    explicit = os.environ.get("SPARK_GRAFT_DRIVER_XMS")
+    if explicit:
+        return explicit
+    mem = _driver_mem().strip().lower()
+    if mem and mem[-1] in "kmgt" and mem[:-1].isdigit():
+        return f"{max(int(mem[:-1]) * 2 // 3, 1)}{mem[-1]}"
+    return "1g"
+
+
 def get_spark(
     app_name: str = "ferc-xbrl-extractor-spark",
     master: str | None = None,
@@ -61,12 +77,13 @@ def get_spark(
         # local mode: driver JVM == all executors; the 1g default heap GC-
         # thrashes with 32 task threads. Honored only at JVM launch — on a
         # real cluster the deployer's --driver-memory/--executor-memory win.
-        .config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
-        )
-        # Pin the initial heap: growing 1g -> 24g mid-job causes full-GC
-        # spikes that dwarf the queries being measured.
-        .config("spark.driver.extraJavaOptions", "-Xms16g")
+        .config("spark.driver.memory", _driver_mem())
+        # Pin the initial heap to ~2/3 of the max: growing 1g -> 24g
+        # mid-job causes full-GC spikes that dwarf the queries being
+        # measured. Derived from SPARK_GRAFT_DRIVER_MEM (never a hardcoded
+        # 16g — that refuses to launch on hosts with less RAM); override
+        # exactly with SPARK_GRAFT_DRIVER_XMS.
+        .config("spark.driver.extraJavaOptions", f"-Xms{_driver_xms()}")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
     for k, v in (extra_conf or {}).items():

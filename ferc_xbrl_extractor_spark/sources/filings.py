@@ -87,22 +87,28 @@ def _explode_zip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def scan_filings(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     instance_pattern: str | None = None,
     publication_time: datetime.datetime | None = None,
 ) -> DataFrame:
-    """Scan a directory of ``.xbrl`` files and/or zip archives into a
+    """Scan directories of ``.xbrl`` files and/or zip archives into a
     filings DataFrame (filing_name, content, publication_time,
     taxonomy_version).
+
+    ``path`` may be a single path or a list (the CLI's ``nargs='+'``
+    surface, reference get_instances per filing source) — passed through
+    to ``load`` as a list; a comma-joined string would be read as ONE
+    literal path by Spark's file sources and match nothing.
 
     ``instance_pattern`` filters filing *names* before any XML parsing —
     the cheap pre-scan predicate (reference S5).
     """
+    paths = [path] if isinstance(path, str) else list(path)
     listing = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.{xbrl,zip}")
         .option("recursiveFileLookup", "true")
-        .load(path)
+        .load(paths)
     )
     is_zip = F.col("path").endswith(".zip")
 

@@ -76,6 +76,19 @@ def test_directory_scan_explicit_publication_time(spark, tmp_path):
     assert rows[0]["publication_time"] == ts
 
 
+def test_multi_path_scan(spark, tmp_path):
+    # CLI surface: nargs='+' filings must all be scanned (a comma-joined
+    # string would be one literal path and match nothing)
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    d1.mkdir()
+    d2.mkdir()
+    (d1 / "one.xbrl").write_bytes(FILING_A)
+    (d2 / "two.xbrl").write_bytes(FILING_B)
+    rows = scan_filings(spark, [str(d1), str(d2)]).collect()
+    assert {r["filing_name"] for r in rows} == {"one", "two"}
+
+
 def test_register_star_sql_surface(spark):
     from ferc_xbrl_extractor_spark.sources.star import register_star
 

@@ -232,3 +232,59 @@ def test_other_forms_end_to_end(spark, form, n_tables):
     for r in stats:
         assert r["ratio"] > 0.95, (form, r["filing_name"], r["ratio"])
     result.shredded.unpersist()
+
+
+def test_xbrl_extract_one_call_facade(spark, tmp_path):
+    """One-call library parity (reference xbrl.extract, xbrl.py:28-81):
+    filings + taxonomy archive + db_uri in; database, parquet, descriptor,
+    and stats out — single call, single execution per table plan."""
+    import json
+
+    from ferc_xbrl_extractor_spark import xbrl
+
+    out = xbrl.extract(
+        filings=SAMPLE_FILINGS,
+        taxonomy_source=TAXONOMY_1V,
+        form_number=1,
+        db_uri=f"sqlite:///{tmp_path / 'ferc1.sqlite'}",
+        datapackage_path=str(tmp_path / "datapackage.json"),
+        metadata_path=str(tmp_path / "metadata.json"),
+        output_dir=str(tmp_path / "parquet"),
+        requested_tables=REQUESTED,
+        spark=spark,
+    )
+    assert set(out.table_defs) == set(REQUESTED)
+    assert set(out.table_data) == set(REQUESTED)
+    # stats: per-filing used/total fact counts, reference ExtractOutput.stats
+    assert out.stats and all(
+        s["total_facts"] >= s["used_facts"] > 0 for s in out.stats.values()
+    )
+
+    conn = sqlite3.connect(tmp_path / "ferc1.sqlite")
+    tables = {
+        r[0]
+        for r in conn.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'"
+        ).fetchall()
+    }
+    n_ident = conn.execute(
+        'SELECT count(*) FROM "identification_001_duration"'
+    ).fetchone()[0]
+    conn.close()
+    assert tables == set(REQUESTED)
+    assert n_ident > 0
+
+    # sqlite-flavored descriptor at datapackage_path, parquet-flavored one
+    # inside output_dir — both pointing where they claim.
+    sq_doc = json.loads((tmp_path / "datapackage.json").read_text())
+    assert all(r["format"] == "sqlite" for r in sq_doc["resources"])
+    pq_doc = json.loads((tmp_path / "parquet" / "datapackage.json").read_text())
+    for resource in pq_doc["resources"]:
+        assert resource["format"] == "parquet"
+        assert "dialect" not in resource
+        assert resource["path"] == f"{resource['name']}.parquet"
+        # the descriptor path must resolve to a readable parquet dataset
+        import pandas as pd
+
+        assert len(pd.read_parquet(tmp_path / "parquet" / resource["path"])) > 0
+    assert json.loads((tmp_path / "metadata.json").read_text())

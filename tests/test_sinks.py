@@ -47,6 +47,45 @@ def test_descriptor_declares_date_pk_types():
     assert fields["cost"] == "number"
 
 
+def test_hive_partitioned_staging_roundtrip(spark, tmp_path):
+    # Staging written with partition_by stores the partition column as
+    # directory names; the DB sinks must read it back as a real column.
+    import sqlite3
+
+    import duckdb
+
+    from ferc_xbrl_extractor_spark.pipeline.sinks import (
+        staged_row_counts,
+        write_duckdb,
+        write_sqlite,
+    )
+
+    df = spark.createDataFrame(
+        [("f1", 1, 10.0), ("f1", 2, 20.0), ("f2", 3, 30.0)],
+        "filing_name string, k int, v double",
+    )
+    staging = tmp_path / "stage"
+    write_parquet({"t": df}, str(staging), partition_by=["filing_name"])
+    assert staged_row_counts(str(staging), ["t", "missing"]) == {
+        "t": 3,
+        "missing": 0,
+    }
+
+    write_sqlite({"t": df}, str(tmp_path / "out.sqlite"), staging_dir=str(staging))
+    conn = sqlite3.connect(tmp_path / "out.sqlite")
+    rows = conn.execute(
+        "SELECT filing_name, k FROM t ORDER BY k"
+    ).fetchall()
+    conn.close()
+    assert rows == [("f1", 1), ("f1", 2), ("f2", 3)]
+
+    write_duckdb({"t": df}, str(tmp_path / "out.duckdb"), staging_dir=str(staging))
+    con = duckdb.connect(str(tmp_path / "out.duckdb"))
+    rows = con.sql("SELECT filing_name, k FROM t ORDER BY k").fetchall()
+    con.close()
+    assert rows == [("f1", 1), ("f1", 2), ("f2", 3)]
+
+
 def test_frame_sample_plan(spark):
     media = spark.createDataFrame(
         [(1, bytearray(b"v"), ("video", "video/mp4", None, None, 2500))],
