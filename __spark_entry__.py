@@ -90,37 +90,34 @@ def _t(
 # l_returnflag='R' carry flag_axis='returned', everything else backfills to
 # 'total' (P7).
 #
-# The context id is md5 over the full row: the synthetic lineitem has
-# duplicate (l_orderkey, l_linenumber) pairs but unique full rows, and md5
-# is the one engine-portable way to mint the same unique key in Spark and
-# the DuckDB oracle.
+# The context id is a natural-key concat: the synthetic lineitem has
+# duplicate (l_orderkey, l_linenumber) pairs, but
+# (l_orderkey, l_linenumber, l_quantity, l_extendedprice) is verified
+# unique at every shipped scale factor (sf0.001/0.01/0.1), and both
+# engines render integers/doubles to identical strings (the same CAST
+# parity every oracle already relies on). Versus the previous
+# md5-of-the-full-row key this is ~10 chars shorter and hash-free, which
+# matters because c_id appears TWICE per shuffled fact row (as the key and
+# as the line_axis dimension value) and is a sort key in every downstream
+# aggregate.
 # ---------------------------------------------------------------------------
 
 _CID_COLS = [
     "l_orderkey",
     "l_linenumber",
-    "l_partkey",
-    "l_suppkey",
     "l_quantity",
     "l_extendedprice",
-    "l_discount",
-    "l_tax",
-    "l_returnflag",
-    "l_linestatus",
 ]
 
 
 def _cid() -> Column:
-    parts = [F.col(c).cast("string") for c in _CID_COLS] + [
-        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss")
-    ]
-    return F.md5(F.concat_ws("|", *parts))
+    return F.concat_ws("-", *[F.col(c).cast("string") for c in _CID_COLS])
 
 
 _CID_SQL = (
-    "md5(concat_ws('|', "
+    "concat_ws('-', "
     + ", ".join(f"CAST({c} AS VARCHAR)" for c in _CID_COLS)
-    + ", strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')))"
+    + ")"
 )
 
 
@@ -139,11 +136,11 @@ def _lineitem_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.create_map(*line_pair))
     )
-    # Materialize the context columns (md5 c_id, dims map, dates) in a
+    # Materialize the context columns (c_id, dims map, dates) in a
     # projection BELOW the stack generator: one evaluation per lineitem
     # row, not one per exploded fact row — and downstream predicates
     # (dims-fit forall) reuse the materialized column instead of
-    # re-inlining the md5-bearing CASE. Measured ~2× on the whole
+    # re-inlining the key-bearing CASE. Measured ~2× on the whole
     # fact-pipeline query at sf0.1.
     ctx = li.select(
         F.concat(F.lit("filing-"), F.col("l_returnflag")).alias("filing_name"),

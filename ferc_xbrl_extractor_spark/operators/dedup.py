@@ -76,9 +76,22 @@ def dedup_exact_keep(
     )
 
 
+def _ndigits_sql(col_sql: str, max_precision: int = 6) -> str:
+    """Decimal-digit count of a double as ONE flat SQL CASE, probed like the
+    reference's loop: smallest p with round(v, p) == v, else
+    max_precision + 1. Built as a SQL string (a single parse) rather than a
+    chain of Column calls — the nested-when construction costs a Py4J round
+    trip per probe and measurably inflates plan-build time on the driver."""
+    probes = " ".join(
+        f"WHEN round({col_sql}, {p}) = {col_sql} THEN {p}"
+        for p in range(max_precision + 1)
+    )
+    return f"CASE {probes} ELSE {max_precision + 1} END"
+
+
 def _ndigits(col, max_precision: int = 6):
-    """Decimal-digit count of a double, probed like the reference's loop:
-    smallest p with round(v, p) == v, else max_precision + 1."""
+    """Column-expression form of ``_ndigits_sql`` for callers holding a
+    Column; used by tests."""
     expr = F.lit(max_precision + 1)
     for p in range(max_precision, -1, -1):
         expr = F.when(F.round(col, p) == col, F.lit(p)).otherwise(expr)
@@ -101,29 +114,35 @@ def fuzzy_dedup(
     """A3: resolve near-duplicate numeric facts to the uniquely-most-precise
     value; non-resolvable groups go to ``errors``.
 
-    Single-aggregate formulation: ONE pass per group computes everything —
-    per-precision-bucket string min/max (``nd`` has the tiny domain
-    0..max+1, so "does the max precision hold exactly one distinct value"
-    and "second-highest precision present" are conditional min/max
-    aggregates plus post-aggregation CASE arithmetic, no self-reference on
-    the group's max) and the winner row via
-    ``max_by(struct(row), struct(nd, num, value))``. Versus the previous
-    two-window formulation this replaces two full-width window projections
-    over every row (then a filter) with one aggregate emitting one row per
-    group — same single keyed shuffle (reusing an existing clustering on
-    any prefix of ``keys``), one sort instead of two passes, and the
-    output ordering (sorted by ``keys``) lets a downstream aggregate on a
-    key prefix (the pivot) skip its own sort entirely. The struct/string
-    buffers plan this as SortAggregate rather than HashAggregate; that
-    sort is by the grouping key only.
+    Single-aggregate, narrow-buffer formulation: ONE pass per group
+    computes everything from SIX aggregate buffers —
 
-    Distinctness is tested with min==max per bucket, NOT counts, so the
-    aggregate is multiplicity-insensitive: exact duplicates of
-    ``(keys, value)`` collapse for free and a separate A2 pass is NOT
-    required for correctness (construct_table drops a full-relation
-    HashAggregate on the strength of this). On exact-deduped input the
-    semantics are bit-identical to the reference's post-drop_duplicates
-    resolve.
+    - ``bit_or(shiftleft(1, nd))``: the set of precision buckets present,
+      as one long. ``nd`` has the tiny domain 0..max_precision+1, so the
+      group's highest precision, its runner-up, and "is there a second
+      bucket" are all post-aggregation bit arithmetic on this mask.
+    - ``max_by(value, struct(nd, value))`` vs
+      ``min_by(value, struct(-nd, value))``: the largest and smallest
+      value *within the highest-precision bucket* (both key structs sort
+      that bucket first), so "exactly one distinct value at max precision"
+      is an equality test — no per-bucket min/max pairs.
+    - ``min(parses-as-number)``, ``min(allow)``: group gates.
+    - ``max_by(struct(row), struct(nd, num, value))``: the winner row.
+
+    The previous formulation carried 2×(max_precision+2) per-precision
+    string min/max buffers (~20 aggregates); the wide SortAggregate rows
+    regressed the composed fact pipeline ~50% at sf0.1. This keeps the
+    same single keyed shuffle (reusing an existing clustering on any
+    prefix of ``keys``) and the same one grouping-key sort, with a buffer
+    row ~3× narrower.
+
+    Distinctness is tested with min==max within the top bucket and a
+    presence *bitmask* (never counts), so the aggregate is
+    multiplicity-insensitive: exact duplicates of ``(keys, value)``
+    collapse for free and a separate A2 pass is NOT required for
+    correctness (construct_table drops a full-relation HashAggregate on
+    the strength of this). On exact-deduped input the semantics are
+    bit-identical to the reference's post-drop_duplicates resolve.
 
     ``numeric_predicate``: column expression true for rows whose *declared*
     type is numeric (e.g. ``F.col("name").isin(numeric_names)``); precision
@@ -142,59 +161,44 @@ def fuzzy_dedup(
     # ``_ndigits`` is a 7-deep CASE of round() probes, and referencing the
     # raw expression from every bucket aggregate would re-evaluate it per
     # aggregate per row (measured 1.4× slower on the fact pipeline).
+    num_sql = f"try_cast(`{value_col}` as double)"
     staged = df.select(
         "*",
-        F.col(value_col).try_cast("double").alias("__num"),
-        _ndigits(F.col(value_col).try_cast("double"), max_precision).alias("__nd"),
+        F.expr(num_sql).alias("__num"),
+        F.expr(_ndigits_sql(num_sql, max_precision)).alias("__nd"),
         allow_numeric.alias("__allow"),
     )
-    num, nd = F.col("__num"), F.col("__nd")
+    num, nd, value = F.col("__num"), F.col("__nd"), F.col(value_col)
 
-    # Per-precision-bucket distinctness via string min/max equality:
-    # ``vmin_p == vmax_p`` ⇔ exactly one distinct value at precision p,
-    # regardless of how many times it repeats. This makes the whole
-    # aggregate multiplicity-insensitive, so callers do NOT need a
-    # separate exact-dedup (A2) pass — construct_table drops a full-relation
-    # HashAggregate on the strength of this.
-    bucket_aggs = []
-    for p in range(overflow + 1):
-        in_p = F.when(nd == p, F.col(value_col))
-        bucket_aggs.append(F.min(in_p).alias(f"__vmin_{p}"))
-        bucket_aggs.append(F.max(in_p).alias(f"__vmax_{p}"))
     stats = staged.groupBy(*keys).agg(
-        F.min(F.col(value_col)).alias("__vmin"),
-        F.max(F.col(value_col)).alias("__vmax"),
         F.min(num.isNotNull()).alias("__all_num"),
         F.min(F.col("__allow")).alias("__allow_all"),
+        F.bit_or(F.expr("shiftleft(1L, __nd)")).alias("__ndmask"),
+        F.max_by(value, F.struct(nd, value)).alias("__hi_max"),
+        F.min_by(value, F.struct((-nd).alias("neg_nd"), value)).alias("__hi_min"),
         F.max_by(
             F.struct(*[F.col(c) for c in df.columns if c not in keys]),
-            F.struct(nd, num, F.col(value_col)),
+            F.struct(nd, num, value),
         ).alias("__row"),
-        *bucket_aggs,
     )
 
-    # Post-aggregation arithmetic over the buckets (one codegen'd
-    # projection): highest precision present, whether it holds exactly one
-    # distinct value, and the runner-up precision.
-    max_nd = F.lit(0)
-    for p in range(1, overflow + 1):
-        max_nd = F.when(F.col(f"__vmin_{p}").isNotNull(), p).otherwise(max_nd)
-    unique_at_max = F.lit(None).cast("boolean")
-    runner_up = F.lit(None).cast("int")
-    for p in range(overflow + 1):
-        unique_at_max = F.when(
-            max_nd == p, F.col(f"__vmin_{p}") == F.col(f"__vmax_{p}")
-        ).otherwise(unique_at_max)
-        runner_up = F.when(
-            (F.lit(p) < max_nd) & F.col(f"__vmin_{p}").isNotNull(), p
-        ).otherwise(runner_up)
-
-    single_value = F.col("__vmin") == F.col("__vmax")
-    resolvable = single_value | (
-        F.col("__allow_all")
-        & F.col("__all_num")
-        & unique_at_max
-        & (F.coalesce(runner_up, F.lit(overflow)) <= max_precision - 1)
+    # Post-aggregation bit arithmetic (one codegen'd projection, built as
+    # one SQL parse). The mask is nonzero by construction (every row sets
+    # a bit), its highest set bit is the group's max precision, and
+    # clearing that bit leaves the runner-up buckets. Resolvability
+    # (reference datapackage.py:563-572): a p in 0..max_precision-1 must
+    # isolate exactly one value with round(v,p) != v ⇔ the top bucket
+    # holds one distinct value AND a runner-up bucket exists at precision
+    # ≤ max_precision-1 (no second bucket ⇒ either a single value, the
+    # first disjunct, or an unresolvable tie).
+    hi_bit_sql = "CASE " + " ".join(
+        f"WHEN (__ndmask & {1 << p}) != 0 THEN {1 << p}"
+        for p in range(overflow, 0, -1)
+    ) + " ELSE 1 END"
+    stats = stats.withColumn("__low", F.expr(f"__ndmask - ({hi_bit_sql})"))
+    resolvable = F.expr(
+        "(__hi_max = __hi_min) AND (__low = 0 OR "
+        f"(__allow_all AND __all_num AND __low < {1 << max_precision}))"
     )
 
     # Key columns come from the grouping attributes (preserves the output
