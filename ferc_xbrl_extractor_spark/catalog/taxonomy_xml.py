@@ -30,10 +30,13 @@ taxonomy. The output is the ``TableSpec`` catalog (freeze with
 from __future__ import annotations
 
 import io
+import logging
 import re
 import zipfile
 from dataclasses import dataclass, field
 from pathlib import Path
+
+_LOG = logging.getLogger(__name__)
 
 from ferc_xbrl_extractor_spark.catalog.tablespec import TableSpec, merge_catalogs
 from ferc_xbrl_extractor_spark.functions.naming import clean_table_name, snakecase
@@ -125,8 +128,21 @@ class TaxonomyVersion:
     references: dict[str, dict] = field(default_factory=dict)
     # custom item type local name -> base type local name it derives from
     type_bases: dict[str, str] = field(default_factory=dict)
+    # type local names that resolved to neither a standard base nor an
+    # archive-shipped derivation — diagnosed loudly, defaulted to string
+    unresolved_types: set[str] = field(default_factory=set)
 
     def base_type(self, type_local: str) -> str:
+        """XBRL base of a declared item type, following archive-shipped
+        ``restriction``/``extension`` chains into the standard bases.
+
+        Boundary (documented limitation vs the reference's Arelle loader,
+        ref arelle_interface.py:50-60, which follows remote DTS references
+        over HTTP): only types shipped in the archive plus the
+        STANDARD_TYPE_BASES constants resolve. A type defined solely in a
+        remote schema is NOT silently mis-typed — it is recorded in
+        ``unresolved_types`` and warned about once, then defaults to
+        'string' (the widest type: values survive verbatim)."""
         seen: set[str] = set()
         cur = type_local
         while cur not in STANDARD_TYPE_BASES and cur in self.type_bases:
@@ -134,6 +150,16 @@ class TaxonomyVersion:
                 break
             seen.add(cur)
             cur = self.type_bases[cur]
+        if cur not in STANDARD_TYPE_BASES and type_local not in self.unresolved_types:
+            self.unresolved_types.add(type_local)
+            _LOG.warning(
+                "taxonomy type %r does not resolve to a standard XBRL base "
+                "(not shipped in the archive and not a known standard type); "
+                "defaulting to 'string'. If this type lives in a remote "
+                "schema, extend STANDARD_TYPE_BASES or ship the schema in "
+                "the archive.",
+                type_local,
+            )
         return STANDARD_TYPE_BASES.get(cur, "string")
 
 

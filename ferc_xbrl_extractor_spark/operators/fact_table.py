@@ -84,6 +84,7 @@ def construct_table_with_errors(
     spec: TableSpec,
     typed_dates: bool = False,
     deterministic_order: bool = False,
+    skew_safe: bool = False,
 ) -> TableResult:
     """Build one output table from the (denormalized) long facts relation.
 
@@ -95,6 +96,19 @@ def construct_table_with_errors(
         deterministic_order: end with orderBy(PK) — needed only for golden
             comparisons / single-file sinks; a cluster sink should stay
             unordered and let the writer bucket it.
+        skew_safe: hot-key fallback (the G13 two-phase shape). The default
+            single-exchange plan ships RAW rows through one
+            repartition(filing_name, c_id); a pathological key (one filing
+            or one context owning most of the rows) then funnels into one
+            task. With ``skew_safe`` the explicit repartition is dropped
+            and each aggregate owns its exchange, so Catalyst plans a
+            partial aggregate BEFORE the shuffle: hot-key rows are
+            pre-combined on every map task (the salt is the input
+            partitioning itself) and the shuffle carries one partial row
+            per (map task × key). Costs a second exchange (fuzzy on the
+            fact key, pivot on the context key) — worth it exactly when a
+            key is hot; output is identical (pinned by
+            tests/test_fact_table.py::test_skew_safe_mode_equivalence).
     """
     fact_key = ["filing_name", "c_id", "name"]
 
@@ -124,8 +138,11 @@ def construct_table_with_errors(
     )
 
     # The single shuffle: every grouping key below is a superset of
-    # (filing_name, c_id), so this one clustering serves them all.
-    selected = selected.repartition(F.col("filing_name"), F.col("c_id"))
+    # (filing_name, c_id), so this one clustering serves them all. In
+    # skew_safe mode the aggregates own their exchanges instead (partial
+    # aggregation before each shuffle — see docstring).
+    if not skew_safe:
+        selected = selected.repartition(F.col("filing_name"), F.col("c_id"))
 
     # A2+A3 in ONE aggregate: fuzzy_dedup is multiplicity-insensitive
     # (per-bucket min==max distinctness), so exact duplicates collapse
@@ -184,10 +201,15 @@ def construct_table(
     spec: TableSpec,
     typed_dates: bool = False,
     deterministic_order: bool = False,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Data-only convenience wrapper; use construct_table_with_errors (or
     pipeline.extract's errors/strict surface) to observe quarantined
     conflicts."""
     return construct_table_with_errors(
-        facts, spec, typed_dates=typed_dates, deterministic_order=deterministic_order
+        facts,
+        spec,
+        typed_dates=typed_dates,
+        deterministic_order=deterministic_order,
+        skew_safe=skew_safe,
     ).data

@@ -31,9 +31,14 @@ from pyspark.sql import functions as F
 from ferc_xbrl_extractor_spark.operators.text import tokens
 
 
-def shingles(text_col: str | Column = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a document as an array column."""
-    toks = tokens(text_col)
+def shingles_from_tokens(toks_col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a *materialized* token-array
+    column. The column MUST be a real attribute (``.alias`` it in a prior
+    projection), never an inline ``tokens(text)`` expression: Catalyst
+    substitutes inline aliases into the higher-order-function lambdas, so
+    the text would be re-split once per shingle position — O(tokens²) per
+    document (measured 32 CPU-seconds for 5k docs vs under one)."""
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
@@ -43,12 +48,85 @@ def shingles(text_col: str | Column = "text", n: int = 3) -> Column:
     )
 
 
+def shingles(text_col: str | Column = "text", n: int = 3) -> Column:
+    """Inline-expression form of ``shingles_from_tokens`` — convenient for
+    one-off use, but quadratic when evaluated (see that docstring); plans
+    should go through ``doc_shingle_arrays``/``shingle_table``."""
+    return shingles_from_tokens(tokens(text_col), n)
+
+
+def doc_shingle_arrays(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle-array) relation — the map-side form of the inverted
+    index. Sizes are ``F.size`` and pair verification is
+    ``array_intersect``, so neither needs an aggregate over the exploded
+    table.
+
+    Built as TWO stacked projections — tokens materialized first, shingles
+    from the token attribute — so the split runs once per document.
+    CollapseProject leaves this alone (the token alias is referenced more
+    than once), preserving the linear cost."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    return toked.select(
+        F.col(id_col), shingles_from_tokens("__toks", n).alias("__sh")
+    )
+
+
 def shingle_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Long (id, shingle) relation — the inverted-index input."""
-    return df.select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    """Long (id, shingle) relation — the inverted-index input.
+
+    ``explode_outer`` + post-filter, NOT plain ``explode``: the inner
+    explode makes Catalyst synthesize a ``size(arr) > 0`` prune filter
+    that predicate-pushdown then substitutes all the way into the parquet
+    scan — evaluating the whole shingle expression per document below the
+    parallelizing exchange, on however few tasks the file layout allows.
+    The outer variant generates no such filter; empty docs surface one
+    null-shingle row dropped right here, above the Generate."""
+    return (
+        doc_shingle_arrays(df, id_col, text_col, n)
+        .select(F.col(id_col), F.explode_outer("__sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+
+
+def _verify_candidates(
+    cands: DataFrame,
+    docs_arr: DataFrame,
+    id_col: str,
+    threshold: float,
+    broadcast_verify: bool = True,
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair set against per-doc
+    shingle arrays: n_common = |array_intersect|, sizes = |array| — one
+    expression per pair, no groupBy, no sizes aggregate.
+
+    With ``broadcast_verify`` the candidate set is broadcast, so the first
+    join streams the corpus with a map-side hash probe — right when
+    |candidates| ≪ |corpus| (the normal near-dup regime). The second join
+    (attaching the b-side arrays) is left to the planner: its left input
+    is |candidates| rows, so AQE turns it into a broadcast join from the
+    runtime stats without a separate materialization job (an explicit
+    ``broadcast(j1)`` would re-execute the whole candidate subplan just to
+    build the broadcast — measured 4× slower). At a scale where candidates
+    no longer fit a broadcast, set False: both joins run keyed on
+    id_a/id_b, still with no post-join aggregate."""
+    a = docs_arr.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = docs_arr.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    if broadcast_verify:
+        cands = F.broadcast(cands)
+    j1 = a.join(cands, "id_a")
+    j2 = j1.join(b, "id_b")
+    n_common = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+    n_union = (
+        F.size(F.col("__sh_a")) + F.size(F.col("__sh_b")) - n_common
+    ).cast("double")
+    jac = n_common / n_union
+    return (
+        j2.filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
 
 
@@ -72,10 +150,25 @@ def jaccard_pairs(
     bucket at scale (dropped shingles can only *lower* measured Jaccard,
     so set it well above the corpus's stopword plateau or leave None for
     exact results).
-    """
-    from pyspark import StorageLevel
 
-    st = shingle_table(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    Plan shape: the self-join is expressed over ONE plan (``alias`` on the
+    same DataFrame), so both join inputs resolve to the identical
+    shingle-keyed exchange and Spark's exchange reuse shuffles the
+    inverted index once, not twice. Each exploded row carries its doc's
+    shingle count (one long riding the shuffle), so the Jaccard
+    denominator falls out of the pair aggregate itself — no sizes
+    aggregate, no extra scans, no broadcast joins. No persist: every
+    consumer is the reused exchange.
+    """
+    st = (
+        doc_shingle_arrays(df, id_col, text_col, n)
+        .select(
+            F.col(id_col),
+            F.size("__sh").alias("n_sh"),
+            F.explode_outer("__sh").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
     if max_shingle_df is not None:
         freq = st.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         st = st.join(
@@ -83,32 +176,39 @@ def jaccard_pairs(
             "shingle",
             "left_anti",
         )
-    sizes = st.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    a = st.select(F.col(id_col).alias("id_a"), "shingle")
-    b = st.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Pin the inverted-index self-join to the keyed-shuffle shape: both
+    # aliased sides resolve to this one hashpartitioning(shingle) exchange
+    # (written once, read twice via exchange reuse). Without it the
+    # optimizer's size estimate for the shingle explode can pick a
+    # broadcast hash join and build the whole inverted index into a hash
+    # relation single-threaded — the opposite of the operator's at-scale
+    # contract.
+    st = st.repartition("shingle")
+    j = st.alias("a").join(
+        st.alias("b"), F.col("a.shingle") == F.col("b.shingle")
     )
+    pairs = (
+        j.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    jac = F.col("n_common") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
     return (
-        common.join(
-            F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))),
-            "id_b",
-        )
-        .withColumn(
-            "__jac",
-            F.col("n_common")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-        )
-        .filter(F.col("__jac") >= threshold)
-        .select("id_a", "id_b", F.round("__jac", 4).alias("jaccard"))
+        pairs.filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
 
 
@@ -192,17 +292,24 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: pairs colliding in ≥1 band. The join key is
     (band_index, band_hash) so the shuffle is fully keyed — never
-    all-pairs. Pass ``shingle_df`` to reuse a cached shingle table."""
+    all-pairs — and the self-join is one aliased plan, so exchange reuse
+    shuffles the band relation once. Pass ``shingle_df`` to reuse a
+    shared shingle table."""
     st = shingle_df if shingle_df is not None else shingle_table(df, id_col, text_col, n)
     banded = band_table(
         minhash_signature_table(st, id_col, num_hashes), id_col, num_hashes, bands
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    j = banded.alias("a").join(
+        banded.alias("b"),
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash")),
+    )
     return (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        j.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
         .distinct()
     )
 
@@ -221,60 +328,47 @@ def minhash_lsh_pairs(
     with jaccard ≥ threshold; a near-dup pair is found iff LSH surfaced it
     (approximate by design — recall set by the band shape).
 
-    The shingle table feeds four consumers (signatures, sizes, both sides
-    of the verification join), so it is persisted for the duration of the
-    plan — at corpus scale you would materialize it to parquet instead."""
-    from pyspark import StorageLevel
-
-    st = shingle_table(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    Plan shape: ONE keyed shuffle of the exploded shingle table (the
+    signature aggregate, map-side partial-combined to one row per doc),
+    one small banded self-join on the reused band exchange, one distinct
+    over candidate pairs — and a shuffle-free verification
+    (``_verify_candidates``: broadcast candidates against map-side
+    per-doc shingle arrays, n_common via ``array_intersect``). The
+    previous form persisted the shingle table for four consumers and
+    re-aggregated it for sizes and common counts; this one has no
+    persist, no sizes aggregate, and no post-verification groupBy."""
+    docs_arr = doc_shingle_arrays(df, id_col, text_col, n)
+    st = (
+        docs_arr.select(F.col(id_col), F.explode_outer("__sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
     cands = lsh_candidate_pairs(
         df, id_col, text_col, n, num_hashes, bands, shingle_df=st
     )
-    sizes = st.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-
-    # Count common shingles per candidate pair via two keyed joins on
-    # (id, shingle) — no all-pairs work outside the candidate set.
-    common = (
-        cands.join(st.withColumnRenamed(id_col, "id_a"), "id_a")
-        .join(
-            st.select(F.col(id_col).alias("id_b"), F.col("shingle")),
-            ["id_b", "shingle"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return (
-        common.join(
-            F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))),
-            "id_b",
-        )
-        .withColumn(
-            "__jac",
-            F.col("n_common")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-        )
-        .filter(F.col("__jac") >= threshold)
-        .select("id_a", "id_b", F.round("__jac", 4).alias("jaccard"))
-    )
+    return _verify_candidates(cands, docs_arr, id_col, threshold)
 
 
-def simhash(text_col: str | Column = "text", bits: int = 32) -> Column:
-    """SimHash of the document's token multiset, as a ``bits``-wide bigint.
-
-    Token hash = first 15 hex chars of md5 (60 bits) via ``conv``; bit b of
-    the fingerprint is the sign of Σ_tokens (±1 by token bit b). All
-    Catalyst expressions; cost is O(tokens × bits) map-side.
-    """
-    toks = tokens(text_col)
-    h = F.transform(
+def token_hashes(toks_col: str | Column) -> Column:
+    """60-bit md5 token hashes (first 15 hex chars via ``conv``) from a
+    materialized token-array column."""
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
+    return F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
     )
+
+
+def simhash_from_hashes(h_col: str | Column, bits: int = 32) -> Column:
+    """SimHash fingerprint from a *materialized* token-hash array column:
+    bit b of the fingerprint is the sign of Σ_tokens (±1 by token bit b).
+
+    The hash array MUST be a real attribute: each of the ``bits``
+    per-bit folds references it, and an inline expression would be
+    substituted into every fold — re-hashing every token ``bits`` times
+    (the same lambda-substitution trap as ``shingles_from_tokens``).
+    Cost on an attribute: O(tokens) md5 upstream + O(tokens × bits) adds.
+    """
+    h = F.col(h_col) if isinstance(h_col, str) else h_col
+
     def bit_merge(b: int):
         # Two-arg lambda factory (see perm() in minhash_signature for why
         # a default-arg lambda is wrong here).
@@ -289,6 +383,14 @@ def simhash(text_col: str | Column = "text", bits: int = 32) -> Column:
     return out
 
 
+def simhash(text_col: str | Column = "text", bits: int = 32) -> Column:
+    """Inline-expression SimHash — convenient, but the token-hash array is
+    re-evaluated per bit when inlined (see ``simhash_from_hashes``); plans
+    should materialize ``tokens`` → ``token_hashes`` first, as
+    ``simhash_pairs`` does."""
+    return simhash_from_hashes(token_hashes(tokens(text_col)), bits)
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -299,9 +401,16 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup candidates: bucket by the fingerprint's top
     ``prefix_bits`` (keyed join — the LSH trick again), verify Hamming
-    distance ≤ max_hamming within buckets via bit_count(xor)."""
-    fp = df.select(
-        F.col(id_col), simhash(text_col, bits).alias("fp")
+    distance ≤ max_hamming within buckets via bit_count(xor).
+
+    Tokens and token hashes are materialized in stacked projections so the
+    text is split once and each token md5-hashed once per document — the
+    per-bit folds then iterate an in-memory array (see
+    ``simhash_from_hashes``)."""
+    fp = (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(F.col(id_col), token_hashes("__toks").alias("__h"))
+        .select(F.col(id_col), simhash_from_hashes("__h", bits).alias("fp"))
     ).withColumn("bucket", F.shiftright(F.col("fp"), bits - prefix_bits))
     a = fp.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "bucket")
     b = fp.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "bucket")

@@ -238,6 +238,50 @@ def ivf_read_probed(spark, path: str, clusters: list[int]) -> DataFrame:
     return spark.read.parquet(path).filter(_F.col("__cluster").isin(clusters))
 
 
+def _dot_literal(vec_col: Column, coeffs: list[float]) -> Column:
+    """Σ vec[i]·coeffs[i] as a branch-free literal projection, summed
+    sequentially from 0.0 so the float result is bitwise-identical to a
+    left-fold (Spark ``aggregate``) and to DuckDB ``list_inner_product``
+    over the same values."""
+    proj = F.lit(0.0)
+    for i, cf in enumerate(coeffs):
+        proj = proj + vec_col[i].cast("double") * F.lit(float(cf))
+    return proj
+
+
+def ivf_assign(nvec_col: Column, unit_centroids: list[list[float]]) -> Column:
+    """Coarse-quantizer assignment against a *supplied* centroid set,
+    compiled into the projection: argmax_i dot(v, c_i), ties to the lowest
+    cluster id. No shuffle, no broadcast variable — the quantizer rides the
+    plan as literals (the same trick as ``hyperplane_signature``), so
+    assignment is a map-side expression at any corpus size.
+
+    Shaped as ``greatest(dots) == dot_i`` probes, NOT a running-best
+    when-chain: a sequential argmax duplicates the running-best subtree at
+    every step and the expression grows exponentially in nlist (measured:
+    144s vs 2s on 2k vectors × 8 centroids). Here each dot expression
+    appears twice and codegen CSE evaluates it once."""
+    dots = [_dot_literal(nvec_col, cent) for cent in unit_centroids]
+    mx = F.greatest(*dots)
+    out = F.lit(len(dots) - 1)
+    for i in range(len(dots) - 2, -1, -1):
+        out = F.when(dots[i] == mx, F.lit(i)).otherwise(out)
+    return out
+
+
+def unit_centroids_from_rows(vectors: list[list[float]]) -> list[list[float]]:
+    """L2-normalize centroid vectors driver-side (IEEE doubles, sequential
+    sum — matches ``_unit``/``list_inner_product`` bit-for-bit)."""
+    out = []
+    for vec in vectors:
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        n = acc ** 0.5
+        out.append([float(x) / n for x in vec] if n > 0 else [float(x) for x in vec])
+    return out
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -248,6 +292,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 7,
+    centroids_vectors: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k cosine search: probe the ``nprobe`` inverted
     lists whose centroids are nearest each query, brute-force only inside
@@ -259,10 +304,28 @@ def ivf_topk(
     the probe and search sides; nothing is ever cross-joined against the
     full corpus. Output schema matches ``cosine_topk``:
     (query_id, neighbor_id, sim, rank).
+
+    ``centroids_vectors`` supplies a pre-fitted coarse quantizer (ordered;
+    index = cluster id) instead of fitting k-means here — the
+    fit-once/search-many production shape, and with a deterministic
+    centroid choice it makes the pruned search path reproducible by a SQL
+    oracle (the k-means path is seed-deterministic only within Spark).
+    Assignment then happens in the projection via ``ivf_assign`` — no
+    fit job at all.
     """
-    assigned, centroids = ivf_index(
-        corpus, nlist=nlist, id_col=id_col, vec_col=vec_col, seed=seed
-    )
+    if centroids_vectors is not None:
+        spark = corpus.sparkSession
+        ucents = unit_centroids_from_rows(centroids_vectors)
+        assigned = corpus.withColumn("__nvec", _unit(F.col(vec_col))).withColumn(
+            "__cluster", ivf_assign(F.col("__nvec"), ucents)
+        )
+        centroids = spark.createDataFrame(
+            list(enumerate(ucents)), "__cluster int, __cvec array<double>"
+        )
+    else:
+        assigned, centroids = ivf_index(
+            corpus, nlist=nlist, id_col=id_col, vec_col=vec_col, seed=seed
+        )
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), "__nvec", "__cluster"
     )

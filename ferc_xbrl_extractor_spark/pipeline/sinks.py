@@ -209,6 +209,7 @@ def stage_and_sink(
     output_dir: str | None = None,
     sqlite_path: str | None = None,
     duckdb_path: str | None = None,
+    single_file: bool = False,
 ) -> dict[str, int]:
     """Execute every table plan exactly ONCE: stage all tables to parquet
     (thread-pooled distributed writes), drop empty tables from the staged
@@ -223,9 +224,12 @@ def stage_and_sink(
 
     Final user-facing layout under ``output_dir`` renames each kept table
     dataset to ``{name}.parquet`` so the descriptor's per-resource path
-    (reference cli.py:210-230) resolves on disk. Each is a *directory* of
-    part files (the distributed layout), not the reference's single
-    pandas-written file — ``pd.read_parquet``/pyarrow read both the same.
+    (reference cli.py:210-230) resolves on disk. By default each is a
+    *directory* of part files (the distributed layout) —
+    ``pd.read_parquet``/pyarrow read both the same. ``single_file=True``
+    coalesces each table to one part and renames that part to a plain
+    ``{name}.parquet`` FILE, byte-compatible with consumers that ``open()``
+    the reference's pandas-written outputs (cli.py:191-207).
     """
     import shutil
     import tempfile
@@ -233,7 +237,7 @@ def stage_and_sink(
     owns_staging = output_dir is None
     staging = output_dir or tempfile.mkdtemp(prefix="xbrl_stage_")
     try:
-        write_parquet(tables, staging)
+        write_parquet(tables, staging, single_file=single_file)
         counts = staged_row_counts(staging, list(tables))
         kept = {n: df for n, df in tables.items() if counts[n] > 0}
         for name in set(tables) - set(kept):
@@ -245,13 +249,20 @@ def stage_and_sink(
         if output_dir:
             for name in kept:
                 target = Path(output_dir) / f"{name}.parquet"
+                staged_dir = Path(output_dir) / name
                 shutil.rmtree(target, ignore_errors=True)
-                (Path(output_dir) / name).rename(target)
+                if single_file:
+                    part = next(staged_dir.glob("part-*.parquet"))
+                    part.rename(target)
+                    shutil.rmtree(staged_dir, ignore_errors=True)
+                else:
+                    staged_dir.rename(target)
             if specs is not None:
                 write_datapackage(
                     {n: s for n, s in specs.items() if n in kept},
                     str(Path(output_dir) / "datapackage.json"),
                     flavor="parquet",
+                    base_dir=output_dir,
                 )
         return counts
     finally:
@@ -336,23 +347,80 @@ def write_datapackage(
     validate: bool = True,
     flavor: str = "sqlite",
     db_uri: str | None = None,
+    base_dir: str | None = None,
 ) -> dict:
     doc = datapackage_descriptor(specs, flavor=flavor, db_uri=db_uri)
     if validate:
-        validate_descriptor(doc)
+        validate_descriptor(doc, base_dir=base_dir)
     Path(path).write_text(json.dumps(doc, indent=2, default=str))
     return doc
 
 
-def validate_descriptor(doc: dict) -> None:
-    """E5: frictionless validation when the package is importable (the
-    reference hard-requires it, cli.py:226-229; best-effort here because
-    the sandbox may not carry frictionless)."""
+_LEGAL_FIELD_TYPES = {
+    # Frictionless table-schema types the catalog can emit (reference
+    # taxonomy.py:58-66 get_schema_type + the PK column types).
+    "string", "number", "integer", "boolean", "date", "datetime",
+    "year", "duration",
+}
+
+
+def validate_descriptor(doc: dict, base_dir: str | None = None) -> None:
+    """E5: descriptor validation that ALWAYS runs (reference hard-fails on
+    an invalid descriptor, cli.py:226-229 / xbrl.py:263-266).
+
+    Two layers:
+    1. A structural self-check with no dependencies — resource shape,
+       unique names, legal field types, primaryKey ⊆ field names, and
+       (with ``base_dir``) resource paths existing on disk. This closes
+       the silent-skip hole where a missing ``frictionless`` install let
+       corrupt descriptors ship unvalidated.
+    2. ``frictionless.Package.validate_descriptor`` when the package is
+       importable, for full-spec coverage.
+    """
+    problems: list[str] = []
+    resources = doc.get("resources")
+    if not isinstance(resources, list) or not resources:
+        raise RuntimeError("Invalid datapackage descriptor: no resources")
+    seen: set[str] = set()
+    for i, res in enumerate(resources):
+        rname = res.get("name") or f"#{i}"
+        if res.get("name") in seen:
+            problems.append(f"duplicate resource name {rname}")
+        seen.add(rname)
+        if not res.get("path"):
+            problems.append(f"resource {rname}: missing path")
+        elif base_dir is not None and not str(res["path"]).startswith(
+            ("sqlite:", "http:", "https:")
+        ):
+            if not (Path(base_dir) / res["path"]).exists():
+                problems.append(
+                    f"resource {rname}: path {res['path']} not found in {base_dir}"
+                )
+        schema = res.get("schema") or {}
+        fields = schema.get("fields") or []
+        names = [f.get("name") for f in fields]
+        if len(names) != len(set(names)):
+            problems.append(f"resource {rname}: duplicate field names")
+        for f in fields:
+            if f.get("type") not in _LEGAL_FIELD_TYPES:
+                problems.append(
+                    f"resource {rname}: field {f.get('name')} has illegal "
+                    f"type {f.get('type')!r}"
+                )
+        pk = schema.get("primaryKey") or []
+        missing = [k for k in pk if k not in names]
+        if missing:
+            problems.append(
+                f"resource {rname}: primaryKey columns {missing} not in fields"
+            )
+    if problems:
+        raise RuntimeError(
+            "Invalid datapackage descriptor: " + "; ".join(problems)
+        )
     try:
         import frictionless
-
-        report = frictionless.Package.validate_descriptor(doc)
-        if not report.valid:
-            raise RuntimeError(f"Invalid datapackage descriptor: {report}")
     except ImportError:
-        pass  # validation is best-effort; the descriptor is still written
+        return
+    report = frictionless.Package.validate_descriptor(doc)
+    if not report.valid:
+        raise RuntimeError(f"Invalid datapackage descriptor: {report}")

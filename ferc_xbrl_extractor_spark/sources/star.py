@@ -20,16 +20,19 @@ from pyspark.sql import functions as F
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
-def _file_meta(path: str) -> tuple[list[str], int, int]:
-    """(nano timestamp columns, num_rows, num_row_groups) from the footer."""
+def _file_meta(path: str) -> tuple[list[str], int, int, int]:
+    """(nano timestamp columns, num_rows, num_row_groups, file_bytes) from
+    the footer."""
+    import os
+
     import pyarrow.parquet as pq
 
     try:
         pf = pq.ParquetFile(path)
     except Exception:
-        return [], 0, 1
+        return [], 0, 1, 0
     nano = [f.name for f in pf.schema_arrow if str(f.type) == "timestamp[ns]"]
-    return nano, pf.metadata.num_rows, pf.num_row_groups
+    return nano, pf.metadata.num_rows, pf.num_row_groups, os.path.getsize(path)
 
 
 TABLES = (
@@ -92,12 +95,19 @@ def load_table(
     from ferc_xbrl_extractor_spark.session import default_parallelism
 
     path = f"{sf_dir}/{name}.parquet"
-    nano_cols, num_rows, row_groups = _file_meta(path)
+    nano_cols, num_rows, row_groups, file_bytes = _file_meta(path)
     if nano_cols:
         spark.conf.set(NANOS_CONF, "true")
     df = spark.read.parquet(path)
     cpus = default_parallelism()
-    if num_rows >= 100_000 and row_groups < cpus // 2:
+    # Rows OR bytes: a "small" table by row count can still be heavy per
+    # row (documents' text, embeddings' vectors — 0.5 MB compressed
+    # explodes into ~260k shingles × 12 md5s) — leaving its scan at one
+    # task serializes every compute-amplifying consumer (shingling,
+    # signatures, dot products). The byte bar is deliberately low: a
+    # sub-MB round-robin shuffle costs ~nothing, a single-task map stage
+    # costs the whole cluster.
+    if (num_rows >= 100_000 or file_bytes >= 512 << 10) and row_groups < cpus // 2:
         if repartition_cols:
             df = df.repartition(cpus, *[F.col(c) for c in repartition_cols])
         else:

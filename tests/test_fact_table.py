@@ -92,3 +92,52 @@ def test_pk_columns_and_order(spark, filing_dir):
         "region_axis",
         "revenue_total",
     ]
+
+
+def test_skew_safe_mode_equivalence(spark):
+    # G13-shaped hot-key fallback: one filing owns ~90% of rows (and one
+    # context inside it is hot). skew_safe must produce identical output
+    # via aggregate-owned exchanges with partial (map-side) aggregation
+    # before the first shuffle — the mechanism that spreads hot-key work
+    # across every map task instead of one reducer.
+    from pyspark.sql import functions as F
+
+    hot = spark.range(0, 9000).select(
+        F.lit("filing-hot").alias("filing_name"),
+        # one hot context gets a third of the hot filing's rows
+        F.when(F.col("id") % 3 == 0, F.lit("ctx-hot"))
+        .otherwise(F.concat(F.lit("c"), F.col("id"))).alias("c_id"),
+        F.lit("e1").alias("entity_id"),
+        F.lit(False).alias("instant"),
+        F.lit("2021-01-01").alias("start_date"),
+        F.lit("2021-12-31").alias("end_date"),
+        F.create_map().cast("map<string,string>").alias("dims"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("publication_time"),
+        F.lit("cost").alias("name"),
+        (F.col("id") % 7).cast("string").alias("value"),
+    )
+    cold = spark.range(0, 1000).select(
+        F.concat(F.lit("filing-"), F.col("id") % 10).alias("filing_name"),
+        F.concat(F.lit("k"), F.col("id")).alias("c_id"),
+        F.lit("e2").alias("entity_id"),
+        F.lit(False).alias("instant"),
+        F.lit("2021-01-01").alias("start_date"),
+        F.lit("2021-12-31").alias("end_date"),
+        F.create_map().cast("map<string,string>").alias("dims"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("publication_time"),
+        F.lit("cost").alias("name"),
+        (F.col("id") % 5).cast("string").alias("value"),
+    )
+    facts = hot.unionByName(cold)
+    spec = TableSpec(
+        name="t", period_type="duration", columns={"cost": "number"}, axes=[]
+    )
+    base = construct_table(facts, spec, deterministic_order=True)
+    safe = construct_table(facts, spec, deterministic_order=True, skew_safe=True)
+    assert base.collect() == safe.collect()
+
+    plan = safe._jdf.queryExecution().executedPlan().toString()
+    # aggregate-owned exchanges: partial aggregation appears before any
+    # exchange (reading the plan bottom-up, the deepest agg is partial)
+    assert "partial_" in plan
+    assert "REPARTITION_BY_COL" not in plan

@@ -95,3 +95,82 @@ def test_frame_sample_plan(spark):
     samples = multimodal.frame_sample_plan(media, every_ms=1000).collect()
     got = sorted((r["media_id"], r["sample_ms"]) for r in samples)
     assert got == [(1, 0), (1, 1000), (1, 2000)]
+
+
+def test_descriptor_structural_validation_always_runs():
+    # E5: the structural self-check must fail loudly WITHOUT frictionless
+    # (reference hard-fails on an invalid descriptor, cli.py:226-229).
+    import pytest
+
+    from ferc_xbrl_extractor_spark.pipeline.sinks import validate_descriptor
+
+    spec = TableSpec(
+        name="t",
+        period_type="duration",
+        columns={"cost": "number"},
+        axes=[],
+    )
+    good = datapackage_descriptor({"t": spec})
+    validate_descriptor(good)  # sane descriptor passes
+
+    pk_not_in_fields = datapackage_descriptor({"t": spec})
+    pk_not_in_fields["resources"][0]["schema"]["primaryKey"] = ["nope"]
+    with pytest.raises(RuntimeError, match="primaryKey.*not in fields"):
+        validate_descriptor(pk_not_in_fields)
+
+    bad_type = datapackage_descriptor({"t": spec})
+    bad_type["resources"][0]["schema"]["fields"][0]["type"] = "varchar"
+    with pytest.raises(RuntimeError, match="illegal[\\s\\S]*type"):
+        validate_descriptor(bad_type)
+
+    no_path = datapackage_descriptor({"t": spec})
+    del no_path["resources"][0]["path"]
+    with pytest.raises(RuntimeError, match="missing path"):
+        validate_descriptor(no_path)
+
+    with pytest.raises(RuntimeError, match="no resources"):
+        validate_descriptor({"resources": []})
+
+    # base_dir: parquet resource paths must exist on disk
+    pq = datapackage_descriptor({"t": spec}, flavor="parquet")
+    with pytest.raises(RuntimeError, match="not found"):
+        validate_descriptor(pq, base_dir="/nonexistent-dir")
+
+
+def test_single_file_parquet_is_a_plain_file(spark, tmp_path):
+    # K3 single-file parity with reference cli.py:191-207: the output is a
+    # FILE a non-dataset-aware consumer can open() directly.
+    import pyarrow.parquet as pq
+
+    from ferc_xbrl_extractor_spark.pipeline.sinks import stage_and_sink
+
+    df = spark.createDataFrame(
+        [("e1", 1.0), ("e2", 2.0)], "entity_id string, cost double"
+    ).repartition(4)
+    out = tmp_path / "out"
+    out.mkdir()
+    counts = stage_and_sink({"t": df}, output_dir=str(out), single_file=True)
+    assert counts["t"] == 2
+    target = out / "t.parquet"
+    assert target.is_file()  # not a directory of part files
+    f = pq.ParquetFile(str(target))  # plain file reader, no dataset API
+    assert f.metadata.num_rows == 2
+
+
+def test_unresolved_taxonomy_type_warns_and_records(caplog):
+    import logging
+
+    from ferc_xbrl_extractor_spark.catalog.taxonomy_xml import TaxonomyVersion
+
+    v = TaxonomyVersion()
+    v.type_bases["customItemType"] = "mysteryRemoteItemType"
+    with caplog.at_level(logging.WARNING):
+        assert v.base_type("customItemType") == "string"
+    assert "mysteryRemoteItemType" not in v.type_bases
+    assert v.unresolved_types == {"customItemType"}
+    assert any("does not resolve" in r.message for r in caplog.records)
+    # resolvable chains stay silent and exact
+    v2 = TaxonomyVersion()
+    v2.type_bases["customMonetary"] = "monetaryItemType"
+    assert v2.base_type("customMonetary") == "decimal"
+    assert v2.unresolved_types == set()
