@@ -123,7 +123,9 @@ _CID_SQL = (
 )
 
 
-def _lineitem_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lineitem_facts(
+    spark: SparkSession, sf_dir: str, clustered: bool = False
+) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     c_id = _cid()
     line_pair = [F.lit("line_axis"), c_id]
@@ -157,6 +159,13 @@ def _lineitem_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         "l_discount",
     )
+    # ``clustered``: hash-cluster the CONTEXT rows (one per lineitem,
+    # pre-explode) on the pipeline's key so the keyed exchange ships ~4×
+    # fewer, wider rows than shuffling post-stack facts — the consumer
+    # then runs construct_table(input_clustered=True) with zero further
+    # exchanges. Generators preserve the clustering.
+    if clustered:
+        ctx = ctx.repartition(F.col("filing_name"), F.col("c_id"))
     return ctx.select(
         "filing_name",
         "c_id",
@@ -215,7 +224,7 @@ def q_xbrl_fact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected (every 'quantity' fact twice, via explode — one scan, unlike a
     self-union which would recompute the whole facts projection) so A2
     provably collapses them."""
-    facts = _lineitem_facts(spark, sf_dir)
+    facts = _lineitem_facts(spark, sf_dir, clustered=True)
     dup_n = F.when(F.col("name") == "quantity", 2).otherwise(1)
     facts = facts.withColumn("__copy", F.explode(F.sequence(F.lit(1), dup_n))).drop(
         "__copy"
@@ -226,7 +235,7 @@ def q_xbrl_fact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns={"quantity": "number", "price": "number", "discount": "number"},
         axes=["line_axis", "flag_axis"],
     )
-    return construct_table(facts, spec)
+    return construct_table(facts, spec, input_clustered=True)
 
 
 _ORACLE_FACT_PIPELINE = f"""

@@ -72,6 +72,13 @@ def parse(argv: list[str] | None = None) -> argparse.Namespace:
         help="Fail on unresolvable duplicate facts (reference ValueError "
         "semantics) instead of quarantining them.",
     )
+    parser.add_argument(
+        "--single-file-parquet",
+        action="store_true",
+        help="Coalesce each output table to one plain {name}.parquet FILE "
+        "(reference one-file-per-table layout) instead of a directory of "
+        "part files.",
+    )
     parser.add_argument("-b", "--batch-size", type=int, default=None)
     parser.add_argument("-w", "--workers", type=int, default=None)
     parser.add_argument("--loglevel", default="INFO")
@@ -160,6 +167,7 @@ def run_main(args: argparse.Namespace) -> int:
             output_dir=str(args.output_dir) if args.output_dir else None,
             sqlite_path=str(args.sqlite_path) if args.sqlite_path else None,
             duckdb_path=str(args.duckdb_path) if args.duckdb_path else None,
+            single_file=args.single_file_parquet,
         )
         logger.info(
             "extracted %d non-empty tables", sum(1 for c in counts.values() if c)

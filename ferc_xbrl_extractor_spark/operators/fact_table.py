@@ -85,6 +85,7 @@ def construct_table_with_errors(
     typed_dates: bool = False,
     deterministic_order: bool = False,
     skew_safe: bool = False,
+    input_clustered: bool = False,
 ) -> TableResult:
     """Build one output table from the (denormalized) long facts relation.
 
@@ -109,6 +110,13 @@ def construct_table_with_errors(
             fact key, pivot on the context key) — worth it exactly when a
             key is hot; output is identical (pinned by
             tests/test_fact_table.py::test_skew_safe_mode_equivalence).
+        input_clustered: the caller guarantees ``facts`` is already
+            hash-clustered on (filing_name, c_id) — e.g. loaded from a
+            bucketed table, or repartitioned BEFORE a row-multiplying
+            transform so the exchange shipped fewer/wider rows. Skips the
+            explicit repartition; every aggregate's required distribution
+            is satisfied by the input partitioning, so the whole table
+            plan runs with ZERO exchanges.
     """
     fact_key = ["filing_name", "c_id", "name"]
 
@@ -141,7 +149,7 @@ def construct_table_with_errors(
     # (filing_name, c_id), so this one clustering serves them all. In
     # skew_safe mode the aggregates own their exchanges instead (partial
     # aggregation before each shuffle — see docstring).
-    if not skew_safe:
+    if not (skew_safe or input_clustered):
         selected = selected.repartition(F.col("filing_name"), F.col("c_id"))
 
     # A2+A3 in ONE aggregate: fuzzy_dedup is multiplicity-insensitive
@@ -202,6 +210,7 @@ def construct_table(
     typed_dates: bool = False,
     deterministic_order: bool = False,
     skew_safe: bool = False,
+    input_clustered: bool = False,
 ) -> DataFrame:
     """Data-only convenience wrapper; use construct_table_with_errors (or
     pipeline.extract's errors/strict surface) to observe quarantined
@@ -212,4 +221,5 @@ def construct_table(
         typed_dates=typed_dates,
         deterministic_order=deterministic_order,
         skew_safe=skew_safe,
+        input_clustered=input_clustered,
     ).data

@@ -25,6 +25,8 @@ the plan) rather than by value.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -403,14 +405,38 @@ def simhash_pairs(
     ``prefix_bits`` (keyed join — the LSH trick again), verify Hamming
     distance ≤ max_hamming within buckets via bit_count(xor).
 
-    Tokens and token hashes are materialized in stacked projections so the
-    text is split once and each token md5-hashed once per document — the
-    per-bit folds then iterate an in-memory array (see
-    ``simhash_from_hashes``)."""
-    fp = (
+    Fingerprints are computed with the explode + groupBy formulation, not
+    the per-bit array folds of ``simhash_from_hashes``: higher-order
+    ``aggregate`` lambdas evaluate interpreted per element, so ``bits``
+    folds cost bits × tokens interpreted steps per document, while the
+    exploded form is ``bits`` conditional-sum buffers in one codegen'd
+    HashAggregate with map-side partial combine — the scale shape
+    (measured ~3× at 5k docs). Tokens and hashes are materialized in
+    stacked projections so the text is split and md5'd once."""
+    hashed = (
         df.select(F.col(id_col), tokens(text_col).alias("__toks"))
         .select(F.col(id_col), token_hashes("__toks").alias("__h"))
-        .select(F.col(id_col), simhash_from_hashes("__h", bits).alias("fp"))
+        .select(F.col(id_col), F.explode_outer("__h").alias("h"))
+    )
+    h = F.col("h")
+    contribs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+            .when(h.isNotNull(), -1)
+            .otherwise(0)  # empty doc (null from explode_outer): fp = 0
+        ).alias(f"__c{b}")
+        for b in range(bits)
+    ]
+    fp_expr = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"__c{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(0),
+        range(bits),
+        F.lit(0).cast("bigint"),
+    )
+    fp = (
+        hashed.groupBy(id_col)
+        .agg(*contribs)
+        .select(F.col(id_col), fp_expr.alias("fp"))
     ).withColumn("bucket", F.shiftright(F.col("fp"), bits - prefix_bits))
     a = fp.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "bucket")
     b = fp.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "bucket")

@@ -260,3 +260,71 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     )[1].split("]")[0], plan
     got_clusters = {r["__cluster"] for r in probed.select("__cluster").distinct().collect()}
     assert got_clusters <= {0, 1}
+
+
+def test_shingle_expression_never_pushed_into_scan(spark, tmp_path):
+    """Regression pin for the explode-pushdown trap: plain ``explode``
+    makes Catalyst synthesize a ``size(arr) > 0`` filter that predicate
+    pushdown substitutes into the parquet scan — evaluating the whole
+    shingle expression per document BELOW the parallelizing exchange
+    (measured: 27s single-task stage at sf0.1). shingle_table uses
+    explode_outer + post-filter, so no text-derived expression may appear
+    in the scan's pushed filters."""
+    spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 10) for i in range(50)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    docs = spark.read.parquet(str(tmp_path / "docs"))
+    st = neardup.shingle_table(docs)
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    scan_part = plan[plan.index("FileScan"):]
+    data_filters = scan_part.split("DataFilters: [")[1].split("]")[0]
+    assert "split" not in data_filters, data_filters
+    assert "transform" not in data_filters, data_filters
+
+
+def _count_occurrences(plan: str, needle: str) -> int:
+    return plan.count(needle)
+
+
+def test_tokens_materialized_once_in_neardup_plans(spark):
+    """Regression pin for the lambda-substitution trap: an inline token
+    array gets substituted into higher-order-function lambdas, re-running
+    split() once per shingle position / simhash bit (O(tokens^2) per doc).
+    The optimized plans must evaluate split(text) a bounded number of
+    times — once per distinct consumer projection, never once per
+    element-lambda."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i} alpha beta gamma delta epsilon") for i in range(20)],
+        "doc_id long, text string",
+    )
+    # jaccard: split appears once per aliased self-join side at most
+    jac_plan = neardup.jaccard_pairs(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert _count_occurrences(jac_plan, "split(text") <= 2, jac_plan[:2000]
+    # simhash: one split + one md5-transform, NOT one per bit
+    sim_plan = neardup.simhash_pairs(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert _count_occurrences(sim_plan, "split(text") <= 2, sim_plan[:2000]
+    assert _count_occurrences(sim_plan, "md5(") <= 2, sim_plan[:2000]
+
+
+def test_minhash_verify_adds_no_aggregate(spark):
+    """MinHash verification computes common counts via array_intersect on
+    per-doc shingle arrays — the plan between the candidate join and the
+    output must contain no groupBy (the old shape re-aggregated the
+    exploded shingle table per pair)."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " + ("dup " * (i % 2)))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = neardup.minhash_lsh_pairs(docs)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # nothing above the verification joins but projections/filters — the
+    # old shape had a groupBy(id_a, id_b) count here
+    above_joins = plan.split("Join")[0]
+    assert "Aggregate" not in above_joins, plan[:3000]
+    # and the band self-join's two sides resolve to ONE physical exchange
+    # (the logical plan duplicates the subtree; exchange reuse must
+    # collapse it so signatures are computed once)
+    physical = _executed_plan(out)
+    assert "ReusedExchange" in physical, physical[:3000]
