@@ -29,7 +29,10 @@ HEADLINE = [
     "g1_dedup_keep",
     "g2_jaccard",
     "g2_minhash_lsh",
+    "g2_simhash",
     "g3_cosine_topk",
+    "g3_lsh_topk",
+    "g3_ivf_topk",
     "g4_text_stats",
     "g5_window_funcs",
     "g5_moving_agg",

@@ -156,8 +156,9 @@ class TaxonomyVersion:
                 "taxonomy type %r does not resolve to a standard XBRL base "
                 "(not shipped in the archive and not a known standard type); "
                 "defaulting to 'string'. If this type lives in a remote "
-                "schema, extend STANDARD_TYPE_BASES or ship the schema in "
-                "the archive.",
+                "schema, pass extra_type_bases={%r: <base>} to the taxonomy "
+                "parser (or ship the schema in the archive).",
+                type_local,
                 type_local,
             )
         return STANDARD_TYPE_BASES.get(cur, "string")
@@ -287,19 +288,31 @@ def _parse_linkbase(version: TaxonomyVersion, data: bytes) -> None:
             ).append(parts)
 
 
-def parse_taxonomy_version(archive: zipfile.ZipFile) -> TaxonomyVersion:
+def parse_taxonomy_version(
+    archive: zipfile.ZipFile,
+    extra_type_bases: dict[str, str] | None = None,
+) -> TaxonomyVersion:
     """Parse one dated taxonomy zip (schemas first, then linkbases).
 
     Unparseable members are skipped with a warning: published FERC archives
     really do contain corrupt entries (e.g. the form-6 2023-04-01 archive
     ships an HTML 'Request Rejected' page saved as sched-602's .xsd) — one
     bad schedule must not sink the other ~250 tables.
+
+    ``extra_type_bases``: user-supplied {custom type local name → base
+    type local name} mappings for types defined only in REMOTE schemas the
+    archive references but does not ship (the reference resolves those
+    over HTTP via Arelle; this engine is offline-by-design and instead
+    diagnoses them via ``TaxonomyVersion.unresolved_types`` — this hook is
+    how a user closes the gap for their taxonomy).
     """
     import logging
     import xml.etree.ElementTree as ET
 
     logger = logging.getLogger(__name__)
     version = TaxonomyVersion()
+    if extra_type_bases:
+        version.type_bases.update(extra_type_bases)
     names = sorted(archive.namelist())
     for n in names:
         if n.endswith(".xsd"):
@@ -321,6 +334,7 @@ TAXONOMY_DATE_PATTERN = re.compile(r"\d{4}-\d{2}-\d{2}")
 
 def parse_taxonomy_archive(
     source: str | Path | bytes,
+    extra_type_bases: dict[str, str] | None = None,
 ) -> dict[str, TaxonomyVersion]:
     """S4 entry: a zip of dated taxonomy zips (reference xbrl.py:244-255)
     -> {date: TaxonomyVersion}. A zip containing schemas directly is
@@ -337,9 +351,9 @@ def parse_taxonomy_archive(
             m = TAXONOMY_DATE_PATTERN.search(n)
             date = m.group(0) if m else n
             inner = zipfile.ZipFile(io.BytesIO(outer.read(n)))
-            versions[date] = parse_taxonomy_version(inner)
+            versions[date] = parse_taxonomy_version(inner, extra_type_bases)
     else:
-        versions["0000-00-00"] = parse_taxonomy_version(outer)
+        versions["0000-00-00"] = parse_taxonomy_version(outer, extra_type_bases)
     return versions
 
 
@@ -439,10 +453,14 @@ def catalog_from_version(version: TaxonomyVersion) -> dict[str, TableSpec]:
     return specs
 
 
-def catalog_from_archive(source: str | Path | bytes) -> dict[str, TableSpec]:
+def catalog_from_archive(
+    source: str | Path | bytes,
+    extra_type_bases: dict[str, str] | None = None,
+) -> dict[str, TableSpec]:
     """S4 + U2/O3: parse all dated versions, merge oldest-first with the
-    reference's append-new/keep-removed/PK-must-match semantics."""
-    versions = parse_taxonomy_archive(source)
+    reference's append-new/keep-removed/PK-must-match semantics.
+    ``extra_type_bases`` — see parse_taxonomy_version."""
+    versions = parse_taxonomy_archive(source, extra_type_bases)
     return merge_catalogs(
         {date: catalog_from_version(v) for date, v in sorted(versions.items())}
     )

@@ -83,8 +83,14 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     exclude_self: bool = True,
+    two_phase: bool = True,
 ) -> DataFrame:
     """Brute-force exact top-k cosine neighbors for each query vector.
+
+    ``two_phase=False`` drops the per-partition pre-prune window — one
+    less pass when the corpus is small enough that the single keyed
+    window dominates; keep the default for any corpus that doesn't fit a
+    handful of partitions.
 
     Output: (query_id, neighbor_id, sim, rank) with sim rounded to 4
     decimals and rank ties broken by neighbor id (deterministic across
@@ -109,6 +115,7 @@ def cosine_topk(
         [query_id_col],
         [F.col("sim").desc(), F.col("neighbor_id")],
         k,
+        two_phase=two_phase,
     ).select(query_id_col, "neighbor_id", "sim", "rank")
 
 
@@ -252,21 +259,35 @@ def _dot_literal(vec_col: Column, coeffs: list[float]) -> Column:
 def ivf_assign(nvec_col: Column, unit_centroids: list[list[float]]) -> Column:
     """Coarse-quantizer assignment against a *supplied* centroid set,
     compiled into the projection: argmax_i dot(v, c_i), ties to the lowest
-    cluster id. No shuffle, no broadcast variable — the quantizer rides the
-    plan as literals (the same trick as ``hyperplane_signature``), so
-    assignment is a map-side expression at any corpus size.
+    cluster id. No shuffle, no broadcast variable — the quantizer rides
+    the plan as a literal nlist×dim matrix, so assignment is a map-side
+    expression at any corpus size.
 
-    Shaped as ``greatest(dots) == dot_i`` probes, NOT a running-best
-    when-chain: a sequential argmax duplicates the running-best subtree at
-    every step and the expression grows exponentially in nlist (measured:
-    144s vs 2s on 2k vectors × 8 centroids). Here each dot expression
-    appears twice and codegen CSE evaluates it once."""
-    dots = [_dot_literal(nvec_col, cent) for cent in unit_centroids]
-    mx = F.greatest(*dots)
-    out = F.lit(len(dots) - 1)
-    for i in range(len(dots) - 2, -1, -1):
-        out = F.when(dots[i] == mx, F.lit(i)).otherwise(out)
-    return out
+    Expression-shape notes (both alternatives measured and rejected):
+    a running-best when-chain duplicates the running-best subtree per step
+    (exponential in nlist — 144s at 2k vecs); unrolled literal dot sums
+    with ``greatest`` probes blow past janino's 64KB method limit at
+    nlist×dim ≈ 512 and drop the whole stage to interpreted execution
+    (67s at 20k vecs). The higher-order form below keeps the tree tiny:
+    ``transform`` over the constant-folded centroid matrix computes each
+    dot as the same sequential fold the oracle's ``list_inner_product``
+    uses, and ``array_position(dots, array_max(dots))`` is the
+    first-match (lowest-cluster-tie) argmax."""
+    cmat = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in cent])
+            for cent in unit_centroids
+        ]
+    )
+    dots = F.transform(
+        cmat,
+        lambda c: F.aggregate(
+            F.zip_with(nvec_col, c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
 def unit_centroids_from_rows(vectors: list[list[float]]) -> list[list[float]]:

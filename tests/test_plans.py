@@ -328,3 +328,21 @@ def test_minhash_verify_adds_no_aggregate(spark):
     # collapse it so signatures are computed once)
     physical = _executed_plan(out)
     assert "ReusedExchange" in physical, physical[:3000]
+
+
+def test_input_clustered_table_plan_has_single_exchange(spark, facts):
+    """construct_table(input_clustered=True) on a pre-clustered facts
+    relation must add ZERO exchanges of its own — the only exchange in the
+    whole query is the caller's repartition (e.g. placed before a
+    row-multiplying transform, or absent entirely for a bucketed scan)."""
+    spec = TableSpec(
+        name="t",
+        period_type="duration",
+        columns={"cost": "number"},
+        axes=["line_axis"],
+    )
+    clustered = facts.repartition(F.col("filing_name"), F.col("c_id"))
+    out = construct_table(clustered, spec, input_clustered=True)
+    plan = _executed_plan(out)
+    n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchanges == 1, plan

@@ -174,3 +174,37 @@ def test_unresolved_taxonomy_type_warns_and_records(caplog):
     v2.type_bases["customMonetary"] = "monetaryItemType"
     assert v2.base_type("customMonetary") == "decimal"
     assert v2.unresolved_types == set()
+
+
+def test_extra_type_bases_resolves_remote_types(tmp_path):
+    # Remote-DTS boundary: a type defined only in an unshipped remote
+    # schema resolves via the user-supplied extra_type_bases hook and
+    # stays silent; without the hook it warns and records.
+    import io
+    import zipfile
+
+    from ferc_xbrl_extractor_spark.catalog.taxonomy_xml import (
+        parse_taxonomy_archive,
+    )
+
+    xsd = b"""<?xml version="1.0"?>
+    <xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+               xmlns:xbrli="http://www.xbrl.org/2003/instance">
+      <xs:element name="RemoteCost" id="ferc_RemoteCost"
+                  type="remote:specialMonetaryItemType"
+                  xbrli:periodType="duration"/>
+    </xs:schema>"""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("form1.xsd", xsd)
+
+    with_hook = parse_taxonomy_archive(
+        buf.getvalue(), extra_type_bases={"specialMonetaryItemType": "monetaryItemType"}
+    )["0000-00-00"]
+    c = with_hook.concepts_by_name["RemoteCost"]
+    assert with_hook.base_type(c.type_local) == "decimal"
+    assert with_hook.unresolved_types == set()
+
+    without = parse_taxonomy_archive(buf.getvalue())["0000-00-00"]
+    assert without.base_type("specialMonetaryItemType") == "string"
+    assert without.unresolved_types == {"specialMonetaryItemType"}
