@@ -96,19 +96,30 @@ def cosine_topk(
     decimals and rank ties broken by neighbor id (deterministic across
     engines and runs).
     """
+    # Norms hoisted below the join: one O(d) fold per document / per query
+    # instead of two per scored pair (same float expression — dot/(nq*nc)).
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__nq"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__nc"),
+    )
     crossed = c.crossJoin(q)
     if exclude_self:
         crossed = crossed.filter(F.col("neighbor_id") != F.col(query_id_col))
     scored = crossed.select(
         query_id_col,
         "neighbor_id",
-        F.round(cosine(F.col("__qvec"), F.col("__cvec")), 4).alias("sim"),
+        F.round(
+            dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__nq") * F.col("__nc")),
+            4,
+        ).alias("sim"),
     )
     return topk_per_key(
         scored,
@@ -128,15 +139,47 @@ def _plane_coeff(plane: int, dim: int) -> float:
 
 def hyperplane_signature(vec_col: Column, dim: int, planes: int) -> Column:
     """Sign-LSH bucket id: bit p = sign(v · r_p) for ``planes`` fixed
-    ±1-valued hyperplanes. Compiles to a wide but branch-free projection."""
-    out = F.lit(0).cast("bigint")
-    for p in range(planes):
-        proj = F.lit(0.0)
-        for d in range(dim):
-            coeff = _plane_coeff(p, d)
-            proj = proj + vec_col[d].cast("double") * F.lit(coeff)
-        out = out + F.when(proj > 0, F.lit(2**p).cast("bigint")).otherwise(0)
-    return out
+    ±1-valued hyperplanes.
+
+    Expression shape: the plane matrix rides the plan as a constant-folded
+    ``planes × dim`` literal array and each projection is the same
+    sequential ``zip_with``/``aggregate`` fold the oracle's
+    ``list_inner_product`` uses (bitwise-identical doubles). The earlier
+    unrolled form (``v[0]*c0 + v[1]*c1 + …`` per plane — planes × dim
+    leaf nodes) cost seconds of analyzer/codegen time per query at
+    64 × 6 and grows linearly with both; the HOF tree is O(1) in size."""
+    # One F.expr per matrix, not planes × dim F.lit calls: each Column op
+    # is a py4j round-trip, and the literal-by-literal build costs ~0.8s
+    # of driver time per query at 64 × 6.
+    pmat = F.expr(
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                f"{_plane_coeff(p, d)!r}D" for d in range(dim)
+            )
+            + ")"
+            for p in range(planes)
+        )
+        + ")"
+    )
+    weights = F.expr(
+        "array(" + ", ".join(f"{2**p}L" for p in range(planes)) + ")"
+    )
+    projs = F.transform(
+        pmat,
+        lambda r: F.aggregate(
+            F.zip_with(vec_col, r, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    bits = F.zip_with(
+        projs,
+        weights,
+        lambda pr, w: F.when(pr > 0, w).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
 
 def embedding_neardup_pairs(
@@ -156,8 +199,20 @@ def embedding_neardup_pairs(
     planes=0 scores all pairs via a self-join on a constant key split —
     only for oracle-checkable small inputs.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # Norms are per-row constants: compute them BELOW the join so each is
+    # evaluated once per document, not once per candidate pair (cosine()
+    # inline would re-run both O(d) norm folds for every pair). The sim
+    # expression is the same dot/(na*nb) float arithmetic, just hoisted.
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
     if planes > 0:
         if not dim:
             raise ValueError("dim is required when planes > 0")
@@ -167,19 +222,34 @@ def embedding_neardup_pairs(
         joined = a.join(b, "__bucket")
     else:
         joined = a.crossJoin(b)
+    sim = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("__sim", cosine(F.col("__va"), F.col("__vb")))
+        .withColumn("__sim", sim)
         .filter(F.col("__sim") >= threshold)
         .select("id_a", "id_b", F.round("__sim", 4).alias("sim"))
     )
 
 
 def _unit(vec_col: Column) -> Column:
-    """L2-normalize an array column (zero vectors pass through unscaled)."""
-    n = norm(vec_col)
-    return F.when(n > 0, F.transform(vec_col, lambda v: v.cast("double") / n)).otherwise(
-        F.transform(vec_col, lambda v: v.cast("double"))
+    """L2-normalize an array column (zero vectors pass through unscaled).
+
+    The norm is let-bound via a transform over a single-element array so it
+    is evaluated ONCE per row. The naive form — ``transform(vec, v -> v /
+    norm(vec))`` — re-evaluates the norm aggregate per *element* (O(d²) per
+    row), and CollapseProject then substitutes that whole expression into
+    every downstream HOF lambda that references the normalized column
+    (measured ~10ms/row in ivf_topk's scoring stage: 8 probe clusters ×
+    64 elements × a 64-step norm, interpreted). The let-bound form is
+    O(d) and stays O(d) under substitution."""
+    return F.element_at(
+        F.transform(
+            F.array(norm(vec_col)),
+            lambda n: F.when(
+                n > 0, F.transform(vec_col, lambda v: v.cast("double") / n)
+            ).otherwise(F.transform(vec_col, lambda v: v.cast("double"))),
+        ),
+        1,
     )
 
 
@@ -397,11 +467,13 @@ def hyperplane_lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__nc"),
         sig(F.col(vec_col)).alias("__bucket"),
     )
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__nq"),
         sig(F.col(vec_col)).alias("__bucket"),
     )
     scored = (
@@ -410,7 +482,13 @@ def hyperplane_lsh_topk(
         .select(
             query_id_col,
             "neighbor_id",
-            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 4).alias("sim"),
+            # same float math as cosine(): dot / (norm(q) * norm(c)),
+            # with the norms hoisted below the join (one fold per row).
+            F.round(
+                dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__nq") * F.col("__nc")),
+                4,
+            ).alias("sim"),
         )
     )
     return topk_per_key(
