@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ferc_xbrl_extractor_spark.catalog.tablespec import TableSpec
 from ferc_xbrl_extractor_spark.operators import analytics, neardup, similarity, text
-from ferc_xbrl_extractor_spark.operators import multimodal
+from ferc_xbrl_extractor_spark.operators import multimodal, sampling
 from ferc_xbrl_extractor_spark.operators.dedup import (
     dedup_exact,
     dedup_exact_keep,
@@ -50,6 +50,7 @@ from ferc_xbrl_extractor_spark.operators.stats import (
     duplicated_fact_ids,
     used_fact_stats,
 )
+from ferc_xbrl_extractor_spark.pipeline import curate
 
 TABLES = [
     "region",
@@ -878,6 +879,80 @@ def q_g4_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stratified-mixture rates for the g14 gate query (lang → keep rate).
+_G14_RATES = {"en": 0.5, "es": 0.25}
+_G14_DEFAULT_RATE = 0.1
+_G14_SALT = "s1"
+# 20 sources × 25 docs each at sf0.01 — n=10 prunes 60% of every stratum
+# even at the gate's scale factor (n=25 would have been a no-op there).
+_G14_STRAT_N = 10
+_G14_STRAT_SALT = "s2"
+
+
+def q_g14_sample_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14: deterministic per-stratum Bernoulli sampling (md5-derived
+    uniform vs an integer rate threshold — zero shuffles, reproducible in
+    any engine)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.sample_by_rate(
+        docs,
+        id_col="doc_id",
+        key_col="lang",
+        rates=_G14_RATES,
+        default_rate=_G14_DEFAULT_RATE,
+        salt=_G14_SALT,
+    ).select("doc_id", "lang")
+
+
+def q_g14_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14: exact-size per-stratum sample (hash-ordered row_number with a
+    partition-local pre-prune before the one keyed shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample_n(
+        docs, key_col="source", n=_G14_STRAT_N, id_col="doc_id",
+        salt=_G14_STRAT_SALT,
+    ).select("doc_id", "source")
+
+
+def q_g15_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G15: benchmark decontamination — drop corpus docs sharing ≥5
+    distinct word 3-gram shingles with a benchmark set (docs with
+    doc_id % 17 = 3 stand in for the eval suite). Broadcast benchmark
+    shingle set, map-side probe, anti join — the corpus is never
+    shuffled by shingle."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    return neardup.decontaminate(
+        docs, bench, id_col="doc_id", text_col="text", n=3, min_overlap=5
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_g16_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G16: the composed curation pipeline — quality filter → benchmark
+    decontamination → fingerprint dedup (injected duplicates: every
+    doc_id % 29 == 1 doc reappears under id+1000000, and the dedup stage
+    must keep the low-id original) → per-lang stratified sample. Entirely
+    deterministic, so the whole composition is oracle-checked end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    dup = docs.filter(F.col("doc_id") % 29 == 1).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = docs.unionByName(dup)
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    out = curate.curate_corpus(
+        corpus,
+        bench,
+        min_tokens=20,
+        max_stopword_ratio=0.12,
+        min_uniq_ratio=0.35,
+        min_overlap=5,
+        stratum_col="lang",
+        sample_n=30,
+        sample_salt="g16",
+    )
+    return out.select("doc_id", "lang", "source", "n_tokens")
+
+
 def q_g5_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5: analytic pack (row_number, lag, running sum) over one window."""
     orders = _t(spark, sf_dir, "orders")
@@ -1269,6 +1344,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_language_id": q_g4_language_id,
         "g4_fingerprint": q_g4_fingerprint,
         "g4_bpe_tokens": q_g4_bpe_tokens,
+        "g14_sample_rate": q_g14_sample_rate,
+        "g14_sample_stratified": q_g14_sample_stratified,
+        "g15_decontaminate": q_g15_decontaminate,
+        "g16_curate_e2e": q_g16_curate_e2e,
         "g5_window_funcs": q_g5_window_funcs,
         "g5_moving_agg": q_g5_moving_agg,
         "g6_rollup": q_g6_rollup,
@@ -1750,6 +1829,117 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(text,
                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
         FROM toks
+    """
+
+    # G14: md5-derived 60-bit uniform vs integer thresholds (floor(rate *
+    # 2^60) — the same Python ints the Spark side compiles in, so the
+    # comparison is integer-exact in both engines).
+    _u60 = (
+        "CAST(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT)"
+    )
+    _rate_case = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{k}' THEN {int(r * (1 << 60))}"
+            for k, r in sorted(_G14_RATES.items())
+        )
+        + f" ELSE {int(_G14_DEFAULT_RATE * (1 << 60))} END"
+    )
+    sql["g14_sample_rate"] = f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE {_u60.format(salt=_G14_SALT)} < {_rate_case}
+    """
+
+    sql["g14_sample_stratified"] = f"""
+        SELECT doc_id, source
+        FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5('{_G14_STRAT_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+        ) <= {_G14_STRAT_N}
+    """
+
+    # G15: corpus shingles reused for the benchmark side (the benchmark is
+    # the doc_id % 17 = 3 slice of the same corpus).
+    sql["g15_decontaminate"] = f"""
+        WITH {_SHINGLES_CTE},
+        bs AS (SELECT DISTINCT shingle FROM ds WHERE doc_id % 17 = 3),
+        hits AS (
+            SELECT doc_id, count(*) AS n_hits
+            FROM ds JOIN bs USING (shingle)
+            GROUP BY doc_id
+            HAVING count(*) >= 5
+        )
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    """
+
+    # G16: the whole curation composition, mirrored stage by stage.
+    # Duplicate injection (doc_id % 29 = 1 → id + 1000000), G4 stats with
+    # the same ROUND(x, 4), decontamination against the raw doc_id % 17 = 3
+    # slice, fingerprint keep-lowest-id dedup, per-lang budget of 30 under
+    # the md5('g16' || id) order.
+    sql["g16_curate_e2e"] = """
+        WITH corpus AS (
+            SELECT * FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+            FROM documents WHERE doc_id % 29 = 1
+        ),
+        ctoks AS (
+            SELECT *, list_filter(string_split_regex(text, '\\s+'),
+                                  x -> len(x) > 0) AS w
+            FROM corpus
+        ),
+        stats AS (
+            SELECT doc_id, lang, source, w,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   ROUND(len(list_filter(w, x -> list_contains(
+                       ['the','a','of','and','to','in'], x)))
+                       / CAST(len(w) AS DOUBLE), 4) AS stop_ratio,
+                   ROUND(len(list_distinct(w))
+                       / CAST(len(w) AS DOUBLE), 4) AS uniq_ratio
+            FROM ctoks
+        ),
+        q AS (
+            SELECT * FROM stats
+            WHERE n_tokens >= 20 AND stop_ratio <= 0.12 AND uniq_ratio >= 0.35
+        ),
+        qs AS (
+            SELECT DISTINCT doc_id,
+                   w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+            FROM q, UNNEST(range(greatest(len(w) - 2, 0))) AS t(i)
+        ),
+        btoks AS (
+            SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                       x -> len(x) > 0) AS w
+            FROM documents WHERE doc_id % 17 = 3
+        ),
+        bs AS (
+            SELECT DISTINCT w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+            FROM btoks, UNNEST(range(greatest(len(w) - 2, 0))) AS t(i)
+        ),
+        hits AS (
+            SELECT doc_id FROM qs JOIN bs USING (shingle)
+            GROUP BY doc_id HAVING count(*) >= 5
+        ),
+        clean AS (
+            SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        ),
+        dd AS (
+            SELECT * FROM (
+                SELECT *, md5(array_to_string(w, ' ')) AS f FROM clean
+            )
+            QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+        )
+        SELECT doc_id, lang, source, n_tokens FROM dd
+        QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5('g16' || CAST(doc_id AS VARCHAR)), doc_id
+        ) <= 30
     """
 
     sql["g5_moving_agg"] = """

@@ -34,6 +34,9 @@ HEADLINE = [
     "g3_lsh_topk",
     "g3_ivf_topk",
     "g4_text_stats",
+    "g14_sample_stratified",
+    "g15_decontaminate",
+    "g16_curate_e2e",
     "g5_window_funcs",
     "g5_moving_agg",
     "g6_rollup",

@@ -449,6 +449,65 @@ def simhash_pairs(
     )
 
 
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination report: corpus documents sharing
+    ``min_overlap``+ distinct word n-gram shingles with the benchmark
+    set. Returns (id, n_hits) — n_hits = how many of the document's
+    distinct shingles appear anywhere in the benchmark.
+
+    Scale shape: the benchmark's distinct shingle set is the small side
+    by construction (eval suites are MBs against a 100-TB corpus), so the
+    probe is a **broadcast semi-ish join**: corpus shingles stream map-side
+    against the broadcast benchmark set, then one keyed aggregate counts
+    hits per document. The corpus is never shuffled by shingle and never
+    self-joined — cost is one scan + one |contaminated-ids| aggregate.
+    """
+    bid = bench_id_col or id_col
+    btx = bench_text_col or text_col
+    c_sh = shingle_table(corpus, id_col, text_col, n)
+    b_sh = shingle_table(benchmark, bid, btx, n).select("shingle").distinct()
+    return (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_overlap)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+    **kwargs,
+) -> DataFrame:
+    """Remove benchmark-contaminated documents from a training corpus:
+    left-anti join of the corpus against ``contamination_report``. The
+    standard pre-training decontamination pass (n-gram overlap against
+    eval suites), expressed as scan → broadcast probe → anti join."""
+    hits = contamination_report(
+        corpus,
+        benchmark,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        min_overlap=min_overlap,
+        **kwargs,
+    )
+    return corpus.join(hits.select(id_col), id_col, "left_anti")
+
+
 def minhash_lsh_ml(
     df: DataFrame,
     id_col: str = "doc_id",

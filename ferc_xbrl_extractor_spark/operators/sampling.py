@@ -1,0 +1,116 @@
+"""Deterministic sampling operators for training-data pipelines (G14).
+
+A pretraining mixture is built by sampling each source/language/quality
+stratum at its own rate (or to a fixed per-stratum budget). At 100 TB the
+two requirements are (a) no shuffle unless the semantics force one, and
+(b) reproducibility — re-running the pipeline must select the same rows,
+on any engine, with no RNG state shipped to executors.
+
+Both operators here derive their randomness from md5 of the row's stable
+id (plus a caller salt for independent redraws), the same cross-engine
+primitive the rest of the repo uses (md5 hex is identical in every
+engine; first 15 hex chars = 60-bit uniform — see operators/neardup.py).
+
+- ``sample_by_rate``: a pure map-side filter — zero shuffles at any
+  scale. Per-stratum rates compile to a literal CASE over the stratum
+  column; the rate threshold is an *integer* comparison (floor(rate *
+  2^60) computed driver-side), so there is no float-boundary drift
+  between engines.
+- ``stratified_sample_n``: exact per-stratum row budgets. Hash-ordered
+  row_number per stratum — with a partition-local pre-prune before the
+  single keyed shuffle (the same two-phase shape as similarity.topk)
+  so the exchange carries ≤ n × partitions rows per stratum, not the
+  stratum's full population.
+
+No reference counterpart (the reference is an XBRL ETL); this is the
+SURVEY.md §2.12 gap surface, G-series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^60: the span of a 15-hex-char md5 prefix.
+_U60_SPAN = 1 << 60
+
+
+def hash_u60(col: Column, salt: str = "") -> Column:
+    """Deterministic 60-bit uniform from md5 of a string column. Identical
+    in DuckDB as ``CAST(('0x' || substr(md5(salt || x), 1, 15)) AS
+    BIGINT)``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def sample_by_rate(
+    df: DataFrame,
+    rate: float | None = None,
+    id_col: str = "doc_id",
+    key_col: str | None = None,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff
+    ``hash_u60(salt || id) < floor(rate * 2^60)``.
+
+    Pass ``rate`` for a uniform sample, or ``key_col`` + ``rates``
+    (stratum value → rate, ``default_rate`` otherwise) for a stratified
+    mixture. Pure projection+filter — no shuffle, no RNG broadcast; a
+    different ``salt`` gives an independent redraw.
+    """
+    if (rate is None) == (rates is None):
+        raise ValueError("pass exactly one of rate= or rates=")
+    u = hash_u60(F.col(id_col), salt)
+    if rate is not None:
+        thresh: Column = F.lit(int(rate * _U60_SPAN))
+    else:
+        if not key_col:
+            raise ValueError("rates= requires key_col=")
+        thresh = F.lit(int(default_rate * _U60_SPAN))
+        for value, r in sorted(rates.items()):
+            thresh = F.when(
+                F.col(key_col) == value, F.lit(int(r * _U60_SPAN))
+            ).otherwise(thresh)
+    return df.filter(u < thresh)
+
+
+def stratified_sample_n(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    two_phase: bool = True,
+    salt: str = "",
+) -> DataFrame:
+    """Exact-size per-stratum sample: the ``n`` rows of each ``key_col``
+    group with the smallest ``md5(salt || id)`` (ties by id — fully
+    deterministic and engine-portable: md5 hex compares identically
+    everywhere).
+
+    ``two_phase`` pre-prunes each input partition to its local top-n
+    before the keyed shuffle, so the exchange carries at most
+    n × partitions rows per stratum regardless of stratum size — the
+    scale path for heavily skewed strata. Output = input columns (no
+    rank artifacts).
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    order = [h.asc(), F.col(id_col).asc()]
+    out = df
+    if two_phase:
+        local = Window.partitionBy(key_col, F.spark_partition_id()).orderBy(*order)
+        out = (
+            out.withColumn("__lrn", F.row_number().over(local))
+            .filter(F.col("__lrn") <= n)
+            .drop("__lrn")
+        )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

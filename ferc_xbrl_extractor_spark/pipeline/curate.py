@@ -1,0 +1,84 @@
+"""End-to-end corpus curation (G16): the composed training-data pipeline.
+
+The LLM-side analogue of ``pipeline.extract`` — one declarative plan that
+chains the G-series operators the way a pretraining data pipeline actually
+runs them:
+
+    quality filter (G4 stats)          — map-side projection + filter
+    → decontaminate (G15)              — broadcast benchmark probe + anti join
+    → exact dedup by fingerprint (G1)  — one min_by hash aggregate
+    → stratified sample (G14)          — hash-ordered per-stratum budgets
+
+Shuffle budget: the quality filter and fingerprint are map-side; the
+decontamination hit-count aggregate shuffles only contaminated-candidate
+ids; the dedup aggregate shuffles one candidate row per distinct
+fingerprint (map-side partial combine); the sample's keyed shuffle carries
+at most n × partitions rows per stratum after the local pre-prune. Nothing
+in the chain materializes the corpus to the driver, and every stage is a
+pure column expression — no Python in the loop.
+
+Everything is deterministic (md5-derived randomness only), so the whole
+composition is oracle-checkable end to end (``g16_curate_e2e``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ferc_xbrl_extractor_spark.operators import neardup, sampling, text
+from ferc_xbrl_extractor_spark.operators.dedup import dedup_exact_keep
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_stopword_ratio: float = 0.5,
+    min_uniq_ratio: float = 0.3,
+    shingle_n: int = 3,
+    min_overlap: int = 5,
+    stratum_col: str | None = None,
+    sample_n: int | None = None,
+    sample_salt: str = "curate",
+) -> DataFrame:
+    """Curate a document corpus for training: quality-filter, remove
+    benchmark contamination, drop exact duplicates (whitespace-normalized
+    fingerprint; lowest id survives), and optionally cut each stratum to a
+    fixed budget.
+
+    Returns the surviving rows with the G4 stat columns attached (callers
+    filter/project further downstream). ``benchmark=None`` skips
+    decontamination; ``sample_n=None`` skips sampling.
+    """
+    stats = text.with_text_stats(docs, text_col)
+    quality = stats.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+        & (F.col("uniq_ratio") >= min_uniq_ratio)
+    )
+    clean = quality
+    if benchmark is not None:
+        clean = neardup.decontaminate(
+            quality,
+            benchmark,
+            id_col=id_col,
+            text_col=text_col,
+            n=shingle_n,
+            min_overlap=min_overlap,
+        )
+    deduped = dedup_exact_keep(
+        text.fingerprint(clean, text_col),
+        keys=["fp"],
+        order_by=[F.col(id_col)],
+    ).drop("fp")
+    if sample_n is not None:
+        if not stratum_col:
+            raise ValueError("sample_n requires stratum_col")
+        deduped = sampling.stratified_sample_n(
+            deduped, stratum_col, sample_n, id_col=id_col, salt=sample_salt
+        )
+    return deduped

@@ -253,3 +253,126 @@ def test_salted_agg_matches_plain_agg(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_sample_by_rate_deterministic_and_stratified(spark):
+    from ferc_xbrl_extractor_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "es") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    kept = sampling.sample_by_rate(
+        df, id_col="doc_id", key_col="lang",
+        rates={"en": 0.5, "es": 0.1}, salt="t",
+    )
+    rows = kept.collect()
+    again = sampling.sample_by_rate(
+        df, id_col="doc_id", key_col="lang",
+        rates={"en": 0.5, "es": 0.1}, salt="t",
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))  # reproducible
+    by_lang = {"en": 0, "es": 0}
+    for r in rows:
+        by_lang[r["lang"]] += 1
+    # 1000 draws per stratum: binomial 3-sigma bands around 500 / 100
+    assert 430 <= by_lang["en"] <= 570
+    assert 60 <= by_lang["es"] <= 140
+    # a different salt is an independent redraw, not a shifted copy
+    other = sampling.sample_by_rate(
+        df, rate=0.5, id_col="doc_id", salt="u",
+    )
+    assert other.count() != 0
+
+
+def test_sample_by_rate_is_map_side_only(spark):
+    from ferc_xbrl_extractor_spark.operators import sampling
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    plan = sampling.sample_by_rate(
+        df, rate=0.3, id_col="doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure scan -> filter
+
+
+def test_stratified_sample_n_exact_and_two_phase_equal(spark):
+    from ferc_xbrl_extractor_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 5}") for i in range(500)], "doc_id long, source string"
+    ).repartition(8)
+    two = sampling.stratified_sample_n(df, "source", 7, "doc_id", two_phase=True)
+    one = sampling.stratified_sample_n(df, "source", 7, "doc_id", two_phase=False)
+    rows = sorted(map(tuple, two.collect()))
+    assert rows == sorted(map(tuple, one.collect()))
+    counts = {}
+    for _, src in rows:
+        counts[src] = counts.get(src, 0) + 1
+    assert counts == {f"s{i}": 7 for i in range(5)}  # exact budgets
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta other words here"),  # shares 3-grams w/ bench
+            (3, "entirely unrelated text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    survivors = {
+        r["doc_id"]
+        for r in neardup.decontaminate(
+            corpus, bench, n=3, min_overlap=2
+        ).collect()
+    }
+    assert survivors == {3}
+    report = {
+        r["doc_id"]: r["n_hits"]
+        for r in neardup.contamination_report(
+            corpus, bench, n=3, min_overlap=1
+        ).collect()
+    }
+    assert report[1] == 4  # all four 3-grams of doc 1
+    assert report[2] == 2  # 'alpha beta gamma', 'beta gamma delta'
+    assert 3 not in report
+
+
+def test_curate_corpus_stages_compose(spark):
+    from ferc_xbrl_extractor_spark.pipeline import curate
+
+    corpus = spark.createDataFrame(
+        [
+            # passes quality, unique, clean
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+            # exact duplicate of 1 under a higher id -> dedup drops it
+            (9, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+            # too short -> quality filter drops it
+            (2, "tiny doc", "en"),
+            # heavy stopwords -> quality filter drops it
+            (3, "the the the the the the the the of of of of", "en"),
+            # overlaps the benchmark -> decontamination drops it
+            (4, "contaminated shared phrase one two three four five six seven", "en"),
+            # clean survivor in another stratum
+            (5, "uno dos tres cuatro cinco seis siete ocho nueve diez", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "shared phrase one two three four five six seven extra")],
+        "doc_id long, text string",
+    )
+    out = curate.curate_corpus(
+        corpus,
+        bench,
+        min_tokens=5,
+        max_stopword_ratio=0.5,
+        min_uniq_ratio=0.5,
+        min_overlap=5,
+        stratum_col="lang",
+        sample_n=10,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1, 5}
