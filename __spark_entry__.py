@@ -752,6 +752,23 @@ def q_g2_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.jaccard_pairs(docs, n=3, threshold=0.5)
 
 
+def q_g2_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 closing the loop: near-dup *pairs* → connected components →
+    one survivor per duplicate cluster. Labels every document with its
+    cluster id (component min-id; own id for singletons) and whether it
+    survives the dedup pass. The oracle reproduces the component labels
+    with a recursive transitive-closure CTE over the same Jaccard pair
+    set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = neardup.jaccard_pairs(docs, n=3, threshold=0.5)
+    clustered = neardup.attach_clusters(docs, pairs, "doc_id")
+    return clustered.select(
+        "doc_id",
+        "cluster",
+        (F.col("cluster") == F.col("doc_id")).alias("is_survivor"),
+    )
+
+
 def q_g2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2 scale path: MinHash(md5)+LSH banding, then exact verification of
     candidates only. md5-based permutations make the signature — and thus
@@ -843,6 +860,49 @@ def q_g4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_token_len",
         "stopword_ratio",
         "uniq_ratio",
+    )
+
+
+def q_g4_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: Gopher-style repetition signals (dup-line / dup-n-gram
+    fractions). "Lines" split on '. ' so the sentence structure of the
+    synthetic docs exercises the line path with natural variation."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.with_repetition_stats(docs, line_sep=". ").select(
+        "doc_id", "n_lines", "dup_line_ratio", "dup_2gram_ratio", "dup_3gram_ratio"
+    )
+
+
+def q_g4_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: PII scrub over a deterministically-injected corpus (the
+    synthetic docs carry no PII, so each doc gets an email / phone / IP /
+    SSN derived from its id). The redacted string itself is the gate
+    value — Java-regex and RE2 replacement must agree byte-for-byte —
+    plus the per-category audit counts."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60),
+            F.lit(" contact user"), d.cast("string"), F.lit("@example.com"),
+            F.lit(" or 555-867-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".7"),
+            F.lit(" ssn 123-45-6789."),
+        ).alias("text"),
+    )
+    return injected.select(
+        "doc_id",
+        text.redact_pii("text").alias("redacted"),
+        text.pii_counts("text").alias("pii"),
+    ).select(
+        "doc_id",
+        "redacted",
+        F.col("pii.n_email").cast("long").alias("n_email"),
+        F.col("pii.n_ssn").cast("long").alias("n_ssn"),
+        F.col("pii.n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("pii.n_phone").cast("long").alias("n_phone"),
     )
 
 
@@ -1333,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g12_stream_asof": q_g12_stream_asof,
         "g11_multimodal": q_g11_multimodal,
         "g2_jaccard": q_g2_jaccard,
+        "g2_cluster_dedup": q_g2_cluster_dedup,
         "g2_minhash_lsh": q_g2_minhash_lsh,
         "g2_simhash": q_g2_simhash,
         "g3_cosine_topk": q_g3_cosine_topk,
@@ -1340,6 +1401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_ivf_topk": q_g3_ivf_topk,
         "g3_embedding_neardup": q_g3_embedding_neardup,
         "g4_text_stats": q_g4_text_stats,
+        "g4_repetition": q_g4_repetition,
+        "g4_pii_redact": q_g4_pii_redact,
         "g4_token_topk": q_g4_token_topk,
         "g4_language_id": q_g4_language_id,
         "g4_fingerprint": q_g4_fingerprint,
@@ -1590,6 +1653,43 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["g2_jaccard"] = f"WITH {_SHINGLES_CTE}, {_jaccard_body}"
 
+    # Transitive closure of the Jaccard pair graph; component label =
+    # min reachable id. Mirrors neardup.connected_components' min-label
+    # propagation fixpoint exactly (both are "min id in my component").
+    sql["g2_cluster_dedup"] = f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        jpairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM ds a JOIN ds b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        jsizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+        sim AS (
+            SELECT id_a, id_b
+            FROM jpairs
+            JOIN jsizes sa ON id_a = sa.doc_id
+            JOIN jsizes sb ON id_b = sb.doc_id
+            WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM sim
+            UNION ALL SELECT id_b, id_a FROM sim
+        ),
+        reach(id, lab) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+        ),
+        labels AS (
+            SELECT id, LEAST(MIN(lab), id) AS cluster FROM reach GROUP BY id
+        )
+        SELECT d.doc_id,
+               COALESCE(l.cluster, d.doc_id) AS cluster,
+               COALESCE(l.cluster, d.doc_id) = d.doc_id AS is_survivor
+        FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+    """
+
     sql["g2_minhash_lsh"] = f"""
         WITH {_SHINGLES_CTE},
         sig AS (
@@ -1785,6 +1885,64 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(len(list_distinct(w)) AS DOUBLE)
                      / NULLIF(CAST(len(w) AS DOUBLE), 0.0), 4) AS uniq_ratio
         FROM toks
+    """
+
+    sql["g4_repetition"] = f"""
+        WITH {_TOKENS_CTE},
+        base AS (
+            SELECT doc_id, w,
+                   list_filter(string_split(text, '. '), x -> len(x) > 0) AS ls,
+                   CASE WHEN len(w) >= 2 THEN list_transform(
+                       range(len(w) - 1), i -> w[i + 1] || ' ' || w[i + 2])
+                   ELSE [] END AS g2,
+                   CASE WHEN len(w) >= 3 THEN list_transform(
+                       range(len(w) - 2),
+                       i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])
+                   ELSE [] END AS g3
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CASE WHEN len(ls) > 0 THEN ROUND(
+                   1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 4)
+               ELSE 0.0 END AS dup_line_ratio,
+               CASE WHEN len(g2) > 0 THEN ROUND(
+                   1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4)
+               ELSE 0.0 END AS dup_2gram_ratio,
+               CASE WHEN len(g3) > 0 THEN ROUND(
+                   1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 4)
+               ELSE 0.0 END AS dup_3gram_ratio
+        FROM base
+    """
+
+    _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+    _PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+    _PII_PHONE = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+    sql["g4_pii_redact"] = f"""
+        WITH inj AS (
+            SELECT doc_id,
+                   substr(text, 1, 60)
+                   || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   || ' or 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                   || ' ssn 123-45-6789.' AS t
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, t,
+                   regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+            FROM inj
+        ),
+        r2 AS (SELECT *, regexp_replace(t1, '{_PII_SSN}', '<SSN>', 'g') AS t2 FROM r),
+        r3 AS (SELECT *, regexp_replace(t2, '{_PII_IP}', '<IP>', 'g') AS t3 FROM r2)
+        SELECT doc_id,
+               regexp_replace(t3, '{_PII_PHONE}', '<PHONE>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(t,  '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(t1, '{_PII_SSN}'))   AS BIGINT) AS n_ssn,
+               CAST(len(regexp_extract_all(t2, '{_PII_IP}'))    AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(t3, '{_PII_PHONE}')) AS BIGINT) AS n_phone
+        FROM r3
     """
 
     sql["g4_token_topk"] = f"""

@@ -28,6 +28,7 @@ HEADLINE = [
     "xbrl_fuzzy_dedup",
     "g1_dedup_keep",
     "g2_jaccard",
+    "g2_cluster_dedup",
     "g2_minhash_lsh",
     "g2_simhash",
     "g3_cosine_topk",

@@ -508,6 +508,112 @@ def decontaminate(
     return corpus.join(hits.select(id_col), id_col, "left_anti")
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair graph by distributed
+    min-label propagation. Returns (id, label) for every node that appears
+    in ``pairs``; label = the component's minimum id (deterministic).
+
+    This is the step that turns a near-dup *pair* relation (Jaccard /
+    MinHash-LSH / SimHash output) into actual corpus deduplication: pairs
+    are transitive in intent (A≈B, B≈C ⇒ keep one of {A,B,C}), so the
+    duplicate groups are the components of the pair graph.
+
+    Scale shape: the bidirectional edge relation is persisted hash-
+    partitioned on ``src`` once; each iteration is edges⋈labels (both
+    sides arrive partitioned on the key — no extra exchange beyond the
+    label shuffle) → union with the previous labels → one min aggregate,
+    materialized via ``localCheckpoint`` so the iterative lineage never
+    compounds. Convergence is detected from a column carried through the
+    same aggregate (labels only decrease, so ``sum(label < old)`` hits 0
+    at the fixpoint) — one tiny follow-up action per round, no extra
+    join. Rounds needed = graph diameter; near-dup components are
+    clique-ish (diameter ≤ ~3), so 3-4 rounds is typical. For adversarial
+    high-diameter graphs swap in the large-star/small-star contraction —
+    the API contract here stays the same.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("src")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        lbl_type = dict(labels.dtypes)["label"]
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"),
+            F.col("label"),
+            F.lit(None).cast(lbl_type).alias("old"),
+        )
+        self_rows = labels.select("id", "label", F.col("label").alias("old"))
+        new = (
+            prop.unionByName(self_rows)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
+            .localCheckpoint()
+        )
+        changed = new.agg(
+            F.sum((F.col("label") < F.col("old")).cast("long")).alias("c")
+        ).first()[0]
+        labels = new.select("id", "label")
+        if not changed:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the pair graph has a longer diameter than near-dup components "
+            "should — raise max_iter or use a star-contraction variant"
+        )
+    return labels
+
+
+def attach_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Annotate every document with its near-dup cluster id: the component
+    min-id for documents in the pair graph, the document's own id for
+    singletons. The labels relation is |graph nodes| rows — tiny next to
+    the corpus — so the left join broadcasts (AQE, from runtime stats)."""
+    labels = connected_components(pairs, id_a="id_a", id_b="id_b").withColumnsRenamed(
+        {"id": id_col}
+    )
+    return (
+        df.join(labels, id_col, "left")
+        .withColumn(cluster_col, F.coalesce("label", F.col(id_col)))
+        .drop("label")
+    )
+
+
+def dedup_by_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse a corpus by a near-dup pair relation: keep exactly one
+    survivor (the minimum id) per connected component, pass singletons
+    through. ``df`` is never shuffled — the loser set (|non-survivors|
+    rows) anti-joins against the scan, broadcast by AQE when small."""
+    labels = connected_components(pairs, id_a="id_a", id_b="id_b")
+    losers = labels.filter(F.col("label") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def minhash_lsh_ml(
     df: DataFrame,
     id_col: str = "doc_id",

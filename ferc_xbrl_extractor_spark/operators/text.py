@@ -142,3 +142,95 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     key that's robust to whitespace differences."""
     normalized = F.array_join(tokens(text_col), " ")
     return df.withColumn(out_col, F.md5(normalized))
+
+
+def ngrams_from_tokens(toks_col: str | Column, n: int = 2) -> Column:
+    """NON-distinct word n-grams from a materialized token-array column
+    (the repetition counters need the multiset; ``neardup.shingles_from_
+    tokens`` is the distinct variant). Same lambda-substitution contract:
+    pass a real attribute, never an inline ``tokens(...)`` expression."""
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text", line_sep: str = "\n"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    fraction of duplicated lines and duplicated word 2-/3-grams per
+    document. High values flag boilerplate / template spam that survives
+    naive quality filters.
+
+    - dup_line_ratio: 1 − |distinct lines| / |lines| (split on
+      ``line_sep``, empties dropped)
+    - dup_2gram_ratio / dup_3gram_ratio: 1 − |distinct n-grams| / |n-grams|
+
+    Pure Catalyst expressions (split / array_distinct / size) — one
+    codegen'd projection over the scan, no shuffle, no Python."""
+    import re as _re
+
+    col = F.col(text_col)
+    lines = F.filter(F.split(col, _re.escape(line_sep)), lambda t: F.length(t) > 0)
+
+    def dup_ratio(arr: Column) -> Column:
+        total = F.size(arr)
+        return F.when(total > 0, F.round(
+            1.0 - F.size(F.array_distinct(arr)) / total.cast("double"), 4
+        )).otherwise(F.lit(0.0))
+
+    out = df.withColumn("__lines", lines).withColumn("__toks", tokens(text_col))
+    out = out.select(
+        "*",
+        F.size("__lines").cast("long").alias("n_lines"),
+        dup_ratio(F.col("__lines")).alias("dup_line_ratio"),
+        dup_ratio(ngrams_from_tokens("__toks", 2)).alias("dup_2gram_ratio"),
+        dup_ratio(ngrams_from_tokens("__toks", 3)).alias("dup_3gram_ratio"),
+    )
+    return out.drop("__lines", "__toks")
+
+
+# PII redaction patterns, applied in order (order matters: SSNs before
+# phones so 3-2-4 digit runs aren't half-eaten by the phone pattern;
+# dotted-quad IPs before dot-separated phones). The regex subset used —
+# character classes, bounded repetition, \b — behaves identically under
+# Java regex (Spark) and RE2 (DuckDB/Go), so redaction is reproducible
+# across engines; no backreferences or lookaround.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(text_col: str | Column = "text") -> Column:
+    """Scrub emails / SSNs / IPv4s / phone numbers to typed placeholder
+    tokens — the standard pre-training PII pass, as a chained
+    ``regexp_replace`` column expression (codegen'd, linear scan, no
+    Python; a 100-TB corpus pays exactly one projection)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    for _, pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
+def pii_counts(text_col: str | Column = "text") -> Column:
+    """Struct of per-category PII match counts (email/ssn/ipv4/phone) —
+    the audit side of ``redact_pii``, for measuring leakage rates without
+    materializing redacted text."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    fields = []
+    # Count categories on the progressively-redacted text so overlapping
+    # patterns attribute each span to exactly one category, mirroring the
+    # replacement order.
+    cur = col
+    for name, pat, repl in PII_PATTERNS:
+        fields.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return F.struct(*fields)

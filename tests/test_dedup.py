@@ -66,3 +66,86 @@ def test_fuzzy_integers_unresolvable(spark):
     res = fuzzy_dedup(df, ["c_id", "name"])
     assert res.resolved.count() == 0
     assert res.errors.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over pair graphs
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ferc_xbrl_extractor_spark.operators.neardup import (  # noqa: E402
+    attach_clusters,
+    connected_components,
+    dedup_by_pairs,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def test_cc_two_components(spark):
+    labels = connected_components(_pairs(spark, [(1, 2), (2, 3), (10, 11)]))
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_chain_needs_iterations(spark):
+    # A 7-node path: the min label must travel 6 hops, exercising the
+    # multi-round propagation (one round would only move it one hop).
+    chain = [(i, i + 1) for i in range(1, 7)]
+    labels = connected_components(_pairs(spark, chain))
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert got == {i: 1 for i in range(1, 8)}
+
+
+def test_cc_matches_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(40))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(45)})
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    expected = {
+        n: min(members) for members in comp.values() for n in members
+        if len(members) > 1 or any(n in e for e in edges)
+    }
+    in_graph = {n for e in edges for n in e}
+    expected = {n: lab for n, lab in expected.items() if n in in_graph}
+
+    labels = connected_components(_pairs(spark, edges))
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert got == expected
+
+
+def test_cc_unconverged_raises(spark):
+    chain = [(i, i + 1) for i in range(1, 7)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs(spark, chain), max_iter=2)
+
+
+def test_dedup_by_pairs_keeps_min_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = _pairs(spark, [(0, 1), (1, 2), (4, 5)])
+    kept = sorted(r["doc_id"] for r in dedup_by_pairs(docs, pairs).collect())
+    assert kept == [0, 3, 4]
+
+    clustered = attach_clusters(docs, pairs)
+    got = {r["doc_id"]: r["cluster"] for r in clustered.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}

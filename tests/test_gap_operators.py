@@ -376,3 +376,55 @@ def test_curate_corpus_stages_compose(spark):
         sample_n=10,
     )
     assert {r["doc_id"] for r in out.collect()} == {1, 5}
+
+
+def test_repetition_stats_goldens(spark):
+    from ferc_xbrl_extractor_spark.operators.text import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),        # 1 of 3 lines duplicated
+            (2, "x y z x y z x y"),      # heavy 2/3-gram repetition
+            (3, ""),                     # empty: all ratios 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in with_repetition_stats(df, line_sep="\n").collect()
+    }
+    assert got[1]["n_lines"] == 3
+    assert got[1]["dup_line_ratio"] == pytest.approx(1 / 3, abs=1e-4)
+    assert got[1]["dup_2gram_ratio"] == pytest.approx(0.2)
+    assert got[2]["dup_2gram_ratio"] == pytest.approx(1 - 3 / 7, abs=1e-4)
+    assert got[2]["dup_3gram_ratio"] == pytest.approx(0.5)
+    assert got[3]["n_lines"] == 0 and got[3]["dup_line_ratio"] == 0.0
+
+
+def test_pii_redaction_goldens(spark):
+    from ferc_xbrl_extractor_spark.operators.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_d@sub.example.co.uk now"),
+            (2, "call 555-123-4567 or 555.123.4567"),
+            (3, "ssn 123-45-6789 ip 192.168.0.1"),
+            (4, "no pii here, just v1.2 and x@y"),  # x@y: no TLD → kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["red"], r["pii"].asDict())
+        for r in df.select(
+            "doc_id",
+            redact_pii("text").alias("red"),
+            pii_counts("text").alias("pii"),
+        ).collect()
+    }
+    assert out[1][0] == "mail <EMAIL> now"
+    assert out[2][0] == "call <PHONE> or <PHONE>"
+    assert out[3][0] == "ssn <SSN> ip <IP>"
+    assert out[4][0] == "no pii here, just v1.2 and x@y"
+    assert out[1][1] == {"n_email": 1, "n_ssn": 0, "n_ipv4": 0, "n_phone": 0}
+    assert out[2][1]["n_phone"] == 2
+    assert out[3][1] == {"n_email": 0, "n_ssn": 1, "n_ipv4": 1, "n_phone": 0}
