@@ -36,6 +36,7 @@ HEADLINE = [
     "g3_ivf_topk",
     "g4_text_stats",
     "g14_sample_stratified",
+    "g17_pack_sequences",
     "g15_decontaminate",
     "g16_curate_e2e",
     "g5_window_funcs",

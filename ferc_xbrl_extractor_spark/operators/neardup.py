@@ -542,10 +542,15 @@ def connected_components(
         .repartition("src")
         .persist()
     )
+    # Initialization folds propagation round 1 in for free: the node set
+    # comes from an aggregate over the (already src-partitioned) edge
+    # relation anyway, so aggregating min(neighbor) there and starting at
+    # min(id, min neighbor) costs nothing extra and saves one full
+    # join+aggregate round.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("__nbr"))
+        .select("id", F.least(F.col("id"), F.col("__nbr")).alias("label"))
         .localCheckpoint()
     )
     converged = False

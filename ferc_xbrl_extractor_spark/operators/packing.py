@@ -1,0 +1,145 @@
+"""Sequence packing for pretraining (G17): lay documents end-to-end in a
+deterministic order and cut the token stream into fixed-budget training
+sequences (GPT-style concat-and-chunk).
+
+The core computation is a *global prefix sum* of per-document token
+counts — which a naive ``Window.orderBy(...)`` makes a single-partition
+sort (one task owns the whole corpus; dead at scale). This module uses
+the standard two-phase decomposition instead:
+
+1. **Block-local offsets.** Documents are grouped into deterministic
+   blocks (``order_col // block_size`` — a pure projection, no shuffle
+   beyond the window's own keyed exchange), and a window partitioned by
+   (stream, block) computes each document's offset within its block.
+   Every block is a bounded partition, so the sort is bounded.
+2. **Block base offsets.** Per-block token totals (one row per block —
+   |corpus| / block_size rows, tiny) get a running-sum window ordered by
+   block id, then broadcast-join back. This single-partition-per-stream
+   window runs over the *totals* relation, not the corpus.
+
+Offset = block base + local offset; sequence id = offset // budget. The
+result is deterministic, engine-portable (pure integer arithmetic — a
+SQL oracle reproduces it with one plain cumsum window), and every
+shuffle is keyed and bounded.
+
+No reference counterpart (the reference is an XBRL ETL); SURVEY.md §2.12
+gap surface, G-series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    by: str | None = None,
+    block_size: int = 100_000,
+) -> DataFrame:
+    """Assign every document its place in the packed token stream.
+
+    Args:
+        df: corpus with a numeric ordering column and a token count.
+        order_col: deterministic layout order (numeric — block ids are
+            ``order_col // block_size``; ids should be dense-ish so
+            blocks stay balanced).
+        token_col: per-document token count (precompute with
+            ``text.token_counts``).
+        budget: tokens per training sequence.
+        by: optional stream column (e.g. ``source``) — packing restarts
+            at offset 0 per stream, so each mixture component is its own
+            token stream.
+        block_size: documents per block in the two-phase prefix sum.
+            Anything from 10^4 to 10^6 is fine; it only bounds the
+            per-task sort and sizes the (tiny) totals relation.
+
+    Returns the input plus:
+        - ``tok_offset``: the document's first-token offset in its stream
+        - ``seq_id``: the training sequence that token lands in
+        - ``n_seqs``: how many sequences the document spans (straddling
+          is inherent to concat-and-chunk packing)
+    """
+    streams = [by] if by else []
+    order = F.col(order_col)
+    n_tok = F.col(token_col).cast("long")
+
+    blocked = df.withColumn(
+        "__blk", (order / F.lit(block_size)).cast("long")
+    )
+
+    w_local = (
+        Window.partitionBy(*streams, "__blk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = blocked.withColumn(
+        "__local_off", F.coalesce(F.sum(n_tok).over(w_local), F.lit(0))
+    )
+
+    totals = blocked.groupBy(*streams, "__blk").agg(
+        F.sum(n_tok).alias("__blk_tok")
+    )
+    w_base = (
+        Window.partitionBy(*streams)
+        .orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = totals.select(
+        *streams,
+        "__blk",
+        F.coalesce(F.sum("__blk_tok").over(w_base), F.lit(0)).alias("__base"),
+    )
+
+    packed = local.join(F.broadcast(bases), streams + ["__blk"])
+    offset = (F.col("__base") + F.col("__local_off")).alias("tok_offset")
+    out = packed.select("*", offset).drop("__blk", "__local_off", "__base")
+    seq_id = F.floor(F.col("tok_offset") / budget)
+    last_seq = F.floor(
+        (F.col("tok_offset") + F.greatest(n_tok, F.lit(1)) - 1) / budget
+    )
+    return out.withColumn("seq_id", seq_id.cast("long")).withColumn(
+        "n_seqs", (last_seq - seq_id + 1).cast("long")
+    )
+
+
+def mixture_rates(
+    df: DataFrame,
+    weights: dict[str, float],
+    by: str = "source",
+    token_col: str | None = None,
+) -> dict[str, float]:
+    """Per-stratum sampling rates that realize a target mixture.
+
+    Given target weights (e.g. ``{"web": 0.6, "code": 0.3, "books":
+    0.1}``), compute the Bernoulli rate per stratum such that the
+    *expected* post-sampling composition matches the weights, scaled so
+    the largest required rate is 1.0 (pure downsampling — no stratum is
+    upsampled; the binding stratum is kept whole). Feed the result to
+    ``sampling.sample_by_rate``.
+
+    Sizes come from one tiny aggregate (rows, or tokens when
+    ``token_col`` is given — mixtures are usually specified in tokens);
+    the collect is |strata| rows.
+    """
+    size_expr = (
+        F.sum(F.col(token_col)) if token_col else F.count(F.lit(1))
+    ).alias("n")
+    sizes = {
+        r[by]: r["n"]
+        for r in df.groupBy(by).agg(size_expr).collect()
+        if r[by] in weights
+    }
+    missing = set(weights) - set(sizes)
+    if missing:
+        raise ValueError(f"strata absent from corpus: {sorted(missing)}")
+    # rate_s ∝ weight_s / size_s; scale so max rate = 1.
+    raw = {s: weights[s] / sizes[s] for s in weights if weights[s] > 0}
+    scale = 1.0 / max(raw.values())
+    rates = {s: raw[s] * scale for s in raw}
+    for s in weights:
+        rates.setdefault(s, 0.0)
+    return rates

@@ -14,7 +14,7 @@ engines observe identical instants — required for oracle comparisons.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
@@ -66,7 +66,7 @@ def load_table(
     spark: SparkSession,
     sf_dir: str,
     name: str,
-    repartition_cols: list[str] | None = None,
+    repartition_cols: list[str | Column] | None = None,
 ) -> DataFrame:
     """Read ``{sf_dir}/{name}.parquet`` with ns-timestamp repair and
     row-group-aware re-parallelization.
@@ -83,7 +83,11 @@ def load_table(
     makes the repair shuffle *be* that shuffle — the aggregate then plans
     as a single complete pass with no second exchange (measured 3-4×
     faster than round-robin + partial/final at sf0.1). Round-robin is the
-    keyless fallback.
+    keyless fallback. Entries may be *expressions*, not just column
+    names: repartitioning on an expression the consumer later aliases
+    still registers as hash-partitioning on the alias (ProjectExec's
+    alias-aware output partitioning), so a derived-key pipeline can fuse
+    its repair shuffle with its semantic shuffle too.
 
     Note: reading a TIMESTAMP(NANOS) file flips ``nanosAsLong`` for the
     whole session and it stays set — execution consults the conf lazily,
@@ -107,11 +111,22 @@ def load_table(
     # signatures, dot products). The byte bar is deliberately low: a
     # sub-MB round-robin shuffle costs ~nothing, a single-task map stage
     # costs the whole cluster.
-    if (num_rows >= 100_000 or file_bytes >= 512 << 10) and row_groups < cpus // 2:
-        if repartition_cols:
-            df = df.repartition(cpus, *[F.col(c) for c in repartition_cols])
-        else:
-            df = df.repartition(cpus)
+    # A caller-supplied key is applied UNCONDITIONALLY: the caller is
+    # declaring its plan's first shuffle key, and downstream operators
+    # (e.g. construct_table(input_clustered=True)) rely on the clustering
+    # being there — at any size. Below the repair threshold the keyed
+    # shuffle merely replaces the ENSURE_REQUIREMENTS exchange Catalyst
+    # would insert anyway; above it, it doubles as the parallelization
+    # repair. Round-robin repair stays size-gated.
+    if repartition_cols:
+        df = df.repartition(
+            cpus,
+            *[F.col(c) if isinstance(c, str) else c for c in repartition_cols],
+        )
+    elif (
+        num_rows >= 100_000 or file_bytes >= 512 << 10
+    ) and row_groups < cpus // 2:
+        df = df.repartition(cpus)
     for c in nano_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df

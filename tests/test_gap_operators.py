@@ -428,3 +428,59 @@ def test_pii_redaction_goldens(spark):
     assert out[1][1] == {"n_email": 1, "n_ssn": 0, "n_ipv4": 0, "n_phone": 0}
     assert out[2][1]["n_phone"] == 2
     assert out[3][1] == {"n_email": 0, "n_ssn": 1, "n_ipv4": 1, "n_phone": 0}
+
+
+def test_pack_sequences_matches_serial_prefix_sum(spark):
+    from ferc_xbrl_extractor_spark.operators.packing import pack_sequences
+
+    rows = [(i, "s" if i % 2 else "t", 10 + (i % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {
+        r["doc_id"]: (r["tok_offset"], r["seq_id"], r["n_seqs"])
+        for r in pack_sequences(df, budget=32, by="source", block_size=8).collect()
+    }
+    offs: dict = {}
+    for i, src, n in sorted(rows, key=lambda r: (r[1], r[0])):
+        o = offs.get(src, 0)
+        offs[src] = o + n
+        assert got[i] == (o, o // 32, (o + n - 1) // 32 - o // 32 + 1), i
+    # global stream (no `by`), block boundaries not aligned to budget
+    got2 = {
+        r["doc_id"]: r["tok_offset"]
+        for r in pack_sequences(df, budget=100, block_size=7).collect()
+    }
+    o = 0
+    for i, _, n in sorted(rows):
+        assert got2[i] == o, i
+        o += n
+
+
+def test_pack_sequences_empty_doc_spans_one_seq(spark):
+    from ferc_xbrl_extractor_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, 5), (1, 0), (2, 3)], "doc_id long, n_tokens long"
+    )
+    got = {r["doc_id"]: r["n_seqs"] for r in pack_sequences(df, budget=4).collect()}
+    assert got == {0: 2, 1: 1, 2: 1}
+
+
+def test_mixture_rates_hits_target_composition(spark):
+    from ferc_xbrl_extractor_spark.operators.packing import mixture_rates
+
+    df = spark.createDataFrame(
+        [(i, "web" if i < 800 else ("code" if i < 900 else "books"), 10)
+         for i in range(1000)],
+        "doc_id long, source string, n_tokens long",
+    )
+    rates = mixture_rates(df, {"web": 0.5, "code": 0.25, "books": 0.25}, "source")
+    # books is the binding stratum (smallest size per unit weight): kept whole
+    assert rates["books"] == pytest.approx(1.0)
+    # expected post-sample sizes ∝ weights
+    exp = {s: rates[s] * n for s, n in {"web": 800, "code": 100, "books": 100}.items()}
+    total = sum(exp.values())
+    assert exp["web"] / total == pytest.approx(0.5)
+    assert exp["code"] / total == pytest.approx(0.25)
+
+    with pytest.raises(ValueError, match="absent"):
+        mixture_rates(df, {"web": 1.0, "nope": 0.5}, "source")

@@ -346,3 +346,19 @@ def test_input_clustered_table_plan_has_single_exchange(spark, facts):
     plan = _executed_plan(out)
     n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
     assert n_exchanges == 1, plan
+
+
+def test_flagship_query_plans_one_fused_exchange(spark):
+    """The flagship xbrl_fact_pipeline fuses the load-repair shuffle with
+    its semantic shuffle: the raw scan is hash-repartitioned on the key
+    *expressions* and the ctx projection aliases those same expressions,
+    so alias-aware output partitioning satisfies every downstream
+    aggregate — exactly ONE Exchange end-to-end (the round-robin repair +
+    keyed repartition shape it replaces shipped the rows twice)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["xbrl_fact_pipeline"](spark, "/root/testdata/sf0.001")
+    df.count()  # let AQE finalize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n == 1, plan
