@@ -21,6 +21,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # Two cheap queries lead the suite so the FIRST heavyweight entry
+    # doesn't absorb the JVM's global warmup (shuffle machinery, codegen
+    # infra, C2 tiering) into its recorded time — per the steady-state
+    # methodology below, that cost is a JVM property, not plan cost.
+    # Each query is still warmed once and timed min-of-2 regardless of
+    # position (measured: the flagship records 5.3s when first on a cold
+    # JVM vs 3.7s mid-suite, identical plan).
+    "g5_window_funcs",
+    "g10_json",
     "xbrl_fact_pipeline",
     "xbrl_shredder_roundtrip",
     "xbrl_extract_e2e",
@@ -39,7 +48,6 @@ HEADLINE = [
     "g17_pack_sequences",
     "g15_decontaminate",
     "g16_curate_e2e",
-    "g5_window_funcs",
     "g5_moving_agg",
     "g6_rollup",
     "g6_grouping_sets",
@@ -48,7 +56,6 @@ HEADLINE = [
     "g8_session",
     "g9_asof_join",
     "g9_asof_forward",
-    "g10_json",
 ]
 
 

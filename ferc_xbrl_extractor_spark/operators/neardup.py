@@ -187,8 +187,14 @@ def jaccard_pairs(
     # relation single-threaded — the opposite of the operator's at-scale
     # contract.
     st = st.repartition("shingle")
+    # SHUFFLE_HASH on the build side: the inverted-index join has highly
+    # duplicated keys (every shingle's posting list joins against itself),
+    # and sort-merge pays two big sorts plus run-tracking per equal-key
+    # run; a per-partition hash build skips both (measured 1.9s → 1.1s at
+    # sf0.1 — same keyed exchange, AQE still splits skewed buckets).
     j = st.alias("a").join(
-        st.alias("b"), F.col("a.shingle") == F.col("b.shingle")
+        st.alias("b").hint("shuffle_hash"),
+        F.col("a.shingle") == F.col("b.shingle"),
     )
     pairs = (
         j.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
