@@ -913,6 +913,51 @@ def q_g4_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s7_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: JSONL corpus ingestion. The documents table is delivered as
+    balanced JSONL shards (write_corpus_shards), read back with an
+    explicit schema (no inference scan), and aggregated per source; the
+    oracle aggregates the parquet source directly, so the round-trip must
+    preserve every text byte (embedded newlines/quotes JSON-escaped) and
+    every row."""
+    import hashlib
+
+    from ferc_xbrl_extractor_spark.sources import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_corpus_{tag}"
+    corpus.write_corpus_shards(docs, path, shards=4, fmt="json")
+    back = corpus.load_documents_json(spark, path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.countDistinct(F.md5("text")).alias("n_uniq_text"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def q_g18_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G18: symmetric int8 embedding quantization, checked exactly via an
+    integer summary (sum / L1 / min / max of the quantized vector — all
+    integer arithmetic, so no float-fold caveats) plus the rounded
+    scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = similarity.quantize_int8(emb)
+    q = F.col("q")
+    return qd.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("scale_r"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias(
+            "q_l1"
+        ),
+        F.array_min(q).cast("int").alias("q_min"),
+        F.array_max(q).cast("int").alias("q_max"),
+    )
+
+
 def q_g17_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G17: concat-and-chunk sequence packing per source stream. The
     two-phase block prefix sum must agree exactly with the oracle's plain
@@ -1433,6 +1478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_fingerprint": q_g4_fingerprint,
         "g4_bpe_tokens": q_g4_bpe_tokens,
         "g17_pack_sequences": q_g17_pack_sequences,
+        "g18_quantize_int8": q_g18_quantize_int8,
+        "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
@@ -1969,6 +2016,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(t2, '{_PII_IP}'))    AS BIGINT) AS n_ipv4,
                CAST(len(regexp_extract_all(t3, '{_PII_PHONE}')) AS BIGINT) AS n_phone
         FROM r3
+    """
+
+    sql["s7_jsonl_roundtrip"] = """
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_uniq_text,
+               min(doc_id) AS min_id,
+               max(doc_id) AS max_id
+        FROM documents
+        GROUP BY source
+    """
+
+    sql["g18_quantize_int8"] = """
+        WITH b AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc
+            FROM b
+        ),
+        qt AS (
+            SELECT vec_id, sc,
+                   CASE WHEN sc > 0
+                        THEN list_transform(e, x -> CAST(round(x / sc) AS INT))
+                        ELSE list_transform(e, x -> 0) END AS qv
+            FROM s
+        )
+        SELECT vec_id,
+               ROUND(sc, 6) AS scale_r,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+               CAST(list_min(qv) AS INT) AS q_min,
+               CAST(list_max(qv) AS INT) AS q_max
+        FROM qt
     """
 
     sql["g17_pack_sequences"] = r"""

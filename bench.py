@@ -46,6 +46,7 @@ HEADLINE = [
     "g4_text_stats",
     "g14_sample_stratified",
     "g17_pack_sequences",
+    "g18_quantize_int8",
     "g15_decontaminate",
     "g16_curate_e2e",
     "g5_moving_agg",

@@ -494,3 +494,52 @@ def hyperplane_lsh_topk(
     return topk_per_key(
         scored, [query_id_col], [F.col("sim").desc(), F.col("neighbor_id")], k
     ).select(query_id_col, "neighbor_id", "sim", "rank")
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|v| / 127``,
+    ``q_i = round(v_i / scale)`` ∈ [−127, 127] — the standard 4× storage /
+    bandwidth cut for ANN candidate scoring, with dequantization
+    ``v_i ≈ q_i · scale``.
+
+    Pure Catalyst expressions, one projection over the scan. The scale is
+    let-bound through a single-element-array transform (same O(d²)
+    substitution trap as ``_unit`` — a naive ``transform(v, x ->
+    round(x/scale))`` re-evaluates the array_max fold per element).
+    Engine-portable: elements are cast to double before the fold, and
+    round() ties cannot occur in practice (a tie needs v_i/scale exactly
+    half-integral; the only guaranteed-exact quotient is ±127.0 at the
+    max element, which rounds identically everywhere).
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    zeros = F.transform(v, lambda x: F.lit(0))
+    q = F.element_at(
+        F.transform(
+            F.array((amax / F.lit(127.0)).alias("s")),
+            lambda s: F.when(
+                s > 0,
+                F.transform(v, lambda x: F.round(x.cast("double") / s).cast("int")),
+            ).otherwise(zeros),
+        ),
+        1,
+    )
+    return df.withColumn(scale_col, amax / F.lit(127.0)).withColumn(out_col, q)
+
+
+def dequantize(q_col: str | Column = "q", scale_col: str | Column = "q_scale") -> Column:
+    """Reconstruct approximate double vectors from ``quantize_int8`` output
+    (let-bound scale; O(d) under substitution)."""
+    q = F.col(q_col) if isinstance(q_col, str) else q_col
+    s = F.col(scale_col) if isinstance(scale_col, str) else scale_col
+    return F.element_at(
+        F.transform(
+            F.array(s), lambda sc: F.transform(q, lambda x: x.cast("double") * sc)
+        ),
+        1,
+    )

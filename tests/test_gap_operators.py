@@ -484,3 +484,71 @@ def test_mixture_rates_hits_target_composition(spark):
 
     with pytest.raises(ValueError, match="absent"):
         mixture_rates(df, {"web": 1.0, "nope": 0.5}, "source")
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    from ferc_xbrl_extractor_spark.operators.similarity import (
+        dequantize,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0]), (3, [127.0])],
+        "id long, embedding array<double>",
+    )
+    rows = {
+        r["id"]: r
+        for r in quantize_int8(df).withColumn("deq", dequantize()).collect()
+    }
+    assert rows[1]["q"] == [64, -127, 32]
+    assert rows[2]["q"] == [0, 0, 0] and rows[2]["q_scale"] == 0.0
+    assert rows[3]["q"] == [127] and rows[3]["deq"] == [127.0]
+    # reconstruction error ≤ scale/2 per element
+    for r in rows.values():
+        for orig, deq in zip(r["embedding"], r["deq"]):
+            assert abs(orig - deq) <= r["q_scale"] / 2 + 1e-12
+
+
+def test_corpus_jsonl_and_csv_roundtrip(spark, tmp_path):
+    from ferc_xbrl_extractor_spark.sources.corpus import (
+        load_documents_csv,
+        load_documents_json,
+        write_corpus_shards,
+    )
+
+    rows = [
+        (1, 'line one\nline "two"', "en", "web", 19),
+        (2, "plain text, with commas", "en", "books", 23),
+        (3, None, None, "web", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    jdir, cdir = str(tmp_path / "j"), str(tmp_path / "c")
+    write_corpus_shards(df, jdir, shards=2, fmt="json")
+    write_corpus_shards(df, cdir, shards=2, fmt="csv")
+
+    back_j = {r["doc_id"]: r for r in load_documents_json(spark, jdir).collect()}
+    assert back_j[1]["text"] == 'line one\nline "two"'
+    assert back_j[3]["text"] is None and back_j[3]["source"] == "web"
+
+    back_c = {r["doc_id"]: r for r in load_documents_csv(spark, cdir).collect()}
+    assert back_c[1]["text"] == 'line one\nline "two"'
+    assert back_c[2]["text"] == "plain text, with commas"
+
+    import glob
+
+    assert len(glob.glob(jdir + "/part-*")) == 2
+
+
+def test_jsonl_dropmalformed_skips_bad_lines(spark, tmp_path):
+    from ferc_xbrl_extractor_spark.sources.corpus import load_documents_json
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "w", "n_chars": 2}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "also ok", "lang": "en", "source": "w", "n_chars": 7}\n'
+    )
+    got = load_documents_json(spark, str(p), mode="DROPMALFORMED").collect()
+    assert sorted(r["doc_id"] for r in got) == [1, 2]
