@@ -5,9 +5,16 @@ chains the G-series operators the way a pretraining data pipeline actually
 runs them:
 
     quality filter (G4 stats)          — map-side projection + filter
+    → repetition screen (G4b)          — map-side dup-line/n-gram ratios
     → decontaminate (G15)              — broadcast benchmark probe + anti join
     → exact dedup by fingerprint (G1)  — one min_by hash aggregate
+    → near-dup cluster dedup (G2b)     — LSH pairs → components → survivors
+    → PII redaction (G4b)              — chained regexp_replace on survivors
     → stratified sample (G14)          — hash-ordered per-stratum budgets
+
+Optional stages default off so the composition stays oracle-checkable at
+its G16 gate configuration; each extra stage is itself oracle-checked
+standalone (g4_repetition, g2_cluster_dedup, g4_pii_redact).
 
 Shuffle budget: the quality filter and fingerprint are map-side; the
 decontamination hit-count aggregate shuffles only contaminated-candidate
@@ -41,6 +48,10 @@ def curate_corpus(
     min_uniq_ratio: float = 0.3,
     shingle_n: int = 3,
     min_overlap: int = 5,
+    max_dup_line_ratio: float | None = None,
+    max_dup_3gram_ratio: float | None = None,
+    neardup_threshold: float | None = None,
+    redact: bool = False,
     stratum_col: str | None = None,
     sample_n: int | None = None,
     sample_salt: str = "curate",
@@ -52,9 +63,19 @@ def curate_corpus(
 
     Returns the surviving rows with the G4 stat columns attached (callers
     filter/project further downstream). ``benchmark=None`` skips
-    decontamination; ``sample_n=None`` skips sampling.
+    decontamination; ``sample_n=None`` skips sampling;
+    ``max_dup_*_ratio=None`` skips the repetition screen;
+    ``neardup_threshold=None`` skips near-dup cluster dedup; ``redact``
+    scrubs PII from surviving text (applied after dedup so redaction
+    cost is paid on survivors only and never perturbs dedup keys).
     """
     stats = text.with_text_stats(docs, text_col)
+    if max_dup_line_ratio is not None or max_dup_3gram_ratio is not None:
+        stats = text.with_repetition_stats(stats, text_col)
+        if max_dup_line_ratio is not None:
+            stats = stats.filter(F.col("dup_line_ratio") <= max_dup_line_ratio)
+        if max_dup_3gram_ratio is not None:
+            stats = stats.filter(F.col("dup_3gram_ratio") <= max_dup_3gram_ratio)
     quality = stats.filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("stopword_ratio") <= max_stopword_ratio)
@@ -75,6 +96,17 @@ def curate_corpus(
         keys=["fp"],
         order_by=[F.col(id_col)],
     ).drop("fp")
+    if neardup_threshold is not None:
+        pairs = neardup.jaccard_pairs(
+            deduped,
+            id_col=id_col,
+            text_col=text_col,
+            n=shingle_n,
+            threshold=neardup_threshold,
+        )
+        deduped = neardup.dedup_by_pairs(deduped, pairs, id_col=id_col)
+    if redact:
+        deduped = deduped.withColumn(text_col, text.redact_pii(text_col))
     if sample_n is not None:
         if not stratum_col:
             raise ValueError("sample_n requires stratum_col")

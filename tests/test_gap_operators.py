@@ -552,3 +552,32 @@ def test_jsonl_dropmalformed_skips_bad_lines(spark, tmp_path):
     )
     got = load_documents_json(spark, str(p), mode="DROPMALFORMED").collect()
     assert sorted(r["doc_id"] for r in got) == [1, 2]
+
+
+def test_curate_optional_stages_compose(spark):
+    from ferc_xbrl_extractor_spark.pipeline.curate import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            # near-identical pair (cluster dedup keeps min id)
+            (1, "the quick brown fox jumps over the lazy dog again today", "w"),
+            (2, "the quick brown fox jumps over the lazy dog again tomorrow", "w"),
+            # repetitive boilerplate (dup 3-grams) → dropped by the screen
+            (3, "buy now " * 20, "w"),
+            # clean doc with PII → survives, redacted
+            (4, "independent unique sentence mentioning bob@example.com directly here", "w"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = curate_corpus(
+        docs,
+        min_tokens=5,
+        max_stopword_ratio=1.0,
+        min_uniq_ratio=0.0,
+        max_dup_3gram_ratio=0.5,
+        neardup_threshold=0.5,
+        redact=True,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 4}, rows.keys()
+    assert "<EMAIL>" in rows[4]["text"]
