@@ -938,6 +938,32 @@ def q_s7_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g17_materialize_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G17 delivery step: concatenated per-sequence text rows. The
+    in-group sort inside one keyed aggregate must agree exactly with the
+    oracle's string_agg(... ORDER BY tok_offset)."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", "text", text.token_counts(docs).alias("n_tok")
+    )
+    packed = packing.pack_sequences(
+        sized,
+        order_col="doc_id",
+        token_col="n_tok",
+        budget=512,
+        by="source",
+        block_size=100,
+    )
+    return packing.materialize_sequences(packed, by="source").select(
+        "source",
+        "seq_id",
+        F.md5("seq_text").alias("seq_md5"),
+        F.length("seq_text").alias("seq_chars"),
+        "n_docs",
+        "start_offset",
+    )
+
+
 def q_g18_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G18: symmetric int8 embedding quantization, checked exactly via an
     integer summary (sum / L1 / min / max of the quantized vector — all
@@ -1478,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_fingerprint": q_g4_fingerprint,
         "g4_bpe_tokens": q_g4_bpe_tokens,
         "g17_pack_sequences": q_g17_pack_sequences,
+        "g17_materialize_seqs": q_g17_materialize_seqs,
         "g18_quantize_int8": q_g18_quantize_int8,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
         "g14_sample_rate": q_g14_sample_rate,
@@ -2027,6 +2054,31 @@ def oracle_sql() -> dict[str, str]:
                max(doc_id) AS max_id
         FROM documents
         GROUP BY source
+    """
+
+    sql["g17_materialize_seqs"] = r"""
+        WITH t AS (
+            SELECT doc_id, source, text,
+                   CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                        x -> len(x) > 0)) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        o AS (
+            SELECT *, COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS tok_offset
+            FROM t
+        )
+        SELECT source,
+               CAST(tok_offset // 512 AS BIGINT) AS seq_id,
+               md5(string_agg(text, ' ' ORDER BY tok_offset)) AS seq_md5,
+               CAST(length(string_agg(text, ' ' ORDER BY tok_offset)) AS INT)
+                   AS seq_chars,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(tok_offset) AS BIGINT) AS start_offset
+        FROM o
+        GROUP BY source, tok_offset // 512
     """
 
     sql["g18_quantize_int8"] = """

@@ -143,3 +143,36 @@ def mixture_rates(
     for s in weights:
         rates.setdefault(s, 0.0)
     return rates
+
+
+def materialize_sequences(
+    packed: DataFrame,
+    text_col: str = "text",
+    order_col: str = "tok_offset",
+    seq_col: str = "seq_id",
+    by: str | None = None,
+    sep: str = " ",
+) -> DataFrame:
+    """Concatenate document text into per-sequence training rows from a
+    ``pack_sequences`` assignment. A document straddling a budget
+    boundary contributes to its *start* sequence here — token-exact
+    splitting belongs to the trainer's tokenizer, which must re-tokenize
+    anyway; this materialization is the shard-building step.
+
+    One keyed aggregate: ``collect_list(struct(offset, text))`` per
+    (stream, seq), sorted in-group by offset (deterministic — offsets are
+    unique within a stream) and joined. The group payload is bounded by
+    the token budget, so the aggregate state is small and map-side
+    combine applies; no window, no global sort.
+    """
+    keys = ([by] if by else []) + [seq_col]
+    parts = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(order_col).alias("o"), F.col(text_col).alias("t"))
+        )
+    )
+    return packed.groupBy(*keys).agg(
+        F.array_join(F.transform(parts, lambda s: s["t"]), sep).alias("seq_text"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min(order_col).cast("long").alias("start_offset"),
+    )

@@ -581,3 +581,25 @@ def test_curate_optional_stages_compose(spark):
     rows = {r["doc_id"]: r for r in out.collect()}
     assert set(rows) == {1, 4}, rows.keys()
     assert "<EMAIL>" in rows[4]["text"]
+
+
+def test_materialize_sequences_orders_within_seq(spark):
+    from ferc_xbrl_extractor_spark.operators.packing import (
+        materialize_sequences,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}", 10) for i in range(8)],
+        "doc_id long, text string, n_tokens long",
+    )
+    packed = pack_sequences(df, budget=25, block_size=3)
+    seqs = {
+        r["seq_id"]: r
+        for r in materialize_sequences(packed).collect()
+    }
+    # 10 tokens/doc, budget 25: docs 0,1,2 start in seq 0; 3,4 in seq 1...
+    assert seqs[0]["seq_text"] == "d0 d1 d2"
+    assert seqs[0]["n_docs"] == 3 and seqs[0]["start_offset"] == 0
+    assert seqs[1]["seq_text"] == "d3 d4"
+    assert seqs[2]["seq_text"] == "d5 d6 d7"[: len(seqs[2]["seq_text"])]
