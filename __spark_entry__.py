@@ -921,12 +921,16 @@ def q_s7_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserve every text byte (embedded newlines/quotes JSON-escaped) and
     every row."""
     import hashlib
+    import os
 
     from ferc_xbrl_extractor_spark.sources import corpus
 
     docs = _t(spark, sf_dir, "documents")
+    # pid in the path: bench and the correctness gate may run this query
+    # concurrently against the same sf_dir; a shared directory would race
+    # (one process overwrites while the other's deferred read executes).
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_corpus_{tag}"
+    path = f"/tmp/spark_graft_corpus_{tag}_{os.getpid()}"
     corpus.write_corpus_shards(docs, path, shards=4, fmt="json")
     back = corpus.load_documents_json(spark, path)
     return back.groupBy("source").agg(
@@ -2072,8 +2076,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT source,
                CAST(tok_offset // 512 AS BIGINT) AS seq_id,
-               md5(string_agg(text, ' ' ORDER BY tok_offset)) AS seq_md5,
-               CAST(length(string_agg(text, ' ' ORDER BY tok_offset)) AS INT)
+               md5(string_agg(text, ' ' ORDER BY tok_offset, text)) AS seq_md5,
+               CAST(length(string_agg(text, ' ' ORDER BY tok_offset, text)) AS INT)
                    AS seq_chars,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(min(tok_offset) AS BIGINT) AS start_offset

@@ -541,6 +541,12 @@ def connected_components(
     clique-ish (diameter ≤ ~3), so 3-4 rounds is typical. For adversarial
     high-diameter graphs swap in the large-star/small-star contraction —
     the API contract here stays the same.
+
+    Checkpoint storage: each round's ``localCheckpoint`` pins one copy of
+    the labels relation (O(|pair-graph nodes|) — the near-dup docs, tiny
+    next to the corpus) until the dropped reference is collected and
+    Spark's ContextCleaner unpersists the blocks; worst-case in-flight
+    copies are bounded by ``max_iter``, not corpus size.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (

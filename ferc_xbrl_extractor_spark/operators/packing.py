@@ -94,7 +94,17 @@ def pack_sequences(
         F.coalesce(F.sum("__blk_tok").over(w_base), F.lit(0)).alias("__base"),
     )
 
-    packed = local.join(F.broadcast(bases), streams + ["__blk"])
+    # Null-safe join keys: a NULL stream value (or NULL order_col → NULL
+    # block) must still pack — an inner equi-join would silently delete
+    # every such document from the corpus. The window/groupBy above
+    # already treat NULL as an ordinary grouping value, so <=> makes the
+    # whole decomposition null-total.
+    cond = F.lit(True)
+    for k in streams + ["__blk"]:
+        cond = cond & local[k].eqNullSafe(bases[k])
+    packed = local.join(F.broadcast(bases), cond).drop(bases["__blk"], *(
+        [bases[k] for k in streams]
+    ))
     offset = (F.col("__base") + F.col("__local_off")).alias("tok_offset")
     out = packed.select("*", offset).drop("__blk", "__local_off", "__base")
     seq_id = F.floor(F.col("tok_offset") / budget)
@@ -136,8 +146,18 @@ def mixture_rates(
     missing = set(weights) - set(sizes)
     if missing:
         raise ValueError(f"strata absent from corpus: {sorted(missing)}")
+    empty = sorted(
+        s for s, w in weights.items() if w > 0 and not sizes.get(s)
+    )
+    if empty:
+        raise ValueError(
+            f"positive-weight strata with zero corpus size: {empty} "
+            "(no sampling rate can realize the target mixture)"
+        )
     # rate_s ∝ weight_s / size_s; scale so max rate = 1.
     raw = {s: weights[s] / sizes[s] for s in weights if weights[s] > 0}
+    if not raw:
+        raise ValueError("all mixture weights are zero")
     scale = 1.0 / max(raw.values())
     rates = {s: raw[s] * scale for s in raw}
     for s in weights:
@@ -160,9 +180,13 @@ def materialize_sequences(
     anyway; this materialization is the shard-building step.
 
     One keyed aggregate: ``collect_list(struct(offset, text))`` per
-    (stream, seq), sorted in-group by offset (deterministic — offsets are
-    unique within a stream) and joined. The group payload is bounded by
-    the token budget, so the aggregate state is small and map-side
+    (stream, seq), sorted in-group by **(offset, text)** and joined. The
+    text tie-break matters: zero-token documents share an offset with
+    their successor, and offset alone would leave their relative order
+    engine- and run-dependent — (offset, text) is a total order on the
+    group, so the concatenation is deterministic (any SQL mirror must
+    ORDER BY offset, text for byte parity). The group payload is bounded
+    by the token budget, so the aggregate state is small and map-side
     combine applies; no window, no global sort.
     """
     keys = ([by] if by else []) + [seq_col]

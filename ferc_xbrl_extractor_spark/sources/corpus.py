@@ -43,8 +43,20 @@ def load_documents_csv(
     """Read a CSV corpus. Defaults: header row, quoted fields with
     embedded newlines supported (``multiLine`` — note this makes a single
     file non-splittable; prefer many shard files, which parallelize by
-    file instead of by byte range)."""
-    opts = {"header": "true", "multiLine": "true", "escape": '"'}
+    file instead of by byte range).
+
+    ``enforceSchema`` is disabled on purpose: Spark binds CSV columns by
+    POSITION, and with the default enforceSchema=true a file whose header
+    order differs from the schema is silently scrambled (ids parsed as
+    text, text nulled by PERMISSIVE casts). With it false, Spark
+    validates the header against the schema field names and fails loudly
+    on a mismatch instead."""
+    opts = {
+        "header": "true",
+        "multiLine": "true",
+        "escape": '"',
+        "enforceSchema": "false",
+    }
     opts.update(options)
     return spark.read.schema(schema).options(**opts).csv(path)
 

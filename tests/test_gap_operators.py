@@ -602,4 +602,37 @@ def test_materialize_sequences_orders_within_seq(spark):
     assert seqs[0]["seq_text"] == "d0 d1 d2"
     assert seqs[0]["n_docs"] == 3 and seqs[0]["start_offset"] == 0
     assert seqs[1]["seq_text"] == "d3 d4"
-    assert seqs[2]["seq_text"] == "d5 d6 d7"[: len(seqs[2]["seq_text"])]
+    assert seqs[2]["seq_text"] == "d5 d6 d7"
+
+
+def test_pack_sequences_null_stream_and_zero_size_guards(spark):
+    from ferc_xbrl_extractor_spark.operators.packing import (
+        mixture_rates,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "w", 5), (1, None, 3), (2, "w", 4)],
+        "doc_id long, source string, n_tokens long",
+    )
+    packed = pack_sequences(df, by="source", budget=8, block_size=2)
+    got = {r["doc_id"]: r["tok_offset"] for r in packed.collect()}
+    # NULL stream packs as its own stream, nothing silently dropped
+    assert got == {0: 0, 1: 0, 2: 5}
+
+    zdf = spark.createDataFrame(
+        [(0, "web", 10), (1, "code", 0)], "doc_id long, source string, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="zero corpus size"):
+        mixture_rates(zdf, {"web": 0.6, "code": 0.4}, "source", token_col="n_tokens")
+    with pytest.raises(ValueError, match="all mixture weights are zero"):
+        mixture_rates(zdf, {"web": 0.0}, "source")
+
+
+def test_csv_header_order_mismatch_fails_loudly(spark, tmp_path):
+    from ferc_xbrl_extractor_spark.sources.corpus import load_documents_csv
+
+    p = tmp_path / "scrambled.csv"
+    p.write_text("text,doc_id,lang,source,n_chars\nhello,7,en,w,5\n")
+    with pytest.raises(Exception, match="(?i)header|schema"):
+        load_documents_csv(spark, str(p)).collect()
