@@ -1006,6 +1006,20 @@ def q_g17_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_tok", "tok_offset", "seq_id", "n_seqs")
 
 
+_BM25_TERMS = ["hash", "join", "vector", "data"]
+
+
+def q_g4_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: BM25 keyword relevance over the corpus. One corpus-stats row
+    broadcast back, score as a fixed-fold projection — the oracle mirrors
+    the arithmetic expression tree literally, so round(·,4) compares
+    exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bm25_scores(docs, _BM25_TERMS).select(
+        "doc_id", F.round("bm25", 4).alias("bm25_r")
+    )
+
+
 def q_g4_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: corpus token frequencies, top 20 (explode → count → top-k)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1502,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_embedding_neardup": q_g3_embedding_neardup,
         "g4_text_stats": q_g4_text_stats,
         "g4_repetition": q_g4_repetition,
+        "g4_bm25": q_g4_bm25,
         "g4_pii_redact": q_g4_pii_redact,
         "g4_token_topk": q_g4_token_topk,
         "g4_language_id": q_g4_language_id,
@@ -2129,6 +2144,22 @@ def oracle_sql() -> dict[str, str]:
                CAST((tok_offset + greatest(n_tok, 1) - 1) // 512
                     - tok_offset // 512 + 1 AS BIGINT) AS n_seqs
         FROM o
+    """
+
+    sql["g4_bm25"] = f"""
+        WITH {_TOKENS_CTE},
+        d AS (SELECT doc_id, w, len(w) AS dl FROM toks),
+        st AS (
+            SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+                   sum(CASE WHEN list_contains(w, 'hash') THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN list_contains(w, 'join') THEN 1 ELSE 0 END) AS df1,
+                   sum(CASE WHEN list_contains(w, 'vector') THEN 1 ELSE 0 END) AS df2,
+                   sum(CASE WHEN list_contains(w, 'data') THEN 1 ELSE 0 END) AS df3
+            FROM d
+        )
+        SELECT doc_id,
+               ROUND(0.0 + (ln((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5) + 1.0) * (CAST(len(list_filter(w, x -> x = 'hash')) AS DOUBLE) * (1.2 + 1.0))) / (CAST(len(list_filter(w, x -> x = 'hash')) AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / n_docs))) + (ln((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0) * (CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) * (1.2 + 1.0))) / (CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / n_docs))) + (ln((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0) * (CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE) * (1.2 + 1.0))) / (CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / n_docs))) + (ln((CAST(n_docs AS DOUBLE) - CAST(df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5) + 1.0) * (CAST(len(list_filter(w, x -> x = 'data')) AS DOUBLE) * (1.2 + 1.0))) / (CAST(len(list_filter(w, x -> x = 'data')) AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / n_docs))), 4) AS bm25_r
+        FROM d, st
     """
 
     sql["g4_token_topk"] = f"""

@@ -234,3 +234,56 @@ def pii_counts(text_col: str | Column = "text") -> Column:
         )
         cur = F.regexp_replace(cur, pat, repl)
     return F.struct(*fields)
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms —
+    the standard retrieval scorer, used in data curation to seed
+    quality/domain classifiers from keyword queries.
+
+    Scale shape: the corpus statistics BM25 needs (N, avg doc length,
+    per-term document frequencies) are ONE map-side-combinable aggregate
+    producing a single row, broadcast back via cross join; the score
+    itself is a fixed-order projection (per-term TF via
+    ``size(filter(tokens, = t))`` — no explode, no shuffle by term, no
+    join). Two scans total, one 1-row broadcast; deterministic float
+    fold order, so a SQL oracle reproduces scores bit-comparably at
+    round(·, 4).
+    """
+    toked = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).withColumn("__dl", F.size("__toks"))
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("__dl").alias("__sum_dl"),
+        *[
+            F.sum(
+                (F.array_position(F.col("__toks"), t) > 0).cast("long")
+            ).alias(f"__df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    scored = toked.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__sum_dl").cast("double") / F.col("__n_docs")
+    n = F.col("__n_docs").cast("double")
+    def eq_term(t: str):
+        # One-arg lambda factory — a default-arg lambda here would make
+        # pyspark's HOF binder pass the element *index* as the second
+        # argument, clobbering the captured term (see neardup.perm()).
+        return lambda x: x == F.lit(t)
+
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf = F.size(F.filter(F.col("__toks"), eq_term(t))).cast("double")
+        dfi = F.col(f"__df_{i}").cast("double")
+        idf = F.log((n - dfi + 0.5) / (dfi + 0.5) + 1.0)
+        denom = tf + k1 * (1.0 - b + b * F.col("__dl").cast("double") / avgdl)
+        score = score + idf * (tf * (k1 + 1.0)) / denom
+    return scored.select(F.col(id_col), score.alias("bm25"))

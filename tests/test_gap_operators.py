@@ -636,3 +636,30 @@ def test_csv_header_order_mismatch_fails_loudly(spark, tmp_path):
     p.write_text("text,doc_id,lang,source,n_chars\nhello,7,en,w,5\n")
     with pytest.raises(Exception, match="(?i)header|schema"):
         load_documents_csv(spark, str(p)).collect()
+
+
+def test_bm25_ranks_relevant_docs(spark):
+    import math
+
+    from ferc_xbrl_extractor_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "hash join beats merge join on small tables"),
+            (2, "the scan was slow"),
+            (3, "hash hash hash everywhere hash"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ["hash", "join"]).collect()}
+    assert got[2] == 0.0
+    assert got[1] > got[3] > 0  # doc 1 matches both terms; tf saturation caps doc 3
+
+    # spot-check one score against the textbook formula
+    n, k1, b = 3.0, 1.2, 0.75
+    avgdl = (8 + 4 + 5) / 3.0
+    def idf(dfreq): return math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+    def term(tf, dl, dfreq):
+        return idf(dfreq) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    expected = term(1, 8, 2) + term(2, 8, 1)
+    assert abs(got[1] - expected) < 1e-9
