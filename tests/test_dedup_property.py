@@ -79,3 +79,46 @@ def test_fuzzy_matches_reference_loop(spark, groups_list):
         else:
             assert got.get(key) == expected, (key, vals, got.get(key), expected)
             assert key not in errored
+
+
+# ---------------------------------------------------------------------------
+# G17 sequence packing: two-phase block prefix sum ≡ serial prefix sum
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 40),            # token count (zeros included)
+            st.sampled_from(["a", "b", None]),  # stream, incl. NULL
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 7),                     # block size
+    st.integers(5, 60),                    # budget
+)
+def test_pack_sequences_matches_serial(spark, rows, block_size, budget):
+    from ferc_xbrl_extractor_spark.operators.packing import pack_sequences
+
+    data = [(i, src, n) for i, (n, src) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, source string, n_tokens long")
+    got = {
+        r["doc_id"]: (r["tok_offset"], r["seq_id"], r["n_seqs"])
+        for r in pack_sequences(
+            df, by="source", budget=budget, block_size=block_size
+        ).collect()
+    }
+    offs: dict = {}
+    for i, src, n in sorted(data, key=lambda r: (r[1] is not None, r[1] or "", r[0])):
+        o = offs.get(src, 0)
+        offs[src] = o + n
+        first = o // budget
+        last = (o + max(n, 1) - 1) // budget
+        assert got[i] == (o, first, last - first + 1), (i, src, n)
+    assert len(got) == len(data)
