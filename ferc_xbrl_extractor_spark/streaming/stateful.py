@@ -32,6 +32,7 @@ from typing import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -154,3 +155,46 @@ def stream_asof_enrich(
     return tagged.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_stopword_ratio: float = 0.5,
+    min_uniq_ratio: float = 0.0,
+) -> DataFrame:
+    """Streaming corpus curation: the G16 pipeline's always-on form for
+    continuously-arriving documents (crawl output, log ingestion).
+
+    Quality filtering is stateless column pruning on the microbatch
+    (identical expressions to the batch path — same G4 stats); exact
+    dedup is the stateful part: a whitespace-normalized md5 fingerprint
+    keys ``stream_dedup_first``'s one-boolean-per-key state, so the first
+    arrival of any text survives and every later duplicate is suppressed
+    across microbatches. State is O(distinct fingerprints) booleans —
+    bound it in production with watermark-based state TTL if the
+    dedup horizon is finite.
+
+    Output: ``(id, fingerprint, text)`` of surviving documents, in
+    arrival order per fingerprint.
+    """
+    from ferc_xbrl_extractor_spark.operators import text as text_ops
+
+    stats = text_ops.with_text_stats(docs, text_col)
+    quality = stats.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+        & (F.col("uniq_ratio") >= min_uniq_ratio)
+    )
+    fingered = text_ops.fingerprint(quality, text_col, out_col="fp").withColumn(
+        "__tb", F.col(id_col)
+    )
+    return stream_dedup_first(
+        fingered,
+        key_cols=["fp"],
+        ts_col=id_col,
+        tiebreak_col="__tb",
+        payload_cols=[text_col],
+    ).select(F.col(id_col), "fp", F.col(text_col))

@@ -247,3 +247,43 @@ def test_stream_asof_enrich_numeric_time_axis(spark, tmp_path):
     out = stream_asof_enrich(stream, "k", "t", ["event_id"], ["ref_val"])
     rows = _drain(spark, out, "asof_numeric").collect()
     assert {r["event_id"]: r["ref_val"] for r in rows} == {1: 100, 2: 200}
+
+
+def test_stream_curate_filters_and_dedups_across_batches(spark, tmp_path):
+    from ferc_xbrl_extractor_spark.streaming.stateful import stream_curate
+
+    path = str(tmp_path / "docs")
+    schema = "doc_id long, text string"
+    batch1 = spark.createDataFrame(
+        [
+            (1, "a genuinely long unique document about spark engines here"),
+            (2, "short"),  # fails min_tokens
+            (3, "a  genuinely long   unique document about spark engines here"),
+        ],
+        schema,
+    )
+    # batch 2 arrives later: whitespace-variant dup of doc 1 + a fresh doc
+    batch2 = spark.createDataFrame(
+        [
+            (9, "a genuinely  long unique document about spark engines here"),
+            (10, "another sufficiently long and distinct document body right here"),
+        ],
+        schema,
+    )
+    # one file per logical batch (see test_stream_dedup_state_*)
+    batch1.coalesce(1).write.mode("append").parquet(path)
+    batch2.coalesce(1).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(batch1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(path)
+    out = stream_curate(stream, min_tokens=6, max_stopword_ratio=1.0)
+    rows = _drain(spark, out, "curate_stream").collect()
+    # docs 1/3/9 share a whitespace-normalized fingerprint: exactly one
+    # survivor (the batch-1 min id); doc 2 quality-filtered; doc 10 kept.
+    by_fp: dict = {}
+    for r in rows:
+        by_fp.setdefault(r["fp"], []).append(r["doc_id"])
+    assert sorted(len(v) for v in by_fp.values()) == [1, 1]
+    survivors = sorted(r["doc_id"] for r in rows)
+    assert survivors == [1, 10]
