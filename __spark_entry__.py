@@ -988,6 +988,17 @@ def q_g18_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g18_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G18 composed with G3: top-k ANN scored on int8 vectors. The
+    symmetric scales cancel in cosine, so the quantized similarity is a
+    pure function of the integer vectors — exactly reproducible by the
+    oracle (integer dot/norms are exact; the final divide/sqrt of exact
+    integers is the same double everywhere)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.quantized_cosine_topk(emb, queries, k=5)
+
+
 def q_g17_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G17: concat-and-chunk sequence packing per source stream. The
     two-phase block prefix sum must agree exactly with the oracle's plain
@@ -1525,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g17_pack_sequences": q_g17_pack_sequences,
         "g17_materialize_seqs": q_g17_materialize_seqs,
         "g18_quantize_int8": q_g18_quantize_int8,
+        "g18_quantized_topk": q_g18_quantized_topk,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
@@ -2123,6 +2135,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(list_min(qv) AS INT) AS q_min,
                CAST(list_max(qv) AS INT) AS q_max
         FROM qt
+    """
+
+    sql["g18_quantized_topk"] = """
+        WITH b AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc
+            FROM b
+        ),
+        qt AS (
+            SELECT vec_id,
+                   CASE WHEN sc > 0
+                        THEN list_transform(e, x -> CAST(round(x / sc) AS BIGINT))
+                        ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
+            FROM s
+        ),
+        n AS (
+            SELECT vec_id, qv,
+                   sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+                       AS nrm
+            FROM qt
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(CAST(list_inner_product(q.qv, c.qv) AS DOUBLE)
+                         / (q.nrm * c.nrm), 4) AS qsim
+            FROM n c, (SELECT * FROM n WHERE vec_id < 20) q
+            WHERE c.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, qsim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY qsim DESC, neighbor_id) AS INT)
+                   AS rank
+        FROM scored
+        QUALIFY rank <= 5
     """
 
     sql["g17_pack_sequences"] = r"""

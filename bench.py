@@ -48,6 +48,7 @@ HEADLINE = [
     "g14_sample_stratified",
     "g17_pack_sequences",
     "g18_quantize_int8",
+    "g18_quantized_topk",
     "g15_decontaminate",
     "g16_curate_e2e",
     "g5_moving_agg",

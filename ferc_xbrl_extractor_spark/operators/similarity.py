@@ -543,3 +543,74 @@ def dequantize(q_col: str | Column = "q", scale_col: str | Column = "q_scale") -
         ),
         1,
     )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+    two_phase: bool = True,
+) -> DataFrame:
+    """Top-k neighbors scored on int8-quantized vectors — the
+    memory-bound ANN pattern (4× less candidate bandwidth than float32;
+    rerank survivors with exact floats downstream if needed).
+
+    The symmetric per-vector scales CANCEL in cosine:
+    ``cos(q·s_q, c·s_c) = Σ(q_i c_i) / (√Σq_i² · √Σc_i²)`` — so the
+    quantized similarity is a pure function of the integer vectors:
+    integer dot and integer norms are exact, and the final divide/sqrt
+    of exact integers is the same double in every engine. That makes
+    this approximate operator *exactly* oracle-checkable (same bar as
+    the md5-seeded LSH family).
+
+    Same plan shape as ``cosine_topk``: quantize map-side, broadcast the
+    quantized queries, integer fold per pair, two-phase top-k.
+    """
+    qc = quantize_int8(corpus, vec_col, out_col="__q", scale_col="__s")
+    qq = quantize_int8(queries, vec_col, out_col="__q", scale_col="__s")
+
+    def int_norm(col: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                col, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            ).cast("double")
+        )
+
+    q = F.broadcast(
+        qq.select(
+            F.col(id_col).alias(query_id_col),
+            F.col("__q").alias("__qvec"),
+            int_norm(F.col("__q")).alias("__nq"),
+        )
+    )
+    c = qc.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__q").alias("__cvec"),
+        int_norm(F.col("__q")).alias("__nc"),
+    )
+    crossed = c.crossJoin(q)
+    if exclude_self:
+        crossed = crossed.filter(F.col("neighbor_id") != F.col(query_id_col))
+    int_dot = F.aggregate(
+        F.zip_with(F.col("__qvec"), F.col("__cvec"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = crossed.select(
+        query_id_col,
+        "neighbor_id",
+        F.round(
+            int_dot.cast("double") / (F.col("__nq") * F.col("__nc")), 4
+        ).alias("qsim"),
+    )
+    return topk_per_key(
+        scored,
+        [query_id_col],
+        [F.col("qsim").desc(), F.col("neighbor_id")],
+        k,
+        two_phase=two_phase,
+    ).select(query_id_col, "neighbor_id", "qsim", "rank")

@@ -663,3 +663,25 @@ def test_bm25_ranks_relevant_docs(spark):
         return idf(dfreq) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
     expected = term(1, 8, 2) + term(2, 8, 1)
     assert abs(got[1] - expected) < 1e-9
+
+
+def test_quantized_topk_close_to_exact(spark):
+    from ferc_xbrl_extractor_spark.operators.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+    from ferc_xbrl_extractor_spark.sources.star import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 5")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in quantized_cosine_topk(emb, queries, k=10).collect()
+    }
+    # int8 quantization keeps ANN recall high: ≥80% of exact top-10 pairs
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, recall
