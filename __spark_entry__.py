@@ -1031,6 +1031,14 @@ def q_g4_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g4_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: corpus-unigram mean surprisal. The per-token −ln p values are
+    fixed to integer micro-nats before the per-doc sum, so the parallel
+    aggregate is order-free and the oracle matches exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.unigram_surprisal(docs).select("doc_id", "surprisal")
+
+
 def q_g4_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: corpus token frequencies, top 20 (explode → count → top-k)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1528,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_text_stats": q_g4_text_stats,
         "g4_repetition": q_g4_repetition,
         "g4_bm25": q_g4_bm25,
+        "g4_surprisal": q_g4_surprisal,
         "g4_pii_redact": q_g4_pii_redact,
         "g4_token_topk": q_g4_token_topk,
         "g4_language_id": q_g4_language_id,
@@ -2209,6 +2218,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                ROUND(0.0 + (ln((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5) + 1.0) * (CAST(len(list_filter(w, x -> x = 'hash')) AS DOUBLE) * (1.2 + 1.0))) / (CAST(len(list_filter(w, x -> x = 'hash')) AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / n_docs))) + (ln((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0) * (CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) * (1.2 + 1.0))) / (CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / n_docs))) + (ln((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0) * (CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE) * (1.2 + 1.0))) / (CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / n_docs))) + (ln((CAST(n_docs AS DOUBLE) - CAST(df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5) + 1.0) * (CAST(len(list_filter(w, x -> x = 'data')) AS DOUBLE) * (1.2 + 1.0))) / (CAST(len(list_filter(w, x -> x = 'data')) AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / n_docs))), 4) AS bm25_r
         FROM d, st
+    """
+
+    sql["g4_surprisal"] = f"""
+        WITH {_TOKENS_CTE},
+        ex AS (SELECT doc_id, t.tk AS tok FROM toks, UNNEST(w) AS t(tk)),
+        fr AS (SELECT tok, count(*) AS n FROM ex GROUP BY tok),
+        tt AS (SELECT sum(n) AS total FROM fr),
+        sc AS (
+            SELECT doc_id,
+                   CAST(round(-ln(CAST(n AS DOUBLE) / total) * 1e6) AS BIGINT)
+                       AS micro
+            FROM ex JOIN fr USING (tok), tt
+        ),
+        pd AS (
+            SELECT doc_id, sum(micro) AS sm, count(*) AS nt
+            FROM sc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               ROUND((CAST(sm AS DOUBLE) / 1000000.0) / nt, 4) AS surprisal
+        FROM documents d LEFT JOIN pd USING (doc_id)
     """
 
     sql["g4_token_topk"] = f"""

@@ -45,6 +45,7 @@ HEADLINE = [
     "g3_ivf_topk",
     "g4_text_stats",
     "g4_bm25",
+    "g4_surprisal",
     "g14_sample_stratified",
     "g17_pack_sequences",
     "g18_quantize_int8",

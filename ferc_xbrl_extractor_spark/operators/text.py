@@ -287,3 +287,59 @@ def bm25_scores(
         denom = tf + k1 * (1.0 - b + b * F.col("__dl").cast("double") / avgdl)
         score = score + idf * (tf * (k1 + 1.0)) / denom
     return scored.select(F.col(id_col), score.alias("bm25"))
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "surprisal",
+) -> DataFrame:
+    """Mean per-token surprisal −ln p(token) under the corpus's own
+    unigram LM — the CCNet-style cheap quality/fluency proxy (gibberish
+    and boilerplate score high/low respectively vs the corpus
+    distribution).
+
+    Determinism trick: a per-document SUM of float log-probs is
+    order-dependent under a parallel aggregate (doubles are not
+    associative), which would break cross-engine hashing. Each token's
+    −ln p is therefore fixed to integer MICRO-nats
+    (``round(−ln(p)·1e6)``) before summing — integer sums are exact in
+    any order — and the mean divides two exact integers at the end.
+
+    Plan: explode → token-frequency aggregate (map-side combined) +
+    1-row total broadcast → token-keyed join back (the Zipf-small vocab
+    side is broadcast by AQE when it fits) → one integer sum per doc.
+    Documents with no tokens surface with NULL surprisal via the final
+    left join.
+    """
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    exploded = toked.select(F.col(id_col), F.explode("__toks").alias("__tok"))
+    freq = exploded.groupBy("__tok").agg(F.count(F.lit(1)).alias("__n"))
+    total = freq.agg(F.sum("__n").alias("__total"))
+    scored = (
+        exploded.join(freq, "__tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.round(
+                -F.log(F.col("__n").cast("double") / F.col("__total")) * 1e6
+            )
+            .cast("long")
+            .alias("__micro"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("__micro").alias("__sum_micro"),
+        F.count(F.lit(1)).alias("__n_tok"),
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(
+            out_col,
+            F.round(
+                (F.col("__sum_micro").cast("double") / 1e6) / F.col("__n_tok"), 4
+            ),
+        )
+        .drop("__sum_micro", "__n_tok")
+    )

@@ -685,3 +685,19 @@ def test_quantized_topk_close_to_exact(spark):
     # int8 quantization keeps ANN recall high: ≥80% of exact top-10 pairs
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_unigram_surprisal_goldens(spark):
+    import math
+
+    from ferc_xbrl_extractor_spark.operators.text import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "zyzzyva qwerty plugh xyzzy"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["surprisal"] for r in unigram_surprisal(df).collect()}
+    # p(the)=4/8 -> ln 2; hapax p=1/8 -> ln 8; empty doc -> NULL
+    assert got[1] == pytest.approx(math.log(2), abs=1e-4)
+    assert got[2] == pytest.approx(math.log(8), abs=1e-4)
+    assert got[3] is None
