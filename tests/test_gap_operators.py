@@ -701,3 +701,51 @@ def test_unigram_surprisal_goldens(spark):
     assert got[1] == pytest.approx(math.log(2), abs=1e-4)
     assert got[2] == pytest.approx(math.log(8), abs=1e-4)
     assert got[3] is None
+
+
+def test_training_data_pipeline_end_to_end(spark, tmp_path):
+    """The full training-data path in one plan chain: curate (quality +
+    dedup + redact) -> token counts -> sequence packing -> materialized
+    sequence shards -> JSONL delivery -> read-back."""
+    from ferc_xbrl_extractor_spark.operators.packing import (
+        materialize_sequences,
+        pack_sequences,
+    )
+    from ferc_xbrl_extractor_spark.operators.text import token_counts
+    from ferc_xbrl_extractor_spark.pipeline.curate import curate_corpus
+    from ferc_xbrl_extractor_spark.sources.corpus import write_corpus_shards
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"document number {i} with plenty of distinct words "
+                f"alpha{i} beta{i} gamma{i} delta{i} mail x{i}@y.com", "web")
+            for i in range(20)
+        ]
+        + [(100, "document number 1 with plenty of distinct words "
+                 "alpha1 beta1 gamma1 delta1 mail x1@y.com", "web")],  # near-dup of 1
+        "doc_id long, text string, source string",
+    )
+    curated = curate_corpus(
+        docs,
+        min_tokens=5,
+        max_stopword_ratio=1.0,
+        min_uniq_ratio=0.0,
+        neardup_threshold=0.5,
+        redact=True,
+    )
+    sized = curated.withColumn("n_tok", token_counts(curated))
+    packed = pack_sequences(
+        sized, order_col="doc_id", token_col="n_tok", budget=40, by="source"
+    )
+    seqs = materialize_sequences(packed, by="source")
+    out = str(tmp_path / "shards")
+    write_corpus_shards(
+        seqs.select("source", "seq_id", "seq_text"), out, shards=2, fmt="json"
+    )
+    back = spark.read.schema("source string, seq_id long, seq_text string").json(out)
+    rows = back.collect()
+    full_text = " ".join(r["seq_text"] for r in sorted(rows, key=lambda r: r["seq_id"]))
+    # near-dup collapsed: doc 100's text absent; PII redacted everywhere
+    assert len([r for r in rows if r["seq_text"]]) >= 2
+    assert "@y.com" not in full_text and "<EMAIL>" in full_text
+    assert full_text.count("document number 1 ") == 1
