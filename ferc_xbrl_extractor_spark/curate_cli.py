@@ -1,0 +1,151 @@
+"""Training-data curation CLI — the G14-G17 pipeline as a command.
+
+    python -m ferc_xbrl_extractor_spark.curate_cli CORPUS \
+        --output OUT [--input-format parquet|jsonl|csv] \
+        [--benchmark EVAL_SET] [--neardup-threshold 0.5] [--redact] \
+        [--stratum-col source --sample-n N] \
+        [--pack-budget 2048 --order-col doc_id] [--shards 16] \
+        [--output-format json|parquet|csv]
+
+Reads a document corpus (parquet / JSONL / CSV shards with the
+``doc_id, text, ...`` schema), runs ``pipeline.curate.curate_corpus``
+(quality filter → optional decontamination → exact dedup → optional
+near-dup cluster dedup → optional PII redaction → optional stratified
+sample), optionally packs the survivors into fixed-token-budget training
+sequences, and delivers balanced shards. Prints ONE JSON summary line.
+
+This is the LLM-side sibling of the reference-parity ``cli.py``
+(xbrl_extract surface); no reference counterpart exists.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="Curate a text corpus for training.")
+    p.add_argument("corpus", help="Input corpus path (file or shard directory).")
+    p.add_argument("--output", required=True, help="Output shard directory.")
+    p.add_argument(
+        "--input-format", choices=["parquet", "jsonl", "csv"], default="parquet"
+    )
+    p.add_argument(
+        "--output-format", choices=["json", "parquet", "csv"], default="json"
+    )
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--min-tokens", type=int, default=10)
+    p.add_argument("--max-stopword-ratio", type=float, default=0.5)
+    p.add_argument("--min-uniq-ratio", type=float, default=0.3)
+    p.add_argument("--max-dup-line-ratio", type=float, default=None)
+    p.add_argument("--max-dup-3gram-ratio", type=float, default=None)
+    p.add_argument("--benchmark", help="Eval-suite corpus to decontaminate against.")
+    p.add_argument(
+        "--benchmark-format", choices=["parquet", "jsonl", "csv"], default="parquet"
+    )
+    p.add_argument("--min-overlap", type=int, default=5)
+    p.add_argument("--neardup-threshold", type=float, default=None)
+    p.add_argument("--redact", action="store_true", help="Scrub PII from text.")
+    p.add_argument("--stratum-col", default=None)
+    p.add_argument("--sample-n", type=int, default=None)
+    p.add_argument(
+        "--pack-budget",
+        type=int,
+        default=None,
+        help="Emit materialized training sequences of this token budget "
+        "instead of documents.",
+    )
+    p.add_argument("--pack-by", default=None, help="Stream column for packing.")
+    p.add_argument("--shards", type=int, default=16)
+    return p.parse_args(argv)
+
+
+def _load(spark, path: str, fmt: str, schema: str | None = None):
+    from ferc_xbrl_extractor_spark.sources import corpus
+
+    if fmt == "jsonl":
+        return corpus.load_documents_json(spark, path, schema or corpus.DOC_SCHEMA)
+    if fmt == "csv":
+        return corpus.load_documents_csv(spark, path, schema or corpus.DOC_SCHEMA)
+    return spark.read.parquet(path)
+
+
+def run_main(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from ferc_xbrl_extractor_spark.operators import packing, text
+    from ferc_xbrl_extractor_spark.pipeline.curate import curate_corpus
+    from ferc_xbrl_extractor_spark.session import get_spark
+    from ferc_xbrl_extractor_spark.sources.corpus import write_corpus_shards
+
+    spark = get_spark("curate-cli")
+    docs = _load(spark, args.corpus, args.input_format)
+    n_in = docs.count()
+    benchmark = (
+        _load(spark, args.benchmark, args.benchmark_format)
+        if args.benchmark
+        else None
+    )
+    curated = curate_corpus(
+        docs,
+        benchmark,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        min_tokens=args.min_tokens,
+        max_stopword_ratio=args.max_stopword_ratio,
+        min_uniq_ratio=args.min_uniq_ratio,
+        min_overlap=args.min_overlap,
+        max_dup_line_ratio=args.max_dup_line_ratio,
+        max_dup_3gram_ratio=args.max_dup_3gram_ratio,
+        neardup_threshold=args.neardup_threshold,
+        redact=args.redact,
+        stratum_col=args.stratum_col,
+        sample_n=args.sample_n,
+    )
+    if args.pack_budget:
+        sized = curated.withColumn(
+            "__n_tok", text.token_counts(curated, args.text_col)
+        )
+        packed = packing.pack_sequences(
+            sized,
+            order_col=args.id_col,
+            token_col="__n_tok",
+            budget=args.pack_budget,
+            by=args.pack_by,
+        )
+        out = packing.materialize_sequences(
+            packed,
+            text_col=args.text_col,
+            by=args.pack_by,
+        )
+    else:
+        out = curated
+    # Stage once: count and write from one materialization of the plan.
+    out = out.persist()
+    n_out = out.count()
+    write_corpus_shards(out, args.output, args.shards, fmt=args.output_format)
+    out.unpersist()
+    print(
+        json.dumps(
+            {
+                "input_rows": n_in,
+                "output_rows": n_out,
+                "output": args.output,
+                "format": args.output_format,
+                "shards": args.shards,
+                "packed": bool(args.pack_budget),
+            }
+        )
+    )
+    return 0
+
+
+def main() -> int:
+    return run_main(parse())
+
+
+if __name__ == "__main__":
+    sys.exit(main())

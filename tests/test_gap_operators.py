@@ -749,3 +749,36 @@ def test_training_data_pipeline_end_to_end(spark, tmp_path):
     assert len([r for r in rows if r["seq_text"]]) >= 2
     assert "@y.com" not in full_text and "<EMAIL>" in full_text
     assert full_text.count("document number 1 ") == 1
+
+
+def test_curate_cli_runs_end_to_end(spark, tmp_path, capsys):
+    import json as _json
+
+    from ferc_xbrl_extractor_spark.curate_cli import parse, run_main
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [
+            (i, f"document {i} has plenty of distinct interesting words "
+                f"a{i} b{i} c{i} d{i} e{i}", "web")
+            for i in range(12)
+        ]
+        + [(50, "tiny", "web")],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "out")
+    args = parse(
+        [src, "--output", out, "--min-tokens", "5", "--min-uniq-ratio", "0",
+         "--max-stopword-ratio", "1", "--pack-budget", "30",
+         "--pack-by", "source", "--shards", "2"]
+    )
+    assert run_main(args) == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["input_rows"] == 13
+    assert summary["packed"] is True
+    back = spark.read.schema(
+        "source string, seq_id long, seq_text string, n_docs long, start_offset long"
+    ).json(out)
+    assert back.count() == summary["output_rows"] > 0
+    assert "tiny" not in " ".join(r["seq_text"] for r in back.collect())
