@@ -1039,6 +1039,18 @@ def q_g4_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_surprisal(docs).select("doc_id", "surprisal")
 
 
+def q_g4_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: overlapping token-window chunking (context-length prep).
+    Byte-exact cross-engine: chunk text md5 vs DuckDB list slicing."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, max_tokens=40, overlap=8).select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 def q_g4_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: corpus token frequencies, top 20 (explode → count → top-k)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1537,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_repetition": q_g4_repetition,
         "g4_bm25": q_g4_bm25,
         "g4_surprisal": q_g4_surprisal,
+        "g4_chunk": q_g4_chunk,
         "g4_pii_redact": q_g4_pii_redact,
         "g4_token_topk": q_g4_token_topk,
         "g4_language_id": q_g4_language_id,
@@ -2238,6 +2251,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id,
                ROUND((CAST(sm AS DOUBLE) / 1000000.0) / nt, 4) AS surprisal
         FROM documents d LEFT JOIN pd USING (doc_id)
+    """
+
+    sql["g4_chunk"] = f"""
+        WITH {_TOKENS_CTE},
+        d AS (SELECT doc_id, w, len(w) AS n FROM toks),
+        c AS (
+            SELECT doc_id, w, t.i AS chunk_id
+            FROM d, UNNEST(range(greatest(
+                CAST(ceil((n - 8) / 32.0) AS BIGINT), 1))) AS t(i)
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(len(w[chunk_id * 32 + 1 : chunk_id * 32 + 40]) AS BIGINT)
+                   AS n_chunk_tokens,
+               md5(array_to_string(w[chunk_id * 32 + 1 : chunk_id * 32 + 40], ' '))
+                   AS chunk_md5
+        FROM c
     """
 
     sql["g4_token_topk"] = f"""

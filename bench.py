@@ -46,6 +46,7 @@ HEADLINE = [
     "g4_text_stats",
     "g4_bm25",
     "g4_surprisal",
+    "g4_chunk",
     "g14_sample_stratified",
     "g17_pack_sequences",
     "g18_quantize_int8",

@@ -343,3 +343,43 @@ def unigram_surprisal(
         )
         .drop("__sum_micro", "__n_tok")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 256,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into (optionally overlapping) token-window chunks —
+    context-length preprocessing for embedding/training jobs. Chunk ``i``
+    covers tokens ``[i·stride, i·stride + max_tokens)`` with
+    ``stride = max_tokens − overlap``; a document emits
+    ``ceil((n − overlap) / stride)`` chunks (min 1 — empty/short docs
+    yield one chunk of themselves).
+
+    Pure Catalyst: tokens materialized once per document, chunk indexes
+    from ``sequence`` + ``explode``, chunk text via ``slice`` +
+    ``array_join`` — a generate over the scan, no shuffle, no Python.
+    Output: input columns minus ``text_col``, plus (chunk_id,
+    n_chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toked = df.select("*", tokens(text_col).alias("__toks"))
+    n = F.size("__toks")
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1))
+    chunked = toked.select(
+        "*", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, max_tokens
+    )
+    return chunked.select(
+        *[c for c in df.columns if c != text_col],
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -782,3 +782,25 @@ def test_curate_cli_runs_end_to_end(spark, tmp_path, capsys):
     ).json(out)
     assert back.count() == summary["output_rows"] > 0
     assert "tiny" not in " ".join(r["seq_text"] for r in back.collect())
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from ferc_xbrl_extractor_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, max_tokens=4, overlap=1).collect()
+    }
+    assert got == {
+        (1, 0): (4, "a b c d"),
+        (1, 1): (4, "d e f g"),   # stride 3: last token of prior chunk repeats
+        (1, 2): (4, "g h i j"),
+        (2, 0): (2, "x y"),       # short doc: one whole chunk
+        (3, 0): (0, ""),          # empty doc: one empty chunk
+    }
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=4, overlap=4)
