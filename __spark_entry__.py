@@ -1497,6 +1497,39 @@ def q_g12_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_stream(spark, out, "g12_asof")
 
 
+def q_s8_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-series on streams: incremental filing ingestion. The synthetic
+    filings land as loose .xbrl files (same fixture as the dir scan), a
+    binaryFile file-source stream picks them up ONE PER MICROBATCH
+    (maxFilesPerTrigger=1 — three genuine increments, not one batch in
+    streaming clothes), the unchanged mapInPandas shredder shreds each
+    increment, and the drained union must equal the batch shred of the
+    same directory — checked by the same DuckDB oracle as
+    xbrl_shredder_roundtrip."""
+    from ferc_xbrl_extractor_spark.streaming import stream_filings_dir
+
+    def build(d: str) -> None:
+        for r in _synthetic_filing_xml(spark, sf_dir).collect():
+            with open(f"{d}/{r['filing_name']}.xbrl", "w") as fh:
+                fh.write(r["xml"])
+
+    d = _cached_fixture("dirscan", sf_dir, build)
+    shredded = stream_filings_dir(spark, d, max_files_per_trigger=1)
+    facts = shredded.filter(F.col("record_type") == "fact")
+    out = facts.select(
+        "filing_name",
+        "c_id",
+        "entity_id",
+        "instant",
+        "start_date",
+        "end_date",
+        F.col("dims")["flag_axis"].alias("flag_axis"),
+        "name",
+        "value",
+    )
+    return _drain_stream(spark, out, "s8_extract")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1537,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g12_stream_dedup": q_g12_stream_dedup,
         "g12_stream_asof": q_g12_stream_asof,
         "g11_multimodal": q_g11_multimodal,
+        "s8_stream_extract": q_s8_stream_extract,
         "g2_jaccard": q_g2_jaccard,
         "g2_cluster_dedup": q_g2_cluster_dedup,
         "g2_minhash_lsh": q_g2_minhash_lsh,
@@ -1615,6 +1649,10 @@ def oracle_sql() -> dict[str, str]:
              ) v(name, value)
         WHERE v.value IS NOT NULL
     """
+
+    # Streaming ingest drains to the exact batch-shred relation, so the
+    # batch roundtrip oracle checks it verbatim.
+    sql["s8_stream_extract"] = sql["xbrl_shredder_roundtrip"]
 
     sql["xbrl_zip_scan"] = f"""
         WITH src AS (

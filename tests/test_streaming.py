@@ -287,3 +287,43 @@ def test_stream_curate_filters_and_dedups_across_batches(spark, tmp_path):
     assert sorted(len(v) for v in by_fp.values()) == [1, 1]
     survivors = sorted(r["doc_id"] for r in rows)
     assert survivors == [1, 10]
+
+
+def test_stream_filings_dir_matches_batch_shred(spark, tmp_path):
+    """Incremental ingestion: a file-source stream over a landing dir,
+    drained one filing per microbatch, must produce exactly the batch
+    shredder's rows (same mapInPandas code path on both sides)."""
+    from ferc_xbrl_extractor_spark.sources import shredder
+    from ferc_xbrl_extractor_spark.sources.filings import scan_filings
+    from ferc_xbrl_extractor_spark.streaming import stream_filings_dir
+
+    xml = """<?xml version="1.0"?>
+<xbrli:xbrl xmlns:xbrli="http://www.xbrl.org/2003/instance"
+            xmlns:ferc="http://ferc.gov/form/2023-01-01/ferc">
+  <xbrli:context id="c_{i}">
+    <xbrli:entity><xbrli:identifier scheme="s">E{i}</xbrli:identifier></xbrli:entity>
+    <xbrli:period><xbrli:instant>2023-0{i}-01</xbrli:instant></xbrli:period>
+  </xbrli:context>
+  <ferc:SomeValue contextRef="c_{i}">{v}</ferc:SomeValue>
+</xbrli:xbrl>"""
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i in (1, 2, 3):
+        (land / f"filing-{i}.xbrl").write_text(
+            xml.replace("{i}", str(i)).replace("{v}", str(10 * i))
+        )
+    # a non-matching file the glob must never open
+    (land / "notes.txt").write_text("not xml at all")
+
+    stream = stream_filings_dir(spark, str(land), max_files_per_trigger=1)
+    got = _drain(spark, stream, "s8_test").drop("publication_time")
+
+    batch = shredder.shred_filings(scan_filings(spark, str(land))).drop(
+        "publication_time"
+    )
+    key = lambda r: (r["record_type"], r["filing_name"], r["c_id"], r["name"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
+    facts = got.filter(F.col("record_type") == "fact").collect()
+    assert {(r["c_id"], r["value"]) for r in facts} == {
+        ("c_1", "10"), ("c_2", "20"), ("c_3", "30")
+    }
