@@ -1254,22 +1254,80 @@ def q_g7_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_g7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G7 sketches (HLL++ / t-digest) — rows-only by nature.
-
-    Output is scalar columns (p50/p95/p99 unpacked from the t-digest array)
-    so the driver's pandas canonicalizer can sort the frame; an
-    array<double> column is unhashable in pandas' lexsort."""
+    """G7 sketches (HLL++ / t-digest), made gate-checkable: the raw
+    estimates are estimator-internal (no cross-engine constant), so the
+    query emits the EXACT values plus in-plan booleans asserting each
+    estimate is within its documented tolerance of the exact answer
+    (rsd=0.02 HLL++ → 5%; accuracy-10000 t-digest at these group sizes →
+    2%). The oracle computes the exact values and literal TRUEs — an
+    estimator drifting out of tolerance breaks the value hash, which is
+    precisely the contract a sketch owes."""
     li = _t(spark, sf_dir, "lineitem")
-    out = analytics.approx_metrics(
+    approx = analytics.approx_metrics(
         li, ["l_returnflag"], "l_partkey", "l_extendedprice"
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_distinct"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("__e50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("__e95"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("__e99"),
+    )
+
+    out = approx.join(F.broadcast(exact), "l_returnflag")
     return out.select(
         "l_returnflag",
-        "approx_distinct",
-        F.col("approx_quantiles")[0].alias("p50"),
-        F.col("approx_quantiles")[1].alias("p95"),
-        F.col("approx_quantiles")[2].alias("p99"),
         "n",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.05
+        ).alias("distinct_ok"),
+        (
+            F.abs(F.col("approx_quantiles")[0] - F.col("__e50")) / F.col("__e50")
+            <= 0.02
+        ).alias("p50_ok"),
+        (
+            F.abs(F.col("approx_quantiles")[1] - F.col("__e95")) / F.col("__e95")
+            <= 0.02
+        ).alias("p95_ok"),
+        (
+            F.abs(F.col("approx_quantiles")[2] - F.col("__e99")) / F.col("__e99")
+            <= 0.02
+        ).alias("p99_ok"),
+    )
+
+
+def q_g7_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 mergeable sketches: per-(flag, ship-year) DataSketches HLL
+    partials over l_partkey, rolled up to per-flag estimates by sketch
+    UNION — the incremental distinct-count pattern (persist partition
+    sketches once, answer coarser rollups without rescanning raw data).
+    Same tolerance-boolean gate as g7_approx_distinct: lgK=12 → 1.6%
+    standard error, asserted within 5% of the exact distinct."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    parts = analytics.hll_partial_sketches(
+        li, ["l_returnflag", "ship_year"], "l_partkey", lgk=12
+    )
+    rolled = analytics.hll_rollup(parts, ["l_returnflag"])
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_distinct")
+    )
+    return (
+        rolled.join(F.broadcast(exact), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_sketches",
+            "n_rows",
+            "exact_distinct",
+            (
+                F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                <= 0.05
+            ).alias("est_ok"),
+        )
     )
 
 
@@ -1606,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g7_exact_quantiles": q_g7_exact_quantiles,
         "g7_median": q_g7_median,
         "g7_approx_distinct": q_g7_approx_distinct,
+        "g7_hll_merge": q_g7_hll_merge,
         "g8_tumbling": q_g8_tumbling,
         "g8_sliding": q_g8_sliding,
         "g8_session": q_g8_session,
@@ -1617,12 +1676,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL. Keys absent on purpose (sketch ops whose
-    output is estimator-internal → rows-only): g7_approx_distinct, plus the
-    non-SQL-expressible streaming state ops declared in queries() only.
-    Every deterministic approximate operator (SimHash, sign-LSH top-k, IVF
-    with a supplied quantizer, MinHash-LSH) is oracle-checked exactly via
-    md5-derived constants + identical float fold order."""
+    """DuckDB-equivalent SQL. Every declared query has an oracle entry:
+    deterministic approximate operators (SimHash, sign-LSH top-k, IVF with
+    a supplied quantizer, MinHash-LSH) are checked exactly via md5-derived
+    constants + identical float fold order; estimator-internal sketches
+    (g7_approx_distinct, g7_hll_merge) emit exact values plus in-plan
+    tolerance booleans the oracle asserts TRUE; streaming state ops drain
+    finite streams whose result equals a batch-expressible relation."""
     sql: dict[str, str] = {}
 
     sql["xbrl_fact_pipeline"] = _ORACLE_FACT_PIPELINE
@@ -2523,6 +2583,29 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(o_totalprice), 2) AS sum_price
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+
+    # Sketch queries: the oracle computes the exact values and literal
+    # TRUE tolerance flags; a Spark estimate outside its documented error
+    # bound flips a boolean and fails the value hash.
+    sql["g7_approx_distinct"] = """
+        SELECT l_returnflag,
+               count(*) AS n,
+               count(DISTINCT l_partkey) AS exact_distinct,
+               TRUE AS distinct_ok,
+               TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+        FROM lineitem
+        GROUP BY 1
+    """
+
+    sql["g7_hll_merge"] = """
+        SELECT l_returnflag,
+               count(DISTINCT year(l_shipdate)) AS n_sketches,
+               count(*) AS n_rows,
+               count(DISTINCT l_partkey) AS exact_distinct,
+               TRUE AS est_ok
+        FROM lineitem
+        GROUP BY 1
     """
 
     sql["g7_exact_quantiles"] = """

@@ -61,6 +61,41 @@ def approx_metrics(
     )
 
 
+def hll_partial_sketches(
+    df: DataFrame,
+    part_cols: list[str],
+    distinct_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """G7: materialized per-partition HLL sketches (Apache DataSketches via
+    ``hll_sketch_agg``) — the mergeable-partial pattern that makes distinct
+    counting incremental at 100 TB. Build one sketch per storage partition
+    (day, shard, filing batch) ONCE, persist the binary column, and answer
+    any coarser distinct-count rollup later by unioning sketches — no
+    rescan of the raw data, and a day's re-ingest only rebuilds that day's
+    sketch. ``approx_count_distinct`` (HLL++) can't do this: its partials
+    live only inside a single aggregation.
+    """
+    return df.groupBy(*part_cols).agg(
+        F.hll_sketch_agg(distinct_col, F.lit(lgk)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def hll_rollup(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """G7: merge partial sketches up to a coarser grouping and estimate.
+    A union carries the same lgK error bound as a single whole-data
+    sketch — accuracy does not degrade with the number of partials merged
+    (the union result can differ from the one-pass sketch by a register
+    representation detail — sub-percent in practice, both within the
+    bound)."""
+    return sketches.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_est"),
+        F.count(F.lit(1)).alias("n_sketches"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
 def exact_quantiles(
     df: DataFrame, group_cols: list[str], col: str, qs: list[float]
 ) -> DataFrame:

@@ -804,3 +804,33 @@ def test_chunk_documents_windows_and_edges(spark):
     }
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_hll_partials_merge_to_whole_data_estimate(spark):
+    """Sketch-union consistency: rolling partial sketches up must agree
+    with sketching the whole column in one pass to within the lgK error
+    bound (union register state differs slightly from one-pass), and both
+    must sit within the bound of the exact count — that is what makes
+    per-partition sketches safe to persist and merge incrementally."""
+    from ferc_xbrl_extractor_spark.operators import analytics
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") % 40).alias("part"),
+        (F.col("id") % 911).alias("v"),
+    )
+    parts = analytics.hll_partial_sketches(df, ["grp", "part"], "v", lgk=12)
+    rolled = analytics.hll_rollup(parts, ["grp"])
+    whole = df.groupBy("grp").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v", F.lit(12))).alias("whole_est")
+    )
+    joined = rolled.join(whole, "grp").collect()
+    assert len(joined) == 7
+    for r in joined:
+        assert abs(r["distinct_est"] - r["whole_est"]) <= 0.02 * r["whole_est"] + 1
+        assert r["n_sketches"] == 40
+    # and the estimate is within the lgK=12 error bound of the truth
+    exact = {r["grp"]: r["d"] for r in
+             df.groupBy("grp").agg(F.count_distinct("v").alias("d")).collect()}
+    for r in joined:
+        assert abs(r["distinct_est"] - exact[r["grp"]]) / exact[r["grp"]] < 0.05
