@@ -1132,6 +1132,20 @@ def q_g15_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_g15_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G15 at the next broadcast tier: the benchmark shingle set rides to
+    executors as a ~1.2-byte/key Bloom bitmap instead of a hash relation;
+    bloom survivors (the ~fpp corpus slice) are re-verified by the exact
+    join, so the output equals g15_decontaminate exactly — same oracle."""
+    from ferc_xbrl_extractor_spark.operators import bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    return bloom.bloom_decontaminate(
+        docs, bench, id_col="doc_id", text_col="text", n=3, min_overlap=5
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_g16_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G16: the composed curation pipeline — quality filter → benchmark
     decontamination → fingerprint dedup (injected duplicates: every
@@ -1655,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
+        "g15_bloom_decontaminate": q_g15_bloom_decontaminate,
         "g16_curate_e2e": q_g16_curate_e2e,
         "g5_window_funcs": q_g5_window_funcs,
         "g5_moving_agg": q_g5_moving_agg,
@@ -2457,6 +2472,10 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM hits)
     """
+
+    # The bloom path re-verifies its prefilter survivors exactly, so its
+    # result is identical to the broadcast-join decontamination.
+    sql["g15_bloom_decontaminate"] = sql["g15_decontaminate"]
 
     # G16: the whole curation composition, mirrored stage by stage.
     # Duplicate injection (doc_id % 29 = 1 → id + 1000000), G4 stats with

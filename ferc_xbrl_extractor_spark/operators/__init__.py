@@ -2,11 +2,13 @@
 
 Submodules: filters (P1-P7), dedup (A2/A3/G1), fact_table (the per-table
 pipeline), joins (J1/J2/G9), stats (A4-A8), analytics (G5-G8/G10),
-text (G4), neardup (G2), similarity (G3), multimodal (G11).
+text (G4), neardup (G2), similarity (G3), multimodal (G11),
+bloom (G15 bloom prefilter).
 """
 
 from ferc_xbrl_extractor_spark.operators import (  # noqa: F401
     analytics,
+    bloom,
     multimodal,
     neardup,
     similarity,
@@ -30,6 +32,7 @@ from ferc_xbrl_extractor_spark.operators.filters import (
 
 __all__ = [
     "analytics",
+    "bloom",
     "multimodal",
     "neardup",
     "similarity",

@@ -1,0 +1,166 @@
+"""Broadcast Bloom-filter prefilters (G15 at the next scale tier).
+
+``neardup.decontaminate`` probes the corpus against the benchmark shingle
+set with a broadcast hash join — right up to the point where the benchmark
+side no longer fits as a broadcast hash relation (~100 bytes/key in
+executor memory). A Bloom filter holds the same membership answer in
+~1.2 bytes/key at 1% false-positive rate, which moves the broadcast
+ceiling by two orders of magnitude before anything has to shuffle the
+corpus. Spark's own runtime bloom pushdown (`bloom_filter_agg` /
+`might_contain`) is not SQL-registered, so this module implements the
+same shape with public pieces:
+
+- **hashing stays JVM-side**: two independent 64-bit hashes per key via
+  ``xxhash64(key)`` and ``xxhash64(key, lit(seed))``, combined by
+  Kirsch-Mitzenmacher double hashing (pos_i = h1 + i*h2 mod m) — build
+  and probe use the identical Catalyst expressions, so there is no
+  Python-vs-JVM hash mismatch to drift.
+- **the bitmap builds distributed**: explode the k probe indexes, map to
+  (word, bit) pairs, ``bit_or`` per 64-bit word — the driver collects
+  only the m/64 bitmap words (bounded by the filter size, never by key
+  count; a 10M-key 1% filter is ~12 MB).
+- **the probe is Arrow-batched numpy** over the two JVM hash columns —
+  integer arithmetic only, no Python hashing, vectorized per batch. The
+  bitmap rides to executors in the serialized closure exactly once.
+
+A Bloom answer is one-sided (no false negatives), so the decontamination
+wrapper uses it strictly as a *prefilter*: survivors of the bloom probe
+are re-verified with the exact join, which now only touches the ~fpp
+fraction of corpus shingles that matched — output is exactly the
+broadcast-join result at any fpp.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# Seed for the second hash; any constant works, it just has to be the same
+# at build and probe time.
+_H2_SEED = 0x9E3779B9
+
+
+@dataclass
+class BloomFilter:
+    """Driver-side handle: the bitmap words plus the (m, k) geometry."""
+
+    words: np.ndarray  # uint64[m_bits / 64]
+    m_bits: int
+    k: int
+    n_keys: int
+    fpp: float
+
+
+def _hashes_mod(key: Column, m: int) -> tuple[Column, Column]:
+    """The two hash lanes, pre-reduced mod m. Reducing before the
+    Kirsch-Mitzenmacher combine keeps every intermediate under k*m (no
+    64-bit overflow under ANSI arithmetic), and
+    (h1 + i*h2) mod m == ((h1 mod m) + i*(h2 mod m)) mod m, so the
+    positions are unchanged."""
+    return (
+        F.pmod(F.xxhash64(key), F.lit(m)),
+        F.pmod(F.xxhash64(key, F.lit(_H2_SEED)), F.lit(m)),
+    )
+
+
+def _geometry(n_keys: int, fpp: float) -> tuple[int, int]:
+    n = max(n_keys, 1)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = ((m + 63) // 64) * 64  # whole words
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, fpp: float = 0.01, n_keys: int | None = None
+) -> BloomFilter:
+    """Build a Bloom filter over ``keys[key_col]`` (distinctness not
+    required — duplicate keys set the same bits). Triggers one count job
+    (unless ``n_keys`` is supplied) and one bitmap aggregation job."""
+    if n_keys is None:
+        n_keys = keys.count()
+    m, k = _geometry(n_keys, fpp)
+    h1, h2 = _hashes_mod(F.col(key_col), m)
+    word_rows = (
+        keys.select(h1.alias("__h1"), h2.alias("__h2"))
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"))
+        .select(
+            F.pmod(F.col("__h1") + F.col("__i") * F.col("__h2"), F.lit(m)).alias(
+                "__pos"
+            )
+        )
+        .select(
+            (F.col("__pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(1L, cast(__pos % 64 AS int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    words = np.zeros(m // 64, dtype=np.uint64)
+    for r in word_rows:
+        words[r["word"]] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return BloomFilter(words=words, m_bits=m, k=k, n_keys=n_keys, fpp=fpp)
+
+
+def might_contain(bloom: BloomFilter, key: Column) -> Column:
+    """Probe column: True iff all k bits for ``key`` are set (never a
+    false negative). Hashes are computed JVM-side; the Arrow-batched UDF
+    does pure numpy bit tests against the closure-shipped bitmap."""
+    words, m, k = bloom.words, bloom.m_bits, bloom.k
+
+    @pandas_udf("boolean")
+    def _probe(h1m: pd.Series, h2m: pd.Series) -> pd.Series:
+        # inputs are already reduced mod m (same Catalyst expressions as
+        # the build side), so int64 arithmetic here cannot overflow:
+        # i*h2m < k*m << 2^63.
+        a = h1m.to_numpy(dtype=np.int64)
+        b = h2m.to_numpy(dtype=np.int64)
+        out = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            pos = (a + i * b) % m
+            w = pos >> 6
+            bit = np.uint64(1) << (pos & 63).astype(np.uint64)
+            out &= (words[w] & bit) != 0
+        return pd.Series(out)
+
+    h1m, h2m = _hashes_mod(key, m)
+    return _probe(h1m, h2m)
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """``neardup.decontaminate`` with a Bloom prefilter: corpus shingles
+    probe the benchmark-shingle bloom first, and only the matching ~fpp
+    fraction reaches the exact verification join — same output, corpus
+    never shuffled, benchmark membership shipped at bloom (not hash-
+    relation) density."""
+    from ferc_xbrl_extractor_spark.operators.neardup import shingle_table
+
+    c_sh = shingle_table(corpus, id_col, text_col, n)
+    b_sh = shingle_table(benchmark, id_col, text_col, n).select("shingle").distinct()
+    bloom = bloom_build(b_sh, "shingle", fpp=fpp)
+    candidates = c_sh.filter(might_contain(bloom, F.col("shingle")))
+    # Exact verify: only bloom survivors join the true shingle set (AQE
+    # broadcasts it when it fits; when it doesn't, the shuffle is over the
+    # fpp-sized candidate slice, not the corpus).
+    hits = (
+        candidates.join(b_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_overlap)
+    )
+    return corpus.join(hits.select(id_col), id_col, "left_anti")

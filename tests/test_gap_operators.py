@@ -834,3 +834,52 @@ def test_hll_partials_merge_to_whole_data_estimate(spark):
              df.groupBy("grp").agg(F.count_distinct("v").alias("d")).collect()}
     for r in joined:
         assert abs(r["distinct_est"] - exact[r["grp"]]) / exact[r["grp"]] < 0.05
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(spark):
+    """Every inserted key must probe True (one-sidedness is the contract
+    the decontamination prefilter relies on); non-members must match at
+    roughly the nominal rate, not wildly above it."""
+    from ferc_xbrl_extractor_spark.operators import bloom
+
+    members = spark.range(0, 2000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    bf = bloom.bloom_build(members, "k", fpp=0.01)
+    assert members.filter(~bloom.might_contain(bf, F.col("k"))).count() == 0
+
+    others = spark.range(100000, 110000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    fp = others.filter(bloom.might_contain(bf, F.col("k"))).count()
+    assert fp / 10000 < 0.03  # nominal 1%, generous headroom
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    """The bloom path is a prefilter + exact verify: output must equal the
+    plain broadcast-join decontamination at any fpp."""
+    from ferc_xbrl_extractor_spark.operators import bloom, neardup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about spark planning here"),
+            (3, "the quick brown fox appears in this doc too"),
+            (4, "another clean document with original content inside"),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "quick brown fox jumps over everything")],
+        "doc_id long, text string",
+    )
+    exact = {
+        r["doc_id"]
+        for r in neardup.decontaminate(corpus, benchmark, n=3).collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in bloom.bloom_decontaminate(corpus, benchmark, n=3, fpp=0.2).collect()
+    }
+    assert got == exact
+    assert 2 in got and 4 in got and 1 not in got
