@@ -1,7 +1,10 @@
 """Structured Streaming surface: the G8 event-time operators on streams,
 plus custom stateful operators (G12) via ``applyInPandasWithState``."""
 
-from ferc_xbrl_extractor_spark.streaming.ingest import stream_filings_dir
+from ferc_xbrl_extractor_spark.streaming.ingest import (
+    stream_extract_to_parquet,
+    stream_filings_dir,
+)
 from ferc_xbrl_extractor_spark.streaming.stateful import (
     stream_asof_enrich,
     stream_dedup_first,
@@ -17,6 +20,7 @@ __all__ = [
     "run_stream_to_memory",
     "stream_asof_enrich",
     "stream_dedup_first",
+    "stream_extract_to_parquet",
     "stream_filings_dir",
     "stream_session_counts",
     "stream_sliding_counts",

@@ -327,3 +327,63 @@ def test_stream_filings_dir_matches_batch_shred(spark, tmp_path):
     assert {(r["c_id"], r["value"]) for r in facts} == {
         ("c_1", "10"), ("c_2", "20"), ("c_3", "30")
     }
+
+
+def test_stream_extract_to_parquet_matches_batch_extract(spark, tmp_path):
+    """Continuous extract: drained incremental output (one filing per
+    microbatch, dynamic-partition-overwrite per filing) must equal the
+    one-shot batch extract of the same landing directory; a second drain
+    over the same checkpoint must be a no-op (exactly-once per filing)."""
+    from ferc_xbrl_extractor_spark.catalog.tablespec import TableSpec
+    from ferc_xbrl_extractor_spark.pipeline.extract import extract
+    from ferc_xbrl_extractor_spark.streaming import stream_extract_to_parquet
+
+    xml = """<?xml version="1.0"?>
+<xbrli:xbrl xmlns:xbrli="http://www.xbrl.org/2003/instance"
+            xmlns:ferc="http://ferc.gov/form/2023-01-01/ferc">
+  <xbrli:context id="c_{i}">
+    <xbrli:entity><xbrli:identifier scheme="s">E{i}</xbrli:identifier></xbrli:entity>
+    <xbrli:period>
+      <xbrli:startDate>2023-01-01</xbrli:startDate>
+      <xbrli:endDate>2023-12-31</xbrli:endDate>
+    </xbrli:period>
+  </xbrli:context>
+  <ferc:Amount contextRef="c_{i}">{v}</ferc:Amount>
+  <ferc:Label contextRef="c_{i}">row{i}</ferc:Label>
+</xbrli:xbrl>"""
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i in (1, 2, 3):
+        (land / f"filing-{i}.xbrl").write_text(
+            xml.replace("{i}", str(i)).replace("{v}", str(1.5 * i))
+        )
+
+    specs = {
+        "amounts": TableSpec(
+            name="amounts",
+            period_type="duration",
+            columns={"amount": "number", "label": "string"},
+            axes=[],
+        )
+    }
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_extract_to_parquet(
+        spark, str(land), specs, out, ckpt,
+        max_files_per_trigger=1, available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{out}/amounts")
+    batch = extract(spark, str(land), specs).tables["amounts"]
+    key = lambda r: (r["filing_name"], r["entity_id"], r["amount"], r["label"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
+    assert got.count() == 3
+
+    # drain again over the same checkpoint: no new files, no duplicates
+    q2 = stream_extract_to_parquet(
+        spark, str(land), specs, out, ckpt,
+        max_files_per_trigger=1, available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/amounts").count() == 3
