@@ -1475,6 +1475,26 @@ def q_g11_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "content_md5")
 
 
+def q_g11_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11 pure-JVM plumbing: per-media frame-sample timestamps exploded
+    from metadata duration (documents stand in as media; duration_ms :=
+    n_chars). The decode kernel a real extractor would join on is the
+    stubbed part; the timestamp layout is exact and oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("video/mp4").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("n_chars").cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return multimodal.frame_sample_plan(media, every_ms=500)
+
+
 def _drain_stream(spark: SparkSession, stream: DataFrame, prefix: str) -> DataFrame:
     """Run a finite streaming plan to completion (availableNow) into a
     uniquely-named memory sink and return the drained batch table.
@@ -1642,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g12_stream_dedup": q_g12_stream_dedup,
         "g12_stream_asof": q_g12_stream_asof,
         "g11_multimodal": q_g11_multimodal,
+        "g11_frame_sample": q_g11_frame_sample,
         "s8_stream_extract": q_s8_stream_extract,
         "g2_jaccard": q_g2_jaccard,
         "g2_cluster_dedup": q_g2_cluster_dedup,
@@ -2712,6 +2733,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS content_md5
         FROM documents
+    """
+
+    sql["g11_frame_sample"] = """
+        SELECT doc_id AS media_id, CAST(t.i AS BIGINT) AS sample_ms
+        FROM documents, UNNEST(range(0, n_chars + 1, 500)) t(i)
     """
 
     sql["g12_stream_dedup"] = """
