@@ -1399,6 +1399,36 @@ def q_g13_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g19_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G19: bucketized point-in-interval join — each user's non-signup
+    events matched to the 2-hour windows opened by that user's signup
+    events. Bucket width = the window length, so every interval covers
+    ≤ 2 buckets; the DuckDB oracle is the plain inequality join."""
+    from ferc_xbrl_extractor_spark.operators.joins import interval_join
+
+    events = _t(spark, sf_dir, "events")
+    points = events.filter(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("window_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+    )
+    out = interval_join(
+        points,
+        windows,
+        point_col="ts",
+        start_col="win_start",
+        end_col="win_end",
+        bucket_width=7200.0,
+        keys=["user_id"],
+        closed="left",
+    )
+    return out.select("event_id", "user_id", "ts", "window_id", "win_start")
+
+
 def q_g9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G9: as-of join (events ← latest order at-or-before the event),
     union+LOCF implementation — one keyed shuffle, no range blowup."""
@@ -1706,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g8_session": q_g8_session,
         "g13_salted_agg": q_g13_salted_agg,
         "g9_asof_join": q_g9_asof_join,
+        "g19_interval_join": q_g19_interval_join,
         "g9_asof_forward": q_g9_asof_forward,
         "g10_json": q_g10_json,
     }
@@ -2718,6 +2749,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.last_price
         FROM events e
         ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+    """
+
+    sql["g19_interval_join"] = """
+        WITH w AS (
+            SELECT event_id AS window_id, user_id,
+                   ts AS win_start, ts + INTERVAL 2 HOUR AS win_end
+            FROM events WHERE event_type = 'signup'
+        )
+        SELECT p.event_id, p.user_id, p.ts, w.window_id, w.win_start
+        FROM events p
+        JOIN w ON p.user_id = w.user_id
+              AND p.ts >= w.win_start AND p.ts < w.win_end
+        WHERE p.event_type <> 'signup'
     """
 
     sql["g10_json"] = """

@@ -10,7 +10,7 @@ range-join + dedup that explodes quadratically on skewed keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -117,3 +117,69 @@ def asof_join(
         *[F.col(f"__l.{c}").alias(c) for c in left_cols],
         *[F.col(f"__match.{c}").alias(c) for c in right_values],
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    keys: list[str] | None = None,
+    closed: str = "both",
+) -> DataFrame:
+    """G19: point-in-interval join — each point row matched to every
+    interval row containing it (optionally also equi-joined on ``keys``).
+
+    Spark has no native range join, and the naive formulation
+    (``ON p BETWEEN s AND e``) plans as BroadcastNestedLoop — O(|points| ×
+    |intervals|) comparisons per key, which is exactly what dies first at
+    scale. This bucketizes the time axis instead: intervals explode to one
+    row per covered bucket of width ``bucket_width``, points map to their
+    single bucket, and the containment test runs only within
+    (keys, bucket) equi-join groups — a plain shuffled hash join Catalyst
+    and AQE treat like any other. Work is O(|points| + |intervals| ×
+    dup_factor + |true matches within buckets|), dup_factor =
+    interval_length / bucket_width + 1.
+
+    Pick ``bucket_width`` near the typical interval length: much smaller
+    multiplies the interval side (dup_factor rows per interval); much
+    larger degrades the join back toward per-bucket all-pairs. Both axes
+    accept timestamps (bucketed on epoch seconds) or plain numerics.
+
+    ``closed``: 'both' ([s, e]), 'left' ([s, e)), 'right' ((s, e]),
+    'neither' ((s, e)).
+
+    Column names must be disjoint between the two sides apart from
+    ``keys`` (rename before joining otherwise) — the containment filter
+    references both sides' columns by name post-join.
+    """
+    keys = list(keys or [])
+    lo_ok = {"both": ">=", "left": ">=", "right": ">", "neither": ">"}[closed]
+    hi_ok = {"both": "<=", "left": "<", "right": "<=", "neither": "<"}[closed]
+
+    def nums(df: DataFrame, c: str) -> Column:
+        dt = df.schema[c].dataType.simpleString()
+        col = F.col(c)
+        if dt in ("timestamp", "date", "timestamp_ntz"):
+            # NTZ/date have no direct double cast; both sides route through
+            # the same session-zone ltz conversion, so containment filtering
+            # is unaffected by where bucket boundaries land.
+            return col.cast("timestamp_ltz").cast("double")
+        return col
+
+    p_b = F.floor(nums(points, point_col) / F.lit(bucket_width))
+    i_lo = F.floor(nums(intervals, start_col) / F.lit(bucket_width))
+    i_hi = F.floor(nums(intervals, end_col) / F.lit(bucket_width))
+
+    # Collision-free internal names: the two sides may share columns.
+    p = points.select("*", p_b.alias("__bkt"))
+    i = intervals.select(
+        "*", F.explode(F.sequence(i_lo, i_hi)).alias("__bkt")
+    )
+    on = keys + ["__bkt"]
+    contained = F.expr(
+        f"`{point_col}` {lo_ok} `{start_col}` AND `{point_col}` {hi_ok} `{end_col}`"
+    )
+    return p.join(i, on, "inner").filter(contained).drop("__bkt")

@@ -883,3 +883,43 @@ def test_bloom_decontaminate_equals_exact(spark):
     }
     assert got == exact
     assert 2 in got and 4 in got and 1 not in got
+
+
+def test_interval_join_matches_naive_range_join(spark):
+    """Bucketized point-in-interval join must equal the naive inequality
+    join on every bound mode, and must plan as an equi-join (never
+    BroadcastNestedLoop — the thing that dies at scale)."""
+    from ferc_xbrl_extractor_spark.operators.joins import interval_join
+
+    points = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(60)], "pid int, k int, t double"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, 0, 5.0, 20.0),
+            (101, 0, 19.0, 25.0),  # overlaps 100
+            (102, 1, 0.0, 0.0),    # degenerate single-point interval
+            (103, 2, 50.0, 200.0), # extends past the data
+            (104, 1, -10.0, -1.0), # matches nothing
+        ],
+        "iid int, k int, s double, e double",
+    )
+    for closed in ("both", "left", "right", "neither"):
+        lo = ">=" if closed in ("both", "left") else ">"
+        hi = "<=" if closed in ("both", "right") else "<"
+        naive = points.alias("p").join(
+            intervals.alias("i"),
+            F.expr(f"p.k = i.k AND p.t {lo} i.s AND p.t {hi} i.e"),
+        ).select("pid", "iid")
+        got = interval_join(
+            points, intervals, "t", "s", "e",
+            bucket_width=7.0, keys=["k"], closed=closed,
+        ).select("pid", "iid")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, naive.collect())
+        ), f"mismatch for closed={closed}"
+
+    plan = interval_join(
+        points, intervals, "t", "s", "e", bucket_width=7.0, keys=["k"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
