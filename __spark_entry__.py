@@ -1652,6 +1652,76 @@ def q_s8_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_stream(spark, out, "s8_extract")
 
 
+def q_g20_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G20: declarative data-quality suite compiled to ONE aggregation
+    pass (operators/quality.py) — the reference's per-invariant pytest
+    scans (ref:tests/integration/data_quality_test.py) as a single-scan
+    cluster-side report (check_name, metric, passed)."""
+    from ferc_xbrl_extractor_spark.operators import quality as Q
+
+    orders = _t(spark, sf_dir, "orders")
+    report = Q.check_constraints(
+        orders,
+        [
+            Q.size_between(1),
+            Q.completeness("o_orderpriority"),
+            Q.completeness("o_orderdate"),
+            Q.uniqueness("o_orderkey"),
+            Q.non_negative("o_totalprice"),
+            Q.mean_between("o_totalprice", 0.0, 1_000_000.0),
+            Q.max_at_most("o_totalprice", 10_000_000.0),
+            Q.in_set("o_orderstatus", ["O", "F", "P"]),
+            Q.matches("o_orderpriority", "[0-9]-[A-Z]"),
+        ],
+    )
+    return report.select(
+        F.col("constraint").alias("check_name"),
+        F.round("metric", 4).alias("metric"),
+        "passed",
+    )
+
+
+def q_g20_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G20: incremental upsert semantics (pipeline/upsert.py merge_latest)
+    — a refiling batch (every 7th order re-priced, every 97th a fresh
+    insert under a shifted key) merged into the base table; newest
+    version wins via one max_by aggregate, no window sort."""
+    from ferc_xbrl_extractor_spark.pipeline.upsert import merge_latest
+
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    existing = orders.select(*cols).withColumn("version", F.lit(1))
+    updates = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit("refiled").alias("o_orderpriority"),
+            F.lit(2).alias("version"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+                F.lit("inserted").alias("o_orderpriority"),
+                F.lit(2).alias("version"),
+            )
+        )
+    )
+    merged = merge_latest(
+        existing, updates, keys=["o_orderkey"], order_col="version"
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+        "version",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1735,6 +1805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g8_sliding": q_g8_sliding,
         "g8_session": q_g8_session,
         "g13_salted_agg": q_g13_salted_agg,
+        "g20_quality_suite": q_g20_quality_suite,
+        "g20_merge_latest": q_g20_merge_latest,
         "g9_asof_join": q_g9_asof_join,
         "g19_interval_join": q_g19_interval_join,
         "g9_asof_forward": q_g9_asof_forward,
@@ -2808,6 +2880,67 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.last_price
         FROM events e
         ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+    """
+
+    # G20 quality suite: the one-pass aggregate unpivoted; regexp_matches
+    # mirrors Spark's unanchored rlike.
+    sql["g20_quality_suite"] = """
+        WITH m AS (
+            SELECT
+                CAST(count(*) AS DOUBLE) AS size_m,
+                avg(CASE WHEN o_orderpriority IS NOT NULL THEN 1.0 ELSE 0.0 END) AS comp_prio,
+                avg(CASE WHEN o_orderdate IS NOT NULL THEN 1.0 ELSE 0.0 END) AS comp_date,
+                CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*) AS uniq_key,
+                CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+                avg(o_totalprice) AS mean_price,
+                CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+                avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END) AS in_status,
+                sum(CASE WHEN o_orderpriority IS NOT NULL AND regexp_matches(o_orderpriority, '[0-9]-[A-Z]')
+                         THEN 1.0 WHEN o_orderpriority IS NOT NULL THEN 0.0 END)
+                    / sum(CASE WHEN o_orderpriority IS NOT NULL THEN 1.0 ELSE 0.0 END) AS match_prio
+            FROM orders
+        )
+        SELECT check_name, ROUND(metric, 4) AS metric, passed FROM (
+            SELECT 'size' AS check_name, size_m AS metric, size_m >= 1.0 AS passed FROM m
+            UNION ALL SELECT 'completeness(o_orderpriority)', comp_prio, comp_prio >= 1.0 FROM m
+            UNION ALL SELECT 'completeness(o_orderdate)', comp_date, comp_date >= 1.0 FROM m
+            UNION ALL SELECT 'uniqueness(o_orderkey)', uniq_key, uniq_key >= 1.0 FROM m
+            UNION ALL SELECT 'non_negative(o_totalprice)', min_price, min_price >= 0.0 FROM m
+            UNION ALL SELECT 'mean_between(o_totalprice)', mean_price,
+                             mean_price >= 0.0 AND mean_price <= 1000000.0 FROM m
+            UNION ALL SELECT 'max_at_most(o_totalprice)', max_price, max_price <= 10000000.0 FROM m
+            UNION ALL SELECT 'in_set(o_orderstatus)', in_status, in_status >= 1.0 FROM m
+            UNION ALL SELECT 'matches(o_orderpriority)', match_prio, match_prio >= 1.0 FROM m
+        )
+    """
+
+    sql["g20_merge_latest"] = """
+        WITH existing AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+                   1 AS version
+            FROM orders
+        ),
+        updates AS (
+            SELECT o_orderkey, o_orderstatus,
+                   o_totalprice * 2 AS o_totalprice,
+                   'refiled' AS o_orderpriority, 2 AS version
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, 'N', o_totalprice,
+                   'inserted', 2
+            FROM orders WHERE o_orderkey % 97 = 0
+        ),
+        u AS (
+            SELECT * FROM existing UNION ALL SELECT * FROM updates
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY version DESC
+            ) AS rn FROM u
+        )
+        SELECT o_orderkey, o_orderstatus,
+               o_totalprice, o_orderpriority, version
+        FROM r WHERE rn = 1
     """
 
     return sql

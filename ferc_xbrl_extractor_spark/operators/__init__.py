@@ -3,7 +3,7 @@
 Submodules: filters (P1-P7), dedup (A2/A3/G1), fact_table (the per-table
 pipeline), joins (J1/J2/G9), stats (A4-A8), analytics (G5-G8/G10),
 text (G4), neardup (G2), similarity (G3), multimodal (G11),
-bloom (G15 bloom prefilter).
+bloom (G15 bloom prefilter), quality (G20 one-pass constraint suites).
 """
 
 from ferc_xbrl_extractor_spark.operators import (  # noqa: F401
@@ -11,6 +11,7 @@ from ferc_xbrl_extractor_spark.operators import (  # noqa: F401
     bloom,
     multimodal,
     neardup,
+    quality,
     similarity,
     text,
 )
@@ -35,6 +36,7 @@ __all__ = [
     "bloom",
     "multimodal",
     "neardup",
+    "quality",
     "similarity",
     "text",
     "dedup_exact",

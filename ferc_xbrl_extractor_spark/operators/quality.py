@@ -1,0 +1,131 @@
+"""Declarative data-quality constraint checking in ONE aggregate pass.
+
+The reference expresses its data-quality invariants as ad-hoc pytest
+assertions, each running its own full scan (used-fact ratio
+ref:tests/integration/data_quality_test.py:37-55, non-null rows :92-100,
+publication_time completeness :58-66). At 100 TB a per-constraint scan is
+the dominant cost, so this module compiles an arbitrary *suite* of
+declared constraints into a single map-side-combinable aggregation: one
+scan, one (tiny, 1-row) shuffle, regardless of how many constraints are
+declared. The 1-row wide aggregate is then unpivoted driver-free via
+``stack`` into the tidy report relation ``(constraint, metric, passed)``.
+
+Design notes for scale:
+- Every metric is an algebraic aggregate (sum/count/min/max/avg) or an
+  exact count-distinct. Spark plans multiple distinct aggregates with a
+  single Expand + two-phase hash aggregate — still one scan of the data.
+- No driver collection: the report itself is a DataFrame; "suite passed"
+  is ``report.filter(~passed).isEmpty()`` or an agg over it.
+- Thresholds are baked into the plan as literals, so the pass/fail
+  booleans are computed cluster-side and the report is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One constraint: a named metric expression plus a pass predicate.
+
+    ``metric`` must be an aggregate Column producing a numeric scalar;
+    ``lo``/``hi`` are the inclusive bounds the metric must fall in (either
+    side may be None for unbounded).
+    """
+
+    name: str
+    metric: Column
+    lo: float | None = None
+    hi: float | None = None
+
+
+def completeness(col: str, at_least: float = 1.0) -> Check:
+    """Fraction of rows with ``col`` non-null."""
+    m = F.avg(F.col(col).isNotNull().cast("double"))
+    return Check(f"completeness({col})", m, lo=at_least)
+
+
+def uniqueness(*cols: str, at_least: float = 1.0) -> Check:
+    """Exact distinct(cols)/count ratio (1.0 == candidate key)."""
+    m = F.count_distinct(*[F.col(c) for c in cols]) / F.count(F.lit(1))
+    return Check(f"uniqueness({','.join(cols)})", m, lo=at_least)
+
+
+def non_negative(col: str) -> Check:
+    return Check(f"non_negative({col})", F.min(F.col(col)), lo=0.0)
+
+
+def mean_between(col: str, lo: float, hi: float) -> Check:
+    return Check(f"mean_between({col})", F.avg(F.col(col)), lo=lo, hi=hi)
+
+
+def max_at_most(col: str, hi: float) -> Check:
+    return Check(f"max_at_most({col})", F.max(F.col(col)), hi=hi)
+
+
+def size_between(lo: int, hi: int | None = None) -> Check:
+    return Check("size", F.count(F.lit(1)), lo=float(lo),
+                 hi=float(hi) if hi is not None else None)
+
+
+def matches(col: str, pattern: str, at_least: float = 1.0) -> Check:
+    """Fraction of non-null values fully matching a (Java) regex."""
+    hit = F.when(F.col(col).rlike(pattern), 1.0).otherwise(0.0)
+    m = F.sum(F.when(F.col(col).isNotNull(), hit)) / F.sum(
+        F.col(col).isNotNull().cast("double")
+    )
+    return Check(f"matches({col})", m, lo=at_least)
+
+
+def in_set(col: str, allowed: list[str], at_least: float = 1.0) -> Check:
+    # coalesce: a NULL value is *not* in the set (isin yields NULL on NULL,
+    # which avg would silently skip — fail it instead).
+    m = F.avg(F.coalesce(F.col(col).isin(allowed), F.lit(False)).cast("double"))
+    return Check(f"in_set({col})", m, lo=at_least)
+
+
+def check_constraints(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Run a whole constraint suite in one aggregation pass.
+
+    Returns ``(constraint string, metric double, passed boolean)`` with
+    one row per check, ordered as declared. NULL metrics (empty input for
+    a ratio) fail closed.
+    """
+    if not checks:
+        raise ValueError("check_constraints: empty suite")
+    names = [c.name for c in checks]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate constraint names: {names}")
+    agg_row = df.agg(
+        *[c.metric.cast("double").alias(f"m{i}") for i, c in enumerate(checks)]
+    )
+    # Unpivot the 1-row wide aggregate with stack — no driver round-trip,
+    # and pass/fail folds to a literal comparison per metric column.
+    pairs = []
+    for i, c in enumerate(checks):
+        m = F.col(f"m{i}")
+        ok = m.isNotNull()
+        if c.lo is not None:
+            ok = ok & (m >= F.lit(float(c.lo)))
+        if c.hi is not None:
+            ok = ok & (m <= F.lit(float(c.hi)))
+        pairs.append(
+            F.struct(
+                F.lit(c.name).alias("constraint"),
+                m.alias("metric"),
+                ok.alias("passed"),
+            )
+        )
+    return (
+        agg_row.select(F.explode(F.array(*pairs)).alias("r"))
+        .select("r.constraint", "r.metric", "r.passed")
+    )
+
+
+def suite_passed(report: DataFrame) -> bool:
+    """Driver-side convenience: did every constraint pass?"""
+    return report.filter(~F.col("passed")).isEmpty()
