@@ -53,6 +53,8 @@ HEADLINE = [
     "g18_quantized_topk",
     "g15_decontaminate",
     "g16_curate_e2e",
+    "g20_quality_suite",
+    "g20_merge_latest",
     "g5_moving_agg",
     "g6_rollup",
     "g6_grouping_sets",
