@@ -1722,6 +1722,54 @@ def q_g20_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g21_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G21: wide -> long melt (operators/analytics.py unpivot) — the
+    inverse of the engine's core A1 pivot, as an in-plan Expand (no
+    shuffle, no UDF)."""
+    from ferc_xbrl_extractor_spark.operators.analytics import unpivot
+
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+    )
+    return unpivot(
+        wide,
+        ids=["l_orderkey", "l_linenumber"],
+        values=["quantity", "extendedprice", "discount"],
+        var_col="name",
+        value_col="value",
+    )
+
+
+def q_g22_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G22: edit-distance string join via SymSpell deletion-neighborhood
+    blocking (operators/fuzzyjoin.py) — every-7th probe is verbatim
+    (distance 0), the rest drop their 3rd character (distance 1); the
+    blocked keyed join must equal the oracle's naive cross join +
+    levenshtein filter exactly (perfect-recall blocking)."""
+    from ferc_xbrl_extractor_spark.operators.fuzzyjoin import fuzzy_string_join
+
+    part = _t(spark, sf_dir, "part")
+    canon = part.groupBy(F.col("p_name").alias("cname")).agg(
+        F.min("p_partkey").alias("c_id")
+    )
+    probes = part.filter(F.col("p_partkey") % 5 == 0).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.when(F.col("p_partkey") % 7 == 0, F.col("p_name"))
+        .otherwise(
+            F.concat(
+                F.expr("substring(p_name, 1, 2)"), F.expr("substring(p_name, 4)")
+            )
+        )
+        .alias("probe"),
+    )
+    return fuzzy_string_join(probes, canon, "probe", "cname", max_dist=1)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1807,6 +1855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g13_salted_agg": q_g13_salted_agg,
         "g20_quality_suite": q_g20_quality_suite,
         "g20_merge_latest": q_g20_merge_latest,
+        "g21_unpivot": q_g21_unpivot,
+        "g22_fuzzy_join": q_g22_fuzzy_join,
         "g9_asof_join": q_g9_asof_join,
         "g19_interval_join": q_g19_interval_join,
         "g9_asof_forward": q_g9_asof_forward,
@@ -2941,6 +2991,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderkey, o_orderstatus,
                o_totalprice, o_orderpriority, version
         FROM r WHERE rn = 1
+    """
+
+    sql["g21_unpivot"] = """
+        SELECT l_orderkey, l_linenumber, name, value FROM (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_quantity AS DOUBLE) AS quantity,
+                   CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+                   CAST(l_discount AS DOUBLE) AS discount
+            FROM lineitem
+        ) UNPIVOT (value FOR name IN (quantity, extendedprice, discount))
+    """
+
+    # Naive theta join: the blocked Spark plan must reproduce it exactly
+    # (deletion-neighborhood blocking has perfect recall at d=1).
+    sql["g22_fuzzy_join"] = """
+        WITH canon AS (
+            SELECT p_name AS cname, min(p_partkey) AS c_id
+            FROM part GROUP BY 1
+        ),
+        probes AS (
+            SELECT p_partkey AS probe_id,
+                   CASE WHEN p_partkey % 7 = 0 THEN p_name
+                        ELSE substr(p_name, 1, 2) || substr(p_name, 4)
+                   END AS probe
+            FROM part WHERE p_partkey % 5 = 0
+        )
+        SELECT probe_id, probe, cname, c_id,
+               levenshtein(probe, cname) AS distance
+        FROM probes, canon
+        WHERE levenshtein(probe, cname) <= 1
     """
 
     return sql

@@ -55,6 +55,8 @@ HEADLINE = [
     "g16_curate_e2e",
     "g20_quality_suite",
     "g20_merge_latest",
+    "g21_unpivot",
+    "g22_fuzzy_join",
     "g5_moving_agg",
     "g6_rollup",
     "g6_grouping_sets",

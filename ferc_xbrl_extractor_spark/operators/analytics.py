@@ -217,3 +217,29 @@ def json_parse(df: DataFrame, json_col: str, schema: str, out_col: str = "parsed
     """G10 schema-full variant: from_json into a struct column; nested field
     pruning then applies to downstream selects."""
     return df.withColumn(out_col, F.from_json(F.col(json_col), schema))
+
+
+def unpivot(
+    df: DataFrame,
+    ids: list[str],
+    values: list[str],
+    var_col: str = "name",
+    value_col: str = "value",
+) -> DataFrame:
+    """G21: wide -> long melt, the inverse of the engine's core A1 pivot
+    (reference pivots long->wide at datapackage.py:427-441; consumers
+    frequently need the reverse to re-enter EAV form, e.g. to feed wide
+    metric tables back through the dedup/fuzzy pipeline).
+
+    Uses the native ``DataFrame.unpivot`` — in-plan Expand, one row out
+    per (row, value column), no shuffle, fully codegen'd. Value columns
+    are cast to a common type by Spark; heterogeneous inputs should
+    pre-cast (the EAV convention here is string values, matching the
+    shredder's long relation).
+    """
+    return df.unpivot(
+        [F.col(c) for c in ids],
+        [F.col(c) for c in values],
+        var_col,
+        value_col,
+    )
