@@ -387,3 +387,45 @@ def test_stream_extract_to_parquet_matches_batch_extract(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(f"{out}/amounts").count() == 3
+
+
+def test_stream_upsert_parquet_applies_batches_incrementally(spark, tmp_path):
+    from ferc_xbrl_extractor_spark.streaming.cdc import stream_upsert_parquet
+
+    table = str(tmp_path / "cdc_table")
+    landing = str(tmp_path / "cdc_updates")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    base = spark.createDataFrame(
+        [(1, "a", 1, "p0"), (2, "b", 1, "p1"), (3, "c", 1, "p2")],
+        "k long, v string, ver long, part string",
+    )
+    base.write.partitionBy("part").parquet(table)
+
+    updates1 = spark.createDataFrame(
+        [(1, "a2", 2, "p0"), (9, "new", 2, "p1")],
+        "k long, v string, ver long, part string",
+    )
+    updates1.write.parquet(landing)
+    stream = spark.readStream.schema(updates1.schema).parquet(landing)
+    q = stream_upsert_parquet(
+        stream, table, keys=["k"], order_col="ver",
+        partition_col="part", checkpoint_path=ckpt, available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(table).collect()}
+    assert got == {1: ("a2", 2), 2: ("b", 1), 3: ("c", 1), 9: ("new", 2)}
+
+    # second increment: only processes the NEW file (checkpoint), and an
+    # older version for k=1 must NOT regress the stored survivor
+    spark.createDataFrame(
+        [(1, "stale", 0, "p0"), (3, "c3", 3, "p2")],
+        "k long, v string, ver long, part string",
+    ).write.mode("append").parquet(landing)
+    stream2 = spark.readStream.schema(updates1.schema).parquet(landing)
+    q2 = stream_upsert_parquet(
+        stream2, table, keys=["k"], order_col="ver",
+        partition_col="part", checkpoint_path=ckpt, available_now=True,
+    )
+    q2.awaitTermination(120)
+    got2 = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(table).collect()}
+    assert got2 == {1: ("a2", 2), 2: ("b", 1), 3: ("c3", 3), 9: ("new", 2)}
