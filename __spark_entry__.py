@@ -1770,6 +1770,38 @@ def q_g22_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_string_join(probes, canon, "probe", "cname", max_dist=1)
 
 
+def q_g23_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G23: incremental dedup against an on-disk fingerprint index
+    (pipeline/incremental.py). Historical corpus = doc_id % 3 != 0
+    (indexed once), ingestion batch = doc_id % 2 == 0. The batch is
+    deduped internally (min-doc_id survivor per fingerprint) and against
+    the index (broadcast probe of the prefix-pruned scan — the index is
+    never shuffled); the oracle reproduces both steps relationally."""
+    import hashlib
+    import os
+    import shutil
+
+    from ferc_xbrl_extractor_spark.pipeline import incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    index_dir = f"/tmp/spark_graft_fpindex_{tag}_{os.getpid()}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    # prefix_len=1 (16 index partitions): at oracle scale the 256-way
+    # layout costs more in tiny-file writes than pruning saves.
+    incremental.index_init(
+        spark, index_dir, docs.filter(F.col("doc_id") % 3 != 0), prefix_len=1
+    )
+    res = incremental.incremental_dedup(
+        spark,
+        index_dir,
+        docs.filter(F.col("doc_id") % 2 == 0),
+        prefix_len=1,
+        update_index=False,
+    )
+    return res.fresh.select("doc_id", "fp")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1857,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g20_merge_latest": q_g20_merge_latest,
         "g21_unpivot": q_g21_unpivot,
         "g22_fuzzy_join": q_g22_fuzzy_join,
+        "g23_incremental_dedup": q_g23_incremental_dedup,
         "g9_asof_join": q_g9_asof_join,
         "g19_interval_join": q_g19_interval_join,
         "g9_asof_forward": q_g9_asof_forward,
@@ -3021,6 +3054,24 @@ def oracle_sql() -> dict[str, str]:
                levenshtein(probe, cname) AS distance
         FROM probes, canon
         WHERE levenshtein(probe, cname) <= 1
+    """
+
+    sql["g23_incremental_dedup"] = f"""
+        WITH {_TOKENS_CTE},
+        fpd AS (
+            SELECT doc_id, md5(array_to_string(w, ' ')) AS fp FROM toks
+        ),
+        hist AS (
+            SELECT DISTINCT fp FROM fpd WHERE doc_id % 3 <> 0
+        ),
+        batch AS (
+            SELECT doc_id, fp FROM fpd WHERE doc_id % 2 = 0
+        ),
+        surv AS (
+            SELECT fp, min(doc_id) AS doc_id FROM batch GROUP BY 1
+        )
+        SELECT s.doc_id, s.fp
+        FROM surv s ANTI JOIN hist h USING (fp)
     """
 
     return sql

@@ -57,6 +57,7 @@ HEADLINE = [
     "g20_merge_latest",
     "g21_unpivot",
     "g22_fuzzy_join",
+    "g23_incremental_dedup",
     "g5_moving_agg",
     "g6_rollup",
     "g6_grouping_sets",

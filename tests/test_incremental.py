@@ -1,0 +1,78 @@
+"""G23: incremental fingerprint-index dedup (pipeline/incremental.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from ferc_xbrl_extractor_spark.pipeline.incremental import (
+    incremental_dedup,
+    index_init,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+@pytest.fixture()
+def index_dir(spark, tmp_path):
+    d = str(tmp_path / "fpindex")
+    hist = _docs(spark, [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon")])
+    index_init(spark, d, hist)
+    return d
+
+
+def test_increment_dedups_within_batch_and_against_history(spark, index_dir):
+    batch = _docs(
+        spark,
+        [
+            (10, "alpha beta"),       # historical dup (exact)
+            (11, "  alpha\tbeta "),   # historical dup (whitespace-normalized)
+            (12, "zeta eta"),         # fresh
+            (13, "zeta eta"),         # batch-internal dup of 12
+            (14, "theta"),            # fresh
+        ],
+    )
+    res = incremental_dedup(
+        spark, index_dir, batch, update_index=True, collect_stats=True
+    )
+    got = {r["doc_id"] for r in res.fresh.collect()}
+    assert got == {12, 14}
+    assert res.n_fresh == 2
+    # 11 collapses into 10 and 13 into 12 WITHIN the batch; only the
+    # surviving alpha-beta row (10) then counts as a historical dup
+    assert res.n_batch_dups == 2
+    assert res.n_historical_dups == 1
+    # localCheckpoint-backed; no unpersist needed
+
+    # second increment: batch-1 survivors are now historical
+    batch2 = _docs(spark, [(20, "zeta eta"), (21, "iota")])
+    res2 = incremental_dedup(
+        spark, index_dir, batch2, update_index=True, collect_stats=True
+    )
+    assert {r["doc_id"] for r in res2.fresh.collect()} == {21}
+    assert res2.n_historical_dups == 1
+    # localCheckpoint-backed; no unpersist needed
+
+
+def test_increment_probe_never_shuffles_the_index(spark, index_dir):
+    batch = _docs(spark, [(30, "new text"), (31, "alpha beta")])
+    res = incremental_dedup(
+        spark, index_dir, batch, update_index=False, collect_stats=False
+    )
+    plan = res.fresh._jdf.queryExecution().executedPlan().toString()
+    # both the historical probe and the anti join must be broadcast joins —
+    # a sort-merge join would mean the index got shuffled
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # and the index scan is partition-pruned to the batch's prefixes
+    assert "PartitionFilters" in plan
+
+
+def test_update_index_false_leaves_index_untouched(spark, index_dir):
+    before = spark.read.parquet(index_dir).count()
+    batch = _docs(spark, [(40, "brand new doc")])
+    res = incremental_dedup(spark, index_dir, batch, update_index=False)
+    assert res.fresh.count() == 1
+    assert spark.read.parquet(index_dir).count() == before
