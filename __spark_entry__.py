@@ -1802,6 +1802,35 @@ def q_g23_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.fresh.select("doc_id", "fp")
 
 
+def q_g24_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G24: incremental NEAR-dup against a persistent MinHash-LSH band
+    index (pipeline/incremental.py). Historical corpus = doc_id % 3 != 0
+    (bands + shingles frozen on disk), batch = doc_id % 2 == 0. Batch docs
+    are dropped greedily if a verified (jaccard >= 0.5) pair exists with a
+    smaller batch id or with any historical doc; the oracle replays the
+    exact md5 band constructions and the same drop rule relationally."""
+    import hashlib
+    import os
+    import shutil
+
+    from ferc_xbrl_extractor_spark.pipeline import incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    index_dir = f"/tmp/spark_graft_lshindex_{tag}_{os.getpid()}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    incremental.neardup_index_init(
+        spark, index_dir, docs.filter(F.col("doc_id") % 3 != 0)
+    )
+    res = incremental.incremental_neardup(
+        spark,
+        index_dir,
+        docs.filter(F.col("doc_id") % 2 == 0),
+        update_index=False,
+    )
+    return res.fresh.select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1890,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g21_unpivot": q_g21_unpivot,
         "g22_fuzzy_join": q_g22_fuzzy_join,
         "g23_incremental_dedup": q_g23_incremental_dedup,
+        "g24_incremental_neardup": q_g24_incremental_neardup,
         "g9_asof_join": q_g9_asof_join,
         "g19_interval_join": q_g19_interval_join,
         "g9_asof_forward": q_g9_asof_forward,
@@ -3072,6 +3102,70 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT s.doc_id, s.fp
         FROM surv s ANTI JOIN hist h USING (fp)
+    """
+
+    sql["g24_incremental_neardup"] = f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (
+            SELECT doc_id, t.h AS h,
+                   min(md5(CAST(t.h AS VARCHAR) || ':' || shingle)) AS m
+            FROM ds, UNNEST(range(12)) AS t(h)
+            GROUP BY doc_id, t.h
+        ),
+        band AS (
+            SELECT doc_id, h // 2 AS b,
+                   md5(string_agg(m, '|' ORDER BY h)) AS bh
+            FROM sig GROUP BY doc_id, h // 2
+        ),
+        band_batch AS (SELECT * FROM band WHERE doc_id % 2 = 0),
+        band_hist  AS (SELECT * FROM band WHERE doc_id % 3 <> 0),
+        icand AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM band_batch a JOIN band_batch c
+              ON a.b = c.b AND a.bh = c.bh
+            WHERE a.doc_id < c.doc_id
+        ),
+        hcand AS (
+            SELECT DISTINCT h.doc_id AS hist_id, nb.doc_id AS new_id
+            FROM band_hist h JOIN band_batch nb
+              ON h.b = nb.b AND h.bh = nb.bh
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+        iver AS (
+            SELECT p.id_b
+            FROM (
+                SELECT icand.id_a, icand.id_b, count(*) AS nc
+                FROM icand
+                JOIN ds sa ON sa.doc_id = icand.id_a
+                JOIN ds sb ON sb.doc_id = icand.id_b AND sb.shingle = sa.shingle
+                GROUP BY 1, 2
+            ) p
+            JOIN sizes za ON p.id_a = za.doc_id
+            JOIN sizes zb ON p.id_b = zb.doc_id
+            WHERE CAST(p.nc AS DOUBLE) / (za.n + zb.n - p.nc) >= 0.5
+        ),
+        hver AS (
+            SELECT p.new_id
+            FROM (
+                SELECT hcand.hist_id, hcand.new_id, count(*) AS nc
+                FROM hcand
+                JOIN ds sa ON sa.doc_id = hcand.hist_id
+                JOIN ds sb ON sb.doc_id = hcand.new_id AND sb.shingle = sa.shingle
+                GROUP BY 1, 2
+            ) p
+            JOIN sizes za ON p.hist_id = za.doc_id
+            JOIN sizes zb ON p.new_id = zb.doc_id
+            WHERE CAST(p.nc AS DOUBLE) / (za.n + zb.n - p.nc) >= 0.5
+        ),
+        dropped AS (
+            SELECT id_b AS doc_id FROM iver
+            UNION
+            SELECT new_id FROM hver
+        )
+        SELECT d.doc_id
+        FROM documents d
+        ANTI JOIN dropped x USING (doc_id)
+        WHERE d.doc_id % 2 = 0
     """
 
     return sql

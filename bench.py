@@ -58,6 +58,7 @@ HEADLINE = [
     "g21_unpivot",
     "g22_fuzzy_join",
     "g23_incremental_dedup",
+    "g24_incremental_neardup",
     "g5_moving_agg",
     "g6_rollup",
     "g6_grouping_sets",

@@ -136,3 +136,189 @@ def incremental_dedup(
         n_batch_dups=None if n_batch is None else n_batch - n_surv,
         n_historical_dups=None if n_surv is None else n_surv - n_fresh,
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup increment: a persistent MinHash-LSH band index
+# ---------------------------------------------------------------------------
+
+BAND_PFX_COL = "bh_pfx"
+
+
+def _batch_lsh(batch, id_col, text_col, n, num_hashes, bands):
+    from ferc_xbrl_extractor_spark.operators import neardup
+
+    arr = neardup.doc_shingle_arrays(batch, id_col, text_col, n)
+    st = arr.select(
+        F.col(id_col), F.explode_outer("__sh").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    banded = neardup.band_table(
+        neardup.minhash_signature_table(st, id_col, num_hashes),
+        id_col,
+        num_hashes,
+        bands,
+    )
+    return arr, banded
+
+
+def neardup_index_init(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 6,
+    prefix_len: int = 1,
+) -> None:
+    """Freeze a corpus's MinHash-LSH state for incremental probing:
+
+    - ``{index}/bands``: (id, band_idx, band_hash) partitioned by a
+      band-hash prefix — the probe side, pruned per increment.
+    - ``{index}/shingles``: (id, shingle array) — the verification side,
+      fetched by id for candidate pairs only.
+
+    Both derive from the same md5 constructions the batch side uses, so an
+    increment's collisions against the index are exactly the collisions a
+    monolithic corpus-wide LSH join would have produced.
+    """
+    arr, banded = _batch_lsh(docs, id_col, text_col, n, num_hashes, bands)
+    (
+        banded.withColumn(BAND_PFX_COL, F.substring("band_hash", 1, prefix_len))
+        .repartition(F.col(BAND_PFX_COL))
+        .write.mode("overwrite")
+        .partitionBy(BAND_PFX_COL)
+        .parquet(f"{index_dir}/bands")
+    )
+    arr.write.mode("overwrite").parquet(f"{index_dir}/shingles")
+
+
+@dataclass
+class NeardupIncrementResult:
+    fresh: DataFrame           # batch docs surviving both checks
+    internal_pairs: DataFrame  # verified (id_a < id_b) pairs within batch
+    historical_pairs: DataFrame  # verified (hist_id, new_id, jaccard)
+
+
+def incremental_neardup(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 6,
+    prefix_len: int = 1,
+    threshold: float = 0.5,
+    update_index: bool = True,
+) -> NeardupIncrementResult:
+    """Near-dedup an ingestion batch against itself and the band index,
+    with O(increment) shuffle work — the index is scanned (pruned +
+    broadcast-probed), never shuffled:
+
+    1. batch shingles/signatures/bands: ONE keyed shuffle (the G2 shape).
+    2. internal candidates: band self-join; verified pairs drop the
+       larger id of each (greedy-by-id — full transitive clustering is
+       the G2b operator; an increment is small enough to re-cluster
+       downstream if needed).
+    3. historical candidates: the batch's bands are broadcast against the
+       prefix-pruned band partitions; candidate historical ids are then
+       broadcast-semi-fetched from the shingle store and each candidate
+       pair is verified with exact Jaccard. History always wins.
+    4. survivors' bands + shingles are appended (after an eager
+       localCheckpoint — see incremental_dedup on why persist() is not
+       enough when appending to a path the plan reads).
+    """
+    from ferc_xbrl_extractor_spark.operators import neardup
+
+    arr, banded = _batch_lsh(batch, id_col, text_col, n, num_hashes, bands)
+
+    # 2. internal: same aliased self-join shape as lsh_candidate_pairs
+    j = banded.alias("a").join(
+        banded.alias("b"),
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash")),
+    )
+    internal_cands = (
+        j.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    internal = neardup._verify_candidates(internal_cands, arr, id_col, threshold)
+
+    # 3. historical probe: prune band partitions to the batch's prefixes,
+    # broadcast the batch bands into the join — index side never shuffles.
+    touched = [
+        r[0]
+        for r in banded.select(
+            F.substring("band_hash", 1, prefix_len).alias("p")
+        )
+        .distinct()
+        .collect()
+    ]
+    hist_bands = spark.read.parquet(f"{index_dir}/bands").filter(
+        F.col(BAND_PFX_COL).isin(touched)
+    )
+    hist_cands = (
+        hist_bands.join(
+            F.broadcast(
+                banded.select(
+                    "band_idx", "band_hash", F.col(id_col).alias("new_id")
+                )
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select(F.col(id_col).alias("hist_id"), "new_id")
+        .distinct()
+    )
+    hist_ids = hist_cands.select(F.col("hist_id").alias(id_col)).distinct()
+    hist_arr = (
+        spark.read.parquet(f"{index_dir}/shingles")
+        .join(F.broadcast(hist_ids), id_col, "left_semi")
+        .select(F.col(id_col).alias("hist_id"), F.col("__sh").alias("__sh_h"))
+    )
+    new_arr = arr.select(
+        F.col(id_col).alias("new_id"), F.col("__sh").alias("__sh_n")
+    )
+    hj = (
+        hist_arr.join(F.broadcast(hist_cands), "hist_id")
+        .join(new_arr, "new_id")
+    )
+    n_common = F.size(F.array_intersect(F.col("__sh_h"), F.col("__sh_n")))
+    n_union = (
+        F.size(F.col("__sh_h")) + F.size(F.col("__sh_n")) - n_common
+    ).cast("double")
+    historical = (
+        hj.withColumn("jaccard", F.round(n_common / n_union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("hist_id", "new_id", "jaccard")
+    )
+
+    dropped = (
+        internal.select(F.col("id_b").alias(id_col))
+        .unionByName(historical.select(F.col("new_id").alias(id_col)))
+        .distinct()
+    )
+    fresh = batch.join(F.broadcast(dropped), id_col, "left_anti")
+
+    if update_index:
+        fresh = fresh.localCheckpoint(eager=True)
+        keep = fresh.select(id_col)
+        (
+            banded.join(F.broadcast(keep), id_col, "left_semi")
+            .withColumn(BAND_PFX_COL, F.substring("band_hash", 1, prefix_len))
+            .write.mode("append")
+            .partitionBy(BAND_PFX_COL)
+            .parquet(f"{index_dir}/bands")
+        )
+        arr.join(F.broadcast(keep), id_col, "left_semi").write.mode(
+            "append"
+        ).parquet(f"{index_dir}/shingles")
+    return NeardupIncrementResult(
+        fresh=fresh, internal_pairs=internal, historical_pairs=historical
+    )

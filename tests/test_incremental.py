@@ -76,3 +76,67 @@ def test_update_index_false_leaves_index_untouched(spark, index_dir):
     res = incremental_dedup(spark, index_dir, batch, update_index=False)
     assert res.fresh.count() == 1
     assert spark.read.parquet(index_dir).count() == before
+
+
+LONG_A = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+LONG_A_NEAR = "the quick brown fox jumps over the lazy cat near the quiet river bank today"
+LONG_B = "colorless green ideas sleep furiously while the committee debates the annual budget line"
+LONG_B_NEAR = "colorless green ideas sleep furiously while the committee debates the annual budget plan"
+UNIQUE = "entirely unrelated text about parquet partitioning strategies for analytical engines"
+
+
+def test_incremental_neardup_drops_internal_and_historical(spark, tmp_path):
+    from ferc_xbrl_extractor_spark.pipeline.incremental import (
+        incremental_neardup,
+        neardup_index_init,
+    )
+
+    d = str(tmp_path / "lsh")
+    hist = _docs(spark, [(1, LONG_A), (2, "some other historical doc entirely")])
+    neardup_index_init(spark, d, hist)
+
+    batch = _docs(
+        spark,
+        [
+            (10, LONG_A_NEAR),  # near-dup of historical 1
+            (11, LONG_B),       # fresh, but 12 is its near-dup
+            (12, LONG_B_NEAR),  # internal near-dup of 11 (greedy: 11 wins)
+            (13, UNIQUE),       # fresh
+        ],
+    )
+    res = incremental_neardup(spark, d, batch, update_index=True)
+    assert {r["doc_id"] for r in res.fresh.collect()} == {11, 13}
+    assert {(r["id_a"], r["id_b"]) for r in res.internal_pairs.collect()} == {(11, 12)}
+    hist_pairs = {(r["hist_id"], r["new_id"]) for r in res.historical_pairs.collect()}
+    assert (1, 10) in hist_pairs
+
+    # increment 2: near-dup of a batch-1 SURVIVOR must now be suppressed
+    batch2 = _docs(spark, [(20, LONG_B), (21, "another genuinely new document")])
+    res2 = incremental_neardup(spark, d, batch2, update_index=True)
+    assert {r["doc_id"] for r in res2.fresh.collect()} == {21}
+    # ...and near-dups of batch-1 DROPPED docs were not indexed, so their
+    # suppression came from the surviving representative (11), not 12
+    assert {r["hist_id"] for r in res2.historical_pairs.collect()} == {11}
+
+
+def test_incremental_neardup_probe_never_shuffles_the_index(spark, tmp_path):
+    from ferc_xbrl_extractor_spark.pipeline.incremental import (
+        incremental_neardup,
+        neardup_index_init,
+    )
+
+    d = str(tmp_path / "lsh2")
+    neardup_index_init(spark, d, _docs(spark, [(1, LONG_A)]))
+    res = incremental_neardup(
+        spark, d, _docs(spark, [(10, LONG_A_NEAR)]), update_index=False
+    )
+    plan = res.historical_pairs._jdf.queryExecution().executedPlan().toString()
+    # the index scan is partition-pruned...
+    assert "PartitionFilters" in plan
+    # ...and the band probe itself is never shuffled: no exchange keyed on
+    # the band join keys (the only exchanges allowed are over the SMALL
+    # derived candidate set — hist_id/new_id distinct — and the batch side,
+    # both bounded by the increment, not the index).
+    assert "hashpartitioning(band_hash" not in plan
+    assert "hashpartitioning(band_idx" not in plan
+    assert "BroadcastHashJoin" in plan
