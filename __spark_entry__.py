@@ -1831,6 +1831,20 @@ def q_g24_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.fresh.select("doc_id")
 
 
+def q_g14_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14c: Efraimidis-Spirakis weighted sampling without replacement
+    (operators/sampling.py weighted_sample_k) — 200 docs drawn with
+    inclusion odds proportional to text length, md5-deterministic so the
+    oracle reproduces the exact sample."""
+    from ferc_xbrl_extractor_spark.operators.sampling import weighted_sample_k
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample_k(
+        docs, 200, F.length("text"), id_col="doc_id", salt="ws1:"
+    )
+    return out.select("doc_id", F.length("text").alias("w"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1920,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g22_fuzzy_join": q_g22_fuzzy_join,
         "g23_incremental_dedup": q_g23_incremental_dedup,
         "g24_incremental_neardup": q_g24_incremental_neardup,
+        "g14_weighted_sample": q_g14_weighted_sample,
         "g9_asof_join": q_g9_asof_join,
         "g19_interval_join": q_g19_interval_join,
         "g9_asof_forward": q_g9_asof_forward,
@@ -3166,6 +3181,23 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         ANTI JOIN dropped x USING (doc_id)
         WHERE d.doc_id % 2 = 0
+    """
+
+    _u60_ws = (
+        "CAST(('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT)"
+    )
+    sql["g14_weighted_sample"] = f"""
+        SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   length(text) AS w,
+                   ln(({_u60_ws} + 1) / 1152921504606846976.0)
+                       / length(text) AS wkey
+            FROM documents
+            WHERE length(text) > 0
+        )
+        ORDER BY wkey DESC, doc_id ASC
+        LIMIT 200
     """
 
     return sql

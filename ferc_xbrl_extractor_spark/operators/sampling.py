@@ -114,3 +114,45 @@ def stratified_sample_n(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str | Column,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (A-ES /
+    Efraimidis-Spirakis): each row draws a deterministic uniform
+    ``u = (hash_u60(id)+1) / 2^60`` and is ranked by ``ln(u) / w`` — the
+    top-``k`` ranks are exactly a weighted sample without replacement
+    with inclusion odds proportional to ``w`` at each draw. The standard
+    ``u^(1/w)`` key is replaced by its monotone log transform so the
+    comparison is a single division (no pow), and ties (impossible for
+    distinct ids, but belt-and-braces) break by id.
+
+    Plan shape: a map-side key projection + ``orderBy(...).limit(k)``,
+    which Spark executes as TakeOrderedAndProject — per-partition top-k
+    heaps reduced on the driver, NO full sort, no shuffle of the
+    population. Rows with null/non-positive weight are excluded (they
+    have zero inclusion probability).
+
+    Engine portability: md5-derived u is bit-identical everywhere; ln and
+    the division are IEEE doubles whose cross-engine agreement is within
+    1 ulp — rank flips would need two keys within ~1e-16 relative, which
+    distinct-id uniforms make vanishingly unlikely (the same float-parity
+    class as the repo's ROUND(x, n) oracle convention).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (hash_u60(F.col(id_col), salt) + 1).cast("double") / F.lit(
+        float(_U60_SPAN)
+    )
+    key = F.log(u) / w.cast("double")
+    return (
+        df.filter(w.isNotNull() & (w.cast("double") > 0))
+        .withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__wkey")
+    )

@@ -923,3 +923,49 @@ def test_interval_join_matches_naive_range_join(spark):
         points, intervals, "t", "s", "e", bucket_width=7.0, keys=["k"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_weighted_sample_k_matches_reference_formula(spark):
+    """weighted_sample_k replicates the A-ES draw computed independently
+    in Python (hashlib md5 → ln(u)/w → top-k)."""
+    import hashlib
+    import math
+
+    from pyspark.sql import Row
+
+    from ferc_xbrl_extractor_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, 1000 if i % 50 == 0 else (i % 7) + 1) for i in range(300)]
+    df = spark.createDataFrame([Row(doc_id=i, w=w) for i, w in rows])
+
+    def key(i, w):
+        u60 = int(hashlib.md5(f"s:{i}".encode()).hexdigest()[:15], 16)
+        return math.log((u60 + 1) / float(1 << 60)) / w
+
+    expect = {
+        i for i, _ in sorted(
+            rows, key=lambda t: (-key(t[0], t[1]), t[0])
+        )[:20]
+    }
+    got = {
+        r["doc_id"]
+        for r in weighted_sample_k(df, 20, "w", salt="s:").collect()
+    }
+    assert got == expect
+    # heavy weights dominate: all six w=1000 rows make the top-20
+    assert {i for i, w in rows if w == 1000} <= got
+
+
+def test_weighted_sample_k_excludes_nonpositive_and_uses_topk_plan(spark):
+    from pyspark.sql import Row
+
+    from ferc_xbrl_extractor_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, w=0), Row(doc_id=2, w=-5), Row(doc_id=3, w=None),
+         Row(doc_id=4, w=2), Row(doc_id=5, w=3)]
+    )
+    out = weighted_sample_k(df, 10, "w")
+    assert {r["doc_id"] for r in out.collect()} == {4, 5}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k heaps, no full sort
