@@ -1845,6 +1845,21 @@ def q_g14_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.length("text").alias("w"))
 
 
+def q_g25_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G25: Morton/Z-order interleave (operators/layout.py zvalue) — the
+    clustering key behind multi-column data-skipping layouts, computed as
+    a pure Catalyst bit expression and reproduced bit-for-bit by the
+    oracle's shift/mask arithmetic."""
+    from ferc_xbrl_extractor_spark.operators.layout import zvalue
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        zvalue(["l_orderkey", "l_partkey"], bits=16).alias("z"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1935,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g23_incremental_dedup": q_g23_incremental_dedup,
         "g24_incremental_neardup": q_g24_incremental_neardup,
         "g14_weighted_sample": q_g14_weighted_sample,
+        "g25_zorder": q_g25_zorder,
         "g9_asof_join": q_g9_asof_join,
         "g19_interval_join": q_g19_interval_join,
         "g9_asof_forward": q_g9_asof_forward,
@@ -3198,6 +3214,17 @@ def oracle_sql() -> dict[str, str]:
         )
         ORDER BY wkey DESC, doc_id ASC
         LIMIT 200
+    """
+
+    _zterms = " | ".join(
+        f"(((l_orderkey >> {j}) & 1) << {2 * j})"
+        f" | (((l_partkey >> {j}) & 1) << {2 * j + 1})"
+        for j in range(16)
+    )
+    sql["g25_zorder"] = f"""
+        SELECT l_orderkey, l_partkey,
+               CAST({_zterms} AS BIGINT) AS z
+        FROM lineitem
     """
 
     return sql
