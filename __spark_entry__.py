@@ -931,6 +931,10 @@ def q_s7_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (one process overwrites while the other's deferred read executes).
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = f"/tmp/spark_graft_corpus_{tag}_{os.getpid()}"
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     corpus.write_corpus_shards(docs, path, shards=4, fmt="json")
     back = corpus.load_documents_json(spark, path)
     return back.groupBy("source").agg(
@@ -1787,6 +1791,11 @@ def q_g23_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     index_dir = f"/tmp/spark_graft_fpindex_{tag}_{os.getpid()}"
     shutil.rmtree(index_dir, ignore_errors=True)
+    # pid-scoped scratch: reclaim at process exit (repeated bench/gate
+    # runs would otherwise accumulate index copies under /tmp)
+    import atexit
+
+    atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
     # prefix_len=1 (16 index partitions): at oracle scale the 256-way
     # layout costs more in tiny-file writes than pruning saves.
     incremental.index_init(
@@ -1819,6 +1828,9 @@ def q_g24_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     index_dir = f"/tmp/spark_graft_lshindex_{tag}_{os.getpid()}"
     shutil.rmtree(index_dir, ignore_errors=True)
+    import atexit
+
+    atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
     incremental.neardup_index_init(
         spark, index_dir, docs.filter(F.col("doc_id") % 3 != 0)
     )

@@ -66,6 +66,12 @@ def fuzzy_string_join(
 
     Returns left's columns + right's columns + ``distance``. Column names
     must not collide (pre-alias if they do).
+
+    Row identity is the tuple of carried columns: the candidate dedup
+    (one pair can collide on many signatures) is a ``distinct`` over
+    them, so two INPUT rows that are entirely identical collapse to one.
+    Carry a unique id column on each side to preserve input multiplicity
+    — with ids present the result is exactly the naive theta join.
     """
     overlap = set(left.columns) & set(right.columns)
     if overlap:

@@ -73,7 +73,9 @@ def size_between(lo: int, hi: int | None = None) -> Check:
 
 
 def matches(col: str, pattern: str, at_least: float = 1.0) -> Check:
-    """Fraction of non-null values fully matching a (Java) regex."""
+    """Fraction of non-null values CONTAINING a (Java) regex match —
+    ``rlike`` is an unanchored substring search, so a full-value
+    validation must anchor the pattern itself (``^...$``)."""
     hit = F.when(F.col(col).rlike(pattern), 1.0).otherwise(0.0)
     m = F.sum(F.when(F.col(col).isNotNull(), hit)) / F.sum(
         F.col(col).isNotNull().cast("double")

@@ -97,6 +97,9 @@ def incremental_dedup(
             F.count(F.lit(1)).alias("_n"),
         )
         .select("fp", *[F.col(f"_row.{c}").alias(c) for c in payload])
+        # consumed by the prefix collect, the probe, the anti join, and
+        # (optionally) the stats count — persist, don't recompute
+        .persist()
     )
 
     # Prefix pruning bounds the index scan; the broadcast semi-join probes
@@ -234,6 +237,12 @@ def incremental_neardup(
     from ferc_xbrl_extractor_spark.operators import neardup
 
     arr, banded = _batch_lsh(batch, id_col, text_col, n, num_hashes, bands)
+    # The batch's shingle/minhash lineage feeds the prefix collect, the
+    # band self-join, the historical probe, the verify joins, and (with
+    # update_index) two appends — persist both relations or the md5-heavy
+    # pipeline re-executes per consumer.
+    arr = arr.persist()
+    banded = banded.persist()
 
     # 2. internal: same aliased self-join shape as lsh_candidate_pairs
     j = banded.alias("a").join(
@@ -293,10 +302,14 @@ def incremental_neardup(
     n_union = (
         F.size(F.col("__sh_h")) + F.size(F.col("__sh_n")) - n_common
     ).cast("double")
+    # Threshold the UNROUNDED jaccard (round only for display) — the same
+    # policy as the internal verify (neardup._verify_candidates) and the
+    # g24 oracle; thresholding the rounded value would drop pairs sitting
+    # just under the threshold (e.g. 0.49995 rounds to 0.5).
+    jac = n_common / n_union
     historical = (
-        hj.withColumn("jaccard", F.round(n_common / n_union, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("hist_id", "new_id", "jaccard")
+        hj.filter(jac >= threshold)
+        .select("hist_id", "new_id", F.round(jac, 4).alias("jaccard"))
     )
 
     dropped = (

@@ -19,6 +19,7 @@ from __future__ import annotations
 import math
 import os
 from dataclasses import dataclass
+from urllib.parse import unquote
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -46,9 +47,12 @@ def partition_layouts(table_dir: str, partition_col: str) -> list[PartitionLayou
             for f in os.listdir(d)
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         ]
+        # Hive escapes special characters in partition dir names
+        # (%-encoding, e.g. "a b" -> "a%20b"); report the DECODED value so
+        # filters against the partition column actually match.
         out.append(
             PartitionLayout(
-                value=entry[len(prefix):],
+                value=unquote(entry[len(prefix):]),
                 n_files=len(files),
                 total_bytes=sum(os.path.getsize(f) for f in files),
             )
@@ -83,14 +87,14 @@ def compact_partitions(
     # exact output file count (a grouped multi-partition coalesce cannot —
     # any task holding rows of two values writes a file for each). Jobs
     # are tiny (one partition's bytes) and the loop length is the number
-    # of *degenerate* partitions, not the table's.
+    # of *degenerate* partitions, not the table's. The DataFrame (and its
+    # file listing / schema inference) is built ONCE; each iteration only
+    # adds a partition filter to it.
+    table = spark.read.parquet(table_dir)
     for value, want in plan.items():
-        df = (
-            spark.read.parquet(table_dir)
-            .filter(F.col(partition_col) == value)
-        )
         (
-            df.coalesce(want)
+            table.filter(F.col(partition_col) == value)
+            .coalesce(want)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partition_col)

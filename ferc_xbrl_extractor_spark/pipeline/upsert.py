@@ -70,6 +70,17 @@ def upsert_parquet(
     the row count) and pushed into the existing-side scan as an ``isin``
     partition filter — Catalyst prunes every other partition at listing
     time, so the job's input is just the affected slices.
+
+    CONTRACT — the partition column must be STABLE under updates: a key's
+    partition value may never change between versions. An update that
+    moves ``k`` from partition A to B, with A absent from the batch,
+    would leave the stale A-row in place (A is pruned, B is merged) and
+    the table would hold ``k`` twice. This is the standard
+    dynamic-partition-overwrite MERGE precondition (detecting a move
+    would require scanning every partition, defeating the pruning); keys
+    whose partition can evolve need a key→partition index, which is out
+    of scope here. Partition by something derived from the key (or an
+    immutable attribute) and this cannot occur.
     """
     if partition_col not in updates.columns:
         raise ValueError(f"updates missing partition column {partition_col!r}")

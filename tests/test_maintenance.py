@@ -70,3 +70,24 @@ def test_compact_noop_on_healthy_table(spark, tmp_path):
     table = str(tmp_path / "tbl3")
     _write_fragmented(spark, table, n_rows=10, n_files=1, part="a")
     assert compact_partitions(spark, table, "part") == {}
+
+
+def test_compact_handles_hive_escaped_partition_values(spark, tmp_path):
+    """Partition values with special characters are %-escaped in dir
+    names; the layout report must decode them so the pruned filter
+    actually selects the partition's rows."""
+    table = str(tmp_path / "tbl4")
+    _write_fragmented(spark, table, n_rows=60, n_files=8, part="a b:c")
+    layouts = partition_layouts(table, "part")
+    assert layouts[0].value == "a b:c"
+    plan = compact_partitions(
+        spark, table, "part", target_file_bytes=1 << 30, max_files_per_partition=2
+    )
+    assert plan == {"a b:c": 1}
+    got = spark.read.parquet(table)
+    assert got.filter("part = 'a b:c'").count() == 60
+    import os
+
+    d = [e for e in os.listdir(table) if e.startswith("part=")][0]
+    files = [f for f in os.listdir(os.path.join(table, d)) if f.endswith(".parquet")]
+    assert len(files) == 1
