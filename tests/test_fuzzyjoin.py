@@ -103,3 +103,47 @@ def test_unpivot_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_fuzzy_join_property_random_strings(spark):
+    """Hypothesis: blocked join == naive cross join on random short
+    strings over a tiny alphabet (dense edit-distance neighborhoods —
+    the adversarial regime for blocking recall)."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="abc", min_size=0, max_size=5)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        lefts=st.lists(word, min_size=1, max_size=8, unique=True),
+        rights=st.lists(word, min_size=1, max_size=8, unique=True),
+        d=st.integers(min_value=1, max_value=2),
+    )
+    def check(lefts, rights, d):
+        from pyspark.sql import Row
+
+        left = spark.createDataFrame([Row(lid=i, lval=w) for i, w in enumerate(lefts)])
+        right = spark.createDataFrame([Row(rid=i, rval=w) for i, w in enumerate(rights)])
+        got = {
+            (r["lid"], r["rid"])
+            for r in fuzzy_string_join(left, right, "lval", "rval", d).collect()
+        }
+        expect = {
+            (i, j)
+            for i, a in enumerate(lefts)
+            for j, b in enumerate(rights)
+            if _lev(a, b) <= d
+        }
+        assert got == expect
+
+    check()
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]

