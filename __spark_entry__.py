@@ -1914,6 +1914,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g11_multimodal": q_g11_multimodal,
         "g11_frame_sample": q_g11_frame_sample,
         "s8_stream_extract": q_s8_stream_extract,
+        # round-4 additions sit MID-LIST on purpose: entries parked at the
+        # tail have twice fallen off the driver's gate (g12 in r2, g11 in
+        # r3); the tail is reserved for cheap long-green queries.
+        "g20_quality_suite": q_g20_quality_suite,
+        "g20_merge_latest": q_g20_merge_latest,
+        "g21_unpivot": q_g21_unpivot,
+        "g22_fuzzy_join": q_g22_fuzzy_join,
+        "g23_incremental_dedup": q_g23_incremental_dedup,
+        "g24_incremental_neardup": q_g24_incremental_neardup,
+        "g14_weighted_sample": q_g14_weighted_sample,
+        "g25_zorder": q_g25_zorder,
         "g2_jaccard": q_g2_jaccard,
         "g2_cluster_dedup": q_g2_cluster_dedup,
         "g2_minhash_lsh": q_g2_minhash_lsh,
@@ -1955,14 +1966,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g8_sliding": q_g8_sliding,
         "g8_session": q_g8_session,
         "g13_salted_agg": q_g13_salted_agg,
-        "g20_quality_suite": q_g20_quality_suite,
-        "g20_merge_latest": q_g20_merge_latest,
-        "g21_unpivot": q_g21_unpivot,
-        "g22_fuzzy_join": q_g22_fuzzy_join,
-        "g23_incremental_dedup": q_g23_incremental_dedup,
-        "g24_incremental_neardup": q_g24_incremental_neardup,
-        "g14_weighted_sample": q_g14_weighted_sample,
-        "g25_zorder": q_g25_zorder,
         "g9_asof_join": q_g9_asof_join,
         "g19_interval_join": q_g19_interval_join,
         "g9_asof_forward": q_g9_asof_forward,
