@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ferc_xbrl_extractor_spark.catalog.tablespec import TableSpec
 from ferc_xbrl_extractor_spark.operators import analytics, neardup, similarity, text
 from ferc_xbrl_extractor_spark.operators import multimodal, packing, sampling
+from ferc_xbrl_extractor_spark.operators import spans as spans_ops
 from ferc_xbrl_extractor_spark.operators.dedup import (
     dedup_exact,
     dedup_exact_keep,
@@ -1055,6 +1056,47 @@ def q_g4_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_G26_BOILER = (
+    "standard disclaimer the statements herein are provided without any "
+    "warranty express or implied"
+)  # 13 tokens -> six 8-grams shared by every injected doc
+
+
+def _g26_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with a boilerplate sentence appended to every 7th document —
+    guarantees cross-document duplicated 8-grams regardless of how much
+    natural overlap the synthetic corpus carries."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit(_G26_BOILER)),
+        ).otherwise(F.col("text")),
+    )
+
+
+def q_g26_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G26: substring-level dedup — maximal per-doc token spans covered by
+    8-grams occurring ≥2 times corpus-wide (Lee et al. 2022 semantics,
+    positional-gram inverted index instead of a suffix array)."""
+    return spans_ops.duplicated_spans(_g26_fixture(spark, sf_dir), n=8).select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+    )
+
+
+def q_g26_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G26: rebuild each doc with duplicated spans removed (byte-exact:
+    md5 of the rejoined kept tokens)."""
+    return spans_ops.trim_duplicated_spans(
+        _g26_fixture(spark, sf_dir), n=8
+    ).select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"), "n_kept_tokens"
+    )
+
+
 def q_g4_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: corpus token frequencies, top 20 (explode → count → top-k)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1938,6 +1980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_bm25": q_g4_bm25,
         "g4_surprisal": q_g4_surprisal,
         "g4_chunk": q_g4_chunk,
+        "g26_dup_spans": q_g26_dup_spans,
+        "g26_trim_spans": q_g26_trim_spans,
         "g4_pii_redact": q_g4_pii_redact,
         "g4_token_topk": q_g4_token_topk,
         "g4_language_id": q_g4_language_id,
@@ -2664,6 +2708,84 @@ def oracle_sql() -> dict[str, str]:
                md5(array_to_string(w[chunk_id * 32 + 1 : chunk_id * 32 + 40], ' '))
                    AS chunk_md5
         FROM c
+    """
+
+    # G26: shared CTE chain — boiler-injected corpus -> positional 8-gram
+    # inverted index -> duplicated grams -> covered positions -> islands.
+    g26_isl = f"""
+        base AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' ' || '{_G26_BOILER}'
+                        ELSE text END AS text
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> len(x) > 0) AS w
+            FROM base
+        ),
+        grams AS (
+            SELECT doc_id, CAST(t.i AS INT) AS pos,
+                   md5(array_to_string(w[t.i + 1 : t.i + 8], ' ')) AS g
+            FROM toks, UNNEST(range(len(w) - 7)) AS t(i)
+            WHERE len(w) >= 8
+        ),
+        dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+        brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN LAG(pos) OVER w IS NULL
+                             OR pos - LAG(pos) OVER w > 8
+                        THEN 1 ELSE 0 END AS b
+            FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+            FROM brk
+        )
+    """
+
+    sql["g26_dup_spans"] = f"""
+        WITH {g26_isl}
+        SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+               CAST(MAX(pos) + 8 AS INT) AS span_end
+        FROM isl GROUP BY doc_id, island
+    """
+
+    sql["g26_trim_spans"] = f"""
+        WITH {g26_isl},
+        spans AS (
+            SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+            FROM isl GROUP BY doc_id, island
+        ),
+        covered AS (
+            SELECT doc_id, s + u.i AS pos
+            FROM spans, UNNEST(range(e - s)) AS u(i)
+        ),
+        tokpos AS (
+            SELECT doc_id, t.i AS pos, w[t.i + 1] AS tok
+            FROM toks, UNNEST(range(len(w))) AS t(i)
+        ),
+        kept AS (
+            SELECT tp.doc_id, tp.pos, tp.tok
+            FROM tokpos tp LEFT JOIN covered c
+              ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+            WHERE c.pos IS NULL
+        ),
+        agg AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               md5(COALESCE(a.clean_text, '')) AS clean_md5,
+               CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept_tokens
+        FROM base b LEFT JOIN agg a USING (doc_id)
     """
 
     sql["g4_token_topk"] = f"""

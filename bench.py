@@ -47,6 +47,8 @@ HEADLINE = [
     "g4_bm25",
     "g4_surprisal",
     "g4_chunk",
+    "g26_dup_spans",
+    "g26_trim_spans",
     "g14_sample_stratified",
     "g17_pack_sequences",
     "g18_quantize_int8",

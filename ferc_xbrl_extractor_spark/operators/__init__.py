@@ -13,6 +13,7 @@ from ferc_xbrl_extractor_spark.operators import (  # noqa: F401
     neardup,
     quality,
     similarity,
+    spans,
     text,
 )
 from ferc_xbrl_extractor_spark.operators.dedup import (

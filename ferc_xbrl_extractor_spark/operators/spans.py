@@ -1,0 +1,165 @@
+"""Cross-document duplicated-span detection (G26) — substring-level dedup.
+
+Document-level dedup (G1/G2) drops whole near-identical documents; it
+cannot remove the boilerplate sentence that appears verbatim inside ten
+thousand otherwise-distinct pages. "Deduplicating Training Data Makes
+Language Models Better" (Lee et al., 2022) removes any substring that
+occurs more than once in the corpus; their single-machine tool builds a
+suffix array, which does not distribute. The distributed re-expression
+here is the standard positional n-gram inverted index:
+
+1. every token position contributes the hash of the n-gram starting
+   there — a long ``(doc, pos, gram)`` relation, built with the
+   materialize-tokens-first idiom (see ``neardup.shingles_from_tokens``:
+   inline token expressions get substituted into the higher-order-function
+   lambda and re-split the text once per position, O(tokens²) per doc);
+2. one hash aggregate finds grams whose global occurrence count is ≥
+   ``min_count`` (within-doc repeats count, exactly as a suffix array
+   would);
+3. a left-semi join marks the covered positions; because it is a semi
+   join there is NO fan-out on hot grams — a gram occurring 10⁹ times
+   contributes one survivor bit per occurrence, never a pairwise blowup
+   (contrast all-pairs formulations);
+4. covered positions merge into maximal spans per document with the
+   gap-and-islands trick (every gram covers exactly n tokens, so a new
+   island starts iff ``pos - prev_pos > n``) — a per-document window,
+   bounded by document length, never a global sort.
+
+Shuffle budget: one gram-keyed aggregate (map-side partial combine → the
+exchange carries |distinct grams|), one gram-keyed semi join (the
+aggregate side reuses its own exchange), one doc-keyed window. All rows
+are narrow (id, int, 16-byte md5). At 100 TB the gram relation is ~|tokens|
+rows — that is the honest price of substring-level dedup; the knobs that
+bound it are ``n`` (longer grams → fewer duplicated positions survive)
+and pre-filtering the corpus (quality-filter before span detection).
+
+``md5`` (not ``xxhash64``) keys the grams so the DuckDB oracle can rebuild
+them bit-for-bit; swap ``_gram_hash`` for ``xxhash64`` on a real cluster
+for an 8-byte shuffle key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _gram_hash(toks: Column, i: Column, n: int) -> Column:
+    return F.md5(F.array_join(F.slice(toks, i + 1, n), " "))
+
+
+def positional_grams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Long ``(id, pos, g)`` relation: g = hash of the n tokens starting at
+    0-based token position ``pos``.
+
+    Tokens are materialized in a prior projection (linear, not quadratic —
+    see module docstring). ``explode_outer`` + post-filter rather than
+    ``explode``: the inner variant makes Catalyst synthesize a
+    ``size(arr) > 0`` prune filter that predicate pushdown drags into the
+    parquet scan, evaluating the whole gram expression below the
+    parallelizing exchange (same trap as ``neardup.shingle_table``)."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("pos"), _gram_hash(toks, i, n).alias("g")
+        ),
+    )
+    guarded = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<struct<pos:int,g:string>>")
+    )
+    return (
+        toked.select(F.col(id_col), F.explode_outer(guarded).alias("__pg"))
+        .filter(F.col("__pg").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("__pg.pos").alias("pos"),
+            F.col("__pg.g").alias("g"),
+        )
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal per-document token spans covered by n-grams that occur at
+    least ``min_count`` times corpus-wide.
+
+    Returns ``(id_col, span_start, span_end)`` with ``span_end``
+    exclusive — tokens ``span_start .. span_end-1`` are duplicated text.
+    """
+    grams = positional_grams(df, id_col, text_col, n)
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("g")
+    )
+    hits = grams.join(dup, "g", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    brk = F.coalesce(((F.col("pos") - prev) > n).cast("int"), F.lit(1))
+    islands = hits.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__island"),
+    )
+    return islands.groupBy(id_col, "__island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + n).alias("span_end"),
+    ).select(id_col, "span_start", "span_end")
+
+
+def trim_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Rebuild each document with its duplicated spans removed.
+
+    Adds ``clean_text`` (kept tokens rejoined with single spaces) and
+    ``n_kept_tokens``. Span lists are collected per document (bounded by
+    document length) and the token filter is a single codegen'd
+    higher-order ``filter`` with a positional lambda — no per-token join.
+    The spans side is |docs-with-spans| rows of tiny arrays; the join back
+    to the corpus is keyed on ``id_col`` and AQE will broadcast it when it
+    fits.
+    """
+    if spans is None:
+        spans = duplicated_spans(df, id_col, text_col, n, min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toked = df.select("*", tokens(text_col).alias("__toks")).join(
+        per_doc, id_col, "left"
+    )
+    sp = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    kept = F.filter(
+        "__toks",
+        lambda t, i: ~F.exists(
+            sp, lambda s: (i >= s["span_start"]) & (i < s["span_end"])
+        ),
+    )
+    return toked.select(
+        *[c for c in df.columns],
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept_tokens"),
+    )

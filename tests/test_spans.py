@@ -1,0 +1,98 @@
+"""G26 duplicated-span detection: hand-checkable goldens + trim round-trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferc_xbrl_extractor_spark.operators import spans as sp
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BOILER = "b1 b2 b3 b4"  # 4 tokens, injected into several docs
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # doc 1 and 2 share BOILER mid-document; doc 3 repeats a 4-gram
+    # internally; doc 4 is all-unique; doc 5 is shorter than n.
+    return _docs(
+        spark,
+        [
+            (1, f"u11 u12 {BOILER} u13 u14"),
+            (2, f"u21 {BOILER} u22 u23 u24"),
+            (3, "r1 r2 r3 r4 x r1 r2 r3 r4"),
+            (4, "v1 v2 v3 v4 v5 v6"),
+            (5, "w1 w2"),
+        ],
+    )
+
+
+def test_positional_grams_positions_and_count(spark, corpus):
+    g = sp.positional_grams(corpus, n=4)
+    per_doc = {
+        r["doc_id"]: r["cnt"]
+        for r in g.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    # tokens: d1=8, d2=8, d3=9, d4=6, d5=2 -> positions = tokens-n+1 (>=0)
+    assert per_doc == {1: 5, 2: 5, 3: 6, 4: 3}
+
+
+def test_duplicated_spans_golden(spark, corpus):
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in sp.duplicated_spans(corpus, n=4).collect()
+    }
+    # BOILER starts at token 2 in doc 1 and token 1 in doc 2 (one 4-gram
+    # each -> span of exactly 4 tokens). Doc 3's repeated "r1 r2 r3 r4"
+    # occurs at positions 0 and 5 -> two islands (gap 5 > n=4).
+    assert got == {(1, 2, 6), (2, 1, 5), (3, 0, 4), (3, 5, 9)}
+
+
+def test_adjacent_grams_merge_into_one_span(spark):
+    # Two docs share 5 consecutive tokens -> two overlapping 4-grams
+    # (positions p and p+1) must merge into ONE span of 5 tokens.
+    docs = _docs(
+        spark,
+        [(1, "a b c d e x y"), (2, "q a b c d e")],
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in sp.duplicated_spans(docs, n=4).collect()
+    }
+    assert got == {(1, 0, 5), (2, 1, 6)}
+
+
+def test_trim_removes_exactly_the_spans(spark, corpus):
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept_tokens"])
+        for r in sp.trim_duplicated_spans(corpus, n=4).collect()
+    }
+    assert out[1] == ("u11 u12 u13 u14", 4)
+    assert out[2] == ("u21 u22 u23 u24", 4)
+    assert out[3] == ("x", 1)  # both repeats of the 4-gram removed
+    assert out[4] == ("v1 v2 v3 v4 v5 v6", 6)  # untouched
+    assert out[5] == ("w1 w2", 2)  # shorter than n -> no grams, untouched
+
+
+def test_min_count_threshold(spark, corpus):
+    # min_count=3: BOILER occurs only twice corpus-wide -> nothing from
+    # docs 1/2 survives; doc 3's internal repeat is also only 2 occurrences.
+    assert sp.duplicated_spans(corpus, n=4, min_count=3).count() == 0
+
+
+def test_empty_and_whitespace_docs(spark):
+    docs = _docs(spark, [(1, ""), (2, "   "), (3, "a b c d"), (4, "a b c d")])
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in sp.duplicated_spans(docs, n=4).collect()
+    }
+    assert got == {(3, 0, 4), (4, 0, 4)}
+    trimmed = {
+        r["doc_id"]: r["clean_text"]
+        for r in sp.trim_duplicated_spans(docs, n=4).collect()
+    }
+    assert trimmed == {1: "", 2: "", 3: "", 4: ""}
