@@ -832,22 +832,45 @@ def q_g3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-probe ≡ brute force)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    cvecs = _IVF_CENTROID_CACHE.get(sf_dir)
-    if cvecs is None:
-        cents = {
-            r["vec_id"]: [float(x) for x in r["embedding"]]
-            for r in emb.filter(
-                F.col("vec_id").isin(_IVF_CENTROID_IDS)
-            ).select("vec_id", "embedding").collect()
-        }
-        cvecs = [cents[i] for i in _IVF_CENTROID_IDS]
-        _IVF_CENTROID_CACHE[sf_dir] = cvecs
+    cvecs = _ivf_centroids(spark, sf_dir)
     return similarity.ivf_topk(
         emb,
         queries,
         k=5,
         nprobe=3,
         centroids_vectors=cvecs,
+    )
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    emb = _t(spark, sf_dir, "embeddings")
+    cvecs = _IVF_CENTROID_CACHE.get(sf_dir)
+    if cvecs is None:
+        cents = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("vec_id").isin(_IVF_CENTROID_IDS))
+            .select("vec_id", "embedding")
+            .collect()
+        }
+        cvecs = [cents[i] for i in _IVF_CENTROID_IDS]
+        _IVF_CENTROID_CACHE[sf_dir] = cvecs
+    return cvecs
+
+
+def q_g27_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G27: SemDeDup-style semantic dedup — cluster embeddings with the
+    supplied (fit-once) quantizer, score cosine pairs within clusters
+    only, connected-components the pair graph, keep the min-id survivor.
+    Oracle replays assignment (argmax dot, ties low), the within-cluster
+    pair join, and a recursive transitive-closure CTE."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cvecs = similarity.unit_centroids_from_rows(_ivf_centroids(spark, sf_dir))
+    pairs = similarity.semantic_pairs(emb, cvecs, threshold=0.4)
+    clustered = neardup.attach_clusters(emb, pairs, "vec_id")
+    return clustered.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        (F.col("cluster") == F.col("vec_id")).alias("is_survivor"),
     )
 
 
@@ -1975,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_lsh_topk": q_g3_lsh_topk,
         "g3_ivf_topk": q_g3_ivf_topk,
         "g3_embedding_neardup": q_g3_embedding_neardup,
+        "g27_semantic_dedup": q_g27_semantic_dedup,
         "g4_text_stats": q_g4_text_stats,
         "g4_repetition": q_g4_repetition,
         "g4_bm25": q_g4_bm25,
@@ -2451,6 +2475,50 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY sim DESC, neighbor_id) AS INT) AS rank
         FROM scored
         QUALIFY rank <= 5
+    """
+
+    # G27: SemDeDup — same quantizer/assignment CTEs as g3_ivf_topk, pair
+    # scoring restricted to within-cluster, then the g2_cluster_dedup
+    # recursive transitive closure for component labels.
+    sql["g27_semantic_dedup"] = f"""
+        WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                   FROM embeddings),
+        u AS (SELECT vec_id,
+                     list_transform(ve, x -> x / sqrt(list_inner_product(ve, ve))) AS uv
+              FROM e),
+        cent AS (SELECT CAST(vec_id - {_IVF_CENTROID_IDS[0]} AS INT) AS cl,
+                        uv AS cv
+                 FROM u
+                 WHERE vec_id BETWEEN {_IVF_CENTROID_IDS[0]} AND {_IVF_CENTROID_IDS[-1]}),
+        assigned AS (
+            SELECT u.vec_id, u.uv, cent.cl
+            FROM u, cent
+            QUALIFY row_number() OVER (
+                PARTITION BY u.vec_id
+                ORDER BY list_inner_product(u.uv, cent.cv) DESC, cent.cl) = 1
+        ),
+        sim AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM assigned a JOIN assigned b USING (cl)
+            WHERE a.vec_id < b.vec_id
+              AND list_inner_product(a.uv, b.uv) >= 0.4
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM sim
+            UNION ALL SELECT id_b, id_a FROM sim
+        ),
+        reach(id, lab) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT eg.src, r.lab FROM edges eg JOIN reach r ON r.id = eg.dst
+        ),
+        labels AS (
+            SELECT id, LEAST(MIN(lab), id) AS lab FROM reach GROUP BY id
+        )
+        SELECT v.vec_id,
+               CAST(COALESCE(l.lab, v.vec_id) AS BIGINT) AS cluster,
+               COALESCE(l.lab, v.vec_id) = v.vec_id AS is_survivor
+        FROM embeddings v LEFT JOIN labels l ON l.id = v.vec_id
     """
 
     sql["g3_embedding_neardup"] = """

@@ -43,6 +43,7 @@ HEADLINE = [
     "g3_cosine_topk",
     "g3_lsh_topk",
     "g3_ivf_topk",
+    "g27_semantic_dedup",
     "g4_text_stats",
     "g4_bm25",
     "g4_surprisal",

@@ -610,13 +610,15 @@ def attach_clusters(
     min-id for documents in the pair graph, the document's own id for
     singletons. The labels relation is |graph nodes| rows — tiny next to
     the corpus — so the left join broadcasts (AQE, from runtime stats)."""
+    # Internal names are __-prefixed: the corpus may legitimately carry a
+    # column called "label" (the embeddings table does).
     labels = connected_components(pairs, id_a="id_a", id_b="id_b").withColumnsRenamed(
-        {"id": id_col}
+        {"id": id_col, "label": "__cc_label"}
     )
     return (
         df.join(labels, id_col, "left")
-        .withColumn(cluster_col, F.coalesce("label", F.col(id_col)))
-        .drop("label")
+        .withColumn(cluster_col, F.coalesce("__cc_label", F.col(id_col)))
+        .drop("__cc_label")
     )
 
 

@@ -496,6 +496,72 @@ def hyperplane_lsh_topk(
     ).select(query_id_col, "neighbor_id", "sim", "rank")
 
 
+def semantic_pairs(
+    df: DataFrame,
+    unit_centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style candidate generation (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): embeddings are clustered by a coarse quantizer and
+    near-duplicate pairs are scored ONLY within a cluster — the k-means
+    partition is the blocking structure that replaces the corpus-wide
+    all-pairs join.
+
+    Assignment is ``ivf_assign`` against supplied unit centroids — a
+    map-side literal-matrix expression, no shuffle, no fit here (fit once
+    with ``ivf_index``; search many). The self-join is keyed on the
+    cluster id, so the cost is Σ|cluster|² — bound it by raising nlist
+    (SemDeDup uses ~100k clusters at web scale) or sub-bucketing hot
+    clusters with ``hyperplane_signature``. Unit vectors make the pair
+    score a plain dot product; norms are normalized away below the join,
+    never recomputed per pair.
+
+    Returns ``(id_a, id_b, sim)`` with ``id_a < id_b`` and
+    cosine ≥ ``threshold``.
+    """
+    prepped = df.select(
+        F.col(id_col), _unit(F.col(vec_col)).alias("__nvec")
+    ).withColumn("__cluster", ivf_assign(F.col("__nvec"), unit_centroids))
+    a = prepped.select(
+        F.col(id_col).alias("id_a"), F.col("__nvec").alias("__va"), "__cluster"
+    )
+    b = prepped.select(
+        F.col(id_col).alias("id_b"), F.col("__nvec").alias("__vb"), "__cluster"
+    )
+    sim = dot(F.col("__va"), F.col("__vb"))
+    return (
+        a.join(b, "__cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__sim", sim)
+        .filter(F.col("__sim") >= threshold)
+        .select("id_a", "id_b", F.round("__sim", 4).alias("sim"))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    unit_centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic corpus dedup: drop all but one member (component min-id)
+    of every within-cluster cosine-similarity component. Composes
+    ``semantic_pairs`` with the G2b pair-graph machinery — the corpus is
+    never shuffled; losers anti-join against the scan.
+
+    (SemDeDup's survivor rule — keep the member farthest from the
+    centroid — is a one-line ``max_by`` swap on the component labels;
+    min-id is used here for cross-engine determinism.)"""
+    from .neardup import dedup_by_pairs
+
+    pairs = semantic_pairs(df, unit_centroids, threshold, id_col, vec_col)
+    return dedup_by_pairs(df, pairs, id_col=id_col)
+
+
 def quantize_int8(
     df: DataFrame,
     vec_col: str = "embedding",

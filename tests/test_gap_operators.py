@@ -969,3 +969,39 @@ def test_weighted_sample_k_excludes_nonpositive_and_uses_topk_plan(spark):
     assert {r["doc_id"] for r in out.collect()} == {4, 5}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-k heaps, no full sort
+
+
+def test_semantic_dedup_blocks_by_cluster_and_keeps_min_id(spark):
+    from ferc_xbrl_extractor_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_pairs,
+        unit_centroids_from_rows,
+    )
+
+    cents = unit_centroids_from_rows([[1.0, 0.0], [0.0, 1.0]])
+    # 1,2: near-identical, cluster 0 -> one pair, survivor 1.
+    # 3: cluster 0 but dissimilar to 1/2 (below threshold).
+    # 4,5: near-identical, cluster 1 -> survivor 4.
+    # 6: sits near the boundary in cluster 0; 7 is its mirror in cluster
+    #    1 with cosine(6,7) ~ 0.995 -- ABOVE threshold but different
+    #    clusters, so blocking must NOT pair them (SemDeDup semantics).
+    rows = [
+        (1, [10.0, 1.0]),
+        (2, [10.0, 1.01]),
+        (3, [10.0, 6.0]),
+        (4, [1.0, 10.0]),
+        (5, [1.01, 10.0]),
+        (6, [10.0, 9.5]),
+        (7, [9.5, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_pairs(df, cents, threshold=0.99).collect()
+    }
+    assert pairs == {(1, 2), (4, 5)}
+    survivors = {
+        r["vec_id"]
+        for r in semantic_dedup(df, cents, threshold=0.99).collect()
+    }
+    assert survivors == {1, 3, 4, 6, 7}
