@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ferc_xbrl_extractor_spark.catalog.tablespec import TableSpec
 from ferc_xbrl_extractor_spark.operators import analytics, neardup, similarity, text
 from ferc_xbrl_extractor_spark.operators import multimodal, packing, sampling
+from ferc_xbrl_extractor_spark.operators import classifier
 from ferc_xbrl_extractor_spark.operators import spans as spans_ops
 from ferc_xbrl_extractor_spark.operators.dedup import (
     dedup_exact,
@@ -879,6 +880,32 @@ def q_g3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-LSH bucketed form is the declared scale path, tested in pytest)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_neardup_pairs(emb, threshold=0.4)
+
+
+# G28: fixed deployment weights (what a train_quality_classifier fit
+# produces; the fit itself is pytest-pinned — L-BFGS isn't
+# oracle-reproducible). Dict order IS the fold order the oracle mirrors.
+_G28_W = {
+    "n_tokens_k": 0.8,
+    "avg_token_len": 0.5,
+    "stopword_ratio": -1.2,
+    "uniq_ratio": 2.0,
+    "punct_ratio": -3.0,
+}
+_G28_B = -1.5
+
+
+def q_g28_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G28: model-based quality filter — literal-weight logistic scoring
+    compiled into the projection. Oracle-exact in logit space (multiply/
+    add over exact-or-rounded features; sigmoid is display-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = classifier.score_documents(
+        docs, _G28_W, _G28_B, keep_logit=1.65
+    )
+    return scored.select(
+        "doc_id", F.round("quality_logit", 6).alias("quality_logit"), "keep"
+    )
 
 
 def q_g4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2000,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_embedding_neardup": q_g3_embedding_neardup,
         "g27_semantic_dedup": q_g27_semantic_dedup,
         "g4_text_stats": q_g4_text_stats,
+        "g28_quality_classifier": q_g28_quality_classifier,
         "g4_repetition": q_g4_repetition,
         "g4_bm25": q_g4_bm25,
         "g4_surprisal": q_g4_surprisal,
@@ -2546,6 +2574,46 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(len(list_distinct(w)) AS DOUBLE)
                      / NULLIF(CAST(len(w) AS DOUBLE), 0.0), 4) AS uniq_ratio
         FROM toks
+    """
+
+    # G28: feature CTE mirrors classifier.featurize (same rounding, same
+    # null fills); the logit mirrors the _G28_W dict's left-to-right fold.
+    sql["g28_quality_classifier"] = f"""
+        WITH {_TOKENS_CTE},
+        feat AS (
+            SELECT doc_id,
+                   CAST(len(w) AS DOUBLE) / 1000.0 AS n_tokens_k,
+                   COALESCE(ROUND(
+                       CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+                       / NULLIF(CAST(len(w) AS DOUBLE), 0.0), 4), 0.0)
+                       AS avg_token_len,
+                   COALESCE(ROUND(
+                       CAST(len(list_filter(w, x -> list_contains(
+                           ['the','a','of','and','to','in'], x))) AS DOUBLE)
+                       / NULLIF(CAST(len(w) AS DOUBLE), 0.0), 4), 0.0)
+                       AS stopword_ratio,
+                   COALESCE(ROUND(
+                       CAST(len(list_distinct(w)) AS DOUBLE)
+                       / NULLIF(CAST(len(w) AS DOUBLE), 0.0), 4), 0.0)
+                       AS uniq_ratio,
+                   COALESCE(ROUND(
+                       CAST(length(regexp_replace(text,
+                           '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                       / NULLIF(CAST(length(text) AS DOUBLE), 0.0), 4), 0.0)
+                       AS punct_ratio
+            FROM toks
+        ),
+        z AS (
+            SELECT doc_id,
+                   {_G28_B} + n_tokens_k * {_G28_W["n_tokens_k"]}
+                            + avg_token_len * {_G28_W["avg_token_len"]}
+                            + stopword_ratio * {_G28_W["stopword_ratio"]}
+                            + uniq_ratio * {_G28_W["uniq_ratio"]}
+                            + punct_ratio * {_G28_W["punct_ratio"]} AS zz
+            FROM feat
+        )
+        SELECT doc_id, ROUND(zz, 6) AS quality_logit, zz >= 1.65 AS keep
+        FROM z
     """
 
     sql["g4_repetition"] = f"""

@@ -45,6 +45,7 @@ HEADLINE = [
     "g3_ivf_topk",
     "g27_semantic_dedup",
     "g4_text_stats",
+    "g28_quality_classifier",
     "g4_bm25",
     "g4_surprisal",
     "g4_chunk",

@@ -9,6 +9,7 @@ bloom (G15 bloom prefilter), quality (G20 one-pass constraint suites).
 from ferc_xbrl_extractor_spark.operators import (  # noqa: F401
     analytics,
     bloom,
+    classifier,
     multimodal,
     neardup,
     quality,

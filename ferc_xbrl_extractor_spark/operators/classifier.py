@@ -1,0 +1,122 @@
+"""Model-based quality filtering (G28) — the classifier stage of a
+pretraining data pipeline.
+
+Modern curation pipelines (CCNet, DCLM, FineWeb) filter with a learned
+quality classifier, not just hand rules: train a linear model on cheap
+per-document features against weak labels (e.g. "looks like a reference
+corpus"), then score the whole corpus and keep the top slice. Both halves
+map cleanly onto Spark:
+
+- **train** — MLlib ``LogisticRegression`` over an assembled feature
+  vector: distributed L-BFGS, executors hold data, driver holds the
+  (tiny) coefficient vector. Fit once on a sample.
+- **score** — the learned weights are a dozen doubles, so scoring is a
+  LITERAL projection compiled into the plan (``w·x + b`` as a sequential
+  fold), not a model broadcast and not a UDF: whole-stage codegen, zero
+  shuffle, runs at scan speed on any corpus size.
+
+Determinism note: the scoring surface exposed to the oracle is the raw
+**logit** (multiply/add over features that are themselves exact or
+explicitly rounded — IEEE-deterministic in every engine, given the same
+left-to-right fold order). ``sigmoid`` is provided for human-facing
+scores but is NOT oracle-comparable (``exp`` is not correctly-rounded
+and may differ in the last ulp across engines); thresholding is done in
+logit space, which is equivalent (sigmoid is monotone).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import with_text_stats
+
+#: Default feature set: the with_text_stats columns, each either exact
+#: (counts, scaled by an exact power-of-two-free constant) or already
+#: rounded to 4 decimals by the stats operator — so w·x is reproducible
+#: bit-for-bit from the same inputs in any IEEE engine.
+DEFAULT_FEATURES = [
+    "n_tokens_k",
+    "avg_token_len",
+    "stopword_ratio",
+    "uniq_ratio",
+    "punct_ratio",
+]
+
+
+def featurize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the DEFAULT_FEATURES columns (one codegen'd projection over
+    the scan; null-safe zeros so empty documents score rather than
+    null-propagate)."""
+    stats = with_text_stats(df, text_col)
+    return stats.select(
+        "*",
+        (F.col("n_tokens").cast("double") / F.lit(1000.0)).alias("n_tokens_k"),
+    ).fillna(
+        0.0,
+        subset=["avg_token_len", "stopword_ratio", "uniq_ratio", "punct_ratio"],
+    )
+
+
+def logit(
+    weights: dict[str, float], bias: float = 0.0
+) -> Column:
+    """``bias + Σ w_i · feature_i`` as a sequential left fold over the
+    dict's iteration order — the literal-projection scoring path."""
+    z: Column = F.lit(float(bias))
+    for name, w in weights.items():
+        z = z + F.col(name).cast("double") * F.lit(float(w))
+    return z
+
+
+def score_documents(
+    df: DataFrame,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    keep_logit: float = 0.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Featurize + score + decide in one projection: adds
+    ``quality_logit``, ``quality_score`` (sigmoid, display-only) and
+    ``keep`` (logit-space threshold)."""
+    feat = featurize(df, text_col)
+    z = logit(weights, bias)
+    return feat.select(
+        "*",
+        z.alias("quality_logit"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("quality_score"),
+        (z >= F.lit(float(keep_logit))).alias("keep"),
+    )
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    label_col: str = "label",
+    feature_cols: list[str] | None = None,
+    reg_param: float = 0.0,
+    max_iter: int = 50,
+) -> tuple[dict[str, float], float]:
+    """Fit a logistic-regression quality classifier on a labeled sample;
+    returns ``(weights, bias)`` ready for ``score_documents``.
+
+    The input should already carry the feature columns (run ``featurize``
+    first); the fit is MLlib's distributed L-BFGS — no data leaves the
+    executors. The returned weights are plain Python floats: the model
+    deploys as a plan literal, so inference has no MLlib dependency, no
+    model broadcast, and survives serialization into any downstream
+    pipeline spec."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = feature_cols or DEFAULT_FEATURES
+    assembled = VectorAssembler(
+        inputCols=feats, outputCol="__features"
+    ).transform(labeled)
+    model = LogisticRegression(
+        featuresCol="__features",
+        labelCol=label_col,
+        regParam=reg_param,
+        maxIter=max_iter,
+    ).fit(assembled)
+    weights = {c: float(w) for c, w in zip(feats, model.coefficients)}
+    return weights, float(model.intercept)

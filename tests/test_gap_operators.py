@@ -1005,3 +1005,38 @@ def test_semantic_dedup_blocks_by_cluster_and_keeps_min_id(spark):
         for r in semantic_dedup(df, cents, threshold=0.99).collect()
     }
     assert survivors == {1, 3, 4, 6, 7}
+
+
+def test_quality_classifier_train_and_score_roundtrip(spark):
+    from ferc_xbrl_extractor_spark.operators import classifier
+
+    # Synthetic corpus: "good" docs are varied prose, "bad" docs are
+    # repetitive low-diversity strings -> separable on uniq_ratio alone.
+    rows = []
+    for i in range(40):
+        rows.append((i, f"alpha beta gamma delta epsilon zeta eta theta w{i} x{i} y{i} z{i}", 1.0))
+    for i in range(40, 80):
+        rows.append((i, "spam spam spam spam spam spam spam spam spam spam", 0.0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+    feat = classifier.featurize(df)
+    weights, bias = classifier.train_quality_classifier(feat, "label")
+    assert set(weights) == set(classifier.DEFAULT_FEATURES)
+
+    scored = classifier.score_documents(df, weights, bias, keep_logit=0.0)
+    got = {r["doc_id"]: r["keep"] for r in scored.collect()}
+    assert all(got[i] for i in range(40))
+    assert not any(got[i] for i in range(40, 80))
+    # sigmoid stays a display column consistent with the logit sign
+    for r in scored.collect():
+        assert (r["quality_score"] > 0.5) == (r["quality_logit"] > 0.0)
+
+
+def test_logit_fold_matches_manual_sum(spark):
+    from ferc_xbrl_extractor_spark.operators import classifier
+
+    df = spark.createDataFrame([(1, 0.5, 2.0)], "id long, a double, b double")
+    z = df.select(
+        classifier.logit({"a": 2.0, "b": -1.0}, bias=0.25).alias("z")
+    ).first()["z"]
+    assert z == 0.25 + 0.5 * 2.0 + 2.0 * -1.0
