@@ -13,25 +13,24 @@ here is the standard positional n-gram inverted index:
    materialize-tokens-first idiom (see ``neardup.shingles_from_tokens``:
    inline token expressions get substituted into the higher-order-function
    lambda and re-split the text once per position, O(tokens²) per doc);
-2. one hash aggregate finds grams whose global occurrence count is ≥
-   ``min_count`` (within-doc repeats count, exactly as a suffix array
-   would);
-3. a left-semi join marks the covered positions; because it is a semi
-   join there is NO fan-out on hot grams — a gram occurring 10⁹ times
-   contributes one survivor bit per occurrence, never a pairwise blowup
-   (contrast all-pairs formulations);
-4. covered positions merge into maximal spans per document with the
+2. a count window over the gram key marks positions whose gram occurs ≥
+   ``min_count`` times corpus-wide (within-doc repeats count, exactly as
+   a suffix array would). A count-per-key is row-preserving, so there is
+   NO fan-out on hot grams — a gram occurring 10⁹ times contributes one
+   survivor bit per occurrence, never a pairwise blowup;
+3. covered positions merge into maximal spans per document with the
    gap-and-islands trick (every gram covers exactly n tokens, so a new
    island starts iff ``pos - prev_pos > n``) — a per-document window,
    bounded by document length, never a global sort.
 
-Shuffle budget: one gram-keyed aggregate (map-side partial combine → the
-exchange carries |distinct grams|), one gram-keyed semi join (the
-aggregate side reuses its own exchange), one doc-keyed window. All rows
-are narrow (id, int, 16-byte md5). At 100 TB the gram relation is ~|tokens|
-rows — that is the honest price of substring-level dedup; the knobs that
-bound it are ``n`` (longer grams → fewer duplicated positions survive)
-and pre-filtering the corpus (quality-filter before span detection).
+Shuffle budget: one gram-keyed exchange + within-partition sort (the
+count window; the groupBy + self-semi-join alternative avoids the sort
+but evaluates and shuffles the gram relation twice — measured 1.9×
+slower), one doc-keyed window. All rows are narrow (id, int, 16-byte
+md5). At 100 TB the gram relation is ~|tokens| rows — that is the honest
+price of substring-level dedup; the knobs that bound it are ``n`` (longer
+grams → fewer duplicated positions survive) and pre-filtering the corpus
+(quality-filter before span detection).
 
 ``md5`` (not ``xxhash64``) keys the grams so the DuckDB oracle can rebuild
 them bit-for-bit; swap ``_gram_hash`` for ``xxhash64`` on a real cluster
@@ -99,13 +98,19 @@ def duplicated_spans(
     exclusive — tokens ``span_start .. span_end-1`` are duplicated text.
     """
     grams = positional_grams(df, id_col, text_col, n)
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+    # Corpus-frequency filter as a count window over the gram key, NOT a
+    # groupBy + self-semi-join: the join form evaluates AND shuffles the
+    # gram relation twice (once into the aggregate, once as the probe
+    # side), which measured 1.9× slower at sf0.1. The window form pays
+    # one |tokens|-row exchange plus a within-partition sort on the gram
+    # hash — the sort is the price of single evaluation, and it spills
+    # rather than OOMs at scale.
+    wg = Window.partitionBy("g")
+    hits = (
+        grams.withColumn("__cnt", F.count(F.lit(1)).over(wg))
         .filter(F.col("__cnt") >= min_count)
-        .select("g")
+        .drop("__cnt")
     )
-    hits = grams.join(dup, "g", "left_semi")
     w = Window.partitionBy(id_col).orderBy("pos")
     prev = F.lag("pos").over(w)
     brk = F.coalesce(((F.col("pos") - prev) > n).cast("int"), F.lit(1))
