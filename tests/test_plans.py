@@ -362,3 +362,55 @@ def test_flagship_query_plans_one_fused_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = plan.count("Exchange") - plan.count("ReusedExchange")
     assert n == 1, plan
+
+
+def test_duplicated_spans_single_gram_evaluation_no_join(spark):
+    """G26: the span pipeline must evaluate the positional-gram relation
+    ONCE (count window, not groupBy + self-semi-join) and contain no join
+    at all — two Window ops and one final aggregate."""
+    from ferc_xbrl_extractor_spark.operators import spans as sp
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j k l") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _executed_plan(sp.duplicated_spans(docs, n=4))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    # one gram-generate only: the explode of the positional gram array
+    # appears once (a second Generate would mean double evaluation)
+    assert plan.count("Generate explode") == 1
+
+
+def test_semantic_pairs_join_is_cluster_keyed(spark):
+    """G27: within-cluster pair scoring must be an equi-join on the
+    cluster id — never a cartesian/nested-loop pass over the corpus."""
+    from ferc_xbrl_extractor_spark.operators.similarity import (
+        semantic_pairs,
+        unit_centroids_from_rows,
+    )
+
+    cents = unit_centroids_from_rows([[1.0, 0.0], [0.0, 1.0]])
+    df = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), float((i * 3) % 5)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _executed_plan(semantic_pairs(df, cents, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__cluster" in plan
+
+
+def test_classifier_scoring_is_pure_projection(spark):
+    """G28: literal-weight scoring must stay a scan-side projection —
+    no shuffle, no join, no Python."""
+    from ferc_xbrl_extractor_spark.operators import classifier
+
+    df = spark.createDataFrame(
+        [(i, "some text here") for i in range(10)], "doc_id long, text string"
+    )
+    scored = classifier.score_documents(df, {"uniq_ratio": 1.0}, bias=-0.5)
+    plan = _executed_plan(scored)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "PythonUDF" not in plan
