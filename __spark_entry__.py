@@ -35,6 +35,7 @@ from ferc_xbrl_extractor_spark.catalog.tablespec import TableSpec
 from ferc_xbrl_extractor_spark.operators import analytics, neardup, similarity, text
 from ferc_xbrl_extractor_spark.operators import multimodal, packing, sampling
 from ferc_xbrl_extractor_spark.operators import classifier
+from ferc_xbrl_extractor_spark.operators import vocab as vocab_ops
 from ferc_xbrl_extractor_spark.operators import spans as spans_ops
 from ferc_xbrl_extractor_spark.operators.dedup import (
     dedup_exact,
@@ -1147,6 +1148,32 @@ def q_g26_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g29_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G29: corpus vocabulary — top-100 tokens by (count desc, token),
+    ids 1..100 (0 reserved for OOV)."""
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_ops.build_vocab(docs, vocab_size=100)
+
+
+def q_g29_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G29: integer token encoding against a deliberately small 20-token
+    vocab so the OOV→0 path is exercised (the synthetic corpus has only
+    ~30 distinct tokens);
+    byte-exact cross-engine via md5 of the id stream."""
+    docs = _t(spark, sf_dir, "documents")
+    v = vocab_ops.build_vocab(docs, vocab_size=20)
+    enc = vocab_ops.encode_documents(docs, v)
+    return enc.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.transform("token_ids", lambda i: i.cast("string")), " "
+            )
+        ).alias("ids_md5"),
+        F.size("token_ids").cast("long").alias("n_ids"),
+    )
+
+
 def q_g4_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: corpus token frequencies, top 20 (explode → count → top-k)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2034,6 +2061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_chunk": q_g4_chunk,
         "g26_dup_spans": q_g26_dup_spans,
         "g26_trim_spans": q_g26_trim_spans,
+        "g29_vocab": q_g29_vocab,
+        "g29_encode": q_g29_encode,
         "g4_pii_redact": q_g4_pii_redact,
         "g4_token_topk": q_g4_token_topk,
         "g4_language_id": q_g4_language_id,
@@ -2922,6 +2951,57 @@ def oracle_sql() -> dict[str, str]:
                md5(COALESCE(a.clean_text, '')) AS clean_md5,
                CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept_tokens
         FROM base b LEFT JOIN agg a USING (doc_id)
+    """
+
+    sql["g29_vocab"] = f"""
+        WITH {_TOKENS_CTE},
+        cnt AS (
+            SELECT t.token AS token, CAST(count(*) AS BIGINT) AS n
+            FROM toks, UNNEST(w) AS t(token)
+            GROUP BY 1
+        )
+        SELECT token,
+               CAST(row_number() OVER (ORDER BY n DESC, token) AS INT)
+                   AS token_id,
+               n
+        FROM cnt
+        QUALIFY token_id <= 100
+    """
+
+    sql["g29_encode"] = f"""
+        WITH {_TOKENS_CTE},
+        cnt AS (
+            SELECT t.token AS token, count(*) AS n
+            FROM toks, UNNEST(w) AS t(token)
+            GROUP BY 1
+        ),
+        vocab AS (
+            SELECT token,
+                   CAST(row_number() OVER (ORDER BY n DESC, token) AS INT)
+                       AS tid
+            FROM cnt
+            QUALIFY tid <= 20
+        ),
+        tokpos AS (
+            SELECT doc_id, t.i AS pos, w[t.i + 1] AS tok
+            FROM toks, UNNEST(range(len(w))) AS t(i)
+        ),
+        enc AS (
+            SELECT tp.doc_id, tp.pos, COALESCE(v.tid, 0) AS tid
+            FROM tokpos tp LEFT JOIN vocab v ON tp.tok = v.token
+        ),
+        agg AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       list(CAST(tid AS VARCHAR) ORDER BY pos), ' '))
+                       AS ids_md5,
+                   CAST(count(*) AS BIGINT) AS n_ids
+            FROM enc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(a.ids_md5, md5('')) AS ids_md5,
+               CAST(COALESCE(a.n_ids, 0) AS BIGINT) AS n_ids
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """
 
     sql["g4_token_topk"] = f"""

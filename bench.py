@@ -50,6 +50,8 @@ HEADLINE = [
     "g4_surprisal",
     "g4_chunk",
     "g26_dup_spans",
+    "g29_vocab",
+    "g29_encode",
     "g26_trim_spans",
     "g14_sample_stratified",
     "g17_pack_sequences",

@@ -16,6 +16,7 @@ from ferc_xbrl_extractor_spark.operators import (  # noqa: F401
     similarity,
     spans,
     text,
+    vocab,
 )
 from ferc_xbrl_extractor_spark.operators.dedup import (
     dedup_exact,

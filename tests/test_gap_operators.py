@@ -1040,3 +1040,53 @@ def test_logit_fold_matches_manual_sum(spark):
         classifier.logit({"a": 2.0, "b": -1.0}, bias=0.25).alias("z")
     ).first()["z"]
     assert z == 0.25 + 0.5 * 2.0 + 2.0 * -1.0
+
+
+def test_vocab_build_ids_and_tiebreak(spark):
+    from ferc_xbrl_extractor_spark.operators import vocab as V
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b a d"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["token"], r["token_id"], r["n"])
+        for r in V.build_vocab(df, vocab_size=3)
+        .orderBy("token_id")
+        .collect()
+    ]
+    # counts: a=3, b=2, c=1, d=1 -> top-3 keeps c over d (tie -> token asc)
+    assert got == [("a", 1, 3), ("b", 2, 2), ("c", 3, 1)]
+    assert V.build_vocab(df, min_count=2).count() == 2
+
+
+def test_encode_documents_oov_and_empty(spark):
+    from ferc_xbrl_extractor_spark.operators import vocab as V
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b a d"), (3, "")],
+        "doc_id long, text string",
+    )
+    v = V.build_vocab(df, vocab_size=3)
+    got = {
+        r["doc_id"]: r["token_ids"]
+        for r in V.encode_documents(df, v).collect()
+    }
+    assert got == {1: [1, 2, 1, 3], 2: [2, 1, 0], 3: []}
+
+
+def test_encode_never_explodes_or_shuffles_corpus(spark):
+    from ferc_xbrl_extractor_spark.operators import vocab as V
+
+    df = spark.createDataFrame(
+        [(i, "x y z w") for i in range(30)], "doc_id long, text string"
+    )
+    enc = V.encode_documents(df, V.build_vocab(df))
+    enc.collect()
+    plan = enc._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    # the vocab-build subplan may exchange; the CORPUS side must not be
+    # exploded (one Generate belongs to the vocab count, none to encode)
+    assert plan.count("Generate") == 1
+    assert "SortMergeJoin" not in plan

@@ -47,6 +47,9 @@ INTENTIONAL_BNLJ = {
     "g4_bm25",
     "g4_surprisal",
     "g18_quantized_topk",
+    # g29_encode: ONE row holding the vocab map, cross-joined so encoding
+    # is a map-side transform probe (same shape as g4_bm25).
+    "g29_encode",
 }
 
 
