@@ -52,6 +52,20 @@ def parse(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--stratum-col", default=None)
     p.add_argument("--sample-n", type=int, default=None)
     p.add_argument(
+        "--trim-spans-n",
+        type=int,
+        default=None,
+        help="Remove cross-document duplicated n-gram spans (G26) of this "
+        "gram length from surviving text.",
+    )
+    p.add_argument(
+        "--encode-vocab-size",
+        type=int,
+        default=None,
+        help="Append integer token_ids (G29) against a top-V vocabulary "
+        "built from the final survivors.",
+    )
+    p.add_argument(
         "--pack-budget",
         type=int,
         default=None,
@@ -104,6 +118,8 @@ def run_main(args: argparse.Namespace) -> int:
         redact=args.redact,
         stratum_col=args.stratum_col,
         sample_n=args.sample_n,
+        trim_spans_n=args.trim_spans_n,
+        encode_vocab_size=args.encode_vocab_size,
     )
     if args.pack_budget:
         sized = curated.withColumn(

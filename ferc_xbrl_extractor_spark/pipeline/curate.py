@@ -6,11 +6,14 @@ runs them:
 
     quality filter (G4 stats)          — map-side projection + filter
     → repetition screen (G4b)          — map-side dup-line/n-gram ratios
+    → classifier filter (G28)          — literal-weight logit over the stats
     → decontaminate (G15)              — broadcast benchmark probe + anti join
     → exact dedup by fingerprint (G1)  — one min_by hash aggregate
     → near-dup cluster dedup (G2b)     — LSH pairs → components → survivors
+    → duplicated-span trim (G26)       — positional-gram index over survivors
     → PII redaction (G4b)              — chained regexp_replace on survivors
     → stratified sample (G14)          — hash-ordered per-stratum budgets
+    → integer encoding (G29)           — broadcast vocab-map transform probe
 
 Optional stages default off so the composition stays oracle-checkable at
 its G16 gate configuration; each extra stage is itself oracle-checked
@@ -33,7 +36,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ferc_xbrl_extractor_spark.operators import neardup, sampling, text
+from ferc_xbrl_extractor_spark.operators import (
+    classifier,
+    neardup,
+    sampling,
+    spans,
+    text,
+    vocab,
+)
 from ferc_xbrl_extractor_spark.operators.dedup import dedup_exact_keep
 
 
@@ -55,6 +65,12 @@ def curate_corpus(
     stratum_col: str | None = None,
     sample_n: int | None = None,
     sample_salt: str = "curate",
+    classifier_weights: dict[str, float] | None = None,
+    classifier_bias: float = 0.0,
+    keep_logit: float = 0.0,
+    trim_spans_n: int | None = None,
+    trim_spans_min_count: int = 2,
+    encode_vocab_size: int | None = None,
 ) -> DataFrame:
     """Curate a document corpus for training: quality-filter, remove
     benchmark contamination, drop exact duplicates (whitespace-normalized
@@ -68,6 +84,16 @@ def curate_corpus(
     ``neardup_threshold=None`` skips near-dup cluster dedup; ``redact``
     scrubs PII from surviving text (applied after dedup so redaction
     cost is paid on survivors only and never perturbs dedup keys).
+
+    Model/substring/encoding stages (all default off):
+    ``classifier_weights`` applies the G28 learned quality filter (logit
+    ≥ ``keep_logit``) on top of the rule thresholds — the stats columns
+    are already computed, so the model score is one extra projection;
+    ``trim_spans_n`` removes G26 cross-document duplicated n-gram spans
+    from surviving text (after document dedup: whole-doc duplicates are
+    gone, boilerplate inside survivors remains); ``encode_vocab_size``
+    appends G29 ``token_ids`` encoded against a vocab built from the
+    final survivors (last, so the vocab reflects what ships).
     """
     stats = text.with_text_stats(docs, text_col)
     if max_dup_line_ratio is not None or max_dup_3gram_ratio is not None:
@@ -81,6 +107,20 @@ def curate_corpus(
         & (F.col("stopword_ratio") <= max_stopword_ratio)
         & (F.col("uniq_ratio") >= min_uniq_ratio)
     )
+    if classifier_weights is not None:
+        feat = quality.withColumn(
+            "n_tokens_k", F.col("n_tokens").cast("double") / F.lit(1000.0)
+        ).fillna(
+            0.0,
+            subset=[
+                c
+                for c in ("avg_token_len", "stopword_ratio", "uniq_ratio",
+                          "punct_ratio")
+                if c in quality.columns
+            ],
+        )
+        z = classifier.logit(classifier_weights, classifier_bias)
+        quality = feat.filter(z >= F.lit(float(keep_logit))).drop("n_tokens_k")
     clean = quality
     if benchmark is not None:
         clean = neardup.decontaminate(
@@ -105,6 +145,18 @@ def curate_corpus(
             threshold=neardup_threshold,
         )
         deduped = neardup.dedup_by_pairs(deduped, pairs, id_col=id_col)
+    if trim_spans_n is not None:
+        deduped = (
+            spans.trim_duplicated_spans(
+                deduped,
+                id_col,
+                text_col,
+                n=trim_spans_n,
+                min_count=trim_spans_min_count,
+            )
+            .withColumn(text_col, F.col("clean_text"))
+            .drop("clean_text", "n_kept_tokens")
+        )
     if redact:
         deduped = deduped.withColumn(text_col, text.redact_pii(text_col))
     if sample_n is not None:
@@ -113,4 +165,7 @@ def curate_corpus(
         deduped = sampling.stratified_sample_n(
             deduped, stratum_col, sample_n, id_col=id_col, salt=sample_salt
         )
+    if encode_vocab_size is not None:
+        v = vocab.build_vocab(deduped, text_col, vocab_size=encode_vocab_size)
+        deduped = vocab.encode_documents(deduped, v, text_col)
     return deduped

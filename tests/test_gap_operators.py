@@ -1090,3 +1090,39 @@ def test_encode_never_explodes_or_shuffles_corpus(spark):
     # exploded (one Generate belongs to the vocab count, none to encode)
     assert plan.count("Generate") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_curate_classifier_spans_encode_stages_compose(spark):
+    from ferc_xbrl_extractor_spark.pipeline.curate import curate_corpus
+
+    boiler = "all rights reserved worldwide"
+    good1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    good2 = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    rows = [
+        (1, f"{good1} one {boiler}"),
+        (2, f"{good2} two {boiler}"),
+        # repetitive -> low uniq_ratio -> classifier drops it even though
+        # the rule thresholds (set permissive below) let it through
+        (3, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(
+        docs,
+        min_tokens=1,
+        max_stopword_ratio=1.0,
+        min_uniq_ratio=0.0,
+        classifier_weights={"uniq_ratio": 10.0},
+        classifier_bias=-3.0,   # keep iff uniq_ratio > 0.3
+        trim_spans_n=4,
+        encode_vocab_size=6,
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert set(got) == {1, 2}                       # classifier dropped 3
+    assert got[1]["text"].startswith("alpha beta")   # unique text kept
+    assert got[2]["text"].startswith("lambda mu")
+    for r in got.values():
+        assert boiler not in r["text"]              # span trim removed it
+        ids = r["token_ids"]
+        assert len(ids) == len(r["text"].split())    # encoded post-trim
+        assert all(0 <= i <= 6 for i in ids)
+        assert 0 in ids                              # OOV present (vocab=6)
