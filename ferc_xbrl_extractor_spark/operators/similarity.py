@@ -547,18 +547,32 @@ def semantic_dedup(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    survivor: str = "components",
 ) -> DataFrame:
-    """Semantic corpus dedup: drop all but one member (component min-id)
-    of every within-cluster cosine-similarity component. Composes
-    ``semantic_pairs`` with the G2b pair-graph machinery — the corpus is
-    never shuffled; losers anti-join against the scan.
+    """Semantic corpus dedup over the within-cluster cosine pair graph.
+    The corpus is never shuffled; losers anti-join against the scan.
 
-    (SemDeDup's survivor rule — keep the member farthest from the
-    centroid — is a one-line ``max_by`` swap on the component labels;
-    min-id is used here for cross-engine determinism.)"""
+    Two survivor policies, both used by real pipelines:
+
+    - ``"components"`` — transitive: one survivor (min id) per connected
+      component, via the G2b iterative min-label propagation. Stronger
+      dedup (A≈B, B≈C ⇒ keep one of three), but pays ~2 jobs per
+      propagation round.
+    - ``"greedy"`` — drop every doc that has ANY lower-id neighbor above
+      threshold (the G23/G24 increment rule): one distinct + one anti
+      join, no iteration — the cheap scale path. Non-transitive: in the
+      component {1–3, 2–3} it keeps 1 AND 2 (3 suppressed both), where
+      components keeps only 1.
+
+    (SemDeDup's own survivor rule — keep the member farthest from the
+    centroid — is a one-line ``max_by`` swap on either policy; ids are
+    used here for cross-engine determinism.)"""
+    pairs = semantic_pairs(df, unit_centroids, threshold, id_col, vec_col)
+    if survivor == "greedy":
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(losers, id_col, "left_anti")
     from .neardup import dedup_by_pairs
 
-    pairs = semantic_pairs(df, unit_centroids, threshold, id_col, vec_col)
     return dedup_by_pairs(df, pairs, id_col=id_col)
 
 

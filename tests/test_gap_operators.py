@@ -1126,3 +1126,33 @@ def test_curate_classifier_spans_encode_stages_compose(spark):
         assert len(ids) == len(r["text"].split())    # encoded post-trim
         assert all(0 <= i <= 6 for i in ids)
         assert 0 in ids                              # OOV present (vocab=6)
+
+
+def test_semantic_dedup_greedy_vs_components_policies(spark):
+    from ferc_xbrl_extractor_spark.operators.similarity import (
+        semantic_dedup,
+        unit_centroids_from_rows,
+    )
+
+    # One cluster; pair graph is {1-3, 2-3}: 3 is near both 1 and 2, but
+    # 1 and 2 are not near each other.
+    cents = unit_centroids_from_rows([[1.0, 0.0]])
+    rows = [
+        (1, [10.0, 1.0]),
+        (2, [10.0, -1.0]),
+        (3, [10.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # cos(1,3)=cos(2,3)~0.995; cos(1,2)~0.98 -> threshold between them
+    comp = {
+        r["vec_id"]
+        for r in semantic_dedup(df, cents, threshold=0.99).collect()
+    }
+    greedy = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, cents, threshold=0.99, survivor="greedy"
+        ).collect()
+    }
+    assert comp == {1}            # transitive: one survivor per component
+    assert greedy == {1, 2}       # non-transitive: only 3 had a lower-id nbr
