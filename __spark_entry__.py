@@ -998,6 +998,34 @@ def q_s7_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s7_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: ORC corpus ingestion — same shard-delivery round-trip as the
+    JSONL query through Spark's native columnar ORC reader/writer; the
+    oracle aggregates the parquet source, so stripes must preserve every
+    row and text byte."""
+    import hashlib
+    import os
+
+    from ferc_xbrl_extractor_spark.sources import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_orc_{tag}_{os.getpid()}"
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    corpus.write_corpus_shards(docs, path, shards=4, fmt="orc")
+    back = corpus.load_documents_orc(spark, path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.countDistinct(F.md5("text")).alias("n_uniq_text"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def q_g17_materialize_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G17 delivery step: concatenated per-sequence text rows. The
     in-group sort inside one keyed aggregate must agree exactly with the
@@ -2073,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g18_quantize_int8": q_g18_quantize_int8,
         "g18_quantized_topk": q_g18_quantized_topk,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
+        "s7_orc_roundtrip": q_s7_orc_roundtrip,
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
@@ -2713,6 +2742,8 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         GROUP BY source
     """
+
+    sql["s7_orc_roundtrip"] = sql["s7_jsonl_roundtrip"]
 
     sql["g17_materialize_seqs"] = r"""
         WITH t AS (

@@ -61,11 +61,22 @@ def load_documents_csv(
     return spark.read.schema(schema).options(**opts).csv(path)
 
 
+def load_documents_orc(
+    spark: SparkSession, path: str, schema: str = DOC_SCHEMA
+) -> DataFrame:
+    """Read an ORC corpus (Spark-native reader — columnar like parquet,
+    with the same predicate pushdown / column pruning / split-by-stripe
+    parallelism; common in Hive-lineage data lakes). The explicit schema
+    is projected over the file schema, so a wider ORC table prunes to the
+    declared columns at the stripe reader."""
+    return spark.read.schema(schema).orc(path)
+
+
 def write_corpus_shards(
     df: DataFrame, path: str, shards: int, fmt: str = "json"
 ) -> None:
     """Write a corpus as ``shards`` balanced files (round-robin
-    repartition → one file per partition). fmt: json | parquet | csv."""
+    repartition → one file per partition). fmt: json | parquet | csv | orc."""
     writer = df.repartition(shards).write.mode("overwrite")
     if fmt == "csv":
         writer = writer.options(header=True, escape='"')

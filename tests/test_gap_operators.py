@@ -1156,3 +1156,19 @@ def test_semantic_dedup_greedy_vs_components_policies(spark):
     }
     assert comp == {1}            # transitive: one survivor per component
     assert greedy == {1, 2}       # non-transitive: only 3 had a lower-id nbr
+
+
+def test_corpus_orc_roundtrip(spark, tmp_path):
+    from ferc_xbrl_extractor_spark.sources import corpus
+
+    rows = [
+        (1, "plain text", "en", "web", 10),
+        (2, 'embedded "quotes" and\nnewlines\tsurvive', "en", "books", 38),
+        (3, "", "es", "web", 0),
+    ]
+    df = spark.createDataFrame(rows, corpus.DOC_SCHEMA)
+    path = str(tmp_path / "orc_corpus")
+    corpus.write_corpus_shards(df, path, shards=2, fmt="orc")
+    back = corpus.load_documents_orc(spark, path)
+    got = sorted(map(tuple, back.collect()))
+    assert got == sorted(rows)

@@ -28,6 +28,7 @@ EXECUTES_ON_CALL = {
     "g23_incremental_dedup",
     "g24_incremental_neardup",
     "s7_jsonl_roundtrip",
+    "s7_orc_roundtrip",
     "g16_curate_e2e",
 }
 
