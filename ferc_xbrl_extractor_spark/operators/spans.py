@@ -90,27 +90,44 @@ def duplicated_spans(
     text_col: str = "text",
     n: int = 8,
     min_count: int = 2,
+    hot_gram_safe: bool = False,
 ) -> DataFrame:
     """Maximal per-document token spans covered by n-grams that occur at
     least ``min_count`` times corpus-wide.
 
     Returns ``(id_col, span_start, span_end)`` with ``span_end``
     exclusive — tokens ``span_start .. span_end-1`` are duplicated text.
+
+    Two formulations of the corpus-frequency filter:
+
+    - default: a count window over the gram key — the gram relation is
+      evaluated and shuffled ONCE (measured 1.9× faster than the join
+      form at sf0.1), at the cost of a within-partition sort. Caveat: a
+      window hash-partitions ALL occurrences of one gram onto one
+      partition and gets no AQE skew mitigation, so a pathological gram
+      shared by a large fraction of the corpus makes a straggler.
+    - ``hot_gram_safe=True``: groupBy count (map-side partial combine —
+      the aggregate side never skews) + a semi join back onto the gram
+      relation. The join re-evaluates the grams, but AQE's skew-join
+      splitting handles a hot gram's probe partition — use this when one
+      boilerplate gram may cover 10⁶+ documents.
     """
     grams = positional_grams(df, id_col, text_col, n)
-    # Corpus-frequency filter as a count window over the gram key, NOT a
-    # groupBy + self-semi-join: the join form evaluates AND shuffles the
-    # gram relation twice (once into the aggregate, once as the probe
-    # side), which measured 1.9× slower at sf0.1. The window form pays
-    # one |tokens|-row exchange plus a within-partition sort on the gram
-    # hash — the sort is the price of single evaluation, and it spills
-    # rather than OOMs at scale.
-    wg = Window.partitionBy("g")
-    hits = (
-        grams.withColumn("__cnt", F.count(F.lit(1)).over(wg))
-        .filter(F.col("__cnt") >= min_count)
-        .drop("__cnt")
-    )
+    if hot_gram_safe:
+        dup = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .filter(F.col("__cnt") >= min_count)
+            .select("g")
+        )
+        hits = grams.join(dup, "g", "left_semi")
+    else:
+        wg = Window.partitionBy("g")
+        hits = (
+            grams.withColumn("__cnt", F.count(F.lit(1)).over(wg))
+            .filter(F.col("__cnt") >= min_count)
+            .drop("__cnt")
+        )
     w = Window.partitionBy(id_col).orderBy("pos")
     prev = F.lag("pos").over(w)
     brk = F.coalesce(((F.col("pos") - prev) > n).cast("int"), F.lit(1))

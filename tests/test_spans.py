@@ -96,3 +96,15 @@ def test_empty_and_whitespace_docs(spark):
         for r in sp.trim_duplicated_spans(docs, n=4).collect()
     }
     assert trimmed == {1: "", 2: "", 3: "", 4: ""}
+
+
+def test_hot_gram_safe_mode_equivalence(spark, corpus):
+    a = {
+        tuple(r)
+        for r in sp.duplicated_spans(corpus, n=4).collect()
+    }
+    b = {
+        tuple(r)
+        for r in sp.duplicated_spans(corpus, n=4, hot_gram_safe=True).collect()
+    }
+    assert a == b and a  # same spans from both formulations
