@@ -5,6 +5,9 @@ from ferc_xbrl_extractor_spark.streaming.ingest import (
     stream_extract_to_parquet,
     stream_filings_dir,
 )
+from ferc_xbrl_extractor_spark.streaming.joins import (
+    stream_interval_join,
+)
 from ferc_xbrl_extractor_spark.streaming.stateful import (
     stream_asof_enrich,
     stream_dedup_first,
@@ -22,6 +25,7 @@ __all__ = [
     "stream_dedup_first",
     "stream_extract_to_parquet",
     "stream_filings_dir",
+    "stream_interval_join",
     "stream_session_counts",
     "stream_sliding_counts",
     "stream_tumbling_counts",

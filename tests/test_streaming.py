@@ -429,3 +429,51 @@ def test_stream_upsert_parquet_applies_batches_incrementally(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(table).collect()}
     assert got2 == {1: ("a2", 2), 2: ("b", 1), 3: ("c3", 3), 9: ("new", 2)}
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join ≡ the same join in batch."""
+    from ferc_xbrl_extractor_spark.streaming import stream_interval_join
+
+    clicks = [
+        (1, "u1", "2024-01-01 00:05:00"),
+        (2, "u1", "2024-01-01 00:40:00"),
+        (3, "u2", "2024-01-01 00:06:00"),
+        (4, "u3", "2024-01-01 02:00:00"),
+    ]
+    buys = [
+        (10, "u1", "2024-01-01 00:10:00"),  # within 10m of click 1
+        (11, "u1", "2024-01-01 00:41:00"),  # within 10m of click 2
+        (12, "u2", "2024-01-01 00:30:00"),  # too late for click 3
+        (13, "u3", "2024-01-01 01:55:00"),  # before click 4 -> no match
+    ]
+    cdf = spark.createDataFrame(
+        clicks, "click_id long, user string, cts_s string"
+    ).withColumn("click_ts", F.to_timestamp("cts_s")).drop("cts_s")
+    bdf = spark.createDataFrame(
+        buys, "buy_id long, user string, bts_s string"
+    ).withColumn("buy_ts", F.to_timestamp("bts_s")).drop("bts_s")
+    cpath, bpath = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    cdf.write.parquet(cpath)
+    bdf.write.parquet(bpath)
+
+    cs = spark.readStream.schema(cdf.schema).parquet(cpath)
+    bs = spark.readStream.schema(bdf.schema).parquet(bpath)
+    joined = stream_interval_join(
+        cs, bs, "click_ts", "buy_ts", lower="0 seconds",
+        upper="10 minutes", keys=["user"],
+    )
+    got = {
+        (r["click_id"], r["buy_id"])
+        for r in _drain(spark, joined, "sj_test").collect()
+    }
+    batch = {
+        (r["click_id"], r["buy_id"])
+        for r in cdf.join(
+            bdf,
+            (cdf["user"] == bdf["user"])
+            & (bdf["buy_ts"] >= cdf["click_ts"])
+            & (bdf["buy_ts"] <= cdf["click_ts"] + F.expr("INTERVAL 10 minutes")),
+        ).collect()
+    }
+    assert got == batch == {(1, 10), (2, 11)}
