@@ -2,8 +2,10 @@
 
 Submodules: filters (P1-P7), dedup (A2/A3/G1), fact_table (the per-table
 pipeline), joins (J1/J2/G9), stats (A4-A8), analytics (G5-G8/G10),
-text (G4), neardup (G2), similarity (G3), multimodal (G11),
-bloom (G15 bloom prefilter), quality (G20 one-pass constraint suites).
+text (G4), neardup (G2), similarity (G3 + G27 semantic dedup),
+spans (G26 duplicated-span detection), multimodal (G11), bloom (G15
+bloom prefilter), quality (G20 one-pass constraint suites), classifier
+(G28 train/score quality filter), vocab (G29 vocab build + encoding).
 """
 
 from ferc_xbrl_extractor_spark.operators import (  # noqa: F401
