@@ -1245,6 +1245,28 @@ _G14_STRAT_N = 10
 _G14_STRAT_SALT = "s2"
 
 
+def q_g30_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G30: temperature-flattened domain mixing at τ=0.5 — per-source
+    rates (n_min/n_s)^(1-τ) applied as the deterministic md5-threshold
+    Bernoulli sample. Exact cross-engine: one integer ratio + a
+    correctly-rounded sqrt per stratum (no float summation), identical
+    integer thresholds in both engines."""
+    # the synthetic sources are uniform (25 docs each at sf0.01), which
+    # would make every rate 1.0; derive a skewed 70/20/10 domain split so
+    # the downsampling path is actually exercised.
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 10 < 7 THEN 'head' "
+            "WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'tail' END"
+        ).alias("domain"),
+    )
+    rates = packing.temperature_rates(docs, 0.5, by="domain")
+    return sampling.sample_by_rate(
+        docs, key_col="domain", rates=rates, salt="g30:"
+    )
+
+
 def q_g14_sample_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G14: deterministic per-stratum Bernoulli sampling (md5-derived
     uniform vs an integer rate threshold — zero shuffles, reproducible in
@@ -2102,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g18_quantized_topk": q_g18_quantized_topk,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
         "s7_orc_roundtrip": q_s7_orc_roundtrip,
+        "g30_temperature_mix": q_g30_temperature_mix,
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
@@ -3094,6 +3117,33 @@ def oracle_sql() -> dict[str, str]:
         )
         + f" ELSE {int(_G14_DEFAULT_RATE * (1 << 60))} END"
     )
+    # G30: thresholds recomputed relationally — floor(sqrt(n_min/n)·2^60)
+    # matches the driver-side int(rate * 2^60) bit-for-bit (integer
+    # ratio, correctly-rounded sqrt, exact 2^60 product + truncation).
+    sql["g30_temperature_mix"] = f"""
+        WITH dom AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 < 7 THEN 'head'
+                        WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'tail' END
+                       AS domain
+            FROM documents
+        ),
+        sizes AS (
+            SELECT domain, CAST(count(*) AS BIGINT) AS n
+            FROM dom GROUP BY domain
+        ),
+        th AS (
+            SELECT domain,
+                   CAST(FLOOR(sqrt(
+                       CAST((SELECT MIN(n) FROM sizes) AS DOUBLE)
+                       / CAST(n AS DOUBLE)) * {1 << 60}) AS BIGINT) AS t
+            FROM sizes
+        )
+        SELECT d.doc_id, d.domain
+        FROM dom d JOIN th USING (domain)
+        WHERE {_u60.format(salt="g30:")} < th.t
+    """
+
     sql["g14_sample_rate"] = f"""
         SELECT doc_id, lang
         FROM documents

@@ -54,6 +54,7 @@ HEADLINE = [
     "g29_encode",
     "g26_trim_spans",
     "g14_sample_stratified",
+    "g30_temperature_mix",
     "g17_pack_sequences",
     "g18_quantize_int8",
     "g18_quantized_topk",

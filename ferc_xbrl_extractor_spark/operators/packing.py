@@ -28,6 +28,8 @@ gap surface, G-series.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -163,6 +165,48 @@ def mixture_rates(
     for s in weights:
         rates.setdefault(s, 0.0)
     return rates
+
+
+def temperature_rates(
+    df: DataFrame,
+    tau: float,
+    by: str = "source",
+    token_col: str | None = None,
+) -> dict[str, float]:
+    """Temperature-flattened domain mixing (the multilingual-LM
+    ``p_s \u221d n_s^\u03c4`` rule): per-stratum Bernoulli rates whose expected
+    post-sample composition matches weights \u221d n_s^tau, by pure
+    downsampling. Feed to ``sampling.sample_by_rate``.
+
+    Algebra: raw_s = w_s / n_s \u221d n_s^(\u03c4-1) is maximized by the SMALLEST
+    stratum, and the mixture normalizer cancels out of the rescale:
+
+        rate_s = (n_min / n_s) ** (1 - \u03c4)
+
+    one integer ratio and one power per stratum \u2014 no float summation, so
+    the rates are reproducible bit-for-bit in any IEEE engine (exactly
+    so at \u03c4=0.5, where the power is a correctly-rounded sqrt \u2014 the
+    oracle-checked configuration). \u03c4=1 keeps natural proportions (all
+    rates 1); \u03c4=0 equalizes every stratum's expected size down to the
+    smallest. Sizes come from one tiny aggregate; the collect is
+    |strata| rows.
+    """
+    if not 0.0 <= tau <= 1.0:
+        raise ValueError("tau must be in [0, 1]")
+    size_expr = (
+        F.sum(F.col(token_col)) if token_col else F.count(F.lit(1))
+    ).alias("n")
+    sizes = {
+        r[by]: int(r["n"])
+        for r in df.groupBy(by).agg(size_expr).collect()
+        if r["n"]
+    }
+    if not sizes:
+        raise ValueError("corpus has no non-empty strata")
+    n_min = min(sizes.values())
+    if tau == 0.5:
+        return {s: math.sqrt(n_min / n) for s, n in sizes.items()}
+    return {s: (n_min / n) ** (1.0 - tau) for s, n in sizes.items()}
 
 
 def materialize_sequences(

@@ -1172,3 +1172,39 @@ def test_corpus_orc_roundtrip(spark, tmp_path):
     back = corpus.load_documents_orc(spark, path)
     got = sorted(map(tuple, back.collect()))
     assert got == sorted(rows)
+
+
+def test_temperature_rates_goldens_and_composition(spark):
+    import math
+
+    from ferc_xbrl_extractor_spark.operators.packing import temperature_rates
+    from ferc_xbrl_extractor_spark.operators.sampling import sample_by_rate
+
+    rows = (
+        [(i, "web") for i in range(900)]
+        + [(1000 + i, "code") for i in range(90)]
+        + [(2000 + i, "books") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    r05 = temperature_rates(df, 0.5)
+    assert r05["books"] == 1.0
+    assert r05["code"] == pytest.approx(math.sqrt(10 / 90))
+    assert r05["web"] == pytest.approx(math.sqrt(10 / 900))
+    # tau=1 -> natural proportions (no downsampling at all)
+    assert temperature_rates(df, 1.0) == {"web": 1.0, "code": 1.0, "books": 1.0}
+    # tau=0 -> every stratum's expected size equals the smallest
+    r0 = temperature_rates(df, 0.0)
+    assert r0 == {"web": 10 / 900, "code": 10 / 90, "books": 1.0}
+
+    sampled = sample_by_rate(
+        df, key_col="source", rates=r05, salt="t:"
+    ).groupBy("source").count()
+    got = {r["source"]: r["count"] for r in sampled.collect()}
+    # expected sizes ~ sqrt(n_min * n_s): 94.9 / 30 / 10
+    assert got["books"] == 10
+    assert 15 <= got["code"] <= 45
+    assert 65 <= got["web"] <= 125
+
+    with pytest.raises(ValueError):
+        temperature_rates(df, 1.5)
