@@ -1267,6 +1267,17 @@ def q_g30_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_G14_SPLIT = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_g14_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14: deterministic disjoint/exhaustive train-val-test split —
+    cumulative md5-hash bands; exact cross-engine (integer thresholds
+    from the same float accumulation both sides)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.split_by_hash(docs, _G14_SPLIT, salt="sp:")
+
+
 def q_g14_sample_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G14: deterministic per-stratum Bernoulli sampling (md5-derived
     uniform vs an integer rate threshold — zero shuffles, reproducible in
@@ -2125,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
         "s7_orc_roundtrip": q_s7_orc_roundtrip,
         "g30_temperature_mix": q_g30_temperature_mix,
+        "g14_split": q_g14_split,
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
@@ -3142,6 +3154,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.domain
         FROM dom d JOIN th USING (domain)
         WHERE {_u60.format(salt="g30:")} < th.t
+    """
+
+    # G14 split: cumulative bounds built with the SAME float accumulation
+    # the operator uses (0.8, then 0.8+0.1), so the integer thresholds
+    # are identical even where the float sum isn't exactly 0.9.
+    _sp = list(_G14_SPLIT.items())
+    _sp_b = []
+    _cum = 0.0
+    for _name, _f in _sp[:-1]:
+        _cum += _f
+        _sp_b.append((_name, int(_cum * (1 << 60))))
+    _sp_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {_u60.format(salt='sp:')} < {b} THEN '{nm}'"
+            for nm, b in _sp_b
+        )
+        + f" ELSE '{_sp[-1][0]}' END"
+    )
+    sql["g14_split"] = f"""
+        SELECT doc_id, {_sp_case} AS split
+        FROM documents
     """
 
     sql["g14_sample_rate"] = f"""

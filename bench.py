@@ -55,6 +55,7 @@ HEADLINE = [
     "g26_trim_spans",
     "g14_sample_stratified",
     "g30_temperature_mix",
+    "g14_split",
     "g17_pack_sequences",
     "g18_quantize_int8",
     "g18_quantized_topk",

@@ -79,6 +79,45 @@ def sample_by_rate(
     return df.filter(u < thresh)
 
 
+def split_by_hash(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    out_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic, disjoint, exhaustive dataset split (train/val/test):
+    each row's 60-bit hash falls into exactly one cumulative-fraction
+    band, so every row gets exactly one label, membership is stable under
+    reprocessing (same id+salt -> same split, independent of partitioning
+    or row order), and changing ``salt`` redraws the whole split. A pure
+    map-side projection -- no shuffle, no RNG state.
+
+    ``fractions`` must sum to 1 (+-1e-9); bands are assigned in dict
+    order and the LAST band absorbs the hash ceiling, so rounding never
+    drops a row.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if not fractions:
+        raise ValueError("fractions is empty")
+    u = hash_u60(F.col(id_col), salt)
+    names = list(fractions)
+    # Cumulative integer bounds in dict order; the CASE chain tests them
+    # front-to-back so the first matching band wins and the last band
+    # (no bound) absorbs the hash ceiling.
+    cum = 0.0
+    chain = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        chain.append((name, int(cum * _U60_SPAN)))
+    expr = F.lit(names[-1])
+    for name, bound in reversed(chain):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
 def stratified_sample_n(
     df: DataFrame,
     key_col: str,

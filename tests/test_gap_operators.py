@@ -1208,3 +1208,36 @@ def test_temperature_rates_goldens_and_composition(spark):
 
     with pytest.raises(ValueError):
         temperature_rates(df, 1.5)
+
+
+def test_split_by_hash_disjoint_exhaustive_stable(spark):
+    from ferc_xbrl_extractor_spark.operators.sampling import split_by_hash
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_by_hash(df, fr, salt="v1:")
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(got) == 2000  # exhaustive: every row labeled exactly once
+    from collections import Counter
+
+    sizes = Counter(got.values())
+    assert set(sizes) == {"train", "val", "test"}
+    assert 1500 <= sizes["train"] <= 1750  # ~1600 expected
+    assert 120 <= sizes["val"] + sizes["test"] <= 400
+    # stability: same salt -> identical assignment, regardless of order
+    again = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(df.repartition(7), fr, salt="v1:").collect()
+    }
+    assert again == got
+    # a different salt redraws (some labels must change)
+    redraw = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(df, fr, salt="v2:").collect()
+    }
+    assert redraw != got
+
+    with pytest.raises(ValueError):
+        split_by_hash(df, {"a": 0.5, "b": 0.4})
