@@ -82,3 +82,123 @@ def encode_documents(
         ),
     )
     return toked.select(*df.columns, ids.alias(out_col))
+
+
+def _merge_pair(sym_col, a: "Column", b: "Column"):
+    """Greedy left-to-right merge of adjacent (a, b) symbol pairs inside
+    one symbol array — a single ``aggregate`` fold: append each symbol
+    unless the accumulator's tail is ``a`` and the symbol is ``b``, in
+    which case replace the tail with the merged symbol. Matches
+    reference BPE's non-overlapping left-to-right merge order (after a
+    merge the new tail is the merged symbol, so an overlapping second
+    merge can't fire)."""
+    merged = F.concat(a, b)
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (x == b),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016,
+    word-level variant): learn ``num_merges`` merge rules from corpus
+    statistics, entirely as DataFrame aggregations.
+
+    Scale shape — the classic reduction trick: the corpus collapses ONCE
+    into the distinct-word relation ``(word, n)`` (one map-side-combinable
+    aggregate; |distinct words| ≪ |tokens| by Zipf), and every BPE round
+    then runs on that bounded relation only:
+
+      explode adjacent symbol pairs weighted by word count
+      → one pair-count aggregate (map-side partial combine)
+      → argmax via orderBy(count desc, pair asc).limit(1)   (tiny)
+      → apply the merge to each word's symbol array with one codegen'd
+        fold (no Python), ``localCheckpoint`` to cut the per-round
+        lineage exactly like G2b's propagation loop.
+
+    Rounds are inherently sequential (each merge changes the next round's
+    pair statistics) — the per-round cost is what distributes. Returns
+    ``(merges, words)``: the ordered merge rules and the final
+    ``(word, n, symbols)`` relation (feed to ``bpe_encode_documents``). Stops early when no pair reaches
+    ``min_pair_count``.
+    """
+    words = (
+        df.select(F.explode_outer(tokens(text_col)).alias("word"))
+        .filter(F.col("word").isNotNull())
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "symbols",
+            F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs = words.select(
+            F.col("n"),
+            F.explode(
+                F.when(
+                    F.size("symbols") >= 2,
+                    F.zip_with(
+                        F.slice("symbols", 1, F.size("symbols") - 1),
+                        F.slice("symbols", 2, F.size("symbols") - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        a, b = best[0]["p"]["a"], best[0]["p"]["b"]
+        merges.append((a, b))
+        words = words.withColumn(
+            "symbols", _merge_pair(F.col("symbols"), F.lit(a), F.lit(b))
+        ).localCheckpoint()
+    return merges, words
+
+
+def bpe_encode_documents(
+    df: DataFrame,
+    words: DataFrame,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned BPE segmentation to a corpus: the (word → symbol
+    sequence) table folds into ONE map row broadcast via cross join (the
+    G29 shape), and each document's tokens expand through a ``transform``
+    + ``flatten`` probe — scan-side, no explode of the corpus, no
+    shuffle. Out-of-vocabulary words fall back to character symbols
+    computed inline (the same split the trainer starts from)."""
+    wmap = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word", "symbols"))
+        ).alias("__wmap")
+    )
+    toked = df.select("*", tokens(text_col).alias("__toks")).crossJoin(
+        F.broadcast(wmap)
+    )
+    seqs = F.transform(
+        "__toks",
+        lambda w: F.coalesce(
+            F.col("__wmap")[w],
+            F.filter(F.split(w, ""), lambda c: F.length(c) > 0),
+        ),
+    )
+    return toked.select(*df.columns, F.flatten(seqs).alias(out_col))

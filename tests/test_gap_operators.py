@@ -1241,3 +1241,63 @@ def test_split_by_hash_disjoint_exhaustive_stable(spark):
 
     with pytest.raises(ValueError):
         split_by_hash(df, {"a": 0.5, "b": 0.4})
+
+
+def _reference_bpe(word_counts, num_merges, min_pair_count=2):
+    """Sennrich-style reference: dict of word->count, greedy best-pair
+    merges with (count desc, pair asc) tie order."""
+    words = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for w, syms in words.items():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] = pairs.get((x, y), 0) + word_counts[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        for w, syms in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            words[w] = out
+    return merges, words
+
+
+def test_bpe_learn_matches_reference(spark):
+    from ferc_xbrl_extractor_spark.operators import vocab as V
+
+    corpus = [
+        (1, "low low low lower lowest"),
+        (2, "low newer newest newer"),
+        (3, "wider wide wide"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    counts = {}
+    for _, t in corpus:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    ref_merges, ref_words = _reference_bpe(counts, 6)
+
+    merges, words = V.bpe_learn(df, 6)
+    assert merges == ref_merges
+    got = {r["word"]: list(r["symbols"]) for r in words.collect()}
+    assert got == ref_words
+
+    enc = V.bpe_encode_documents(df, words)
+    by_id = {r["doc_id"]: r["bpe_tokens"] for r in enc.collect()}
+    # doc 1 re-encodes as the concatenation of its words' segmentations
+    expect1 = [s for w in corpus[0][1].split() for s in ref_words[w]]
+    assert by_id[1] == expect1
+    # OOV words fall back to characters
+    oov = spark.createDataFrame([(9, "zag")], "doc_id long, text string")
+    assert V.bpe_encode_documents(oov, words).first()["bpe_tokens"] == [
+        "z", "a", "g"
+    ]
