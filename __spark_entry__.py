@@ -909,6 +909,14 @@ def q_g28_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g32_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G32: one-pass corpus datasheet — totals, exact token-length
+    percentiles, exact fingerprint distincts + dup ratio, lang/source
+    cardinalities, all in ONE aggregate over ONE scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.corpus_report(docs)
+
+
 def q_g4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: per-document quality features."""
     docs = _t(spark, sf_dir, "documents")
@@ -2116,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g27_semantic_dedup": q_g27_semantic_dedup,
         "g4_text_stats": q_g4_text_stats,
         "g28_quality_classifier": q_g28_quality_classifier,
+        "g32_corpus_report": q_g32_corpus_report,
         "g4_repetition": q_g4_repetition,
         "g4_bm25": q_g4_bm25,
         "g4_surprisal": q_g4_surprisal,
@@ -2652,6 +2661,29 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.vec_id < b.vec_id
           AND list_inner_product(a.e, b.e) /
               (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.4
+    """
+
+    sql["g32_corpus_report"] = f"""
+        WITH {_TOKENS_CTE},
+        st AS (
+            SELECT CAST(len(w) AS BIGINT) AS nt,
+                   CAST(length(text) AS BIGINT) AS nc,
+                   md5(array_to_string(w, ' ')) AS fp,
+                   lang, source
+            FROM toks
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               CAST(sum(nc) AS BIGINT) AS n_chars,
+               ROUND(quantile_cont(nt, 0.25), 4) AS p25_tokens,
+               ROUND(quantile_cont(nt, 0.5), 4) AS p50_tokens,
+               ROUND(quantile_cont(nt, 0.75), 4) AS p75_tokens,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_texts,
+               ROUND(1.0 - CAST(count(DISTINCT fp) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE), 6) AS dup_doc_ratio,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM st
     """
 
     sql["g4_text_stats"] = f"""

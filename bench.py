@@ -46,6 +46,7 @@ HEADLINE = [
     "g27_semantic_dedup",
     "g4_text_stats",
     "g28_quality_classifier",
+    "g32_corpus_report",
     "g4_bm25",
     "g4_surprisal",
     "g4_chunk",

@@ -383,3 +383,53 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    source_col: str | None = "source",
+) -> DataFrame:
+    """One-row corpus datasheet ("Datasheets for Datasets"-style summary
+    a curation run publishes with its output): ONE map-side-combinable
+    aggregation over ONE scan regardless of metric count — the G20
+    single-pass discipline applied to corpus-level reporting.
+
+    Metrics: document/token/char totals, exact interpolated token-length
+    percentiles (``percentile`` ≡ DuckDB ``quantile_cont``), exact
+    distinct whitespace-normalized fingerprints with the implied
+    duplicate-document ratio, and distinct language/source counts when
+    those columns exist. Exact distincts plan as one Expand inside the
+    same aggregate — still a single scan; swap ``approx_count_distinct``
+    in at the scale where the Expand's shuffle dominates.
+    """
+    toks = tokens(text_col)
+    staged = df.select(
+        F.size(toks).cast("long").alias("__nt"),
+        F.length(text_col).cast("long").alias("__nc"),
+        F.md5(F.array_join(toks, " ")).alias("__fp"),
+        *([F.col(lang_col)] if lang_col and lang_col in df.columns else []),
+        *(
+            [F.col(source_col)]
+            if source_col and source_col in df.columns
+            else []
+        ),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.sum("__nc").alias("n_chars"),
+        F.round(F.percentile(F.col("__nt"), F.lit(0.25)), 4).alias("p25_tokens"),
+        F.round(F.percentile(F.col("__nt"), F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile(F.col("__nt"), F.lit(0.75)), 4).alias("p75_tokens"),
+        F.countDistinct("__fp").alias("n_distinct_texts"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("__fp") / F.count(F.lit(1)), 6
+        ).alias("dup_doc_ratio"),
+    ]
+    if lang_col and lang_col in df.columns:
+        aggs.append(F.countDistinct(lang_col).alias("n_langs"))
+    if source_col and source_col in df.columns:
+        aggs.append(F.countDistinct(source_col).alias("n_sources"))
+    return staged.agg(*aggs)

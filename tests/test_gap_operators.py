@@ -1301,3 +1301,38 @@ def test_bpe_learn_matches_reference(spark):
     assert V.bpe_encode_documents(oov, words).first()["bpe_tokens"] == [
         "z", "a", "g"
     ]
+
+
+def test_corpus_report_single_scan_goldens(spark):
+    from ferc_xbrl_extractor_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "web"),
+            (2, "a b c", "en", "web"),      # exact dup of 1
+            (3, "d e", "es", "books"),
+            (4, "", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = T.corpus_report(df).first()
+    assert r["n_docs"] == 4
+    assert r["n_tokens"] == 8
+    assert r["n_distinct_texts"] == 3
+    assert r["dup_doc_ratio"] == 0.25
+    assert r["n_langs"] == 2 and r["n_sources"] == 2
+    assert r["p50_tokens"] == 2.5  # sorted lens [0,2,3,3]
+
+    # single scan: exactly one FileScan/relation-scan-free local relation;
+    # assert the plan carries one aggregate chain and no join
+    out = T.corpus_report(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "Join" not in plan
+
+    # no lang/source columns -> those metrics are simply omitted
+    slim = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    row = T.corpus_report(slim).first()
+    assert "n_langs" not in row.asDict()
