@@ -1,0 +1,102 @@
+"""Second-axis scale evidence: time the heavyweight text/embedding
+operators on a synthesized 10× corpus (50k docs from sf0.1's 5k, ids
+remapped, one per-copy salt token appended so copies are near- but not
+exact duplicates), alongside the sf0.1 numbers.
+
+The bench suite already records an sf0.01→sf0.1 slope per query; this
+tool extends the axis one more decade for the operators whose cost is
+dominated by per-token work (span detection, shingling, vocab build,
+classifier scoring) — the ones whose 100-TB behavior the slope argues
+for. Writes nothing to the repo; corpus lands in /tmp.
+
+Usage: python tools/scalecheck.py  → one JSON line for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ferc_xbrl_extractor_spark.operators import classifier, spans, text, vocab  # noqa: E402
+from ferc_xbrl_extractor_spark.session import get_spark  # noqa: E402
+
+
+def build_10x(spark, src: str, path: str) -> None:
+    docs = spark.read.parquet(src)
+    big = (
+        docs.withColumn("__copy", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .select(
+            (F.col("doc_id") * 10 + F.col("__copy")).alias("doc_id"),
+            F.concat_ws(
+                " ", "text", F.concat(F.lit("salt"), F.col("__copy"))
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+        .repartition(32)
+    )
+    big.write.mode("overwrite").parquet(path)
+
+
+def timeit(fn, reps: int = 2) -> float:
+    fn()  # warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    spark = get_spark(
+        "scalecheck", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    big_path = f"/tmp/spark_graft_10x_{os.getpid()}"
+    build_10x(spark, f"{src}/documents.parquet", big_path)
+
+    def load(p):
+        return spark.read.parquet(p)
+
+    small = f"{src}/documents.parquet"
+    cases = {
+        "g26_dup_spans": lambda df: spans.duplicated_spans(df, n=8).count(),
+        "g26_hot_safe": lambda df: spans.duplicated_spans(
+            df, n=8, hot_gram_safe=True
+        ).count(),
+        "g29_vocab": lambda df: vocab.build_vocab(df, vocab_size=100).count(),
+        "g29_encode": lambda df: vocab.encode_documents(
+            df, vocab.build_vocab(df, vocab_size=100)
+        ).count(),
+        "g28_classifier": lambda df: classifier.score_documents(
+            df, {"uniq_ratio": 2.0, "stopword_ratio": -1.0}, -0.5
+        ).count(),
+        "g32_report": lambda df: text.corpus_report(df).count(),
+    }
+    out = {}
+    for name, fn in cases.items():
+        t_small = timeit(lambda: fn(load(small)))
+        t_big = timeit(lambda: fn(load(big_path)))
+        out[name] = {
+            "sf0.1_s": t_small,
+            "10x_s": t_big,
+            "time_ratio_for_10x_data": round(t_big / t_small, 2)
+            if t_small
+            else None,
+        }
+    print(json.dumps({"scalecheck": out, "docs_small": 5000, "docs_big": 50000}))
+
+    import shutil
+
+    shutil.rmtree(big_path, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
