@@ -909,6 +909,25 @@ def q_g28_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g33_strip_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G33: CCNet-style per-source boilerplate line removal. A footer
+    sentence is injected into 2/3 of each source's documents (> the 0.5
+    document-frequency bar), so every group exercises the strip path;
+    byte-exact via md5 of the rebuilt text."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    fix = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(F.col("text"), F.lit(". footer for "), F.col("source")),
+        ).otherwise(F.col("text")),
+    )
+    out = text.strip_common_lines(fix, source_col="source", line_sep=". ")
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"), "n_kept_lines"
+    )
+
+
 def q_g32_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G32: one-pass corpus datasheet — totals, exact token-length
     percentiles, exact fingerprint distincts + dup ratio, lang/source
@@ -2125,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_text_stats": q_g4_text_stats,
         "g28_quality_classifier": q_g28_quality_classifier,
         "g32_corpus_report": q_g32_corpus_report,
+        "g33_strip_lines": q_g33_strip_lines,
         "g4_repetition": q_g4_repetition,
         "g4_bm25": q_g4_bm25,
         "g4_surprisal": q_g4_surprisal,
@@ -2661,6 +2681,52 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.vec_id < b.vec_id
           AND list_inner_product(a.e, b.e) /
               (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.4
+    """
+
+    sql["g33_strip_lines"] = """
+        WITH fix AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 3 != 0
+                        THEN text || '. footer for ' || source
+                        ELSE text END AS text
+            FROM documents
+        ),
+        sp AS (
+            SELECT doc_id, source, string_split(text, '. ') AS ls FROM fix
+        ),
+        ln AS (
+            SELECT doc_id, source, CAST(t.i AS INT) AS pos,
+                   ls[t.i + 1] AS line
+            FROM sp, UNNEST(range(len(ls))) AS t(i)
+            WHERE ls[t.i + 1] IS NOT NULL AND len(ls[t.i + 1]) > 0
+        ),
+        gd AS (SELECT source, count(*) AS n_docs FROM fix GROUP BY source),
+        freq AS (
+            SELECT source, line, count(*) AS df
+            FROM (SELECT DISTINCT source, line, doc_id FROM ln)
+            GROUP BY source, line
+        ),
+        boiler AS (
+            SELECT f.source, f.line
+            FROM freq f JOIN gd USING (source)
+            WHERE f.df >= 2 AND f.df / gd.n_docs > 0.5
+        ),
+        kept AS (
+            SELECT l.doc_id, l.pos, l.line
+            FROM ln l LEFT JOIN boiler b
+              ON l.source = b.source AND l.line = b.line
+            WHERE b.line IS NULL
+        ),
+        agg AS (
+            SELECT doc_id,
+                   string_agg(line, '. ' ORDER BY pos) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT f.doc_id,
+               md5(COALESCE(a.clean_text, '')) AS clean_md5,
+               CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept_lines
+        FROM fix f LEFT JOIN agg a USING (doc_id)
     """
 
     sql["g32_corpus_report"] = f"""

@@ -47,6 +47,7 @@ HEADLINE = [
     "g4_text_stats",
     "g28_quality_classifier",
     "g32_corpus_report",
+    "g33_strip_lines",
     "g4_bm25",
     "g4_surprisal",
     "g4_chunk",

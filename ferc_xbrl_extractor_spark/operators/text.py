@@ -433,3 +433,82 @@ def corpus_report(
     if source_col and source_col in df.columns:
         aggs.append(F.countDistinct(source_col).alias("n_sources"))
     return staged.agg(*aggs)
+
+
+def strip_common_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str | None = None,
+    max_ratio: float = 0.5,
+    min_docs: int = 2,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style boilerplate line removal: a line occurring in more
+    than ``max_ratio`` of a group's documents (and in at least
+    ``min_docs`` of them) is boilerplate — headers, footers, cookie
+    banners — and is stripped from every document in the group. Groups
+    are ``source_col`` values (per-domain, the CCNet setting) or the
+    whole corpus when ``None``.
+
+    Complements G26: spans remove VERBATIM repeated n-gram runs
+    corpus-wide; this removes STRUCTURALLY repeated whole lines by
+    per-group document frequency, catching short boilerplate an 8-gram
+    can never cover.
+
+    Plan shape: lines explode once with positions; document frequency is
+    one aggregate over the per-doc-distinct line set (map-side combine;
+    a line repeated inside one doc counts once); the boilerplate set is
+    |flagged lines| rows — broadcast by AQE — anti-joined back; one
+    doc-keyed aggregate reassembles surviving lines in position order
+    (``sort_array`` of collected (pos, line) structs — no window sort).
+    Adds ``clean_text`` and ``n_kept_lines``.
+    """
+    import re as _re
+
+    grp = F.col(source_col) if source_col else F.lit("__all")
+    sep_re = _re.escape(line_sep)
+    raw = F.split(F.col(text_col), sep_re)
+    lines = (
+        df.select(
+            F.col(id_col),
+            grp.alias("__grp"),
+            F.posexplode_outer(raw).alias("__pos", "__line"),
+        )
+        .filter(F.col("__line").isNotNull() & (F.length("__line") > 0))
+    )
+    docs_per_grp = df.groupBy(grp.alias("__grp")).agg(
+        F.count(F.lit(1)).alias("__grp_docs")
+    )
+    freq = (
+        lines.select("__grp", "__line", id_col)
+        .distinct()
+        .groupBy("__grp", "__line")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    boiler = (
+        freq.join(docs_per_grp, "__grp")
+        .filter(
+            (F.col("__df") >= min_docs)
+            & (F.col("__df") / F.col("__grp_docs") > max_ratio)
+        )
+        .select("__grp", "__line")
+    )
+    kept = lines.join(boiler, ["__grp", "__line"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("__pos", "__line"))
+                ),
+                lambda s: s["__line"],
+            ),
+            line_sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept_lines"),
+    )
+    return (
+        df.join(rebuilt, id_col, "left")
+        .withColumn("clean_text", F.coalesce("clean_text", F.lit("")))
+        .withColumn("n_kept_lines", F.coalesce("n_kept_lines", F.lit(0)))
+    )

@@ -1336,3 +1336,46 @@ def test_corpus_report_single_scan_goldens(spark):
     slim = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
     row = T.corpus_report(slim).first()
     assert "n_langs" not in row.asDict()
+
+
+def test_strip_common_lines_per_source(spark):
+    from ferc_xbrl_extractor_spark.operators.text import strip_common_lines
+
+    rows = [
+        (1, "HEADER\nunique one\nFOOTER", "a"),
+        (2, "HEADER\nunique two\nFOOTER", "a"),
+        (3, "HEADER\nunique three\nFOOTER", "a"),
+        # source b: HEADER appears once -> NOT boilerplate there
+        (4, "HEADER\nother text", "b"),
+        (5, "different\nlines", "b"),
+        (6, "HEADER\nFOOTER", "a"),  # all-boilerplate doc -> empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept_lines"])
+        for r in strip_common_lines(df, source_col="source").collect()
+    }
+    assert out[1] == ("unique one", 1)
+    assert out[2] == ("unique two", 1)
+    assert out[3] == ("unique three", 1)
+    assert out[4] == ("HEADER\nother text", 2)  # per-group independence
+    assert out[5] == ("different\nlines", 2)
+    assert out[6] == ("", 0)
+
+
+def test_strip_common_lines_ratio_and_min_docs(spark):
+    from ferc_xbrl_extractor_spark.operators.text import strip_common_lines
+
+    # "x" in 2 of 4 docs = exactly 0.5 -> NOT > max_ratio 0.5 -> kept
+    df = spark.createDataFrame(
+        [(1, "x\na"), (2, "x\nb"), (3, "c"), (4, "d")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["clean_text"] for r in strip_common_lines(df).collect()}
+    assert out[1] == "x\na"
+    # lower the bar: > 0.4 and min_docs=2 -> "x" stripped
+    out2 = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_common_lines(df, max_ratio=0.4).collect()
+    }
+    assert out2[1] == "a" and out2[2] == "b"
