@@ -44,18 +44,30 @@ DEFAULT_FEATURES = [
 ]
 
 
-def featurize(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the DEFAULT_FEATURES columns (one codegen'd projection over
-    the scan; null-safe zeros so empty documents score rather than
-    null-propagate)."""
-    stats = with_text_stats(df, text_col)
+def attach_model_features(stats: DataFrame) -> DataFrame:
+    """Derive the model-input columns from an existing ``with_text_stats``
+    frame: the scaled token count plus null-safe zeros for the ratios
+    (so empty documents score rather than null-propagate). The single
+    place the feature derivation lives — ``featurize`` and the curation
+    pipeline both route through it."""
     return stats.select(
         "*",
         (F.col("n_tokens").cast("double") / F.lit(1000.0)).alias("n_tokens_k"),
     ).fillna(
         0.0,
-        subset=["avg_token_len", "stopword_ratio", "uniq_ratio", "punct_ratio"],
+        subset=[
+            c
+            for c in ("avg_token_len", "stopword_ratio", "uniq_ratio",
+                      "punct_ratio")
+            if c in stats.columns
+        ],
     )
+
+
+def featurize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the DEFAULT_FEATURES columns (one codegen'd projection over
+    the scan)."""
+    return attach_model_features(with_text_stats(df, text_col))
 
 
 def logit(

@@ -196,10 +196,13 @@ def temperature_rates(
     size_expr = (
         F.sum(F.col(token_col)) if token_col else F.count(F.lit(1))
     ).alias("n")
+    # NULL strata are excluded (a None dict key would crash
+    # sample_by_rate's sorted threshold chain): rows with a NULL ``by``
+    # value fall to sample_by_rate's ``default_rate`` downstream.
     sizes = {
         r[by]: int(r["n"])
         for r in df.groupBy(by).agg(size_expr).collect()
-        if r["n"]
+        if r["n"] and r[by] is not None
     }
     if not sizes:
         raise ValueError("corpus has no non-empty strata")

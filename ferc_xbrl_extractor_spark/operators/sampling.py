@@ -97,11 +97,11 @@ def split_by_hash(
     order and the LAST band absorbs the hash ceiling, so rounding never
     drops a row.
     """
+    if not fractions:
+        raise ValueError("fractions is empty")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    if not fractions:
-        raise ValueError("fractions is empty")
     u = hash_u60(F.col(id_col), salt)
     names = list(fractions)
     # Cumulative integer bounds in dict order; the CASE chain tests them

@@ -466,7 +466,14 @@ def strip_common_lines(
     """
     import re as _re
 
-    grp = F.col(source_col) if source_col else F.lit("__all")
+    # NULL source values form their own group via a sentinel — an equi
+    # join on a NULL key matches nothing, which would silently exempt
+    # every NULL-source document from boilerplate stripping.
+    grp = (
+        F.coalesce(F.col(source_col).cast("string"), F.lit("\x00__null"))
+        if source_col
+        else F.lit("__all")
+    )
     sep_re = _re.escape(line_sep)
     raw = F.split(F.col(text_col), sep_re)
     lines = (

@@ -108,17 +108,7 @@ def curate_corpus(
         & (F.col("uniq_ratio") >= min_uniq_ratio)
     )
     if classifier_weights is not None:
-        feat = quality.withColumn(
-            "n_tokens_k", F.col("n_tokens").cast("double") / F.lit(1000.0)
-        ).fillna(
-            0.0,
-            subset=[
-                c
-                for c in ("avg_token_len", "stopword_ratio", "uniq_ratio",
-                          "punct_ratio")
-                if c in quality.columns
-            ],
-        )
+        feat = classifier.attach_model_features(quality)
         z = classifier.logit(classifier_weights, classifier_bias)
         quality = feat.filter(z >= F.lit(float(keep_logit))).drop("n_tokens_k")
     clean = quality
@@ -157,6 +147,10 @@ def curate_corpus(
             .withColumn(text_col, F.col("clean_text"))
             .drop("clean_text", "n_kept_tokens")
         )
+        # the stat columns computed before trimming describe the old
+        # text; recompute them so downstream consumers (packing budgets,
+        # length filters) never read pre-trim counts.
+        deduped = text.with_text_stats(deduped, text_col)
     if redact:
         deduped = deduped.withColumn(text_col, text.redact_pii(text_col))
     if sample_n is not None:

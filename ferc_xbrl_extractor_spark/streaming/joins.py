@@ -26,17 +26,24 @@ def stream_interval_join(
     right_ts: str,
     lower: str = "0 seconds",
     upper: str = "10 minutes",
-    keys: list[str] | None = None,
+    keys: list[str] = (),
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Inner-join two streams: a left row matches right rows with
-    ``right_ts`` in ``[left_ts - lower, left_ts + upper]``, plus optional
-    equi ``keys`` (strongly recommended — they become the state-store
-    partitioning key; without keys every state partition must be probed).
+    ``right_ts`` in ``[left_ts - lower, left_ts + upper]``, joined on the
+    required equi ``keys`` (they become the state-store partitioning
+    key — Spark rejects a stream-stream join with no equality predicate
+    at all, so at least one key is mandatory).
 
     Both timestamp columns must be distinct names (rename before calling
     otherwise); output carries both sides' columns qualified-free.
     """
+    if not keys:
+        raise ValueError(
+            "stream_interval_join requires at least one equi key — Spark "
+            "does not support stream-stream joins without an equality "
+            "predicate (the time-range condition alone is not one)"
+        )
     l = left.withWatermark(left_ts, watermark).alias("__sl")
     r = right.withWatermark(right_ts, watermark).alias("__sr")
     cond = (

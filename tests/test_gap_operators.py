@@ -1379,3 +1379,72 @@ def test_strip_common_lines_ratio_and_min_docs(spark):
         for r in strip_common_lines(df, max_ratio=0.4).collect()
     }
     assert out2[1] == "a" and out2[2] == "b"
+
+
+def test_review_fixes_null_strata_and_guards(spark, tmp_path):
+    import pytest as _pt
+
+    from ferc_xbrl_extractor_spark.operators.packing import temperature_rates
+    from ferc_xbrl_extractor_spark.operators.sampling import split_by_hash
+    from ferc_xbrl_extractor_spark.operators.text import strip_common_lines
+    from ferc_xbrl_extractor_spark.streaming import stream_interval_join
+
+    # temperature_rates: NULL stratum excluded, not a None dict key
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None)], "doc_id long, source string"
+    )
+    rates = temperature_rates(df, 0.5)
+    assert set(rates) == {"a"}
+
+    # split_by_hash: empty fractions reports itself
+    with _pt.raises(ValueError, match="empty"):
+        split_by_hash(df, {})
+
+    # strip_common_lines: NULL-source docs form their own group and ARE
+    # stripped (previously silently exempted)
+    docs = spark.createDataFrame(
+        [(1, "B\nu1", None), (2, "B\nu2", None), (3, "B\nu3", None)],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_common_lines(docs, source_col="source").collect()
+    }
+    assert out == {1: "u1", 2: "u2", 3: "u3"}
+
+    # stream_interval_join: keys are mandatory (Spark rejects keyless
+    # stream-stream joins), so the operator fails fast with a clear error
+    spark.createDataFrame([], "id long, ts timestamp").write.parquet(
+        str(tmp_path / "s")
+    )
+    s = spark.readStream.schema("id long, ts timestamp").parquet(
+        str(tmp_path / "s")
+    )
+    with _pt.raises(ValueError, match="equi key"):
+        stream_interval_join(s, s, "ts", "ts")
+
+
+def test_curate_trim_recomputes_stats(spark):
+    from ferc_xbrl_extractor_spark.pipeline.curate import curate_corpus
+
+    boiler = "b1 b2 b3 b4"
+    rows = [
+        (1, f"u11 u12 u13 u14 u15 {boiler}"),
+        (2, f"u21 u22 u23 u24 u25 {boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in curate_corpus(
+            docs,
+            min_tokens=1,
+            max_stopword_ratio=1.0,
+            min_uniq_ratio=0.0,
+            trim_spans_n=4,
+        ).collect()
+    }
+    for r in out.values():
+        # stats must describe the trimmed text (5 tokens), not the
+        # original 9-token text
+        assert r["n_tokens"] == 5
+        assert boiler.split()[0] not in r["text"]

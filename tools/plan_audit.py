@@ -29,6 +29,8 @@ EXECUTES_ON_CALL = {
     "g24_incremental_neardup",
     "s7_jsonl_roundtrip",
     "s7_orc_roundtrip",
+    # temperature_rates collects the per-stratum sizes at query-build time
+    "g30_temperature_mix",
     "g16_curate_e2e",
 }
 
