@@ -151,6 +151,7 @@ def trim_duplicated_spans(
     n: int = 8,
     min_count: int = 2,
     spans: DataFrame | None = None,
+    hot_gram_safe: bool = False,
 ) -> DataFrame:
     """Rebuild each document with its duplicated spans removed.
 
@@ -163,7 +164,9 @@ def trim_duplicated_spans(
     fits.
     """
     if spans is None:
-        spans = duplicated_spans(df, id_col, text_col, n, min_count)
+        spans = duplicated_spans(
+            df, id_col, text_col, n, min_count, hot_gram_safe
+        )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
