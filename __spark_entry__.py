@@ -860,19 +860,25 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
 
 
 def q_g27_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G27: SemDeDup-style semantic dedup — cluster embeddings with the
+    """G27: SemDeDup semantic dedup — cluster embeddings with the
     supplied (fit-once) quantizer, score cosine pairs within clusters
-    only, connected-components the pair graph, keep the min-id survivor.
-    Oracle replays assignment (argmax dot, ties low), the within-cluster
-    pair join, and a recursive transitive-closure CTE."""
+    only, and apply the paper's greedy survivor rule (drop any vector
+    with a lower-id similar neighbor in its cluster; SemDeDup dedups
+    within clusters directly, not by transitive closure — the transitive
+    `survivor="components"` policy is gate-covered by g2_cluster_dedup's
+    recursive-CTE oracle and a pytest golden). Oracle replays assignment
+    (argmax dot, ties low) and the within-cluster pair join."""
     emb = _t(spark, sf_dir, "embeddings")
     cvecs = similarity.unit_centroids_from_rows(_ivf_centroids(spark, sf_dir))
     pairs = similarity.semantic_pairs(emb, cvecs, threshold=0.4)
-    clustered = neardup.attach_clusters(emb, pairs, "vec_id")
-    return clustered.select(
-        "vec_id",
-        F.col("cluster").cast("long").alias("cluster"),
-        (F.col("cluster") == F.col("vec_id")).alias("is_survivor"),
+    losers = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        emb.select("vec_id")
+        .join(losers.withColumn("__l", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(~F.col("__l"), F.lit(True)).alias("is_survivor"),
+        )
     )
 
 
@@ -2628,10 +2634,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # G27: SemDeDup — same quantizer/assignment CTEs as g3_ivf_topk, pair
-    # scoring restricted to within-cluster, then the g2_cluster_dedup
-    # recursive transitive closure for component labels.
+    # scoring restricted to within-cluster, then the paper's greedy
+    # survivor rule (any lower-id similar neighbor ⇒ dropped).
     sql["g27_semantic_dedup"] = f"""
-        WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
                    FROM embeddings),
         u AS (SELECT vec_id,
                      list_transform(ve, x -> x / sqrt(list_inner_product(ve, ve))) AS uv
@@ -2653,22 +2659,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_inner_product(a.uv, b.uv) >= 0.4
         ),
-        edges AS (
-            SELECT id_a AS src, id_b AS dst FROM sim
-            UNION ALL SELECT id_b, id_a FROM sim
-        ),
-        reach(id, lab) AS (
-            SELECT src, dst FROM edges
-            UNION
-            SELECT eg.src, r.lab FROM edges eg JOIN reach r ON r.id = eg.dst
-        ),
-        labels AS (
-            SELECT id, LEAST(MIN(lab), id) AS lab FROM reach GROUP BY id
-        )
-        SELECT v.vec_id,
-               CAST(COALESCE(l.lab, v.vec_id) AS BIGINT) AS cluster,
-               COALESCE(l.lab, v.vec_id) = v.vec_id AS is_survivor
-        FROM embeddings v LEFT JOIN labels l ON l.id = v.vec_id
+        losers AS (SELECT DISTINCT id_b FROM sim)
+        SELECT v.vec_id, l.id_b IS NULL AS is_survivor
+        FROM embeddings v LEFT JOIN losers l ON v.vec_id = l.id_b
     """
 
     sql["g3_embedding_neardup"] = """
