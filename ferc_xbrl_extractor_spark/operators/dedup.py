@@ -37,10 +37,50 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def dedup_exact(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+def _row_digest(df: DataFrame, cols: list[str], salt: int) -> Column:
+    """128-bit row digest as two independent 64-bit xxhash64 folds.
+
+    Spark's hash functions SKIP null inputs (a null contributes nothing to
+    the running seed), so ``xxhash64('a', NULL)`` == ``xxhash64(NULL,
+    'a')`` — interleaving an ``isNull`` boolean after every column makes
+    null *positions* part of the hashed sequence and restores injectivity
+    up to genuine hash collisions. Two salted folds give 128 bits:
+    collision odds for n rows are ~n^2/2^129 (~1e-15 at a trillion rows),
+    documented as the exactness boundary of the digest path."""
+    parts: list[Column] = [F.lit(salt)]
+    for c in cols:
+        parts.append(F.col(c))
+        parts.append(F.col(c).isNull())
+    return F.xxhash64(*parts)
+
+
+def dedup_exact(
+    df: DataFrame, keys: list[str] | None = None, digest: bool = False
+) -> DataFrame:
     """A2/G1: exact duplicate elimination. With ``keys=None`` the whole row
-    is the key (reference ``drop_duplicates()``, datapackage.py:437)."""
-    return df.dropDuplicates(keys) if keys else df.dropDuplicates()
+    is the key (reference ``drop_duplicates()``, datapackage.py:437).
+
+    ``digest=True`` (whole-row mode only) groups on a 128-bit row digest
+    instead of the full column tuple: the aggregate hashmap probes compare
+    two longs instead of N variable-length strings, and the row payload
+    rides as an ``any_value`` struct (all rows in a digest group are
+    identical, so any is exact). Measured ~2x on wide-string relations
+    (r4: the 3.7M-row distinct was the largest same-work gap vs DuckDB);
+    exact up to 2^-129-scale digest collisions — see ``_row_digest``."""
+    if keys:
+        return df.dropDuplicates(keys)
+    if not digest:
+        return df.dropDuplicates()
+    cols = df.columns
+    h1 = _row_digest(df, cols, 0x9E3779B9)
+    h2 = _row_digest(df, cols, 0x85EBCA6B)
+    agged = (
+        df.withColumn("__h1", h1)
+        .withColumn("__h2", h2)
+        .groupBy("__h1", "__h2")
+        .agg(F.any_value(F.struct(*[F.col(c) for c in cols])).alias("__row"))
+    )
+    return agged.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
 
 
 def dedup_exact_keep(

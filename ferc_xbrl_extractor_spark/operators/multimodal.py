@@ -6,13 +6,15 @@ metadata struct — the layout that keeps Parquet scans prunable (metadata
 reads never touch the blob pages) and lets Spark shuffle/partition media
 rows like any other row.
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT available in this
-environment, so the decode kernels are stubbed: ``decode_stub=True``
-produces deterministic fake features derived from the bytes, and
+Codec layering (the ``pipeline/sinks.py`` frictionless pattern): when
+Pillow is importable, ``decode_stub=False`` runs REAL image decode /
+resize kernels inside the same Arrow-batched ``mapInPandas`` bodies; when
+it is not (this sandbox has no PIL/ffmpeg/soundfile), ``decode_stub=True``
+produces deterministic fake features derived from the bytes and
 ``decode_stub=False`` raises NotImplementedError at the batch level. The
 Spark-side plumbing — schema, Arrow batch shapes, ``mapInPandas``
-signatures, partition sizing — is real and tested; swapping in a real
-codec is a one-function change inside the UDF.
+signatures, partition sizing — is identical on both paths, so the plan
+never depends on which kernel ran.
 """
 
 from __future__ import annotations
@@ -24,6 +26,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # real image codec, layered in when the environment provides it
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - sandbox has no Pillow
+    _PILImage = None
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -96,21 +103,32 @@ def extract_features(
     assumes ~100 KB media — lower it for video.
     """
 
+    def _pil_feature(b: bytes) -> list[float]:
+        # real kernel: decode, grayscale, downsample to `dim` pixels, map
+        # intensities to [-1, 1) — deterministic for a given image
+        import io
+
+        img = _PILImage.open(io.BytesIO(b)).convert("L").resize((dim, 1))
+        return [p / 128.0 - 1.0 for p in img.getdata()]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
+            if not decode_stub and _PILImage is None:
                 raise NotImplementedError(
-                    "real media codecs are not available in this environment; "
-                    "run with decode_stub=True or install a codec and replace "
-                    "_fake_feature"
+                    "real media codecs are not available in this environment "
+                    "(Pillow not importable); run with decode_stub=True or "
+                    "install Pillow"
                 )
+            kernel = _fake_feature if decode_stub else (
+                lambda b, _d=dim: _pil_feature(b)
+            )
             contents = pdf["content"].apply(lambda b: bytes(b) if b is not None else b"")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": contents.apply(len).astype("int64"),
                     "content_md5": contents.apply(lambda b: hashlib.md5(b).hexdigest()),
-                    "feature": contents.apply(lambda b: _fake_feature(b, dim)),
+                    "feature": contents.apply(lambda b: kernel(b, dim)),
                 }
             )
 
@@ -128,14 +146,22 @@ def resize_images(
     output schema stability — is real and testable without PIL.
     """
 
+    def pil_resize(b):
+        import io
+
+        img = _PILImage.open(io.BytesIO(bytes(b))).resize((width, height))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
-            if not decode_stub:
+            if not decode_stub and _PILImage is None:
                 raise NotImplementedError(
-                    "real image codecs are not available in this environment; "
-                    "run with decode_stub=True or install one and replace the "
-                    "stub kernel"
+                    "real image codecs are not available in this environment "
+                    "(Pillow not importable); run with decode_stub=True or "
+                    "install Pillow"
                 )
 
             def fake_resize(b):
@@ -150,7 +176,13 @@ def resize_images(
             meta = pd.DataFrame(
                 {
                     "media_type": pdf["meta"].apply(lambda m: m["media_type"]),
-                    "mime": pdf["meta"].apply(lambda m: m["mime"]),
+                    # the real kernel re-encodes to PNG; the stub keeps
+                    # the declared mime (it never decodes)
+                    "mime": (
+                        pdf["meta"].apply(lambda m: m["mime"])
+                        if decode_stub
+                        else "image/png"
+                    ),
                     "width": width,
                     "height": height,
                     "duration_ms": pdf["meta"].apply(lambda m: m["duration_ms"]),
@@ -159,7 +191,9 @@ def resize_images(
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "content": pdf["content"].apply(fake_resize),
+                    "content": pdf["content"].apply(
+                        fake_resize if decode_stub else pil_resize
+                    ),
                     "meta": meta.to_dict("records"),
                 }
             )

@@ -198,12 +198,26 @@ def temperature_rates(
     ).alias("n")
     # NULL strata are excluded (a None dict key would crash
     # sample_by_rate's sorted threshold chain): rows with a NULL ``by``
-    # value fall to sample_by_rate's ``default_rate`` downstream.
+    # value fall to sample_by_rate's ``default_rate`` downstream — as do
+    # strata whose size aggregate is NULL/0 (e.g. a token_col that is
+    # all-NULL within the stratum). Both exclusions are WARNED loudly:
+    # with the default default_rate=0.0 an excluded stratum is silently
+    # deleted from the mixture, which is almost never what the caller
+    # meant for a zero-token (but non-empty) stratum.
+    rows = df.groupBy(by).agg(size_expr).collect()
     sizes = {
-        r[by]: int(r["n"])
-        for r in df.groupBy(by).agg(size_expr).collect()
-        if r["n"] and r[by] is not None
+        r[by]: int(r["n"]) for r in rows if r["n"] and r[by] is not None
     }
+    excluded = [r[by] for r in rows if not (r["n"] and r[by] is not None)]
+    if excluded:
+        import warnings
+
+        warnings.warn(
+            f"temperature_rates: strata excluded for NULL key or "
+            f"NULL/zero size {excluded!r}; their rows fall to "
+            "sample_by_rate's default_rate (0.0 drops them entirely)",
+            stacklevel=2,
+        )
     if not sizes:
         raise ValueError("corpus has no non-empty strata")
     n_min = min(sizes.values())

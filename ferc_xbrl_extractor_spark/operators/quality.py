@@ -49,8 +49,28 @@ def completeness(col: str, at_least: float = 1.0) -> Check:
     return Check(f"completeness({col})", m, lo=at_least)
 
 
-def uniqueness(*cols: str, at_least: float = 1.0) -> Check:
-    """Exact distinct(cols)/count ratio (1.0 == candidate key)."""
+def uniqueness(
+    *cols: str,
+    at_least: float = 1.0,
+    approx: bool = False,
+    rsd: float = 0.01,
+) -> Check:
+    """distinct(cols)/count ratio (1.0 == candidate key).
+
+    ``approx=True`` swaps the exact count-distinct for HyperLogLog++
+    (``approx_count_distinct``, relative error ``rsd``). The exact form
+    makes Spark plan an Expand that replays the scanned rows once per
+    distinct aggregate in the suite — at 100 TB that multiplier IS the
+    cost of the suite, and nobody needs the ratio's 7th decimal to decide
+    a pass/fail threshold. HLL keeps the single-scan single-pass shape
+    (one mergeable sketch per constraint, no Expand); set ``at_least``
+    with ``rsd`` of slack. Exact stays available for candidate-key
+    assertions at small scale."""
+    if approx:
+        m = F.approx_count_distinct(
+            F.struct(*[F.col(c) for c in cols]), rsd
+        ) / F.count(F.lit(1))
+        return Check(f"uniqueness~({','.join(cols)})", m, lo=at_least)
     m = F.count_distinct(*[F.col(c) for c in cols]) / F.count(F.lit(1))
     return Check(f"uniqueness({','.join(cols)})", m, lo=at_least)
 

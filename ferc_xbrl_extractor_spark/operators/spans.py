@@ -23,10 +23,11 @@ here is the standard positional n-gram inverted index:
    island starts iff ``pos - prev_pos > n``) — a per-document window,
    bounded by document length, never a global sort.
 
-Shuffle budget: one gram-keyed exchange + within-partition sort (the
-count window; the groupBy + self-semi-join alternative avoids the sort
-but evaluates and shuffles the gram relation twice — measured 1.9×
-slower), one doc-keyed window. All rows are narrow (id, int, 16-byte
+Shuffle budget (default, skew-safe form): one map-side-combinable gram
+count aggregate + an AQE-broadcast semi join back onto the gram relation,
+then one doc-keyed window. The opt-in ``hot_gram_safe=False`` window form
+shuffles the gram relation once instead (measured ~1.9× faster at sf0.1)
+but single-tasks every hot gram — see ``duplicated_spans``. All rows are narrow (id, int, 16-byte
 md5). At 100 TB the gram relation is ~|tokens| rows — that is the honest
 price of substring-level dedup; the knobs that bound it are ``n`` (longer
 grams → fewer duplicated positions survive) and pre-filtering the corpus
@@ -90,7 +91,7 @@ def duplicated_spans(
     text_col: str = "text",
     n: int = 8,
     min_count: int = 2,
-    hot_gram_safe: bool = False,
+    hot_gram_safe: bool = True,
 ) -> DataFrame:
     """Maximal per-document token spans covered by n-grams that occur at
     least ``min_count`` times corpus-wide.
@@ -100,17 +101,22 @@ def duplicated_spans(
 
     Two formulations of the corpus-frequency filter:
 
-    - default: a count window over the gram key — the gram relation is
-      evaluated and shuffled ONCE (measured 1.9× faster than the join
-      form at sf0.1), at the cost of a within-partition sort. Caveat: a
-      window hash-partitions ALL occurrences of one gram onto one
-      partition and gets no AQE skew mitigation, so a pathological gram
-      shared by a large fraction of the corpus makes a straggler.
-    - ``hot_gram_safe=True``: groupBy count (map-side partial combine —
-      the aggregate side never skews) + a semi join back onto the gram
-      relation. The join re-evaluates the grams, but AQE's skew-join
-      splitting handles a hot gram's probe partition — use this when one
-      boilerplate gram may cover 10⁶+ documents.
+    - default (``hot_gram_safe=True``): groupBy count (map-side partial
+      combine — the aggregate side never skews) + a semi join back onto
+      the gram relation. The duplicated-gram set is usually a small
+      fraction of the grams, so AQE broadcasts the build side (no probe
+      shuffle at all); if it is ever too big to broadcast, AQE's skew-join
+      splitting still handles a hot gram's probe partition. This is the
+      100-TB default: one boilerplate gram covering 10⁶ documents costs
+      nothing special here.
+    - ``hot_gram_safe=False``: a count window over the gram key — the
+      gram relation is evaluated and shuffled ONCE (measured ~1.9× faster
+      at sf0.1 where nothing is hot), at the cost of a within-partition
+      sort. Caveat: a window hash-partitions ALL occurrences of one gram
+      onto one partition and gets no AQE skew mitigation, so a
+      pathological gram shared by a large fraction of the corpus makes a
+      single-task straggler — only use this when the gram-frequency
+      distribution is known to be flat (e.g. pre-deduplicated corpora).
     """
     grams = positional_grams(df, id_col, text_col, n)
     if hot_gram_safe:
@@ -151,12 +157,17 @@ def trim_duplicated_spans(
     n: int = 8,
     min_count: int = 2,
     spans: DataFrame | None = None,
-    hot_gram_safe: bool = False,
+    hot_gram_safe: bool = True,
+    out_col: str = "clean_text",
+    count_col: str = "n_kept_tokens",
 ) -> DataFrame:
     """Rebuild each document with its duplicated spans removed.
 
-    Adds ``clean_text`` (kept tokens rejoined with single spaces) and
-    ``n_kept_tokens``. Span lists are collected per document (bounded by
+    Adds ``out_col`` (kept tokens rejoined with single spaces) and
+    ``count_col``; input columns with those names are replaced rather
+    than duplicated (composing after e.g. ``text.strip_common_lines``,
+    which emits the same default names, would otherwise produce an
+    ambiguous schema). Span lists are collected per document (bounded by
     document length) and the token filter is a single codegen'd
     higher-order ``filter`` with a positional lambda — no per-token join.
     The spans side is |docs-with-spans| rows of tiny arrays; the join back
@@ -184,7 +195,7 @@ def trim_duplicated_spans(
         ),
     )
     return toked.select(
-        *[c for c in df.columns],
-        F.array_join(kept, " ").alias("clean_text"),
-        F.size(kept).cast("long").alias("n_kept_tokens"),
+        *[c for c in df.columns if c not in (out_col, count_col)],
+        F.array_join(kept, " ").alias(out_col),
+        F.size(kept).cast("long").alias(count_col),
     )

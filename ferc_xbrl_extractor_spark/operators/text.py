@@ -463,6 +463,16 @@ def strip_common_lines(
     doc-keyed aggregate reassembles surviving lines in position order
     (``sort_array`` of collected (pos, line) structs — no window sort).
     Adds ``clean_text`` and ``n_kept_lines``.
+
+    NORMALIZATION CAVEAT: empty lines are dropped before reassembly, so
+    ``clean_text`` collapses consecutive/leading/trailing separators
+    ('a\\n\\nb' -> 'a\\nb') even for documents containing no boilerplate
+    at all — replacing ``text_col`` with ``clean_text`` is therefore NOT
+    byte-exact round-tripping for blank-line formatting. This is the
+    CCNet convention (blank lines are never content); callers needing
+    untouched documents to round-trip exactly should diff
+    ``n_kept_lines`` against the document's non-empty line count and
+    keep the original text when equal.
     """
     import re as _re
 

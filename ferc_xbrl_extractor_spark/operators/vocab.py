@@ -179,13 +179,34 @@ def bpe_encode_documents(
     words: DataFrame,
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    id_col: str | None = None,
+    max_broadcast_words: int = 2_000_000,
 ) -> DataFrame:
     """Apply a learned BPE segmentation to a corpus: the (word → symbol
     sequence) table folds into ONE map row broadcast via cross join (the
     G29 shape), and each document's tokens expand through a ``transform``
     + ``flatten`` probe — scan-side, no explode of the corpus, no
     shuffle. Out-of-vocabulary words fall back to character symbols
-    computed inline (the same split the trainer starts from)."""
+    computed inline (the same split the trainer starts from).
+
+    The word→symbols table holds EVERY distinct corpus word, which on a
+    web-scale corpus is tens of millions of entries — past what a single
+    broadcast row can hold. When ``words`` exceeds ``max_broadcast_words``
+    the probe switches to the join fallback: posexplode the corpus
+    tokens, hash-join against ``words`` on the word (AQE broadcasts it if
+    it fits, shuffles otherwise), and reassemble per document in token
+    order. The fallback needs a unique per-row key — pass ``id_col``;
+    without one the guard raises rather than risk merging distinct rows.
+    """
+    n_words = words.count()
+    if n_words > max_broadcast_words:
+        if id_col is None:
+            raise ValueError(
+                f"bpe_encode_documents: {n_words} distinct words exceeds "
+                f"max_broadcast_words={max_broadcast_words}; the join "
+                "fallback reassembles per document and needs id_col"
+            )
+        return _bpe_encode_via_join(df, words, text_col, out_col, id_col)
     wmap = words.agg(
         F.map_from_entries(
             F.collect_list(F.struct("word", "symbols"))
@@ -202,3 +223,50 @@ def bpe_encode_documents(
         ),
     )
     return toked.select(*df.columns, F.flatten(seqs).alias(out_col))
+
+
+def _bpe_encode_via_join(
+    df: DataFrame,
+    words: DataFrame,
+    text_col: str,
+    out_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Join-fallback BPE encode for unbounded-vocabulary corpora: the
+    corpus posexplodes to (id, pos, word), left-joins ``words`` (OOV rows
+    fall back to inline character split), and reassembles each document
+    with ``sort_array(collect_list(struct(pos, syms)))`` — order restored
+    by the struct's leading pos field, one doc-keyed exchange. ``words``
+    is never collected driver-side; Spark picks broadcast vs shuffle join
+    from its actual size."""
+    toked = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "__w")
+    )
+    joined = toked.join(
+        words.select(F.col("word").alias("__w"), "symbols"), "__w", "left"
+    ).select(
+        id_col,
+        "__pos",
+        F.coalesce(
+            F.col("symbols"),
+            F.filter(F.split("__w", ""), lambda c: F.length(c) > 0),
+        ).alias("__syms"),
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("__pos", "__syms"))
+                ),
+                lambda s: s["__syms"],
+            )
+        ).alias(out_col)
+    )
+    # Empty/token-less documents never reach the explode; restore them
+    # with an empty encoding so row counts match the map-probe path.
+    return df.join(per_doc, id_col, "left").select(
+        *df.columns,
+        F.coalesce(
+            F.col(out_col), F.array().cast("array<string>")
+        ).alias(out_col),
+    )

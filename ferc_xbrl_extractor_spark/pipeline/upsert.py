@@ -42,6 +42,23 @@ def merge_latest(
     append, SURVEY.md §1.2).
     """
     both = existing.unionByName(updates, allowMissingColumns=True)
+    return merge_latest_unioned(both, keys, order_col, tiebreak=tiebreak)
+
+
+def merge_latest_unioned(
+    both: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """The survivor-selection aggregate of :func:`merge_latest`, exposed on
+    an already-combined relation. Callers that can produce base+updates
+    rows from ONE scan (e.g. an in-place explode of conditional update
+    structs, or a CDC log that already interleaves versions) should use
+    this directly: ``merge_latest``'s union reads each side's source
+    separately, so a fixture deriving updates from the base table scans it
+    once per branch — this entry point keeps it to a single scan feeding a
+    single map-side-combinable ``max_by`` aggregate."""
     payload = [c for c in both.columns if c not in keys]
     order = F.struct(
         F.col(order_col), *[F.col(c) for c in (tiebreak or []) if c != order_col]

@@ -36,13 +36,26 @@ def stream_interval_join(
     at all, so at least one key is mandatory).
 
     Both timestamp columns must be distinct names (rename before calling
-    otherwise); output carries both sides' columns qualified-free.
+    otherwise), and the same applies to EVERY non-key column: only the
+    equi ``keys`` are deduplicated in the output, so any other column
+    name present on both sides survives twice and downstream references
+    to it are ambiguous — rename shared non-key columns before calling.
+    Output carries both sides' columns qualified-free.
     """
     if not keys:
         raise ValueError(
             "stream_interval_join requires at least one equi key — Spark "
             "does not support stream-stream joins without an equality "
             "predicate (the time-range condition alone is not one)"
+        )
+    shared = sorted(
+        (set(left.columns) & set(right.columns)) - set(keys)
+    )
+    if shared:
+        raise ValueError(
+            f"stream_interval_join: non-key columns {shared} exist on both "
+            "sides and would survive as ambiguous duplicates — rename them "
+            "on one side before joining"
         )
     l = left.withWatermark(left_ts, watermark).alias("__sl")
     r = right.withWatermark(right_ts, watermark).alias("__sr")

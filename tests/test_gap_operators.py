@@ -203,6 +203,9 @@ def test_multimodal_features_deterministic(spark):
     assert feats[1]["feature"] == again[1]["feature"]
 
 
+@pytest.mark.skipif(
+    multimodal._PILImage is not None, reason="Pillow present: real path works"
+)
 def test_multimodal_stub_raises_without_codec(spark):
     media = multimodal.media_table_from_binary(
         spark.createDataFrame([(1, bytearray(b"x"))], "id long, blob binary"),
@@ -213,6 +216,35 @@ def test_multimodal_stub_raises_without_codec(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         multimodal.extract_features(media, decode_stub=False).collect()
+
+
+@pytest.mark.skipif(
+    multimodal._PILImage is None, reason="Pillow not importable in sandbox"
+)
+def test_multimodal_real_decode_when_pillow_present(spark):
+    """When the environment grows Pillow, decode_stub=False must run a
+    REAL decode/resize through the identical mapInPandas plumbing: a
+    2x2 PNG resizes to 8x8 PNG bytes and features come from pixels."""
+    import io
+
+    img = multimodal._PILImage.new("RGB", (2, 2), (255, 0, 0))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    media = multimodal.media_table_from_binary(
+        spark.createDataFrame(
+            [(1, bytearray(buf.getvalue()))], "id long, blob binary"
+        ),
+        "id",
+        "blob",
+        "image",
+        "image/png",
+    )
+    out = multimodal.resize_images(media, 8, 8, decode_stub=False).first()
+    resized = multimodal._PILImage.open(io.BytesIO(bytes(out["content"])))
+    assert resized.size == (8, 8) and out["meta"]["mime"] == "image/png"
+    feat = multimodal.extract_features(media, dim=4, decode_stub=False).first()
+    assert len(feat["feature"]) == 4
+    assert all(-1.0 <= v < 1.0 for v in feat["feature"])
 
 
 def test_resize_images_plumbing(spark):
@@ -1301,6 +1333,40 @@ def test_bpe_learn_matches_reference(spark):
     assert V.bpe_encode_documents(oov, words).first()["bpe_tokens"] == [
         "z", "a", "g"
     ]
+
+
+def test_bpe_encode_join_fallback_matches_broadcast_path(spark):
+    """G31 broadcast bound: over max_broadcast_words the encode switches
+    to posexplode + join + doc-keyed reassembly; results (including OOV
+    char fallback, empty docs, and token order) must match the map-probe
+    path exactly."""
+    from ferc_xbrl_extractor_spark.operators import vocab as V
+
+    corpus = [
+        (1, "low low lower lowest zag"),
+        (2, "newer newest newer"),
+        (3, ""),  # no tokens: fallback must still emit an empty encoding
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    _, words = V.bpe_learn(df, 5)
+
+    via_map = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in V.bpe_encode_documents(df, words).collect()
+    }
+    via_join = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in V.bpe_encode_documents(
+            df, words, id_col="doc_id", max_broadcast_words=1
+        ).collect()
+    }
+    assert via_join == via_map
+
+    # without a row key the guard refuses rather than risk a bad merge
+    import pytest
+
+    with pytest.raises(ValueError, match="id_col"):
+        V.bpe_encode_documents(df, words, max_broadcast_words=1)
 
 
 def test_corpus_report_single_scan_goldens(spark):

@@ -364,10 +364,11 @@ def test_flagship_query_plans_one_fused_exchange(spark):
     assert n == 1, plan
 
 
-def test_duplicated_spans_single_gram_evaluation_no_join(spark):
-    """G26: the span pipeline must evaluate the positional-gram relation
-    ONCE (count window, not groupBy + self-semi-join) and contain no join
-    at all — two Window ops and one final aggregate."""
+def test_duplicated_spans_default_is_skew_safe_semi_join(spark):
+    """G26 default (hot_gram_safe=True): the corpus-frequency filter is a
+    map-side-combinable aggregate + semi join — never a count window that
+    would single-task a hot gram. The duplicated-gram build side is tiny,
+    so AQE broadcasts it (no probe-side shuffle)."""
     from ferc_xbrl_extractor_spark.operators import spans as sp
 
     docs = spark.createDataFrame(
@@ -375,6 +376,22 @@ def test_duplicated_spans_single_gram_evaluation_no_join(spark):
         "doc_id long, text string",
     )
     plan = _executed_plan(sp.duplicated_spans(docs, n=4))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # no Window over the gram key: the only windows are doc-keyed
+    assert "partitionbyg" not in plan.lower().replace(" ", "")
+
+
+def test_duplicated_spans_window_form_single_gram_evaluation(spark):
+    """G26 opt-in window form (hot_gram_safe=False): evaluates the
+    positional-gram relation ONCE and contains no join at all."""
+    from ferc_xbrl_extractor_spark.operators import spans as sp
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j k l") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _executed_plan(sp.duplicated_spans(docs, n=4, hot_gram_safe=False))
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     # one gram-generate only: the explode of the positional gram array

@@ -49,6 +49,41 @@ def test_check_constraints_report(spark, people):
     assert [r["constraint"] for r in report][0] == "size"
 
 
+def test_uniqueness_approx_same_decision_no_expand(spark, people):
+    """approx=True (HLL) must reach the same pass/fail decisions as the
+    exact ratio at a tolerant threshold, and must NOT introduce the
+    Expand node that exact count-distinct forces into the plan."""
+    report = Q.check_constraints(
+        people,
+        [
+            Q.uniqueness("id", at_least=0.9),
+            Q.uniqueness("id", approx=True, at_least=0.9),
+            Q.uniqueness("id", "name", approx=True, at_least=0.9),
+        ],
+    ).collect()
+    by_name = {r["constraint"]: r for r in report}
+    # 3 distinct of 4 rows: both forms fail the 0.9 bar
+    assert not by_name["uniqueness(id)"]["passed"]
+    assert not by_name["uniqueness~(id)"]["passed"]
+    # (id, name) is a candidate key: HLL at 4 rows is exact
+    assert by_name["uniqueness~(id,name)"]["passed"]
+
+    approx_only = Q.check_constraints(
+        people,
+        [Q.uniqueness("id", approx=True), Q.completeness("name")],
+    )
+    plan = approx_only._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+    # two exact count-distincts on different keys force the Expand replay
+    # (one distinct plans as a two-level aggregate — still an extra
+    # grouping pass the HLL form doesn't pay)
+    exact = Q.check_constraints(
+        people, [Q.uniqueness("id"), Q.uniqueness("name")]
+    )
+    assert "Expand" in exact._jdf.queryExecution().executedPlan().toString()
+
+
 def test_check_constraints_single_pass_plan(spark, people):
     """The whole suite must compile to ONE aggregate over ONE scan."""
     report = Q.check_constraints(

@@ -105,6 +105,23 @@ def test_hot_gram_safe_mode_equivalence(spark, corpus):
     }
     b = {
         tuple(r)
-        for r in sp.duplicated_spans(corpus, n=4, hot_gram_safe=True).collect()
+        for r in sp.duplicated_spans(corpus, n=4, hot_gram_safe=False).collect()
     }
     assert a == b and a  # same spans from both formulations
+
+
+def test_hot_gram_default_handles_boilerplate_gram(spark):
+    """One gram shared by 50% of documents (the 100-TB skew scenario the
+    r4 verdict flagged): the default form must stay on the aggregate +
+    semi-join shape (map-side combine absorbs the hot key — no count
+    window that would single-task it) and still produce exact spans."""
+    hot = "x y z w"  # one 4-gram, verbatim in every even doc
+    rows = [
+        (i, f"{hot} unique{i} a{i} b{i} c{i}" if i % 2 == 0
+         else f"only{i} d{i} e{i} f{i} g{i}")
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sp.duplicated_spans(docs, n=4).collect()
+    got = {(r.doc_id, r.span_start, r.span_end) for r in out}
+    assert got == {(i, 0, 4) for i in range(0, 200, 2)}
