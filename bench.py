@@ -94,7 +94,9 @@ def main() -> None:
     spark = get_spark(
         "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
-    qs = entrymod.queries()
+    # bench times the FINE-GRAINED operators (stable per-op names across
+    # rounds); queries() folds them into <=50 gate suites for the driver.
+    qs = entrymod.fine_queries()
 
     # Steady-state measurement: run each query once to warm JIT/codegen
     # (first execution pays one-time class compilation, tens of seconds
@@ -163,7 +165,7 @@ def main() -> None:
         con = duckdb.connect()
         for t in entrymod.TABLES:
             con.sql(f"CREATE VIEW {t} AS FROM read_parquet('{sf_dir}/{t}.parquet')")
-        oracles = entrymod.oracle_sql()
+        oracles = entrymod.fine_oracle_sql()
         duck: dict[str, float] = {}
         for name in HEADLINE:
             if name not in oracles:

@@ -1,12 +1,18 @@
 """Local replica of the driver's t2 correctness gate.
 
-Runs every ``__spark_entry__.queries()`` entry on Spark and its
-``oracle_sql()`` counterpart on DuckDB over the same parquet tables, then
-compares row count, column names/order-insensitive values. Usage:
+Runs BOTH levels of the surface — every fine-grained
+``__spark_entry__.fine_queries()`` entry AND every driver-contract
+``queries()`` entry (the <=50 gate suites) — on Spark, with the matching
+``fine_oracle_sql()``/``oracle_sql()`` on DuckDB over the same parquet
+tables, comparing row count, column names and order-insensitive values.
+Usage:
 
     python tools/selfcheck.py [sf_dir] [query ...]
 
-Exit code 0 iff every checked query matches.
+Named filters match either level. Exit code 0 iff every checked query
+matches. ``SELFCHECK_LEVEL=fine|gate`` restricts to one level;
+``SELFCHECK_JSON=path`` additionally writes the per-query results in the
+driver's CORRECTNESS row format (rows/schema/hash match booleans).
 """
 
 from __future__ import annotations
@@ -68,27 +74,53 @@ def main() -> int:
             f"CREATE VIEW {t} AS FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    import os
+
+    level = os.environ.get("SELFCHECK_LEVEL", "both")
+    qs: dict = {}
+    oracles: dict = {}
+    if level in ("fine", "both"):
+        qs.update(entrymod.fine_queries())
+        oracles.update(entrymod.fine_oracle_sql())
+    if level in ("gate", "both"):
+        for n, fn in entrymod.queries().items():
+            qs.setdefault(n, fn)
+        for n, s in entrymod.oracle_sql().items():
+            oracles.setdefault(n, s)
     failures = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "spark_secs": None,
+            "err": None,
+        }
+        records[name] = rec
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception:
             print(f"FAIL {name}: spark query raised")
             traceback.print_exc()
+            rec["err"] = "spark query raised"
             failures.append(name)
             continue
         spark_secs = time.time() - t0
+        rec["spark_rows"] = len(sdf)
+        rec["spark_secs"] = round(spark_secs, 2)
         if name not in oracles:
             status = "rows-only"
             print(
                 f"ok?  {name}: {len(sdf)} rows ({status}, no oracle) "
                 f"[spark {spark_secs:.1f}s]"
             )
+            rec["err"] = "no_oracle"
             if len(sdf) == 0:
                 print(f"WARN {name}: zero rows on a rows-only query")
             continue
@@ -97,25 +129,44 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: oracle SQL raised")
             traceback.print_exc()
+            rec["err"] = "oracle SQL raised"
             failures.append(name)
             continue
+        rec["oracle_rows"] = len(odf)
         problems = []
-        if len(sdf) != len(odf):
+        rec["rows_match"] = len(sdf) == len(odf)
+        if not rec["rows_match"]:
             problems.append(f"rows {len(sdf)} != {len(odf)}")
-        if sorted(sdf.columns) != sorted(odf.columns):
+        rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
+        if not rec["schema_match"]:
             problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
-        elif value_hash(sdf) != value_hash(odf):
-            problems.append("value hash mismatch")
-            ns, no = _normalize(sdf), _normalize(odf)
-            ks = set(map(tuple, ns.itertuples(index=False, name=None)))
-            ko = set(map(tuple, no.itertuples(index=False, name=None)))
-            print("  spark-only:", list(ks - ko)[:3])
-            print("  oracle-only:", list(ko - ks)[:3])
+        else:
+            rec["hash_match"] = value_hash(sdf) == value_hash(odf)
+            if not rec["hash_match"]:
+                problems.append("value hash mismatch")
+                ns, no = _normalize(sdf), _normalize(odf)
+                ks = set(map(tuple, ns.itertuples(index=False, name=None)))
+                ko = set(map(tuple, no.itertuples(index=False, name=None)))
+                print("  spark-only:", list(ks - ko)[:3])
+                print("  oracle-only:", list(ko - ks)[:3])
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures.append(name)
         else:
             print(f"PASS {name}: {len(sdf)} rows [spark {spark_secs:.1f}s]")
+
+    import json
+    import os as _os
+
+    json_path = _os.environ.get("SELFCHECK_JSON")
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "level": level, "results": records},
+                fh,
+                indent=1,
+            )
+        print(f"wrote {json_path} ({len(records)} records)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
