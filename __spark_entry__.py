@@ -934,6 +934,45 @@ def q_g33_strip_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g34_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G34: Gopher rule-pack quality filter (text.gopher_rules) — all
+    signals + per-rule fail bitmask + keep in one codegen'd projection;
+    thresholds tuned so the synthetic corpus splits on word count, mean
+    word length and stopword presence."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.gopher_rules(
+        docs, min_words=25, min_word_len=4.2, min_stop_hits=1
+    )
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_word_ratio",
+        "stop_hits", "fail_mask", "keep",
+    )
+
+
+def q_g35_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G35: corpus-wide exact paragraph dedup (text.paragraph_dedup) —
+    a shared intro paragraph is prepended to every document of a source
+    (and repeated at the tail of every 4th), so only the globally first
+    (doc_id, pos) occurrence survives; byte-exact via md5 of the rebuilt
+    text."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    fix = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("shared intro for "), F.col("source"), F.lit("\n\n"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("\n\nshared intro for "), F.col("source")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = text.paragraph_dedup(fix)
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"), "n_kept_paragraphs"
+    )
+
+
 def q_g32_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G32: one-pass corpus datasheet — totals, exact token-length
     percentiles, exact fingerprint distincts + dup ratio, lang/source
@@ -2198,6 +2237,8 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g28_quality_classifier": q_g28_quality_classifier,
         "g32_corpus_report": q_g32_corpus_report,
         "g33_strip_lines": q_g33_strip_lines,
+        "g34_gopher_rules": q_g34_gopher_rules,
+        "g35_paragraph_dedup": q_g35_paragraph_dedup,
         "g4_repetition": q_g4_repetition,
         "g4_bm25": q_g4_bm25,
         "g4_surprisal": q_g4_surprisal,
@@ -2805,6 +2846,105 @@ def fine_oracle_sql() -> dict[str, str]:
                ROUND(CAST(len(list_distinct(w)) AS DOUBLE)
                      / NULLIF(CAST(len(w) AS DOUBLE), 0.0), 4) AS uniq_ratio
         FROM toks
+    """
+
+    # G34: every signal recomputed with DuckDB list/string functions; the
+    # bitmask is the same base-2 fold, NULL signals fail closed via
+    # COALESCE(cond, TRUE) exactly like the Spark projection.
+    sql["g34_gopher_rules"] = f"""
+        WITH {_TOKENS_CTE},
+        sig AS (
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   ROUND(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+                         / NULLIF(CAST(len(w) AS DOUBLE), 0.0), 4) AS mean_word_len,
+                   ROUND((
+                       (len(text) - len(replace(text, '#', '')))
+                       + (len(text) - len(replace(text, '...', ''))) / 3
+                       + (len(text) - len(replace(text, '…', '')))
+                   ) / NULLIF(CAST(len(w) AS DOUBLE), 0.0), 4) AS symbol_ratio,
+                   ROUND(CAST(len(list_filter(w,
+                           x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                         / NULLIF(CAST(len(w) AS DOUBLE), 0.0), 4)
+                       AS alpha_word_ratio,
+                   CAST(len(list_filter(
+                       list_distinct(list_transform(w, x -> lower(x))),
+                       x -> list_contains(['the','a','of','and','to','in'], x)
+                   )) AS BIGINT) AS stop_hits,
+                   list_filter(string_split(text, chr(10)), x -> len(x) > 0)
+                       AS lines
+            FROM toks
+        ),
+        m AS (
+            SELECT *,
+                   ROUND(CAST(len(list_filter(lines,
+                           x -> substr(x,1,1) IN ('-','*','•'))) AS DOUBLE)
+                         / NULLIF(CAST(len(lines) AS DOUBLE), 0.0), 4)
+                       AS bullet_ratio,
+                   ROUND(CAST(len(list_filter(lines,
+                           x -> x LIKE '%...' OR x LIKE '%…')) AS DOUBLE)
+                         / NULLIF(CAST(len(lines) AS DOUBLE), 0.0), 4)
+                       AS ellipsis_ratio
+            FROM sig
+        )
+        SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, stop_hits,
+               CAST(
+                   CASE WHEN n_words < 25 OR n_words > 100000 THEN 1 ELSE 0 END
+                 + CASE WHEN COALESCE(mean_word_len < 4.2
+                             OR mean_word_len > 10.0, TRUE) THEN 2 ELSE 0 END
+                 + CASE WHEN COALESCE(symbol_ratio > 0.1, TRUE) THEN 4 ELSE 0 END
+                 + CASE WHEN COALESCE(bullet_ratio > 0.9, TRUE) THEN 8 ELSE 0 END
+                 + CASE WHEN COALESCE(ellipsis_ratio > 0.3, TRUE) THEN 16 ELSE 0 END
+                 + CASE WHEN COALESCE(alpha_word_ratio < 0.8, TRUE) THEN 32 ELSE 0 END
+                 + CASE WHEN stop_hits < 1 THEN 64 ELSE 0 END
+               AS BIGINT) AS fail_mask,
+               (CASE WHEN n_words < 25 OR n_words > 100000 THEN 1 ELSE 0 END
+                 + CASE WHEN COALESCE(mean_word_len < 4.2
+                             OR mean_word_len > 10.0, TRUE) THEN 2 ELSE 0 END
+                 + CASE WHEN COALESCE(symbol_ratio > 0.1, TRUE) THEN 4 ELSE 0 END
+                 + CASE WHEN COALESCE(bullet_ratio > 0.9, TRUE) THEN 8 ELSE 0 END
+                 + CASE WHEN COALESCE(ellipsis_ratio > 0.3, TRUE) THEN 16 ELSE 0 END
+                 + CASE WHEN COALESCE(alpha_word_ratio < 0.8, TRUE) THEN 32 ELSE 0 END
+                 + CASE WHEN stop_hits < 1 THEN 64 ELSE 0 END) = 0 AS keep
+        FROM m
+    """
+
+    # G35: the window rn=1 picks each paragraph's globally-first
+    # (doc_id, pos) occurrence — relationally identical to the Spark
+    # min(struct) aggregate + match filter.
+    sql["g35_paragraph_dedup"] = """
+        WITH fix AS (
+            SELECT doc_id,
+                   'shared intro for ' || source || chr(10) || chr(10) || text
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN chr(10) || chr(10) || 'shared intro for ' || source
+                           ELSE '' END AS text
+            FROM documents
+        ),
+        sp AS (
+            SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM fix
+        ),
+        para AS (
+            SELECT doc_id, CAST(t.i AS INT) AS pos, ps[t.i + 1] AS para,
+                   md5(trim(ps[t.i + 1])) AS h
+            FROM sp, UNNEST(range(len(ps))) AS t(i)
+            WHERE len(trim(ps[t.i + 1])) > 0
+        ),
+        kept AS (
+            SELECT doc_id, pos, para,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+            FROM para
+        ),
+        agg AS (
+            SELECT doc_id,
+                   string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM kept WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT f.doc_id,
+               md5(COALESCE(a.clean_text, '')) AS clean_md5,
+               CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept_paragraphs
+        FROM fix f LEFT JOIN agg a USING (doc_id)
     """
 
     # G28: feature CTE mirrors classifier.featurize (same rounding, same
@@ -3903,6 +4043,9 @@ _SUITES: dict[str, list[str]] = {
         "g23_incremental_dedup", "g24_incremental_neardup"
     ],
     "g_analytics_misc_suite": ["g21_unpivot", "g13_salted_agg", "g10_json"],
+    "g_boilerplate_suite": [
+        "g33_strip_lines", "g34_gopher_rules", "g35_paragraph_dedup"
+    ],
 }
 
 # member -> ordered (column, kind) pairs; kinds: s string, i integral,
@@ -3976,6 +4119,9 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g21_unpivot": [("l_orderkey", "i"), ("l_linenumber", "i"), ("name", "s"), ("value", "n")],
     "g13_salted_agg": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
     "g10_json": [("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("avg_k", "n")],
+    "g33_strip_lines": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_lines", "i")],
+    "g34_gopher_rules": [("doc_id", "i"), ("n_words", "i"), ("mean_word_len", "n"), ("alpha_word_ratio", "n"), ("stop_hits", "i"), ("fail_mask", "i"), ("keep", "b")],
+    "g35_paragraph_dedup": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_paragraphs", "i")],
 }
 
 _KIND_SPARK_TYPE = {

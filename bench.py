@@ -52,6 +52,8 @@ HEADLINE = [
     "g28_quality_classifier",
     "g32_corpus_report",
     "g33_strip_lines",
+    "g34_gopher_rules",
+    "g35_paragraph_dedup",
     "g4_bm25",
     "g4_surprisal",
     "g4_chunk",

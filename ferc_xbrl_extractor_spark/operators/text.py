@@ -529,3 +529,185 @@ def strip_common_lines(
         .withColumn("clean_text", F.coalesce("clean_text", F.lit("")))
         .withColumn("n_kept_lines", F.coalesce("n_kept_lines", F.lit(0)))
     )
+
+
+# Rule ids for gopher_rules' fail bitmask, in bit order.
+GOPHER_RULES = [
+    "n_words",            # bit 0: word count outside [min_words, max_words]
+    "mean_word_len",      # bit 1: mean word length outside [min_wl, max_wl]
+    "symbol_ratio",       # bit 2: (# + ellipsis) per word above max_symbol_ratio
+    "bullet_lines",       # bit 3: bullet-started line fraction above max
+    "ellipsis_lines",     # bit 4: ellipsis-ended line fraction above max
+    "alpha_words",        # bit 5: words-with-a-letter fraction below min
+    "stopword_hits",      # bit 6: fewer distinct stopwords than min_stop_hits
+]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Gopher-style rule-pack quality filter (Rae et al. 2021, §A1.1) as
+    ONE Catalyst projection — every signal, the per-rule fail bitmask and
+    the keep decision computed in a single codegen'd pass, no shuffle, no
+    Python. Thresholds default to the paper's; the bitmask (bit i =
+    ``GOPHER_RULES[i]`` failed) gives the "why was this dropped"
+    explainability an audit needs without a second scan.
+
+    Adds: n_words, mean_word_len, symbol_ratio, bullet_line_ratio,
+    ellipsis_line_ratio, alpha_word_ratio, stop_hits, fail_mask, keep.
+    Ratios are rounded to 4dp so any ANSI oracle reproduces them exactly.
+    """
+    import re as _re
+
+    toks = tokens(text_col)
+    n_words = F.size(toks).cast("long")
+    nz_words = F.nullif(n_words.cast("double"), F.lit(0.0))
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_wl = F.round(total_len / nz_words, 4)
+
+    txt = F.col(text_col)
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ell3 = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / 3
+    n_ell1 = F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit("")))
+    symbol_ratio = F.round((n_hash + n_ell3 + n_ell1) / nz_words, 4)
+
+    lines = F.filter(
+        F.split(txt, _re.escape(line_sep)), lambda l: F.length(l) > 0
+    )
+    n_lines = F.nullif(F.size(lines).cast("double"), F.lit(0.0))
+    bullet_ratio = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.substring(l, 1, 1).isin("-", "*", "•"),
+            )
+        )
+        / n_lines,
+        4,
+    )
+    ellipsis_ratio = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.endswith("...") | l.endswith("…"),
+            )
+        )
+        / n_lines,
+        4,
+    )
+    alpha_ratio = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / nz_words, 4
+    )
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(F.transform(toks, F.lower)), sw)
+    ).cast("long")
+
+    fails = [
+        (n_words < min_words) | (n_words > max_words),
+        F.coalesce(
+            (mean_wl < min_word_len) | (mean_wl > max_word_len), F.lit(True)
+        ),
+        F.coalesce(symbol_ratio > max_symbol_ratio, F.lit(True)),
+        F.coalesce(bullet_ratio > max_bullet_ratio, F.lit(True)),
+        F.coalesce(ellipsis_ratio > max_ellipsis_ratio, F.lit(True)),
+        F.coalesce(alpha_ratio < min_alpha_ratio, F.lit(True)),
+        stop_hits < min_stop_hits,
+    ]
+    mask = F.lit(0)
+    for i, cond in enumerate(fails):
+        mask = mask + F.when(cond, F.lit(1 << i)).otherwise(F.lit(0))
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("bullet_line_ratio", bullet_ratio)
+        .withColumn("ellipsis_line_ratio", ellipsis_ratio)
+        .withColumn("alpha_word_ratio", alpha_ratio)
+        .withColumn("stop_hits", stop_hits)
+        .withColumn("fail_mask", mask.cast("long"))
+        .withColumn("keep", mask == 0)
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    out_col: str = "clean_text",
+    count_col: str = "n_kept_paragraphs",
+) -> DataFrame:
+    """Corpus-wide exact paragraph deduplication (the Dolma/C4 companion
+    to G26's n-gram spans): every repeated paragraph keeps ONLY its
+    globally first occurrence — ordered by ``(id_col, position)`` — and
+    later occurrences are removed from their documents.
+
+    Scale shape: paragraphs posexplode once into ``(id, pos, para)``
+    keyed by an md5 of the trimmed paragraph; the survivor per key is one
+    ``min(struct(id, pos))`` hash aggregate (map-side combinable — a
+    paragraph repeated 10^6 times still forwards one candidate per map
+    task, the skew-safe shape G26 defaults to); survivors semi-join back
+    on the hash (AQE broadcasts when the winner set fits, splits skewed
+    probes otherwise) and each document reassembles with
+    ``sort_array(collect_list(struct(pos, para)))`` — no window over the
+    paragraph key anywhere. Empty/whitespace paragraphs are dropped (the
+    same normalization strip_common_lines applies to lines).
+
+    Adds ``out_col`` (kept paragraphs rejoined with ``sep``) and
+    ``count_col``; same-named input columns are replaced.
+    """
+    import re as _re
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "__pos", "__para"
+        ),
+    ).filter(F.length(F.trim(F.col("__para"))) > 0)
+    keyed = paras.select(
+        id_col, "__pos", "__para", F.md5(F.trim(F.col("__para"))).alias("__h")
+    )
+    winners = keyed.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p")))
+        .alias("__w")
+    )
+    kept = (
+        keyed.join(winners, "__h")
+        .filter(
+            (F.col(id_col) == F.col("__w.i")) & (F.col("__pos") == F.col("__w.p"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("__pos", "__para"))
+                    ),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias("__clean"),
+            F.count(F.lit(1)).alias("__n_kept"),
+        )
+    )
+    return df.join(kept, id_col, "left").select(
+        *[c for c in df.columns if c not in (out_col, count_col)],
+        F.coalesce(F.col("__clean"), F.lit("")).alias(out_col),
+        F.coalesce(F.col("__n_kept"), F.lit(0)).cast("long").alias(count_col),
+    )

@@ -1514,3 +1514,74 @@ def test_curate_trim_recomputes_stats(spark):
         # original 9-token text
         assert r["n_tokens"] == 5
         assert boiler.split()[0] not in r["text"]
+
+
+def test_gopher_rules_goldens(spark):
+    """G34: signals, fail bitmask and keep decision on hand-checked docs."""
+    from ferc_xbrl_extractor_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and a dog run to the hills in summer " * 5),
+            (2, "### ### ### ###"),
+            (3, "- one\n- two\n- three"),
+            (4, "dotted line one...\ndotted line two...\nplain the end"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.gopher_rules(docs, min_words=5, min_stop_hits=1).collect()
+    }
+    assert out[1]["keep"] and out[1]["fail_mask"] == 0
+    # doc 2: too few words (bit 0), symbol-heavy (bit 2), no alpha (bit 5),
+    # no stopwords (bit 6)
+    assert out[2]["fail_mask"] == (1 | 4 | 32 | 64) and not out[2]["keep"]
+    # doc 3: every line is a bullet (bit 3); mean word len fine
+    assert out[3]["fail_mask"] & 8
+    # doc 4: 2 of 3 lines end with ellipsis -> ratio 0.6667 > 0.3 (bit 4)
+    assert out[4]["fail_mask"] & 16
+    assert out[4]["ellipsis_line_ratio"] == 0.6667
+
+
+def test_paragraph_dedup_keeps_global_first_occurrence(spark):
+    """G35: a repeated paragraph survives only at its smallest
+    (doc_id, pos); docs reassemble in position order; empty-after-dedup
+    docs round-trip as empty strings."""
+    from ferc_xbrl_extractor_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\n\nshared"),
+            (2, "shared\n\nbeta\n\nshared"),
+            (3, "shared"),
+            (4, "   \n\n  "),  # whitespace-only paragraphs drop entirely
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept_paragraphs"])
+        for r in T.paragraph_dedup(docs).collect()
+    }
+    assert out[1] == ("alpha\n\nshared", 2)  # first occurrence of 'shared'
+    assert out[2] == ("beta", 1)
+    assert out[3] == ("", 0)
+    assert out[4] == ("", 0)
+
+
+def test_paragraph_dedup_plan_is_aggregate_not_window(spark):
+    """G35 scale shape: survivor selection must be the map-side-combinable
+    min(struct) aggregate + join — no window over the paragraph hash."""
+    from ferc_xbrl_extractor_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(i, "p\n\nq") for i in range(50)], "doc_id long, text string"
+    )
+    plan = (
+        T.paragraph_dedup(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "partitionby__h" not in plan.lower().replace(" ", "")
