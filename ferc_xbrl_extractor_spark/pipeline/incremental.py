@@ -285,19 +285,20 @@ def incremental_neardup(
         .select(F.col(id_col).alias("hist_id"), "new_id")
         .distinct()
     )
-    hist_ids = hist_cands.select(F.col("hist_id").alias(id_col)).distinct()
-    hist_arr = (
-        spark.read.parquet(f"{index_dir}/shingles")
-        .join(F.broadcast(hist_ids), id_col, "left_semi")
-        .select(F.col(id_col).alias("hist_id"), F.col("__sh").alias("__sh_h"))
-    )
+    # ONE pass over the shingle store: candidate pairs (with the batch
+    # side's shingle arrays attached — the batch is small, so pairs stay
+    # broadcastable) joined straight onto the historical arrays. The
+    # former shape (semi-fetch ids, then two more joins) stacked two
+    # extra broadcast stages per increment; at increment sizes the
+    # per-stage scheduling floor, not data volume, was the cost (r4
+    # verdict: g24 "many stacked job barriers").
     new_arr = arr.select(
         F.col(id_col).alias("new_id"), F.col("__sh").alias("__sh_n")
     )
-    hj = (
-        hist_arr.join(F.broadcast(hist_cands), "hist_id")
-        .join(new_arr, "new_id")
-    )
+    cand_with_new = hist_cands.join(new_arr, "new_id")
+    hj = spark.read.parquet(f"{index_dir}/shingles").select(
+        F.col(id_col).alias("hist_id"), F.col("__sh").alias("__sh_h")
+    ).join(F.broadcast(cand_with_new), "hist_id")
     n_common = F.size(F.array_intersect(F.col("__sh_h"), F.col("__sh_n")))
     n_union = (
         F.size(F.col("__sh_h")) + F.size(F.col("__sh_n")) - n_common

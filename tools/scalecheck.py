@@ -67,9 +67,14 @@ def main() -> None:
 
     small = f"{src}/documents.parquet"
     cases = {
+        # default = the skew-safe aggregate+semi-join form (since r5)
         "g26_dup_spans": lambda df: spans.duplicated_spans(df, n=8).count(),
-        "g26_hot_safe": lambda df: spans.duplicated_spans(
-            df, n=8, hot_gram_safe=True
+        "g26_window_form": lambda df: spans.duplicated_spans(
+            df, n=8, hot_gram_safe=False
+        ).count(),
+        "g34_gopher_rules": lambda df: text.gopher_rules(df).count(),
+        "g35_paragraph_dedup": lambda df: text.paragraph_dedup(
+            df, sep=" "  # single-line corpus: treat words as paragraphs
         ).count(),
         "g29_vocab": lambda df: vocab.build_vocab(df, vocab_size=100).count(),
         "g29_encode": lambda df: vocab.encode_documents(
