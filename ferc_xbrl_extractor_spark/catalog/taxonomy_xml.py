@@ -131,18 +131,27 @@ class TaxonomyVersion:
     # type local names that resolved to neither a standard base nor an
     # archive-shipped derivation — diagnosed loudly, defaulted to string
     unresolved_types: set[str] = field(default_factory=set)
+    # absolute-URL schema references (xs:import/xs:include schemaLocation)
+    # the archive points at but does not ship — the remote DTS surface;
+    # catalog.remote_dts.resolve_remote_dts() follows these with the
+    # reference's retry/cache semantics when a fetcher is available
+    remote_refs: set[str] = field(default_factory=set)
 
     def base_type(self, type_local: str) -> str:
         """XBRL base of a declared item type, following archive-shipped
         ``restriction``/``extension`` chains into the standard bases.
 
-        Boundary (documented limitation vs the reference's Arelle loader,
-        ref arelle_interface.py:50-60, which follows remote DTS references
-        over HTTP): only types shipped in the archive plus the
+        Boundary: by default only types shipped in the archive plus the
         STANDARD_TYPE_BASES constants resolve. A type defined solely in a
         remote schema is NOT silently mis-typed — it is recorded in
         ``unresolved_types`` and warned about once, then defaults to
-        'string' (the widest type: values survive verbatim)."""
+        'string' (the widest type: values survive verbatim). To actually
+        follow remote DTS references the way the reference's Arelle
+        loader does (ref arelle_interface.py:16-60, HTTP fetch with web
+        cache + 7-attempt exponential backoff), run
+        ``catalog.remote_dts.resolve_remote_dts(version, ...)`` or pass
+        ``resolve_remote=True`` to ``parse_taxonomy_archive`` — offline
+        stays the default; nothing fetches unless asked."""
         seen: set[str] = set()
         cur = type_local
         while cur not in STANDARD_TYPE_BASES and cur in self.type_bases:
@@ -176,6 +185,14 @@ def _parse_schema(version: TaxonomyVersion, data: bytes) -> None:
     import xml.etree.ElementTree as ET
 
     root = ET.fromstring(data)
+    # remote DTS references: absolute-URL imports/includes the archive
+    # does not ship; recorded for resolve_remote_dts (local/relative
+    # schemaLocations are archive members and parse in the normal sweep)
+    for kind in ("import", "include"):
+        for imp in root.iter(f"{XS}{kind}"):
+            loc = imp.get("schemaLocation") or ""
+            if loc.startswith(("http://", "https://")):
+                version.remote_refs.add(loc)
     for el in root.iter(f"{XS}element"):
         name = el.get("name")
         cid = el.get("id")
@@ -335,11 +352,20 @@ TAXONOMY_DATE_PATTERN = re.compile(r"\d{4}-\d{2}-\d{2}")
 def parse_taxonomy_archive(
     source: str | Path | bytes,
     extra_type_bases: dict[str, str] | None = None,
+    resolve_remote: bool = False,
+    fetcher=None,
+    cache_dir: str | Path | None = None,
 ) -> dict[str, TaxonomyVersion]:
     """S4 entry: a zip of dated taxonomy zips (reference xbrl.py:244-255)
     -> {date: TaxonomyVersion}. A zip containing schemas directly is
     treated as a single undated version. F8: the version date is extracted
-    from the inner zip's filename."""
+    from the inner zip's filename.
+
+    ``resolve_remote=True`` additionally follows each version's remote
+    DTS references (xs:import/include URLs the archive does not ship)
+    with the reference's retry/cache policy — see
+    ``catalog.remote_dts.resolve_remote_dts``; ``fetcher``/``cache_dir``
+    pass through (offline by default: nothing is fetched unless asked)."""
     if isinstance(source, bytes):
         outer = zipfile.ZipFile(io.BytesIO(source))
     else:
@@ -354,6 +380,11 @@ def parse_taxonomy_archive(
             versions[date] = parse_taxonomy_version(inner, extra_type_bases)
     else:
         versions["0000-00-00"] = parse_taxonomy_version(outer, extra_type_bases)
+    if resolve_remote:
+        from .remote_dts import resolve_remote_dts
+
+        for v in versions.values():
+            resolve_remote_dts(v, fetcher=fetcher, cache_dir=cache_dir)
     return versions
 
 
