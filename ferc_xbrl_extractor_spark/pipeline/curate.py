@@ -10,6 +10,7 @@ runs them:
     → decontaminate (G15)              — broadcast benchmark probe + anti join
     → exact dedup by fingerprint (G1)  — one min_by hash aggregate
     → near-dup cluster dedup (G2b)     — LSH pairs → components → survivors
+    → paragraph dedup (G35)            — global-first-occurrence aggregate
     → duplicated-span trim (G26)       — positional-gram index over survivors
     → PII redaction (G4b)              — chained regexp_replace on survivors
     → stratified sample (G14)          — hash-ordered per-stratum budgets
@@ -68,6 +69,9 @@ def curate_corpus(
     classifier_weights: dict[str, float] | None = None,
     classifier_bias: float = 0.0,
     keep_logit: float = 0.0,
+    gopher: bool = False,
+    gopher_kwargs: dict | None = None,
+    paragraph_sep: str | None = None,
     trim_spans_n: int | None = None,
     trim_spans_min_count: int = 2,
     encode_vocab_size: int | None = None,
@@ -89,11 +93,18 @@ def curate_corpus(
     ``classifier_weights`` applies the G28 learned quality filter (logit
     ≥ ``keep_logit``) on top of the rule thresholds — the stats columns
     are already computed, so the model score is one extra projection;
-    ``trim_spans_n`` removes G26 cross-document duplicated n-gram spans
-    from surviving text (after document dedup: whole-doc duplicates are
-    gone, boilerplate inside survivors remains); ``encode_vocab_size``
-    appends G29 ``token_ids`` encoded against a vocab built from the
-    final survivors (last, so the vocab reflects what ships).
+    ``gopher=True`` applies the G34 rule-pack (keep == fail_mask 0;
+    thresholds overridable via ``gopher_kwargs``) as an additional
+    map-side screen — the bitmask columns are dropped after filtering so
+    the stage composes transparently; ``paragraph_sep`` runs G35
+    corpus-wide paragraph dedup on the survivors (before span trimming:
+    whole repeated paragraphs are cheaper to remove than the n-gram
+    spans they would otherwise become); ``trim_spans_n`` removes G26
+    cross-document duplicated n-gram spans from surviving text (after
+    document dedup: whole-doc duplicates are gone, boilerplate inside
+    survivors remains); ``encode_vocab_size`` appends G29 ``token_ids``
+    encoded against a vocab built from the final survivors (last, so the
+    vocab reflects what ships).
     """
     stats = text.with_text_stats(docs, text_col)
     if max_dup_line_ratio is not None or max_dup_3gram_ratio is not None:
@@ -111,6 +122,12 @@ def curate_corpus(
         feat = classifier.attach_model_features(quality)
         z = classifier.logit(classifier_weights, classifier_bias)
         quality = feat.filter(z >= F.lit(float(keep_logit))).drop("n_tokens_k")
+    if gopher:
+        before = set(quality.columns)
+        ruled = text.gopher_rules(quality, text_col, **(gopher_kwargs or {}))
+        quality = ruled.filter(F.col("keep")).select(
+            *[c for c in ruled.columns if c in before]
+        )
     clean = quality
     if benchmark is not None:
         clean = neardup.decontaminate(
@@ -135,6 +152,15 @@ def curate_corpus(
             threshold=neardup_threshold,
         )
         deduped = neardup.dedup_by_pairs(deduped, pairs, id_col=id_col)
+    if paragraph_sep is not None:
+        deduped = (
+            text.paragraph_dedup(
+                deduped, id_col, text_col, sep=paragraph_sep
+            )
+            .withColumn(text_col, F.col("clean_text"))
+            .drop("clean_text", "n_kept_paragraphs")
+        )
+        deduped = text.with_text_stats(deduped, text_col)
     if trim_spans_n is not None:
         deduped = (
             spans.trim_duplicated_spans(

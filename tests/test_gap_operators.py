@@ -1585,3 +1585,33 @@ def test_paragraph_dedup_plan_is_aggregate_not_window(spark):
     )
     assert "CartesianProduct" not in plan
     assert "partitionby__h" not in plan.lower().replace(" ", "")
+
+
+def test_curate_gopher_and_paragraph_stages(spark):
+    """G16 + G34 + G35 composition: the rule-pack screens documents
+    map-side (bitmask columns dropped after the filter) and paragraph
+    dedup rewrites survivors before span trimming."""
+    from ferc_xbrl_extractor_spark.pipeline.curate import curate_corpus
+
+    good = "the quick brown fox and a dog run to the hills in summer "
+    rows = [
+        (1, "INTRO\n\n" + good * 3 + str(1)),
+        (2, "INTRO\n\n" + good * 3 + str(2)),
+        (3, "### ### ### ###"),  # fails gopher (symbols, no stopwords)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(
+        docs,
+        min_tokens=2,
+        min_uniq_ratio=0.0,
+        gopher=True,
+        gopher_kwargs={"min_words": 5, "min_stop_hits": 1,
+                       "max_bullet_ratio": 1.0},
+        paragraph_sep="\n\n",
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {1, 2}  # doc 3 screened out by the rule pack
+    # the shared INTRO paragraph survives only at its first occurrence
+    assert got[1].startswith("INTRO") and not got[2].startswith("INTRO")
+    # bitmask columns do not leak into the output schema
+    assert "fail_mask" not in out.columns and "keep" not in out.columns
