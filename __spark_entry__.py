@@ -817,6 +817,17 @@ def q_g3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hyperplane_lsh_topk(emb, queries, dim=64, k=5, planes=6)
 
 
+def q_g3_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 measurement loop: per-query recall of the sign-LSH ANN result
+    against the exact brute-force top-k (similarity.recall_report) — the
+    tuning report that sizes planes/nprobe before a full-corpus sweep.
+    Fully deterministic (both inputs are), so recall itself is
+    oracle-checked exactly."""
+    exact = q_g3_cosine_topk(spark, sf_dir)
+    approx = q_g3_lsh_topk(spark, sf_dir)
+    return similarity.recall_report(exact, approx)
+
+
 # IVF coarse quantizer for the gate query: data-sampled centroids (the
 # embeddings of these fixed vec_ids, unit-normalized; cluster id =
 # position). Deterministic and derivable by the SQL oracle, unlike a
@@ -2231,6 +2242,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_cosine_topk": q_g3_cosine_topk,
         "g3_lsh_topk": q_g3_lsh_topk,
         "g3_ivf_topk": q_g3_ivf_topk,
+        "g3_recall": q_g3_recall,
         "g3_embedding_neardup": q_g3_embedding_neardup,
         "g27_semantic_dedup": q_g27_semantic_dedup,
         "g4_text_stats": q_g4_text_stats,
@@ -2719,6 +2731,25 @@ def fine_oracle_sql() -> dict[str, str]:
                                        ORDER BY sim DESC, neighbor_id) AS INT) AS rank
         FROM scored
         QUALIFY rank <= 5
+    """
+
+    # G3 recall report: |approx ∩ exact| / |exact| per query, over the two
+    # member oracles verbatim — queries the ANN missed entirely surface
+    # with recall 0.0 via the left join.
+    sql["g3_recall"] = f"""
+        WITH ex AS ({sql["g3_cosine_topk"]}),
+        ap AS ({sql["g3_lsh_topk"]}),
+        ne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+               FROM ex GROUP BY 1),
+        nh AS (SELECT ex.query_id, count(*) AS n_hit
+               FROM ex JOIN ap ON ex.query_id = ap.query_id
+                              AND ex.neighbor_id = ap.neighbor_id
+               GROUP BY 1)
+        SELECT ne.query_id, ne.n_exact,
+               CAST(COALESCE(nh.n_hit, 0) AS BIGINT) AS n_hit,
+               ROUND(COALESCE(nh.n_hit, 0) / CAST(ne.n_exact AS DOUBLE), 4)
+                   AS recall
+        FROM ne LEFT JOIN nh ON ne.query_id = nh.query_id
     """
 
     # G27: SemDeDup — same quantizer/assignment CTEs as g3_ivf_topk, pair
@@ -4035,7 +4066,7 @@ _SUITES: dict[str, list[str]] = {
     "g2_neardup_suite": ["g2_jaccard", "g2_minhash_lsh", "g2_simhash"],
     "g3_ann_suite": [
         "g3_cosine_topk", "g3_lsh_topk", "g3_ivf_topk",
-        "g3_embedding_neardup",
+        "g3_embedding_neardup", "g3_recall",
     ],
     "g26_span_suite": ["g26_dup_spans", "g26_trim_spans"],
     "g29_vocab_suite": ["g29_vocab", "g29_encode"],
@@ -4110,6 +4141,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g3_lsh_topk": [("query_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],
     "g3_ivf_topk": [("query_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],
     "g3_embedding_neardup": [("id_a", "i"), ("id_b", "i"), ("sim", "n")],
+    "g3_recall": [("query_id", "i"), ("n_exact", "i"), ("n_hit", "i"), ("recall", "n")],
     "g26_dup_spans": [("doc_id", "i"), ("span_start", "i"), ("span_end", "i")],
     "g26_trim_spans": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_tokens", "i")],
     "g29_vocab": [("token", "s"), ("token_id", "i"), ("n", "i")],

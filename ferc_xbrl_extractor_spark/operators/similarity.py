@@ -694,3 +694,47 @@ def quantized_cosine_topk(
         k,
         two_phase=two_phase,
     ).select(query_id_col, "neighbor_id", "qsim", "rank")
+
+
+def recall_report(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the exact
+    one: ``|approx ∩ exact| / |exact|`` — the measurement loop that tunes
+    LSH plane counts / IVF nprobe before committing a 100-TB ANN sweep.
+
+    Returns ``(query_col, n_exact, n_hit, recall)``, one row per query
+    present in ``exact``; queries the approximate index missed entirely
+    get ``recall = 0.0`` (a left join, so silent full misses are visible
+    rather than dropped).
+
+    Scale shape: one semi join on (query, neighbor) + two query-keyed
+    count aggregates (map-side combinable). Both inputs are top-k
+    relations — |queries| x k rows, tiny next to the corpora that
+    produced them — so every join here AQE-broadcasts; nothing touches
+    the original vectors.
+    """
+    e = exact.select(F.col(query_col), F.col(neighbor_col))
+    a = approx.select(F.col(query_col), F.col(neighbor_col))
+    n_exact = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = (
+        e.join(a, [query_col, neighbor_col], "left_semi")
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_exact.join(n_hit, query_col, "left")
+        .select(
+            query_col,
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                / F.col("n_exact").cast("double"),
+                4,
+            ).alias("recall"),
+        )
+    )

@@ -1615,3 +1615,25 @@ def test_curate_gopher_and_paragraph_stages(spark):
     assert got[1].startswith("INTRO") and not got[2].startswith("INTRO")
     # bitmask columns do not leak into the output schema
     assert "fail_mask" not in out.columns and "keep" not in out.columns
+
+
+def test_recall_report_goldens(spark):
+    """G3 recall report: exact-vs-exact is 1.0; a fully-missed query
+    surfaces as recall 0.0 instead of being dropped."""
+    from ferc_xbrl_extractor_spark.operators.similarity import recall_report
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    self_recall = {r["query_id"]: r["recall"]
+                   for r in recall_report(exact, exact).collect()}
+    assert self_recall == {1: 1.0, 2: 1.0, 3: 1.0}
+
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)],  # q1 half right, q3 missing
+        "query_id long, neighbor_id long",
+    )
+    rep = {r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+           for r in recall_report(exact, approx).collect()}
+    assert rep == {1: (2, 1, 0.5), 2: (2, 2, 1.0), 3: (1, 0, 0.0)}
