@@ -1439,6 +1439,32 @@ def q_g16_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "n_tokens")
 
 
+def q_g36_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G36: curation lineage funnel (pipeline/curate.curate_funnel) over
+    the exact g16 configuration — every document attributed to the FIRST
+    stage that dropped it (quality / decontaminate / exact_dup / sample,
+    NULL = shipped), aggregated to per-stage attrition counts. The oracle
+    replays the same stage predicates and set memberships in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    dup = docs.filter(F.col("doc_id") % 29 == 1).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = docs.unionByName(dup)
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    funnel = curate.curate_funnel(
+        corpus,
+        bench,
+        min_tokens=20,
+        max_stopword_ratio=0.12,
+        min_uniq_ratio=0.35,
+        min_overlap=5,
+        stratum_col="lang",
+        sample_n=30,
+        sample_salt="g16",
+    )
+    return funnel.select("drop_stage", F.col("n_docs").cast("long").alias("n_docs"))
+
+
 def q_g5_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5: analytic pack (row_number, lag, running sum) over one window."""
     orders = _t(spark, sf_dir, "orders")
@@ -2277,6 +2303,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g15_decontaminate": q_g15_decontaminate,
         "g15_bloom_decontaminate": q_g15_bloom_decontaminate,
         "g16_curate_e2e": q_g16_curate_e2e,
+        "g36_curate_funnel": q_g36_curate_funnel,
         "g5_window_funcs": q_g5_window_funcs,
         "g5_moving_agg": q_g5_moving_agg,
         "g6_rollup": q_g6_rollup,
@@ -3587,6 +3614,87 @@ def fine_oracle_sql() -> dict[str, str]:
         ) <= 30
     """
 
+    # G36: the g16 pipeline's funnel — same CTE chain, but every corpus
+    # row is attributed to the first stage that rejected it and the
+    # result aggregates to (drop_stage, n_docs). NULL = shipped.
+    sql["g36_curate_funnel"] = """
+        WITH corpus AS (
+            SELECT * FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+            FROM documents WHERE doc_id % 29 = 1
+        ),
+        ctoks AS (
+            SELECT *, list_filter(string_split_regex(text, '\\s+'),
+                                  x -> len(x) > 0) AS w
+            FROM corpus
+        ),
+        stats AS (
+            SELECT doc_id, lang, source, w,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   ROUND(len(list_filter(w, x -> list_contains(
+                       ['the','a','of','and','to','in'], x)))
+                       / CAST(len(w) AS DOUBLE), 4) AS stop_ratio,
+                   ROUND(len(list_distinct(w))
+                       / CAST(len(w) AS DOUBLE), 4) AS uniq_ratio
+            FROM ctoks
+        ),
+        q AS (
+            SELECT * FROM stats
+            WHERE n_tokens >= 20 AND stop_ratio <= 0.12 AND uniq_ratio >= 0.35
+        ),
+        qs AS (
+            SELECT DISTINCT doc_id,
+                   w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+            FROM q, UNNEST(range(greatest(len(w) - 2, 0))) AS t(i)
+        ),
+        btoks AS (
+            SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                       x -> len(x) > 0) AS w
+            FROM documents WHERE doc_id % 17 = 3
+        ),
+        bs AS (
+            SELECT DISTINCT w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+            FROM btoks, UNNEST(range(greatest(len(w) - 2, 0))) AS t(i)
+        ),
+        hits AS (
+            SELECT doc_id FROM qs JOIN bs USING (shingle)
+            GROUP BY doc_id HAVING count(*) >= 5
+        ),
+        clean AS (
+            SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        ),
+        dd AS (
+            SELECT * FROM (
+                SELECT *, md5(array_to_string(w, ' ')) AS f FROM clean
+            )
+            QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+        ),
+        samp AS (
+            SELECT doc_id FROM dd
+            QUALIFY row_number() OVER (
+                PARTITION BY lang
+                ORDER BY md5('g16' || CAST(doc_id AS VARCHAR)), doc_id
+            ) <= 30
+        ),
+        ann AS (
+            SELECT s.doc_id,
+                   CASE
+                     WHEN NOT (s.n_tokens >= 20 AND s.stop_ratio <= 0.12
+                               AND s.uniq_ratio >= 0.35) THEN 'quality'
+                     WHEN s.doc_id IN (SELECT doc_id FROM hits)
+                         THEN 'decontaminate'
+                     WHEN s.doc_id NOT IN (SELECT doc_id FROM dd)
+                         THEN 'exact_dup'
+                     WHEN s.doc_id NOT IN (SELECT doc_id FROM samp)
+                         THEN 'sample'
+                   END AS drop_stage
+            FROM stats s
+        )
+        SELECT drop_stage, CAST(count(*) AS BIGINT) AS n_docs
+        FROM ann GROUP BY drop_stage
+    """
+
     sql["g5_moving_agg"] = """
         SELECT o_custkey, o_orderkey,
                ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
@@ -4075,7 +4183,8 @@ _SUITES: dict[str, list[str]] = {
     ],
     "g_analytics_misc_suite": ["g21_unpivot", "g13_salted_agg", "g10_json"],
     "g_boilerplate_suite": [
-        "g33_strip_lines", "g34_gopher_rules", "g35_paragraph_dedup"
+        "g33_strip_lines", "g34_gopher_rules", "g35_paragraph_dedup",
+        "g36_curate_funnel",
     ],
 }
 
@@ -4154,6 +4263,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g33_strip_lines": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_lines", "i")],
     "g34_gopher_rules": [("doc_id", "i"), ("n_words", "i"), ("mean_word_len", "n"), ("alpha_word_ratio", "n"), ("stop_hits", "i"), ("fail_mask", "i"), ("keep", "b")],
     "g35_paragraph_dedup": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_paragraphs", "i")],
+    "g36_curate_funnel": [("drop_stage", "s"), ("n_docs", "i")],
 }
 
 _KIND_SPARK_TYPE = {

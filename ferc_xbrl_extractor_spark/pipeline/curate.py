@@ -189,3 +189,190 @@ def curate_corpus(
         v = vocab.build_vocab(deduped, text_col, vocab_size=encode_vocab_size)
         deduped = vocab.encode_documents(deduped, v, text_col)
     return deduped
+
+
+# stage order for curate_annotate / curate_funnel — a document's
+# drop_stage is the FIRST of these whose predicate rejects it, matching
+# curate_corpus' filter order exactly.
+CURATE_STAGES = [
+    "repetition",
+    "quality",
+    "classifier",
+    "gopher",
+    "decontaminate",
+    "exact_dup",
+    "near_dup",
+    "sample",
+]
+
+
+def curate_annotate(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_stopword_ratio: float = 0.5,
+    min_uniq_ratio: float = 0.3,
+    shingle_n: int = 3,
+    min_overlap: int = 5,
+    max_dup_line_ratio: float | None = None,
+    max_dup_3gram_ratio: float | None = None,
+    neardup_threshold: float | None = None,
+    stratum_col: str | None = None,
+    sample_n: int | None = None,
+    sample_salt: str = "curate",
+    classifier_weights: dict[str, float] | None = None,
+    classifier_bias: float = 0.0,
+    keep_logit: float = 0.0,
+    gopher: bool = False,
+    gopher_kwargs: dict | None = None,
+) -> DataFrame:
+    """Per-document curation lineage: every input row annotated with
+    ``drop_stage`` — the FIRST pipeline stage that rejects it (stage
+    names in CURATE_STAGES order; NULL for survivors). ``curate_corpus``
+    drops rows silently, which is right for production but opaque for a
+    100-TB run you need to AUDIT: this computes the same decisions as
+    flags over the same operators, so attrition is attributable without
+    re-running the pipeline once per stage.
+
+    Scale shape: the filter stages are the same map-side expressions the
+    pipeline runs; the set-membership stages (contamination, dedup
+    losers, near-dup losers, sample membership) become broadcast
+    semi/anti joins against the SAME survivor/loser relations the
+    pipeline derives — each is |affected ids| rows, tiny next to the
+    corpus. One wide scan, no per-stage re-scans.
+
+    Later-stage flags are computed on the exact population the real
+    pipeline would hand that stage (e.g. the dedup winner set is derived
+    from quality-passing docs only), so the funnel's stage attribution
+    equals what the pipeline actually did — curate_corpus(same params)
+    == the drop_stage-IS-NULL slice (pinned by tests).
+    """
+    stats = text.with_text_stats(docs, text_col)
+    stats = text.with_repetition_stats(stats, text_col)
+
+    fail_rep = F.lit(False)
+    if max_dup_line_ratio is not None:
+        fail_rep = fail_rep | (F.col("dup_line_ratio") > max_dup_line_ratio)
+    if max_dup_3gram_ratio is not None:
+        fail_rep = fail_rep | (F.col("dup_3gram_ratio") > max_dup_3gram_ratio)
+
+    fail_quality = (
+        (F.col("n_tokens") < min_tokens)
+        | (F.col("stopword_ratio") > max_stopword_ratio)
+        | (F.col("uniq_ratio") < min_uniq_ratio)
+    )
+
+    fail_clf = F.lit(False)
+    if classifier_weights is not None:
+        stats = classifier.attach_model_features(stats)
+        fail_clf = classifier.logit(
+            classifier_weights, classifier_bias
+        ) < F.lit(float(keep_logit))
+
+    fail_gopher = F.lit(False)
+    if gopher:
+        before = set(stats.columns)
+        stats = text.gopher_rules(stats, text_col, **(gopher_kwargs or {}))
+        fail_gopher = ~F.col("keep")
+        stats = stats.withColumn("__fail_gopher", fail_gopher).select(
+            *[c for c in stats.columns if c in before], "__fail_gopher"
+        )
+        fail_gopher = F.col("__fail_gopher")
+
+    annotated = stats.withColumn("__f_rep", fail_rep).withColumn(
+        "__f_qual", ~F.col("__f_rep") & fail_quality
+    )
+    annotated = annotated.withColumn(
+        "__f_clf", ~F.col("__f_rep") & ~F.col("__f_qual") & fail_clf
+    ).withColumn(
+        "__f_gopher",
+        ~F.col("__f_rep") & ~F.col("__f_qual") & ~F.col("__f_clf")
+        & fail_gopher,
+    )
+    pass_rules = (
+        ~F.col("__f_rep") & ~F.col("__f_qual") & ~F.col("__f_clf")
+        & ~F.col("__f_gopher")
+    )
+
+    # population the real pipeline hands the later stages
+    survivors = annotated.filter(pass_rules)
+
+    def _flag_members(df: DataFrame, ids: DataFrame, name: str) -> DataFrame:
+        marked = ids.select(F.col(id_col)).withColumn(f"__{name}", F.lit(True))
+        return df.join(marked, id_col, "left").withColumn(
+            f"__{name}", F.coalesce(F.col(f"__{name}"), F.lit(False))
+        )
+
+    if benchmark is not None:
+        contaminated = neardup.contamination_report(
+            survivors, benchmark, id_col=id_col, text_col=text_col,
+            n=shingle_n, min_overlap=min_overlap,
+        ).select(id_col)
+        annotated = _flag_members(annotated, contaminated, "contam")
+    else:
+        annotated = annotated.withColumn("__contam", F.lit(False))
+    clean = survivors
+    if benchmark is not None:
+        clean = neardup.decontaminate(
+            survivors, benchmark, id_col=id_col, text_col=text_col,
+            n=shingle_n, min_overlap=min_overlap,
+        )
+
+    fp = text.fingerprint(clean, text_col)
+    winners = dedup_exact_keep(
+        fp, keys=["fp"], order_by=[F.col(id_col)]
+    ).select(id_col)
+    deduped = fp.join(winners, id_col, "left_semi").drop("fp")
+    annotated = _flag_members(annotated, winners, "dup_winner")
+
+    if neardup_threshold is not None:
+        pairs = neardup.jaccard_pairs(
+            deduped, id_col=id_col, text_col=text_col,
+            n=shingle_n, threshold=neardup_threshold,
+        )
+        nd_survivors = neardup.dedup_by_pairs(deduped, pairs, id_col=id_col)
+        annotated = _flag_members(
+            annotated, nd_survivors.select(id_col), "nd_winner"
+        )
+        final_pop = nd_survivors
+    else:
+        annotated = annotated.withColumn("__nd_winner", F.lit(True))
+        final_pop = deduped
+
+    if sample_n is not None:
+        if not stratum_col:
+            raise ValueError("sample_n requires stratum_col")
+        sampled = sampling.stratified_sample_n(
+            final_pop, stratum_col, sample_n, id_col=id_col, salt=sample_salt
+        ).select(id_col)
+        annotated = _flag_members(annotated, sampled, "sampled")
+    else:
+        annotated = annotated.withColumn("__sampled", F.lit(True))
+
+    drop_stage = (
+        F.when(F.col("__f_rep"), "repetition")
+        .when(F.col("__f_qual"), "quality")
+        .when(F.col("__f_clf"), "classifier")
+        .when(F.col("__f_gopher"), "gopher")
+        .when(F.col("__contam"), "decontaminate")
+        .when(~F.col("__dup_winner"), "exact_dup")
+        .when(~F.col("__nd_winner"), "near_dup")
+        .when(~F.col("__sampled"), "sample")
+    )
+    return annotated.select(
+        *docs.columns, drop_stage.alias("drop_stage")
+    )
+
+
+def curate_funnel(docs: DataFrame, benchmark: DataFrame | None = None,
+                  **kwargs) -> DataFrame:
+    """Stage-attrition report for a curation configuration:
+    ``(stage, n_dropped)`` plus a ``(NULL, n_survivors)`` row — one
+    aggregate over :func:`curate_annotate`'s single composed plan."""
+    ann = curate_annotate(docs, benchmark, **kwargs)
+    return ann.groupBy("drop_stage").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

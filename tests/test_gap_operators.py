@@ -1637,3 +1637,52 @@ def test_recall_report_goldens(spark):
     rep = {r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
            for r in recall_report(exact, approx).collect()}
     assert rep == {1: (2, 1, 0.5), 2: (2, 2, 1.0), 3: (1, 0, 0.0)}
+
+
+def test_curate_annotate_funnel_matches_pipeline(spark):
+    """G36: drop_stage lineage equals the real pipeline's decisions —
+    the NULL slice IS curate_corpus' output, and every row gets exactly
+    the first stage that rejected it."""
+    from ferc_xbrl_extractor_spark.pipeline import curate
+
+    good = "the quick brown fox and a dog run to the hills in summer "
+    rows = [
+        (1, good * 2 + "one", "s1"),
+        (2, good * 2 + "one", "s1"),       # exact dup of 1 (same fp? no -
+        (3, good * 2 + "two", "s1"),       #  2 has same text as 1)
+        (4, "tiny", "s1"),                 # fails quality (min_tokens)
+        (5, "spam spam spam spam spam spam spam spam spam spam", "s1"),
+        (6, "benchmark sentence alpha beta gamma delta epsilon zeta eta "
+            "theta iota kappa", "s2"),
+        (7, good * 2 + "three", "s2"),
+    ]
+    rows[1] = (2, rows[0][1], "s1")  # make 2 an exact duplicate of 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(100, rows[5][1])], "doc_id long, text string"
+    )
+    params = dict(
+        benchmark=bench,
+        min_tokens=5,
+        min_uniq_ratio=0.2,
+        shingle_n=3,
+        min_overlap=5,
+    )
+    out_ids = {
+        r["doc_id"] for r in curate.curate_corpus(docs, **params).collect()
+    }
+    ann = {
+        r["doc_id"]: r["drop_stage"]
+        for r in curate.curate_annotate(docs, **params).collect()
+    }
+    assert {i for i, s in ann.items() if s is None} == out_ids
+    assert ann[4] == "quality"
+    assert ann[5] == "quality"  # uniq_ratio too low
+    assert ann[6] == "decontaminate"
+    assert ann[2] == "exact_dup" and ann[1] is None  # min id wins
+    funnel = {
+        r["drop_stage"]: r["n_docs"]
+        for r in curate.curate_funnel(docs, **params).collect()
+    }
+    assert funnel[None] == len(out_ids)
+    assert sum(funnel.values()) == len(rows)
