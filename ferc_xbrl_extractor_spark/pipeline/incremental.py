@@ -65,6 +65,13 @@ class IncrementResult:
     n_historical_dups: int | None  # suppressed by the index
 
 
+# Prefix pruning needs a driver-side collect of the batch's distinct
+# prefixes — one extra job barrier. Worth it only when it can actually
+# skip partitions: with 16**prefix_len at or below this bound, scanning
+# the whole (tiny) index in the main DAG is cheaper than the round-trip.
+PRUNE_MIN_PARTITIONS = 32
+
+
 def incremental_dedup(
     spark: SparkSession,
     index_dir: str,
@@ -74,6 +81,7 @@ def incremental_dedup(
     prefix_len: int = 2,
     update_index: bool = True,
     collect_stats: bool = False,
+    prune: bool | None = None,
 ) -> IncrementResult:
     """Dedup an ingestion batch against itself and the historical index.
 
@@ -104,18 +112,22 @@ def incremental_dedup(
 
     # Prefix pruning bounds the index scan; the broadcast semi-join probes
     # it map-side. 16^prefix_len partition values at most — the driver
-    # collect is tiny and independent of batch size.
+    # collect is tiny and independent of batch size. Auto-skipped for
+    # tiny indexes (PRUNE_MIN_PARTITIONS), where the collect's job
+    # barrier costs more than the partitions it could skip.
     batch_fps = surv.select("fp")
-    touched = [
-        r[0]
-        for r in _with_prefix(batch_fps, prefix_len)
-        .select(PREFIX_COL)
-        .distinct()
-        .collect()
-    ]
-    index = spark.read.parquet(index_dir).filter(
-        F.col(PREFIX_COL).isin(touched)
-    )
+    if prune is None:
+        prune = 16 ** prefix_len > PRUNE_MIN_PARTITIONS
+    index = spark.read.parquet(index_dir)
+    if prune:
+        touched = [
+            r[0]
+            for r in _with_prefix(batch_fps, prefix_len)
+            .select(PREFIX_COL)
+            .distinct()
+            .collect()
+        ]
+        index = index.filter(F.col(PREFIX_COL).isin(touched))
     collided = index.join(F.broadcast(batch_fps), "fp", "left_semi").select("fp")
     fresh = surv.join(F.broadcast(collided), "fp", "left_anti")
 
@@ -216,6 +228,7 @@ def incremental_neardup(
     prefix_len: int = 1,
     threshold: float = 0.5,
     update_index: bool = True,
+    prune: bool | None = None,
 ) -> NeardupIncrementResult:
     """Near-dedup an ingestion batch against itself and the band index,
     with O(increment) shuffle work — the index is scanned (pruned +
@@ -262,17 +275,21 @@ def incremental_neardup(
 
     # 3. historical probe: prune band partitions to the batch's prefixes,
     # broadcast the batch bands into the join — index side never shuffles.
-    touched = [
-        r[0]
-        for r in banded.select(
-            F.substring("band_hash", 1, prefix_len).alias("p")
-        )
-        .distinct()
-        .collect()
-    ]
-    hist_bands = spark.read.parquet(f"{index_dir}/bands").filter(
-        F.col(BAND_PFX_COL).isin(touched)
-    )
+    # Pruning auto-skips for tiny band layouts (the collect is a job
+    # barrier; see PRUNE_MIN_PARTITIONS).
+    if prune is None:
+        prune = 16 ** prefix_len > PRUNE_MIN_PARTITIONS
+    hist_bands = spark.read.parquet(f"{index_dir}/bands")
+    if prune:
+        touched = [
+            r[0]
+            for r in banded.select(
+                F.substring("band_hash", 1, prefix_len).alias("p")
+            )
+            .distinct()
+            .collect()
+        ]
+        hist_bands = hist_bands.filter(F.col(BAND_PFX_COL).isin(touched))
     hist_cands = (
         hist_bands.join(
             F.broadcast(

@@ -140,3 +140,32 @@ def test_incremental_neardup_probe_never_shuffles_the_index(spark, tmp_path):
     assert "hashpartitioning(band_hash" not in plan
     assert "hashpartitioning(band_idx" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_prune_auto_skips_for_tiny_band_layouts(spark, tmp_path):
+    """prefix_len=1 (16 partitions) sits under PRUNE_MIN_PARTITIONS, so
+    the driver-side prefix collect is skipped and results are identical
+    to the explicitly-pruned run."""
+    from ferc_xbrl_extractor_spark.pipeline import incremental
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with shared words") for i in range(40)]
+        + [(100 + i, f"some text body number {i} with shared words")
+           for i in range(10)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "lsh")
+    incremental.neardup_index_init(
+        spark, idx, docs.filter("doc_id < 40"), prefix_len=1
+    )
+    batch = docs.filter("doc_id >= 100")
+    auto = incremental.incremental_neardup(
+        spark, idx, batch, update_index=False
+    )
+    pruned = incremental.incremental_neardup(
+        spark, idx, batch, update_index=False, prune=True
+    )
+    assert (
+        {r["doc_id"] for r in auto.fresh.collect()}
+        == {r["doc_id"] for r in pruned.fresh.collect()}
+    )
