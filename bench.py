@@ -182,10 +182,24 @@ def main() -> None:
     # holds one complete parseable JSON line.
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:
-        # Safety valve: never let the final line outgrow the tail capture —
-        # shed precision, not the contract-required "queries" field.
+        # Safety valve: never let the final line outgrow the tail capture.
+        # First shed precision; if the line STILL doesn't fit, keep only
+        # the slowest queries inline (the full map goes on its own earlier
+        # line, which the tail may or may not retain) — a short parseable
+        # record always beats a complete truncated one.
         out["queries"] = {n: round(v, 2) for n, v in timings.items()}
         line = json.dumps(out, separators=(",", ":"))
+        if len(line) > 1900:
+            print(json.dumps(
+                {"record": "headline_queries_full", "queries": out["queries"]},
+                separators=(",", ":")))
+        keep = len(timings)
+        while len(line) > 1900 and keep > 5:
+            keep = keep // 2
+            top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:keep])
+            out["queries"] = {n: round(v, 2) for n, v in top.items()}
+            out["queries_truncated_to_slowest"] = keep
+            line = json.dumps(out, separators=(",", ":"))
     print(line)
 
 

@@ -59,6 +59,8 @@ def fetch_with_retry(
     ``max_retries`` attempts; attempt ``i`` (0-based) failing sleeps
     ``2**(i+1)`` seconds before the next; the last failure re-raises
     (ref:arelle_interface.py:16-31)."""
+    if max_retries < 1:
+        raise ValueError("max_retries must be >= 1 (attempts, not retries)")
     fetcher = fetcher or _default_fetcher
     for try_count in range(max_retries):
         try:
@@ -72,7 +74,31 @@ def fetch_with_retry(
                 url, try_count, err, backoff,
             )
             sleep(backoff)
-    raise RuntimeError("unreachable")  # pragma: no cover
+    raise RuntimeError("unreachable: loop re-raises on final attempt")
+
+
+def _schema_locations(data: bytes, base_url: str) -> set[str]:
+    """Every xs:import/xs:include schemaLocation in a FETCHED schema,
+    resolved to absolute URLs: remote documents resolve their RELATIVE
+    locations against the document URL (the common XSD idiom, and what
+    the reference's Arelle loader does) — unlike archive members, whose
+    relative locations are sibling archive files and parse in the normal
+    sweep."""
+    import xml.etree.ElementTree as ET
+    from urllib.parse import urljoin
+
+    out: set[str] = set()
+    try:
+        root = ET.fromstring(data)
+    except ET.ParseError:
+        return out
+    xs = "{http://www.w3.org/2001/XMLSchema}"
+    for kind in ("import", "include"):
+        for el in root.iter(f"{xs}{kind}"):
+            loc = el.get("schemaLocation")
+            if loc:
+                out.add(urljoin(base_url, loc))
+    return out
 
 
 def resolve_remote_dts(
@@ -128,12 +154,17 @@ def resolve_remote_dts(
             )
             if cpath is not None:
                 cpath.write_bytes(data)
-        before = set(version.remote_refs)
         _parse_schema(version, data)
         resolved.append(url)
-        # newly-discovered transitive references join the frontier
+        # newly-discovered transitive references join the frontier —
+        # resolved against THIS document's URL, so relative
+        # schemaLocations inside fetched schemas follow correctly
         frontier.extend(
-            sorted(u for u in version.remote_refs - before if u not in seen)
+            sorted(
+                u
+                for u in _schema_locations(data, url)
+                if u not in seen and u.startswith(("http://", "https://"))
+            )
         )
     if resolved:
         # previously-defaulted types may now resolve; re-diagnose lazily

@@ -103,11 +103,15 @@ def extract_features(
     assumes ~100 KB media — lower it for video.
     """
 
-    def _pil_feature(b: bytes) -> list[float]:
+    def _pil_feature(b: bytes) -> list[float] | None:
         # real kernel: decode, grayscale, downsample to `dim` pixels, map
-        # intensities to [-1, 1) — deterministic for a given image
+        # intensities to [-1, 1) — deterministic for a given image.
+        # NULL/empty content yields a NULL feature (the stub fabricates
+        # one from bytes, a real decoder has nothing to decode).
         import io
 
+        if not b:
+            return None
         img = _PILImage.open(io.BytesIO(b)).convert("L").resize((dim, 1))
         return [p / 128.0 - 1.0 for p in img.getdata()]
 
@@ -147,8 +151,13 @@ def resize_images(
     """
 
     def pil_resize(b):
+        # NULL/undecodable-empty content passes through as NULL — parity
+        # with how a real pipeline quarantines rather than crashes on
+        # blob-less rows (the stub fabricates bytes instead).
         import io
 
+        if b is None or len(b) == 0:
+            return None
         img = _PILImage.open(io.BytesIO(bytes(b))).resize((width, height))
         buf = io.BytesIO()
         img.save(buf, format="PNG")

@@ -67,8 +67,16 @@ def uniqueness(
     with ``rsd`` of slack. Exact stays available for candidate-key
     assertions at small scale."""
     if approx:
+        # exact count_distinct(a, b) skips rows where ANY key column is
+        # NULL; a bare struct would count them (a struct is non-NULL even
+        # with all-NULL fields), silently flipping NULL-heavy candidate-
+        # key failures into passes — gate the struct on all-non-null so
+        # approx differs from exact only by the sketch's rsd.
+        all_non_null = F.lit(True)
+        for c in cols:
+            all_non_null = all_non_null & F.col(c).isNotNull()
         m = F.approx_count_distinct(
-            F.struct(*[F.col(c) for c in cols]), rsd
+            F.when(all_non_null, F.struct(*[F.col(c) for c in cols])), rsd
         ) / F.count(F.lit(1))
         return Check(f"uniqueness~({','.join(cols)})", m, lo=at_least)
     m = F.count_distinct(*[F.col(c) for c in cols]) / F.count(F.lit(1))

@@ -198,13 +198,16 @@ def bpe_encode_documents(
     order. The fallback needs a unique per-row key — pass ``id_col``;
     without one the guard raises rather than risk merging distinct rows.
     """
-    n_words = words.count()
+    # bounded probe: limit(k+1).count() early-exits the scan at k+1 rows
+    # instead of materializing the full words lineage (for bpe_learn
+    # output that is the whole iterative merge history) twice per call
+    n_words = words.limit(max_broadcast_words + 1).count()
     if n_words > max_broadcast_words:
         if id_col is None:
             raise ValueError(
-                f"bpe_encode_documents: {n_words} distinct words exceeds "
-                f"max_broadcast_words={max_broadcast_words}; the join "
-                "fallback reassembles per document and needs id_col"
+                f"bpe_encode_documents: >{max_broadcast_words} distinct "
+                "words exceeds max_broadcast_words; the join fallback "
+                "reassembles per document and needs id_col"
             )
         return _bpe_encode_via_join(df, words, text_col, out_col, id_col)
     wmap = words.agg(

@@ -302,20 +302,27 @@ def incremental_neardup(
         .select(F.col(id_col).alias("hist_id"), "new_id")
         .distinct()
     )
-    # ONE pass over the shingle store: candidate pairs (with the batch
-    # side's shingle arrays attached — the batch is small, so pairs stay
-    # broadcastable) joined straight onto the historical arrays. The
-    # former shape (semi-fetch ids, then two more joins) stacked two
-    # extra broadcast stages per increment; at increment sizes the
-    # per-stage scheduling floor, not data volume, was the cost (r4
-    # verdict: g24 "many stacked job barriers").
+    # ONE pass over the shingle store: broadcast the candidate id PAIRS
+    # (bounded: two longs per pair, never the arrays — attaching the
+    # batch arrays before the broadcast would replicate a boilerplate
+    # doc's multi-KB array once per colliding pair) onto the historical
+    # arrays, then attach the batch arrays from their own broadcast
+    # (bounded by the increment size by definition). The former shape
+    # (semi-fetch ids, then two more joins) stacked an extra broadcast
+    # stage per increment; at increment sizes the per-stage scheduling
+    # floor, not data volume, was the cost (r4 verdict: g24 "many
+    # stacked job barriers").
     new_arr = arr.select(
         F.col(id_col).alias("new_id"), F.col("__sh").alias("__sh_n")
     )
-    cand_with_new = hist_cands.join(new_arr, "new_id")
-    hj = spark.read.parquet(f"{index_dir}/shingles").select(
-        F.col(id_col).alias("hist_id"), F.col("__sh").alias("__sh_h")
-    ).join(F.broadcast(cand_with_new), "hist_id")
+    hj = (
+        spark.read.parquet(f"{index_dir}/shingles")
+        .select(
+            F.col(id_col).alias("hist_id"), F.col("__sh").alias("__sh_h")
+        )
+        .join(F.broadcast(hist_cands), "hist_id")
+        .join(F.broadcast(new_arr), "new_id")
+    )
     n_common = F.size(F.array_intersect(F.col("__sh_h"), F.col("__sh_n")))
     n_union = (
         F.size(F.col("__sh_h")) + F.size(F.col("__sh_n")) - n_common

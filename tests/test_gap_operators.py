@@ -246,6 +246,16 @@ def test_multimodal_real_decode_when_pillow_present(spark):
     assert len(feat["feature"]) == 4
     assert all(-1.0 <= v < 1.0 for v in feat["feature"])
 
+    # NULL/empty content must quarantine (NULL outputs), not crash the job
+    nulls = multimodal.media_table_from_binary(
+        spark.createDataFrame([(2, None)], "id long, blob binary"),
+        "id", "blob", "image", "image/png",
+    )
+    nf = multimodal.extract_features(nulls, dim=4, decode_stub=False).first()
+    assert nf["feature"] is None and nf["n_bytes"] == 0
+    nr = multimodal.resize_images(nulls, 8, 8, decode_stub=False).first()
+    assert nr["content"] is None
+
 
 def test_resize_images_plumbing(spark):
     df = spark.createDataFrame(

@@ -58,6 +58,7 @@ def test_uniqueness_approx_same_decision_no_expand(spark, people):
         [
             Q.uniqueness("id", at_least=0.9),
             Q.uniqueness("id", approx=True, at_least=0.9),
+            Q.uniqueness("id", "name", at_least=0.9),
             Q.uniqueness("id", "name", approx=True, at_least=0.9),
         ],
     ).collect()
@@ -65,8 +66,11 @@ def test_uniqueness_approx_same_decision_no_expand(spark, people):
     # 3 distinct of 4 rows: both forms fail the 0.9 bar
     assert not by_name["uniqueness(id)"]["passed"]
     assert not by_name["uniqueness~(id)"]["passed"]
-    # (id, name) is a candidate key: HLL at 4 rows is exact
-    assert by_name["uniqueness~(id,name)"]["passed"]
+    # (id, name) has a NULL name row, which count_distinct SKIPS: 3/4 on
+    # both forms (approx must not count the null-keyed row as distinct)
+    assert by_name["uniqueness(id,name)"]["metric"] == 0.75
+    assert by_name["uniqueness~(id,name)"]["metric"] == 0.75
+    assert not by_name["uniqueness~(id,name)"]["passed"]
 
     approx_only = Q.check_constraints(
         people,
@@ -196,3 +200,27 @@ def test_upsert_parquet_empty_updates_is_noop(spark, tmp_path):
         spark, table, updates, keys=["k"], order_col="ver", partition_col="part"
     ) == []
     assert spark.read.parquet(table).count() == 1
+
+
+def test_uniqueness_approx_matches_exact_null_key_semantics(spark):
+    """approx=True must skip NULL-keyed rows exactly like count_distinct
+    does — a bare struct would count them and flip a failing
+    candidate-key constraint into a pass."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, None)],
+        "a long, b string",
+    )
+    report = Q.check_constraints(
+        df,
+        [
+            Q.uniqueness("a", "b", at_least=0.9),
+            Q.uniqueness("a", "b", approx=True, at_least=0.9),
+        ],
+    ).collect()
+    by_name = {r["constraint"]: r for r in report}
+    # exact: zero fully-non-null tuples -> ratio 0.0 -> fail
+    assert by_name["uniqueness(a,b)"]["metric"] == 0.0
+    assert not by_name["uniqueness(a,b)"]["passed"]
+    # approx must agree, not count the null-keyed rows as distinct
+    assert by_name["uniqueness~(a,b)"]["metric"] == 0.0
+    assert not by_name["uniqueness~(a,b)"]["passed"]

@@ -31,9 +31,12 @@ LOCAL_XSD = f"""<?xml version="1.0"?>
 </xs:schema>
 """
 
-MID_XSD = f"""<?xml version="1.0"?>
+# NOTE: the import here is RELATIVE ("types-base.xsd") — a fetched remote
+# schema resolves relative schemaLocations against its own URL (the
+# common XSD idiom); the closure must urljoin it to BASE.
+MID_XSD = """<?xml version="1.0"?>
 <xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
-  <xs:import namespace="http://example.com/base" schemaLocation="{BASE}"/>
+  <xs:import namespace="http://example.com/base" schemaLocation="types-base.xsd"/>
   <xs:complexType name="MidType">
     <xs:simpleContent><xs:restriction base="base:BaseType"/></xs:simpleContent>
   </xs:complexType>
@@ -152,3 +155,9 @@ def test_resolve_remote_dts_bounds_runaway_closure():
         v, fetcher=endless, max_schemas=5, sleep=lambda s: None
     )
     assert len(resolved) == 5  # bounded, loudly warned, no infinite loop
+
+
+def test_fetch_with_retry_rejects_zero_attempts():
+    with pytest.raises(ValueError, match="max_retries"):
+        fetch_with_retry("https://example.com/x.xsd", fetcher=lambda u: b"",
+                         max_retries=0)

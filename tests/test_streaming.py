@@ -477,3 +477,29 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == batch == {(1, 10), (2, 11)}
+
+
+def test_gopher_rules_is_stream_safe(spark, tmp_path):
+    """G34 on a stream: the rule pack is one stateless projection, so it
+    applies unchanged under readStream and equals the batch result."""
+    from ferc_xbrl_extractor_spark.operators.text import gopher_rules
+
+    rows = [
+        (1, "the quick brown fox and a dog run to the hills in summer " * 3),
+        (2, "### ### ### ###"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs")
+    df.write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = _drain(
+        spark,
+        gopher_rules(stream, min_words=5, min_stop_hits=1),
+        "gopher_stream",
+    )
+    got = {r["doc_id"]: r["keep"] for r in out.collect()}
+    batch = {
+        r["doc_id"]: r["keep"]
+        for r in gopher_rules(df, min_words=5, min_stop_hits=1).collect()
+    }
+    assert got == batch == {1: True, 2: False}
