@@ -73,3 +73,43 @@ def test_zorder_layout_bounds_every_column_span(spark, tmp_path):
 
     # layout changes bytes, never rows
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_skipping_report_reads_footers_and_scores_layouts(spark, tmp_path):
+    """G25 validator: the footer-only report reproduces file_spans'
+    verdict without scanning data — the z-ordered layout skips most row
+    groups for a narrow y-range, the x-sorted layout skips none."""
+    from ferc_xbrl_extractor_spark.operators.layout import (
+        skip_fraction,
+        skipping_report,
+    )
+
+    n, dom = 4096, 256
+    df = spark.createDataFrame(
+        [Row(x=i % dom, y=(i * 7919) % dom) for i in range(n)]
+    )
+    zpath = str(tmp_path / "z2")
+    write_zordered(df, zpath, ["x", "y"], bits=8, num_files=16)
+    xpath = str(tmp_path / "x2")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(xpath)
+    )
+
+    zrep = skipping_report(spark, zpath, ["x", "y"])
+    # footer stats agree with a real scan of the same files
+    scanned = {
+        r["__file"]: (r["min_y"], r["max_y"])
+        for r in file_spans(spark, zpath, ["y"]).collect()
+    }
+    from_footers = {
+        r["file"]: (int(r["vmin"]), int(r["vmax"]))
+        for r in zrep.filter("column = 'y'").collect()
+    }
+    assert from_footers == scanned  # single row group per file here
+
+    z_skip = skip_fraction(zrep, "y", 0, 31)
+    x_skip = skip_fraction(skipping_report(spark, xpath, ["x", "y"]), "y", 0, 31)
+    assert x_skip == 0.0          # x-sort: every file spans ~all of y
+    assert z_skip >= 0.5          # z-order: most row groups skippable on y
