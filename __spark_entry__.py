@@ -992,6 +992,14 @@ def q_g32_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_report(docs)
 
 
+def q_g32_stratum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G32 per-stratum mode: the same single-pass datasheet grouped by
+    language — per-language token shares, length distributions and dup
+    ratios, the data-mix diagnostic a multilingual corpus publishes."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.corpus_report(docs, by=["lang"])
+
+
 def q_g4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: per-document quality features."""
     docs = _t(spark, sf_dir, "documents")
@@ -2274,6 +2282,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_text_stats": q_g4_text_stats,
         "g28_quality_classifier": q_g28_quality_classifier,
         "g32_corpus_report": q_g32_corpus_report,
+        "g32_stratum_report": q_g32_stratum_report,
         "g33_strip_lines": q_g33_strip_lines,
         "g34_gopher_rules": q_g34_gopher_rules,
         "g35_paragraph_dedup": q_g35_paragraph_dedup,
@@ -2889,6 +2898,30 @@ def fine_oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
                CAST(count(DISTINCT source) AS BIGINT) AS n_sources
         FROM st
+    """
+
+    sql["g32_stratum_report"] = f"""
+        WITH {_TOKENS_CTE},
+        st AS (
+            SELECT lang,
+                   CAST(len(w) AS BIGINT) AS nt,
+                   CAST(length(text) AS BIGINT) AS nc,
+                   md5(array_to_string(w, ' ')) AS fp,
+                   source
+            FROM toks
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               CAST(sum(nc) AS BIGINT) AS n_chars,
+               ROUND(quantile_cont(nt, 0.25), 4) AS p25_tokens,
+               ROUND(quantile_cont(nt, 0.5), 4) AS p50_tokens,
+               ROUND(quantile_cont(nt, 0.75), 4) AS p75_tokens,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_texts,
+               ROUND(1.0 - CAST(count(DISTINCT fp) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE), 6) AS dup_doc_ratio,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM st GROUP BY lang
     """
 
     sql["g4_text_stats"] = f"""
@@ -4182,6 +4215,7 @@ _SUITES: dict[str, list[str]] = {
         "g23_incremental_dedup", "g24_incremental_neardup"
     ],
     "g_analytics_misc_suite": ["g21_unpivot", "g13_salted_agg", "g10_json"],
+    "g32_report_suite": ["g32_corpus_report", "g32_stratum_report"],
     "g_boilerplate_suite": [
         "g33_strip_lines", "g34_gopher_rules", "g35_paragraph_dedup",
         "g36_curate_funnel",
@@ -4264,6 +4298,8 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g34_gopher_rules": [("doc_id", "i"), ("n_words", "i"), ("mean_word_len", "n"), ("alpha_word_ratio", "n"), ("stop_hits", "i"), ("fail_mask", "i"), ("keep", "b")],
     "g35_paragraph_dedup": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_paragraphs", "i")],
     "g36_curate_funnel": [("drop_stage", "s"), ("n_docs", "i")],
+    "g32_corpus_report": [("n_docs", "i"), ("n_tokens", "i"), ("n_chars", "i"), ("p25_tokens", "n"), ("p50_tokens", "n"), ("p75_tokens", "n"), ("n_distinct_texts", "i"), ("dup_doc_ratio", "n"), ("n_langs", "i"), ("n_sources", "i")],
+    "g32_stratum_report": [("lang", "s"), ("n_docs", "i"), ("n_tokens", "i"), ("n_chars", "i"), ("p25_tokens", "n"), ("p50_tokens", "n"), ("p75_tokens", "n"), ("n_distinct_texts", "i"), ("dup_doc_ratio", "n"), ("n_sources", "i")],
 }
 
 _KIND_SPARK_TYPE = {

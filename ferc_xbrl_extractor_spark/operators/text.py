@@ -390,6 +390,7 @@ def corpus_report(
     text_col: str = "text",
     lang_col: str | None = "lang",
     source_col: str | None = "source",
+    by: list[str] | None = None,
 ) -> DataFrame:
     """One-row corpus datasheet ("Datasheets for Datasets"-style summary
     a curation run publishes with its output): ONE map-side-combinable
@@ -403,16 +404,29 @@ def corpus_report(
     those columns exist. Exact distincts plan as one Expand inside the
     same aggregate — still a single scan; swap ``approx_count_distinct``
     in at the scale where the Expand's shuffle dominates.
+
+    ``by``: per-stratum datasheet instead of one corpus row — the same
+    single-pass aggregate grouped on the stratum columns (one row per
+    lang/source/...), the data-mix diagnostic a multilingual corpus
+    publishes (per-language token shares, length distributions, dup
+    ratios). Grouping columns are excluded from the distinct-count
+    metrics they would trivially determine.
     """
+    by = by or []
     toks = tokens(text_col)
     staged = df.select(
+        *[F.col(c) for c in by],
         F.size(toks).cast("long").alias("__nt"),
         F.length(text_col).cast("long").alias("__nc"),
         F.md5(F.array_join(toks, " ")).alias("__fp"),
-        *([F.col(lang_col)] if lang_col and lang_col in df.columns else []),
+        *(
+            [F.col(lang_col)]
+            if lang_col and lang_col in df.columns and lang_col not in by
+            else []
+        ),
         *(
             [F.col(source_col)]
-            if source_col and source_col in df.columns
+            if source_col and source_col in df.columns and source_col not in by
             else []
         ),
     )
@@ -428,10 +442,12 @@ def corpus_report(
             F.lit(1.0) - F.countDistinct("__fp") / F.count(F.lit(1)), 6
         ).alias("dup_doc_ratio"),
     ]
-    if lang_col and lang_col in df.columns:
+    if lang_col and lang_col in df.columns and lang_col not in by:
         aggs.append(F.countDistinct(lang_col).alias("n_langs"))
-    if source_col and source_col in df.columns:
+    if source_col and source_col in df.columns and source_col not in by:
         aggs.append(F.countDistinct(source_col).alias("n_sources"))
+    if by:
+        return staged.groupBy(*by).agg(*aggs)
     return staged.agg(*aggs)
 
 
