@@ -1023,6 +1023,15 @@ def q_g4_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g29_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G29: vocabulary coverage curve (vocab.coverage_report) — the
+    fraction of all token occurrences the top-V tokens cover, for
+    candidate vocab sizes; the number that sizes a tokenizer's vocab/OOV
+    budget before committing it."""
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_ops.coverage_report(docs, vocab_sizes=[5, 20, 100])
+
+
 def q_g4_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: PII scrub over a deterministically-injected corpus (the
     synthetic docs carry no PII, so each doc gets an email / phone / IP /
@@ -2294,6 +2303,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g26_trim_spans": q_g26_trim_spans,
         "g29_vocab": q_g29_vocab,
         "g29_encode": q_g29_encode,
+        "g29_coverage": q_g29_coverage,
         "g4_pii_redact": q_g4_pii_redact,
         "g4_token_topk": q_g4_token_topk,
         "g4_language_id": q_g4_language_id,
@@ -3468,6 +3478,28 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM s
     """
 
+    sql["g29_coverage"] = f"""
+        WITH {_TOKENS_CTE},
+        tok AS (SELECT unnest(w) AS token FROM toks),
+        counts AS (
+            SELECT token, count(*) AS n FROM tok
+            WHERE token IS NOT NULL GROUP BY token
+        ),
+        tot AS (SELECT sum(n) AS total FROM counts),
+        ranked AS (
+            SELECT row_number() OVER (ORDER BY n DESC, token) AS r,
+                   sum(n) OVER (ORDER BY n DESC, token
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM (SELECT * FROM counts ORDER BY n DESC, token LIMIT 100)
+        ),
+        sizes(v) AS (VALUES (5), (20), (100))
+        SELECT CAST(v AS INT) AS vocab_size,
+               CAST(max(cum) AS BIGINT) AS covered_tokens,
+               CAST(max(total) AS BIGINT) AS total_tokens,
+               ROUND(max(cum) / CAST(max(total) AS DOUBLE), 6) AS coverage
+        FROM ranked, sizes, tot WHERE r <= v GROUP BY v
+    """
+
     sql["g4_fingerprint"] = f"""
         WITH {_TOKENS_CTE}
         SELECT doc_id, md5(array_to_string(w, ' ')) AS fp
@@ -4210,7 +4242,7 @@ _SUITES: dict[str, list[str]] = {
         "g3_embedding_neardup", "g3_recall",
     ],
     "g26_span_suite": ["g26_dup_spans", "g26_trim_spans"],
-    "g29_vocab_suite": ["g29_vocab", "g29_encode"],
+    "g29_vocab_suite": ["g29_vocab", "g29_encode", "g29_coverage"],
     "g_incremental_suite": [
         "g23_incremental_dedup", "g24_incremental_neardup"
     ],
@@ -4289,6 +4321,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g26_trim_spans": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_tokens", "i")],
     "g29_vocab": [("token", "s"), ("token_id", "i"), ("n", "i")],
     "g29_encode": [("doc_id", "i"), ("ids_md5", "s"), ("n_ids", "i")],
+    "g29_coverage": [("vocab_size", "i"), ("covered_tokens", "i"), ("total_tokens", "i"), ("coverage", "n")],
     "g23_incremental_dedup": [("doc_id", "i"), ("fp", "s")],
     "g24_incremental_neardup": [("doc_id", "i")],
     "g21_unpivot": [("l_orderkey", "i"), ("l_linenumber", "i"), ("name", "s"), ("value", "n")],

@@ -47,10 +47,12 @@ HEADLINE = [
     "g3_cosine_topk",
     "g3_lsh_topk",
     "g3_ivf_topk",
+    "g3_recall",
     "g27_semantic_dedup",
     "g4_text_stats",
     "g28_quality_classifier",
     "g32_corpus_report",
+    "g32_stratum_report",
     "g33_strip_lines",
     "g34_gopher_rules",
     "g35_paragraph_dedup",
@@ -60,6 +62,7 @@ HEADLINE = [
     "g26_dup_spans",
     "g29_vocab",
     "g29_encode",
+    "g29_coverage",
     "g26_trim_spans",
     "g14_sample_stratified",
     "g30_temperature_mix",
@@ -69,6 +72,7 @@ HEADLINE = [
     "g18_quantized_topk",
     "g15_decontaminate",
     "g16_curate_e2e",
+    "g36_curate_funnel",
     "g20_quality_suite",
     "g20_merge_latest",
     "g21_unpivot",

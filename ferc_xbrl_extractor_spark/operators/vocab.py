@@ -273,3 +273,70 @@ def _bpe_encode_via_join(
             F.col(out_col), F.array().cast("array<string>")
         ).alias(out_col),
     )
+
+
+def coverage_report(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_sizes: list[int] = (100, 1_000, 10_000, 50_000),
+    min_count: int = 1,
+) -> DataFrame:
+    """Token-coverage curve for vocabulary sizing: for each candidate V,
+    the fraction of ALL corpus token occurrences covered by the V most
+    frequent tokens (the number that decides vocab_size / OOV budget
+    before committing a tokenizer).
+
+    Scale shape: reuses build_vocab's explode→count aggregate (the
+    exchange carries |distinct tokens|), then a cumulative sum over the
+    frequency-ranked counts. The running window IS a single partition by
+    construction — but over the DISTINCT-TOKEN relation (Zipf-bounded,
+    millions at web scale, not corpus-sized), and only the top
+    max(vocab_sizes) rows of it survive the limit before the window runs.
+    Returns (vocab_size, covered_tokens, total_tokens, coverage).
+    """
+    vmax = max(vocab_sizes)
+    counts = (
+        df.select(F.explode_outer(tokens(text_col)).alias("token"))
+        .filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    topv = counts.orderBy(F.col("n").desc(), F.col("token")).limit(vmax)
+    w = Window.orderBy(F.col("n").desc(), F.col("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = topv.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("token")))
+        .alias("__rank"),
+        F.sum("n").over(w).alias("__cum"),
+    )
+    sizes = F.array(*[F.lit(int(v)) for v in sorted(set(vocab_sizes))])
+    # per size V: the cumulative count at rank min(V, |ranked|)
+    per_size = (
+        ranked.crossJoin(total)
+        .select(
+            F.explode(sizes).alias("vocab_size"),
+            "__rank",
+            "__cum",
+            "__total",
+        )
+        .filter(F.col("__rank") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(
+            F.max("__cum").alias("covered_tokens"),
+            F.max("__total").alias("total_tokens"),
+        )
+        .select(
+            "vocab_size",
+            F.col("covered_tokens").cast("long").alias("covered_tokens"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.col("covered_tokens") / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+    return per_size

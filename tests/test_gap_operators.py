@@ -1696,3 +1696,22 @@ def test_curate_annotate_funnel_matches_pipeline(spark):
     }
     assert funnel[None] == len(out_ids)
     assert sum(funnel.values()) == len(rows)
+
+
+def test_vocab_coverage_report_goldens(spark):
+    """G29 coverage curve: hand-checked Zipf-ish corpus — top-1 covers
+    the majority token, the full vocab covers everything."""
+    from ferc_xbrl_extractor_spark.operators.vocab import coverage_report
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b c"), (2, "a a b d")],
+        "doc_id long, text string",
+    )
+    # counts: a=6, b=3, c=1, d=1 -> total 11
+    rep = {
+        r["vocab_size"]: (r["covered_tokens"], r["total_tokens"], r["coverage"])
+        for r in coverage_report(docs, vocab_sizes=[1, 2, 10]).collect()
+    }
+    assert rep[1] == (6, 11, round(6 / 11, 6))
+    assert rep[2] == (9, 11, round(9 / 11, 6))
+    assert rep[10] == (11, 11, 1.0)  # more than distinct tokens: everything
