@@ -87,6 +87,9 @@ HEADLINE = [
     "g8_session",
     "g9_asof_join",
     "g9_asof_forward",
+    "g37_kmeans",
+    "g38_bigram_lm",
+    "g39_shuffle_order",
 ]
 
 

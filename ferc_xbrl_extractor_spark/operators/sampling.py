@@ -195,3 +195,59 @@ def weighted_sample_k(
         .limit(k)
         .drop("__wkey")
     )
+
+
+def shuffle_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "shuffle_pos",
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign each row its
+    exact 0-based position in the ``md5(salt:id)`` ordering — the
+    reproducible corpus shuffle a training pipeline runs before sequence
+    packing (``packing.pack_sequences`` consumes this as ``order_col``),
+    so data order is an artifact of (corpus, salt), not of cluster
+    nondeterminism, and epoch N is replayable bit-for-bit.
+
+    A global ``row_number()`` window would sort the corpus on ONE
+    partition. Instead, the md5 key's first ``prefix_len`` hex chars
+    split the keyspace into 16^prefix_len ORDERED, uniformly-loaded
+    blocks (lowercase-hex lexicographic order == numeric order, so every
+    key in block b precedes block b+1): position = block base offset +
+    rank within block. Ranks need one keyed exchange over balanced
+    blocks; base offsets are a 16^prefix_len-row count aggregate,
+    prefix-summed driver-side and broadcast-joined back — the packing
+    module's two-phase block prefix sum applied to an order the engine
+    derives rather than receives. Scale knob: each block is one window
+    partition (one task), so size prefix_len such that corpus/16^p rows
+    fit a task — p=4 (65k blocks) covers 100 TB; the driver state is one
+    count per block either way.
+
+    Requires unique non-null ``id_col`` (document PK) — duplicate ids
+    would tie in the total order.
+    """
+    key = F.md5(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    out = df.withColumn("__key", key).withColumn(
+        "__blk", F.substring("__key", 1, prefix_len)
+    )
+    w = Window.partitionBy("__blk").orderBy("__key", id_col)
+    ranked = out.withColumn("__rn", F.row_number().over(w))
+    counts = (
+        out.groupBy("__blk").count().orderBy("__blk").collect()
+    )
+    base, offsets = 0, []
+    for r in counts:
+        offsets.append((r["__blk"], base))
+        base += r["count"]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "__blk string, __base long")
+    )
+    return (
+        ranked.join(off_df, "__blk")
+        .withColumn(out_col, (F.col("__base") + F.col("__rn") - 1).cast("long"))
+        .drop("__key", "__blk", "__rn", "__base")
+    )

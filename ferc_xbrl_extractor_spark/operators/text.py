@@ -345,6 +345,125 @@ def unigram_surprisal(
     )
 
 
+def _bigram_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per consecutive token pair. Docs with <2
+    tokens contribute nothing (they surface as NULL in the scorer's final
+    left join)."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    pairs = F.zip_with(
+        F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+        F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return toked.where(F.size("__toks") >= 2).select(
+        F.col(id_col), F.explode(pairs).alias("__bg")
+    ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+
+
+def bigram_lm(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Count-based bigram language model: ``(w1, w2, n)`` over consecutive
+    token pairs. One explode + one map-side-combinable aggregate — the
+    exchange carries |distinct bigrams| (Zipf-bounded), never the corpus.
+    Persist/write this to reuse a reference-corpus model across scoring
+    runs (the CCNet pattern: train on a clean corpus, score the crawl)."""
+    return (
+        _bigram_pairs(df, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bigram_surprisal",
+    alpha: float = 0.5,
+    model: DataFrame | None = None,
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """Mean per-bigram surprisal −ln p(w₂|w₁) under an add-α-smoothed
+    bigram LM — the distributed analog of CCNet/Wikipedia-KenLM perplexity
+    filtering (Wenzek et al. 2020), one model order down: fluency scoring
+    that, unlike ``unigram_surprisal``, is sensitive to word ORDER
+    (scrambled text keeps its unigram score but blows up here).
+
+    ``p(w₂|w₁) = (c(w₁,w₂) + α) / (c(w₁) + α·V)`` with V the training
+    vocabulary size; unseen bigrams/contexts coalesce to 0, so scoring a
+    corpus against an external ``model`` (train clean → score crawl) is
+    well-defined: a fully-OOV bigram costs −ln(α/(α·V)) = ln V.
+
+    Determinism: the same integer micro-nat trick as
+    ``unigram_surprisal`` — each bigram's −ln p is fixed to
+    ``round(−ln(p)·1e6)`` BEFORE the per-doc sum, so the parallel
+    aggregate is order-free and a DuckDB oracle hash-matches exactly.
+
+    Plan: pairs explode → (model build if self-trained: one combinable
+    aggregate) → two keyed joins back (bigram key, then context key) —
+    both AQE-broadcast when the Zipf-small model side fits, shuffle-hash
+    otherwise; context counts derive from the MODEL relation (|distinct
+    bigrams| rows), not from a corpus re-scan; V rides as a 1-row
+    broadcast. Docs with <2 tokens get NULL via the final left join.
+
+    Args:
+        model: pre-trained ``bigram_lm`` output; None trains on ``df``.
+        vocab_size: V for smoothing; required with an external ``model``
+            (the scorer cannot see its training corpus), else counted from
+            ``df``'s tokens in one aggregate.
+    """
+    pairs = _bigram_pairs(df, text_col, id_col)
+    if model is None:
+        model = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    elif vocab_size is None:
+        raise ValueError(
+            "bigram_surprisal: an external model needs vocab_size (V) — "
+            "the scorer cannot derive it from the scored corpus"
+        )
+    if vocab_size is None:
+        v_df = (
+            df.select(F.explode(tokens(text_col)).alias("__tok"))
+            .agg(F.count_distinct("__tok").alias("__v"))
+        )
+    else:
+        v_df = df.sparkSession.range(1).select(
+            F.lit(int(vocab_size)).cast("long").alias("__v")
+        )
+    ctx = model.groupBy("w1").agg(F.sum("n").alias("__cn"))
+    scored = (
+        pairs.join(model, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(v_df))
+        .select(
+            F.col(id_col),
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("n"), F.lit(0)).cast("double") + F.lit(alpha))
+                    / (
+                        F.coalesce(F.col("__cn"), F.lit(0)).cast("double")
+                        + F.lit(alpha) * F.col("__v").cast("double")
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("__micro"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("__micro").alias("__sm"), F.count(F.lit(1)).alias("__nb")
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(
+            out_col,
+            F.round((F.col("__sm").cast("double") / 1e6) / F.col("__nb"), 4),
+        )
+        .drop("__sm", "__nb")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

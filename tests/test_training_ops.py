@@ -1,0 +1,275 @@
+"""G37/G38/G39 — k-means training, bigram-LM surprisal, deterministic
+shuffle order. Each is pinned against an independent driver-side reference
+implementation (numpy/pure-Python), plus determinism and scale-shape
+checks."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferc_xbrl_extractor_spark.operators import clustering, sampling, text
+
+
+# ---------------------------------------------------------------- k-means
+
+
+def _ref_kmeans(vecs: dict[int, list[float]], k: int, iters: int, scale=1000):
+    """Pure-Python integer Lloyd's mirroring clustering.kmeans_train."""
+    iv = {
+        i: [int(_round_half_up(x * scale)) for x in v]
+        for i, v in vecs.items()
+    }
+    order = sorted(iv, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = [list(iv[i]) for i in order[:k]]
+    dim = len(next(iter(iv.values())))
+
+    def assign(v):
+        best, bd = 0, None
+        for c, cent in enumerate(cents):
+            d = sum((a - b) * (a - b) for a, b in zip(v, cent))
+            if bd is None or d < bd:
+                best, bd = c, d
+        return best
+
+    for _ in range(iters):
+        sums = [[0] * dim for _ in range(k)]
+        cnt = [0] * k
+        for v in iv.values():
+            c = assign(v)
+            cnt[c] += 1
+            for j, x in enumerate(v):
+                sums[c][j] += x
+        for c in range(k):
+            if cnt[c]:
+                cents[c] = [
+                    int(math.floor(float(s) / cnt[c])) for s in sums[c]
+                ]
+    return cents, {i: assign(v) for i, v in iv.items()}
+
+
+def _round_half_up(x: float) -> float:
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def _vec_df(spark, n=40, d=6):
+    rows = [
+        (i, [((i * 7 + j * 13) % 19 - 9) / 4.0 + (0.0 if i % 3 else 2.5) for j in range(d)])
+        for i in range(n)
+    ]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        {i: v for i, v in rows},
+    )
+
+
+def test_kmeans_matches_reference(spark):
+    df, vecs = _vec_df(spark)
+    cents = clustering.kmeans_train(df, k=4, iters=3)
+    ref_cents, ref_assign = _ref_kmeans(vecs, k=4, iters=3)
+    assert cents == ref_cents
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in clustering.kmeans_fit_assign(df, k=4, iters=3).collect()
+    }
+    assert got == ref_assign
+
+
+def test_kmeans_deterministic_across_partitionings(spark):
+    df, _ = _vec_df(spark, n=60)
+    a = clustering.kmeans_train(df.repartition(1), k=5, iters=2)
+    b = clustering.kmeans_train(df.repartition(17), k=5, iters=2)
+    assert a == b
+
+
+def test_kmeans_empty_cluster_carries_previous_centroid(spark):
+    # Two far-apart tight groups, k=3: one seed never wins any point, so
+    # its centroid must survive every update unchanged.
+    rows = [(i, [0.0, 0.0]) for i in range(5)] + [
+        (i, [100.0, 100.0]) for i in range(5, 10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents0 = clustering._seed_centroids(
+        df, clustering.quantize_vec("embedding"), "vec_id", 3
+    )
+    cents = clustering.kmeans_train(df, k=3, iters=2)
+    seeded_vals = {tuple(c) for c in cents0}
+    # every centroid is either a group mean or an untouched seed
+    for c in cents:
+        assert tuple(c) in seeded_vals or tuple(c) in {
+            (0, 0),
+            (100000, 100000),
+        }
+    assert len(cents) == 3
+
+
+def test_kmeans_k_exceeds_corpus_raises(spark):
+    df, _ = _vec_df(spark, n=3)
+    with pytest.raises(ValueError, match="exceeds corpus"):
+        clustering.kmeans_train(df, k=5)
+
+
+def test_kmeans_assign_is_shuffle_free(spark):
+    df, _ = _vec_df(spark)
+    cents = clustering.kmeans_train(df, k=3, iters=1)
+    plan = (
+        df.withColumn(
+            "cluster",
+            clustering.kmeans_assign(clustering.quantize_vec("embedding"), cents),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_centroids_feed_ivf(spark):
+    from ferc_xbrl_extractor_spark.operators import similarity
+
+    df, _ = _vec_df(spark)
+    cents = clustering.kmeans_train(df, k=3, iters=2)
+    fl = clustering.centroids_float(cents)
+    unit = similarity.unit_centroids_from_rows(fl)
+    assigned = df.withColumn(
+        "cluster", similarity.ivf_assign(similarity._unit(F.col("embedding")), unit)
+    )
+    assert assigned.where(F.col("cluster").isNull()).count() == 0
+    assert assigned.select("cluster").distinct().count() <= 3
+
+
+# ---------------------------------------------------------- bigram LM
+
+
+def _ref_bigram_surprisal(docs: dict[int, str], alpha=0.5):
+    toks = {i: t.split() for i, t in docs.items()}
+    pairs = [
+        (w[j], w[j + 1]) for w in toks.values() for j in range(len(w) - 1)
+    ]
+    from collections import Counter
+
+    bg = Counter(pairs)
+    ctx = Counter(p[0] for p in pairs)
+    vocab = {t for w in toks.values() for t in w}
+    out = {}
+    for i, w in toks.items():
+        if len(w) < 2:
+            out[i] = None
+            continue
+        micros = []
+        for j in range(len(w) - 1):
+            p = (bg[(w[j], w[j + 1])] + alpha) / (
+                ctx[w[j]] + alpha * len(vocab)
+            )
+            micros.append(int(_round_half_up(-math.log(p) * 1e6)))
+        out[i] = _round4((sum(micros) / 1e6) / len(micros))
+    return out
+
+
+def _round4(x: float) -> float:
+    """Spark F.round semantics: HALF_UP on the shortest decimal repr
+    (BigDecimal.valueOf), not banker's on the exact double."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def test_bigram_surprisal_matches_reference(spark):
+    docs = {
+        0: "the cat sat on the mat",
+        1: "the cat sat on the cat",
+        2: "mat the on sat cat the",  # scrambled — order sensitivity
+        3: "solo",  # <2 tokens -> NULL
+        4: "completely novel words here now",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["bigram_surprisal"]
+        for r in text.bigram_surprisal(df).collect()
+    }
+    assert got == _ref_bigram_surprisal(docs)
+    # order sensitivity: scrambled doc scores strictly higher than original
+    assert got[2] > got[0]
+
+
+def test_bigram_surprisal_external_model(spark):
+    train = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(0, "a b"), (1, "z z")], "doc_id long, text string"
+    )
+    model = text.bigram_lm(train)
+    got = {
+        r["doc_id"]: r["bigram_surprisal"]
+        for r in text.bigram_surprisal(
+            score, model=model, vocab_size=3
+        ).collect()
+    }
+    # fully-OOV bigram costs exactly ln V = ln 3
+    assert got[1] == round(round(math.log(3) * 1e6) / 1e6, 4)
+    # seen bigram: c(a,b)=4 (3 from doc0 + 1 from doc1), ctx(a)=4,
+    # p = (4+.5)/(4+.5*3)
+    assert got[0] == _round4(
+        round(-math.log(4.5 / 5.5) * 1e6) / 1e6
+    )
+
+
+def test_bigram_surprisal_external_model_requires_vocab(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="vocab_size"):
+        text.bigram_surprisal(df, model=text.bigram_lm(df))
+
+
+# ------------------------------------------------------- shuffle order
+
+
+def test_shuffle_order_matches_sorted_enumeration(spark):
+    ids = list(range(300))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in sampling.shuffle_order(df, salt="s1").collect()
+    }
+    ref = {
+        i: pos
+        for pos, i in enumerate(
+            sorted(
+                ids,
+                key=lambda i: (
+                    hashlib.md5(f"s1:{i}".encode()).hexdigest(),
+                    i,
+                ),
+            )
+        )
+    }
+    assert got == ref
+    assert sorted(got.values()) == list(range(300))
+
+
+def test_shuffle_order_salt_changes_order_and_is_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = {r["doc_id"]: r["shuffle_pos"] for r in sampling.shuffle_order(df, salt="a").collect()}
+    a2 = {r["doc_id"]: r["shuffle_pos"] for r in sampling.shuffle_order(df.repartition(13), salt="a").collect()}
+    b = {r["doc_id"]: r["shuffle_pos"] for r in sampling.shuffle_order(df, salt="b").collect()}
+    assert a == a2
+    assert a != b
+
+
+def test_shuffle_order_no_single_partition_sort(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    plan = (
+        sampling.shuffle_order(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the rank exchange must be hash-partitioned on the block key, never
+    # a SinglePartition global sort
+    assert "SinglePartition" not in plan
