@@ -2250,6 +2250,20 @@ def q_g38_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_surprisal(docs).select("doc_id", "bigram_surprisal")
 
 
+_REPEAT_RATES = {"src0": 2.5, "src1": 0.4, "src2": 3.0}
+
+
+def q_g40_repeat_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G40: deterministic fractional-epoch upsampling — src0 at 2.5
+    epochs, src1 Bernoulli-downsampled to 0.4, src2 exactly 3 copies,
+    everything else 1.0. Pure map-side generate (zero shuffle); integer
+    60-bit thresholds make the copy counts engine-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.repeat_by_rate(
+        docs, key_col="source", rates=_REPEAT_RATES, salt="e5"
+    ).select("doc_id", "source", "epoch_copy")
+
+
 def q_g39_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G39: deterministic global training-order shuffle — each doc's
     exact position in the md5(salt:id) ordering via the two-phase
@@ -2380,6 +2394,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g37_kmeans": q_g37_kmeans,
         "g38_bigram_lm": q_g38_bigram_lm,
         "g39_shuffle_order": q_g39_shuffle_order,
+        "g40_repeat_mix": q_g40_repeat_mix,
     }
 
 
@@ -4258,6 +4273,31 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
+    # g40: the base-copies and fractional 60-bit thresholds MUST be the
+    # very same Python ints sampling.repeat_by_rate compiles into its
+    # literal CASE — derive both from _REPEAT_RATES here.
+    base_case = " ".join(
+        f"WHEN '{s}' THEN {int(r)}" for s, r in sorted(_REPEAT_RATES.items())
+    )
+    frac_case = " ".join(
+        f"WHEN '{s}' THEN {int((r - int(r)) * (1 << 60))}"
+        for s, r in sorted(_REPEAT_RATES.items())
+    )
+    sql["g40_repeat_mix"] = f"""
+        WITH nrep AS (
+            SELECT doc_id, source,
+                   (CASE source {base_case} ELSE 1 END)
+                   + (CASE WHEN CAST(('0x' || substr(
+                              md5('e5' || CAST(doc_id AS VARCHAR)), 1, 15))
+                              AS BIGINT)
+                           < (CASE source {frac_case} ELSE 0 END)
+                      THEN 1 ELSE 0 END) AS nc
+            FROM documents
+        )
+        SELECT doc_id, source, CAST(u.c AS BIGINT) AS epoch_copy
+        FROM nrep, UNNEST(range(0, nc)) AS u(c)
+    """
+
     return sql
 
 
@@ -4403,7 +4443,8 @@ _SUITES: dict[str, list[str]] = {
         "g36_curate_funnel",
     ],
     "g_training_suite": [
-        "g37_kmeans", "g38_bigram_lm", "g39_shuffle_order"
+        "g37_kmeans", "g38_bigram_lm", "g39_shuffle_order",
+        "g40_repeat_mix",
     ],
 }
 
@@ -4489,6 +4530,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g37_kmeans": [("vec_id", "i"), ("cluster", "i")],
     "g38_bigram_lm": [("doc_id", "i"), ("bigram_surprisal", "n")],
     "g39_shuffle_order": [("doc_id", "i"), ("shuffle_pos", "i")],
+    "g40_repeat_mix": [("doc_id", "i"), ("source", "s"), ("epoch_copy", "i")],
 }
 
 _KIND_SPARK_TYPE = {

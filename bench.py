@@ -90,6 +90,7 @@ HEADLINE = [
     "g37_kmeans",
     "g38_bigram_lm",
     "g39_shuffle_order",
+    "g40_repeat_mix",
 ]
 
 

@@ -79,6 +79,71 @@ def sample_by_rate(
     return df.filter(u < thresh)
 
 
+def repeat_by_rate(
+    df: DataFrame,
+    rate: float | None = None,
+    id_col: str = "doc_id",
+    key_col: str | None = None,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    salt: str = "",
+    copy_col: str = "epoch_copy",
+) -> DataFrame:
+    """Deterministic fractional-epoch repetition: emit each row
+    ``floor(r)`` times, plus one more iff ``hash_u60(salt || id) <
+    floor(frac(r) * 2^60)`` — the upsampling half of mixture
+    construction ("4.3 epochs of the small trusted stratum"), where
+    ``sample_by_rate``/``temperature_rates`` are the downsampling half.
+    With ``r < 1`` this degenerates to exactly ``sample_by_rate``'s
+    Bernoulli keep-set (same hash, same salt, same threshold), so one
+    rate dict spanning both sides of 1.0 composes a full mixture.
+
+    Output rows carry ``copy_col`` (0-based copy index, long) so
+    downstream per-row identity stays unique — feed ``(id, copy)`` to
+    ``shuffle_order`` to interleave the copies through the epoch rather
+    than train them back-to-back.
+
+    Scale shape: a pure map-side projection + ``explode(sequence(...))``
+    generate — zero shuffles at any scale; output volume is the
+    intended Σ rateₛ·|stratumₛ|. Per-stratum rates compile to a literal
+    CASE over ``key_col`` (integer base copies + integer 60-bit
+    fractional threshold, both computed driver-side), so expected
+    composition is exact and every engine replays the same copy counts
+    row-for-row.
+    """
+    if (rate is None) == (rates is None):
+        raise ValueError("pass exactly one of rate= or rates=")
+    if rates is not None and not key_col:
+        raise ValueError("rates= requires key_col=")
+
+    def _parts(r: float) -> tuple[int, int]:
+        if r < 0:
+            raise ValueError(f"negative rate {r}")
+        base = int(r)
+        return base, int((r - base) * _U60_SPAN)
+
+    u = hash_u60(F.col(id_col), salt)
+    if rate is not None:
+        b, t = _parts(rate)
+        base_c: Column = F.lit(b)
+        thresh: Column = F.lit(t)
+    else:
+        b, t = _parts(default_rate)
+        base_c, thresh = F.lit(b), F.lit(t)
+        for value, r in sorted(rates.items()):
+            rb, rt = _parts(r)
+            cond = F.col(key_col) == value
+            base_c = F.when(cond, F.lit(rb)).otherwise(base_c)
+            thresh = F.when(cond, F.lit(rt)).otherwise(thresh)
+    n = base_c + F.when(u < thresh, F.lit(1)).otherwise(F.lit(0))
+    copies = F.when(
+        n > 0, F.sequence(F.lit(0), (n - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select("*", F.explode(copies).alias("__copy")).select(
+        *df.columns, F.col("__copy").cast("long").alias(copy_col)
+    )
+
+
 def split_by_hash(
     df: DataFrame,
     fractions: dict[str, float],

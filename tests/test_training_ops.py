@@ -262,6 +262,69 @@ def test_shuffle_order_salt_changes_order_and_is_stable(spark):
     assert a != b
 
 
+def test_repeat_by_rate_matches_reference(spark):
+    rows = [(i, "a" if i % 2 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"a": 2.25, "b": 0.5}
+    got = sorted(
+        (r["doc_id"], r["epoch_copy"])
+        for r in sampling.repeat_by_rate(
+            df, key_col="source", rates=rates, salt="x"
+        ).collect()
+    )
+    ref = []
+    for i, s in rows:
+        r = rates[s]
+        u = int(hashlib.md5(f"x{i}".encode()).hexdigest()[:15], 16)
+        n = int(r) + (1 if u < int((r - int(r)) * (1 << 60)) else 0)
+        ref.extend((i, c) for c in range(n))
+    assert got == sorted(ref)
+    # copy counts: every 'a' doc appears 2 or 3 times; 'b' docs 0 or 1
+    from collections import Counter
+
+    cnt = Counter(i for i, _ in got)
+    for i, s in rows:
+        assert cnt[i] in ({2, 3} if s == "a" else {0, 1})
+
+
+def test_repeat_by_rate_sub_one_equals_sample_by_rate(spark):
+    # r < 1 must reproduce sample_by_rate's exact keep-set (same hash,
+    # same salt, same threshold) with epoch_copy == 0 everywhere.
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    rep = sampling.repeat_by_rate(df, rate=0.3, salt="z").collect()
+    kept = {r["doc_id"] for r in sampling.sample_by_rate(df, rate=0.3, salt="z").collect()}
+    assert {r["doc_id"] for r in rep} == kept
+    assert all(r["epoch_copy"] == 0 for r in rep)
+
+
+def test_repeat_by_rate_integer_rate_exact(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    out = sampling.repeat_by_rate(df, rate=3.0, salt="q")
+    assert out.count() == 150
+    assert out.groupBy("doc_id").count().where("count <> 3").count() == 0
+
+
+def test_repeat_by_rate_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "s")], "doc_id long, source string")
+    plan = (
+        sampling.repeat_by_rate(df, key_col="source", rates={"s": 1.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_repeat_by_rate_validation(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="exactly one"):
+        sampling.repeat_by_rate(df)
+    with pytest.raises(ValueError, match="key_col"):
+        sampling.repeat_by_rate(df, rates={"a": 1.0})
+    with pytest.raises(ValueError, match="negative"):
+        sampling.repeat_by_rate(df, rate=-1.0)
+
+
 def test_shuffle_order_no_single_partition_sort(spark):
     df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
     plan = (
