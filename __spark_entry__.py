@@ -2274,6 +2274,24 @@ def q_g39_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCH_BUDGET = 256
+
+
+def q_g41_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G41: end-to-end epoch build — mixture repetition (G40) →
+    deterministic copy-interleaving shuffle (G39) → sequence packing
+    (G17) in one composed plan; every stage integer-deterministic, so
+    the oracle replays the whole layout exactly."""
+    from ferc_xbrl_extractor_spark.pipeline import epoch
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch.build_epoch(
+        docs, rates=_REPEAT_RATES, salt="e5", budget=_EPOCH_BUDGET
+    ).select(
+        "doc_id", "epoch_copy", "shuffle_pos", "tok_offset", "seq_id", "n_seqs"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2395,6 +2413,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g38_bigram_lm": q_g38_bigram_lm,
         "g39_shuffle_order": q_g39_shuffle_order,
         "g40_repeat_mix": q_g40_repeat_mix,
+        "g41_epoch": q_g41_epoch,
     }
 
 
@@ -4298,6 +4317,50 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM nrep, UNNEST(range(0, nc)) AS u(c)
     """
 
+    # g41: full epoch replay — repeat (salt e5#rep) → shuffle over the
+    # composite doc#copy key (salt e5#ord) → one plain cumsum window.
+    # Same literal-derivation rule as g40 for the thresholds.
+    sql["g41_epoch"] = f"""
+        WITH {_TOKENS_CTE},
+        nrep AS (
+            SELECT doc_id, source, len(w) AS n,
+                   (CASE source {base_case} ELSE 1 END)
+                   + (CASE WHEN CAST(('0x' || substr(
+                              md5('e5#rep' || CAST(doc_id AS VARCHAR)), 1, 15))
+                              AS BIGINT)
+                           < (CASE source {frac_case} ELSE 0 END)
+                      THEN 1 ELSE 0 END) AS nc
+            FROM toks
+        ),
+        rep AS (
+            SELECT doc_id, n, CAST(u.c AS BIGINT) AS epoch_copy,
+                   CAST(doc_id AS VARCHAR) || '#' || CAST(u.c AS VARCHAR)
+                       AS eid
+            FROM nrep, UNNEST(range(0, nc)) AS u(c)
+        ),
+        ord AS (
+            SELECT *, CAST(row_number() OVER (
+                          ORDER BY md5('e5#ord:' || eid), eid
+                      ) - 1 AS BIGINT) AS shuffle_pos
+            FROM rep
+        ),
+        cum AS (
+            SELECT *, CAST(COALESCE(sum(n) OVER (
+                          ORDER BY shuffle_pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), 0) AS BIGINT) AS tok_offset
+            FROM ord
+        )
+        SELECT doc_id, epoch_copy, shuffle_pos, tok_offset,
+               CAST(floor(CAST(tok_offset AS DOUBLE) / {_EPOCH_BUDGET})
+                    AS BIGINT) AS seq_id,
+               CAST(floor((tok_offset + greatest(n, 1) - 1)
+                          / CAST({_EPOCH_BUDGET} AS DOUBLE)) AS BIGINT)
+                   - CAST(floor(CAST(tok_offset AS DOUBLE) / {_EPOCH_BUDGET})
+                          AS BIGINT) + 1 AS n_seqs
+        FROM cum
+    """
+
     return sql
 
 
@@ -4444,7 +4507,7 @@ _SUITES: dict[str, list[str]] = {
     ],
     "g_training_suite": [
         "g37_kmeans", "g38_bigram_lm", "g39_shuffle_order",
-        "g40_repeat_mix",
+        "g40_repeat_mix", "g41_epoch",
     ],
 }
 
@@ -4531,6 +4594,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g38_bigram_lm": [("doc_id", "i"), ("bigram_surprisal", "n")],
     "g39_shuffle_order": [("doc_id", "i"), ("shuffle_pos", "i")],
     "g40_repeat_mix": [("doc_id", "i"), ("source", "s"), ("epoch_copy", "i")],
+    "g41_epoch": [("doc_id", "i"), ("epoch_copy", "i"), ("shuffle_pos", "i"), ("tok_offset", "i"), ("seq_id", "i"), ("n_seqs", "i")],
 }
 
 _KIND_SPARK_TYPE = {

@@ -91,6 +91,7 @@ HEADLINE = [
     "g38_bigram_lm",
     "g39_shuffle_order",
     "g40_repeat_mix",
+    "g41_epoch",
 ]
 
 

@@ -227,6 +227,73 @@ def test_bigram_surprisal_external_model_requires_vocab(spark):
         text.bigram_surprisal(df, model=text.bigram_lm(df))
 
 
+# ------------------------------------------------------- epoch builder
+
+
+def _epoch_df(spark):
+    rows = [
+        (i, " ".join(f"w{i}t{j}" for j in range(3 + i % 5)), "a" if i % 2 else "b")
+        for i in range(80)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_build_epoch_equals_manual_composition(spark):
+    from ferc_xbrl_extractor_spark.operators import packing
+    from ferc_xbrl_extractor_spark.pipeline import epoch
+
+    df = _epoch_df(spark)
+    rates = {"a": 2.0, "b": 0.5}
+    got = epoch.build_epoch(df, rates=rates, salt="s", budget=16)
+    rep = sampling.repeat_by_rate(df, key_col="source", rates=rates, salt="s#rep")
+    staged = rep.select(
+        "*",
+        F.concat(F.col("doc_id").cast("string"), F.lit("#"), F.col("epoch_copy")).alias("__eid"),
+        F.size(text.tokens("text")).cast("long").alias("__ntok"),
+    )
+    manual = packing.pack_sequences(
+        sampling.shuffle_order(staged, id_col="__eid", salt="s#ord"),
+        order_col="shuffle_pos",
+        token_col="__ntok",
+        budget=16,
+    )
+    key = ["doc_id", "epoch_copy"]
+    g = {tuple(r[k] for k in key): (r["shuffle_pos"], r["tok_offset"], r["seq_id"], r["n_seqs"]) for r in got.collect()}
+    m_ = {tuple(r[k] for k in key): (r["shuffle_pos"], r["tok_offset"], r["seq_id"], r["n_seqs"]) for r in manual.collect()}
+    assert g == m_ and len(g) > 80  # 'a' docs appear twice
+
+
+def test_build_epoch_offsets_are_consistent(spark):
+    from ferc_xbrl_extractor_spark.pipeline import epoch
+
+    df = _epoch_df(spark)
+    rows = sorted(
+        epoch.build_epoch(df, rates={"a": 2.0}, salt="t", budget=32).collect(),
+        key=lambda r: r["shuffle_pos"],
+    )
+    # positions are 0..n-1; offsets are the running token sum; seq ids
+    # floor-divide the budget
+    off = 0
+    for pos, r in enumerate(rows):
+        assert r["shuffle_pos"] == pos
+        assert r["tok_offset"] == off
+        assert r["seq_id"] == off // 32
+        n = len(r["text"].split())
+        assert r["n_seqs"] == (off + max(n, 1) - 1) // 32 - off // 32 + 1
+        off += n
+
+
+def test_build_epoch_materialize_round_trips_tokens(spark):
+    from ferc_xbrl_extractor_spark.pipeline import epoch
+
+    df = _epoch_df(spark)
+    seqs = epoch.build_epoch(df, salt="m", budget=64, materialize=True).collect()
+    total = sum(len(r["seq_text"].split()) for r in seqs)
+    corpus = sum(len(r["text"].split()) for r in df.collect())
+    assert total == corpus  # no rates -> every doc exactly once
+    assert all(r["n_docs"] >= 1 for r in seqs)
+
+
 # ------------------------------------------------------- shuffle order
 
 
