@@ -828,6 +828,22 @@ def q_g3_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.recall_report(exact, approx)
 
 
+def q_g42_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G42: embedding-space decontamination — per corpus vector, the max
+    cosine against a 25-vector benchmark set compiled into the projection
+    as a literal matrix (zero shuffle), with the nearest benchmark id and
+    the contamination flag. The benchmark rows are themselves in the
+    corpus, so the fixture exercises both flag branches (25 self-hits at
+    sim 1.0, 475 clean). Oracle-checked exactly: dots fold sequentially
+    (≡ list_inner_product), norms are IEEE-double sequential sums on both
+    sides, sims rounded 4dp before the (sim DESC, bid ASC) argmax."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 25)
+    return similarity.semantic_decontaminate(
+        emb, bench, threshold=0.9
+    ).select("vec_id", "max_bench_sim", "nearest_bench_id", "contaminated")
+
+
 # IVF coarse quantizer for the gate query: data-sampled centroids (the
 # embeddings of these fixed vec_ids, unit-normalized; cluster id =
 # position). Deterministic and derivable by the SQL oracle, unlike a
@@ -2356,6 +2372,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_ivf_topk": q_g3_ivf_topk,
         "g3_recall": q_g3_recall,
         "g3_embedding_neardup": q_g3_embedding_neardup,
+        "g42_semantic_decon": q_g42_semantic_decon,
         "g27_semantic_dedup": q_g27_semantic_dedup,
         "g4_text_stats": q_g4_text_stats,
         "g28_quality_classifier": q_g28_quality_classifier,
@@ -2739,6 +2756,38 @@ def fine_oracle_sql() -> dict[str, str]:
                                        ORDER BY sim DESC, neighbor_id) AS INT) AS rank
         FROM scored
         QUALIFY rank <= 5
+    """
+
+    # G42 semantic decontamination: same float recipe as g3_cosine_topk
+    # (double casts, sequential dot folds, ROUND 4dp BEFORE the argmax,
+    # ties to the lowest benchmark id).
+    sql["g42_semantic_decon"] = """
+        WITH b AS (
+            SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv
+            FROM embeddings WHERE vec_id < 25
+        ),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        scored AS (
+            SELECT vec_id, bid,
+                   ROUND(
+                       list_inner_product(cv, bv) /
+                       (sqrt(list_inner_product(cv, cv)) *
+                        sqrt(list_inner_product(bv, bv))),
+                       4
+                   ) AS sim
+            FROM c, b
+        ),
+        best AS (
+            SELECT vec_id, sim AS max_bench_sim,
+                   CAST(bid AS BIGINT) AS nearest_bench_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, bid) AS rn
+            FROM scored
+        )
+        SELECT vec_id, max_bench_sim, nearest_bench_id,
+               (max_bench_sim >= 0.9) AS contaminated
+        FROM best WHERE rn = 1
     """
 
     # SimHash rebuilt from first principles: token hash = first 15 md5 hex
@@ -4479,7 +4528,8 @@ _SUITES: dict[str, list[str]] = {
     "g18_quant_suite": ["g18_quantize_int8", "g18_quantized_topk"],
     "s7_corpus_roundtrip": ["s7_jsonl_roundtrip", "s7_orc_roundtrip"],
     "g15_decontaminate_suite": [
-        "g15_decontaminate", "g15_bloom_decontaminate"
+        "g15_decontaminate", "g15_bloom_decontaminate",
+        "g42_semantic_decon",
     ],
     "g5_window_suite": ["g5_window_funcs", "g5_moving_agg"],
     "g6_multidim_suite": ["g6_rollup", "g6_cube", "g6_grouping_sets"],
@@ -4574,6 +4624,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g3_ivf_topk": [("query_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],
     "g3_embedding_neardup": [("id_a", "i"), ("id_b", "i"), ("sim", "n")],
     "g3_recall": [("query_id", "i"), ("n_exact", "i"), ("n_hit", "i"), ("recall", "n")],
+    "g42_semantic_decon": [("vec_id", "i"), ("max_bench_sim", "n"), ("nearest_bench_id", "i"), ("contaminated", "b")],
     "g26_dup_spans": [("doc_id", "i"), ("span_start", "i"), ("span_end", "i")],
     "g26_trim_spans": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_tokens", "i")],
     "g29_vocab": [("token", "s"), ("token_id", "i"), ("n", "i")],

@@ -738,3 +738,172 @@ def recall_report(
             ).alias("recall"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+    max_benchmark: int = 10_000,
+    planes: int = 0,
+    dim: int | None = None,
+    mode: str = "annotate",
+) -> DataFrame:
+    """Embedding-space decontamination: flag (or drop) corpus documents
+    whose embedding is too close to any benchmark/eval-set embedding —
+    the semantic companion to the n-gram shingle probe in
+    ``neardup.decontaminate`` (G15), catching paraphrased or re-worded
+    eval leakage that exact shingles miss.
+
+    Returns, per corpus row: ``max_bench_sim`` (highest cosine against
+    the benchmark, rounded 4dp), ``nearest_bench_id`` (ties to the lowest
+    benchmark id), and ``contaminated`` (sim >= threshold; False when the
+    corpus vector has zero norm or — on the LSH path — no bucket
+    collision). ``mode="filter"`` instead returns the surviving corpus
+    rows with their original columns.
+
+    Scale shape — the corpus is the 100-TB side, the benchmark is an
+    eval suite (10^3-10^5 vectors):
+
+    * ``planes=0`` (default, exact): the benchmark is collected once
+      (bounded by ``max_benchmark``; raises beyond) and compiled into the
+      projection as a literal (vector, norm, id) struct matrix — the
+      ``ivf_assign`` pattern — so scoring is ONE codegen'd map-side
+      expression over the corpus scan: zero shuffle, zero join, zero
+      broadcast variable at any corpus size. Dots fold sequentially and
+      benchmark norms are driver-computed with the same IEEE-double
+      sequential sum, so results are bitwise-reproducible in any engine
+      (the DuckDB oracle replays them exactly).
+    * ``planes>0`` (requires ``dim``; approximate): for benchmarks past
+      the literal-matrix bound, candidates are sign-LSH bucket collisions
+      (``hyperplane_signature``) — a bucket equi-join the optimizer
+      broadcasts while the benchmark fits, then one corpus-id-keyed max
+      aggregate. High-cosine pairs collide with probability
+      (1-theta/pi)^planes; a corpus row with no collision is kept.
+
+    The corpus vector's norm is let-bound once per row (see ``_unit`` —
+    the naive form re-evaluates the O(d) norm fold per benchmark entry).
+    """
+    bid_col = bench_id_col or id_col
+    bvec_col = bench_vec_col or vec_col
+    if mode not in ("annotate", "filter"):
+        raise ValueError("mode must be 'annotate' or 'filter'")
+    if planes > 0:
+        if not dim:
+            raise ValueError("dim is required when planes > 0")
+        sig = lambda col: hyperplane_signature(col, dim, planes)  # noqa: E731
+        b = benchmark.select(
+            F.col(bid_col).alias("__bid"),
+            F.col(bvec_col).alias("__bv"),
+            norm(F.col(bvec_col)).alias("__bn"),
+        ).withColumn("__bucket", sig(F.col("__bv")))
+        c = corpus.select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).alias("__cv"),
+            norm(F.col(vec_col)).alias("__cn"),
+        ).withColumn("__bucket", sig(F.col("__cv")))
+        sim = F.round(
+            dot(F.col("__cv"), F.col("__bv"))
+            / (F.col("__cn") * F.col("__bn")),
+            4,
+        )
+        best = (
+            c.join(b, "__bucket")
+            .filter((F.col("__cn") > 0) & (F.col("__bn") > 0))
+            .select(
+                "__cid",
+                F.struct(
+                    sim.alias("sim"), (-F.col("__bid")).alias("negid")
+                ).alias("__sb"),
+            )
+            .groupBy("__cid")
+            .agg(F.max("__sb").alias("__best"))
+        )
+        out = corpus.join(
+            best, corpus[id_col] == best["__cid"], "left"
+        ).select(
+            *corpus.columns,
+            F.col("__best")["sim"].alias("max_bench_sim"),
+            (-F.col("__best")["negid"]).cast("long").alias(
+                "nearest_bench_id"
+            ),
+            F.coalesce(
+                F.col("__best")["sim"] >= F.lit(float(threshold)),
+                F.lit(False),
+            ).alias("contaminated"),
+        )
+    else:
+        rows = benchmark.select(bid_col, bvec_col).limit(
+            max_benchmark + 1
+        ).collect()
+        if len(rows) > max_benchmark:
+            raise ValueError(
+                f"benchmark exceeds max_benchmark={max_benchmark} — raise "
+                "the bound (plan-literal cost grows with |benchmark|×dim) "
+                "or use the sign-LSH path (planes>0, dim=...)"
+            )
+        entries = []
+        for r in rows:
+            vec = [float(x) for x in r[bvec_col]]
+            acc = 0.0
+            for x in vec:
+                acc += x * x
+            nb = acc ** 0.5
+            if nb == 0.0:
+                raise ValueError(
+                    f"benchmark vector {r[bid_col]!r} has zero norm"
+                )
+            entries.append(
+                F.struct(
+                    F.array(*[F.lit(x) for x in vec]).alias("v"),
+                    F.lit(nb).alias("nb"),
+                    F.lit(int(r[bid_col])).alias("bid"),
+                )
+            )
+        bmat = F.array(*entries)
+        vcol = F.col(vec_col)
+
+        def scored(nv: Column) -> Column:
+            sims = F.transform(
+                bmat,
+                lambda e: F.struct(
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                vcol, e["v"], lambda x, y: x.cast("double") * y
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        )
+                        / (nv * e["nb"]),
+                        4,
+                    ).alias("sim"),
+                    (-e["bid"]).alias("negid"),
+                ),
+            )
+            return F.when(nv > 0, F.array_max(sims))
+
+        best = F.element_at(
+            F.transform(F.array(norm(vcol)), scored), 1
+        )
+        # Three field accesses on __best below stay one evaluation:
+        # top-level Project subexpression elimination (codegen CSE)
+        # covers the collapsed projection.
+        out = corpus.withColumn("__best", best).select(
+            *corpus.columns,
+            F.col("__best")["sim"].alias("max_bench_sim"),
+            (-F.col("__best")["negid"]).cast("long").alias(
+                "nearest_bench_id"
+            ),
+            F.coalesce(
+                F.col("__best")["sim"] >= F.lit(float(threshold)),
+                F.lit(False),
+            ).alias("contaminated"),
+        )
+    if mode == "filter":
+        return out.filter(~F.col("contaminated")).select(*corpus.columns)
+    return out

@@ -1715,3 +1715,144 @@ def test_vocab_coverage_report_goldens(spark):
     assert rep[1] == (6, 11, round(6 / 11, 6))
     assert rep[2] == (9, 11, round(9 / 11, 6))
     assert rep[10] == (11, 11, 1.0)  # more than distinct tokens: everything
+
+
+# ---------------------------------------------------------------------------
+# G42 semantic decontamination
+# ---------------------------------------------------------------------------
+
+
+def _g42_fixture(spark):
+    import math
+
+    # 8-dim vectors: corpus rows 100-103 are near-copies of benchmark
+    # rows 0-1 (eval leakage); 104-105 are far from everything.
+    bench = [
+        (0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    corpus = [
+        (100, [0.99, 0.01, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),   # ~bench 0
+        (101, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),     # == bench 0
+        (102, [0.02, 0.98, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),   # ~bench 1
+        (103, [0.0, 0.0, 0.7, 0.7, 0.1, 0.0, 0.0, 0.0]),     # ~bench 2 (cos 0.995)
+        (104, [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 0.0]),     # clean
+        (105, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]),     # clean
+    ]
+    schema = "vec_id long, embedding array<float>"
+    bdf = spark.createDataFrame(bench, schema)
+    cdf = spark.createDataFrame(corpus, schema)
+
+    def brute(vec):
+        best = None
+        for bid, bv in bench:
+            d = sum(float(x) * float(y) for x, y in zip(vec, bv))
+            nv = math.sqrt(sum(float(x) ** 2 for x in vec))
+            nb = math.sqrt(sum(float(y) ** 2 for y in bv))
+            sim = round(d / (nv * nb), 4)
+            if best is None or (sim, -bid) > best:
+                best = (sim, -bid)
+        return best[0], -best[1]
+
+    expect = {cid: brute(v) for cid, v in corpus}
+    return bdf, cdf, expect
+
+
+def test_semantic_decontaminate_matches_brute_force(spark):
+    from ferc_xbrl_extractor_spark.operators import similarity
+
+    bdf, cdf, expect = _g42_fixture(spark)
+    out = {
+        r["vec_id"]: (r["max_bench_sim"], r["nearest_bench_id"],
+                      r["contaminated"])
+        for r in similarity.semantic_decontaminate(
+            cdf, bdf, threshold=0.95
+        ).collect()
+    }
+    assert set(out) == set(expect)
+    for cid, (sim, bid) in expect.items():
+        got = out[cid]
+        assert got[0] == sim and got[1] == bid, (cid, got, (sim, bid))
+        assert got[2] == (sim >= 0.95), (cid, got)
+    assert sum(1 for v in out.values() if v[2]) == 4  # 100-103
+
+
+def test_semantic_decontaminate_filter_mode_drops_contaminated(spark):
+    from ferc_xbrl_extractor_spark.operators import similarity
+
+    bdf, cdf, _ = _g42_fixture(spark)
+    kept = similarity.semantic_decontaminate(
+        cdf, bdf, threshold=0.95, mode="filter"
+    )
+    assert kept.columns == cdf.columns
+    assert sorted(r["vec_id"] for r in kept.collect()) == [104, 105]
+
+
+def test_semantic_decontaminate_literal_path_has_no_shuffle(spark):
+    from ferc_xbrl_extractor_spark.operators import similarity
+
+    bdf, cdf, _ = _g42_fixture(spark)
+    plan = (
+        similarity.semantic_decontaminate(cdf, bdf, threshold=0.95)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_semantic_decontaminate_zero_norm_corpus_row_is_kept(spark):
+    from ferc_xbrl_extractor_spark.operators import similarity
+
+    bdf, _, _ = _g42_fixture(spark)
+    zdf = spark.createDataFrame(
+        [(200, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    row = similarity.semantic_decontaminate(zdf, bdf).collect()[0]
+    assert row["max_bench_sim"] is None
+    assert row["nearest_bench_id"] is None
+    assert row["contaminated"] is False
+
+
+def test_semantic_decontaminate_bounds_and_validation(spark):
+    import pytest as _pytest
+
+    from ferc_xbrl_extractor_spark.operators import similarity
+
+    bdf, cdf, _ = _g42_fixture(spark)
+    with _pytest.raises(ValueError, match="max_benchmark"):
+        similarity.semantic_decontaminate(cdf, bdf, max_benchmark=2)
+    zbench = spark.createDataFrame(
+        [(0, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="zero norm"):
+        similarity.semantic_decontaminate(cdf, zbench)
+    with _pytest.raises(ValueError, match="dim is required"):
+        similarity.semantic_decontaminate(cdf, bdf, planes=4)
+    with _pytest.raises(ValueError, match="mode"):
+        similarity.semantic_decontaminate(cdf, bdf, mode="nope")
+
+
+def test_semantic_decontaminate_lsh_path_flags_near_copies(spark):
+    from ferc_xbrl_extractor_spark.operators import similarity
+
+    bdf, cdf, expect = _g42_fixture(spark)
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_decontaminate(
+            cdf, bdf, threshold=0.95, planes=2, dim=8
+        ).collect()
+    }
+    assert set(out) == {r for r, _ in
+                        ((100, 0), (101, 0), (102, 0), (103, 0),
+                         (104, 0), (105, 0))}
+    # LSH sims, when a collision exists, equal the exact sims; flags are
+    # a subset of the exact flags (bucket misses only lose candidates).
+    exact_flags = {cid for cid, (sim, _) in expect.items() if sim >= 0.95}
+    for cid, r in out.items():
+        if r["max_bench_sim"] is not None:
+            assert r["max_bench_sim"] <= expect[cid][0] + 1e-12
+        if r["contaminated"]:
+            assert cid in exact_flags
+    # identical vectors always share every sign bucket: 101 must be hit
+    assert out[101]["contaminated"]
