@@ -828,6 +828,18 @@ def q_g3_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.recall_report(exact, approx)
 
 
+def q_g44_ranking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G44: order-aware retrieval quality — MRR@5 / NDCG@5 of the sign-LSH
+    ANN ranking against the exact top-5 as the binary relevance set. DCG
+    gains are literal micro-gain longs (no ln in either plan), so the
+    metrics are hash-exact cross-engine."""
+    exact = q_g3_cosine_topk(spark, sf_dir)
+    approx = q_g3_lsh_topk(spark, sf_dir)
+    return similarity.ranking_report(
+        approx, exact.select("query_id", "neighbor_id"), k=5
+    )
+
+
 def q_g42_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G42: embedding-space decontamination — per corpus vector, the max
     cosine against a 25-vector benchmark set compiled into the projection
@@ -2373,6 +2385,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_recall": q_g3_recall,
         "g3_embedding_neardup": q_g3_embedding_neardup,
         "g42_semantic_decon": q_g42_semantic_decon,
+        "g44_ranking_report": q_g44_ranking_report,
         "g27_semantic_dedup": q_g27_semantic_dedup,
         "g4_text_stats": q_g4_text_stats,
         "g28_quality_classifier": q_g28_quality_classifier,
@@ -2919,6 +2932,37 @@ def fine_oracle_sql() -> dict[str, str]:
                ROUND(COALESCE(nh.n_hit, 0) / CAST(ne.n_exact AS DOUBLE), 4)
                    AS recall
         FROM ne LEFT JOIN nh ON ne.query_id = nh.query_id
+    """
+
+    # G44 ranking report: DCG gains as literal micro-gain longs
+    # (round(1e6/log2(r+1))) — exact integer sums on both engines, one
+    # double division at the end; no ln primitive in either plan.
+    _mg = [int(round(1e6 / __import__("math").log2(r + 1)))
+           for r in range(1, 6)]
+    _pf = [sum(_mg[: i + 1]) for i in range(5)]
+    sql["g44_ranking_report"] = f"""
+        WITH ex AS ({sql["g3_cosine_topk"]}),
+        ap AS ({sql["g3_lsh_topk"]}),
+        hits AS (
+            SELECT ap.query_id, ap.rank,
+                   list_extract({_mg!r}, ap.rank) AS g
+            FROM ap JOIN ex ON ap.query_id = ex.query_id
+                           AND ap.neighbor_id = ex.neighbor_id
+        ),
+        ph AS (SELECT query_id, count(*) AS n_hit, min(rank) AS fr,
+                      sum(g) AS dcg
+               FROM hits GROUP BY 1),
+        nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+               FROM ex GROUP BY 1)
+        SELECT nr.query_id, nr.n_relevant,
+               CAST(COALESCE(ph.n_hit, 0) AS BIGINT) AS n_hit,
+               ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ph.fr, 0.0), 4) AS mrr,
+               ROUND(COALESCE(
+                   CAST(ph.dcg AS DOUBLE) /
+                   CAST(list_extract({_pf!r},
+                        LEAST(nr.n_relevant, 5)) AS DOUBLE),
+                   0.0), 4) AS ndcg
+        FROM nr LEFT JOIN ph ON nr.query_id = ph.query_id
     """
 
     # G27: SemDeDup — same quantizer/assignment CTEs as g3_ivf_topk, pair
@@ -4542,7 +4586,7 @@ _SUITES: dict[str, list[str]] = {
     "g2_neardup_suite": ["g2_jaccard", "g2_minhash_lsh", "g2_simhash"],
     "g3_ann_suite": [
         "g3_cosine_topk", "g3_lsh_topk", "g3_ivf_topk",
-        "g3_embedding_neardup", "g3_recall",
+        "g3_embedding_neardup", "g3_recall", "g44_ranking_report",
     ],
     "g26_span_suite": ["g26_dup_spans", "g26_trim_spans"],
     "g29_vocab_suite": ["g29_vocab", "g29_encode", "g29_coverage"],
@@ -4625,6 +4669,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g3_embedding_neardup": [("id_a", "i"), ("id_b", "i"), ("sim", "n")],
     "g3_recall": [("query_id", "i"), ("n_exact", "i"), ("n_hit", "i"), ("recall", "n")],
     "g42_semantic_decon": [("vec_id", "i"), ("max_bench_sim", "n"), ("nearest_bench_id", "i"), ("contaminated", "b")],
+    "g44_ranking_report": [("query_id", "i"), ("n_relevant", "i"), ("n_hit", "i"), ("mrr", "n"), ("ndcg", "n")],
     "g26_dup_spans": [("doc_id", "i"), ("span_start", "i"), ("span_end", "i")],
     "g26_trim_spans": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_tokens", "i")],
     "g29_vocab": [("token", "s"), ("token_id", "i"), ("n", "i")],

@@ -48,6 +48,7 @@ HEADLINE = [
     "g3_lsh_topk",
     "g3_ivf_topk",
     "g3_recall",
+    "g44_ranking_report",
     "g42_semantic_decon",
     "g27_semantic_dedup",
     "g4_text_stats",

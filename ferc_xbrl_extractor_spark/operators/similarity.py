@@ -306,6 +306,45 @@ def ivf_write_index(assigned: DataFrame, path: str) -> None:
     assigned.write.mode("overwrite").partitionBy("__cluster").parquet(path)
 
 
+def ivf_append(
+    new_vectors: DataFrame,
+    path: str,
+    unit_centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> dict[int, int]:
+    """Append an increment into a persisted IVF index — O(increment) at
+    any index size (the G23/G24 incremental-maintenance pattern applied
+    to ANN).
+
+    Assignment uses the FROZEN quantizer that built the index
+    (``ivf_assign``'s literal-matrix projection — reclustering would
+    silently invalidate every existing inverted list), and the write is
+    parquet ``append`` partitioned by ``__cluster``: only the touched
+    lists gain files, existing files are never read or rewritten, and
+    probe-time partition pruning keeps working unchanged.
+
+    Returns per-cluster appended row counts (bounded by nlist — the
+    observability hook that tells you when drift has imbalanced the
+    lists and a recluster is due). Appends accumulate small files;
+    compose with ``pipeline.maintenance.compact_partitions`` on the
+    index directory, exactly as for any incrementally-written table.
+    """
+    assigned = new_vectors.withColumn(
+        "__nvec", _unit(F.col(vec_col))
+    ).withColumn(
+        "__cluster", ivf_assign(F.col("__nvec"), unit_centroids)
+    )
+    assigned.write.mode("append").partitionBy("__cluster").parquet(path)
+    spark = new_vectors.sparkSession
+    spark.catalog.refreshByPath(path)
+    counts = (
+        assigned.groupBy("__cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {int(r["__cluster"]): int(r["n"]) for r in counts}
+
+
 def ivf_read_probed(spark, path: str, clusters: list[int]) -> DataFrame:
     """Read only the probed inverted lists from a persisted IVF index; the
     ``__cluster`` filter lands in the scan's PartitionFilters (pinned in
@@ -787,6 +826,11 @@ def semantic_decontaminate(
 
     The corpus vector's norm is let-bound once per row (see ``_unit`` —
     the naive form re-evaluates the O(d) norm fold per benchmark entry).
+
+    The literal path is a stateless projection, so it works unchanged on
+    a STREAMING corpus (readStream in, writeStream out — see
+    tests/test_streaming.py); the LSH path's aggregate/join needs
+    batch semantics.
     """
     bid_col = bench_id_col or id_col
     bvec_col = bench_vec_col or vec_col
@@ -846,6 +890,10 @@ def semantic_decontaminate(
                 "the bound (plan-literal cost grows with |benchmark|×dim) "
                 "or use the sign-LSH path (planes>0, dim=...)"
             )
+        # ONE F.expr for the whole matrix, not |benchmark|×dim F.lit
+        # calls: each Column op is a py4j round-trip (the
+        # hyperplane_signature lesson — literal-by-literal costs ~2ms
+        # per literal of driver time, ~35s at 256×64).
         entries = []
         for r in rows:
             vec = [float(x) for x in r[bvec_col]]
@@ -857,14 +905,12 @@ def semantic_decontaminate(
                 raise ValueError(
                     f"benchmark vector {r[bid_col]!r} has zero norm"
                 )
+            arr = ", ".join(f"{x!r}D" for x in vec)
             entries.append(
-                F.struct(
-                    F.array(*[F.lit(x) for x in vec]).alias("v"),
-                    F.lit(nb).alias("nb"),
-                    F.lit(int(r[bid_col])).alias("bid"),
-                )
+                f"named_struct('v', array({arr}), "
+                f"'nb', {nb!r}D, 'bid', {int(r[bid_col])}L)"
             )
-        bmat = F.array(*entries)
+        bmat = F.expr("array(" + ", ".join(entries) + ")")
         vcol = F.col(vec_col)
 
         def scored(nv: Column) -> Column:
@@ -907,3 +953,93 @@ def semantic_decontaminate(
     if mode == "filter":
         return out.filter(~F.col("contaminated")).select(*corpus.columns)
     return out
+
+
+def ranking_report(
+    results: DataFrame,
+    relevant: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query ranking-quality metrics for a retrieval result against a
+    binary relevance set: ``mrr`` (1/rank of the first relevant hit) and
+    ``ndcg`` (DCG@k with 1/log2(rank+1) gains over the ideal DCG for the
+    query's relevant count), plus ``n_relevant`` and ``n_hit`` — the
+    companion to :func:`recall_report` when result ORDER matters (ANN
+    serving, rerankers), not just set overlap.
+
+    ``results`` carries (query, neighbor, rank) with rank 1-based and
+    unique per query (the shape every top-k operator here emits);
+    ``relevant`` carries (query, neighbor) judged pairs. Queries present
+    in ``relevant`` but absent from ``results`` report zero metrics (a
+    left join from the relevance side — silent full misses are visible).
+
+    DCG gains ride as integer micro-gains — ``round(1e6/log2(r+1))`` per
+    rank, a k-entry literal lookup table (the G38 micro-nat trick): the
+    per-query gain sum is an exact long aggregate (order-free, no float
+    summation), the ideal DCG is a literal prefix-sum lookup, and the
+    final ``ndcg = round(dcg_micro/idcg_micro, 4)`` is one deterministic
+    double division — bitwise-reproducible in any engine with no ln
+    primitive in the plan at all. Scale shape: one inner join on (query,
+    neighbor) + two query-keyed aggregates — inputs are top-k and
+    judgment relations (|queries|·k rows), tiny next to the corpus, so
+    joins AQE-broadcast and nothing touches vectors.
+    """
+    import math
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    micro_gains = [
+        int(round(1e6 / math.log2(r + 1))) for r in range(1, k + 1)
+    ]
+    prefix = []
+    acc = 0
+    for g in micro_gains:
+        acc += g
+        prefix.append(acc)
+    gain_lut = F.array(*[F.lit(g).cast("long") for g in micro_gains])
+    idcg_lut = F.array(*[F.lit(p).cast("long") for p in prefix])
+    rel = relevant.select(
+        F.col(query_col), F.col(neighbor_col)
+    ).dropDuplicates([query_col, neighbor_col])
+    res = results.filter(F.col(rank_col) <= k).select(
+        F.col(query_col), F.col(neighbor_col), F.col(rank_col)
+    )
+    hits = res.join(rel, [query_col, neighbor_col]).select(
+        F.col(query_col),
+        F.col(rank_col),
+        F.element_at(gain_lut, F.col(rank_col).cast("int")).alias("__g"),
+    )
+    per_q_hits = hits.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.min(rank_col).alias("__first_rank"),
+        F.sum("__g").alias("__dcg"),
+    )
+    n_rel = rel.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
+    m = F.least(F.col("n_relevant"), F.lit(k)).cast("int")
+    return (
+        n_rel.join(per_q_hits, query_col, "left")
+        .select(
+            query_col,
+            "n_relevant",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.col("__first_rank"), F.lit(0.0)
+                ),
+                4,
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(
+                    F.col("__dcg").cast("double")
+                    / F.element_at(idcg_lut, m).cast("double"),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("ndcg"),
+        )
+    )

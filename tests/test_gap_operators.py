@@ -1856,3 +1856,80 @@ def test_semantic_decontaminate_lsh_path_flags_near_copies(spark):
             assert cid in exact_flags
     # identical vectors always share every sign bucket: 101 must be hit
     assert out[101]["contaminated"]
+
+
+# ---------------------------------------------------------------------------
+# G44 ranking report (MRR / NDCG)
+# ---------------------------------------------------------------------------
+
+
+def test_ranking_report_matches_brute_force(spark):
+    import math
+
+    from ferc_xbrl_extractor_spark.operators import similarity
+
+    k = 5
+    results = [
+        # q1: relevant at ranks 1,3 of 5
+        (1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4), (1, 14, 5),
+        # q2: nothing relevant retrieved
+        (2, 20, 1), (2, 21, 2),
+        # q3: perfect ranking of its 2 relevant docs
+        (3, 30, 1), (3, 31, 2), (3, 32, 3),
+    ]
+    relevant = [
+        (1, 10), (1, 12), (1, 99),       # 99 never retrieved
+        (2, 77),
+        (3, 30), (3, 31),
+        (4, 40),                          # query absent from results
+    ]
+    rdf = spark.createDataFrame(
+        results, "query_id long, neighbor_id long, rank int"
+    )
+    jdf = spark.createDataFrame(relevant, "query_id long, neighbor_id long")
+    out = {
+        r["query_id"]: r
+        for r in similarity.ranking_report(rdf, jdf, k=k).collect()
+    }
+
+    mg = [round(1e6 / math.log2(r + 1)) for r in range(1, k + 1)]
+
+    def expect(hit_ranks, n_rel):
+        dcg = sum(mg[r - 1] for r in hit_ranks)
+        idcg = sum(mg[: min(n_rel, k)])
+        mrr = round(1.0 / hit_ranks[0], 4) if hit_ranks else 0.0
+        return mrr, round(dcg / idcg, 4)
+
+    assert set(out) == {1, 2, 3, 4}
+    for q, hit_ranks, n_rel in [
+        (1, [1, 3], 3), (2, [], 1), (3, [1, 2], 2), (4, [], 1)
+    ]:
+        mrr, ndcg = expect(hit_ranks, n_rel)
+        row = out[q]
+        assert row["n_relevant"] == n_rel
+        assert row["n_hit"] == len(hit_ranks)
+        assert row["mrr"] == mrr, (q, row)
+        assert row["ndcg"] == ndcg, (q, row)
+    assert out[3]["mrr"] == 1.0 and out[3]["ndcg"] == 1.0  # perfect
+
+
+def test_ranking_report_respects_k_cutoff(spark):
+    from ferc_xbrl_extractor_spark.operators import similarity
+
+    rdf = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    jdf = spark.createDataFrame(
+        [(1, 12)], "query_id long, neighbor_id long"
+    )
+    # relevant doc sits at rank 3; with k=2 it is outside the cutoff
+    row = similarity.ranking_report(rdf, jdf, k=2).collect()[0]
+    assert row["n_hit"] == 0 and row["mrr"] == 0.0 and row["ndcg"] == 0.0
+    row = similarity.ranking_report(rdf, jdf, k=3).collect()[0]
+    assert row["n_hit"] == 1 and row["mrr"] == round(1 / 3, 4)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        similarity.ranking_report(rdf, jdf, k=0)

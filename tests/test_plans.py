@@ -431,3 +431,58 @@ def test_classifier_scoring_is_pure_projection(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_ivf_append_is_o_increment_and_prunes(spark, tmp_path):
+    """Appending an increment into a persisted IVF index must leave every
+    pre-existing file untouched (O(increment) write), keep partition
+    pruning working, and make the new vectors findable in their probed
+    list."""
+    import os
+
+    cents = similarity.unit_centroids_from_rows(
+        [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    )
+    base = spark.createDataFrame(
+        [
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.1, 0.9, 0.0, 0.0]),
+            (3, [0.0, 0.1, 0.9, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    assigned = base.withColumn(
+        "__nvec", similarity._unit(F.col("embedding"))
+    ).withColumn(
+        "__cluster", similarity.ivf_assign(F.col("__nvec"), cents)
+    )
+    path = str(tmp_path / "ivf_inc")
+    similarity.ivf_write_index(assigned, path)
+
+    def files_with_mtimes():
+        out = {}
+        for root, _dirs, names in os.walk(path):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = files_with_mtimes()
+    inc = spark.createDataFrame(
+        [(10, [0.95, 0.05, 0.0, 0.0]), (11, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    counts = similarity.ivf_append(inc, path, cents)
+    assert counts == {0: 1, 2: 1}
+    after = files_with_mtimes()
+    # every original file untouched; only new files added
+    for p, m in before.items():
+        assert p in after and after[p] == m, p
+    assert len(after) > len(before)
+    # pruned probe of cluster 0 sees old AND new vectors, nothing else
+    probed = similarity.ivf_read_probed(spark, path, [0])
+    ids = sorted(r["vec_id"] for r in probed.collect())
+    assert ids == [1, 10]
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

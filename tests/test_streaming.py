@@ -503,3 +503,50 @@ def test_gopher_rules_is_stream_safe(spark, tmp_path):
         for r in gopher_rules(df, min_words=5, min_stop_hits=1).collect()
     }
     assert got == batch == {1: True, 2: False}
+
+
+def test_stream_semantic_decontaminate_matches_batch(spark, tmp_path):
+    """The G42 literal-matrix path is a stateless projection, so the SAME
+    operator call works unchanged on a readStream source — streaming
+    decontamination of an embedding feed against a benchmark set."""
+    from pyspark.sql import functions as F
+
+    from ferc_xbrl_extractor_spark.operators import similarity
+    from ferc_xbrl_extractor_spark.streaming.windows import (
+        run_stream_to_memory,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, [0.99, 0.01, 0.0, 0.0]),   # ~bench 0 -> contaminated
+            (101, [0.0, 0.0, 1.0, 0.0]),     # clean
+            (102, [0.01, 0.99, 0.0, 0.0]),   # ~bench 1 -> contaminated
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "emb")
+    corpus.write.parquet(path)
+
+    batch = {
+        r["vec_id"]: (r["max_bench_sim"], r["contaminated"])
+        for r in similarity.semantic_decontaminate(
+            corpus, bench, threshold=0.95
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(corpus.schema).parquet(path)
+    out = similarity.semantic_decontaminate(stream, bench, threshold=0.95)
+    assert out.isStreaming
+    q = run_stream_to_memory(out, "g42_stream_test")
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        r["vec_id"]: (r["max_bench_sim"], r["contaminated"])
+        for r in spark.sql("SELECT * FROM g42_stream_test").collect()
+    }
+    assert streamed == batch
+    assert streamed[100][1] and streamed[102][1] and not streamed[101][1]

@@ -23,7 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from ferc_xbrl_extractor_spark.operators import classifier, spans, text, vocab  # noqa: E402
+from ferc_xbrl_extractor_spark.operators import (  # noqa: E402
+    classifier,
+    similarity,
+    spans,
+    text,
+    vocab,
+)
 from ferc_xbrl_extractor_spark.session import get_spark  # noqa: E402
 
 
@@ -38,6 +44,23 @@ def build_10x(spark, src: str, path: str) -> None:
             ).alias("text"),
             "lang",
             "source",
+        )
+        .repartition(32)
+    )
+    big.write.mode("overwrite").parquet(path)
+
+
+def build_10x_emb(spark, src: str, path: str) -> None:
+    emb = spark.read.parquet(src)
+    big = (
+        emb.withColumn("__copy", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .select(
+            (F.col("vec_id") * 10 + F.col("__copy")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double") + F.col("__copy") * 0.001,
+            ).alias("embedding"),
+            "label",
         )
         .repartition(32)
     )
@@ -96,11 +119,34 @@ def main() -> None:
             if t_small
             else None,
         }
+
+    # Embedding-side decade: the corpus grows 10x, the benchmark set
+    # (the realistic fixed side) stays at 256 vectors.
+    emb_small = f"{src}/embeddings.parquet"
+    emb_big = f"/tmp/spark_graft_10x_emb_{os.getpid()}"
+    build_10x_emb(spark, emb_small, emb_big)
+    bench = load(emb_small).filter(F.col("vec_id") < 256)
+    emb_cases = {
+        "g42_semantic_decon": lambda df: similarity.semantic_decontaminate(
+            df, bench, threshold=0.9, max_benchmark=300
+        ).count(),
+    }
+    for name, fn in emb_cases.items():
+        t_small = timeit(lambda: fn(load(emb_small)))
+        t_big = timeit(lambda: fn(load(emb_big)))
+        out[name] = {
+            "sf0.1_s": t_small,
+            "10x_s": t_big,
+            "time_ratio_for_10x_data": round(t_big / t_small, 2)
+            if t_small
+            else None,
+        }
     print(json.dumps({"scalecheck": out, "docs_small": 5000, "docs_big": 50000}))
 
     import shutil
 
     shutil.rmtree(big_path, ignore_errors=True)
+    shutil.rmtree(emb_big, ignore_errors=True)
 
 
 if __name__ == "__main__":
