@@ -75,6 +75,7 @@ def curate_corpus(
     trim_spans_n: int | None = None,
     trim_spans_min_count: int = 2,
     encode_vocab_size: int | None = None,
+    cut_lineage: bool = True,
 ) -> DataFrame:
     """Curate a document corpus for training: quality-filter, remove
     benchmark contamination, drop exact duplicates (whitespace-normalized
@@ -143,6 +144,19 @@ def curate_corpus(
         keys=["fp"],
         order_by=[F.col(id_col)],
     ).drop("fp")
+    # Two optional stages below re-traverse `deduped` with per-token
+    # work (jaccard's shingle self-join; vocab build + encode — two full
+    # token explodes), replaying the whole scan -> stats -> decontaminate
+    # -> dedup lineage per traversal: cut it once when either is on.
+    # Cheap re-references (two-phase sampling's count pass, the
+    # paragraph/span semi-join reassembly) measure FASTER without the
+    # cut — materializing the wide stats rows costs more than their
+    # extra pass — so they deliberately do not trigger it (opt-out via
+    # cut_lineage=False when executor-local storage is the constraint).
+    if cut_lineage and (
+        neardup_threshold is not None or encode_vocab_size is not None
+    ):
+        deduped = deduped.localCheckpoint(eager=False)
     if neardup_threshold is not None:
         pairs = neardup.jaccard_pairs(
             deduped,

@@ -53,6 +53,15 @@ INTENTIONAL_BNLJ = {
     # g29_encode: ONE row holding the vocab map, cross-joined so encoding
     # is a map-side transform probe (same shape as g4_bm25).
     "g29_encode",
+    # g29_coverage / g38_bigram_lm: ONE-row corpus-total / vocab-size
+    # relation cross-joined into the projection (the g4_bm25 shape).
+    "g29_coverage",
+    "g38_bigram_lm",
+    # g3_recall / g44_ranking_report: measurement loops that EMBED the
+    # brute-force cosine_topk baseline (intentional broadcast-queries
+    # cross join) as the exact reference side.
+    "g3_recall",
+    "g44_ranking_report",
 }
 
 
