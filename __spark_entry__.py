@@ -2222,6 +2222,27 @@ def q_g24_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.fresh.select("doc_id")
 
 
+def q_g45_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G45: snapshot diff between two corpus versions
+    (pipeline/incremental.corpus_diff) — v2 drops doc_id%13==0, edits
+    doc_id%7==1 (text + ' v2'), and adds doc_id%11==2 under id+2000000,
+    so all four statuses appear; the oracle replays the same md5
+    full-outer comparison."""
+    from ferc_xbrl_extractor_spark.pipeline import incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 1, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 11 == 2).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    )
+    return incremental.corpus_diff(docs, new.unionByName(added))
+
+
 def q_g14_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G14c: Efraimidis-Spirakis weighted sampling without replacement
     (operators/sampling.py weighted_sample_k) — 200 docs drawn with
@@ -2373,6 +2394,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g22_fuzzy_join": q_g22_fuzzy_join,
         "g23_incremental_dedup": q_g23_incremental_dedup,
         "g24_incremental_neardup": q_g24_incremental_neardup,
+        "g45_corpus_diff": q_g45_corpus_diff,
         "g14_weighted_sample": q_g14_weighted_sample,
         "g25_zorder": q_g25_zorder,
         "g2_jaccard": q_g2_jaccard,
@@ -4316,6 +4338,30 @@ def fine_oracle_sql() -> dict[str, str]:
         WHERE d.doc_id % 2 = 0
     """
 
+    # G45 corpus snapshot diff: same md5 + presence-marker full outer.
+    sql["g45_corpus_diff"] = """
+        WITH o AS (
+            SELECT doc_id, md5(text) AS old_fp, TRUE AS in_old
+            FROM documents
+        ),
+        v2 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 1 THEN text || ' v2'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 13 <> 0
+            UNION ALL
+            SELECT doc_id + 2000000 AS doc_id, text
+            FROM documents WHERE doc_id % 11 = 2
+        ),
+        n AS (SELECT doc_id, md5(text) AS new_fp, TRUE AS in_new FROM v2)
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, old_fp, new_fp,
+               CASE WHEN in_old IS NULL THEN 'added'
+                    WHEN in_new IS NULL THEN 'removed'
+                    WHEN old_fp IS DISTINCT FROM new_fp THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """
+
     _u60_ws = (
         "CAST(('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 15))"
         " AS BIGINT)"
@@ -4591,7 +4637,8 @@ _SUITES: dict[str, list[str]] = {
     "g26_span_suite": ["g26_dup_spans", "g26_trim_spans"],
     "g29_vocab_suite": ["g29_vocab", "g29_encode", "g29_coverage"],
     "g_incremental_suite": [
-        "g23_incremental_dedup", "g24_incremental_neardup"
+        "g23_incremental_dedup", "g24_incremental_neardup",
+        "g45_corpus_diff",
     ],
     "g_analytics_misc_suite": ["g21_unpivot", "g13_salted_agg", "g10_json"],
     "g32_report_suite": ["g32_corpus_report", "g32_stratum_report"],
@@ -4677,6 +4724,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g29_coverage": [("vocab_size", "i"), ("covered_tokens", "i"), ("total_tokens", "i"), ("coverage", "n")],
     "g23_incremental_dedup": [("doc_id", "i"), ("fp", "s")],
     "g24_incremental_neardup": [("doc_id", "i")],
+    "g45_corpus_diff": [("doc_id", "i"), ("old_fp", "s"), ("new_fp", "s"), ("status", "s")],
     "g21_unpivot": [("l_orderkey", "i"), ("l_linenumber", "i"), ("name", "s"), ("value", "n")],
     "g13_salted_agg": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
     "g10_json": [("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("avg_k", "n")],

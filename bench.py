@@ -81,6 +81,7 @@ HEADLINE = [
     "g22_fuzzy_join",
     "g23_incremental_dedup",
     "g24_incremental_neardup",
+    "g45_corpus_diff",
     "g5_moving_agg",
     "g6_rollup",
     "g6_grouping_sets",

@@ -360,3 +360,49 @@ def incremental_neardup(
     return NeardupIncrementResult(
         fresh=fresh, internal_pairs=internal, historical_pairs=historical
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: one row per id seen in
+    either snapshot, with ``status`` ∈ {added, removed, changed,
+    unchanged} and both content fingerprints — the audit primitive for
+    incremental crawls ("what changed between v1 and v2 before I re-run
+    curation on it?"), feeding ``status = 'added' | 'changed'`` slices
+    straight into the G23/G24 increment paths.
+
+    Presence is tracked with explicit markers (not fingerprint
+    nullability, so a present-but-NULL-text document still diffs
+    correctly), and content comparison is null-safe byte-exact md5 —
+    compose with ``text.fingerprint`` upstream for whitespace-normalized
+    comparison instead.
+
+    Scale shape: fingerprints are computed map-side BELOW the join, so
+    the single full-outer keyed exchange carries (id, 32-char digest)
+    rows — never document text; at any corpus size this is the minimal
+    movement a content diff can do.
+    """
+    o = old.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("old_fp"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("new_fp"),
+        F.lit(True).alias("__in_new"),
+    )
+    status = (
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(~F.col("old_fp").eqNullSafe(F.col("new_fp")), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(id_col, "old_fp", "new_fp", status.alias("status"))
+    )

@@ -1933,3 +1933,121 @@ def test_ranking_report_respects_k_cutoff(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         similarity.ranking_report(rdf, jdf, k=0)
+
+
+# ---------------------------------------------------------------------------
+# G11: real PPM codec path (pure numpy — no Pillow required)
+# ---------------------------------------------------------------------------
+
+
+def _ppm(w, h, pattern):
+    """Deterministic P6 image: pixel (x, y) = pattern(x, y) -> (r, g, b)."""
+    body = bytearray()
+    for y in range(h):
+        for x in range(w):
+            body.extend(pattern(x, y))
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(body)
+
+
+def test_ppm_codec_roundtrip_and_comments():
+    import numpy as np
+
+    from ferc_xbrl_extractor_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    img = _ppm(3, 2, lambda x, y: (x * 10, y * 20, 255 - x))
+    arr = decode_ppm(img)
+    assert arr.shape == (2, 3, 3)
+    assert tuple(arr[1, 2]) == (20, 20, 253)
+    assert decode_ppm(encode_ppm(arr)).tolist() == arr.tolist()
+    # netpbm comments + arbitrary whitespace in the header
+    commented = b"P6 # a comment\n# another\n 3\t2 #wh\n255\n" + img.split(
+        b"255\n", 1
+    )[1]
+    assert decode_ppm(commented).tolist() == arr.tolist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"P3\n1 1\n255\n0 0 0")
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n\x00\x00")
+    assert isinstance(np.asarray(arr), np.ndarray)
+
+
+def test_resize_images_real_ppm_kernel(spark):
+    from ferc_xbrl_extractor_spark.operators import multimodal
+    from ferc_xbrl_extractor_spark.operators.multimodal import decode_ppm
+
+    # 4x4 quadrant image: each 2x2 quadrant a solid color
+    quad = {
+        (0, 0): (255, 0, 0), (1, 0): (0, 255, 0),
+        (0, 1): (0, 0, 255), (1, 1): (255, 255, 0),
+    }
+    img = _ppm(4, 4, lambda x, y: quad[(x // 2, y // 2)])
+    df = spark.createDataFrame(
+        [(1, bytearray(img)), (2, None)], "media_id long, content binary"
+    )
+    media = multimodal.media_table_from_binary(
+        df, "media_id", "content", "image", "image/x-portable-pixmap"
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.resize_images(
+            media, 2, 2, decode_stub=False
+        ).collect()
+    }
+    resized = decode_ppm(bytes(out[1]["content"]))
+    # nearest-neighbor center sampling: each output pixel = its quadrant
+    assert resized.shape == (2, 2, 3)
+    assert tuple(resized[0, 0]) == (255, 0, 0)
+    assert tuple(resized[0, 1]) == (0, 255, 0)
+    assert tuple(resized[1, 0]) == (0, 0, 255)
+    assert tuple(resized[1, 1]) == (255, 255, 0)
+    assert out[1]["meta"]["width"] == 2 and out[1]["meta"]["height"] == 2
+    assert out[1]["meta"]["mime"] == "image/x-portable-pixmap"
+    # blob-less rows pass through as NULL, not a crash
+    assert out[2]["content"] is None
+
+
+def test_extract_features_real_ppm_kernel(spark):
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    # constant-gray image: every feature value = luma/128 - 1, exactly
+    img = _ppm(8, 2, lambda x, y: (100, 100, 100))
+    df = spark.createDataFrame(
+        [(1, bytearray(img)), (2, None)], "media_id long, content binary"
+    )
+    media = multimodal.media_table_from_binary(
+        df, "media_id", "content", "image", "image/x-portable-pixmap"
+    )
+    feats = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(
+            media, dim=4, decode_stub=False
+        ).collect()
+    }
+    expect = 100 / 128.0 - 1.0  # luma of (100,100,100) is 100
+    assert feats[1]["feature"] == [expect] * 4
+    assert feats[2]["feature"] is None
+    assert feats[1]["n_bytes"] == len(img)
+
+
+def test_real_kernel_unsupported_format_raises_without_pil(spark):
+    import pytest as _pytest
+
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    if multimodal._PILImage is not None:
+        _pytest.skip("Pillow present: non-PPM formats are supported")
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\nnotreally"))],
+        "media_id long, content binary",
+    )
+    media = multimodal.media_table_from_binary(
+        df, "media_id", "content", "image", "image/png"
+    )
+    with _pytest.raises(Exception, match="PPM|Pillow"):
+        multimodal.extract_features(media, dim=4, decode_stub=False).collect()

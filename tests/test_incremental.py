@@ -169,3 +169,60 @@ def test_prune_auto_skips_for_tiny_band_layouts(spark, tmp_path):
         {r["doc_id"] for r in auto.fresh.collect()}
         == {r["doc_id"] for r in pruned.fresh.collect()}
     )
+
+
+def test_corpus_diff_statuses(spark):
+    from pyspark.sql import functions as F
+
+    from ferc_xbrl_extractor_spark.pipeline.incremental import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (5, "e"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert out == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",   # present-but-NULL text on both sides
+        5: "added",
+    }
+
+
+def test_corpus_diff_null_text_transitions(spark):
+    from ferc_xbrl_extractor_spark.pipeline.incremental import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "now set"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    # NULL -> value and value -> NULL are CHANGES, not added/removed
+    assert out == {1: "changed", 2: "changed"}
+
+
+def test_corpus_diff_shuffles_digests_not_text(spark):
+    from ferc_xbrl_extractor_spark.pipeline.incremental import corpus_diff
+
+    old = spark.range(100).selectExpr(
+        "id AS doc_id", "repeat('x', 1000) AS text"
+    )
+    new = spark.range(100).selectExpr(
+        "id AS doc_id", "repeat('x', 1000) AS text"
+    )
+    plan = (
+        corpus_diff(old, new)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # fingerprints must be computed below the join: no raw `text`
+    # attribute may survive into the join output
+    assert "old_fp" in plan and "new_fp" in plan
+    joins = plan.split("Join")[0]
+    assert "text" not in joins, joins
