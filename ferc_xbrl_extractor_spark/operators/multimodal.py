@@ -9,12 +9,13 @@ rows like any other row.
 Codec layering (the ``pipeline/sinks.py`` frictionless pattern), in
 dispatch order inside the same Arrow-batched ``mapInPandas`` bodies:
 
-1. **PPM (P6)** — a REAL pure-numpy codec, always available: binary
-   netpbm is uncompressed (header + raw RGB), so decode, ITU-R 601-2
-   luma, nearest-neighbor resize, and re-encode are numpy array ops with
-   no image library at all. ``decode_stub=False`` genuinely decodes in
-   any environment for this format.
-2. **Pillow** — layered in for every other format when importable.
+1. **PPM (P6) images and PCM WAV audio** — REAL pure-numpy codecs,
+   always available: both formats are uncompressed (header + raw
+   samples), so decode, ITU-R 601-2 luma, nearest-neighbor resize,
+   re-encode, RMS/zero-crossing audio features are numpy array ops with
+   no media library at all. ``decode_stub=False`` genuinely decodes in
+   any environment for these formats.
+2. **Pillow** — layered in for every other image format when importable.
 3. Neither applies → ``decode_stub=False`` raises NotImplementedError at
    the batch level; ``decode_stub=True`` produces deterministic fake
    features derived from the bytes.
@@ -308,3 +309,136 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("sample_ms"),
     )
+
+
+def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM WAV (RIFF) into (sample_rate, (n, channels) int32
+    array) — pure numpy, 8/16/32-bit integer PCM. Walks the RIFF chunk
+    list (fmt/data chunks may be preceded by LIST/fact/etc.); rejects
+    compressed formats."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b) and (fmt is None or data is None):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise ValueError(f"unsupported WAV format code {audio_format} (PCM only)")
+    if bits == 8:  # 8-bit WAV is unsigned, offset-128
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    elif bits == 32:
+        samples = np.frombuffer(data, dtype="<i4").astype(np.int32)
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    n = len(samples) // channels
+    return rate, samples[: n * channels].reshape(n, channels)
+
+
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """Encode an (n, channels) int array as 16-bit PCM WAV."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    pcm = np.clip(samples, -32768, 32767).astype("<i2").tobytes()
+    channels = samples.shape[1]
+    byte_rate = rate * channels * 2
+    hdr = (
+        b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(pcm).to_bytes(4, "little")
+    )
+    return hdr + pcm
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.ArrayType(T.FloatType())),
+        T.StructField("zero_crossings", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def extract_audio_features(
+    media: DataFrame, windows: int = 8, decode_stub: bool = True
+) -> DataFrame:
+    """Audio featurization over ``mapInPandas``: per row, sample rate,
+    length, and per-window RMS energy + zero-crossing counts (the
+    classic cheap speech/music/silence signals) across ``windows`` equal
+    slices of the first channel.
+
+    ``decode_stub=False`` decodes PCM WAV for REAL via the pure-numpy
+    RIFF codec (no soundfile/ffmpeg needed); other containers raise at
+    the batch level. The stub derives deterministic pseudo-features from
+    the bytes, keeping schema and batch shapes identical.
+    """
+
+    def _real(b: bytes):
+        if not b:
+            return None
+        rate, samples = decode_wav(bytes(b))
+        mono = samples[:, 0].astype(np.float64)
+        n = len(mono)
+        rms, zc = [], []
+        for w in range(windows):
+            lo, hi = (n * w) // windows, (n * (w + 1)) // windows
+            seg = mono[lo:hi]
+            if len(seg) == 0:
+                rms.append(0.0)
+                zc.append(0)
+                continue
+            rms.append(float(np.sqrt(np.mean(seg * seg))))
+            zc.append(int(np.sum((seg[:-1] * seg[1:]) < 0)))
+        return rate, n, int(round(n * 1000 / rate)) if rate else 0, rms, zc
+
+    def _stub(b: bytes):
+        if not b:
+            return None
+        f = _fake_feature(bytes(b), windows)
+        return (
+            16000,
+            len(b),
+            int(round(len(b) * 1000 / 16000)),
+            [abs(x) for x in f],
+            [int(abs(x) * 100) for x in f],
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _stub if decode_stub else _real
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                r = kernel(b)
+                if r is None:
+                    rows.append((mid, None, None, None, None, None))
+                else:
+                    rate, n, dur, rms, zc = r
+                    rows.append((mid, rate, n, dur, rms, zc))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_ms",
+                    "rms", "zero_crossings",
+                ],
+            )
+
+    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)

@@ -2051,3 +2051,85 @@ def test_real_kernel_unsupported_format_raises_without_pil(spark):
     )
     with _pytest.raises(Exception, match="PPM|Pillow"):
         multimodal.extract_features(media, dim=4, decode_stub=False).collect()
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import numpy as np
+
+    from ferc_xbrl_extractor_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.arange(1600)
+    sine = (10000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int64)
+    b = encode_wav(16000, sine)
+    rate, samples = decode_wav(b)
+    assert rate == 16000 and samples.shape == (1600, 1)
+    assert np.array_equal(samples[:, 0], sine)
+    # an extra chunk between fmt and data must be skipped (RIFF walk)
+    hdr_end = b.index(b"data")
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"  # padded
+    patched = b[:hdr_end] + extra + b[hdr_end:]
+    rate2, samples2 = decode_wav(patched)
+    assert rate2 == 16000 and np.array_equal(samples2, samples)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope")
+    with _pytest.raises(ValueError, match="PCM only"):
+        # format code 3 = IEEE float
+        decode_wav(b[:20] + (3).to_bytes(2, "little") + b[22:])
+
+
+def test_extract_audio_features_real_wav_kernel(spark):
+    import numpy as np
+
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    # constant DC signal: RMS == amplitude in every window, 0 crossings;
+    # alternating signal: maximal crossings
+    dc = np.full(8000, 1000, dtype=np.int64)
+    alt = np.tile([5000, -5000], 4000).astype(np.int64)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(multimodal.encode_wav(16000, dc))),
+            (2, bytearray(multimodal.encode_wav(8000, alt))),
+            (3, None),
+        ],
+        "media_id long, content binary",
+    )
+    media = multimodal.media_table_from_binary(
+        df, "media_id", "content", "audio", "audio/wav"
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_audio_features(
+            media, windows=4, decode_stub=False
+        ).collect()
+    }
+    assert out[1]["sample_rate"] == 16000
+    assert out[1]["n_samples"] == 8000
+    assert out[1]["duration_ms"] == 500
+    assert out[1]["rms"] == [1000.0] * 4
+    assert out[1]["zero_crossings"] == [0] * 4
+    assert out[2]["duration_ms"] == 1000
+    assert out[2]["rms"] == [5000.0] * 4
+    # alternating sign flips between every adjacent pair: 1999 per window
+    assert out[2]["zero_crossings"] == [1999] * 4
+    assert out[3]["sample_rate"] is None and out[3]["rms"] is None
+
+
+def test_extract_audio_features_stub_is_deterministic(spark):
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"opaque-bytes"))], "media_id long, content binary"
+    )
+    media = multimodal.media_table_from_binary(
+        df, "media_id", "content", "audio", "audio/ogg"
+    )
+    a = multimodal.extract_audio_features(media, windows=4).collect()[0]
+    b = multimodal.extract_audio_features(media, windows=4).collect()[0]
+    assert a == b and len(a["rms"]) == 4
