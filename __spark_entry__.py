@@ -1843,6 +1843,45 @@ def q_g11_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "content_md5")
 
 
+def q_g11_ppm_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11 REAL-codec gate: constant-color 2x1 P6 images constructed
+    in-plan (``unhex`` — both engines build the identical bytes), decoded
+    by the pure-numpy PPM kernel (``decode_stub=False``), featurized to
+    luma intensities. The oracle recomputes ITU-R 601-2 luma arithmetic
+    directly — a stubbed kernel could not hash-match, so this row proves
+    the real decode ran. Feature values luma/128-1 are exact dyadics
+    (no float tolerance needed)."""
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select((F.col("doc_id") % 97).alias("media_id")).distinct()
+    rgb = ids.select(
+        "media_id",
+        (F.col("media_id") * 7 % 256).cast("int").alias("r"),
+        (F.col("media_id") * 13 % 256).cast("int").alias("g"),
+        (F.col("media_id") * 31 % 256).cast("int").alias("b"),
+    )
+    # header "P6\n2 1\n255\n" + 2 RGB pixels
+    hexes = rgb.select(
+        "media_id",
+        F.unhex(
+            F.concat(
+                F.lit("50360a3220310a3235350a"),
+                F.format_string("%02x%02x%02x", "r", "g", "b"),
+                F.format_string("%02x%02x%02x", "r", "g", "b"),
+            )
+        ).alias("content"),
+    )
+    media = multimodal.media_table_from_binary(
+        hexes, "media_id", "content", "image", "image/x-portable-pixmap"
+    )
+    feats = multimodal.extract_features(media, dim=2, decode_stub=False)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.element_at("feature", 1).cast("double").alias("f0"),
+        F.element_at("feature", 2).cast("double").alias("f1"),
+    )
+
+
 def q_g11_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G11 pure-JVM plumbing: per-media frame-sample timestamps exploded
     from metadata duration (documents stand in as media; duration_ms :=
@@ -2386,6 +2425,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g12_stream_dedup": q_g12_stream_dedup,
         "g12_stream_asof": q_g12_stream_asof,
         "g11_multimodal": q_g11_multimodal,
+        "g11_ppm_real": q_g11_ppm_real,
         "g11_frame_sample": q_g11_frame_sample,
         "s8_stream_extract": q_s8_stream_extract,
         "g20_quality_suite": q_g20_quality_suite,
@@ -4139,6 +4179,27 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM documents, UNNEST(range(0, n_chars + 1, 500)) t(i)
     """
 
+    # G11 real PPM decode: the oracle replays the ITU-R 601-2 luma math
+    # on the same constant-color pixels the Spark side encodes+decodes;
+    # luma/128-1 is an exact dyadic so no tolerance is involved.
+    sql["g11_ppm_real"] = """
+        WITH ids AS (SELECT DISTINCT doc_id % 97 AS media_id FROM documents),
+        c AS (
+            SELECT media_id,
+                   (media_id * 7) % 256 AS r,
+                   (media_id * 13) % 256 AS g,
+                   (media_id * 31) % 256 AS b
+            FROM ids
+        )
+        SELECT media_id,
+               CAST(17 AS BIGINT) AS n_bytes,
+               CAST((299 * r + 587 * g + 114 * b) // 1000 AS DOUBLE)
+                   / 128.0 - 1.0 AS f0,
+               CAST((299 * r + 587 * g + 114 * b) // 1000 AS DOUBLE)
+                   / 128.0 - 1.0 AS f1
+        FROM c
+    """
+
     sql["g12_stream_dedup"] = """
         SELECT user_id, event_type, ts, event_id, value
         FROM (
@@ -4606,7 +4667,9 @@ _SUITES: dict[str, list[str]] = {
     "g12_stream_suite": [
         "g12_stream_dedup", "g12_stream_asof", "s8_stream_extract"
     ],
-    "g11_media_suite": ["g11_multimodal", "g11_frame_sample"],
+    "g11_media_suite": [
+        "g11_multimodal", "g11_frame_sample", "g11_ppm_real"
+    ],
     "g14_sample_suite": [
         "g14_split", "g14_sample_rate", "g14_sample_stratified",
         "g30_temperature_mix",
@@ -4674,6 +4737,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "s8_stream_extract": [("filing_name", "s"), ("c_id", "s"), ("entity_id", "s"), ("instant", "b"), ("start_date", "s"), ("end_date", "s"), ("flag_axis", "s"), ("name", "s"), ("value", "s")],
     "g11_multimodal": [("media_id", "i"), ("n_bytes", "i"), ("content_md5", "s")],
     "g11_frame_sample": [("media_id", "i"), ("sample_ms", "i")],
+    "g11_ppm_real": [("media_id", "i"), ("n_bytes", "i"), ("f0", "n"), ("f1", "n")],
     "g14_split": [("doc_id", "i"), ("split", "s")],
     "g14_sample_rate": [("doc_id", "i"), ("lang", "s")],
     "g14_sample_stratified": [("doc_id", "i"), ("source", "s")],

@@ -2133,3 +2133,45 @@ def test_extract_audio_features_stub_is_deterministic(spark):
     a = multimodal.extract_audio_features(media, windows=4).collect()[0]
     b = multimodal.extract_audio_features(media, windows=4).collect()[0]
     assert a == b and len(a["rms"]) == 4
+
+
+def test_image_dedup_pipeline_with_real_codec(spark):
+    """End-to-end multimodal dedup, every stage real: PPM decode ->
+    luma-pixel features -> embedding-cosine near-dup pairs -> connected-
+    component survivor selection. Near-copies of the same image dedup;
+    distinct images survive."""
+    from ferc_xbrl_extractor_spark.operators import multimodal, neardup
+    from ferc_xbrl_extractor_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    def grad(dx):  # horizontal gradient image, shifted by dx
+        return _ppm(16, 4, lambda x, y: ((x * 16 + dx) % 256,) * 3)
+
+    def checker(inv):
+        return _ppm(
+            16, 4,
+            lambda x, y: (255, 255, 255)
+            if ((x + y) % 2 == 0) != inv else (0, 0, 0),
+        )
+
+    rows = [
+        (1, bytearray(grad(0))), (2, bytearray(grad(1))),   # near-copies
+        (3, bytearray(checker(False))),                     # distinct
+        (4, bytearray(checker(False))),                     # exact copy of 3
+        (5, bytearray(checker(True))),                      # anti-phase
+    ]
+    media = multimodal.media_table_from_binary(
+        spark.createDataFrame(rows, "media_id long, content binary"),
+        "media_id", "content", "image", "image/x-portable-pixmap",
+    )
+    feats = multimodal.extract_features(media, dim=16, decode_stub=False)
+    emb = feats.select(
+        F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    pairs = embedding_neardup_pairs(emb, threshold=0.999)
+    survivors = neardup.dedup_by_pairs(emb, pairs, id_col="vec_id")
+    ids = sorted(r["vec_id"] for r in survivors.collect())
+    # 2 collapses into 1 (shifted gradient ~ identical), 4 into 3 (exact);
+    # 5's anti-phase checkerboard is anticorrelated -> kept
+    assert ids == [1, 3, 5]
