@@ -1882,6 +1882,47 @@ def q_g11_ppm_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g11_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11 REAL audio-codec gate: 8-sample constant-amplitude PCM WAVs
+    built in-plan (fixed 44-byte header + unhex little-endian samples),
+    decoded by the pure-numpy RIFF kernel (``decode_stub=False``). For a
+    DC signal the per-window RMS is exactly |amplitude| (sqrt of a
+    perfect square) and zero-crossings are 0, so the oracle replays the
+    whole feature computation with integer arithmetic."""
+    import numpy as _np
+
+    header_hex = multimodal.encode_wav(
+        8000, _np.zeros(8, dtype=_np.int64)
+    )[:44].hex()
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select((F.col("doc_id") % 89).alias("media_id")).distinct()
+    amp = (F.col("media_id") * 11 % 2000 - 1000).cast("int")
+    a16 = amp.bitwiseAND(F.lit(65535))
+    sample_hex = F.format_string("%02x%02x", a16 % 256, (a16 / 256).cast("int"))
+    wav = ids.select(
+        "media_id",
+        F.unhex(
+            F.concat(F.lit(header_hex), *([sample_hex] * 8))
+        ).alias("content"),
+    )
+    media = multimodal.media_table_from_binary(
+        wav, "media_id", "content", "audio", "audio/wav"
+    )
+    feats = multimodal.extract_audio_features(
+        media, windows=2, decode_stub=False
+    )
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        F.element_at("rms", 1).cast("double").alias("rms0"),
+        F.element_at("rms", 2).cast("double").alias("rms1"),
+        F.element_at("zero_crossings", 1).alias("zc0"),
+        F.element_at("zero_crossings", 2).alias("zc1"),
+    )
+
+
 def q_g11_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G11 pure-JVM plumbing: per-media frame-sample timestamps exploded
     from metadata duration (documents stand in as media; duration_ms :=
@@ -2426,6 +2467,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g12_stream_asof": q_g12_stream_asof,
         "g11_multimodal": q_g11_multimodal,
         "g11_ppm_real": q_g11_ppm_real,
+        "g11_wav_real": q_g11_wav_real,
         "g11_frame_sample": q_g11_frame_sample,
         "s8_stream_extract": q_s8_stream_extract,
         "g20_quality_suite": q_g20_quality_suite,
@@ -4200,6 +4242,21 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM c
     """
 
+    # G11 real WAV decode: DC-signal features replayed with integer
+    # arithmetic (RMS of a constant is exactly |amplitude|).
+    sql["g11_wav_real"] = """
+        WITH ids AS (SELECT DISTINCT doc_id % 89 AS media_id FROM documents)
+        SELECT media_id,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(8 AS BIGINT) AS n_samples,
+               CAST(1 AS BIGINT) AS duration_ms,
+               CAST(ABS((media_id * 11) % 2000 - 1000) AS DOUBLE) AS rms0,
+               CAST(ABS((media_id * 11) % 2000 - 1000) AS DOUBLE) AS rms1,
+               CAST(0 AS INT) AS zc0,
+               CAST(0 AS INT) AS zc1
+        FROM ids
+    """
+
     sql["g12_stream_dedup"] = """
         SELECT user_id, event_type, ts, event_id, value
         FROM (
@@ -4668,7 +4725,8 @@ _SUITES: dict[str, list[str]] = {
         "g12_stream_dedup", "g12_stream_asof", "s8_stream_extract"
     ],
     "g11_media_suite": [
-        "g11_multimodal", "g11_frame_sample", "g11_ppm_real"
+        "g11_multimodal", "g11_frame_sample", "g11_ppm_real",
+        "g11_wav_real",
     ],
     "g14_sample_suite": [
         "g14_split", "g14_sample_rate", "g14_sample_stratified",
@@ -4738,6 +4796,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g11_multimodal": [("media_id", "i"), ("n_bytes", "i"), ("content_md5", "s")],
     "g11_frame_sample": [("media_id", "i"), ("sample_ms", "i")],
     "g11_ppm_real": [("media_id", "i"), ("n_bytes", "i"), ("f0", "n"), ("f1", "n")],
+    "g11_wav_real": [("media_id", "i"), ("sample_rate", "i"), ("n_samples", "i"), ("duration_ms", "i"), ("rms0", "n"), ("rms1", "n"), ("zc0", "i"), ("zc1", "i")],
     "g14_split": [("doc_id", "i"), ("split", "s")],
     "g14_sample_rate": [("doc_id", "i"), ("lang", "s")],
     "g14_sample_stratified": [("doc_id", "i"), ("source", "s")],
