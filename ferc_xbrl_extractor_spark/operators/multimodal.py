@@ -442,3 +442,72 @@ def extract_audio_features(
             )
 
     return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def resample_audio(
+    media: DataFrame, target_rate: int, decode_stub: bool = True
+) -> DataFrame:
+    """Audio resample over ``mapInPandas``: same media layout in and out,
+    ``content`` replaced by the resampled encoding and
+    ``meta.duration_ms`` set from the decoded length. PCM WAV resamples
+    for REAL via the pure-numpy codec (linear interpolation per channel,
+    re-encoded 16-bit PCM) in any environment; other containers raise at
+    the batch level with ``decode_stub=False``. The stub keeps
+    deterministic byte-scaling so plumbing is testable with no codec.
+    """
+    if target_rate <= 0:
+        raise ValueError("target_rate must be positive")
+
+    def real_rs(b):
+        if b is None or len(b) == 0:
+            return None, None
+        rate, samples = decode_wav(bytes(b))
+        n = samples.shape[0]
+        m = max(1, int(round(n * target_rate / rate)))
+        # linear interpolation at center-aligned positions, per channel
+        pos = np.arange(m) * (n - 1) / max(m - 1, 1)
+        lo = np.floor(pos).astype(np.int64)
+        hi = np.minimum(lo + 1, n - 1)
+        frac = (pos - lo)[:, None]
+        out = (
+            samples[lo].astype(np.float64) * (1 - frac)
+            + samples[hi].astype(np.float64) * frac
+        )
+        enc = encode_wav(target_rate, np.rint(out).astype(np.int64))
+        return enc, int(round(m * 1000 / target_rate))
+
+    def stub_rs(b):
+        if b is None or len(b) == 0:
+            return None, None
+        b = bytes(b)
+        # deterministic size-scaled stand-in: repeat/truncate toward a
+        # byte budget proportional to the rate ratio vs an assumed 16k
+        budget = max(1, int(len(b) * target_rate / 16000))
+        out = (b * (budget // len(b) + 1))[:budget]
+        return out, int(round(budget * 1000 / target_rate))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = stub_rs if decode_stub else real_rs
+        for pdf in batches:
+            outs = [kernel(b) for b in pdf["content"]]
+            meta = pd.DataFrame(
+                {
+                    "media_type": pdf["meta"].apply(lambda m: m["media_type"]),
+                    "mime": [
+                        (m["mime"] if decode_stub else "audio/wav")
+                        for m in pdf["meta"]
+                    ],
+                    "width": pdf["meta"].apply(lambda m: m["width"]),
+                    "height": pdf["meta"].apply(lambda m: m["height"]),
+                    "duration_ms": [d for _, d in outs],
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [c for c, _ in outs],
+                    "meta": meta.to_dict("records"),
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)

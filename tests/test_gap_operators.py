@@ -2175,3 +2175,38 @@ def test_image_dedup_pipeline_with_real_codec(spark):
     # 2 collapses into 1 (shifted gradient ~ identical), 4 into 3 (exact);
     # 5's anti-phase checkerboard is anticorrelated -> kept
     assert ids == [1, 3, 5]
+
+
+def test_resample_audio_real_wav_kernel(spark):
+    import numpy as np
+
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    # a linear ramp resamples to a linear ramp under linear interpolation
+    ramp = np.linspace(0, 10000, 8000).astype(np.int64)
+    df = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_wav(16000, ramp))), (2, None)],
+        "media_id long, content binary",
+    )
+    media = multimodal.media_table_from_binary(
+        df, "media_id", "content", "audio", "audio/wav"
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.resample_audio(
+            media, 8000, decode_stub=False
+        ).collect()
+    }
+    rate, samples = multimodal.decode_wav(bytes(out[1]["content"]))
+    assert rate == 8000 and samples.shape[0] == 4000
+    got = samples[:, 0].astype(np.float64)
+    expect = np.linspace(0, 10000, 4000)
+    assert np.abs(got - expect).max() <= 3.0  # interp + int16 rounding
+    assert out[1]["meta"]["duration_ms"] == 500
+    assert out[1]["meta"]["mime"] == "audio/wav"
+    assert out[2]["content"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="target_rate"):
+        multimodal.resample_audio(media, 0)

@@ -67,6 +67,20 @@ def build_10x_emb(spark, src: str, path: str) -> None:
     big.write.mode("overwrite").parquet(path)
 
 
+def _diff_case(df):
+    """Snapshot-diff decade case: v2 edits every 7th doc, drops every
+    13th, so the diff is non-trivial at both scales."""
+    from ferc_xbrl_extractor_spark.pipeline.incremental import corpus_diff
+
+    v2 = df.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 1, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(df, v2).count()
+
+
 def timeit(fn, reps: int = 2) -> float:
     fn()  # warm
     best = float("inf")
@@ -107,6 +121,7 @@ def main() -> None:
             df, {"uniq_ratio": 2.0, "stopword_ratio": -1.0}, -0.5
         ).count(),
         "g32_report": lambda df: text.corpus_report(df).count(),
+        "g45_corpus_diff": lambda df: _diff_case(df),
     }
     out = {}
     for name, fn in cases.items():
