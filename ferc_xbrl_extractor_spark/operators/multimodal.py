@@ -9,12 +9,13 @@ rows like any other row.
 Codec layering (the ``pipeline/sinks.py`` frictionless pattern), in
 dispatch order inside the same Arrow-batched ``mapInPandas`` bodies:
 
-1. **PPM (P6) images and PCM WAV audio** — REAL pure-numpy codecs,
-   always available: both formats are uncompressed (header + raw
-   samples), so decode, ITU-R 601-2 luma, nearest-neighbor resize,
-   re-encode, RMS/zero-crossing audio features are numpy array ops with
-   no media library at all. ``decode_stub=False`` genuinely decodes in
-   any environment for these formats.
+1. **PPM (P6) images, PCM WAV audio, and Y4M video** — REAL
+   pure-numpy codecs, always available: all three formats are
+   uncompressed (header + raw samples), so decode, ITU-R 601-2 luma,
+   nearest-neighbor resize, linear-interp resample, BT.601 YUV->RGB
+   frame extraction, and RMS/zero-crossing audio features are numpy
+   array ops with no media library at all. ``decode_stub=False``
+   genuinely decodes in any environment for these formats.
 2. **Pillow** — layered in for every other image format when importable.
 3. Neither applies → ``decode_stub=False`` raises NotImplementedError at
    the batch level; ``decode_stub=True`` produces deterministic fake
@@ -511,3 +512,159 @@ def resample_audio(
             )
 
     return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def decode_y4m(b: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Decode an uncompressed Y4M (YUV4MPEG2) stream into
+    ``(fps_num, fps_den, [(h, w, 3) RGB uint8 frames])`` — pure numpy.
+    Supports C420 (2x2-subsampled chroma, the y4m default) and C444;
+    YUV -> RGB is BT.601 full-range integer arithmetic (deterministic,
+    clipped), the same formula every frame, every engine.
+    """
+    if b[:9] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = b.index(b"\n")
+    w = h = None
+    fn, fd, chroma = 25, 1, "420"
+    for tok in b[10:nl].split(b" "):
+        if not tok:
+            continue
+        k, v = tok[:1], tok[1:]
+        if k == b"W":
+            w = int(v)
+        elif k == b"H":
+            h = int(v)
+        elif k == b"F":
+            fn, fd = (int(x) for x in v.split(b":"))
+        elif k == b"C":
+            chroma = v.decode().rstrip()
+    if not w or not h:
+        raise ValueError("missing W/H in Y4M header")
+    if chroma.startswith("420"):
+        cw, ch = w // 2, h // 2
+    elif chroma == "444":
+        cw, ch = w, h
+    else:
+        raise ValueError(f"unsupported chroma mode C{chroma}")
+    fsize = w * h + 2 * cw * ch
+    frames = []
+    pos = nl + 1
+    while pos < len(b):
+        fnl = b.index(b"\n", pos)
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed FRAME marker")
+        pos = fnl + 1
+        y = np.frombuffer(b, np.uint8, w * h, pos).reshape(h, w)
+        u = np.frombuffer(b, np.uint8, cw * ch, pos + w * h).reshape(ch, cw)
+        v = np.frombuffer(
+            b, np.uint8, cw * ch, pos + w * h + cw * ch
+        ).reshape(ch, cw)
+        if (cw, ch) != (w, h):  # upsample 2x2 chroma by repetition
+            u = u.repeat(2, 0).repeat(2, 1)[:h, :w]
+            v = v.repeat(2, 0).repeat(2, 1)[:h, :w]
+        yy = y.astype(np.int64)
+        uu = u.astype(np.int64) - 128
+        vv = v.astype(np.int64) - 128
+        # BT.601 full-range, scaled integer (x1000), round-half-up
+        r = (yy * 1000 + 1402 * vv + 500) // 1000
+        g = (yy * 1000 - 344 * uu - 714 * vv + 500) // 1000
+        bl = (yy * 1000 + 1772 * uu + 500) // 1000
+        rgb = np.stack(
+            [np.clip(c, 0, 255) for c in (r, g, bl)], axis=-1
+        ).astype(np.uint8)
+        frames.append(rgb)
+        pos += fsize
+    return fn, fd, frames
+
+
+def encode_y4m(
+    frames_yuv: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    fps: tuple[int, int] = (25, 1),
+    chroma: str = "444",
+) -> bytes:
+    """Encode (Y, U, V) plane tuples as a Y4M stream (test/fixture
+    helper — real pipelines carry Y4M produced upstream)."""
+    h, w = frames_yuv[0][0].shape
+    out = [
+        b"YUV4MPEG2 W%d H%d F%d:%d C%s\n"
+        % (w, h, fps[0], fps[1], chroma.encode())
+    ]
+    for y, u, v in frames_yuv:
+        out.append(b"FRAME\n")
+        for plane in (y, u, v):
+            out.append(plane.astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def extract_frames(
+    media: DataFrame, every_ms: int = 1000, decode_stub: bool = True
+) -> DataFrame:
+    """Real video frame extraction: sample one frame per ``every_ms``
+    from each media row and emit it as a PPM image row — the bridge
+    from video to the whole image pipeline (features, resize, dedup).
+
+    ``decode_stub=False`` decodes Y4M for REAL via the pure-numpy codec
+    (frame index = floor(ms/1000 * fps), then BT.601 to RGB, re-encoded
+    P6); other containers raise at the batch level. The stub emits
+    md5-derived fake frame bytes with the same schema. Output:
+    (media_id, frame_ms, content=PPM bytes, meta with width/height).
+    """
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_ms", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("meta", MEDIA_META_SCHEMA),
+        ]
+    )
+
+    def _meta(w, h):
+        return {
+            "media_type": "image",
+            "mime": "image/x-portable-pixmap",
+            "width": w,
+            "height": h,
+            "duration_ms": None,
+        }
+
+    def real_rows(mid, b):
+        if not b:
+            return []
+        fn, fd, frames = decode_y4m(bytes(b))
+        duration_ms = int(len(frames) * 1000 * fd / fn)
+        rows = []
+        for ms in range(0, max(duration_ms, 1), every_ms):
+            idx = min(int(ms * fn / (1000 * fd)), len(frames) - 1)
+            arr = frames[idx]
+            rows.append(
+                (mid, ms, encode_ppm(arr), _meta(arr.shape[1], arr.shape[0]))
+            )
+        return rows
+
+    def stub_rows(mid, b):
+        if not b:
+            return []
+        b = bytes(b)
+        n = max(1, len(b) // 1024)
+        return [
+            (
+                mid,
+                i * every_ms,
+                hashlib.md5(b + i.to_bytes(4, "little")).digest(),
+                _meta(None, None),
+            )
+            for i in range(n)
+        ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = stub_rows if decode_stub else real_rows
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                rows.extend(kernel(mid, b))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_ms", "content", "meta"]
+            )
+
+    return media.mapInPandas(run, out_schema)

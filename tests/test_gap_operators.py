@@ -2210,3 +2210,105 @@ def test_resample_audio_real_wav_kernel(spark):
 
     with _pytest.raises(ValueError, match="target_rate"):
         multimodal.resample_audio(media, 0)
+
+
+def test_y4m_codec_and_frame_extraction(spark):
+    import numpy as np
+
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    # 3 solid-color 4x2 frames at 2 fps, C444: gray, "red-ish", "blue-ish"
+    h, w = 2, 4
+    mk = lambda y, u, v: (  # noqa: E731
+        np.full((h, w), y), np.full((h, w), u), np.full((h, w), v)
+    )
+    frames = [mk(128, 128, 128), mk(81, 90, 240), mk(41, 240, 110)]
+    b = multimodal.encode_y4m(frames, fps=(2, 1), chroma="444")
+
+    fn, fd, decoded = multimodal.decode_y4m(b)
+    assert (fn, fd) == (2, 1) and len(decoded) == 3
+    # gray frame: U=V=128 -> R=G=B=Y
+    assert np.all(decoded[0] == 128)
+    # red frame (BT.601: Y81 U90 V240 ~ pure red)
+    r, g, bl = decoded[1][0, 0]
+    assert r > 230 and g < 30 and bl < 30, decoded[1][0, 0]
+
+    # frame extraction at 500ms -> one frame per input frame
+    df = spark.createDataFrame(
+        [(1, bytearray(b)), (2, None)], "media_id long, content binary"
+    )
+    media = multimodal.media_table_from_binary(
+        df, "media_id", "content", "video", "video/x-yuv4mpeg"
+    )
+    out = multimodal.extract_frames(
+        media, every_ms=500, decode_stub=False
+    ).collect()
+    got = {(r["media_id"], r["frame_ms"]) for r in out}
+    assert got == {(1, 0), (1, 500), (1, 1000)}
+    by_ms = {r["frame_ms"]: r for r in out}
+    # each extracted frame is a decodable PPM of the right frame
+    arr0 = multimodal.decode_ppm(bytes(by_ms[0]["content"]))
+    assert np.all(arr0 == 128)
+    arr1k = multimodal.decode_ppm(bytes(by_ms[1000]["content"]))
+    assert arr1k[0, 0, 2] > 230 or arr1k[0, 0, 0] < 90  # blue-ish frame
+    assert by_ms[0]["meta"]["width"] == 4
+    assert by_ms[0]["meta"]["mime"] == "image/x-portable-pixmap"
+
+
+def test_y4m_c420_chroma_upsampling(spark):
+    import numpy as np
+
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    # C420: one 4x4 frame, chroma planes are 2x2
+    y = np.full((4, 4), 128, dtype=np.uint8)
+    u = np.full((2, 2), 128, dtype=np.uint8)
+    v = np.full((2, 2), 240, dtype=np.uint8)
+    b = multimodal.encode_y4m([(y, u, v)], fps=(1, 1), chroma="420")
+    _, _, frames = multimodal.decode_y4m(b)
+    assert frames[0].shape == (4, 4, 3)
+    # V=240 lifts red uniformly after 2x2 upsample
+    assert np.all(frames[0][..., 0] > 250)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="YUV4MPEG2"):
+        multimodal.decode_y4m(b"not a stream")
+    with _pytest.raises(ValueError, match="chroma"):
+        multimodal.decode_y4m(
+            b"YUV4MPEG2 W2 H2 F1:1 C422\nFRAME\n" + b"\x00" * 8
+        )
+
+
+def test_video_to_image_feature_pipeline_real(spark):
+    """Video -> frames -> image features, every codec real: Y4M frame
+    extraction feeds the PPM feature kernel directly."""
+    import numpy as np
+
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    h, w = 2, 4
+    mk = lambda yv: (  # noqa: E731
+        np.full((h, w), yv), np.full((h, w), 128), np.full((h, w), 128)
+    )
+    b = multimodal.encode_y4m([mk(64), mk(192)], fps=(1, 1), chroma="444")
+    media = multimodal.media_table_from_binary(
+        spark.createDataFrame([(7, bytearray(b))], "media_id long, content binary"),
+        "media_id", "content", "video", "video/x-yuv4mpeg",
+    )
+    frames = multimodal.extract_frames(media, every_ms=1000, decode_stub=False)
+    as_images = frames.select(
+        (F.col("media_id") * 100 + F.col("frame_ms") / 1000).cast("long")
+        .alias("media_id"),
+        "content",
+        "meta",
+    )
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(
+            as_images, dim=2, decode_stub=False
+        ).collect()
+    }
+    # gray frames: every pixel = Y, so feature = Y/128 - 1 exactly
+    assert feats[700] == [64 / 128.0 - 1.0] * 2
+    assert feats[701] == [192 / 128.0 - 1.0] * 2
