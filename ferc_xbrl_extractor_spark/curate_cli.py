@@ -5,7 +5,7 @@
         [--benchmark EVAL_SET] [--neardup-threshold 0.5] [--redact] \
         [--stratum-col source --sample-n N] \
         [--pack-budget 2048 --order-col doc_id] [--shards 16] \
-        [--output-format json|parquet|csv]
+        [--output-format json|parquet|csv] [--manifest]
 
 Reads a document corpus (parquet / JSONL / CSV shards with the
 ``doc_id, text, ...`` schema), runs ``pipeline.curate.curate_corpus``
@@ -74,6 +74,13 @@ def parse(argv: list[str] | None = None) -> argparse.Namespace:
     )
     p.add_argument("--pack-by", default=None, help="Stream column for packing.")
     p.add_argument("--shards", type=int, default=16)
+    p.add_argument(
+        "--manifest",
+        action="store_true",
+        help="Commit the output with a _MANIFEST.json (exactly-once "
+        "publish: a retried run that finds a committed manifest skips "
+        "the write; see pipeline/shards.py).",
+    )
     return p.parse_args(argv)
 
 
@@ -142,20 +149,28 @@ def run_main(args: argparse.Namespace) -> int:
     # Stage once: count and write from one materialization of the plan.
     out = out.persist()
     n_out = out.count()
-    write_corpus_shards(out, args.output, args.shards, fmt=args.output_format)
-    out.unpersist()
-    print(
-        json.dumps(
-            {
-                "input_rows": n_in,
-                "output_rows": n_out,
-                "output": args.output,
-                "format": args.output_format,
-                "shards": args.shards,
-                "packed": bool(args.pack_budget),
-            }
+    summary = {
+        "input_rows": n_in,
+        "output_rows": n_out,
+        "output": args.output,
+        "format": args.output_format,
+        "shards": args.shards,
+        "packed": bool(args.pack_budget),
+    }
+    if args.manifest:
+        from ferc_xbrl_extractor_spark.pipeline.shards import publish_shards
+
+        res = publish_shards(
+            out, args.output, args.shards, fmt=args.output_format
         )
-    )
+        summary["published"] = res["published"]
+        summary["fingerprint"] = res["fingerprint"]
+    else:
+        write_corpus_shards(
+            out, args.output, args.shards, fmt=args.output_format
+        )
+    out.unpersist()
+    print(json.dumps(summary))
     return 0
 
 

@@ -2312,3 +2312,36 @@ def test_video_to_image_feature_pipeline_real(spark):
     # gray frames: every pixel = Y, so feature = Y/128 - 1 exactly
     assert feats[700] == [64 / 128.0 - 1.0] * 2
     assert feats[701] == [192 / 128.0 - 1.0] * 2
+
+
+def test_curate_cli_manifest_publish_is_idempotent(spark, tmp_path, capsys):
+    import json as _json
+    import os
+
+    from ferc_xbrl_extractor_spark.curate_cli import parse, run_main
+    from ferc_xbrl_extractor_spark.pipeline import shards as sh
+
+    src = str(tmp_path / "in2")
+    spark.createDataFrame(
+        [
+            (i, f"document {i} with many interesting distinct words "
+                f"a{i} b{i} c{i} d{i} e{i}", "web")
+            for i in range(8)
+        ],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "out2")
+    argv = [src, "--output", out, "--min-tokens", "5",
+            "--min-uniq-ratio", "0", "--max-stopword-ratio", "1",
+            "--shards", "2", "--output-format", "parquet", "--manifest"]
+    assert run_main(parse(argv)) == 0
+    s1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["published"] is True
+    assert os.path.exists(os.path.join(out, sh.MANIFEST_NAME))
+    assert sh.verify_shards(spark, out)["ok"]
+    # a retried run skips the write and reports the committed fingerprint
+    assert run_main(parse(argv)) == 0
+    s2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["published"] is False
+    assert s2["fingerprint"] == s1["fingerprint"]
