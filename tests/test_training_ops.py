@@ -403,3 +403,51 @@ def test_shuffle_order_no_single_partition_sort(spark):
     # the rank exchange must be hash-partitioned on the block key, never
     # a SinglePartition global sort
     assert "SinglePartition" not in plan
+
+
+def test_epoch_cli_end_to_end(spark, tmp_path, capsys):
+    import json as _json
+
+    from ferc_xbrl_extractor_spark.epoch_cli import parse, run_main
+    from ferc_xbrl_extractor_spark.pipeline import shards as sh
+
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}x{j}" for j in range(10)),
+             "web" if i % 2 else "books")
+            for i in range(30)
+        ],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "epoch")
+    argv = [src, "--output", out, "--rates", "books=2.0",
+            "--default-rate", "1.0", "--budget", "40", "--salt", "s1",
+            "--shards", "2", "--manifest"]
+    assert run_main(parse(argv)) == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["input_rows"] == 30
+    # books rows (15) repeat exactly 2.0x, web rows once: 15*2 + 15
+    assert summary["epoch_rows"] == 45
+    assert summary["published"] is True and summary["sequences"] > 0
+    assert sh.verify_shards(spark, out)["ok"]
+    back = spark.read.parquet(out)
+    assert back.count() == 45
+    assert {"epoch_copy", "shuffle_pos", "seq_id"} <= set(back.columns)
+    # determinism: a retried identical run skips the committed output
+    assert run_main(parse(argv)) == 0
+    s2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["published"] is False
+    assert s2["fingerprint"] == summary["fingerprint"]
+
+
+def test_epoch_cli_rates_validation():
+    import pytest as _pytest
+
+    from ferc_xbrl_extractor_spark.epoch_cli import _parse_rates
+
+    assert _parse_rates("a=1.5,b=0.25") == {"a": 1.5, "b": 0.25}
+    assert _parse_rates(None) is None
+    with _pytest.raises(SystemExit):
+        _parse_rates("nope")
