@@ -1330,6 +1330,24 @@ def q_g29_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g29_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G29 round trip: encode against the same 20-token vocab, decode
+    back (OOV ids render as ``<unk>``), hash the rebuilt text. Proves
+    the id→token inverse map end to end; the oracle replays both
+    directions relationally."""
+    docs = _t(spark, sf_dir, "documents")
+    v = vocab_ops.build_vocab(docs, vocab_size=20)
+    enc = vocab_ops.encode_documents(docs, v)
+    dec = vocab_ops.decode_documents(enc, v)
+    return dec.select(
+        "doc_id",
+        F.md5("decoded_text").alias("decoded_md5"),
+        F.size(F.filter("token_ids", lambda i: i == 0))
+        .cast("long")
+        .alias("n_unk"),
+    )
+
+
 def q_g4_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: corpus token frequencies, top 20 (explode → count → top-k)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2506,6 +2524,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g26_trim_spans": q_g26_trim_spans,
         "g29_vocab": q_g29_vocab,
         "g29_encode": q_g29_encode,
+        "g29_decode": q_g29_decode,
         "g29_coverage": q_g29_coverage,
         "g4_pii_redact": q_g4_pii_redact,
         "g4_token_topk": q_g4_token_topk,
@@ -3720,6 +3739,50 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN agg a USING (doc_id)
     """
 
+    # G29 decode: the encode CTEs extended one join further — each id
+    # maps back to its vocab token (0 -> '<unk>'), reassembled in
+    # position order.
+    sql["g29_decode"] = f"""
+        WITH {_TOKENS_CTE},
+        cnt AS (
+            SELECT t.token AS token, count(*) AS n
+            FROM toks, UNNEST(w) AS t(token)
+            GROUP BY 1
+        ),
+        vocab AS (
+            SELECT token,
+                   CAST(row_number() OVER (ORDER BY n DESC, token) AS INT)
+                       AS tid
+            FROM cnt
+            QUALIFY tid <= 20
+        ),
+        tokpos AS (
+            SELECT doc_id, t.i AS pos, w[t.i + 1] AS tok
+            FROM toks, UNNEST(range(len(w))) AS t(i)
+        ),
+        enc AS (
+            SELECT tp.doc_id, tp.pos, COALESCE(v.tid, 0) AS tid
+            FROM tokpos tp LEFT JOIN vocab v ON tp.tok = v.token
+        ),
+        dec AS (
+            SELECT e.doc_id, e.pos,
+                   COALESCE(v2.token, '<unk>') AS tok,
+                   e.tid
+            FROM enc e LEFT JOIN vocab v2 ON e.tid = v2.tid
+        ),
+        agg AS (
+            SELECT doc_id,
+                   md5(array_to_string(list(tok ORDER BY pos), ' '))
+                       AS decoded_md5,
+                   CAST(count(*) FILTER (tid = 0) AS BIGINT) AS n_unk
+            FROM dec GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(a.decoded_md5, md5('')) AS decoded_md5,
+               CAST(COALESCE(a.n_unk, 0) AS BIGINT) AS n_unk
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
     sql["g4_token_topk"] = f"""
         WITH {_TOKENS_CTE},
         freq AS (
@@ -4756,7 +4819,9 @@ _SUITES: dict[str, list[str]] = {
         "g3_embedding_neardup", "g3_recall", "g44_ranking_report",
     ],
     "g26_span_suite": ["g26_dup_spans", "g26_trim_spans"],
-    "g29_vocab_suite": ["g29_vocab", "g29_encode", "g29_coverage"],
+    "g29_vocab_suite": [
+        "g29_vocab", "g29_encode", "g29_decode", "g29_coverage"
+    ],
     "g_incremental_suite": [
         "g23_incremental_dedup", "g24_incremental_neardup",
         "g45_corpus_diff",
@@ -4844,6 +4909,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g26_trim_spans": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_tokens", "i")],
     "g29_vocab": [("token", "s"), ("token_id", "i"), ("n", "i")],
     "g29_encode": [("doc_id", "i"), ("ids_md5", "s"), ("n_ids", "i")],
+    "g29_decode": [("doc_id", "i"), ("decoded_md5", "s"), ("n_unk", "i")],
     "g29_coverage": [("vocab_size", "i"), ("covered_tokens", "i"), ("total_tokens", "i"), ("coverage", "n")],
     "g23_incremental_dedup": [("doc_id", "i"), ("fp", "s")],
     "g24_incremental_neardup": [("doc_id", "i")],

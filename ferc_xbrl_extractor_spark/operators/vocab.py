@@ -84,6 +84,36 @@ def encode_documents(
     return toked.select(*df.columns, ids.alias(out_col))
 
 
+def decode_documents(
+    df: DataFrame,
+    vocab: DataFrame,
+    ids_col: str = "token_ids",
+    out_col: str = "decoded_text",
+    unk_token: str = "<unk>",
+) -> DataFrame:
+    """Inverse of :func:`encode_documents`: rebuild whitespace-joined
+    text from vocab ids (ids with no vocab entry → ``unk_token``) — the
+    round-trip validator for encoded corpora (a doc of in-vocab tokens
+    decodes byte-identically; see tests). Same scan shape as encode:
+    the id→token map rides as ONE broadcast row, the probe is a
+    codegen'd ``transform``, the corpus is never exploded or shuffled.
+    """
+    vmap = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("token_id", "token"))
+        ).alias("__rmap")
+    )
+    joined = df.crossJoin(F.broadcast(vmap))
+    toks = F.transform(
+        ids_col,
+        lambda i: F.coalesce(F.col("__rmap")[i], F.lit(unk_token)),
+    )
+    return joined.select(
+        *[c for c in df.columns if c != out_col],
+        F.array_join(toks, " ").alias(out_col),
+    )
+
+
 def _merge_pair(sym_col, a: "Column", b: "Column"):
     """Greedy left-to-right merge of adjacent (a, b) symbol pairs inside
     one symbol array — a single ``aggregate`` fold: append each symbol

@@ -57,3 +57,37 @@ def test_vocab_and_encode_match_reference(spark, texts, vocab_size):
         for r in V.encode_documents(df, v).collect()
     }
     assert enc == {i: e for i, e in enumerate(encoded)}
+
+
+def test_decode_roundtrips_in_vocab_documents(spark):
+    from pyspark.sql import functions as F
+
+    from ferc_xbrl_extractor_spark.operators import vocab as V
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "beta beta"),
+            (3, "alpha zzz-rare beta"),   # OOV token under vocab_size=3
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    v = V.build_vocab(docs, vocab_size=3)
+    enc = V.encode_documents(docs, v)
+    dec = {r["doc_id"]: r["decoded_text"]
+           for r in V.decode_documents(enc, v).collect()}
+    # whitespace-canonical in-vocab docs round-trip byte-exact
+    assert dec[1] == "alpha beta gamma alpha"
+    assert dec[2] == "beta beta"
+    # OOV renders as <unk>, everything else intact
+    assert dec[3] == "alpha <unk> beta"
+    assert dec[4] == ""
+    # plan shape: the reverse map rides as ONE broadcast row (the only
+    # Generate in the plan is the vocab BUILD's explode on the broadcast
+    # side — the encoded corpus itself is probed in place, never exploded)
+    plan = (
+        V.decode_documents(enc, v)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange IdentityBroadcastMode" in plan, plan
