@@ -50,9 +50,10 @@ INTENTIONAL_BNLJ = {
     "g4_bm25",
     "g4_surprisal",
     "g18_quantized_topk",
-    # g29_encode: ONE row holding the vocab map, cross-joined so encoding
-    # is a map-side transform probe (same shape as g4_bm25).
+    # g29_encode/g29_decode: ONE row holding the vocab (or reverse) map,
+    # cross-joined so the probe is a map-side transform (g4_bm25 shape).
     "g29_encode",
+    "g29_decode",
     # g29_coverage / g38_bigram_lm: ONE-row corpus-total / vocab-size
     # relation cross-joined into the projection (the g4_bm25 shape).
     "g29_coverage",
