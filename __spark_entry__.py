@@ -2341,6 +2341,28 @@ def q_g45_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.corpus_diff(docs, new.unionByName(added))
 
 
+def q_g46_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G46: cross-split n-gram leakage matrix
+    (neardup.split_leakage_report) — splits assigned by doc_id % 3, with
+    injected leakage (every doc_id % 31 == 4 doc duplicated under
+    id+1000001, which lands in a different split since 1000001 % 3 = 2).
+    The oracle replays the shingle join + pair scaffold relationally."""
+    docs = _t(spark, sf_dir, "documents")
+    dup = docs.filter(F.col("doc_id") % 31 == 4).withColumn(
+        "doc_id", F.col("doc_id") + 1000001
+    )
+    corpus = docs.unionByName(dup).withColumn(
+        "split",
+        F.element_at(
+            F.array(F.lit("train"), F.lit("val"), F.lit("test")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+    )
+    return neardup.split_leakage_report(
+        corpus, split_col="split", n=3, min_overlap=5
+    )
+
+
 def q_g14_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G14c: Efraimidis-Spirakis weighted sampling without replacement
     (operators/sampling.py weighted_sample_k) — 200 docs drawn with
@@ -2495,6 +2517,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g23_incremental_dedup": q_g23_incremental_dedup,
         "g24_incremental_neardup": q_g24_incremental_neardup,
         "g45_corpus_diff": q_g45_corpus_diff,
+        "g46_split_leakage": q_g46_split_leakage,
         "g14_weighted_sample": q_g14_weighted_sample,
         "g25_zorder": q_g25_zorder,
         "g2_jaccard": q_g2_jaccard,
@@ -4543,6 +4566,59 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
     """
 
+    # G46 cross-split leakage matrix: same tokenizer/shingle recipe as
+    # the G2/G15 oracles, over the split-annotated corpus.
+    sql["g46_split_leakage"] = """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000001 AS doc_id, text
+            FROM documents WHERE doc_id % 31 = 4
+        ),
+        base AS (
+            SELECT doc_id, text,
+                   ['train', 'val', 'test'][CAST(doc_id % 3 AS INT) + 1]
+                       AS split
+            FROM corpus
+        ),
+        toks AS (
+            SELECT doc_id, split,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> len(x) > 0) AS w
+            FROM base
+        ),
+        ds AS (
+            SELECT DISTINCT doc_id, split,
+                   w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+            FROM toks, UNNEST(range(greatest(len(w) - 2, 0))) AS t(i)
+        ),
+        ss AS (SELECT DISTINCT split AS split_b, shingle FROM ds),
+        pd AS (
+            SELECT ds.doc_id, ds.split AS split_a, ss.split_b
+            FROM ds JOIN ss USING (shingle)
+            WHERE ds.split <> ss.split_b
+            GROUP BY 1, 2, 3
+            HAVING count(*) >= 5
+        ),
+        leaky AS (
+            SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_leaky_docs
+            FROM pd GROUP BY 1, 2
+        ),
+        sizes AS (
+            SELECT split AS split_a, CAST(count(*) AS BIGINT) AS n_docs_a
+            FROM base GROUP BY 1
+        )
+        SELECT p.split_a, q.split_a AS split_b,
+               CAST(COALESCE(l.n_leaky_docs, 0) AS BIGINT) AS n_leaky_docs,
+               p.n_docs_a,
+               ROUND(COALESCE(l.n_leaky_docs, 0)
+                     / CAST(p.n_docs_a AS DOUBLE), 4) AS leak_ratio
+        FROM sizes p
+        JOIN sizes q ON p.split_a <> q.split_a
+        LEFT JOIN leaky l
+               ON l.split_a = p.split_a AND l.split_b = q.split_a
+    """
+
     _u60_ws = (
         "CAST(('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 15))"
         " AS BIGINT)"
@@ -4803,7 +4879,7 @@ _SUITES: dict[str, list[str]] = {
     "s7_corpus_roundtrip": ["s7_jsonl_roundtrip", "s7_orc_roundtrip"],
     "g15_decontaminate_suite": [
         "g15_decontaminate", "g15_bloom_decontaminate",
-        "g42_semantic_decon",
+        "g42_semantic_decon", "g46_split_leakage",
     ],
     "g5_window_suite": ["g5_window_funcs", "g5_moving_agg"],
     "g6_multidim_suite": ["g6_rollup", "g6_cube", "g6_grouping_sets"],
@@ -4914,6 +4990,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g23_incremental_dedup": [("doc_id", "i"), ("fp", "s")],
     "g24_incremental_neardup": [("doc_id", "i")],
     "g45_corpus_diff": [("doc_id", "i"), ("old_fp", "s"), ("new_fp", "s"), ("status", "s")],
+    "g46_split_leakage": [("split_a", "s"), ("split_b", "s"), ("n_leaky_docs", "i"), ("n_docs_a", "i"), ("leak_ratio", "n")],
     "g21_unpivot": [("l_orderkey", "i"), ("l_linenumber", "i"), ("name", "s"), ("value", "n")],
     "g13_salted_agg": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
     "g10_json": [("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("avg_k", "n")],

@@ -671,3 +671,98 @@ def minhash_lsh_ml(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
+
+
+def split_leakage_report(
+    df: DataFrame,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Cross-split n-gram leakage matrix — the dataset-QA audit that
+    answers "does my train split contain my test set?" for EVERY ordered
+    split pair at once. For each (split_a, split_b), counts the split_a
+    documents sharing ``min_overlap``+ distinct ``n``-gram shingles with
+    ANY split_b document (the :func:`contamination_report` predicate,
+    applied pairwise), plus split sizes and the leak ratio. Zero-leak
+    pairs are reported explicitly.
+
+    Scale shape: shingles are materialized ONCE (split rides through the
+    shingle explode inside the doc key, no corpus-sized join-back); the
+    probe is a single shingle-keyed equi join of doc shingles against
+    the per-split distinct shingle relation (the G2 inverted-index
+    shape — bounded by shingle collisions, never doc all-pairs), then
+    two keyed aggregates. The pair scaffold is built from a BOUNDED
+    |splits|-row driver collect (a constant-key self-join gets
+    constant-folded back into a cartesian node; split counts are tiny
+    by definition, so the collect is the clean form). For
+    the asymmetric "100-TB corpus vs MB-sized eval suite" direction,
+    :func:`contamination_report`'s broadcast probe is the cheaper tool;
+    this matrix is the symmetric audit across comparably-sized splits.
+    """
+    keyed = df.select(
+        F.struct(
+            F.col(id_col).alias("id"), F.col(split_col).alias("split")
+        ).alias("__ids"),
+        F.col(text_col),
+    )
+    sh = shingle_table(keyed, "__ids", text_col, n).select(
+        F.col("__ids")["id"].alias("__id"),
+        F.col("__ids")["split"].alias("__split"),
+        "shingle",
+    )
+    split_shingles = sh.select(
+        F.col("__split").alias("__split_b"), "shingle"
+    ).distinct()
+    per_doc = (
+        sh.join(split_shingles, "shingle")
+        .filter(F.col("__split") != F.col("__split_b"))
+        .groupBy("__id", "__split", "__split_b")
+        .agg(F.count(F.lit(1)).alias("__n_hits"))
+        .filter(F.col("__n_hits") >= min_overlap)
+    )
+    leaky = per_doc.groupBy(
+        F.col("__split").alias("split_a"), F.col("__split_b").alias("split_b")
+    ).agg(F.count(F.lit(1)).alias("n_leaky_docs"))
+    # NULL-split rows cannot belong to any pair (NULL != x is NULL in
+    # the probe filter too) — excluded loudly rather than silently.
+    sizes = {
+        r["split_a"]: int(r["n"])
+        for r in df.filter(F.col(split_col).isNotNull())
+        .groupBy(F.col(split_col).alias("split_a"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_null = df.filter(F.col(split_col).isNull()).limit(1).count()
+    if n_null:
+        import warnings
+
+        warnings.warn(
+            f"split_leakage_report: rows with NULL {split_col!r} are "
+            "excluded from the matrix",
+            stacklevel=2,
+        )
+    pairs = df.sparkSession.createDataFrame(
+        [
+            (a, b, na)
+            for a, na in sorted(sizes.items())
+            for b in sorted(sizes)
+            if a != b
+        ],
+        "split_a string, split_b string, n_docs_a long",
+    )
+    return pairs.join(leaky, ["split_a", "split_b"], "left").select(
+        "split_a",
+        "split_b",
+        F.coalesce(F.col("n_leaky_docs"), F.lit(0))
+        .cast("long")
+        .alias("n_leaky_docs"),
+        F.col("n_docs_a").cast("long"),
+        F.round(
+            F.coalesce(F.col("n_leaky_docs"), F.lit(0))
+            / F.col("n_docs_a").cast("double"),
+            4,
+        ).alias("leak_ratio"),
+    )

@@ -2345,3 +2345,43 @@ def test_curate_cli_manifest_publish_is_idempotent(spark, tmp_path, capsys):
     s2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s2["published"] is False
     assert s2["fingerprint"] == s1["fingerprint"]
+
+
+def test_split_leakage_report_matrix(spark):
+    from ferc_xbrl_extractor_spark.operators import neardup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "train"),
+            (2, "completely different words entirely here now", "train"),
+            (3, "the quick brown fox jumps over the lazy dog", "test"),
+            (4, "unrelated validation content nothing shared at all", "val"),
+        ],
+        "doc_id long, text string, split string",
+    )
+    out = {
+        (r["split_a"], r["split_b"]): (r["n_leaky_docs"], r["n_docs_a"],
+                                       r["leak_ratio"])
+        for r in neardup.split_leakage_report(
+            docs, n=3, min_overlap=3
+        ).collect()
+    }
+    # all 6 ordered pairs reported, zero-leak pairs explicit
+    assert set(out) == {
+        ("train", "test"), ("train", "val"), ("test", "train"),
+        ("test", "val"), ("val", "train"), ("val", "test"),
+    }
+    assert out[("train", "test")] == (1, 2, 0.5)   # doc 1 leaks into test
+    assert out[("test", "train")] == (1, 1, 1.0)   # doc 3 is doc 1
+    assert out[("train", "val")] == (0, 2, 0.0)
+    assert out[("val", "train")] == (0, 1, 0.0)
+    assert out[("test", "val")] == (0, 1, 0.0)
+
+    # no cartesian/BNLJ anywhere: the pair scaffold is a constant-key
+    # equi join
+    plan = (
+        neardup.split_leakage_report(docs, n=3, min_overlap=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
