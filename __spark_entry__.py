@@ -1424,6 +1424,24 @@ def q_g14_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.split_by_hash(docs, _G14_SPLIT, salt="sp:")
 
 
+def q_g47_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G47: leakage-safe splitting (sampling.leakage_safe_split) — the
+    same cumulative md5-hash bands as g14_split, but keyed on the
+    near-dup cluster id (component min-id of the Jaccard pair graph, the
+    g2_cluster_dedup recipe) so duplicate clusters never straddle a
+    split boundary. The oracle rebuilds the labels with the recursive
+    transitive-closure CTE and replays the band CASE on the cluster id."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = neardup.jaccard_pairs(docs, n=3, threshold=0.5)
+    return sampling.leakage_safe_split(
+        docs.select("doc_id"),
+        pairs,
+        _G14_SPLIT,
+        salt="sp:",
+        cluster_col="cluster",
+    ).select("doc_id", "cluster", "split")
+
+
 def q_g14_sample_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G14: deterministic per-stratum Bernoulli sampling (md5-derived
     uniform vs an integer rate threshold — zero shuffles, reproducible in
@@ -2562,6 +2580,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_orc_roundtrip": q_s7_orc_roundtrip,
         "g30_temperature_mix": q_g30_temperature_mix,
         "g14_split": q_g14_split,
+        "g47_leakage_safe_split": q_g47_leakage_safe_split,
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
@@ -3936,6 +3955,56 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
+    # G47: the same band CASE, keyed on the near-dup cluster id. The
+    # labels CTE is the g2_cluster_dedup transitive closure over the
+    # identical Jaccard pair set (n=3, threshold 0.5).
+    _u60_cl = (
+        "CAST(('0x' || substr(md5('sp:' || CAST(cluster AS VARCHAR)), 1, 15))"
+        " AS BIGINT)"
+    )
+    _sp_case_cl = (
+        "CASE "
+        + " ".join(
+            f"WHEN {_u60_cl} < {b} THEN '{nm}'" for nm, b in _sp_b
+        )
+        + f" ELSE '{_sp[-1][0]}' END"
+    )
+    sql["g47_leakage_safe_split"] = f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        jpairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM ds a JOIN ds b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        jsizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+        sim AS (
+            SELECT id_a, id_b
+            FROM jpairs
+            JOIN jsizes sa ON id_a = sa.doc_id
+            JOIN jsizes sb ON id_b = sb.doc_id
+            WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM sim
+            UNION ALL SELECT id_b, id_a FROM sim
+        ),
+        reach(id, lab) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+        ),
+        labels AS (
+            SELECT id, LEAST(MIN(lab), id) AS cluster FROM reach GROUP BY id
+        ),
+        lab AS (
+            SELECT d.doc_id,
+                   CAST(COALESCE(l.cluster, d.doc_id) AS BIGINT) AS cluster
+            FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+        )
+        SELECT doc_id, cluster, {_sp_case_cl} AS split FROM lab
+    """
+
     sql["g14_sample_rate"] = f"""
         SELECT doc_id, lang
         FROM documents
@@ -4869,7 +4938,7 @@ _SUITES: dict[str, list[str]] = {
     ],
     "g14_sample_suite": [
         "g14_split", "g14_sample_rate", "g14_sample_stratified",
-        "g30_temperature_mix",
+        "g30_temperature_mix", "g47_leakage_safe_split",
     ],
     "g4_doc_suite": ["g4_language_id", "g4_fingerprint", "g4_repetition"],
     "g4_score_suite": ["g4_bm25", "g4_surprisal"],
@@ -4991,6 +5060,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g24_incremental_neardup": [("doc_id", "i")],
     "g45_corpus_diff": [("doc_id", "i"), ("old_fp", "s"), ("new_fp", "s"), ("status", "s")],
     "g46_split_leakage": [("split_a", "s"), ("split_b", "s"), ("n_leaky_docs", "i"), ("n_docs_a", "i"), ("leak_ratio", "n")],
+    "g47_leakage_safe_split": [("doc_id", "i"), ("cluster", "i"), ("split", "s")],
     "g21_unpivot": [("l_orderkey", "i"), ("l_linenumber", "i"), ("name", "s"), ("value", "n")],
     "g13_salted_agg": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
     "g10_json": [("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("avg_k", "n")],

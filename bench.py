@@ -82,6 +82,8 @@ HEADLINE = [
     "g23_incremental_dedup",
     "g24_incremental_neardup",
     "g45_corpus_diff",
+    "g46_split_leakage",
+    "g47_leakage_safe_split",
     "g5_moving_agg",
     "g6_rollup",
     "g6_grouping_sets",

@@ -183,6 +183,48 @@ def split_by_hash(
     return df.withColumn(out_col, expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    out_col: str = "split",
+    salt: str = "",
+    cluster_col: str | None = None,
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: :func:`split_by_hash` keyed by
+    the document's near-duplicate CLUSTER id instead of its own id, so
+    every member of a duplicate cluster lands in the SAME split. This is
+    the assignment-time fix for the leakage that
+    :func:`~ferc_xbrl_extractor_spark.operators.neardup.split_leakage_report`
+    audits after the fact: with per-document hashing, a train/test pair of
+    near-identical documents is expected for ~2·p_train·p_test of every
+    duplicate cluster; keying the band on the component min-id makes that
+    probability exactly zero by construction while keeping every
+    :func:`split_by_hash` guarantee (disjoint, exhaustive, salt-redrawable,
+    stable under reprocessing — adding a NEW doc to an existing cluster
+    cannot move the cluster's split, because the label is the component
+    min-id and ids only grow).
+
+    ``pairs`` is any near-dup pair relation (``jaccard_pairs``,
+    ``minhash_lsh_pairs``, ``simhash_pairs``, embedding near-dup) with
+    ``id_a``/``id_b`` columns. Scale shape: the pair graph collapses to
+    per-node labels via distributed min-label propagation (|graph nodes|
+    rows — near-dup docs only, tiny next to the corpus), the corpus-side
+    join AQE-broadcasts those labels, and the band assignment itself stays
+    a pure map-side projection; the corpus is never shuffled. Pass
+    ``cluster_col`` to also keep the cluster id for auditing.
+    """
+    from ferc_xbrl_extractor_spark.operators.neardup import attach_clusters
+
+    cc = cluster_col if cluster_col is not None else "__lss_cluster"
+    clustered = attach_clusters(df, pairs, id_col=id_col, cluster_col=cc)
+    out = split_by_hash(
+        clustered, fractions, id_col=cc, out_col=out_col, salt=salt
+    )
+    return out if cluster_col is not None else out.drop(cc)
+
+
 def stratified_sample_n(
     df: DataFrame,
     key_col: str,

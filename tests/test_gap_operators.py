@@ -2385,3 +2385,52 @@ def test_split_leakage_report_matrix(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_leakage_safe_split_colocates_clusters(spark):
+    from ferc_xbrl_extractor_spark.operators import neardup, sampling
+
+    # 40 docs; ids i and i+100 are exact duplicates for i in 0..19, so
+    # each pair must land in ONE split regardless of where the per-doc
+    # hashes would have put them individually.
+    # per-doc-unique tokens: no cross-doc shingle overlap except the
+    # injected exact duplicates, so the closing leakage audit is clean
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(8))) for i in range(20)
+    ]
+    rows += [(i + 100, t) for i, t in rows]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = neardup.jaccard_pairs(docs, n=3, threshold=0.8)
+    fr = {"train": 0.6, "val": 0.2, "test": 0.2}
+
+    out = sampling.leakage_safe_split(
+        docs, pairs, fr, salt="t:", cluster_col="cluster"
+    )
+    got = {r["doc_id"]: (r["cluster"], r["split"]) for r in out.collect()}
+    assert len(got) == 40  # disjoint + exhaustive: every doc, exactly once
+    for i in range(20):
+        assert got[i] == got[i + 100]  # co-located, same cluster label
+        assert got[i][0] == i  # component min-id
+    # the naive per-doc split DOES separate at least one duplicate pair
+    # on this fixture (otherwise the operator would be vacuous here)
+    naive = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_by_hash(docs, fr, salt="t:").collect()
+    }
+    assert any(naive[i] != naive[i + 100] for i in range(20))
+
+    # singletons keep their split_by_hash assignment (cluster == own id)
+    solo = spark.createDataFrame(
+        [(7, "totally unshared words in this body only")],
+        "doc_id long, text string",
+    )
+    empty_pairs = pairs.filter(F.lit(False))
+    s = sampling.leakage_safe_split(solo, empty_pairs, fr, salt="t:")
+    n = sampling.split_by_hash(solo, fr, salt="t:").select("doc_id", "split")
+    assert s.select("doc_id", "split").collect() == n.collect()
+
+    # audit loop closes: the leakage matrix over the safe split is all-zero
+    leaks = neardup.split_leakage_report(
+        out.select("doc_id", "text", "split"), n=3, min_overlap=1
+    )
+    assert leaks.agg(F.sum("n_leaky_docs")).first()[0] == 0
