@@ -1442,6 +1442,26 @@ def q_g47_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "cluster", "split")
 
 
+def q_g48_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G48: token-budget corpus selection (sampling.select_to_token_budget)
+    — fill 40% of the corpus's tokens with the highest-stopword-ratio
+    (most natural-language) documents; running-total-before < budget keeps
+    the straddling doc. The oracle replays the same selection with one
+    QUALIFY running-sum window ordered (ratio desc nulls last, doc_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = text.with_text_stats(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio"
+    )
+    budget = int(stats.agg(F.sum("n_tokens")).first()[0]) * 2 // 5
+    return sampling.select_to_token_budget(
+        stats,
+        budget,
+        score_col="stopword_ratio",
+        token_col="n_tokens",
+        num_buckets=16,
+    )
+
+
 def q_g14_sample_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G14: deterministic per-stratum Bernoulli sampling (md5-derived
     uniform vs an integer rate threshold — zero shuffles, reproducible in
@@ -2581,6 +2601,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g30_temperature_mix": q_g30_temperature_mix,
         "g14_split": q_g14_split,
         "g47_leakage_safe_split": q_g47_leakage_safe_split,
+        "g48_budget_select": q_g48_budget_select,
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
@@ -4005,6 +4026,32 @@ def fine_oracle_sql() -> dict[str, str]:
         SELECT doc_id, cluster, {_sp_case_cl} AS split FROM lab
     """
 
+    # G48: the token-budget selection replayed as ONE running-sum window.
+    # Stats expressions are copied from the g4_text_stats oracle so the
+    # rounded ratio is bit-identical; the budget is the same floor(sum*2/5)
+    # integer both sides.
+    sql["g48_budget_select"] = f"""
+        WITH {_TOKENS_CTE},
+        st AS (
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   ROUND(CAST(len(list_filter(w, x -> list_contains(
+                           ['the','a','of','and','to','in'], x))) AS DOUBLE)
+                         / NULLIF(CAST(len(w) AS DOUBLE), 0.0), 4)
+                       AS stopword_ratio
+            FROM toks
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) * 2 // 5 AS budget FROM st
+        )
+        SELECT doc_id, n_tokens, stopword_ratio
+        FROM st, tot
+        QUALIFY COALESCE(SUM(n_tokens) OVER (
+                    ORDER BY stopword_ratio DESC NULLS LAST, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) < tot.budget
+    """
+
     sql["g14_sample_rate"] = f"""
         SELECT doc_id, lang
         FROM documents
@@ -4939,6 +4986,7 @@ _SUITES: dict[str, list[str]] = {
     "g14_sample_suite": [
         "g14_split", "g14_sample_rate", "g14_sample_stratified",
         "g30_temperature_mix", "g47_leakage_safe_split",
+        "g48_budget_select",
     ],
     "g4_doc_suite": ["g4_language_id", "g4_fingerprint", "g4_repetition"],
     "g4_score_suite": ["g4_bm25", "g4_surprisal"],
@@ -5061,6 +5109,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g45_corpus_diff": [("doc_id", "i"), ("old_fp", "s"), ("new_fp", "s"), ("status", "s")],
     "g46_split_leakage": [("split_a", "s"), ("split_b", "s"), ("n_leaky_docs", "i"), ("n_docs_a", "i"), ("leak_ratio", "n")],
     "g47_leakage_safe_split": [("doc_id", "i"), ("cluster", "i"), ("split", "s")],
+    "g48_budget_select": [("doc_id", "i"), ("n_tokens", "i"), ("stopword_ratio", "n")],
     "g21_unpivot": [("l_orderkey", "i"), ("l_linenumber", "i"), ("name", "s"), ("value", "n")],
     "g13_salted_agg": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
     "g10_json": [("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("avg_k", "n")],

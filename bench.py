@@ -84,6 +84,7 @@ HEADLINE = [
     "g45_corpus_diff",
     "g46_split_leakage",
     "g47_leakage_safe_split",
+    "g48_budget_select",
     "g5_moving_agg",
     "g6_rollup",
     "g6_grouping_sets",

@@ -225,6 +225,86 @@ def leakage_safe_split(
     return out if cluster_col is not None else out.drop(cc)
 
 
+def select_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Fill a token budget with the best-scoring documents: rank the
+    corpus by (``score_col`` desc, ``id_col`` asc) and keep every document
+    whose running token total BEFORE it is still under ``budget`` (the
+    document that straddles the boundary is kept, so the budget is always
+    reached when the corpus can reach it). This is the "select the top-N
+    tokens, not the top-N documents" primitive behind quality-pruned
+    pretraining mixes.
+
+    Scale shape — the naive form is a global-ORDER-BY running sum, i.e.
+    one task sorting the whole corpus. Instead: score-range buckets from
+    an ``approxQuantile`` probe split the order into ``num_buckets``
+    literal CASE bands; ONE map-side-combinable aggregate gives per-bucket
+    token totals (``num_buckets`` rows to the driver), whose prefix sums
+    locate the single boundary bucket. Buckets strictly above it are kept
+    wholesale, below dropped wholesale — both pure map-side filters — and
+    only the ~|corpus|/num_buckets boundary-bucket rows pay the exact
+    running-sum window. Quantile accuracy only balances work between
+    buckets; the selected SET is exact for any boundaries (ties can't
+    straddle a band: banding is a CASE on the score value itself).
+
+    NULL scores sort last (both the CASE and the window use
+    nulls-last order), so they are selected only after every scored
+    document fits. ``df`` is traversed twice (totals + selection) — for
+    an expensive upstream, persist before calling.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    s = F.col(score_col)
+    n_tok = F.col(token_col).cast("long")
+
+    probes = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = df.approxQuantile(score_col, probes, 0.01)
+    # Descending bands: bucket 0 = best scores. Duplicate boundaries
+    # (skewed score mass) just leave some bands empty.
+    edges = sorted({float(b) for b in bounds}, reverse=True)
+    bucket = F.lit(len(edges))  # score <= every edge (or NULL, below)
+    for i, e in enumerate(edges):
+        bucket = F.when(s > F.lit(e), F.lit(i)).otherwise(bucket)
+    bucket = F.when(s.isNull(), F.lit(len(edges) + 1)).otherwise(bucket)
+
+    bdf = df.withColumn("__bkt", bucket)
+    totals = {
+        int(r["__bkt"]): int(r["t"])
+        for r in bdf.groupBy("__bkt")
+        .agg(F.sum(n_tok).alias("t"))
+        .collect()
+    }
+    cum = 0
+    cut = None  # first bucket whose cumulative total reaches the budget
+    for b in sorted(totals):
+        if cum + totals[b] >= budget:
+            cut, base = b, cum
+            break
+        cum += totals[b]
+    if cut is None:  # budget exceeds the corpus — everything fits
+        return df
+
+    keep_whole = bdf.filter(F.col("__bkt") < cut)
+    w = (
+        Window.partitionBy()
+        .orderBy(s.desc_nulls_last(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = (
+        bdf.filter(F.col("__bkt") == cut)
+        .withColumn("__before", F.coalesce(F.sum(n_tok).over(w), F.lit(0)))
+        .filter(F.lit(base) + F.col("__before") < F.lit(budget))
+        .drop("__before")
+    )
+    return keep_whole.unionByName(boundary).drop("__bkt")
+
+
 def stratified_sample_n(
     df: DataFrame,
     key_col: str,

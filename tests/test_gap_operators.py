@@ -2434,3 +2434,42 @@ def test_leakage_safe_split_colocates_clusters(spark):
         out.select("doc_id", "text", "split"), n=3, min_overlap=1
     )
     assert leaks.agg(F.sum("n_leaky_docs")).first()[0] == 0
+
+
+def test_select_to_token_budget_matches_brute_force(spark):
+    import random
+
+    from ferc_xbrl_extractor_spark.operators import sampling
+
+    rng = random.Random(48)
+    # tie-heavy scores (only 5 distinct values) so band boundaries and the
+    # window tiebreak both get exercised; a few NULL scores sort last
+    rows = [
+        (i, rng.randint(1, 40), rng.choice([0.1, 0.2, 0.2, 0.3, 0.5, None]))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, score double")
+
+    def brute(budget):
+        order = sorted(
+            rows, key=lambda r: (r[2] is None, -(r[2] or 0.0), r[0])
+        )
+        keep, cum = set(), 0
+        for i, t, _s in order:
+            if cum < budget:
+                keep.add(i)
+            cum += t
+        return keep
+
+    total = sum(t for _, t, _ in rows)
+    for budget in (0, 1, total // 3, total - 1, total, total + 100):
+        got = {
+            r["doc_id"]
+            for r in sampling.select_to_token_budget(
+                df, budget, score_col="score", num_buckets=8
+            ).collect()
+        }
+        assert got == brute(budget), f"budget={budget}"
+
+    with pytest.raises(ValueError):
+        sampling.select_to_token_budget(df, -1, score_col="score")
