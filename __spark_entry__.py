@@ -1462,6 +1462,19 @@ def q_g48_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g49_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G49: DSIR hashed-ngram importance weights
+    (sampling.dsir_weights) — raw corpus scored against the doc_id%17==3
+    target slice, 1024 md5 buckets, add-1 smoothing; per-bucket log
+    ratios fixed to integer micro-nats so per-doc sums are exact longs.
+    The oracle replays buckets, smoothed ratios, and sums relationally."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 17 == 3)
+    return sampling.dsir_weights(
+        docs.select("doc_id", "text"), target, n_buckets=1024
+    ).select("doc_id", "dsir_logw_micro", "n_feats")
+
+
 def q_g14_sample_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G14: deterministic per-stratum Bernoulli sampling (md5-derived
     uniform vs an integer rate threshold — zero shuffles, reproducible in
@@ -2602,6 +2615,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g14_split": q_g14_split,
         "g47_leakage_safe_split": q_g47_leakage_safe_split,
         "g48_budget_select": q_g48_budget_select,
+        "g49_dsir_weights": q_g49_dsir_weights,
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
@@ -4052,6 +4066,50 @@ def fine_oracle_sql() -> dict[str, str]:
                 ), 0) < tot.budget
     """
 
+    # G49: DSIR importance weights — features (unigrams + bigrams) hashed
+    # to 1024 md5 buckets; per-bucket micro-nat log ratio with add-1
+    # smoothing; exact long sums per doc. Target = the doc_id%17==3 slice.
+    sql["g49_dsir_weights"] = f"""
+        WITH {_TOKENS_CTE},
+        ex AS (
+            SELECT doc_id, t.tk AS feat FROM toks, UNNEST(w) AS t(tk)
+            UNION ALL
+            SELECT doc_id, w[i + 1] || ' ' || w[i + 2] AS feat
+            FROM toks, UNNEST(range(greatest(len(w) - 1, 0))) AS t(i)
+        ),
+        bk AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('dsir:' || feat), 1, 15))
+                        AS BIGINT) % 1024 AS b
+            FROM ex
+        ),
+        rc AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
+        tc AS (
+            SELECT b, count(*) AS ct FROM bk WHERE doc_id % 17 = 3 GROUP BY b
+        ),
+        tr AS (SELECT CAST(sum(cr) AS BIGINT) AS tr FROM rc),
+        tt AS (SELECT CAST(COALESCE(sum(ct), 0) AS BIGINT) AS tt FROM tc),
+        ratio AS (
+            SELECT rc.b,
+                   CAST(round((
+                       ln((COALESCE(tc.ct, 0) + 1.0) / (tt.tt + 1024.0))
+                       - ln((rc.cr + 1.0) / (tr.tr + 1024.0))
+                   ) * 1e6) AS BIGINT) AS micro
+            FROM rc LEFT JOIN tc ON rc.b = tc.b, tt, tr
+        ),
+        pd AS (
+            SELECT bk.doc_id,
+                   CAST(sum(micro) AS BIGINT) AS logw,
+                   CAST(count(*) AS BIGINT) AS nf
+            FROM bk JOIN ratio ON bk.b = ratio.b
+            GROUP BY bk.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(pd.logw, 0) AS BIGINT) AS dsir_logw_micro,
+               CAST(COALESCE(pd.nf, 0) AS BIGINT) AS n_feats
+        FROM documents d LEFT JOIN pd USING (doc_id)
+    """
+
     sql["g14_sample_rate"] = f"""
         SELECT doc_id, lang
         FROM documents
@@ -4996,7 +5054,7 @@ _SUITES: dict[str, list[str]] = {
     "s7_corpus_roundtrip": ["s7_jsonl_roundtrip", "s7_orc_roundtrip"],
     "g15_decontaminate_suite": [
         "g15_decontaminate", "g15_bloom_decontaminate",
-        "g42_semantic_decon", "g46_split_leakage",
+        "g42_semantic_decon", "g46_split_leakage", "g49_dsir_weights",
     ],
     "g5_window_suite": ["g5_window_funcs", "g5_moving_agg"],
     "g6_multidim_suite": ["g6_rollup", "g6_cube", "g6_grouping_sets"],
@@ -5110,6 +5168,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g46_split_leakage": [("split_a", "s"), ("split_b", "s"), ("n_leaky_docs", "i"), ("n_docs_a", "i"), ("leak_ratio", "n")],
     "g47_leakage_safe_split": [("doc_id", "i"), ("cluster", "i"), ("split", "s")],
     "g48_budget_select": [("doc_id", "i"), ("n_tokens", "i"), ("stopword_ratio", "n")],
+    "g49_dsir_weights": [("doc_id", "i"), ("dsir_logw_micro", "i"), ("n_feats", "i")],
     "g21_unpivot": [("l_orderkey", "i"), ("l_linenumber", "i"), ("name", "s"), ("value", "n")],
     "g13_salted_agg": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
     "g10_json": [("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("avg_k", "n")],

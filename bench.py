@@ -85,6 +85,7 @@ HEADLINE = [
     "g46_split_leakage",
     "g47_leakage_safe_split",
     "g48_budget_select",
+    "g49_dsir_weights",
     "g5_moving_agg",
     "g6_rollup",
     "g6_grouping_sets",

@@ -305,6 +305,116 @@ def select_to_token_budget(
     return keep_whole.unionByName(boundary).drop("__bkt")
 
 
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    salt: str = "dsir:",
+    out_col: str = "dsir_logw_micro",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed n-gram features are under
+    a small TARGET distribution (the domain you want more of) than under
+    the raw corpus itself — ``log w(x) = Σ_feat log p_target(bucket) −
+    log p_raw(bucket)`` with add-``alpha`` smoothing over ``n_buckets``
+    hash buckets of unigram+bigram features. Select with
+    :func:`weighted_sample_k` (or a threshold) over the returned weight.
+
+    Cross-engine determinism: a per-doc SUM of float log-ratios is
+    order-dependent, so each BUCKET's log-ratio is fixed to integer
+    micro-nats once (``round(·1e6)`` over ``n_buckets`` rows — the
+    `unigram_surprisal` trick), and per-doc totals are exact long sums in
+    ``out_col`` (divide by 1e6 for nats). Bucket ids are md5-derived
+    (``hash_u60 % n_buckets``), replayable in any engine.
+
+    Scale shape: features explode into (id, bucket) rows — the raw side
+    twice (count pass + probe pass), both pure map-side expansions,
+    cheaper at 100 TB than materializing the exploded features; raw
+    bucket counts are ONE map-side-combinable aggregate with
+    ``n_buckets``-bounded output, totals ride as 1-row broadcasts, the
+    ratio relation is ``n_buckets`` rows (AQE-broadcast onto the corpus
+    probe), and the per-doc total is one keyed long-sum aggregate. The
+    corpus is never joined against the target directly — only against
+    the tiny bucket-ratio relation.
+    """
+    from ferc_xbrl_extractor_spark.operators.text import (
+        ngrams_from_tokens,
+        tokens,
+    )
+
+    def feats(d: DataFrame) -> DataFrame:
+        toked = d.select(
+            F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+        )
+        both = toked.select(
+            "__id",
+            F.explode(
+                F.concat(
+                    F.col("__toks"), ngrams_from_tokens("__toks", 2)
+                )
+            ).alias("__feat"),
+        )
+        return both.select(
+            "__id",
+            (hash_u60(F.col("__feat"), salt) % n_buckets).alias("__b"),
+        )
+
+    raw = feats(df)
+    raw_counts = raw.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tgt_counts = (
+        feats(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    raw_total = raw_counts.agg(F.sum("__cr").alias("__tr"))
+    tgt_total = tgt_counts.agg(F.sum("__ct").alias("__tt"))
+
+    denom = float(alpha) * n_buckets
+    # Raw counts cover every bucket the corpus probe can hit (raw IS the
+    # corpus), so a left join is total; absent target buckets smooth to
+    # alpha mass.
+    ratio = (
+        raw_counts.join(tgt_counts, "__b", "left")
+        .crossJoin(F.broadcast(tgt_total))
+        .crossJoin(F.broadcast(raw_total))
+        .select(
+            "__b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(float(alpha)))
+                        / (F.col("__tt") + F.lit(denom))
+                    )
+                    - F.log(
+                        (F.col("__cr") + F.lit(float(alpha)))
+                        / (F.col("__tr") + F.lit(denom))
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("__micro"),
+        )
+    )
+    per_doc = (
+        raw.join(ratio, "__b")
+        .groupBy("__id")
+        .agg(
+            F.sum("__micro").alias("__logw"),
+            F.count(F.lit(1)).alias("__nf"),
+        )
+    )
+    return (
+        df.join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .drop("__id")
+        .withColumn(out_col, F.coalesce(F.col("__logw"), F.lit(0)).cast("long"))
+        .withColumn("n_feats", F.coalesce(F.col("__nf"), F.lit(0)).cast("long"))
+        .drop("__logw", "__nf")
+    )
+
+
 def stratified_sample_n(
     df: DataFrame,
     key_col: str,

@@ -2473,3 +2473,58 @@ def test_select_to_token_budget_matches_brute_force(spark):
 
     with pytest.raises(ValueError):
         sampling.select_to_token_budget(df, -1, score_col="score")
+
+
+def test_dsir_weights_match_python_reference(spark):
+    import hashlib
+    import math
+
+    from ferc_xbrl_extractor_spark.operators import sampling
+
+    rows = [
+        (1, "physics of stars and galaxies"),
+        (2, "stars and galaxies shine bright"),
+        (3, "tax forms and filing deadlines"),
+        (4, "filing tax paperwork deadlines soon"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter(F.col("doc_id") <= 2)  # the "astronomy" domain
+    B, alpha = 64, 1.0
+
+    def feats(text):
+        w = [t for t in text.split() if t]
+        grams = w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+        return [
+            int(hashlib.md5(f"dsir:{g}".encode()).hexdigest()[:15], 16) % B
+            for g in grams
+        ]
+
+    raw = [b for _, t in rows for b in feats(t)]
+    tgt = [b for i, t in rows if i <= 2 for b in feats(t)]
+    cr = {b: raw.count(b) for b in set(raw)}
+    ct = {b: tgt.count(b) for b in set(tgt)}
+    tr, tt = len(raw), len(tgt)
+
+    def micro(b):
+        return round(
+            (
+                math.log((ct.get(b, 0) + alpha) / (tt + alpha * B))
+                - math.log((cr[b] + alpha) / (tr + alpha * B))
+            )
+            * 1e6
+        )
+
+    expect = {
+        i: (sum(micro(b) for b in feats(t)), len(feats(t))) for i, t in rows
+    }
+    got = {
+        r["doc_id"]: (r["dsir_logw_micro"], r["n_feats"])
+        for r in sampling.dsir_weights(
+            docs, target, n_buckets=B, alpha=alpha
+        ).collect()
+    }
+    assert got == expect
+    # target-like docs must outrank off-domain docs
+    assert min(got[1][0], got[2][0]) > max(got[3][0], got[4][0])
+    assert got[5] == (0, 0)  # empty doc: no features, weight 0
