@@ -807,6 +807,16 @@ def q_g3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=5)
 
 
+def q_g50_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G50: contrastive pair mining (similarity.hard_negative_pairs) —
+    for 20 anchors, top-1 same-label positive + top-5 hardest
+    different-label negatives by cosine. The oracle replays the scored
+    cross join with a per-(anchor, role) row_number window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 20)
+    return similarity.hard_negative_pairs(emb, anchors, k_neg=5, n_pos=1)
+
+
 def q_g3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 scale path: sign-LSH bucketed ANN — oracle-checked exactly: the
     ±1 hyperplanes are md5-derived constants, inlined into the oracle SQL
@@ -2616,6 +2626,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g47_leakage_safe_split": q_g47_leakage_safe_split,
         "g48_budget_select": q_g48_budget_select,
         "g49_dsir_weights": q_g49_dsir_weights,
+        "g50_hard_negatives": q_g50_hard_negatives,
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
@@ -2969,6 +2980,36 @@ def fine_oracle_sql() -> dict[str, str]:
                                        ORDER BY sim DESC, neighbor_id) AS INT) AS rank
         FROM scored
         QUALIFY rank <= 5
+    """
+
+    # G50: hard-negative mining — g3_cosine_topk's scored cross join with
+    # a null-safe role split and per-(anchor, role) ranks.
+    sql["g50_hard_negatives"] = """
+        WITH q AS (
+            SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qe,
+                   label AS albl
+            FROM embeddings WHERE vec_id < 20
+        ),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce,
+                     label AS clbl
+              FROM embeddings),
+        scored AS (
+            SELECT anchor_id, neighbor_id,
+                   CASE WHEN clbl IS NOT DISTINCT FROM albl
+                        THEN 'pos' ELSE 'neg' END AS role,
+                   ROUND(
+                       list_inner_product(qe, ce) /
+                       (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(ce, ce))),
+                       4
+                   ) AS sim
+            FROM c, q
+            WHERE neighbor_id <> anchor_id
+        )
+        SELECT anchor_id, neighbor_id, role, sim,
+               CAST(row_number() OVER (PARTITION BY anchor_id, role
+                                       ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= CASE role WHEN 'pos' THEN 1 ELSE 5 END
     """
 
     # G42 semantic decontamination: same float recipe as g3_cosine_topk
@@ -5068,6 +5109,7 @@ _SUITES: dict[str, list[str]] = {
     "g3_ann_suite": [
         "g3_cosine_topk", "g3_lsh_topk", "g3_ivf_topk",
         "g3_embedding_neardup", "g3_recall", "g44_ranking_report",
+        "g50_hard_negatives",
     ],
     "g26_span_suite": ["g26_dup_spans", "g26_trim_spans"],
     "g29_vocab_suite": [
@@ -5169,6 +5211,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g47_leakage_safe_split": [("doc_id", "i"), ("cluster", "i"), ("split", "s")],
     "g48_budget_select": [("doc_id", "i"), ("n_tokens", "i"), ("stopword_ratio", "n")],
     "g49_dsir_weights": [("doc_id", "i"), ("dsir_logw_micro", "i"), ("n_feats", "i")],
+    "g50_hard_negatives": [("anchor_id", "i"), ("neighbor_id", "i"), ("role", "s"), ("sim", "n"), ("rank", "i")],
     "g21_unpivot": [("l_orderkey", "i"), ("l_linenumber", "i"), ("name", "s"), ("value", "n")],
     "g13_salted_agg": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
     "g10_json": [("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("avg_k", "n")],

@@ -49,6 +49,7 @@ HEADLINE = [
     "g3_ivf_topk",
     "g3_recall",
     "g44_ranking_report",
+    "g50_hard_negatives",
     "g42_semantic_decon",
     "g27_semantic_dedup",
     "g4_text_stats",

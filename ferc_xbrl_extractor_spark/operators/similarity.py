@@ -955,6 +955,89 @@ def semantic_decontaminate(
     return out
 
 
+def hard_negative_pairs(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k_neg: int = 5,
+    n_pos: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+    candidates: DataFrame | None = None,
+    two_phase: bool = True,
+) -> DataFrame:
+    """Contrastive training-pair mining (the DPR/SimCSE data-prep step):
+    for each anchor vector, the ``n_pos`` most-similar SAME-label vectors
+    (positives) and the ``k_neg`` most-similar DIFFERENT-label vectors —
+    the *hard* negatives that actually move an embedding model, versus
+    easy random ones. Output rows: (anchor_id, neighbor_id, role
+    'pos'|'neg', sim, rank), rank per (anchor, role), ties by neighbor id.
+
+    Label semantics: roles compare with null-safe equality, so two NULL
+    labels pair as 'pos'; a NULL vs non-NULL label is 'neg'. Self-pairs
+    are always excluded.
+
+    Scale shape: anchors are the query side of the G3 brute-force scorer
+    — explicitly broadcast, corpus scanned once, then ONE top-k per
+    (anchor, role) with the two-phase partition-local pre-prune (the
+    exchange carries ≤ (k·partitions) rows per anchor-role, never the
+    scored cross product). For corpora where even one scan per mining
+    round is too much, pass ``candidates`` (anchor_id, neighbor_id) from
+    the LSH/IVF bucketed joins (`hyperplane_lsh_topk` / `ivf_topk`
+    internals) — scoring then touches only the candidate pairs via a
+    keyed join instead of the broadcast cross product.
+    """
+    a = anchors.select(
+        F.col(id_col).alias(anchor_id_col),
+        F.col(vec_col).alias("__avec"),
+        norm(F.col(vec_col)).alias("__na"),
+        F.col(label_col).alias("__albl"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__nc"),
+        F.col(label_col).alias("__clbl"),
+    )
+    if candidates is None:
+        crossed = c.crossJoin(F.broadcast(a))
+    else:
+        pair = candidates.select(
+            F.col(anchor_id_col), F.col("neighbor_id")
+        )
+        crossed = pair.join(F.broadcast(a), anchor_id_col).join(
+            c, "neighbor_id"
+        )
+    scored = crossed.filter(
+        F.col("neighbor_id") != F.col(anchor_id_col)
+    ).select(
+        anchor_id_col,
+        "neighbor_id",
+        F.when(F.col("__clbl").eqNullSafe(F.col("__albl")), F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("role"),
+        F.round(
+            dot(F.col("__avec"), F.col("__cvec"))
+            / (F.col("__na") * F.col("__nc")),
+            4,
+        ).alias("sim"),
+    )
+    ranked = topk_per_key(
+        scored,
+        [anchor_id_col, "role"],
+        [F.col("sim").desc(), F.col("neighbor_id")],
+        max(k_neg, n_pos),
+        two_phase=two_phase,
+    )
+    return ranked.filter(
+        F.col("rank")
+        <= F.when(F.col("role") == "pos", F.lit(n_pos)).otherwise(
+            F.lit(k_neg)
+        )
+    ).select(anchor_id_col, "neighbor_id", "role", "sim", "rank")
+
+
 def ranking_report(
     results: DataFrame,
     relevant: DataFrame,

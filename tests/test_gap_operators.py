@@ -2528,3 +2528,52 @@ def test_dsir_weights_match_python_reference(spark):
     # target-like docs must outrank off-domain docs
     assert min(got[1][0], got[2][0]) > max(got[3][0], got[4][0])
     assert got[5] == (0, 0)  # empty doc: no features, weight 0
+
+
+def test_hard_negative_pairs_roles_and_ranks(spark):
+    from ferc_xbrl_extractor_spark.operators import similarity
+
+    # 2-d vectors: label A near (1,0), label B near (0,1); anchor 0 is A
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], "A"),
+            (1, [0.9, 0.1], "A"),
+            (2, [0.8, 0.3], "A"),
+            (3, [0.1, 1.0], "B"),
+            (4, [0.4, 0.9], "B"),
+            (5, [0.0, 1.0], None),
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    anchors = emb.filter(F.col("vec_id") == 0)
+    out = similarity.hard_negative_pairs(
+        emb, anchors, k_neg=2, n_pos=1
+    ).collect()
+    by_role = {}
+    for r in out:
+        by_role.setdefault(r["role"], []).append(r)
+    # positive: the closest same-label vector (1), exactly n_pos of them
+    assert [r["neighbor_id"] for r in by_role["pos"]] == [1]
+    # negatives: hardest different-label first — 4 points more toward A
+    # than 3 or 5; NULL label counts as a negative for a labeled anchor
+    negs = sorted(by_role["neg"], key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in negs] == [4, 3]
+    assert all(r["role"] == "neg" for r in negs)
+    assert {r["rank"] for r in negs} == {1, 2}
+
+    # NULL-label anchor: NULL pairs with NULL as 'pos'
+    nanchor = emb.filter(F.col("vec_id") == 5)
+    nout = similarity.hard_negative_pairs(emb, nanchor, k_neg=2, n_pos=1)
+    pos = [r for r in nout.collect() if r["role"] == "pos"]
+    assert pos == []  # vec 5 is the only NULL-label vector (self excluded)
+
+    # candidate-restricted path ≡ exact when candidates cover all pairs
+    cand = (
+        anchors.select(F.col("vec_id").alias("anchor_id"))
+        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id")))
+    )
+    a = similarity.hard_negative_pairs(emb, anchors, k_neg=2, n_pos=1)
+    b = similarity.hard_negative_pairs(
+        emb, anchors, k_neg=2, n_pos=1, candidates=cand
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
