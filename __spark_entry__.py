@@ -779,6 +779,20 @@ def q_g2_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g52_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G52: quality-keep corpus dedup (neardup.dedup_by_pairs_best) —
+    per Jaccard component the LONGEST member survives (ties min id),
+    singletons pass through. The oracle replays the component labels
+    with the recursive CTE and the keep policy with one row_number
+    window."""
+    docs = _t(spark, sf_dir, "documents")
+    wt = docs.withColumn("n_tokens", text.token_counts(docs))
+    pairs = neardup.jaccard_pairs(docs, n=3, threshold=0.5)
+    return neardup.dedup_by_pairs_best(wt, pairs, keep_by="n_tokens").select(
+        "doc_id", "n_tokens"
+    )
+
+
 def q_g2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2 scale path: MinHash(md5)+LSH banding, then exact verification of
     candidates only. md5-based permutations make the signature — and thus
@@ -1483,6 +1497,20 @@ def q_g49_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.dsir_weights(
         docs.select("doc_id", "text"), target, n_buckets=1024
     ).select("doc_id", "dsir_logw_micro", "n_feats")
+
+
+def q_g51_score_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G51: CCNet head/middle/tail buckets (sampling.score_buckets,
+    exact NTILE form) — per-language equal-population thirds by
+    stopword ratio, best third = 'head'. The oracle replays the same
+    NTILE window (ties broken by doc_id) in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = text.with_text_stats(docs).select(
+        "doc_id", "lang", "stopword_ratio"
+    )
+    return sampling.score_buckets(
+        stats, "stopword_ratio", by="lang"
+    ).select("doc_id", "lang", "bucket")
 
 
 def q_g14_sample_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2627,6 +2655,8 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g48_budget_select": q_g48_budget_select,
         "g49_dsir_weights": q_g49_dsir_weights,
         "g50_hard_negatives": q_g50_hard_negatives,
+        "g51_score_buckets": q_g51_score_buckets,
+        "g52_dedup_best": q_g52_dedup_best,
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
@@ -2922,6 +2952,57 @@ def fine_oracle_sql() -> dict[str, str]:
                COALESCE(l.cluster, d.doc_id) AS cluster,
                COALESCE(l.cluster, d.doc_id) = d.doc_id AS is_survivor
         FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+    """
+
+    # G52: the g2_cluster_dedup closure + a keep-best row_number window
+    # ((has score, score, id) order — the max_by struct replayed).
+    sql["g52_dedup_best"] = f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        jpairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM ds a JOIN ds b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        jsizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+        sim AS (
+            SELECT id_a, id_b
+            FROM jpairs
+            JOIN jsizes sa ON id_a = sa.doc_id
+            JOIN jsizes sb ON id_b = sb.doc_id
+            WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM sim
+            UNION ALL SELECT id_b, id_a FROM sim
+        ),
+        reach(id, lab) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+        ),
+        labels AS (
+            SELECT id, LEAST(MIN(lab), id) AS cluster FROM reach GROUP BY id
+        ),
+        nt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+        sc AS (
+            SELECT l.id AS doc_id, l.cluster, nt.n_tokens
+            FROM labels l JOIN nt ON nt.doc_id = l.id
+        ),
+        win AS (
+            SELECT doc_id FROM sc
+            QUALIFY row_number() OVER (
+                PARTITION BY cluster
+                ORDER BY (n_tokens IS NOT NULL) DESC, n_tokens DESC, doc_id
+            ) = 1
+        ),
+        losers AS (
+            SELECT doc_id FROM sc
+            WHERE doc_id NOT IN (SELECT doc_id FROM win)
+        )
+        SELECT d.doc_id, nt.n_tokens
+        FROM documents d JOIN nt USING (doc_id)
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
     """
 
     sql["g2_minhash_lsh"] = f"""
@@ -4151,6 +4232,25 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN pd USING (doc_id)
     """
 
+    # G51: CCNet buckets — the same stopword-ratio stat as g4_text_stats,
+    # then an NTILE(3) window per language, ties by doc_id.
+    sql["g51_score_buckets"] = f"""
+        WITH {_TOKENS_CTE},
+        st AS (
+            SELECT doc_id, lang,
+                   ROUND(CAST(len(list_filter(w, x -> list_contains(
+                           ['the','a','of','and','to','in'], x))) AS DOUBLE)
+                         / NULLIF(CAST(len(w) AS DOUBLE), 0.0), 4) AS r
+            FROM toks
+        )
+        SELECT doc_id, lang,
+               ['head', 'middle', 'tail'][ntile(3) OVER (
+                   PARTITION BY lang
+                   ORDER BY r DESC NULLS LAST, doc_id
+               )] AS bucket
+        FROM st
+    """
+
     sql["g14_sample_rate"] = f"""
         SELECT doc_id, lang
         FROM documents
@@ -5085,7 +5185,7 @@ _SUITES: dict[str, list[str]] = {
     "g14_sample_suite": [
         "g14_split", "g14_sample_rate", "g14_sample_stratified",
         "g30_temperature_mix", "g47_leakage_safe_split",
-        "g48_budget_select",
+        "g48_budget_select", "g51_score_buckets",
     ],
     "g4_doc_suite": ["g4_language_id", "g4_fingerprint", "g4_repetition"],
     "g4_score_suite": ["g4_bm25", "g4_surprisal"],
@@ -5105,7 +5205,9 @@ _SUITES: dict[str, list[str]] = {
     ],
     "g8_event_window_suite": ["g8_tumbling", "g8_sliding", "g8_session"],
     "g9_asof_suite": ["g9_asof_join", "g9_asof_forward"],
-    "g2_neardup_suite": ["g2_jaccard", "g2_minhash_lsh", "g2_simhash"],
+    "g2_neardup_suite": [
+        "g2_jaccard", "g2_minhash_lsh", "g2_simhash", "g52_dedup_best"
+    ],
     "g3_ann_suite": [
         "g3_cosine_topk", "g3_lsh_topk", "g3_ivf_topk",
         "g3_embedding_neardup", "g3_recall", "g44_ranking_report",
@@ -5212,6 +5314,8 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g48_budget_select": [("doc_id", "i"), ("n_tokens", "i"), ("stopword_ratio", "n")],
     "g49_dsir_weights": [("doc_id", "i"), ("dsir_logw_micro", "i"), ("n_feats", "i")],
     "g50_hard_negatives": [("anchor_id", "i"), ("neighbor_id", "i"), ("role", "s"), ("sim", "n"), ("rank", "i")],
+    "g51_score_buckets": [("doc_id", "i"), ("lang", "s"), ("bucket", "s")],
+    "g52_dedup_best": [("doc_id", "i"), ("n_tokens", "i")],
     "g21_unpivot": [("l_orderkey", "i"), ("l_linenumber", "i"), ("name", "s"), ("value", "n")],
     "g13_salted_agg": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
     "g10_json": [("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("avg_k", "n")],

@@ -636,6 +636,48 @@ def dedup_by_pairs(
     return df.join(losers, id_col, "left_anti")
 
 
+def dedup_by_pairs_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    keep_by: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`dedup_by_pairs` with a QUALITY keep policy: per near-dup
+    component the survivor is the member with the highest ``keep_by``
+    (a NUMERIC quality/score/length column; ties and all-NULL components
+    fall back to the minimum id — a component can never delete itself).
+    "Keep the longest / highest-quality duplicate" is what production
+    dedup passes actually want; min-id keep is only right when members
+    are interchangeable.
+
+    Scale shape matches the min-id form: labels are |graph nodes| rows
+    (AQE-broadcast onto the corpus for the score fetch), the winner per
+    component is ONE ``max_by`` aggregate (no window sort), and ``df``
+    itself is never shuffled — the loser set anti-joins against the scan.
+    """
+    labels = connected_components(pairs, id_a="id_a", id_b="id_b")
+    members = labels.withColumnsRenamed({"id": id_col, "label": "__cc"})
+    scored = df.select(
+        id_col, F.col(keep_by).cast("double").alias("__score")
+    ).join(members, id_col)
+    # Order inside max_by: scored beats unscored, higher score beats
+    # lower, then MIN id — encoded as max of (has_score, score0, -id).
+    ordkey = F.struct(
+        F.col("__score").isNotNull().alias("s"),
+        F.coalesce(F.col("__score"), F.lit(0.0)).alias("v"),
+        (-F.col(id_col)).alias("negid"),
+    )
+    winners = scored.groupBy("__cc").agg(
+        F.max_by(F.col(id_col), ordkey).alias("__win")
+    )
+    losers = (
+        scored.join(winners, "__cc")
+        .filter(F.col(id_col) != F.col("__win"))
+        .select(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def minhash_lsh_ml(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -415,6 +415,100 @@ def dsir_weights(
     )
 
 
+def score_buckets(
+    df: DataFrame,
+    score_col: str,
+    by: str | None = None,
+    n_buckets: int = 3,
+    labels: tuple[str, ...] | None = ("head", "middle", "tail"),
+    id_col: str = "doc_id",
+    out_col: str = "bucket",
+    descending: bool = True,
+    exact: bool = True,
+    rel_err: float = 0.01,
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): rank
+    every document within its ``by`` stratum (per-language in CCNet) by
+    ``score_col`` and label equal-POPULATION buckets — bucket 1 ("head")
+    is the best-scoring third, the one CCNet keeps outright. Descending
+    order means higher score = better; flip for perplexity-like scores
+    where lower is better.
+
+    Two forms:
+
+    - ``exact=True``: NTILE over a per-stratum window (ties broken by
+      ``id_col`` — deterministic, replayable in any engine). One keyed
+      exchange; the window sorts each stratum on one task chain, so a
+      single dominant stratum is a straggler at extreme scale.
+    - ``exact=False``: per-stratum ``percentile_approx`` thresholds (one
+      map-side-combinable aggregate, |strata| rows to the driver) compiled
+      into a literal CASE — a pure map-side projection, no shuffle of the
+      corpus at all. Bucket POPULATIONS are then approximate (quantile
+      sketch error + ties sharing a threshold land in one bucket), which
+      is what a 100-TB CCNet pass actually runs.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError(
+            f"labels has {len(labels)} entries for {n_buckets} buckets"
+        )
+    s = F.col(score_col)
+    order = [s.desc_nulls_last() if descending else s.asc_nulls_last(),
+             F.col(id_col)]
+
+    if exact:
+        w = Window.partitionBy(*( [by] if by else [] )).orderBy(*order)
+        idx = F.ntile(n_buckets).over(w)
+    else:
+        strata = (
+            df.groupBy(*( [by] if by else [] ))
+            .agg(
+                F.percentile_approx(
+                    s,
+                    [i / n_buckets for i in range(1, n_buckets)],
+                    int(1 / rel_err),
+                ).alias("__th")
+            )
+            .collect()
+        )
+        # Thresholds are per-stratum literals; the when-chain tests the
+        # TIGHTEST cut first (first match wins), so looser cuts cannot
+        # shadow it. NULL scores always fall to the last bucket.
+        def bucket_expr(th: list | None) -> Column:
+            cuts = [c for c in (th or []) if c is not None]
+            cuts = sorted(cuts, reverse=descending)
+            e = None
+            for i, c in enumerate(cuts):
+                cond = (
+                    s >= F.lit(float(c))
+                    if descending
+                    else s <= F.lit(float(c))
+                )
+                e = (
+                    F.when(cond, F.lit(i + 1))
+                    if e is None
+                    else e.when(cond, F.lit(i + 1))
+                )
+            e = F.lit(n_buckets) if e is None else e.otherwise(F.lit(n_buckets))
+            return F.when(s.isNull(), F.lit(n_buckets)).otherwise(e)
+
+        if by:
+            idx = None
+            for r in strata:
+                cond = F.col(by).eqNullSafe(F.lit(r[by]))
+                b = bucket_expr(r["__th"])
+                idx = F.when(cond, b) if idx is None else idx.when(cond, b)
+            idx = idx.otherwise(F.lit(n_buckets))
+        else:
+            idx = bucket_expr(strata[0]["__th"] if strata else None)
+
+    if labels is not None:
+        lab = F.element_at(F.array(*[F.lit(x) for x in labels]), idx)
+        return df.withColumn(out_col, lab)
+    return df.withColumn(out_col, idx.cast("int"))
+
+
 def stratified_sample_n(
     df: DataFrame,
     key_col: str,

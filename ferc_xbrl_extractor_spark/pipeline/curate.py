@@ -62,6 +62,7 @@ def curate_corpus(
     max_dup_line_ratio: float | None = None,
     max_dup_3gram_ratio: float | None = None,
     neardup_threshold: float | None = None,
+    neardup_keep_by: str | None = None,
     redact: bool = False,
     stratum_col: str | None = None,
     sample_n: int | None = None,
@@ -74,6 +75,8 @@ def curate_corpus(
     paragraph_sep: str | None = None,
     trim_spans_n: int | None = None,
     trim_spans_min_count: int = 2,
+    token_budget: int | None = None,
+    budget_score_col: str = "stopword_ratio",
     encode_vocab_size: int | None = None,
     cut_lineage: bool = True,
 ) -> DataFrame:
@@ -103,7 +106,13 @@ def curate_corpus(
     spans they would otherwise become); ``trim_spans_n`` removes G26
     cross-document duplicated n-gram spans from surviving text (after
     document dedup: whole-doc duplicates are gone, boilerplate inside
-    survivors remains); ``encode_vocab_size`` appends G29 ``token_ids``
+    survivors remains); ``neardup_keep_by`` names a numeric column (e.g.
+    ``n_tokens`` — the stats are already attached) and switches near-dup
+    survivor choice to the G52 quality-keep policy (best member wins,
+    not min id); ``token_budget`` caps the FINAL corpus at a token
+    budget via G48 selection ordered by ``budget_score_col`` desc
+    (after sampling, before encoding — the budget bounds what ships);
+    ``encode_vocab_size`` appends G29 ``token_ids``
     encoded against a vocab built from the final survivors (last, so the
     vocab reflects what ships).
     """
@@ -165,7 +174,12 @@ def curate_corpus(
             n=shingle_n,
             threshold=neardup_threshold,
         )
-        deduped = neardup.dedup_by_pairs(deduped, pairs, id_col=id_col)
+        if neardup_keep_by is not None:
+            deduped = neardup.dedup_by_pairs_best(
+                deduped, pairs, keep_by=neardup_keep_by, id_col=id_col
+            )
+        else:
+            deduped = neardup.dedup_by_pairs(deduped, pairs, id_col=id_col)
     if paragraph_sep is not None:
         deduped = (
             text.paragraph_dedup(
@@ -198,6 +212,14 @@ def curate_corpus(
             raise ValueError("sample_n requires stratum_col")
         deduped = sampling.stratified_sample_n(
             deduped, stratum_col, sample_n, id_col=id_col, salt=sample_salt
+        )
+    if token_budget is not None:
+        deduped = sampling.select_to_token_budget(
+            deduped,
+            token_budget,
+            score_col=budget_score_col,
+            token_col="n_tokens",
+            id_col=id_col,
         )
     if encode_vocab_size is not None:
         v = vocab.build_vocab(deduped, text_col, vocab_size=encode_vocab_size)

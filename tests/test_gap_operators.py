@@ -2577,3 +2577,129 @@ def test_hard_negative_pairs_roles_and_ranks(spark):
         emb, anchors, k_neg=2, n_pos=1, candidates=cand
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_score_buckets_exact_and_approx(spark):
+    from ferc_xbrl_extractor_spark.operators import sampling
+
+    rows = [(i, "en" if i % 2 == 0 else "fr", float(i)) for i in range(18)]
+    rows.append((100, "en", None))  # NULL score sorts last
+    df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in sampling.score_buckets(df, "s", by="lang").collect()
+    }
+    # en stratum: scores 16,14,...,0 then NULL -> 10 rows, ntile(3)=4/3/3
+    en_order = [16, 14, 12, 10, 8, 6, 4, 2, 0, 100]
+    for pos, i in enumerate(en_order):
+        expect = "head" if pos < 4 else ("middle" if pos < 7 else "tail")
+        assert out[i] == expect, (i, out[i])
+    # fr stratum: 9 rows, 3/3/3
+    fr_order = [17, 15, 13, 11, 9, 7, 5, 3, 1]
+    for pos, i in enumerate(fr_order):
+        expect = ("head", "middle", "tail")[pos // 3]
+        assert out[i] == expect
+
+    # ascending (perplexity-style): lowest score is head
+    asc = {
+        r["doc_id"]: r["bucket"]
+        for r in sampling.score_buckets(
+            df, "s", by="lang", descending=False
+        ).collect()
+    }
+    assert asc[0] == "head" and asc[16] == "tail" and asc[100] == "tail"
+
+    # approx form: pure map-side thresholds; on this small fixture the
+    # sketch is exact at the probed quantiles, so buckets are monotone
+    # in score and head is non-empty per stratum
+    ap = sampling.score_buckets(df, "s", by="lang", exact=False)
+    got = {(r["lang"], r["doc_id"]): r["bucket"] for r in ap.collect()}
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang in ("en", "fr"):
+        scored = sorted(
+            [
+                (s, order[got[(lg, i)]])
+                for i, lg, s in rows
+                if lg == lang and s is not None
+            ],
+            reverse=True,
+        )
+        buckets = [b for _, b in scored]
+        assert buckets == sorted(buckets)  # monotone: better score never
+        assert buckets[0] == 0             # in a worse bucket
+    assert got[("en", 100)] == "tail"      # NULL -> last bucket
+
+    with pytest.raises(ValueError):
+        sampling.score_buckets(df, "s", n_buckets=1)
+    with pytest.raises(ValueError):
+        sampling.score_buckets(df, "s", labels=("a", "b"), n_buckets=3)
+
+
+def test_dedup_by_pairs_best_keep_policy(spark):
+    from ferc_xbrl_extractor_spark.operators import neardup
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0), (2, 30.0), (3, 20.0),   # component {1,2,3}: 2 wins
+            (4, None), (5, None),              # all-NULL component: min id 4
+            (6, 7.0), (7, 7.0),                # tie: min id 6
+            (8, 1.0),                          # singleton survives
+        ],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 7)], "id_a long, id_b long"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in neardup.dedup_by_pairs_best(df, pairs, keep_by="q").collect()
+    )
+    assert got == [2, 4, 6, 8]
+    # min-id form keeps 1 instead of 2 on the scored component
+    naive = sorted(
+        r["doc_id"] for r in neardup.dedup_by_pairs(df, pairs).collect()
+    )
+    assert naive == [1, 4, 6, 8]
+
+
+def test_curate_corpus_keep_by_and_token_budget_stages(spark):
+    from ferc_xbrl_extractor_spark.pipeline import curate
+
+    base = "the a of and to in common words shared body here now"
+    rows = [
+        (1, base + " extra tail tokens making this one longer"),
+        (2, base),                       # near-dup of 1; 1 is longer
+        (3, "the a of and to in another unique document body three x"),
+        (4, "the a of and to in another unique document body four yy"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # keep-best: doc 1 (longer) survives its cluster, not min-id... which
+    # here coincide — so flip: make the LONGER one the higher id
+    docs2 = spark.createDataFrame(
+        [(2, rows[0][1]), (1, base), (3, rows[2][1]), (4, rows[3][1])],
+        "doc_id long, text string",
+    )
+    out = curate.curate_corpus(
+        docs2,
+        min_tokens=5,
+        max_stopword_ratio=1.0,
+        min_uniq_ratio=0.0,
+        neardup_threshold=0.5,
+        neardup_keep_by="n_tokens",
+    )
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert 2 in ids and 1 not in ids  # longer member won, not min id
+
+    # token budget caps the shipped corpus
+    capped = curate.curate_corpus(
+        docs,
+        min_tokens=5,
+        max_stopword_ratio=1.0,
+        min_uniq_ratio=0.0,
+        token_budget=13,
+    )
+    got = capped.select("doc_id", "n_tokens").collect()
+    assert sum(r["n_tokens"] for r in got) >= 13  # straddler kept
+    assert len(got) < len(rows)                   # something was cut

@@ -63,6 +63,13 @@ INTENTIONAL_BNLJ = {
     # cross join) as the exact reference side.
     "g3_recall",
     "g44_ranking_report",
+    # g49_dsir_weights: TWO one-row total relations (raw/target feature
+    # counts) cross-joined into the bucket-ratio projection (g4_bm25
+    # shape — n_buckets rows × 1 × 1).
+    "g49_dsir_weights",
+    # g50_hard_negatives: the g3_cosine_topk broadcast-anchors cross
+    # join (corpus × 20 anchors is the mining semantics; corpus streams).
+    "g50_hard_negatives",
 }
 
 
