@@ -25,6 +25,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from ferc_xbrl_extractor_spark.operators import (  # noqa: E402
     classifier,
+    neardup,
+    sampling,
     similarity,
     spans,
     text,
@@ -122,6 +124,38 @@ def main() -> None:
         ).count(),
         "g32_report": lambda df: text.corpus_report(df).count(),
         "g45_corpus_diff": lambda df: _diff_case(df),
+        # r5 third-session additions: split-QA + selection decade cases.
+        # The 10× corpus's salt-copies are DENSE near-dup families (10
+        # mutual near-dups per original) — a deliberate stress for the
+        # pair graph the split/keep operators consume.
+        "g46_split_leakage": lambda df: neardup.split_leakage_report(
+            df.withColumn(
+                "split",
+                F.element_at(
+                    F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                    (F.col("doc_id") % 3 + 1).cast("int"),
+                ),
+            ),
+            n=3,
+            min_overlap=5,
+        ).count(),
+        "g47_leakage_safe_split": lambda df: sampling.leakage_safe_split(
+            df.select("doc_id"),
+            neardup.jaccard_pairs(df, n=3, threshold=0.5),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        ).count(),
+        # fixed 250k-token budget: the boundary-bucket window stays
+        # ~1/64 of the corpus at either scale
+        "g48_budget_select": lambda df: sampling.select_to_token_budget(
+            text.with_text_stats(df),
+            250_000,
+            score_col="stopword_ratio",
+        ).count(),
+        "g49_dsir_weights": lambda df: sampling.dsir_weights(
+            df.select("doc_id", "text"),
+            df.filter(F.col("doc_id") % 17 == 3),
+            n_buckets=1024,
+        ).count(),
     }
     out = {}
     for name, fn in cases.items():
