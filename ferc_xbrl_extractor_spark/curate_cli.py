@@ -48,6 +48,24 @@ def parse(argv: list[str] | None = None) -> argparse.Namespace:
     )
     p.add_argument("--min-overlap", type=int, default=5)
     p.add_argument("--neardup-threshold", type=float, default=None)
+    p.add_argument(
+        "--neardup-keep-by",
+        default=None,
+        help="Numeric column deciding the near-dup survivor (G52 "
+        "quality-keep policy, e.g. n_tokens); default keeps the min id.",
+    )
+    p.add_argument(
+        "--token-budget",
+        type=int,
+        default=None,
+        help="Cap the final corpus at this many tokens, best-scoring "
+        "documents first (G48).",
+    )
+    p.add_argument(
+        "--budget-score-col",
+        default="stopword_ratio",
+        help="Score column ordering --token-budget selection (desc).",
+    )
     p.add_argument("--redact", action="store_true", help="Scrub PII from text.")
     p.add_argument("--stratum-col", default=None)
     p.add_argument("--sample-n", type=int, default=None)
@@ -122,10 +140,13 @@ def run_main(args: argparse.Namespace) -> int:
         max_dup_line_ratio=args.max_dup_line_ratio,
         max_dup_3gram_ratio=args.max_dup_3gram_ratio,
         neardup_threshold=args.neardup_threshold,
+        neardup_keep_by=args.neardup_keep_by,
         redact=args.redact,
         stratum_col=args.stratum_col,
         sample_n=args.sample_n,
         trim_spans_n=args.trim_spans_n,
+        token_budget=args.token_budget,
+        budget_score_col=args.budget_score_col,
         encode_vocab_size=args.encode_vocab_size,
     )
     if args.pack_budget:

@@ -2703,3 +2703,38 @@ def test_curate_corpus_keep_by_and_token_budget_stages(spark):
     got = capped.select("doc_id", "n_tokens").collect()
     assert sum(r["n_tokens"] for r in got) >= 13  # straddler kept
     assert len(got) < len(rows)                   # something was cut
+
+
+def test_curate_cli_budget_and_keep_by_flags(spark, tmp_path, capsys):
+    import json as _json
+
+    from ferc_xbrl_extractor_spark.curate_cli import parse, run_main
+
+    src = str(tmp_path / "in")
+    base = "shared duplicate content words w1 w2 w3 w4 w5 w6"
+    spark.createDataFrame(
+        [(1, base, "web"), (2, base + " longer tail here", "web")]
+        + [
+            (10 + i, f"unique document body q{i} r{i} s{i} t{i} u{i} v{i}",
+             "web")
+            for i in range(6)
+        ],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "out")
+    args = parse(
+        [src, "--output", out, "--min-tokens", "3", "--min-uniq-ratio", "0",
+         "--max-stopword-ratio", "1", "--neardup-threshold", "0.5",
+         "--neardup-keep-by", "n_tokens", "--token-budget", "40",
+         "--shards", "1"]
+    )
+    assert run_main(args) == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["input_rows"] == 8
+    rows = spark.read.json(out)
+    ids = {int(r["doc_id"]) for r in rows.select("doc_id").collect()}
+    # quality-keep: the LONGER near-dup (id 2) survives, not min id 1
+    assert 2 in ids and 1 not in ids
+    # token budget trimmed the corpus below the full survivor set
+    assert 0 < summary["output_rows"] < 7
