@@ -2099,6 +2099,31 @@ def q_g12_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_stream(spark, out, "g12_dedup")
 
 
+def q_g53_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G53: streaming near-duplicate suppression
+    (streaming.stateful.stream_neardup_suppress) at max_hamming=0 — the
+    configuration where greedy suppression reduces EXACTLY to
+    keep-first-per-fingerprint, so the DuckDB oracle rebuilds the same
+    SimHash fingerprints (the g2_simhash md5 recipe) and checks
+    row_number()=1 per fp. The hamming>0 greedy form is pytest-pinned
+    against an in-memory reference (same class as BPE/G20c)."""
+    from ferc_xbrl_extractor_spark.streaming.stateful import (
+        stream_neardup_suppress,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = _cached_fixture(
+        "g53_neardup_in",
+        sf_dir,
+        lambda d: docs.coalesce(4).write.mode("overwrite").parquet(d),
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(tmp)
+    out = stream_neardup_suppress(
+        stream, bits=32, prefix_bits=4, max_hamming=0
+    ).select("doc_id", "fp")
+    return _drain_stream(spark, out, "g53_neardup")
+
+
 def q_g12_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G12: custom stateful streaming op #2 — as-of (LOCF) enrichment over a
     tagged union stream via applyInPandasWithState; per-key state is the
@@ -2657,6 +2682,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g50_hard_negatives": q_g50_hard_negatives,
         "g51_score_buckets": q_g51_score_buckets,
         "g52_dedup_best": q_g52_dedup_best,
+        "g53_stream_neardup": q_g53_stream_neardup,
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
@@ -3156,6 +3182,38 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM fp a JOIN fp b ON (a.fp >> 28) = (b.fp >> 28)
         WHERE a.doc_id < b.doc_id
           AND bit_count(xor(a.fp, b.fp)) <= 10
+    """
+
+    # G53: streaming near-dup suppression at max_hamming=0 ≡ keep-first
+    # per SimHash fingerprint — the g2_simhash fingerprint CTE + one
+    # row_number window; empty docs fingerprint to 0 (COALESCE).
+    sql["g53_stream_neardup"] = f"""
+        WITH {_TOKENS_CTE},
+        tok AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(t.tk), 1, 15)) AS BIGINT) AS h
+            FROM toks, UNNEST(w) AS t(tk)
+        ),
+        contrib AS (
+            SELECT doc_id, b.b AS b,
+                   sum(CASE WHEN (h >> CAST(b.b AS INT)) & 1 = 1
+                            THEN 1 ELSE -1 END) AS s
+            FROM tok, range(32) b(b)
+            GROUP BY doc_id, b.b
+        ),
+        fpx AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0
+                                 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                                 ELSE 0 END) AS BIGINT) AS fp
+            FROM contrib GROUP BY doc_id
+        ),
+        fp AS (
+            SELECT d.doc_id, CAST(COALESCE(f.fp, 0) AS BIGINT) AS fp
+            FROM documents d LEFT JOIN fpx f USING (doc_id)
+        )
+        SELECT doc_id, fp FROM fp
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
     """
 
     # Sign-LSH planes are md5-derived ±1 constants — inline them as literal
@@ -5176,7 +5234,8 @@ _SUITES: dict[str, list[str]] = {
     "xbrl_join_suite": ["xbrl_context_join", "xbrl_ref_integrity"],
     "f_functions": ["f_naming", "f_casts", "f_report_date"],
     "g12_stream_suite": [
-        "g12_stream_dedup", "g12_stream_asof", "s8_stream_extract"
+        "g12_stream_dedup", "g12_stream_asof", "s8_stream_extract",
+        "g53_stream_neardup",
     ],
     "g11_media_suite": [
         "g11_multimodal", "g11_frame_sample", "g11_ppm_real",
@@ -5316,6 +5375,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g50_hard_negatives": [("anchor_id", "i"), ("neighbor_id", "i"), ("role", "s"), ("sim", "n"), ("rank", "i")],
     "g51_score_buckets": [("doc_id", "i"), ("lang", "s"), ("bucket", "s")],
     "g52_dedup_best": [("doc_id", "i"), ("n_tokens", "i")],
+    "g53_stream_neardup": [("doc_id", "i"), ("fp", "i")],
     "g21_unpivot": [("l_orderkey", "i"), ("l_linenumber", "i"), ("name", "s"), ("value", "n")],
     "g13_salted_agg": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
     "g10_json": [("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("avg_k", "n")],

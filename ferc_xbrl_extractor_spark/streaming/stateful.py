@@ -198,3 +198,90 @@ def stream_curate(
         tiebreak_col="__tb",
         payload_cols=[text_col],
     ).select(F.col(id_col), "fp", F.col(text_col))
+
+
+def stream_neardup_suppress(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    prefix_bits: int = 8,
+    max_hamming: int = 3,
+    max_fps_per_key: int = 100_000,
+) -> DataFrame:
+    """G53: streaming NEAR-duplicate suppression — the SimHash analogue of
+    ``stream_dedup_first``. Each document's fingerprint is computed
+    map-side (the G2 SimHash expression); documents shuffle once on the
+    fingerprint's top ``prefix_bits`` bucket (the same LSH bucketing as
+    the batch ``simhash_pairs``); per-bucket state holds the fingerprints
+    of every document emitted so far, and a new document is emitted only
+    if NO stored fingerprint is within ``max_hamming`` bits — first
+    arrival wins, near-duplicates are suppressed forever after, across
+    microbatches.
+
+    Approximation contract (identical to batch SimHash): near-dups are
+    only caught within a shared prefix bucket. State is O(emitted docs)
+    per bucket, capped at ``max_fps_per_key`` fingerprints (oldest
+    evicted — after eviction an ancient near-dup can slip through; cap
+    sized for the expected distinct-docs-per-bucket, corpus/2^prefix_bits).
+    Within a microbatch rows are processed in ascending ``id_col`` order,
+    so the emitted set is deterministic for deterministic input batches
+    (pinned against an in-memory greedy reference in tests; no SQL oracle
+    — greedy first-wins suppression isn't relationally expressible, the
+    same class as BPE/G20c).
+
+    Batch equivalent: per bucket, scan ids ascending, emit iff no
+    previously EMITTED fingerprint is within ``max_hamming`` (the greedy
+    survivor rule of G27, under SimHash distance).
+    """
+    from ferc_xbrl_extractor_spark.operators.neardup import (
+        simhash_from_hashes,
+        token_hashes,
+        tokens,
+    )
+
+    cols = docs.columns
+    keyed = (
+        docs.select("*", tokens(text_col).alias("__toks"))
+        .select("*", token_hashes("__toks").alias("__h"))
+        .select("*", simhash_from_hashes("__h", bits).alias("__fp"))
+        .drop("__toks", "__h")
+        .withColumn(
+            "__bucket", F.shiftright(F.col("__fp"), bits - prefix_bits)
+        )
+    )
+    out_fields = [keyed.schema[c] for c in cols] + [
+        T.StructField("fp", T.LongType())
+    ]
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType(
+        [T.StructField("fps", T.ArrayType(T.LongType()))]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        fps: list[int] = list(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        keep = []
+        for i, fp in zip(pdf.index, pdf["__fp"]):
+            fp = int(fp)
+            if any(
+                bin(fp ^ int(s)).count("1") <= max_hamming for s in fps
+            ):
+                continue
+            keep.append(i)
+            fps.append(fp)
+        if len(fps) > max_fps_per_key:
+            fps = fps[-max_fps_per_key:]
+        state.update((fps,))
+        if keep:
+            out = pdf.loc[keep, [*cols, "__fp"]].rename(
+                columns={"__fp": "fp"}
+            )
+            yield out
+
+    return keyed.groupBy("__bucket").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -550,3 +550,63 @@ def test_stream_semantic_decontaminate_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert streamed[100][1] and streamed[102][1] and not streamed[101][1]
+
+
+def test_stream_neardup_suppress_greedy_and_cross_batch(spark, tmp_path):
+    from ferc_xbrl_extractor_spark.operators import neardup
+    from ferc_xbrl_extractor_spark.streaming.stateful import (
+        stream_neardup_suppress,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows_b1 = [
+        (1, base),
+        (2, base + " extra"),                       # near-dup of 1
+        (3, "completely different content entirely unrelated words here"),
+    ]
+    rows_b2 = [
+        (4, base),                                  # dup of 1, later batch
+        (5, "another fresh unrelated document body with new words"),
+    ]
+    schema = "doc_id long, text string"
+    path = str(tmp_path / "in")
+    spark.createDataFrame(rows_b1, schema).coalesce(1).write.parquet(path)
+    spark.createDataFrame(rows_b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_neardup_suppress(
+        stream, bits=32, prefix_bits=4, max_hamming=6
+    )
+    got = _drain(spark, out, "neardup_suppress").collect()
+    got_ids = sorted(r["doc_id"] for r in got)
+
+    # In-memory greedy reference over the SAME fingerprints, in batch
+    # order then id order (files trigger in write order here).
+    all_rows = rows_b1 + rows_b2
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in spark.createDataFrame(all_rows, schema)
+        .select("doc_id", neardup.simhash("text", 32).alias("fp"))
+        .collect()
+    }
+    emitted, state = [], {}
+    for batch in (rows_b1, rows_b2):
+        for i, _t in sorted(batch):
+            fp = fps[i]
+            bucket = fp >> 28
+            seen = state.setdefault(bucket, [])
+            if any(bin(fp ^ s).count("1") <= 6 for s in seen):
+                continue
+            emitted.append(i)
+            seen.append(fp)
+    assert got_ids == sorted(emitted)
+    # sanity on the fixture itself: a cross-batch near-dup was suppressed
+    assert 1 in emitted and 4 not in emitted
+    # emitted rows carry the fingerprint column
+    assert all(r["fp"] == fps[r["doc_id"]] for r in got)
