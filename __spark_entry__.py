@@ -2477,6 +2477,33 @@ def q_g46_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g54_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G54: corpus feature-drift report (sampling.feature_drift_report) —
+    JS divergence over 1024 hashed unigram+bigram buckets between the
+    documents snapshot and a v2 (every 13th doc dropped, every 7th
+    edited — the g45 snapshot recipe). Per-bucket JS terms are fixed to
+    integer micro-nats, so the one-row report is hash-exact; the oracle
+    replays buckets, smoothing, and the full 1024-bucket spine."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 1, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return sampling.feature_drift_report(docs, v2, n_buckets=1024)
+
+
+def q_g55_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G55: per-document n-gram novelty (text.novelty_scores) — the
+    fraction of each doc's distinct 3-gram shingles found in no other
+    document. The oracle replays the shingle document-frequency join."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.novelty_scores(docs, n=3).select(
+        "doc_id", "n_shingles", "n_novel", "novelty_ratio"
+    )
+
+
 def q_g14_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G14c: Efraimidis-Spirakis weighted sampling without replacement
     (operators/sampling.py weighted_sample_k) — 200 docs drawn with
@@ -2683,6 +2710,8 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g51_score_buckets": q_g51_score_buckets,
         "g52_dedup_best": q_g52_dedup_best,
         "g53_stream_neardup": q_g53_stream_neardup,
+        "g54_drift_report": q_g54_drift_report,
+        "g55_novelty": q_g55_novelty,
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
@@ -4992,6 +5021,106 @@ def fine_oracle_sql() -> dict[str, str]:
                ON l.split_a = p.split_a AND l.split_b = q.split_a
     """
 
+    # G54: drift report — the g49 feature/bucket recipe on two snapshots,
+    # per-bucket micro-nat JS terms over the full 1024-bucket spine.
+    sql["g54_drift_report"] = """
+        WITH t_old AS (SELECT doc_id, text FROM documents),
+        t_new AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 1 THEN text || ' v2' ELSE text END
+                       AS text
+            FROM documents WHERE doc_id % 13 != 0
+        ),
+        wo AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\\s+'),
+                                  x -> len(x) > 0) AS w
+               FROM t_old),
+        wn AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\\s+'),
+                                  x -> len(x) > 0) AS w
+               FROM t_new),
+        eo AS (
+            SELECT t.tk AS feat FROM wo, UNNEST(w) AS t(tk)
+            UNION ALL
+            SELECT w[i + 1] || ' ' || w[i + 2]
+            FROM wo, UNNEST(range(greatest(len(w) - 1, 0))) AS t(i)
+        ),
+        en AS (
+            SELECT t.tk AS feat FROM wn, UNNEST(w) AS t(tk)
+            UNION ALL
+            SELECT w[i + 1] || ' ' || w[i + 2]
+            FROM wn, UNNEST(range(greatest(len(w) - 1, 0))) AS t(i)
+        ),
+        oc AS (
+            SELECT CAST(('0x' || substr(md5('dsir:' || feat), 1, 15))
+                        AS BIGINT) % 1024 AS b, count(*) AS co
+            FROM eo GROUP BY 1
+        ),
+        ncnt AS (
+            SELECT CAST(('0x' || substr(md5('dsir:' || feat), 1, 15))
+                        AS BIGINT) % 1024 AS b, count(*) AS cn
+            FROM en GROUP BY 1
+        ),
+        tot AS (
+            SELECT (SELECT COALESCE(sum(co), 0) FROM oc) AS t_o,
+                   (SELECT COALESCE(sum(cn), 0) FROM ncnt) AS t_n
+        ),
+        spine AS (SELECT CAST(t.i AS BIGINT) AS b FROM range(1024) t(i)),
+        pb AS (
+            SELECT spine.b,
+                   oc.b IS NOT NULL AS has_o,
+                   ncnt.b IS NOT NULL AS has_n,
+                   COALESCE(oc.co, 0) AS co0,
+                   COALESCE(ncnt.cn, 0) AS cn0,
+                   (COALESCE(oc.co, 0) + 1.0) / (tot.t_o + 1024.0) AS p,
+                   (COALESCE(ncnt.cn, 0) + 1.0) / (tot.t_n + 1024.0) AS q
+            FROM spine
+            LEFT JOIN oc ON spine.b = oc.b
+            LEFT JOIN ncnt ON spine.b = ncnt.b, tot
+        ),
+        terms AS (
+            SELECT *,
+                   CAST(round(
+                       (p * ln(p / ((p + q) / 2))
+                        + q * ln(q / ((p + q) / 2))) / 2 * 1e6
+                   ) AS BIGINT) AS js_micro
+            FROM pb
+        )
+        SELECT ROUND(sum(js_micro) / 1e6, 4) AS js_divergence,
+               CAST(sum(CASE WHEN has_o THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_buckets_old,
+               CAST(sum(CASE WHEN has_n THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_buckets_new,
+               CAST(sum(CASE WHEN has_n AND NOT has_o THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_gained,
+               CAST(sum(CASE WHEN has_o AND NOT has_n THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_lost,
+               CAST(sum(co0) AS BIGINT) AS n_feats_old,
+               CAST(sum(cn0) AS BIGINT) AS n_feats_new
+        FROM terms
+    """
+
+    # G55: novelty — per-doc-distinct shingles, corpus df, df=1 fraction.
+    sql["g55_novelty"] = f"""
+        WITH {_SHINGLES_CTE},
+        dfreq AS (SELECT shingle, count(*) AS df FROM ds GROUP BY shingle),
+        pd AS (
+            SELECT ds.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_novel
+            FROM ds JOIN dfreq USING (shingle)
+            GROUP BY ds.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(pd.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(pd.n_novel, 0) AS BIGINT) AS n_novel,
+               ROUND(COALESCE(pd.n_novel, 0)
+                     / NULLIF(CAST(COALESCE(pd.n_shingles, 0) AS DOUBLE),
+                              0.0), 4) AS novelty_ratio
+        FROM documents d LEFT JOIN pd USING (doc_id)
+    """
+
     _u60_ws = (
         "CAST(('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 15))"
         " AS BIGINT)"
@@ -5246,7 +5375,9 @@ _SUITES: dict[str, list[str]] = {
         "g30_temperature_mix", "g47_leakage_safe_split",
         "g48_budget_select", "g51_score_buckets",
     ],
-    "g4_doc_suite": ["g4_language_id", "g4_fingerprint", "g4_repetition"],
+    "g4_doc_suite": [
+        "g4_language_id", "g4_fingerprint", "g4_repetition", "g55_novelty"
+    ],
     "g4_score_suite": ["g4_bm25", "g4_surprisal"],
     "g4_chunk_redact": ["g4_chunk", "g4_pii_redact"],
     "g17_packing_suite": ["g17_pack_sequences", "g17_materialize_seqs"],
@@ -5278,7 +5409,7 @@ _SUITES: dict[str, list[str]] = {
     ],
     "g_incremental_suite": [
         "g23_incremental_dedup", "g24_incremental_neardup",
-        "g45_corpus_diff",
+        "g45_corpus_diff", "g54_drift_report",
     ],
     "g_analytics_misc_suite": ["g21_unpivot", "g13_salted_agg", "g10_json"],
     "g32_report_suite": ["g32_corpus_report", "g32_stratum_report"],
@@ -5376,6 +5507,8 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g51_score_buckets": [("doc_id", "i"), ("lang", "s"), ("bucket", "s")],
     "g52_dedup_best": [("doc_id", "i"), ("n_tokens", "i")],
     "g53_stream_neardup": [("doc_id", "i"), ("fp", "i")],
+    "g54_drift_report": [("js_divergence", "n"), ("n_buckets_old", "i"), ("n_buckets_new", "i"), ("n_gained", "i"), ("n_lost", "i"), ("n_feats_old", "i"), ("n_feats_new", "i")],
+    "g55_novelty": [("doc_id", "i"), ("n_shingles", "i"), ("n_novel", "i"), ("novelty_ratio", "n")],
     "g21_unpivot": [("l_orderkey", "i"), ("l_linenumber", "i"), ("name", "s"), ("value", "n")],
     "g13_salted_agg": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
     "g10_json": [("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("avg_k", "n")],

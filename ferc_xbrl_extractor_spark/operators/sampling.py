@@ -305,6 +305,121 @@ def select_to_token_budget(
     return keep_whole.unionByName(boundary).drop("__bkt")
 
 
+def _hashed_features(
+    d: DataFrame, text_col: str, id_col: str, n_buckets: int, salt: str
+) -> DataFrame:
+    """(id, bucket) rows of md5-hashed unigram+bigram features — the
+    shared feature space of :func:`dsir_weights` and
+    :func:`feature_drift_report`."""
+    from ferc_xbrl_extractor_spark.operators.text import (
+        ngrams_from_tokens,
+        tokens,
+    )
+
+    toked = d.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    )
+    both = toked.select(
+        "__id",
+        F.explode(
+            F.concat(F.col("__toks"), ngrams_from_tokens("__toks", 2))
+        ).alias("__feat"),
+    )
+    return both.select(
+        "__id",
+        (hash_u60(F.col("__feat"), salt) % n_buckets).alias("__b"),
+    )
+
+
+def feature_drift_report(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    salt: str = "dsir:",
+) -> DataFrame:
+    """One-row corpus drift report between two snapshots: Jensen-Shannon
+    divergence of their hashed unigram+bigram bucket distributions (the
+    :func:`dsir_weights` feature space) with add-``alpha`` smoothing,
+    plus bucket-support churn counts. The monitoring primitive for "did
+    this crawl/refresh change what the corpus is made of?" — JS is
+    symmetric and bounded (≤ ln 2 ≈ 0.6931), so one threshold works for
+    every pair of snapshots.
+
+    Output columns: ``js_divergence`` (nats, 4dp), ``n_buckets_old`` /
+    ``n_buckets_new`` (distinct support), ``n_gained`` / ``n_lost``
+    (buckets present only in new / only in old), ``n_feats_old`` /
+    ``n_feats_new`` (total feature occurrences).
+
+    Determinism: each bucket's JS contribution is fixed to integer
+    micro-nats before the final sum (the surprisal trick), so the
+    aggregate is exact in any order/partitioning and the report is
+    hash-exact cross-engine. Scale shape: two map-side-combinable
+    bucket-count aggregates (``n_buckets``-bounded output), one
+    full-outer bucket join of two tiny relations, totals as 1-row
+    broadcasts; the corpora are never joined row-to-row.
+    """
+    oc = (
+        _hashed_features(old, text_col, id_col, n_buckets, salt)
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__co"))
+    )
+    nc = (
+        _hashed_features(new, text_col, id_col, n_buckets, salt)
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__cn"))
+    )
+    to = oc.agg(F.coalesce(F.sum("__co"), F.lit(0)).alias("__to"))
+    tn = nc.agg(F.coalesce(F.sum("__cn"), F.lit(0)).alias("__tn"))
+    denom = float(alpha) * n_buckets
+    # Full bucket spine: with add-alpha smoothing an UNOBSERVED bucket
+    # still carries probability alpha/(T+alpha*B) on each side, and those
+    # differ when the totals differ — so the JS sum must run over all
+    # n_buckets, not just observed support. The spine is tiny by
+    # construction.
+    spine = old.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("__b")
+    )
+    joined = (
+        spine.join(oc, "__b", "left")
+        .join(nc, "__b", "left")
+        .crossJoin(F.broadcast(to))
+        .crossJoin(F.broadcast(tn))
+    )
+    p = (F.coalesce(F.col("__co"), F.lit(0)) + F.lit(float(alpha))) / (
+        F.col("__to") + F.lit(denom)
+    )
+    q = (F.coalesce(F.col("__cn"), F.lit(0)) + F.lit(float(alpha))) / (
+        F.col("__tn") + F.lit(denom)
+    )
+    m = (p + q) / 2
+    term = F.round(
+        (p * F.log(p / m) + q * F.log(q / m)) / 2 * 1e6
+    ).cast("long")
+    per_bucket = joined.select(
+        term.alias("__js_micro"),
+        F.col("__co").isNotNull().cast("int").alias("__has_o"),
+        F.col("__cn").isNotNull().cast("int").alias("__has_n"),
+        F.coalesce(F.col("__co"), F.lit(0)).alias("__co0"),
+        F.coalesce(F.col("__cn"), F.lit(0)).alias("__cn0"),
+    )
+    return per_bucket.agg(
+        F.round(F.sum("__js_micro") / 1e6, 4).alias("js_divergence"),
+        F.sum("__has_o").cast("long").alias("n_buckets_old"),
+        F.sum("__has_n").cast("long").alias("n_buckets_new"),
+        F.sum(
+            ((F.col("__has_n") == 1) & (F.col("__has_o") == 0)).cast("long")
+        ).alias("n_gained"),
+        F.sum(
+            ((F.col("__has_o") == 1) & (F.col("__has_n") == 0)).cast("long")
+        ).alias("n_lost"),
+        F.sum("__co0").cast("long").alias("n_feats_old"),
+        F.sum("__cn0").cast("long").alias("n_feats_new"),
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     target: DataFrame,
@@ -341,27 +456,8 @@ def dsir_weights(
     corpus is never joined against the target directly — only against
     the tiny bucket-ratio relation.
     """
-    from ferc_xbrl_extractor_spark.operators.text import (
-        ngrams_from_tokens,
-        tokens,
-    )
-
     def feats(d: DataFrame) -> DataFrame:
-        toked = d.select(
-            F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
-        )
-        both = toked.select(
-            "__id",
-            F.explode(
-                F.concat(
-                    F.col("__toks"), ngrams_from_tokens("__toks", 2)
-                )
-            ).alias("__feat"),
-        )
-        return both.select(
-            "__id",
-            (hash_u60(F.col("__feat"), salt) % n_buckets).alias("__b"),
-        )
+        return _hashed_features(d, text_col, id_col, n_buckets, salt)
 
     raw = feats(df)
     raw_counts = raw.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))

@@ -504,6 +504,55 @@ def chunk_documents(
     )
 
 
+def novelty_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: of a document's distinct ``n``-gram
+    shingles, the fraction found in no other document. The inverse lens
+    of G26's duplication signals — high novelty marks genuinely fresh
+    content, near-zero novelty marks boilerplate/templated documents
+    that per-document repetition stats (which only see inside one doc)
+    cannot catch. Adds ``n_shingles``, ``n_novel``, ``novelty_ratio``
+    (4dp; NULL for docs with no ``n``-gram, i.e. under ``n`` tokens).
+
+    Scale shape: the per-doc-distinct shingle relation explodes once;
+    corpus document frequency is ONE map-side-combinable aggregate (a
+    shingle seen in one doc counts df=1); the join back is
+    shingle-keyed (the G2 inverted-index shape), and the per-doc
+    reduction is one long-sum aggregate. No all-pairs, no windows.
+    """
+    from ferc_xbrl_extractor_spark.operators.neardup import shingle_table
+
+    sh = shingle_table(df, id_col, text_col, n)
+    docfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        sh.join(docfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("__df") == 1).cast("long")).alias("n_novel"),
+        )
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(
+            "n_shingles", F.coalesce("n_shingles", F.lit(0)).cast("long")
+        )
+        .withColumn("n_novel", F.coalesce("n_novel", F.lit(0)).cast("long"))
+        .withColumn(
+            "novelty_ratio",
+            F.round(
+                F.col("n_novel")
+                / F.nullif(F.col("n_shingles").cast("double"), F.lit(0.0)),
+                4,
+            ),
+        )
+    )
+
+
 def corpus_report(
     df: DataFrame,
     text_col: str = "text",

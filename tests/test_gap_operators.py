@@ -2738,3 +2738,73 @@ def test_curate_cli_budget_and_keep_by_flags(spark, tmp_path, capsys):
     assert 2 in ids and 1 not in ids
     # token budget trimmed the corpus below the full survivor set
     assert 0 < summary["output_rows"] < 7
+
+
+def test_feature_drift_report_matches_python_reference(spark):
+    import hashlib
+    import math
+
+    from ferc_xbrl_extractor_spark.operators import sampling
+
+    old_rows = [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "")]
+    new_rows = [(1, "alpha beta gamma"), (4, "eta theta iota kappa")]
+    B, alpha = 64, 1.0
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    def buckets(rows):
+        out = []
+        for _i, t in rows:
+            w = [x for x in t.split() if x]
+            feats = w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+            out += [
+                int(hashlib.md5(f"dsir:{g}".encode()).hexdigest()[:15], 16)
+                % B
+                for g in feats
+            ]
+        return out
+
+    bo, bn = buckets(old_rows), buckets(new_rows)
+    co = {b: bo.count(b) for b in set(bo)}
+    cn = {b: bn.count(b) for b in set(bn)}
+    to, tn = len(bo), len(bn)
+    js_micro = 0
+    for b in range(B):
+        p = (co.get(b, 0) + alpha) / (to + alpha * B)
+        q = (cn.get(b, 0) + alpha) / (tn + alpha * B)
+        m = (p + q) / 2
+        js_micro += round((p * math.log(p / m) + q * math.log(q / m)) / 2 * 1e6)
+
+    r = sampling.feature_drift_report(old, new, n_buckets=B).collect()[0]
+    assert r["js_divergence"] == round(js_micro / 1e6, 4)
+    assert (r["n_buckets_old"], r["n_buckets_new"]) == (len(co), len(cn))
+    assert r["n_gained"] == len(set(cn) - set(co))
+    assert r["n_lost"] == len(set(co) - set(cn))
+    assert (r["n_feats_old"], r["n_feats_new"]) == (to, tn)
+
+    # identical snapshots: zero divergence, zero churn
+    same = sampling.feature_drift_report(old, old, n_buckets=B).collect()[0]
+    assert same["js_divergence"] == 0.0
+    assert same["n_gained"] == same["n_lost"] == 0
+
+
+def test_novelty_scores_goldens(spark):
+    from ferc_xbrl_extractor_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # shingles: "a b c", "b c d"
+            (2, "a b c"),          # shingle "a b c" shared with doc 1
+            (3, "x y z w"),        # fully novel
+            (4, "q r"),            # under n tokens: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_ratio"])
+        for r in text_ops.novelty_scores(df, n=3).collect()
+    }
+    assert got[1] == (2, 1, 0.5)    # "b c d" unique, "a b c" shared
+    assert got[2] == (1, 0, 0.0)
+    assert got[3] == (2, 2, 1.0)
+    assert got[4] == (0, 0, None)   # no shingles -> NULL ratio
