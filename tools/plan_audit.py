@@ -70,6 +70,9 @@ INTENTIONAL_BNLJ = {
     # g50_hard_negatives: the g3_cosine_topk broadcast-anchors cross
     # join (corpus × 20 anchors is the mining semantics; corpus streams).
     "g50_hard_negatives",
+    # g54_drift_report: two 1-row snapshot-total relations cross-joined
+    # into the bucket-spine projection (the g49/g4_bm25 shape).
+    "g54_drift_report",
 }
 
 
