@@ -285,3 +285,91 @@ def stream_neardup_suppress(
     return keyed.groupBy("__bucket").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_dedup_ttl(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    payload_cols: list[str],
+    ttl_ms: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """G56: keep-first dedup with an EVENT-TIME TTL — ``stream_dedup_first``
+    whose per-key suppression EXPIRES once the key goes quiet for more
+    than ``ttl_ms`` of event time. The production form of streaming
+    dedup: unbounded keep-first state grows with every distinct key ever
+    seen (the #1 streaming state footgun at 100 TB/day); a TTL bounds
+    live state to the keys active inside one TTL window, at the cost of
+    re-emitting a key that falls silent for longer than the TTL (exact
+    dedup within any active window, at-least-once across windows —
+    downstream MERGE-latest/G20b absorbs the re-emits idempotently).
+
+    Semantics are DETERMINISTIC in event time, independent of microbatch
+    boundaries: per key, rows are processed in (ts, tiebreak) order and a
+    row is emitted iff it is the first ever observed or its gap from the
+    immediately preceding observation exceeds ``ttl_ms`` (sliding expiry
+    — every observation renews the window, so a hot key stays suppressed
+    forever at O(1) state). Intra-batch gaps count: two arrivals
+    ``ttl_ms`` apart land identically whether they share a microbatch or
+    not.
+
+    State eviction: ``GroupStateTimeout.EventTimeTimeout`` — the timer is
+    armed at ``last_seen + ttl_ms``, so the store drops a key exactly
+    when the watermark proves every future on-time row would re-emit
+    anyway (gap > ttl); eviction is therefore semantically invisible for
+    rows inside the watermark. (``ProcessingTimeTimeout`` dies in this
+    Spark build's planner — internal NPE in the streaming timeout path —
+    and is nondeterministic besides.) Rows later than the watermark
+    follow the standard late-data caveat: after eviction a sub-watermark
+    straggler re-emits where live state would have suppressed it. A
+    straggler older than its key's last observation is suppressed
+    (negative gap <= ttl). ``ts_col`` must be non-null.
+
+    Output columns: ``key_cols + [ts_col, tiebreak_col] + payload_cols``.
+    """
+    out_fields = [events.schema[c] for c in (*key_cols, ts_col, tiebreak_col)]
+    out_fields += [events.schema[c] for c in payload_cols]
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType([T.StructField("last_ms", T.LongType())])
+    order = [ts_col, tiebreak_col]
+    cols = [f.name for f in out_fields]
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        ts_ms = pdf[ts_col].astype("datetime64[ms]").astype("int64")
+        prev = ts_ms.shift(1)
+        if state.exists:
+            prev.iloc[0] = float(state.get[0])
+            emit = (ts_ms - prev) > ttl_ms
+        else:
+            emit = prev.isna() | ((ts_ms - prev) > ttl_ms)
+        last_ms = int(ts_ms.iloc[-1])
+        state.update((last_ms,))
+        # timer must land strictly past the current watermark
+        state.setTimeoutTimestamp(
+            max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        out = pdf[emit.to_numpy()][cols]
+        if len(out):
+            yield out
+
+    return (
+        events.select(*cols)
+        .withWatermark(ts_col, watermark)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

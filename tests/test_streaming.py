@@ -610,3 +610,51 @@ def test_stream_neardup_suppress_greedy_and_cross_batch(spark, tmp_path):
     assert 1 in emitted and 4 not in emitted
     # emitted rows carry the fingerprint column
     assert all(r["fp"] == fps[r["doc_id"]] for r in got)
+
+
+def test_stream_dedup_ttl_expires_and_rebounds(spark, tmp_path):
+    from ferc_xbrl_extractor_spark.streaming.stateful import stream_dedup_ttl
+
+    path = str(tmp_path / "in")
+    schema = "event_id long, ts_s string, event_type string"
+
+    def _batch(rows, mode):
+        (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+            .coalesce(1)
+            .write.mode(mode)
+            .parquet(path)
+        )
+
+    # batch 1: two clicks 1s apart (inside the 60s TTL) + one view
+    _batch([(1, "2024-01-01 00:00:00", "click"),
+            (2, "2024-01-01 00:00:01", "click"),
+            (3, "2024-01-01 00:00:02", "view")], "overwrite")
+    # batch 2, same key across a batch boundary: id 4 gaps >60s from id 2
+    # (re-emit), id 5 is 30s after id 4 (suppressed — the window slid),
+    # id 6 gaps >60s from id 5 INSIDE the same batch (intra-batch expiry)
+    _batch([(4, "2024-01-01 00:10:00", "click"),
+            (5, "2024-01-01 00:10:30", "click"),
+            (6, "2024-01-01 00:30:00", "click")], "append")
+    # batch 3: a straggler older than the key's last observation has a
+    # negative gap and must stay suppressed
+    _batch([(7, "2024-01-01 00:29:59", "click")], "append")
+
+    # maxFilesPerTrigger=1 -> one microbatch per file, in write order
+    # (the availableNow drain stops once all pre-written files are done)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_dedup_ttl(
+        stream, ["event_type"], "ts", "event_id", [],
+        ttl_ms=60_000, watermark="5 seconds",
+    )
+    rows = _drain(spark, out, "dedup_ttl").collect()
+    clicks = sorted(r["event_id"] for r in rows if r["event_type"] == "click")
+    # exactly-once within an active window, re-emit after each TTL gap
+    assert clicks == [1, 4, 6]
+    assert [r["event_id"] for r in rows if r["event_type"] == "view"] == [3]
