@@ -2504,6 +2504,37 @@ def q_g55_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g57_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G57: HTML -> text extraction (text.html_to_text). Each document is
+    wrapped in deterministic markup exercising every rule — comment,
+    <script> with a bare '<', <style>, block tags, an inline tag, and
+    the named-entity set (incl. the double-escape &amp;lt; staying
+    literal) — then extracted; the oracle replays the identical
+    regex/replace chain (java.util.regex and RE2 agree on every
+    construct used). Byte-exact via md5 of the extracted text."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>"), F.col("source"),
+            F.lit("</title><style media=\"all\">p {color:#000}</style>"
+                  "<script type=\"text/js\">var x = 1 < 2;</script></head>"
+                  "<body><!-- id "),
+            F.col("doc_id").cast("string"),
+            F.lit(" --><h1>"), F.col("source"),
+            F.lit(" &amp; co &amp;lt;</h1>\n<p>"), F.col("text"),
+            F.lit("&nbsp;tail&#39;s <b>bold</b>&quot;q&quot;</p>"
+                  "<br/></body></html>"),
+        ).alias("text"),
+    )
+    out = text.html_to_text(html)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("long").alias("n_clean_chars"),
+    )
+
+
 def q_g14_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G14c: Efraimidis-Spirakis weighted sampling without replacement
     (operators/sampling.py weighted_sample_k) — 200 docs drawn with
@@ -2712,6 +2743,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g53_stream_neardup": q_g53_stream_neardup,
         "g54_drift_report": q_g54_drift_report,
         "g55_novelty": q_g55_novelty,
+        "g57_html_text": q_g57_html_text,
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
@@ -5121,6 +5153,69 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN pd USING (doc_id)
     """
 
+    # G57: the identical strip/decode/normalize chain, replayed in RE2.
+    # Raw string: backslashes (\b, \t, \n) must reach the regex engine.
+    sql["g57_html_text"] = r"""
+        WITH h AS (
+            SELECT doc_id,
+                   '<html><head><title>' || source ||
+                   '</title><style media="all">p {color:#000}</style>' ||
+                   '<script type="text/js">var x = 1 < 2;</script></head>' ||
+                   '<body><!-- id ' || CAST(doc_id AS VARCHAR) ||
+                   ' --><h1>' || source || ' &amp; co &amp;lt;</h1>' ||
+                   chr(10) || '<p>' || text ||
+                   '&nbsp;tail&#39;s <b>bold</b>&quot;q&quot;</p>' ||
+                   '<br/></body></html>' AS t
+            FROM documents
+        ),
+        s1 AS (SELECT doc_id,
+                      regexp_replace(t, '(?s)<!--.*?-->', '', 'g') AS t
+               FROM h),
+        s2 AS (SELECT doc_id,
+                      regexp_replace(t,
+                          '(?is)<script\b[^>]*>.*?</script[ \t]*>', '', 'g'
+                      ) AS t
+               FROM s1),
+        s3 AS (SELECT doc_id,
+                      regexp_replace(t,
+                          '(?is)<style\b[^>]*>.*?</style[ \t]*>', '', 'g'
+                      ) AS t
+               FROM s2),
+        s4 AS (SELECT doc_id,
+                      regexp_replace(t,
+                          '(?i)<(?:br[ \t]*/?|/p|/div|/li|/h[1-6]|/tr' ||
+                          '|/table|/ul|/ol|/blockquote|/section|/article)' ||
+                          '[ \t]*>',
+                          chr(10), 'g') AS t
+               FROM s3),
+        s5 AS (SELECT doc_id,
+                      regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t
+               FROM s4),
+        ent AS (SELECT doc_id,
+                       replace(replace(replace(replace(replace(replace(
+                           replace(t,
+                           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                           '&quot;', '"'), '&#39;', chr(39)),
+                           '&apos;', chr(39)), '&amp;', '&') AS t
+                FROM s5),
+        w1 AS (SELECT doc_id,
+                      regexp_replace(t, '[ \t\r\f]+', ' ', 'g') AS t
+               FROM ent),
+        w2 AS (SELECT doc_id,
+                      regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t
+               FROM w1),
+        w3 AS (SELECT doc_id,
+                      regexp_replace(t, '\n{3,}', chr(10) || chr(10), 'g'
+                      ) AS t
+               FROM w2),
+        w4 AS (SELECT doc_id,
+                      regexp_replace(t, '^[ \n]+|[ \n]+$', '', 'g') AS t
+               FROM w3)
+        SELECT doc_id, md5(t) AS clean_md5,
+               CAST(length(t) AS BIGINT) AS n_clean_chars
+        FROM w4
+    """
+
     _u60_ws = (
         "CAST(('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 15))"
         " AS BIGINT)"
@@ -5415,7 +5510,7 @@ _SUITES: dict[str, list[str]] = {
     "g32_report_suite": ["g32_corpus_report", "g32_stratum_report"],
     "g_boilerplate_suite": [
         "g33_strip_lines", "g34_gopher_rules", "g35_paragraph_dedup",
-        "g36_curate_funnel",
+        "g36_curate_funnel", "g57_html_text",
     ],
     "g_training_suite": [
         "g37_kmeans", "g38_bigram_lm", "g39_shuffle_order",
@@ -5513,6 +5608,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g13_salted_agg": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
     "g10_json": [("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("avg_k", "n")],
     "g33_strip_lines": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_lines", "i")],
+    "g57_html_text": [("doc_id", "i"), ("clean_md5", "s"), ("n_clean_chars", "i")],
     "g34_gopher_rules": [("doc_id", "i"), ("n_words", "i"), ("mean_word_len", "n"), ("alpha_word_ratio", "n"), ("stop_hits", "i"), ("fail_mask", "i"), ("keep", "b")],
     "g35_paragraph_dedup": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_paragraphs", "i")],
     "g36_curate_funnel": [("drop_stage", "s"), ("n_docs", "i")],

@@ -895,3 +895,83 @@ def paragraph_dedup(
         F.coalesce(F.col("__clean"), F.lit("")).alias(out_col),
         F.coalesce(F.col("__n_kept"), F.lit(0)).cast("long").alias(count_col),
     )
+
+
+# HTML entity decode table shared with the oracle SQL. Ordered: `&amp;`
+# is decoded LAST so double-escaped entities stay literal text
+# ("&amp;lt;" -> "&lt;", never "<") — the single-pass convention every
+# streaming extractor uses.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+# The regex chain shared verbatim with the DuckDB oracle (both engines'
+# dialects — java.util.regex and RE2 — agree on every construct used:
+# (?is) inline flags, non-greedy .*?, \b, {3,}, (?:...)). `\s` is
+# deliberately avoided (the two dialects' classes differ on \x0B);
+# whitespace classes are explicit.
+_HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    (r"(?s)<!--.*?-->", ""),
+    (r"(?is)<script\b[^>]*>.*?</script[ \t]*>", ""),
+    (r"(?is)<style\b[^>]*>.*?</style[ \t]*>", ""),
+    # block-level boundaries become newlines so paragraph structure
+    # survives tag removal (feeds strip_common_lines/paragraph_dedup)
+    (
+        r"(?i)<(?:br[ \t]*/?|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol"
+        r"|/blockquote|/section|/article)[ \t]*>",
+        "\n",
+    ),
+    # every remaining tag becomes ONE space so inline markup never
+    # glues words ("a<b>b</b>" -> "a b", not "ab")
+    (r"(?s)<[^>]*>", " "),
+]
+
+_HTML_WS_STEPS: list[tuple[str, str]] = [
+    (r"[ \t\r\f]+", " "),  # runs of intra-line whitespace -> one space
+    (r" ?\n ?", "\n"),  # spaces hugging a newline are tag residue
+    (r"\n{3,}", "\n\n"),  # >=3 blank-separated -> one blank line
+    (r"^[ \n]+|[ \n]+$", ""),  # trim (no (?m): whole-string anchors)
+]
+
+
+def html_to_text(
+    df: DataFrame, html_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """G57: HTML -> text extraction — the first stage of every web-corpus
+    pipeline (CCNet/C4/RefinedWeb run a native extractor; this is the
+    engine-resident form for corpora that arrive as raw markup). Drops
+    comments and <script>/<style> blocks wholesale, turns block-level
+    closing tags and <br> into newlines (preserving paragraph structure
+    for the downstream line/paragraph operators), strips every remaining
+    tag to a single space, decodes the common named entities
+    (single-pass: ``&amp;`` last, so double-escaped text stays literal),
+    and normalizes whitespace (intra-line runs collapse, >=2 blank lines
+    collapse to one, ends trimmed).
+
+    Scope (documented, not hidden): named entities only — numeric
+    ``&#NNN;`` forms other than ``&#39;`` pass through; a lone ``<``
+    with no closing ``>`` is kept as text; CDATA sections lose only
+    their markers. Plain text with no markup round-trips except for the
+    whitespace normalization.
+
+    Plan shape: a single projection of chained ``regexp_replace`` /
+    ``replace`` column expressions — pure Catalyst, whole-stage codegen,
+    zero shuffle, zero Python; scales with the scan like every other G4
+    operator. No reference counterpart (gap operator, SURVEY.md §2.12).
+    """
+    c: Column = F.col(html_col)
+    for pat, rep in _HTML_STRIP_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    for pat, rep in _HTML_WS_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return df.select(
+        *[col for col in df.columns if col != out_col], c.alias(out_col)
+    )

@@ -2808,3 +2808,65 @@ def test_novelty_scores_goldens(spark):
     assert got[2] == (1, 0, 0.0)
     assert got[3] == (2, 2, 1.0)
     assert got[4] == (0, 0, None)   # no shingles -> NULL ratio
+
+
+def test_html_to_text_goldens(spark):
+    from ferc_xbrl_extractor_spark.operators.text import html_to_text
+
+    html = (
+        "<html><head><title>T</title>"
+        "<style type='text/css'>body { color: red }</style>"
+        "<script>if (1 < 2) { alert('<p>') }</script></head>"
+        "<body><!-- hidden < comment -->"
+        "<h1>Head &amp; Tail</h1>"
+        "<p>a<b>b</b> &lt;tag&gt; &amp;lt; &quot;q&quot; &#39;s&#39;"
+        " x&nbsp;y</p>\n\n\n"
+        "<ul><li>one</li><li>two</li></ul>"
+        "<p>end  .</p></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, text string")
+    got = html_to_text(df).collect()[0]["clean_text"]
+    assert got == (
+        "T Head & Tail\n"
+        "a b <tag> &lt; \"q\" 's' x y\n"
+        "\n"
+        "one\ntwo\n"
+        "\n"
+        "end ."
+    )
+    # columns: input columns preserved, clean_text appended
+    assert html_to_text(df).columns == ["doc_id", "text", "clean_text"]
+
+
+def test_html_to_text_edge_cases(spark):
+    from ferc_xbrl_extractor_spark.operators.text import html_to_text
+
+    rows = [
+        # plain text: round-trips modulo whitespace normalization
+        (1, "no markup here, 1 < 2 stays"),
+        (2, "  leading and   run\t\tcollapse  "),
+        # unterminated script swallows to end (documented greedy-block)
+        (3, "keep <script>var x = 1;"),
+        (4, "<p>para one</p><p>para two</p>"),
+        (5, "a<br/>b<br />c"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"] for r in html_to_text(df).collect()}
+    assert out[1] == "no markup here, 1 < 2 stays"
+    assert out[2] == "leading and run collapse"
+    # unterminated <script> has no closing tag: block regex can't fire,
+    # the bare-tag strip removes only the <script> tag itself
+    assert out[3] == "keep var x = 1;"
+    assert out[4] == "para one\npara two"
+    assert out[5] == "a\nb\nc"
+    assert out[6] is None
+
+
+def test_html_to_text_plan_is_single_projection(spark):
+    from ferc_xbrl_extractor_spark.operators.text import html_to_text
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, text string")
+    plan = html_to_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
