@@ -2050,7 +2050,9 @@ def q_g11_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(media, every_ms=500)
 
 
-def _drain_stream(spark: SparkSession, stream: DataFrame, prefix: str) -> DataFrame:
+def _drain_stream(
+    spark: SparkSession, stream: DataFrame, prefix: str, mode: str = "append"
+) -> DataFrame:
     """Run a finite streaming plan to completion (availableNow) into a
     uniquely-named memory sink and return the drained batch table.
 
@@ -2068,7 +2070,7 @@ def _drain_stream(spark: SparkSession, stream: DataFrame, prefix: str) -> DataFr
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = run_stream_to_memory(stream, name)
+        q = run_stream_to_memory(stream, name, output_mode=mode)
         q.processAllAvailable()
         q.stop()
     finally:
@@ -2097,6 +2099,56 @@ def q_g12_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, ["user_id", "event_type"], "ts", "event_id", ["value"]
     )
     return _drain_stream(spark, out, "g12_dedup")
+
+
+def q_g58_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G58: windowed constraint suite on a stream
+    (streaming.quality.stream_check_constraints) — the G20 Check suite
+    per 2-day event-time window over a finite events stream. The fixture
+    is one file so the availableNow drain is a single microbatch and
+    update mode emits every window exactly once — the batch-identical
+    report the DuckDB epoch-floor replay checks hash-exact. Multi-batch
+    behavior (watermark, state carry) is pytest-pinned in
+    tests/test_streaming.py. Thresholds straddle the corpus stats (mean
+    ~49.6, in-set ratio ~0.8) so windows split pass/fail."""
+    from ferc_xbrl_extractor_spark.operators.quality import (
+        completeness,
+        in_set,
+        mean_between,
+        non_negative,
+    )
+    from ferc_xbrl_extractor_spark.streaming.quality import (
+        stream_check_constraints,
+    )
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id",
+        # watermarks demand TIMESTAMP (not NTZ); session tz is UTC so the
+        # cast is wall-clock-identity and epochs match the naive oracle
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "value", "props",
+    )
+    tmp = _cached_fixture(
+        "g58_quality_in",
+        sf_dir,
+        lambda d: events.coalesce(1).write.mode("overwrite").parquet(d),
+    )
+    stream = spark.readStream.schema(events.schema).parquet(tmp)
+    checks = [
+        non_negative("value"),
+        completeness("props"),
+        mean_between("value", 0.0, 49.8),
+        in_set(
+            "event_type", ["click", "view", "signup", "purchase"],
+            at_least=0.81,
+        ),
+    ]
+    out = stream_check_constraints(stream, "ts", "48 hours", checks)
+    out = out.select(
+        "window_start", "window_end", "constraint",
+        F.round("metric", 4).alias("metric"), "passed",
+    )
+    return _drain_stream(spark, out, "g58_quality", mode="update")
 
 
 def q_g53_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2744,6 +2796,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g54_drift_report": q_g54_drift_report,
         "g55_novelty": q_g55_novelty,
         "g57_html_text": q_g57_html_text,
+        "g58_stream_quality": q_g58_stream_quality,
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
@@ -3248,6 +3301,46 @@ def fine_oracle_sql() -> dict[str, str]:
     # G53: streaming near-dup suppression at max_hamming=0 ≡ keep-first
     # per SimHash fingerprint — the g2_simhash fingerprint CTE + one
     # row_number window; empty docs fingerprint to 0 (COALESCE).
+    # G58: per-window constraint suite — epoch-floor window replay; passed
+    # is computed on the UNROUNDED metric (as in the operator), the
+    # displayed metric rounds to 4 in both engines.
+    sql["g58_stream_quality"] = """
+        WITH w AS (
+            SELECT make_timestamp(CAST(floor(epoch(ts) / 172800) * 172800
+                                       * 1000000 AS BIGINT)) AS window_start,
+                   make_timestamp(CAST((floor(epoch(ts) / 172800) * 172800
+                                        + 172800)
+                                       * 1000000 AS BIGINT)) AS window_end,
+                   min(value) AS m0,
+                   avg(CASE WHEN props IS NOT NULL
+                            THEN 1.0 ELSE 0.0 END) AS m1,
+                   avg(value) AS m2,
+                   avg(CASE WHEN event_type IN
+                                ('click', 'view', 'signup', 'purchase')
+                            THEN 1.0 ELSE 0.0 END) AS m3
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT window_start, window_end,
+               'non_negative(value)' AS constraint,
+               round(m0, 4) AS metric,
+               (m0 IS NOT NULL AND m0 >= 0.0) AS passed
+        FROM w
+        UNION ALL
+        SELECT window_start, window_end, 'completeness(props)',
+               round(m1, 4), (m1 IS NOT NULL AND m1 >= 1.0)
+        FROM w
+        UNION ALL
+        SELECT window_start, window_end, 'mean_between(value)',
+               round(m2, 4),
+               (m2 IS NOT NULL AND m2 >= 0.0 AND m2 <= 49.8)
+        FROM w
+        UNION ALL
+        SELECT window_start, window_end, 'in_set(event_type)',
+               round(m3, 4), (m3 IS NOT NULL AND m3 >= 0.81)
+        FROM w
+    """
+
     sql["g53_stream_neardup"] = f"""
         WITH {_TOKENS_CTE},
         tok AS (
@@ -5488,7 +5581,9 @@ _SUITES: dict[str, list[str]] = {
         "g7_exact_quantiles", "g7_median", "g7_approx_distinct",
         "g7_hll_merge",
     ],
-    "g8_event_window_suite": ["g8_tumbling", "g8_sliding", "g8_session"],
+    "g8_event_window_suite": [
+        "g8_tumbling", "g8_sliding", "g8_session", "g58_stream_quality"
+    ],
     "g9_asof_suite": ["g9_asof_join", "g9_asof_forward"],
     "g2_neardup_suite": [
         "g2_jaccard", "g2_minhash_lsh", "g2_simhash", "g52_dedup_best"
@@ -5573,6 +5668,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g8_tumbling": [("event_type", "s"), ("n", "i"), ("sum_value", "n"), ("window_start", "t"), ("window_end", "t")],
     "g8_sliding": [("event_type", "s"), ("n", "i"), ("sum_value", "n"), ("window_start", "t"), ("window_end", "t")],
     "g8_session": [("user_id", "i"), ("session_start", "t"), ("n", "i")],
+    "g58_stream_quality": [("window_start", "t"), ("window_end", "t"), ("constraint", "s"), ("metric", "n"), ("passed", "b")],
     "g9_asof_join": [("event_id", "i"), ("user_id", "i"), ("ts", "t"), ("o_orderkey", "i"), ("last_price", "n")],
     "g9_asof_forward": [("o_orderkey", "i"), ("user_id", "i"), ("o_orderdate", "t"), ("event_id", "i")],
     "g2_jaccard": [("id_a", "i"), ("id_b", "i"), ("jaccard", "n")],

@@ -62,6 +62,7 @@ HEADLINE = [
     "g4_bm25",
     "g4_surprisal",
     "g4_chunk",
+    "g57_html_text",
     "g26_dup_spans",
     "g29_vocab",
     "g29_encode",
@@ -93,6 +94,7 @@ HEADLINE = [
     "g7_exact_quantiles",
     "g8_tumbling",
     "g8_session",
+    "g58_stream_quality",
     "g9_asof_join",
     "g9_asof_forward",
     "g37_kmeans",

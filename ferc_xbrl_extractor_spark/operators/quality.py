@@ -118,23 +118,21 @@ def in_set(col: str, allowed: list[str], at_least: float = 1.0) -> Check:
     return Check(f"in_set({col})", m, lo=at_least)
 
 
-def check_constraints(df: DataFrame, checks: list[Check]) -> DataFrame:
-    """Run a whole constraint suite in one aggregation pass.
-
-    Returns ``(constraint string, metric double, passed boolean)`` with
-    one row per check, ordered as declared. NULL metrics (empty input for
-    a ratio) fail closed.
-    """
+def validate_suite(checks: list[Check]) -> None:
+    """Shared suite validation (batch + streaming entry points)."""
     if not checks:
         raise ValueError("check_constraints: empty suite")
     names = [c.name for c in checks]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate constraint names: {names}")
-    agg_row = df.agg(
-        *[c.metric.cast("double").alias(f"m{i}") for i, c in enumerate(checks)]
-    )
-    # Unpivot the 1-row wide aggregate with stack — no driver round-trip,
-    # and pass/fail folds to a literal comparison per metric column.
+
+
+def report_structs(checks: list[Check]) -> Column:
+    """The unpivot expression shared by batch and streaming reports: an
+    array of (constraint, metric, passed) structs over the wide aggregate
+    columns ``m0..mN`` — exploding it replaces a driver round-trip, and
+    pass/fail folds to a literal comparison per metric column. NULL
+    metrics (empty input for a ratio) fail closed."""
     pairs = []
     for i, c in enumerate(checks):
         m = F.col(f"m{i}")
@@ -150,8 +148,22 @@ def check_constraints(df: DataFrame, checks: list[Check]) -> DataFrame:
                 ok.alias("passed"),
             )
         )
+    return F.array(*pairs)
+
+
+def check_constraints(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Run a whole constraint suite in one aggregation pass.
+
+    Returns ``(constraint string, metric double, passed boolean)`` with
+    one row per check, ordered as declared. NULL metrics (empty input for
+    a ratio) fail closed.
+    """
+    validate_suite(checks)
+    agg_row = df.agg(
+        *[c.metric.cast("double").alias(f"m{i}") for i, c in enumerate(checks)]
+    )
     return (
-        agg_row.select(F.explode(F.array(*pairs)).alias("r"))
+        agg_row.select(F.explode(report_structs(checks)).alias("r"))
         .select("r.constraint", "r.metric", "r.passed")
     )
 

@@ -658,3 +658,88 @@ def test_stream_dedup_ttl_expires_and_rebounds(spark, tmp_path):
     # exactly-once within an active window, re-emit after each TTL gap
     assert clicks == [1, 4, 6]
     assert [r["event_id"] for r in rows if r["event_type"] == "view"] == [3]
+
+
+def test_stream_check_constraints_per_window(spark, tmp_path):
+    from ferc_xbrl_extractor_spark.operators.quality import (
+        completeness,
+        in_set,
+        mean_between,
+        non_negative,
+    )
+    from ferc_xbrl_extractor_spark.streaming.quality import (
+        stream_check_constraints,
+    )
+
+    rows = [
+        # window 00:00-01:00 — clean
+        (1, "2024-01-01 00:10:00", "click", 5.0, "p"),
+        (2, "2024-01-01 00:20:00", "view", 7.0, "p"),
+        # window 01:00-02:00 — a negative value and a NULL props
+        (3, "2024-01-01 01:05:00", "click", -1.0, None),
+        (4, "2024-01-01 01:40:00", "bogus", 3.0, "p"),
+    ]
+    schema = "event_id long, ts_s string, event_type string, value double, props string"
+    batch_df = (
+        spark.createDataFrame(rows, schema)
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    checks = [
+        non_negative("value"),
+        completeness("props"),
+        mean_between("value", 0.0, 100.0),
+        in_set("event_type", ["click", "view"]),
+    ]
+
+    # batch form of the same operator (identical plan expressions)
+    got_batch = {
+        (str(r["window_start"]), r["constraint"]): (r["metric"], r["passed"])
+        for r in stream_check_constraints(
+            batch_df, "ts", "1 hour", checks
+        ).collect()
+    }
+    w1, w2 = "2024-01-01 00:00:00", "2024-01-01 01:00:00"
+    assert got_batch[(w1, "non_negative(value)")] == (5.0, True)
+    assert got_batch[(w2, "non_negative(value)")] == (-1.0, False)
+    assert got_batch[(w1, "completeness(props)")] == (1.0, True)
+    assert got_batch[(w2, "completeness(props)")] == (0.5, False)
+    assert got_batch[(w2, "mean_between(value)")] == (1.0, True)
+    assert got_batch[(w1, "in_set(event_type)")] == (1.0, True)
+    assert got_batch[(w2, "in_set(event_type)")] == (0.5, False)
+
+    # streaming form over the same rows split across two files: the
+    # report is identical (batch/stream identity is the module contract)
+    path = str(tmp_path / "in")
+    batch_df.filter("event_id <= 2").coalesce(1).write.parquet(path)
+    batch_df.filter("event_id > 2").coalesce(1).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_check_constraints(
+        stream, "ts", "1 hour", checks, watermark="5 seconds"
+    )
+    got_stream = {
+        (str(r["window_start"]), r["constraint"]): (r["metric"], r["passed"])
+        for r in _drain(spark, out, "stream_quality", mode="complete").collect()
+    }
+    assert got_stream == got_batch
+
+
+def test_stream_check_constraints_validation(spark):
+    import pytest as _pytest
+
+    from ferc_xbrl_extractor_spark.operators.quality import non_negative
+    from ferc_xbrl_extractor_spark.streaming.quality import (
+        stream_check_constraints,
+    )
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError, match="empty suite"):
+        stream_check_constraints(df, "ts", "1 hour", [])
+    with _pytest.raises(ValueError, match="duplicate"):
+        stream_check_constraints(
+            df, "ts", "1 hour", [non_negative("id"), non_negative("id")]
+        )
