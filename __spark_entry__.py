@@ -1844,6 +1844,25 @@ def q_g13_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g13b_salted_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13b: probe-then-salt aggregation (analytics.salted_agg_auto) —
+    the seeded 2% sample measures l_returnflag's ~50% hot-key share and
+    picks the salt bucket count (>1 here by construction); the result is
+    the same plain GROUP BY either way, so the oracle is identical to
+    g13's. The uniform fast path (probe returns 1, single exchange) is
+    pytest-pinned."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = analytics.salted_agg_auto(
+        li, ["l_returnflag"], ["l_quantity", "l_extendedprice"]
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        F.round("sum_l_extendedprice", 2).alias("sum_price"),
+    )
+
+
 def q_g19_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G19: bucketized point-in-interval join — each user's non-signup
     events matched to the 2-hour windows opened by that user's signup
@@ -2797,6 +2816,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g55_novelty": q_g55_novelty,
         "g57_html_text": q_g57_html_text,
         "g58_stream_quality": q_g58_stream_quality,
+        "g13b_salted_auto": q_g13b_salted_auto,
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
@@ -4769,6 +4789,8 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM lineitem
         GROUP BY 1
     """
+    # G13b: probe-independent result — identical plain GROUP BY oracle
+    sql["g13b_salted_auto"] = sql["g13_salted_agg"]
 
     sql["g8_session"] = """
         WITH x AS (
@@ -5601,7 +5623,9 @@ _SUITES: dict[str, list[str]] = {
         "g23_incremental_dedup", "g24_incremental_neardup",
         "g45_corpus_diff", "g54_drift_report",
     ],
-    "g_analytics_misc_suite": ["g21_unpivot", "g13_salted_agg", "g10_json"],
+    "g_analytics_misc_suite": [
+        "g21_unpivot", "g13_salted_agg", "g13b_salted_auto", "g10_json"
+    ],
     "g32_report_suite": ["g32_corpus_report", "g32_stratum_report"],
     "g_boilerplate_suite": [
         "g33_strip_lines", "g34_gopher_rules", "g35_paragraph_dedup",
@@ -5702,6 +5726,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g55_novelty": [("doc_id", "i"), ("n_shingles", "i"), ("n_novel", "i"), ("novelty_ratio", "n")],
     "g21_unpivot": [("l_orderkey", "i"), ("l_linenumber", "i"), ("name", "s"), ("value", "n")],
     "g13_salted_agg": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
+    "g13b_salted_auto": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
     "g10_json": [("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("avg_k", "n")],
     "g33_strip_lines": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_lines", "i")],
     "g57_html_text": [("doc_id", "i"), ("clean_md5", "s"), ("n_clean_chars", "i")],

@@ -11,6 +11,8 @@ as incidental API calls.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -176,6 +178,76 @@ def salted_agg(
     return partial.groupBy(*group_cols).agg(
         F.sum("__pn").alias(count_alias),
         *[F.sum(f"__ps_{c}").alias(f"sum_{c}") for c in sum_cols],
+    )
+
+
+def probe_salt_buckets(
+    df: DataFrame,
+    group_cols: list[str],
+    sample_fraction: float = 0.02,
+    max_buckets: int = 256,
+    seed: int = 7,
+) -> int:
+    """G13b probe: estimate the hottest group's row share from a seeded
+    sample and derive the salt bucket count ``salted_agg`` needs — 1 when
+    no key is hot enough to overload a single reducer.
+
+    Rule: with hot-key share ``p`` and ``P`` shuffle partitions, an
+    unsalted aggregate sends ``p·N`` rows to one reducer vs ``N/P``
+    average; salting by ``ceil(p·P)`` (rounded up to a power of two,
+    capped) levels the hot reducer back to average. The probe is one
+    sample scan + a 1-row ``max(count)`` collect — bounded regardless of
+    |keys| (the sample's group counts are the only shuffled rows, and at
+    2% the probe costs ~1/50th of the real aggregate it protects).
+    Deterministic: seeded sample, pure-arithmetic decision.
+    """
+    stats = (
+        df.sample(fraction=sample_fraction, seed=seed)
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("mx"), F.sum("__n").alias("tot"))
+        .collect()[0]
+    )
+    if not stats["tot"]:
+        return 1
+    share = stats["mx"] / stats["tot"]
+    partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    need = math.ceil(share * partitions)
+    if need <= 1:
+        return 1
+    return min(max_buckets, 2 ** math.ceil(math.log2(need)))
+
+
+def salted_agg_auto(
+    df: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    count_alias: str = "n",
+    sample_fraction: float = 0.02,
+    max_buckets: int = 256,
+) -> DataFrame:
+    """G13b: probe-then-salt aggregation — ``salted_agg`` whose bucket
+    count is measured, not guessed. At 100 TB nobody knows ahead of time
+    which ingest batch carries a hot key; hardcoding salt wastes a second
+    shuffle on uniform data, omitting it straggles on skewed data. The
+    probe (see ``probe_salt_buckets``) picks 1 (plain single-exchange
+    aggregate — the uniform fast path) or the measured power-of-two.
+    The RESULT is identical either way (algebraic aggregates commute with
+    the two-phase split), so correctness is probe-independent — only the
+    shuffle shape changes.
+    """
+    buckets = probe_salt_buckets(
+        df, group_cols, sample_fraction=sample_fraction,
+        max_buckets=max_buckets,
+    )
+    if buckets == 1:
+        return df.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias(count_alias),
+            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        )
+    return salted_agg(
+        df, group_cols, sum_cols, count_alias=count_alias,
+        salt_buckets=buckets,
     )
 
 

@@ -2870,3 +2870,43 @@ def test_html_to_text_plan_is_single_projection(spark):
     plan = html_to_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_probe_salt_buckets_skew_vs_uniform(spark):
+    from ferc_xbrl_extractor_spark.operators.analytics import (
+        probe_salt_buckets,
+        salted_agg_auto,
+    )
+
+    n = 20000
+    skewed = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise((F.col("id") % 7).cast("string"))
+        .alias("k"),
+        (F.col("id") % 5).cast("double").alias("v"),
+    )
+    b = probe_salt_buckets(skewed, ["k"])
+    assert b > 1 and (b & (b - 1)) == 0  # salted, power of two
+
+    uniform = spark.range(n).select(
+        (F.col("id") % 1000).cast("string").alias("k"),
+        F.lit(1.0).alias("v"),
+    )
+    assert probe_salt_buckets(uniform, ["k"]) == 1  # plain-agg fast path
+
+    assert probe_salt_buckets(skewed.filter("k IS NULL"), ["k"]) == 1
+
+    # the probe only changes the shuffle shape — results are exact on
+    # both paths
+    for df in (skewed, uniform):
+        got = {
+            r["k"]: (r["n"], r["sum_v"])
+            for r in salted_agg_auto(df, ["k"], ["v"]).collect()
+        }
+        want = {
+            r["k"]: (r["n"], r["sum_v"])
+            for r in df.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+            .collect()
+        }
+        assert got == want
