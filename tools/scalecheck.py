@@ -112,6 +112,18 @@ def main() -> None:
             df, n=8, hot_gram_safe=False
         ).count(),
         "g34_gopher_rules": lambda df: text.gopher_rules(df).count(),
+        # r5 fourth session: HTML strip is pure map-side regex work —
+        # the decade ratio should sit at the scan slope, near 1×-2×
+        "g57_html_text": lambda df: text.html_to_text(
+            df.withColumn(
+                "text",
+                F.concat(
+                    F.lit("<html><body><!-- c --><h1>"), F.col("source"),
+                    F.lit("</h1><p>"), F.col("text"),
+                    F.lit("&amp; tail</p></body></html>"),
+                ),
+            )
+        ).count(),
         "g35_paragraph_dedup": lambda df: text.paragraph_dedup(
             df, sep=" "  # single-line corpus: treat words as paragraphs
         ).count(),
