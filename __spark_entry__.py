@@ -2606,6 +2606,36 @@ def q_g57_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g60_md_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G60: Markdown -> text extraction (text.markdown_to_text). Each
+    document is wrapped in markup exercising every rule — ATX header,
+    blockquote, bold, image-alt, inline + reference links, list bullet,
+    fence lines around kept code, rule line, inline code, emphasis —
+    then extracted; the oracle replays the identical pattern chain in
+    RE2 (replacement groups spelled \\1 there vs $1 in Java — same
+    captures). Byte-exact via md5."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    md = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("# "), F.col("source"),
+            F.lit("\n\n> intro quote\n\n**"), F.col("source"),
+            F.lit("** sees [site](http://x/"),
+            F.col("doc_id").cast("string"),
+            F.lit(") and ![alt-"), F.col("source"),
+            F.lit("](logo.png) and [ref][9].\n\n- "), F.col("text"),
+            F.lit("\n\n---\n\n```py\ncode_line = 1\n```\n\n"
+                  "tail `inline` _em_ done"),
+        ).alias("text"),
+    )
+    out = text.markdown_to_text(md)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("long").alias("n_clean_chars"),
+    )
+
+
 def q_g14_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G14c: Efraimidis-Spirakis weighted sampling without replacement
     (operators/sampling.py weighted_sample_k) — 200 docs drawn with
@@ -2618,6 +2648,25 @@ def q_g14_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, 200, F.length("text"), id_col="doc_id", salt="ws1:"
     )
     return out.select("doc_id", F.length("text").alias("w"))
+
+
+def q_g59_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G59: per-group document cap (sampling.cap_per_group) — domain
+    balancing. A synthetic 60%-hot group forces the over-cap window path
+    while the 20 real sources stay under cap and bypass it (the
+    anti-join fast path); keep-best by n_chars, id tie-break. Oracle =
+    one QUALIFY row_number replay over every group."""
+    from ferc_xbrl_extractor_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    fix = docs.withColumn(
+        "grp",
+        F.when(F.col("doc_id") % 10 < 6, F.lit("hot")).otherwise(
+            F.col("source")
+        ),
+    ).drop("source")
+    out = cap_per_group(fix, "grp", 30, order_col="n_chars")
+    return out.select("doc_id", "grp", F.col("n_chars").cast("long").alias("n_chars"))
 
 
 def q_g25_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2817,6 +2866,8 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g57_html_text": q_g57_html_text,
         "g58_stream_quality": q_g58_stream_quality,
         "g13b_salted_auto": q_g13b_salted_auto,
+        "g59_cap_per_group": q_g59_cap_per_group,
+        "g60_md_text": q_g60_md_text,
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
@@ -4792,6 +4843,19 @@ def fine_oracle_sql() -> dict[str, str]:
     # G13b: probe-independent result — identical plain GROUP BY oracle
     sql["g13b_salted_auto"] = sql["g13_salted_agg"]
 
+    # G59: per-group cap — QUALIFY replay over the same synthetic skew
+    sql["g59_cap_per_group"] = """
+        SELECT doc_id, grp, CAST(n_chars AS BIGINT) AS n_chars FROM (
+            SELECT doc_id, n_chars,
+                   CASE WHEN doc_id % 10 < 6
+                        THEN 'hot' ELSE source END AS grp
+            FROM documents
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY grp ORDER BY n_chars DESC, doc_id ASC
+        ) <= 30
+    """
+
     sql["g8_session"] = """
         WITH x AS (
             SELECT user_id, ts,
@@ -5331,6 +5395,41 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM w4
     """
 
+    # G60: the markdown chain is generated FROM the operator's own step
+    # table, so pattern parity is structural; only the replacement-group
+    # spelling differs ($1 Java -> \1 RE2).
+    from ferc_xbrl_extractor_spark.operators.text import (
+        _HTML_WS_STEPS,
+        MD_STRIP_STEPS,
+    )
+
+    _md_expr = "t"
+    for _pat, _rep in [*MD_STRIP_STEPS, *_HTML_WS_STEPS]:
+        _md_expr = (
+            f"regexp_replace({_md_expr}, '{_pat}', "
+            f"'{_rep.replace('$', chr(92))}', 'g')"
+        )
+    sql["g60_md_text"] = f"""
+        WITH h AS (
+            SELECT doc_id,
+                   '# ' || source || chr(10) || chr(10) ||
+                   '> intro quote' || chr(10) || chr(10) ||
+                   '**' || source || '** sees [site](http://x/' ||
+                   CAST(doc_id AS VARCHAR) || ') and ![alt-' || source ||
+                   '](logo.png) and [ref][9].' || chr(10) || chr(10) ||
+                   '- ' || text || chr(10) || chr(10) ||
+                   '---' || chr(10) || chr(10) ||
+                   '```py' || chr(10) || 'code_line = 1' || chr(10) ||
+                   '```' || chr(10) || chr(10) ||
+                   'tail `inline` _em_ done' AS t
+            FROM documents
+        ),
+        c AS (SELECT doc_id, {_md_expr} AS t2 FROM h)
+        SELECT doc_id, md5(t2) AS clean_md5,
+               CAST(length(t2) AS BIGINT) AS n_clean_chars
+        FROM c
+    """
+
     _u60_ws = (
         "CAST(('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 15))"
         " AS BIGINT)"
@@ -5583,13 +5682,13 @@ _SUITES: dict[str, list[str]] = {
     "g14_sample_suite": [
         "g14_split", "g14_sample_rate", "g14_sample_stratified",
         "g30_temperature_mix", "g47_leakage_safe_split",
-        "g48_budget_select", "g51_score_buckets",
+        "g48_budget_select", "g51_score_buckets", "g59_cap_per_group",
     ],
     "g4_doc_suite": [
         "g4_language_id", "g4_fingerprint", "g4_repetition", "g55_novelty"
     ],
     "g4_score_suite": ["g4_bm25", "g4_surprisal"],
-    "g4_chunk_redact": ["g4_chunk", "g4_pii_redact"],
+    "g4_chunk_redact": ["g4_chunk", "g4_pii_redact", "g60_md_text"],
     "g17_packing_suite": ["g17_pack_sequences", "g17_materialize_seqs"],
     "g18_quant_suite": ["g18_quantize_int8", "g18_quantized_topk"],
     "s7_corpus_roundtrip": ["s7_jsonl_roundtrip", "s7_orc_roundtrip"],
@@ -5727,6 +5826,8 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g21_unpivot": [("l_orderkey", "i"), ("l_linenumber", "i"), ("name", "s"), ("value", "n")],
     "g13_salted_agg": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
     "g13b_salted_auto": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
+    "g59_cap_per_group": [("doc_id", "i"), ("grp", "s"), ("n_chars", "i")],
+    "g60_md_text": [("doc_id", "i"), ("clean_md5", "s"), ("n_clean_chars", "i")],
     "g10_json": [("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("avg_k", "n")],
     "g33_strip_lines": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_lines", "i")],
     "g57_html_text": [("doc_id", "i"), ("clean_md5", "s"), ("n_clean_chars", "i")],

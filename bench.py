@@ -63,6 +63,7 @@ HEADLINE = [
     "g4_surprisal",
     "g4_chunk",
     "g57_html_text",
+    "g60_md_text",
     "g26_dup_spans",
     "g29_vocab",
     "g29_encode",
@@ -71,6 +72,7 @@ HEADLINE = [
     "g14_sample_stratified",
     "g30_temperature_mix",
     "g14_split",
+    "g59_cap_per_group",
     "g17_pack_sequences",
     "g18_quantize_int8",
     "g18_quantized_topk",

@@ -738,3 +738,57 @@ def shuffle_order(
         .withColumn(out_col, (F.col("__base") + F.col("__rn") - 1).cast("long"))
         .drop("__key", "__blk", "__rn", "__base")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """G59: per-group document cap — keep at most ``cap`` rows per
+    ``group_col`` value, preferring high ``order_col`` (ties and the
+    no-score case break on ascending ``id_col``, so the kept set is
+    deterministic). The domain-balancing stage of a web-corpus pipeline:
+    no single source may contribute more than N documents to the mix,
+    however large its crawl is (C4 and RefinedWeb both apply per-domain
+    caps before any token-level work).
+
+    Plan shape — the window only touches rows that NEED ranking: one
+    map-side-combinable count per group (|groups| rows, AQE-broadcast),
+    a semi-join splits the corpus into under-cap groups (kept whole —
+    pure map-side filter, NO window, typically the long tail that is
+    most of the corpus) and over-cap groups, and only the latter pay the
+    per-group row_number sort. At 100 TB with a zipfy domain
+    distribution the over-cap slice is a few percent of rows; a single
+    monster group still serializes its own rank (inherent to an exact
+    per-group top-N) — cap the damage upstream with coarser groups or
+    pre-aggregate per (group, shard) if one domain exceeds a task.
+
+    Output: input rows (columns unchanged) — at most ``cap`` per group;
+    NULL groups count as one group (capped like any other).
+    """
+    if cap < 1:
+        raise ValueError("cap_per_group: cap must be >= 1")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    over = counts.filter(F.col("__n") > cap).select(
+        F.col(group_col).alias("__g")
+    )
+    # null-SAFE equality: a NULL group is a group like any other and must
+    # not slip past the cap through null-unsafe join semantics
+    cond = F.col(group_col).eqNullSafe(F.col("__g"))
+    under_rows = df.join(over, cond, "left_anti")
+    order = (
+        [F.col(order_col).desc_nulls_last(), F.col(id_col).asc()]
+        if order_col is not None
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    over_rows = (
+        df.join(over, cond, "left_semi")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+    return under_rows.unionByName(over_rows)

@@ -975,3 +975,58 @@ def html_to_text(
     return df.select(
         *[col for col in df.columns if col != out_col], c.alias(out_col)
     )
+
+
+# Markdown strip chain — constrained like the HTML chain to the
+# java.util.regex ∩ RE2 intersection: NO backreferences (RE2 lacks
+# them; emphasis is matched with negated classes instead), (?m) line
+# anchors, explicit whitespace classes. Replacement strings differ by
+# dialect ($1 in Java, \1 in RE2) — the oracle replays with its own
+# syntax; `keep` marks the rules that carry a capture group.
+MD_STRIP_STEPS: list[tuple[str, str]] = [
+    (r"(?m)^```[^\n]*$", ""),  # fence lines go, fenced CONTENT stays
+    (r"!\[([^\]\n]*)\]\([^)\n]*\)", "$1"),  # image -> alt (before links)
+    (r"\[([^\]\n]*)\]\([^)\n]*\)", "$1"),  # inline link -> text
+    (r"\[([^\]\n]*)\]\[[^\]\n]*\]", "$1"),  # reference link -> text
+    (r"(?m)^#{1,6}[ \t]+", ""),  # ATX headers
+    (r"(?m)^[ \t]*>[ \t]?", ""),  # blockquote markers
+    (r"(?m)^[ \t]*[-*+][ \t]+", ""),  # bullet markers
+    (r"(?m)^[ \t]*[0-9]+\.[ \t]+", ""),  # ordered-list markers
+    (r"(?m)^[=\-*_]{2,}[ \t]*$", ""),  # rules + setext underlines
+    (r"\*\*([^*\n]+)\*\*", "$1"),  # bold (no backrefs: per-marker rules)
+    (r"\*([^*\n]+)\*", "$1"),  # italic
+    (r"__([^_\n]+)__", "$1"),
+    (r"_([^_\n]+)_", "$1"),
+    (r"`([^`\n]*)`", "$1"),  # inline code keeps its content
+]
+
+
+def markdown_to_text(
+    df: DataFrame, md_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """G60: Markdown -> text extraction — the sibling of
+    :func:`html_to_text` for the other big raw-corpus format (GitHub
+    READMEs, docs sites, forum exports). Fence lines drop (fenced code
+    CONTENT is kept — code is training text), images collapse to alt
+    text, inline/reference links to their anchor text, ATX headers /
+    blockquote markers / list bullets / horizontal rules are stripped,
+    emphasis and inline-code markers unwrap; whitespace then normalizes
+    exactly as the HTML chain does.
+
+    Scope: no backreference-dependent constructs (RE2-replayable), so
+    mixed-marker emphasis (``**x__``) unwraps per marker; embedded HTML
+    passes through — chain :func:`html_to_text` after for README-style
+    hybrid documents. Plain text round-trips modulo whitespace
+    normalization.
+
+    Plan shape: one projection of chained ``regexp_replace`` — pure
+    Catalyst, codegen, zero shuffle, zero Python (same as G57).
+    """
+    c: Column = F.col(md_col)
+    for pat, rep in MD_STRIP_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    for pat, rep in _HTML_WS_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return df.select(
+        *[col for col in df.columns if col != out_col], c.alias(out_col)
+    )
