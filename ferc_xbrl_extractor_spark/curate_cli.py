@@ -77,6 +77,15 @@ def parse(argv: list[str] | None = None) -> argparse.Namespace:
         "gram length from surviving text.",
     )
     p.add_argument(
+        "--group-cap",
+        type=int,
+        default=None,
+        help="Per-group document cap (G59 domain balancing): keep at most "
+        "this many docs per --group-cap-col value, best by "
+        "--budget-score-col.",
+    )
+    p.add_argument("--group-cap-col", default="source")
+    p.add_argument(
         "--encode-vocab-size",
         type=int,
         default=None,
@@ -145,6 +154,8 @@ def run_main(args: argparse.Namespace) -> int:
         stratum_col=args.stratum_col,
         sample_n=args.sample_n,
         trim_spans_n=args.trim_spans_n,
+        group_cap=args.group_cap,
+        group_cap_col=args.group_cap_col,
         token_budget=args.token_budget,
         budget_score_col=args.budget_score_col,
         encode_vocab_size=args.encode_vocab_size,

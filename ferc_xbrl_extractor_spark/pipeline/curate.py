@@ -75,6 +75,8 @@ def curate_corpus(
     paragraph_sep: str | None = None,
     trim_spans_n: int | None = None,
     trim_spans_min_count: int = 2,
+    group_cap: int | None = None,
+    group_cap_col: str = "source",
     token_budget: int | None = None,
     budget_score_col: str = "stopword_ratio",
     encode_vocab_size: int | None = None,
@@ -109,7 +111,10 @@ def curate_corpus(
     survivors remains); ``neardup_keep_by`` names a numeric column (e.g.
     ``n_tokens`` — the stats are already attached) and switches near-dup
     survivor choice to the G52 quality-keep policy (best member wins,
-    not min id); ``token_budget`` caps the FINAL corpus at a token
+    not min id); ``group_cap`` applies the G59 per-group document cap
+    over ``group_cap_col`` (domain balancing: keep-best by
+    ``budget_score_col``, id tie-break — BEFORE the token budget, so no
+    single source monopolizes it); ``token_budget`` caps the FINAL corpus at a token
     budget via G48 selection ordered by ``budget_score_col`` desc
     (after sampling, before encoding — the budget bounds what ships);
     ``encode_vocab_size`` appends G29 ``token_ids``
@@ -212,6 +217,11 @@ def curate_corpus(
             raise ValueError("sample_n requires stratum_col")
         deduped = sampling.stratified_sample_n(
             deduped, stratum_col, sample_n, id_col=id_col, salt=sample_salt
+        )
+    if group_cap is not None:
+        deduped = sampling.cap_per_group(
+            deduped, group_cap_col, group_cap,
+            order_col=budget_score_col, id_col=id_col,
         )
     if token_budget is not None:
         deduped = sampling.select_to_token_budget(

@@ -3026,3 +3026,26 @@ def test_markdown_to_text_edges(spark):
 
     plan = markdown_to_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_curate_corpus_group_cap_stage(spark):
+    from ferc_xbrl_extractor_spark.pipeline import curate
+
+    mk = "the a of and to in unique document body number"
+    rows = [(i, f"{mk} {i} alpha beta", "big") for i in range(1, 7)] + [
+        (10, f"{mk} ten gamma delta", "small"),
+        (11, f"{mk} eleven gamma delta", "small"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate.curate_corpus(
+        docs,
+        min_tokens=5,
+        max_stopword_ratio=1.0,
+        min_uniq_ratio=0.0,
+        group_cap=3,
+    )
+    by_src = {}
+    for r in out.select("doc_id", "source").collect():
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src["big"]) == 3      # capped
+    assert len(by_src["small"]) == 2    # under cap: untouched
