@@ -2606,6 +2606,35 @@ def q_g57_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g61_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G61: C4 cleaning rule-pack (text.c4_clean). Each document becomes
+    a four-line page — its own text terminated, an unpunctuated line, a
+    compliant sentence, and (every 7th doc) a brace-leak line — so the
+    line filter, the kept-line count and both page-level screens all
+    fire; the oracle replays the identical line lambda via list_filter."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fix = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(".\n"),
+            F.lit("no terminal punctuation line\n"),
+            F.lit("a second well formed sentence with many words.\n"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("code leak { brace")
+            ).otherwise(
+                F.lit("third good sentence with plenty of words too.")
+            ),
+        ).alias("text"),
+    )
+    out = text.c4_clean(fix, min_kept_lines=3)
+    return out.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("clean_text"), F.lit(""))).alias("clean_md5"),
+        F.col("n_kept_lines").cast("long").alias("n_kept_lines"),
+        "keep",
+    )
+
+
 def q_g60_md_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G60: Markdown -> text extraction (text.markdown_to_text). Each
     document is wrapped in markup exercising every rule — ATX header,
@@ -2868,6 +2897,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g13b_salted_auto": q_g13b_salted_auto,
         "g59_cap_per_group": q_g59_cap_per_group,
         "g60_md_text": q_g60_md_text,
+        "g61_c4_clean": q_g61_c4_clean,
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
@@ -5395,6 +5425,40 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM w4
     """
 
+    # G61: C4 rule-pack — the identical line lambda replayed in RE2
+    sql["g61_c4_clean"] = r"""
+        WITH h AS (
+            SELECT doc_id,
+                   text || '.' || chr(10) ||
+                   'no terminal punctuation line' || chr(10) ||
+                   'a second well formed sentence with many words.' ||
+                   chr(10) ||
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'code leak { brace'
+                        ELSE 'third good sentence with plenty of words too.'
+                   END AS t
+            FROM documents
+        ),
+        k AS (
+            SELECT doc_id, t,
+                   list_filter(
+                       string_split(t, chr(10)),
+                       l -> regexp_matches(l, '[.!?"][ 	]*$')
+                            AND len(list_filter(
+                                    regexp_split_to_array(l, '[ 	]+'),
+                                    w -> len(w) > 0)) >= 5
+                            AND NOT contains(lower(l), 'javascript')
+                   ) AS ls
+            FROM h
+        )
+        SELECT doc_id,
+               md5(COALESCE(array_to_string(ls, chr(10)), '')) AS clean_md5,
+               CAST(len(ls) AS BIGINT) AS n_kept_lines,
+               (len(ls) >= 3 AND NOT contains(t, '{')
+                AND NOT contains(lower(t), 'lorem ipsum')) AS keep
+        FROM k
+    """
+
     # G60: the markdown chain is generated FROM the operator's own step
     # table, so pattern parity is structural; only the replacement-group
     # spelling differs ($1 Java -> \1 RE2).
@@ -5685,7 +5749,8 @@ _SUITES: dict[str, list[str]] = {
         "g48_budget_select", "g51_score_buckets", "g59_cap_per_group",
     ],
     "g4_doc_suite": [
-        "g4_language_id", "g4_fingerprint", "g4_repetition", "g55_novelty"
+        "g4_language_id", "g4_fingerprint", "g4_repetition", "g55_novelty",
+        "g61_c4_clean",
     ],
     "g4_score_suite": ["g4_bm25", "g4_surprisal"],
     "g4_chunk_redact": ["g4_chunk", "g4_pii_redact", "g60_md_text"],
@@ -5828,6 +5893,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g13b_salted_auto": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
     "g59_cap_per_group": [("doc_id", "i"), ("grp", "s"), ("n_chars", "i")],
     "g60_md_text": [("doc_id", "i"), ("clean_md5", "s"), ("n_clean_chars", "i")],
+    "g61_c4_clean": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_lines", "i"), ("keep", "b")],
     "g10_json": [("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("avg_k", "n")],
     "g33_strip_lines": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_lines", "i")],
     "g57_html_text": [("doc_id", "i"), ("clean_md5", "s"), ("n_clean_chars", "i")],

@@ -77,6 +77,13 @@ def parse(argv: list[str] | None = None) -> argparse.Namespace:
         "gram length from surviving text.",
     )
     p.add_argument(
+        "--c4",
+        action="store_true",
+        help="Apply the C4 cleaning rule-pack (G61) first: line-level "
+        "terminal-punct/word-count screens, page-level brace / lorem-ipsum "
+        "/ min-kept-lines drops.",
+    )
+    p.add_argument(
         "--group-cap",
         type=int,
         default=None,
@@ -154,6 +161,7 @@ def run_main(args: argparse.Namespace) -> int:
         stratum_col=args.stratum_col,
         sample_n=args.sample_n,
         trim_spans_n=args.trim_spans_n,
+        c4=args.c4,
         group_cap=args.group_cap,
         group_cap_col=args.group_cap_col,
         token_budget=args.token_budget,

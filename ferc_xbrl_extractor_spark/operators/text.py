@@ -1030,3 +1030,56 @@ def markdown_to_text(
     return df.select(
         *[col for col in df.columns if col != out_col], c.alias(out_col)
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+    line_term_pattern: str = r'[.!?"][ \t]*$',
+) -> DataFrame:
+    """G61: the C4 cleaning rule-pack (Raffel et al. 2020, §2.2) — the
+    line- and page-level screens the original C4 corpus was built with:
+    keep only lines that end in terminal punctuation AND carry at least
+    ``min_line_words`` words AND don't mention javascript; drop pages
+    containing ``{`` (leaked code), the phrase "lorem ipsum", or fewer
+    than ``min_kept_lines`` surviving lines.
+
+    Complements the existing packs: G34 gopher_rules screens on
+    document-level statistics, G33 strip_common_lines on corpus-level
+    line frequency (one aggregate); this is the third lens — per-line
+    STRUCTURAL screens that need no corpus context at all. Adds
+    ``out_col`` (surviving lines rejoined), ``n_kept_lines`` and a
+    page-level ``keep`` flag; callers filter on ``keep`` and replace
+    ``text_col`` with ``out_col``.
+
+    Plan shape: pure higher-order functions over one ``split`` — filter
+    + rejoin entirely inside the projection, ZERO shuffle, zero Python;
+    the cheapest possible form of the C4 pass and exactly what you want
+    mapped over 100 TB of raw crawl.
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    words = lambda l: F.size(  # noqa: E731 — local readability helper
+        F.filter(F.split(l, r"[ \t]+"), lambda t: F.length(t) > 0)
+    )
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(line_term_pattern)
+        & (words(l) >= F.lit(min_line_words))
+        & ~F.lower(l).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_kept = F.size(kept).cast("long")
+    keep = (
+        (n_kept >= F.lit(min_kept_lines))
+        & ~F.col(text_col).contains("{")
+        & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+    )
+    return df.select(
+        *[c for c in df.columns if c not in (out_col, "n_kept_lines", "keep")],
+        clean.alias(out_col),
+        n_kept.alias("n_kept_lines"),
+        keep.alias("keep"),
+    )

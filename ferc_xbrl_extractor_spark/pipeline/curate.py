@@ -59,6 +59,8 @@ def curate_corpus(
     min_uniq_ratio: float = 0.3,
     shingle_n: int = 3,
     min_overlap: int = 5,
+    c4: bool = False,
+    c4_kwargs: dict | None = None,
     max_dup_line_ratio: float | None = None,
     max_dup_3gram_ratio: float | None = None,
     neardup_threshold: float | None = None,
@@ -121,6 +123,16 @@ def curate_corpus(
     encoded against a vocab built from the final survivors (last, so the
     vocab reflects what ships).
     """
+    if c4:
+        # G61 runs FIRST (raw-crawl line cleanup precedes every
+        # statistic): failing pages drop, surviving pages continue with
+        # the line-filtered text so all downstream stats see clean text
+        cleaned = text.c4_clean(docs, text_col, **(c4_kwargs or {}))
+        docs = (
+            cleaned.filter(F.col("keep"))
+            .withColumn(text_col, F.col("clean_text"))
+            .drop("clean_text", "n_kept_lines", "keep")
+        )
     stats = text.with_text_stats(docs, text_col)
     if max_dup_line_ratio is not None or max_dup_3gram_ratio is not None:
         stats = text.with_repetition_stats(stats, text_col)
@@ -241,6 +253,7 @@ def curate_corpus(
 # drop_stage is the FIRST of these whose predicate rejects it, matching
 # curate_corpus' filter order exactly.
 CURATE_STAGES = [
+    "c4",
     "repetition",
     "quality",
     "classifier",
@@ -263,6 +276,8 @@ def curate_annotate(
     min_uniq_ratio: float = 0.3,
     shingle_n: int = 3,
     min_overlap: int = 5,
+    c4: bool = False,
+    c4_kwargs: dict | None = None,
     max_dup_line_ratio: float | None = None,
     max_dup_3gram_ratio: float | None = None,
     neardup_threshold: float | None = None,
@@ -297,6 +312,23 @@ def curate_annotate(
     equals what the pipeline actually did — curate_corpus(same params)
     == the drop_stage-IS-NULL slice (pinned by tests).
     """
+    out_cols = list(docs.columns)
+    fail_c4 = F.lit(False)
+    if c4:
+        cleaned = text.c4_clean(docs, text_col, **(c4_kwargs or {}))
+        docs = (
+            cleaned.withColumn(
+                "__fail_c4", ~F.coalesce(F.col("keep"), F.lit(False))
+            )
+            .withColumn(
+                text_col,
+                F.when(F.col("keep"), F.col("clean_text")).otherwise(
+                    F.col(text_col)
+                ),
+            )
+            .drop("clean_text", "n_kept_lines", "keep")
+        )
+        fail_c4 = F.col("__fail_c4")
     stats = text.with_text_stats(docs, text_col)
     stats = text.with_repetition_stats(stats, text_col)
 
@@ -329,19 +361,22 @@ def curate_annotate(
         )
         fail_gopher = F.col("__fail_gopher")
 
-    annotated = stats.withColumn("__f_rep", fail_rep).withColumn(
-        "__f_qual", ~F.col("__f_rep") & fail_quality
+    annotated = stats.withColumn("__f_c4", fail_c4).withColumn(
+        "__f_rep", ~F.col("__f_c4") & fail_rep
+    ).withColumn(
+        "__f_qual", ~F.col("__f_c4") & ~F.col("__f_rep") & fail_quality
     )
     annotated = annotated.withColumn(
-        "__f_clf", ~F.col("__f_rep") & ~F.col("__f_qual") & fail_clf
+        "__f_clf",
+        ~F.col("__f_c4") & ~F.col("__f_rep") & ~F.col("__f_qual") & fail_clf,
     ).withColumn(
         "__f_gopher",
-        ~F.col("__f_rep") & ~F.col("__f_qual") & ~F.col("__f_clf")
-        & fail_gopher,
+        ~F.col("__f_c4") & ~F.col("__f_rep") & ~F.col("__f_qual")
+        & ~F.col("__f_clf") & fail_gopher,
     )
     pass_rules = (
-        ~F.col("__f_rep") & ~F.col("__f_qual") & ~F.col("__f_clf")
-        & ~F.col("__f_gopher")
+        ~F.col("__f_c4") & ~F.col("__f_rep") & ~F.col("__f_qual")
+        & ~F.col("__f_clf") & ~F.col("__f_gopher")
     )
 
     # population the real pipeline hands the later stages
@@ -416,7 +451,8 @@ def curate_annotate(
         annotated = annotated.withColumn("__sampled", F.lit(True))
 
     drop_stage = (
-        F.when(F.col("__f_rep"), "repetition")
+        F.when(F.col("__f_c4"), "c4")
+        .when(F.col("__f_rep"), "repetition")
         .when(F.col("__f_qual"), "quality")
         .when(F.col("__f_clf"), "classifier")
         .when(F.col("__f_gopher"), "gopher")
@@ -426,7 +462,7 @@ def curate_annotate(
         .when(~F.col("__sampled"), "sample")
     )
     return annotated.select(
-        *docs.columns, drop_stage.alias("drop_stage")
+        *out_cols, drop_stage.alias("drop_stage")
     )
 
 

@@ -3049,3 +3049,77 @@ def test_curate_corpus_group_cap_stage(spark):
         by_src.setdefault(r["source"], []).append(r["doc_id"])
     assert len(by_src["big"]) == 3      # capped
     assert len(by_src["small"]) == 2    # under cap: untouched
+
+
+def test_c4_clean_rules(spark):
+    from ferc_xbrl_extractor_spark.operators.text import c4_clean
+
+    good = "this line carries plenty of words and ends properly."
+    rows = [
+        # doc 1: mixed lines — only the compliant ones survive
+        (1, good + "\nno punct line here at all\nshort one.\n"
+            "please enable javascript to view this page.\n" + good),
+        # doc 2: too few surviving lines -> keep false
+        (2, good),
+        # doc 3: brace page -> keep false even with enough good lines
+        (3, "\n".join([good, good, good]) + "\nfunction() { return }"),
+        # doc 4: lorem ipsum page -> keep false
+        (4, "\n".join([good, good, good]) + "\nLorem Ipsum dolor sit."),
+        # doc 5: clean page -> keep true
+        (5, "\n".join([good, good, good])),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_clean(df, min_kept_lines=3).collect()}
+
+    assert out[1]["clean_text"] == good + "\n" + good
+    assert out[1]["n_kept_lines"] == 2 and out[1]["keep"] is False
+    assert out[2]["keep"] is False
+    assert out[3]["keep"] is False and out[3]["n_kept_lines"] >= 3
+    assert out[4]["keep"] is False
+    assert out[5]["keep"] is True and out[5]["clean_text"] == rows[4][1]
+    assert out[6]["keep"] is None  # NULL text propagates, filterable
+
+    plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_curate_c4_stage_and_annotation(spark):
+    from ferc_xbrl_extractor_spark.pipeline import curate
+
+    good = "this line carries plenty of words and ends properly."
+    page = "\n".join([good, good, good])
+    rows = [
+        (1, page),                                  # clean page
+        (2, page + "\nbroken { code page"),         # c4-dropped (brace)
+        (3, "the a of and to in unique short doc."),  # survives c4 (1 line? no)
+    ]
+    # doc 3: single good line but min_kept_lines=1 keeps it alive
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kept = curate.curate_corpus(
+        docs,
+        min_tokens=3,
+        max_stopword_ratio=1.0,
+        min_uniq_ratio=0.0,
+        c4=True,
+        c4_kwargs={"min_kept_lines": 1},
+    )
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert ids == [1, 3]
+
+    ann = curate.curate_annotate(
+        docs,
+        min_tokens=3,
+        max_stopword_ratio=1.0,
+        min_uniq_ratio=0.0,
+        c4=True,
+        c4_kwargs={"min_kept_lines": 1},
+    )
+    stages = {r["doc_id"]: r["drop_stage"] for r in ann.collect()}
+    assert stages[2] == "c4"
+    # pipeline == NULL-slice invariance holds with the new stage
+    assert sorted(
+        r["doc_id"] for r in ann.filter("drop_stage IS NULL").collect()
+    ) == ids
+    assert ann.columns == ["doc_id", "text", "drop_stage"]
