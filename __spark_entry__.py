@@ -2606,6 +2606,23 @@ def q_g57_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g62_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G62: longest train-benchmark overlap audit
+    (spans.contamination_spans). The benchmark is built in-query — the
+    first 12 tokens of every 11th document — so those docs carry a
+    5-gram step-1 run (longest = 12 tokens) and every doc reports
+    (zeros included); the oracle replays the md5 positional grams, the
+    step-1 islands and the run maxima relationally."""
+    from ferc_xbrl_extractor_spark.operators import spans as spans_mod
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        F.array_join(F.slice(text.tokens("text"), 1, 12), " ").alias("text"),
+    )
+    return spans_mod.contamination_spans(docs, bench, n=8)
+
+
 def q_g61_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G61: C4 cleaning rule-pack (text.c4_clean). Each document becomes
     a four-line page — its own text terminated, an unpunctuated line, a
@@ -2898,6 +2915,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g59_cap_per_group": q_g59_cap_per_group,
         "g60_md_text": q_g60_md_text,
         "g61_c4_clean": q_g61_c4_clean,
+        "g62_contamination": q_g62_contamination,
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
@@ -5425,6 +5443,62 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM w4
     """
 
+    # G62: contamination audit — md5 positional grams + step-1 islands
+    sql["g62_contamination"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> len(x) > 0) AS w
+            FROM documents
+        ),
+        btoks AS (
+            SELECT list_filter(
+                       string_split_regex(array_to_string(w[1:12], ' '),
+                                          '\s+'),
+                       x -> len(x) > 0) AS w
+            FROM toks WHERE doc_id % 11 = 0
+        ),
+        bgrams AS (
+            SELECT DISTINCT
+                   md5(array_to_string(w[t.i + 1 : t.i + 8], ' ')) AS g
+            FROM btoks, UNNEST(range(len(w) - 7)) AS t(i)
+            WHERE len(w) >= 8
+        ),
+        grams AS (
+            SELECT doc_id, CAST(t.i AS INT) AS pos,
+                   md5(array_to_string(w[t.i + 1 : t.i + 8], ' ')) AS g
+            FROM toks, UNNEST(range(len(w) - 7)) AS t(i)
+            WHERE len(w) >= 8
+        ),
+        hits AS (SELECT doc_id, pos FROM grams JOIN bgrams USING (g)),
+        brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN LAG(pos) OVER w IS NULL
+                             OR pos - LAG(pos) OVER w > 1
+                        THEN 1 ELSE 0 END AS b
+            FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+            FROM brk
+        ),
+        runs AS (
+            SELECT doc_id, island, count(*) AS r
+            FROM isl GROUP BY doc_id, island
+        ),
+        pd AS (
+            SELECT doc_id, SUM(r) AS nh, MAX(r) + 7 AS lo
+            FROM runs GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(pd.nh, 0) AS BIGINT) AS n_hit_grams,
+               CAST(COALESCE(pd.lo, 0) AS BIGINT)
+                   AS longest_overlap_tokens
+        FROM documents d LEFT JOIN pd USING (doc_id)
+    """
+
     # G61: C4 rule-pack — the identical line lambda replayed in RE2
     sql["g61_c4_clean"] = r"""
         WITH h AS (
@@ -5779,7 +5853,9 @@ _SUITES: dict[str, list[str]] = {
         "g3_embedding_neardup", "g3_recall", "g44_ranking_report",
         "g50_hard_negatives",
     ],
-    "g26_span_suite": ["g26_dup_spans", "g26_trim_spans"],
+    "g26_span_suite": [
+        "g26_dup_spans", "g26_trim_spans", "g62_contamination"
+    ],
     "g29_vocab_suite": [
         "g29_vocab", "g29_encode", "g29_decode", "g29_coverage"
     ],
@@ -5894,6 +5970,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g59_cap_per_group": [("doc_id", "i"), ("grp", "s"), ("n_chars", "i")],
     "g60_md_text": [("doc_id", "i"), ("clean_md5", "s"), ("n_clean_chars", "i")],
     "g61_c4_clean": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_lines", "i"), ("keep", "b")],
+    "g62_contamination": [("doc_id", "i"), ("n_hit_grams", "i"), ("longest_overlap_tokens", "i")],
     "g10_json": [("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("avg_k", "n")],
     "g33_strip_lines": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_lines", "i")],
     "g57_html_text": [("doc_id", "i"), ("clean_md5", "s"), ("n_clean_chars", "i")],

@@ -199,3 +199,72 @@ def trim_duplicated_spans(
         F.array_join(kept, " ").alias(out_col),
         F.size(kept).cast("long").alias(count_col),
     )
+
+
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """G62: longest contiguous train-benchmark overlap per corpus
+    document — the contamination AUDIT metric (the PaLM/GPT-4 reports
+    quantify leakage as longest n-gram runs, not booleans). G15 decides
+    keep/drop on distinct-shingle counts; this measures HOW MUCH of a
+    document is verbatim benchmark text: per doc, the count of token
+    positions whose n-gram appears anywhere in the benchmark, and the
+    longest STEP-1 RUN of such positions reported as tokens
+    (``run + n - 1``). A maximal run means every window of n consecutive
+    tokens inside it is benchmark text; runs are broken by any
+    non-matching position (matched grams at different benchmark
+    locations can therefore split — this is the standard conservative
+    "longest matched-gram run", not exact longest-common-substring,
+    which needs benchmark positions joined in and is quadratic in the
+    hit relation).
+
+    Scale shape: the benchmark's distinct gram set is the ONLY relation
+    joined against the corpus grams (left-semi, AQE-broadcast — eval
+    suites are small by construction); the gap-and-islands window runs
+    over HIT positions only (|hits| rows, tiny next to the corpus), and
+    the per-doc report joins back as an |contaminated docs|-row
+    broadcast. The corpus is never shuffled. Zero-hit docs report zeros.
+    """
+    grams = positional_grams(corpus, id_col, text_col, n)
+    bgrams = positional_grams(
+        benchmark, bench_id_col, bench_text_col, n
+    ).select("g").distinct()
+    hits = grams.join(bgrams, "g", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull()
+        | (F.col("pos") - F.lag("pos").over(w) > 1),
+        1,
+    ).otherwise(0)
+    isl = (
+        hits.withColumn("__b", brk)
+        .withColumn(
+            "__island",
+            F.sum("__b").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    runs = isl.groupBy(id_col, "__island").agg(
+        F.count(F.lit(1)).alias("__run")
+    )
+    per_doc = runs.groupBy(id_col).agg(
+        F.sum("__run").cast("long").alias("n_hit_grams"),
+        (F.max("__run") + F.lit(n - 1)).cast("long").alias(
+            "longest_overlap_tokens"
+        ),
+    )
+    return corpus.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+        F.coalesce("longest_overlap_tokens", F.lit(0))
+        .cast("long")
+        .alias("longest_overlap_tokens"),
+    )

@@ -125,3 +125,31 @@ def test_hot_gram_default_handles_boilerplate_gram(spark):
     out = sp.duplicated_spans(docs, n=4).collect()
     got = {(r.doc_id, r.span_start, r.span_end) for r in out}
     assert got == {(i, 0, 4) for i in range(0, 200, 2)}
+
+
+def test_contamination_spans_runs_and_zeros(spark):
+    from ferc_xbrl_extractor_spark.operators.spans import contamination_spans
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # doc 1: carries the full 10-token benchmark string -> 3 grams
+        # (n=8) in one step-1 run -> longest = 3 + 7 = 10
+        (1, "prefix words here " + bench_text + " suffix tail"),
+        # doc 2: two separated 8-token copies -> two runs of 1, longest 8
+        (2, bench_text.rsplit(" ", 2)[0] + " xx yy zz qq ww ee rr tt "
+            + bench_text.rsplit(" ", 2)[0]),
+        # doc 3: clean
+        (3, "totally unrelated content with enough words to carry grams"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+
+    out = {
+        r["doc_id"]: (r["n_hit_grams"], r["longest_overlap_tokens"])
+        for r in contamination_spans(corpus, bench, n=8).collect()
+    }
+    assert out[1] == (3, 10)
+    assert out[2] == (2, 8)
+    assert out[3] == (0, 0)
+    # every corpus doc reports (zero-hit docs included)
+    assert len(out) == 3
