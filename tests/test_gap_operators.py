@@ -3123,3 +3123,63 @@ def test_curate_c4_stage_and_annotation(spark):
         r["doc_id"] for r in ann.filter("drop_stage IS NULL").collect()
     ) == ids
     assert ann.columns == ["doc_id", "text", "drop_stage"]
+
+
+def test_curate_cli_c4_and_group_cap_flags(spark, tmp_path, capsys):
+    import json as _json
+
+    from ferc_xbrl_extractor_spark.curate_cli import parse, run_main
+
+    src = str(tmp_path / "in")
+
+    def page(tag):
+        good = f"this {tag} sentence carries plenty of proper words and ends well."
+        return "\n".join([good, f"another {tag} line with many good words here.", good])
+
+    spark.createDataFrame(
+        [(i, page(f"b{i}"), "big") for i in range(1, 6)]  # 5 clean big-source
+        + [(10, page("x") + "\nbroken { page", "big"),    # c4-dropped
+           (20, page("s"), "small")],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "out")
+    args = parse(
+        [src, "--output", out, "--min-tokens", "3", "--min-uniq-ratio", "0",
+         "--max-stopword-ratio", "1", "--c4", "--group-cap", "3",
+         "--shards", "1"]
+    )
+    assert run_main(args) == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["input_rows"] == 7
+    rows = spark.read.json(out)
+    by_src = {}
+    for r in rows.select("doc_id", "source").collect():
+        by_src.setdefault(r["source"], []).append(int(r["doc_id"]))
+    assert len(by_src["big"]) == 3          # capped; c4 page never counted
+    assert 10 not in by_src["big"]
+    assert by_src["small"] == [20]
+
+
+def test_c4_clean_runs_unchanged_on_a_stream(spark, tmp_path):
+    """c4_clean is one stateless projection, so the batch operator IS the
+    streaming operator — pin that claim with an actual readStream run."""
+    from ferc_xbrl_extractor_spark.operators.text import c4_clean
+    from ferc_xbrl_extractor_spark.streaming import run_stream_to_memory
+
+    good = "this sentence carries plenty of proper words and ends well."
+    rows = [(1, "\n".join([good, good, good])),
+            (2, "lorem ipsum { junk page")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "in")
+    df.write.parquet(path)
+
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = c4_clean(stream, min_kept_lines=3)
+    q = run_stream_to_memory(out, "c4_stream")
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"]: r["keep"]
+           for r in spark.sql("SELECT * FROM c4_stream").collect()}
+    want = {r["doc_id"]: r["keep"] for r in c4_clean(df, min_kept_lines=3).collect()}
+    assert got == want == {1: True, 2: False}

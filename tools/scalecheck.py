@@ -168,6 +168,18 @@ def main() -> None:
             df.filter(F.col("doc_id") % 17 == 3),
             n_buckets=1024,
         ).count(),
+        # every source is over cap at both scales, so this times the
+        # over-cap window path itself (the under-cap bypass is free)
+        "g59_cap_per_group": lambda df: sampling.cap_per_group(
+            df.withColumn("n_chars", F.length("text")),
+            "source", 100, order_col="n_chars",
+        ).count(),
+        # contamination audit: fixed-size benchmark side, corpus 10×
+        "g62_contamination": lambda df: spans.contamination_spans(
+            df,
+            df.filter(F.col("doc_id") % 17 == 3).limit(300),
+            n=8,
+        ).count(),
     }
     out = {}
     for name, fn in cases.items():
