@@ -2170,6 +2170,34 @@ def q_g58_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_stream(spark, out, "g58_quality", mode="update")
 
 
+def q_g63_stream_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G63: per-key windowed ingest quota (stream_cap_per_key) — at most
+    10 events per (event_type, 6h window), (ts, id)-first, on a finite
+    one-file stream (single microbatch, so the result is exactly the
+    batch row_number() <= cap the oracle replays; cross-batch quota
+    carry and window-state eviction are pytest-pinned)."""
+    from ferc_xbrl_extractor_spark.streaming.stateful import (
+        stream_cap_per_key,
+    )
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+    tmp = _cached_fixture(
+        "g63_cap_in",
+        sf_dir,
+        lambda d: events.coalesce(1).write.mode("overwrite").parquet(d),
+    )
+    stream = spark.readStream.schema(events.schema).parquet(tmp)
+    out = stream_cap_per_key(
+        stream, ["event_type"], "ts", "event_id", ["value"],
+        cap=10, window_ms=21_600_000,
+    )
+    return _drain_stream(spark, out, "g63_cap")
+
+
 def q_g53_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G53: streaming near-duplicate suppression
     (streaming.stateful.stream_neardup_suppress) at max_hamming=0 — the
@@ -2916,6 +2944,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g60_md_text": q_g60_md_text,
         "g61_c4_clean": q_g61_c4_clean,
         "g62_contamination": q_g62_contamination,
+        "g63_stream_cap": q_g63_stream_cap,
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
@@ -5443,6 +5472,18 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM w4
     """
 
+    # G63: windowed ingest quota — single-batch run ≡ ranked replay
+    sql["g63_stream_cap"] = """
+        SELECT event_type, ts, event_id, value FROM (
+            SELECT event_type, ts, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY event_type, floor(epoch(ts) / 21600)
+                       ORDER BY ts, event_id
+                   ) AS rk
+            FROM events
+        ) WHERE rk <= 10
+    """
+
     # G62: contamination audit — md5 positional grams + step-1 islands
     sql["g62_contamination"] = r"""
         WITH toks AS (
@@ -5811,7 +5852,7 @@ _SUITES: dict[str, list[str]] = {
     "f_functions": ["f_naming", "f_casts", "f_report_date"],
     "g12_stream_suite": [
         "g12_stream_dedup", "g12_stream_asof", "s8_stream_extract",
-        "g53_stream_neardup",
+        "g53_stream_neardup", "g63_stream_cap",
     ],
     "g11_media_suite": [
         "g11_multimodal", "g11_frame_sample", "g11_ppm_real",
@@ -5971,6 +6012,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g60_md_text": [("doc_id", "i"), ("clean_md5", "s"), ("n_clean_chars", "i")],
     "g61_c4_clean": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_lines", "i"), ("keep", "b")],
     "g62_contamination": [("doc_id", "i"), ("n_hit_grams", "i"), ("longest_overlap_tokens", "i")],
+    "g63_stream_cap": [("event_type", "s"), ("ts", "t"), ("event_id", "i"), ("value", "n")],
     "g10_json": [("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("avg_k", "n")],
     "g33_strip_lines": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_lines", "i")],
     "g57_html_text": [("doc_id", "i"), ("clean_md5", "s"), ("n_clean_chars", "i")],

@@ -373,3 +373,87 @@ def stream_dedup_ttl(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_cap_per_key(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    payload_cols: list[str],
+    cap: int,
+    window_ms: int | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """G63: per-key ingest quota — emit at most ``cap`` rows per key (or
+    per (key, event-time window) when ``window_ms`` is set), chosen
+    (ts, tiebreak)-first. The streaming side of G59's domain balancing:
+    a crawler that floods one domain gets throttled AT INGEST, before
+    its rows cost storage and downstream curation work; a windowed cap
+    is a rate limit ("N docs per source per hour").
+
+    Deterministic in event time within each (key, window): rows are
+    processed in (ts, tiebreak) order inside a batch and the running
+    count carries across batches, so a single-batch run equals the
+    batch ``row_number() <= cap`` exactly (the gate pins that); across
+    batches, arrival order decides which later rows meet an
+    already-full quota — the same at-most-N guarantee either way.
+
+    State: ONE long per live (key, window). With ``window_ms`` set,
+    EventTimeTimeout timers evict a window's counter once the watermark
+    passes its end — full quotas don't accumulate forever (the G56
+    eviction pattern); an unwindowed cap keeps one counter per key for
+    the stream's life (bounded by |keys|, the quota's own cardinality).
+
+    Output columns: ``key_cols + [ts_col, tiebreak_col] + payload_cols``.
+    """
+    if cap < 1:
+        raise ValueError("stream_cap_per_key: cap must be >= 1")
+    out_fields = [events.schema[c] for c in (*key_cols, ts_col, tiebreak_col)]
+    out_fields += [events.schema[c] for c in payload_cols]
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+    order = [ts_col, tiebreak_col]
+    cols = [f.name for f in out_fields]
+    group = list(key_cols)
+    src = events.select(*cols).withWatermark(ts_col, watermark)
+    if window_ms is not None:
+        src = src.withColumn(
+            "__win",
+            (
+                F.col(ts_col).cast("timestamp").cast("long")
+                / (window_ms / 1000.0)
+            ).cast("long"),
+        )
+        group = [*key_cols, "__win"]
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(order, kind="mergesort")
+        seen = int(state.get[0]) if state.exists else 0
+        room = cap - seen
+        state.update((seen + len(pdf),))
+        if window_ms is not None:
+            # evict this window's counter once the watermark passes its end
+            win_end_ms = (int(key[-1]) + 1) * window_ms
+            state.setTimeoutTimestamp(
+                max(win_end_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if room <= 0:
+            return
+        yield pdf.head(room)[cols]
+
+    return src.groupBy(*group).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout
+        if window_ms is not None
+        else GroupStateTimeout.NoTimeout,
+    )

@@ -743,3 +743,59 @@ def test_stream_check_constraints_validation(spark):
         stream_check_constraints(
             df, "ts", "1 hour", [non_negative("id"), non_negative("id")]
         )
+
+
+def test_stream_cap_per_key_quota_and_windows(spark, tmp_path):
+    from ferc_xbrl_extractor_spark.streaming.stateful import stream_cap_per_key
+
+    schema = "event_id long, ts_s string, event_type string"
+
+    def _df(rows):
+        return (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+        )
+
+    # cross-batch quota carry: cap=2 per key, batch 1 fills the quota,
+    # batch 2's same-key rows are rejected even though the batch is new
+    path = str(tmp_path / "a")
+    _df([(3, "2024-01-01 00:00:03", "click"),
+         (1, "2024-01-01 00:00:01", "click"),
+         (2, "2024-01-01 00:00:02", "click"),
+         (9, "2024-01-01 00:00:01", "view")]).coalesce(1).write.parquet(path)
+    _df([(4, "2024-01-01 00:00:04", "click"),
+         (10, "2024-01-01 00:00:05", "view")]).coalesce(1).write.mode(
+        "append").parquet(path)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    out = stream_cap_per_key(stream, ["event_type"], "ts", "event_id", [], cap=2)
+    got = _drain(spark, out, "cap_plain").collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["event_type"], []).append(r["event_id"])
+    # batch 1 sorted by (ts, id): clicks 1, 2 fill the cap; 3 and 4 rejected
+    assert sorted(by_key["click"]) == [1, 2]
+    assert sorted(by_key["view"]) == [9, 10]
+
+    # windowed quota: cap=1 per (key, 60s window) — quota resets per window
+    path2 = str(tmp_path / "b")
+    _df([(1, "2024-01-01 00:00:10", "click"),
+         (2, "2024-01-01 00:00:20", "click"),      # same window: rejected
+         (3, "2024-01-01 00:01:10", "click")]).coalesce(1).write.parquet(path2)
+    stream2 = (
+        spark.readStream.schema("event_id long, event_type string, ts timestamp")
+        .parquet(path2)
+    )
+    out2 = stream_cap_per_key(
+        stream2, ["event_type"], "ts", "event_id", [],
+        cap=1, window_ms=60_000, watermark="5 seconds",
+    )
+    ids2 = sorted(r["event_id"] for r in _drain(spark, out2, "cap_win").collect())
+    assert ids2 == [1, 3]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cap"):
+        stream_cap_per_key(stream2, ["event_type"], "ts", "event_id", [], cap=0)
