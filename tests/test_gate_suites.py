@@ -60,7 +60,7 @@ def test_slot_mapping_is_deterministic_and_typed():
                 assert (slot, kind) in slots
 
 
-@pytest.mark.parametrize("suite", ["xbrl_scan_suite", "g9_asof_suite"])
+@pytest.mark.parametrize("suite", ["xbrl_scan_suite", "g_window_asof_suite"])
 def test_suite_rows_partition_into_members(spark, suite):
     members = entry._SUITES[suite]
     fine = entry.fine_queries()
