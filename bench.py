@@ -4,9 +4,15 @@
 The FINAL stdout line is one compact JSON object:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 kept small (the driver captures only the output tail — r4's single giant
-line overflowed it and recorded ``parsed: null``). Auxiliary data (scale
-slope, DuckDB oracle timings) is printed as separate JSON lines BEFORE the
-headline line.
+line overflowed it and recorded ``parsed: null``; r5's slope line printed
+before the headline was cut mid-JSON). r6 contract: the COMPLETE record
+(all per-query timings, scale slope, time ratios, DuckDB timings when
+measured) is written to ``BENCH_FULL.json`` and ``SLOPE.json`` next to
+this script — committed files, never size-capped. The stdout tail keeps
+only the headline line, whose ``queries`` map is packed slowest-first
+under a hard byte budget so it ALWAYS parses regardless of roster size
+(``n`` = full roster count; ``queries_inline`` < ``n`` means the rest is
+in BENCH_FULL.json).
 
 ``value`` is the total wall-clock of the headline suite. Each query is
 forced with a count() (no driver-side collect of the payload — the point is
@@ -140,13 +146,14 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
-    out = {
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    full_record = {
         "metric": "headline suite wall-clock",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()),
+        "queries": timings,
     }
 
     # Scale slope: re-time the suite at a second (smaller) scale factor so
@@ -165,12 +172,13 @@ def main() -> None:
                 qs[name](spark, slope_dir).count()
                 best = min(best, time.time() - t0)
             small[name] = round(best, 3)
-        # Slope goes on its OWN line (not the headline line): the driver
-        # keeps only the final ~2 KB of output, and headline + slope +
-        # time_ratio for ~50 queries does not fit in one line.
-        print(json.dumps({
+        # Slope goes to a COMMITTED FILE, not stdout: the driver keeps
+        # only the final ~2 KB of output, and r5's slope line was cut
+        # mid-JSON in the recorded tail. A file is never size-capped.
+        slope_record = {
             "record": "slope",
             "sf": float(slope_dir.rstrip("/").rsplit("sf", 1)[-1]),
+            "main_sf": sf,
             "queries": small,
             # per-query wall-clock ratio main/small; data ratio is
             # sf/slope.sf (10× by default). Flat ratios (≈1) mean the
@@ -180,7 +188,10 @@ def main() -> None:
                 n: round(timings[n] / small[n], 2) if small[n] > 0 else None
                 for n in HEADLINE
             },
-        }, separators=(",", ":")))
+        }
+        with open(os.path.join(repo_dir, "SLOPE.json"), "w") as f:
+            json.dump(slope_record, f, indent=1)
+        full_record["slope"] = slope_record
 
     if os.environ.get("BENCH_DUCKDB"):
         import duckdb
@@ -196,31 +207,36 @@ def main() -> None:
             t0 = time.time()
             con.sql(f"SELECT count(*) FROM ({oracles[name]})").fetchall()
             duck[name] = round(time.time() - t0, 3)
-        print(json.dumps({"record": "duckdb", "queries": duck},
-                         separators=(",", ":")))
+        full_record["duckdb"] = duck
+
+    # Complete record to a committed file — never size-capped.
+    with open(os.path.join(repo_dir, "BENCH_FULL.json"), "w") as f:
+        json.dump(full_record, f, indent=1)
 
     # Headline record LAST and compact, so the driver's tail capture always
-    # holds one complete parseable JSON line.
+    # holds one complete parseable JSON line. The queries map is PACKED
+    # slowest-first under a hard byte budget: whatever the roster size, the
+    # line parses; anything shed inline is in BENCH_FULL.json.
+    budget = int(os.environ.get("BENCH_TAIL_BYTES", "1800"))
+    out = {
+        "metric": full_record["metric"],
+        "value": full_record["value"],
+        "unit": "sec",
+        "sf": sf,
+        "cpus": full_record["cpus"],
+        "n": len(timings),
+        "full": "BENCH_FULL.json",
+        "queries": {},
+    }
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    for name, t in by_cost:
+        out["queries"][name] = round(t, 2)
+        if len(json.dumps(out, separators=(",", ":"))) > budget:
+            del out["queries"][name]
+            break
+    out["queries_inline"] = len(out["queries"])
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:
-        # Safety valve: never let the final line outgrow the tail capture.
-        # First shed precision; if the line STILL doesn't fit, keep only
-        # the slowest queries inline (the full map goes on its own earlier
-        # line, which the tail may or may not retain) — a short parseable
-        # record always beats a complete truncated one.
-        out["queries"] = {n: round(v, 2) for n, v in timings.items()}
-        line = json.dumps(out, separators=(",", ":"))
-        if len(line) > 1900:
-            print(json.dumps(
-                {"record": "headline_queries_full", "queries": out["queries"]},
-                separators=(",", ":")))
-        keep = len(timings)
-        while len(line) > 1900 and keep > 5:
-            keep = keep // 2
-            top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:keep])
-            out["queries"] = {n: round(v, 2) for n, v in top.items()}
-            out["queries_truncated_to_slowest"] = keep
-            line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= budget + 32, "headline line exceeds tail budget"
     print(line)
 
 
