@@ -253,6 +253,16 @@ def select_to_token_budget(
     buckets; the selected SET is exact for any boundaries (ties can't
     straddle a band: banding is a CASE on the score value itself).
 
+    The boundary bucket's exact running sum is itself decomposed with the
+    two-phase block prefix sum (same shape as :func:`~ferc_xbrl_extractor_spark.operators.packing.pack_sequences`):
+    ``repartitionByRange`` on the selection order gives every task a
+    contiguous, bounded slice of the order; a window partitioned by the
+    range-block id computes block-local offsets, and the single
+    unpartitioned window runs over the *block totals* relation (one row
+    per block — never the corpus). No task ever sorts more than
+    ``max_block_rows`` rows, closing the one single-task shape the r5
+    review flagged.
+
     NULL scores sort last (both the CASE and the window use
     nulls-last order), so they are selected only after every scored
     document fits. ``df`` is traversed twice (totals + selection) — for
@@ -274,12 +284,15 @@ def select_to_token_budget(
     bucket = F.when(s.isNull(), F.lit(len(edges) + 1)).otherwise(bucket)
 
     bdf = df.withColumn("__bkt", bucket)
-    totals = {
-        int(r["__bkt"]): int(r["t"])
-        for r in bdf.groupBy("__bkt")
-        .agg(F.sum(n_tok).alias("t"))
+    totals: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    for r in (
+        bdf.groupBy("__bkt")
+        .agg(F.sum(n_tok).alias("t"), F.count(F.lit(1)).alias("c"))
         .collect()
-    }
+    ):
+        totals[int(r["__bkt"])] = int(r["t"])
+        counts[int(r["__bkt"])] = int(r["c"])
     cum = 0
     cut = None  # first bucket whose cumulative total reaches the budget
     for b in sorted(totals):
@@ -291,18 +304,69 @@ def select_to_token_budget(
         return df
 
     keep_whole = bdf.filter(F.col("__bkt") < cut)
-    w = (
-        Window.partitionBy()
-        .orderBy(s.desc_nulls_last(), F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    boundary = (
-        bdf.filter(F.col("__bkt") == cut)
-        .withColumn("__before", F.coalesce(F.sum(n_tok).over(w), F.lit(0)))
-        .filter(F.lit(base) + F.col("__before") < F.lit(budget))
-        .drop("__before")
+    boundary = _bounded_running_select(
+        bdf.filter(F.col("__bkt") == cut),
+        order=[s.desc_nulls_last(), F.col(id_col).asc()],
+        n_tok=n_tok,
+        remainder=budget - base,
+        n_blocks=max(1, -(-counts[cut] // _BUDGET_BLOCK_ROWS)),
     )
     return keep_whole.unionByName(boundary).drop("__bkt")
+
+
+# Per-task row bound for the boundary bucket's exact prefix sum: each
+# range block sorts at most this many rows. At 100 TB a 1/64 boundary
+# bucket is still ~1.5 TB — the r5 single-partition window put all of it
+# through one task; blocks cap it regardless of corpus size.
+_BUDGET_BLOCK_ROWS = 1_000_000
+
+
+def _bounded_running_select(
+    rows: DataFrame,
+    order: list,
+    n_tok,
+    remainder: int,
+    n_blocks: int,
+) -> DataFrame:
+    """Keep every row whose exact running token total (in ``order``)
+    BEFORE it is under ``remainder`` — without any task ever sorting more
+    than its range block.
+
+    Two-phase block prefix sum over an arbitrary total order:
+    ``repartitionByRange(order)`` makes each partition a contiguous slice
+    of the order (block i's rows all precede block i+1's), so
+    ``spark_partition_id()`` is a valid block id. The block-local window
+    is partitioned (bounded sort per task); the cross-block offset is a
+    prefix sum over the ONE-ROW-PER-BLOCK totals relation, broadcast back.
+    The selected set is independent of where the block boundaries fall —
+    any contiguous blocking of a total order yields the same offsets.
+    """
+    blocks = rows.repartitionByRange(n_blocks, *order).withColumn(
+        "__blk", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__blk")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = blocks.withColumn(
+        "__local", F.coalesce(F.sum(n_tok).over(w_local), F.lit(0))
+    )
+    btot = blocks.groupBy("__blk").agg(F.sum(n_tok).alias("__t"))
+    w_base = (
+        Window.partitionBy()
+        .orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # over <= n_blocks rows, never the corpus
+    bases = btot.select(
+        "__blk",
+        F.coalesce(F.sum("__t").over(w_base), F.lit(0)).alias("__base"),
+    )
+    return (
+        local.join(F.broadcast(bases), "__blk")
+        .filter(F.col("__base") + F.col("__local") < F.lit(remainder))
+        .drop("__blk", "__local", "__base")
+    )
 
 
 def _hashed_features(

@@ -486,3 +486,51 @@ def test_ivf_append_is_o_increment_and_prunes(spark, tmp_path):
     assert ids == [1, 10]
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_budget_select_boundary_window_is_block_bounded(spark, monkeypatch):
+    """G48 (r5 review item #2): the boundary bucket's exact running sum
+    must never be a single-task window over the raw bucket. With the
+    per-task row bound forced below the bucket size, every corpus-side
+    window is partitioned by the range-block id (bounded sort per task),
+    the range exchange exists, and the selected set still matches brute
+    force — block boundaries cannot change a prefix sum over a total
+    order."""
+    import random
+
+    from ferc_xbrl_extractor_spark.operators import sampling
+
+    monkeypatch.setattr(sampling, "_BUDGET_BLOCK_ROWS", 16)
+    rng = random.Random(6)
+    rows = [
+        (i, rng.randint(1, 9), rng.choice([0.1, 0.2, 0.2, None]))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, score double"
+    )
+    out = sampling.select_to_token_budget(
+        df, sum(t for _, t, _ in rows) // 2, score_col="score", num_buckets=4
+    )
+
+    def brute(budget):
+        order = sorted(
+            rows, key=lambda r: (r[2] is None, -(r[2] or 0.0), r[0])
+        )
+        keep, cum = set(), 0
+        for i, t, _s in order:
+            if cum < budget:
+                keep.add(i)
+            cum += t
+        return keep
+
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == brute(sum(t for _, t, _ in rows) // 2)
+
+    plan = _executed_plan(out)
+    assert "rangepartitioning(score" in plan  # contiguous blocks exist
+    # every window whose spec touches the score order is block-partitioned;
+    # the only unpartitioned window may be the <=n_blocks totals relation
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line and "score#" in line:
+            assert "__blk" in line, f"unpartitioned corpus window: {line}"
