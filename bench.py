@@ -44,6 +44,7 @@ HEADLINE = [
     "xbrl_shredder_roundtrip",
     "xbrl_extract_e2e",
     "xbrl_dedup_exact",
+    "xbrl_dedup_bucketed",
     "xbrl_fuzzy_dedup",
     "g1_dedup_keep",
     "g2_jaccard",

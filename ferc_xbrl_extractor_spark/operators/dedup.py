@@ -83,6 +83,48 @@ def dedup_exact(
     return agged.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
 
 
+def write_digest_bucketed(
+    df: DataFrame, table: str, num_buckets: int = 64
+) -> None:
+    """Layout investment for repeated exact dedup: persist the relation
+    with its 128-bit row digest as two bucket columns (``__h1``, ``__h2``),
+    bucketed + sorted on them.
+
+    A distributed distinct must normally pay one keyed exchange — the r4/r5
+    benches measured that exchange as the whole residual gap vs an
+    in-process engine. Bucketing moves the exchange into this one-time
+    write: every later :func:`dedup_exact_bucketed` groups on the bucket
+    columns and the scan itself reports the hash distribution, so the
+    dedup plan contains ZERO Exchange nodes (pinned in
+    tests/test_plans.py). The same layout co-locates any other
+    digest-keyed operation (anti-join against a tombstone set, incremental
+    append dedup) — the standard bucketed-table trade at 100 TB: pay the
+    shuffle once at ingest, never at query time."""
+    cols = df.columns
+    with_digest = df.withColumn(
+        "__h1", _row_digest(df, cols, 0x9E3779B9)
+    ).withColumn("__h2", _row_digest(df, cols, 0x85EBCA6B))
+    (
+        with_digest.write.mode("overwrite")
+        .bucketBy(num_buckets, "__h1", "__h2")
+        .sortBy("__h1", "__h2")
+        .saveAsTable(table)
+    )
+
+
+def dedup_exact_bucketed(spark, table: str) -> DataFrame:
+    """A2 over a :func:`write_digest_bucketed` layout: exchange-free exact
+    distinct. Groups on the bucket columns (the scan already satisfies the
+    clustering), payload rides as ``any_value`` — identical semantics to
+    ``dedup_exact(digest=True)``, minus its shuffle."""
+    t = spark.table(table)
+    cols = [c for c in t.columns if c not in ("__h1", "__h2")]
+    agged = t.groupBy("__h1", "__h2").agg(
+        F.any_value(F.struct(*[F.col(c) for c in cols])).alias("__row")
+    )
+    return agged.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
+
+
 def dedup_exact_keep(
     df: DataFrame, keys: list[str], order_by: list, keep: str = "first"
 ) -> DataFrame:

@@ -534,3 +534,26 @@ def test_budget_select_boundary_window_is_block_bounded(spark, monkeypatch):
     for line in plan.splitlines():
         if "windowspecdefinition(" in line and "score#" in line:
             assert "__blk" in line, f"unpartitioned corpus window: {line}"
+
+
+def test_bucketed_dedup_exact_runs_exchange_free(spark):
+    """A2 bucketed layout (r5 review item #3): a distinct over a
+    write_digest_bucketed table must contain ZERO Exchange nodes — the
+    bucketed scan satisfies the digest grouping — and return exactly the
+    distinct rows (duplicates injected across partitions)."""
+    from ferc_xbrl_extractor_spark.operators import dedup
+
+    rows = [(i % 500, f"v{i % 500}", None if i % 7 == 0 else float(i % 11))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, s string, x double").repartition(8)
+    dedup.write_digest_bucketed(df, "bkt_dedup_t", num_buckets=8)
+    try:
+        out = dedup.dedup_exact_bucketed(spark, "bkt_dedup_t")
+        plan = _executed_plan(out)
+        assert "Exchange" not in plan, plan
+        key = lambda t: (t[0], t[1], t[2] is None, t[2] or 0.0)  # noqa: E731
+        got = sorted(((r["k"], r["s"], r["x"]) for r in out.collect()), key=key)
+        want = sorted(set(rows), key=key)
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_dedup_t")
