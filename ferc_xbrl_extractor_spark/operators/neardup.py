@@ -473,19 +473,24 @@ def contamination_report(
     set. Returns (id, n_hits) — n_hits = how many of the document's
     distinct shingles appear anywhere in the benchmark.
 
-    Scale shape: the benchmark's distinct shingle set is the small side
-    by construction (eval suites are MBs against a 100-TB corpus), so the
-    probe is a **broadcast semi-ish join**: corpus shingles stream map-side
-    against the broadcast benchmark set, then one keyed aggregate counts
-    hits per document. The corpus is never shuffled by shingle and never
-    self-joined — cost is one scan + one |contaminated-ids| aggregate.
+    Scale shape: the benchmark's shingle set is the small side by
+    construction (eval suites are MBs against a 100-TB corpus), so the
+    probe is a **broadcast LEFT SEMI join**: corpus shingles stream
+    map-side against the broadcast benchmark relation, then one keyed
+    aggregate counts hits per document. Semi-join semantics make the
+    benchmark-side ``distinct()`` unnecessary (membership, never
+    multiplication) — r5 paid a full exchange + AQE stage barrier just to
+    dedup a relation the broadcast hashmap dedups for free (measured
+    ~0.55s of g15's 2.1s at sf0.1). The corpus is never shuffled by
+    shingle and never self-joined — cost is one scan + one
+    |contaminated-ids| aggregate.
     """
     bid = bench_id_col or id_col
     btx = bench_text_col or text_col
     c_sh = shingle_table(corpus, id_col, text_col, n)
-    b_sh = shingle_table(benchmark, bid, btx, n).select("shingle").distinct()
+    b_sh = shingle_table(benchmark, bid, btx, n).select("shingle")
     return (
-        c_sh.join(F.broadcast(b_sh), "shingle")
+        c_sh.join(F.broadcast(b_sh), "shingle", "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .filter(F.col("n_hits") >= min_overlap)
