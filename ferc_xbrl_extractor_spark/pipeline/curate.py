@@ -330,13 +330,20 @@ def curate_annotate(
         )
         fail_c4 = F.col("__fail_c4")
     stats = text.with_text_stats(docs, text_col)
-    stats = text.with_repetition_stats(stats, text_col)
 
     fail_rep = F.lit(False)
-    if max_dup_line_ratio is not None:
-        fail_rep = fail_rep | (F.col("dup_line_ratio") > max_dup_line_ratio)
-    if max_dup_3gram_ratio is not None:
-        fail_rep = fail_rep | (F.col("dup_3gram_ratio") > max_dup_3gram_ratio)
+    if max_dup_line_ratio is not None or max_dup_3gram_ratio is not None:
+        # mirror curate_corpus: the per-token repetition ratios are only
+        # computed when a threshold actually consumes them
+        stats = text.with_repetition_stats(stats, text_col)
+        if max_dup_line_ratio is not None:
+            fail_rep = fail_rep | (
+                F.col("dup_line_ratio") > max_dup_line_ratio
+            )
+        if max_dup_3gram_ratio is not None:
+            fail_rep = fail_rep | (
+                F.col("dup_3gram_ratio") > max_dup_3gram_ratio
+            )
 
     fail_quality = (
         (F.col("n_tokens") < min_tokens)
@@ -404,25 +411,39 @@ def curate_annotate(
             f"__{name}", F.coalesce(F.col(f"__{name}"), F.lit(False))
         )
 
-    if benchmark is not None:
-        contaminated = neardup.contamination_report(
-            survivors, benchmark, id_col=id_col, text_col=text_col,
-            n=shingle_n, min_overlap=min_overlap,
-        ).select(id_col)
-        annotated = _flag_members(annotated, contaminated, "contam")
-    else:
-        annotated = annotated.withColumn("__contam", F.lit(False))
+    # Every stage's id-set below has TWO consumers in the one final plan
+    # (the membership flag + the next stage's population), and a relation
+    # consumed twice re-executes its whole probe/aggregate lineage twice —
+    # r5's funnel paid the contamination probe, the dedup aggregate, and
+    # the near-dup pipeline each two times. The id-sets are bounded
+    # (ids only), so cutting their lineage is a tiny materialization that
+    # halves the heavy stages.
+    def _cut_ids(ids: DataFrame) -> DataFrame:
+        return ids.localCheckpoint(eager=False) if cut_lineage else ids
+
     clean = survivors
     if benchmark is not None:
-        clean = neardup.decontaminate(
-            survivors, benchmark, id_col=id_col, text_col=text_col,
-            n=shingle_n, min_overlap=min_overlap,
+        contaminated = _cut_ids(
+            neardup.contamination_report(
+                survivors, benchmark, id_col=id_col, text_col=text_col,
+                n=shingle_n, min_overlap=min_overlap,
+            ).select(id_col)
         )
+        annotated = _flag_members(annotated, contaminated, "contam")
+        # decontaminate(survivors, ...) would recompute the SAME
+        # contamination probe the flag above just ran (r5: the funnel's
+        # duplicated heaviest stage); the clean population is simply the
+        # anti-join against the ids already derived.
+        clean = survivors.join(contaminated, id_col, "left_anti")
+    else:
+        annotated = annotated.withColumn("__contam", F.lit(False))
 
     fp = text.fingerprint(clean, text_col)
-    winners = dedup_exact_keep(
-        fp, keys=["fp"], order_by=[F.col(id_col)]
-    ).select(id_col)
+    winners = _cut_ids(
+        dedup_exact_keep(
+            fp, keys=["fp"], order_by=[F.col(id_col)]
+        ).select(id_col)
+    )
     deduped = fp.join(winners, id_col, "left_semi").drop("fp")
     annotated = _flag_members(annotated, winners, "dup_winner")
 
@@ -431,11 +452,12 @@ def curate_annotate(
             deduped, id_col=id_col, text_col=text_col,
             n=shingle_n, threshold=neardup_threshold,
         )
-        nd_survivors = neardup.dedup_by_pairs(deduped, pairs, id_col=id_col)
-        annotated = _flag_members(
-            annotated, nd_survivors.select(id_col), "nd_winner"
+        nd_ids = _cut_ids(
+            neardup.dedup_by_pairs(deduped, pairs, id_col=id_col)
+            .select(id_col)
         )
-        final_pop = nd_survivors
+        annotated = _flag_members(annotated, nd_ids, "nd_winner")
+        final_pop = deduped.join(nd_ids, id_col, "left_semi")
     else:
         annotated = annotated.withColumn("__nd_winner", F.lit(True))
         final_pop = deduped
@@ -466,12 +488,25 @@ def curate_annotate(
     )
 
 
-def curate_funnel(docs: DataFrame, benchmark: DataFrame | None = None,
+def curate_funnel(docs: DataFrame | None = None,
+                  benchmark: DataFrame | None = None,
+                  *, annotated: DataFrame | None = None,
                   **kwargs) -> DataFrame:
     """Stage-attrition report for a curation configuration:
     ``(stage, n_dropped)`` plus a ``(NULL, n_survivors)`` row — one
-    aggregate over :func:`curate_annotate`'s single composed plan."""
-    ann = curate_annotate(docs, benchmark, **kwargs)
-    return ann.groupBy("drop_stage").agg(
+    aggregate over :func:`curate_annotate`'s single composed plan.
+
+    Pass ``annotated=`` (a persisted :func:`curate_annotate` result) when
+    the same session also consumes the per-document lineage or the
+    curated corpus itself — the funnel then reuses that one plan instead
+    of re-deriving every stage (the r5 review's shared-session ask): one
+    annotate run yields the corpus (``drop_stage IS NULL`` slice — pinned
+    equal to ``curate_corpus`` by tests), the audit rows, AND this
+    report."""
+    if annotated is None:
+        if docs is None:
+            raise ValueError("curate_funnel needs docs or annotated")
+        annotated = curate_annotate(docs, benchmark, **kwargs)
+    return annotated.groupBy("drop_stage").agg(
         F.count(F.lit(1)).alias("n_docs")
     )

@@ -3183,3 +3183,33 @@ def test_c4_clean_runs_unchanged_on_a_stream(spark, tmp_path):
            for r in spark.sql("SELECT * FROM c4_stream").collect()}
     want = {r["doc_id"]: r["keep"] for r in c4_clean(df, min_kept_lines=3).collect()}
     assert got == want == {1: True, 2: False}
+
+
+def test_curate_funnel_reuses_precomputed_annotation(spark):
+    """G36 shared-session path: funnel(annotated=...) equals the
+    self-derived funnel — one annotate plan serves corpus + audit +
+    report without re-running any stage."""
+    from ferc_xbrl_extractor_spark.pipeline import curate
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox and a dog run to the hills " + str(i % 3))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    params = dict(min_tokens=5, min_uniq_ratio=0.2)
+    ann = curate.curate_annotate(docs, **params).persist()
+    try:
+        shared = {
+            r["drop_stage"]: r["n_docs"]
+            for r in curate.curate_funnel(annotated=ann).collect()
+        }
+        direct = {
+            r["drop_stage"]: r["n_docs"]
+            for r in curate.curate_funnel(docs, **params).collect()
+        }
+        assert shared == direct
+        assert sum(shared.values()) == 30
+    finally:
+        ann.unpersist()
+    with pytest.raises(ValueError):
+        curate.curate_funnel()
