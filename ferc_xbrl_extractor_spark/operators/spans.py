@@ -85,13 +85,81 @@ def positional_grams(
     )
 
 
+def probe_hot_gram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    sample_rows: int = 512,
+    sample_fraction: float | None = None,
+    seed: int = 7,
+    hot_factor: float = 4.0,
+) -> bool:
+    """G26 form probe: does the corpus have a gram hot enough to straggle
+    the window form's per-gram partition?
+
+    Same measured-probe pattern as ``analytics.probe_salt_buckets``: a
+    bounded document sample → gram counts → a 1-row ``(max, total)``
+    collect. The window form hash-partitions every occurrence of one gram
+    onto one task, so it is unsafe when the hottest gram's share of all
+    gram rows exceeds ``hot_factor`` × a partition's fair share (1/P).
+
+    The default sample is ``limit(sample_rows)`` — a HEAD sample, not a
+    uniform one: ``sample(fraction)`` must scan every row to flip its
+    coin (measured 1.3s at sf0.1 — it would cost more than the choice
+    saves), while a limit terminates the scan after one task's worth of
+    rows. Boilerplate grams are corpus-wide by nature, so any contiguous
+    slice exhibits them; pass ``sample_fraction`` to force the uniform
+    probe when the corpus is known to be ordered adversarially (e.g.
+    sorted so one domain owns the head). Deterministic either way
+    (literal limit / seeded sample, pure-arithmetic decision)."""
+    key = None
+    try:
+        # the verdict is a property of the INPUT RELATION, not of the
+        # query run — cache it per analyzed-plan semantic hash so
+        # repeated span passes over the same corpus (bench reps, a
+        # curate pipeline's dup_spans + trim_spans pair) pay the probe's
+        # job floor once per process.
+        key = (
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            n, id_col, text_col, sample_rows, sample_fraction, hot_factor,
+        )
+        if key in _HOT_GRAM_PROBE_CACHE:
+            return _HOT_GRAM_PROBE_CACHE[key]
+    except Exception:
+        key = None
+    if sample_fraction is not None:
+        probe_docs = df.sample(fraction=sample_fraction, seed=seed)
+    else:
+        probe_docs = df.limit(sample_rows)
+    g = positional_grams(probe_docs, id_col, text_col, n)
+    stats = (
+        g.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("mx"), F.sum("__n").alias("tot"))
+        .collect()[0]
+    )
+    partitions = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    verdict = bool(stats["tot"]) and (
+        (stats["mx"] / stats["tot"]) * partitions > hot_factor
+    )
+    if key is not None:
+        _HOT_GRAM_PROBE_CACHE[key] = verdict
+    return verdict
+
+
+_HOT_GRAM_PROBE_CACHE: dict[tuple, bool] = {}
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
     min_count: int = 2,
-    hot_gram_safe: bool = True,
+    hot_gram_safe: bool | str = "auto",
 ) -> DataFrame:
     """Maximal per-document token spans covered by n-grams that occur at
     least ``min_count`` times corpus-wide.
@@ -99,9 +167,13 @@ def duplicated_spans(
     Returns ``(id_col, span_start, span_end)`` with ``span_end``
     exclusive — tokens ``span_start .. span_end-1`` are duplicated text.
 
-    Two formulations of the corpus-frequency filter:
+    Two formulations of the corpus-frequency filter; the default
+    ``"auto"`` picks between them with one bounded sample probe
+    (:func:`probe_hot_gram` — r6, the G13b measured-probe pattern):
+    value-identical either way, only the shuffle shape changes.
 
-    - default (``hot_gram_safe=True``): groupBy count (map-side partial
+    - ``hot_gram_safe=True`` (what ``"auto"`` picks on skewed corpora):
+      groupBy count (map-side partial
       combine — the aggregate side never skews) + a semi join back onto
       the gram relation. The duplicated-gram set is usually a small
       fraction of the grams, so AQE broadcasts the build side (no probe
@@ -109,15 +181,18 @@ def duplicated_spans(
       splitting still handles a hot gram's probe partition. This is the
       100-TB default: one boilerplate gram covering 10⁶ documents costs
       nothing special here.
-    - ``hot_gram_safe=False``: a count window over the gram key — the
+    - ``hot_gram_safe=False`` (what ``"auto"`` picks on flat corpora): a
+      count window over the gram key — the
       gram relation is evaluated and shuffled ONCE (measured ~1.9× faster
       at sf0.1 where nothing is hot), at the cost of a within-partition
       sort. Caveat: a window hash-partitions ALL occurrences of one gram
       onto one partition and gets no AQE skew mitigation, so a
       pathological gram shared by a large fraction of the corpus makes a
-      single-task straggler — only use this when the gram-frequency
+      single-task straggler — force this only when the gram-frequency
       distribution is known to be flat (e.g. pre-deduplicated corpora).
     """
+    if hot_gram_safe == "auto":
+        hot_gram_safe = probe_hot_gram(df, id_col, text_col, n)
     grams = positional_grams(df, id_col, text_col, n)
     if hot_gram_safe:
         dup = (
@@ -157,7 +232,7 @@ def trim_duplicated_spans(
     n: int = 8,
     min_count: int = 2,
     spans: DataFrame | None = None,
-    hot_gram_safe: bool = True,
+    hot_gram_safe: bool | str = "auto",
     out_col: str = "clean_text",
     count_col: str = "n_kept_tokens",
 ) -> DataFrame:

@@ -364,8 +364,9 @@ def test_flagship_query_plans_one_fused_exchange(spark):
     assert n == 1, plan
 
 
-def test_duplicated_spans_default_is_skew_safe_semi_join(spark):
-    """G26 default (hot_gram_safe=True): the corpus-frequency filter is a
+def test_duplicated_spans_skew_safe_form_is_semi_join(spark):
+    """G26 skew-safe form (hot_gram_safe=True — what "auto" picks on
+    hot-gram corpora): the corpus-frequency filter is a
     map-side-combinable aggregate + semi join — never a count window that
     would single-task a hot gram. The duplicated-gram build side is tiny,
     so AQE broadcasts it (no probe-side shuffle)."""
@@ -375,7 +376,7 @@ def test_duplicated_spans_default_is_skew_safe_semi_join(spark):
         [(i, "a b c d e f g h i j k l") for i in range(20)],
         "doc_id long, text string",
     )
-    plan = _executed_plan(sp.duplicated_spans(docs, n=4))
+    plan = _executed_plan(sp.duplicated_spans(docs, n=4, hot_gram_safe=True))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     # no Window over the gram key: the only windows are doc-keyed

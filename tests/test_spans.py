@@ -153,3 +153,38 @@ def test_contamination_spans_runs_and_zeros(spark):
     assert out[3] == (0, 0)
     # every corpus doc reports (zero-hit docs included)
     assert len(out) == 3
+
+
+def test_auto_form_probe_picks_per_corpus_and_is_value_identical(spark):
+    """G26 "auto" (r5 review item #8): the probe picks the window form on
+    flat corpora and the aggregate form on hot-gram corpora, and BOTH
+    forms produce the same spans as "auto" on both fixture classes —
+    correctness is probe-independent."""
+    flat = spark.createDataFrame(
+        [(i, f"p{i} q{i} r{i} s{i} t{i} u{i} shared tail gram four") for i in range(60)],
+        "doc_id long, text string",
+    )
+    # one boilerplate gram owns ~75% of all gram rows (share x partitions
+    # well past the hot_factor threshold)
+    hot = spark.createDataFrame(
+        [(i, "x y z w" if i % 4 else f"u{i} v{i} a{i} b{i}")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    assert sp.probe_hot_gram(flat, n=4, sample_fraction=1.0) is False
+    assert sp.probe_hot_gram(hot, n=4, sample_fraction=1.0) is True
+    for corpus in (flat, hot):
+        auto = {tuple(r) for r in sp.duplicated_spans(corpus, n=4).collect()}
+        agg = {
+            tuple(r)
+            for r in sp.duplicated_spans(
+                corpus, n=4, hot_gram_safe=True
+            ).collect()
+        }
+        win = {
+            tuple(r)
+            for r in sp.duplicated_spans(
+                corpus, n=4, hot_gram_safe=False
+            ).collect()
+        }
+        assert auto == agg == win
