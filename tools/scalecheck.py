@@ -83,6 +83,112 @@ def _diff_case(df):
     return corpus_diff(df, v2).count()
 
 
+def build_blocked_100x(spark, src: str, path: str) -> None:
+    """Third-decade corpus (500k docs): 10 BLOCKS × 10 salt copies per
+    original. Within a (original, block) group the 10 copies are mutual
+    near-dups (the same 10-clique as the 50k tier); ACROSS blocks every
+    3rd token carries a block tag, so almost no 3-gram survives intact
+    and blocks never pair. The pair graph therefore grows 10× (more
+    cliques), not 100× (bigger cliques) — constant duplication RATE,
+    which is how real corpora scale; a 100-clique tier would instead
+    measure output growth (the r5 g47 caveat)."""
+    docs = spark.read.parquet(src)
+    big = (
+        docs.withColumn("__blk", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .withColumn("__copy", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .select(
+            ((F.col("doc_id") * 10 + F.col("__blk")) * 10 + F.col("__copy"))
+            .alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.array_join(
+                    F.transform(
+                        F.split("text", r"\s+"),
+                        lambda t, i: F.when(
+                            i % 3 == 0,
+                            F.concat(t, F.lit("q"), F.col("__blk")),
+                        ).otherwise(t),
+                    ),
+                    " ",
+                ),
+                F.concat(F.lit("salt"), F.col("__copy")),
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+        .repartition(64)
+    )
+    big.write.mode("overwrite").parquet(path)
+
+
+def pairgraph_three_decades() -> None:
+    """Three-decade slope evidence for the pair-graph family
+    (g2_cluster_dedup, g24_incremental_neardup, g47_leakage_safe_split):
+    5k → 50k → 500k docs. Each case's time is reported next to its tier's
+    PAIR-GRAPH size — sub-linearity is claimed in the graph the operator
+    actually processes (salt-copy corpora are duplication-dense by
+    construction; see build_blocked_100x). Run: python tools/scalecheck.py
+    pairgraph (writes one JSON line; corpora land in /tmp)."""
+    import shutil
+
+    from ferc_xbrl_extractor_spark.pipeline import incremental
+
+    spark = get_spark(
+        "scalecheck3", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    pid = os.getpid()
+    t10 = f"/tmp/spark_graft_3d_10x_{pid}"
+    t100 = f"/tmp/spark_graft_3d_100x_{pid}"
+    build_10x(spark, f"{src}/documents.parquet", t10)
+    build_blocked_100x(spark, f"{src}/documents.parquet", t100)
+
+    tiers = {
+        "5k": f"{src}/documents.parquet",
+        "50k": t10,
+        "500k": t100,
+    }
+    out: dict = {}
+    for tier, path in tiers.items():
+        df = spark.read.parquet(path)
+        pairs_n = neardup.jaccard_pairs(df, n=3, threshold=0.5).count()
+        row = {"docs": df.count(), "pairs": pairs_n}
+        row["g2_cluster_dedup_s"] = timeit(
+            lambda: neardup.dedup_by_pairs(
+                spark.read.parquet(path),
+                neardup.jaccard_pairs(
+                    spark.read.parquet(path), n=3, threshold=0.5
+                ),
+            ).count()
+        )
+        row["g47_leakage_safe_split_s"] = timeit(
+            lambda: sampling.leakage_safe_split(
+                spark.read.parquet(path).select("doc_id"),
+                neardup.jaccard_pairs(
+                    spark.read.parquet(path), n=3, threshold=0.5
+                ),
+                {"train": 0.8, "val": 0.1, "test": 0.1},
+            ).count()
+        )
+        idx = f"/tmp/spark_graft_3d_idx_{tier}_{pid}"
+        incremental.neardup_index_init(
+            spark, idx, df.filter(F.col("doc_id") % 3 != 0)
+        )
+        row["g24_incremental_neardup_s"] = timeit(
+            lambda: incremental.incremental_neardup(
+                spark,
+                idx,
+                spark.read.parquet(path).filter(F.col("doc_id") % 2 == 0),
+                update_index=False,
+            ).fresh.count()
+        )
+        shutil.rmtree(idx, ignore_errors=True)
+        out[tier] = row
+    print(json.dumps({"pairgraph_three_decades": out}))
+    shutil.rmtree(t10, ignore_errors=True)
+    shutil.rmtree(t100, ignore_errors=True)
+
+
 def timeit(fn, reps: int = 2) -> float:
     fn()  # warm
     best = float("inf")
@@ -223,4 +329,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "pairgraph":
+        pairgraph_three_decades()
+    else:
+        main()
