@@ -116,14 +116,23 @@ def probe_hot_gram(
     key = None
     try:
         # the verdict is a property of the INPUT RELATION, not of the
-        # query run — cache it per analyzed-plan semantic hash so
-        # repeated span passes over the same corpus (bench reps, a
-        # curate pipeline's dup_spans + trim_spans pair) pay the probe's
-        # job floor once per process.
-        key = (
-            df._jdf.queryExecution().analyzed().semanticHash(),
-            n, id_col, text_col, sample_rows, sample_fraction, hot_factor,
-        )
+        # query run — cache it per analyzed plan so repeated span passes
+        # over the same corpus (bench reps, a curate pipeline's
+        # dup_spans + trim_spans pair) pay the probe's job floor once
+        # per process. Keyed on the plan STRING (file-backed plans embed
+        # their paths); in-memory LocalRelations are NEVER cached — their
+        # plan text (and semanticHash) covers the schema, not the data,
+        # so two different in-memory corpora would collide.
+        analyzed = df._jdf.queryExecution().analyzed()
+        # canonicalized: expression ids normalized (a fresh DataFrame
+        # over the same source keys identically), file paths kept
+        plan_str = analyzed.canonicalized().toString()
+        if "LocalRelation" not in plan_str:
+            key = (
+                plan_str, analyzed.semanticHash(),
+                n, id_col, text_col, sample_rows, sample_fraction,
+                hot_factor,
+            )
         if key in _HOT_GRAM_PROBE_CACHE:
             return _HOT_GRAM_PROBE_CACHE[key]
     except Exception:

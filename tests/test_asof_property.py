@@ -8,6 +8,8 @@ with and without tolerance.
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -61,6 +63,7 @@ def _expected(left, right, direction, tolerance):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(asof_case())
+@pytest.mark.slow
 def test_asof_join_matches_merge_asof(spark, case):
     left, right, direction, tolerance = case
     ldf = spark.createDataFrame(left, "k int, t long, eid int")

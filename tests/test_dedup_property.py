@@ -11,6 +11,8 @@ custom aggregate.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -60,6 +62,7 @@ def groups(draw):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(st.lists(groups(), min_size=1, max_size=8))
+@pytest.mark.slow
 def test_fuzzy_matches_reference_loop(spark, groups_list):
     rows = [
         (f"g{i}", "cost", v) for i, vals in enumerate(groups_list) for v in vals
@@ -103,6 +106,7 @@ def test_fuzzy_matches_reference_loop(spark, groups_list):
     st.integers(1, 7),                     # block size
     st.integers(5, 60),                    # budget
 )
+@pytest.mark.slow
 def test_pack_sequences_matches_serial(spark, rows, block_size, budget):
     from ferc_xbrl_extractor_spark.operators.packing import pack_sequences
 

@@ -5,6 +5,8 @@ distributed relations match straightforward in-memory references.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from hypothesis import HealthCheck, given, settings
@@ -53,6 +55,7 @@ def _ref_metrics(retrieved, relevant, k):
 
 @settings(**_SETTINGS)
 @given(ranking_case(), st.integers(1, 5))
+@pytest.mark.slow
 def test_ranking_report_matches_reference(spark, case, k):
     res_rows = [
         (q, nb, i + 1) for q, retrieved, _ in case
@@ -93,6 +96,7 @@ def snapshot_case(draw):
 
 @settings(**_SETTINGS)
 @given(snapshot_case())
+@pytest.mark.slow
 def test_corpus_diff_matches_reference(spark, case):
     old, new = case
     odf = spark.createDataFrame(

@@ -40,6 +40,7 @@ def _naive(left, right, d):
 
 
 @pytest.mark.parametrize("d", [1, 2])
+@pytest.mark.slow
 def test_fuzzy_join_equals_naive_cross_join(spark, sides, d):
     left, right = sides
     got = {

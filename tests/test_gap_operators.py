@@ -85,6 +85,7 @@ def test_cosine_topk_exact(spark):
     assert rows[0]["sim"] > rows[1]["sim"]
 
 
+@pytest.mark.slow
 def test_embedding_neardup_bucketed_finds_identicals(spark):
     corpus = spark.createDataFrame(
         [
@@ -2135,6 +2136,7 @@ def test_extract_audio_features_stub_is_deterministic(spark):
     assert a == b and len(a["rms"]) == 4
 
 
+@pytest.mark.slow
 def test_image_dedup_pipeline_with_real_codec(spark):
     """End-to-end multimodal dedup, every stage real: PPM decode ->
     luma-pixel features -> embedding-cosine near-dup pairs -> connected-

@@ -213,6 +213,7 @@ DATA = "/root/reference/tests/integration/data"
     ("form", "n_tables"),
     [(60, 67), (714, 15)],
 )
+@pytest.mark.slow
 def test_other_forms_end_to_end(spark, form, n_tables):
     """Reference data_quality_test parametrizes forms {1,2,6,60,714}; run
     the two smallest here end-to-end: catalog -> shred 2021 filings ->

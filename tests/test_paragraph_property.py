@@ -11,6 +11,8 @@ that dedup to empty and whitespace-only paragraphs that never count.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -47,6 +49,7 @@ def _reference(texts: list[str]) -> dict[int, tuple[str, int]]:
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(corpus_strategy)
+@pytest.mark.slow
 def test_paragraph_dedup_matches_bruteforce(spark, texts):
     df = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string"

@@ -8,6 +8,8 @@ generated corpus.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -58,6 +60,7 @@ def _reference_spans(texts: list[str], n: int, min_count: int):
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(texts=corpus_strategy, min_count=st.integers(min_value=2, max_value=3))
+@pytest.mark.slow
 def test_duplicated_spans_match_bruteforce(spark, texts, min_count):
     df = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string"

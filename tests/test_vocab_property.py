@@ -8,6 +8,8 @@ the reference on every generated corpus.
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from hypothesis import HealthCheck, given, settings
@@ -42,6 +44,7 @@ def _reference(texts: list[str], vocab_size: int):
     texts=corpus_strategy,
     vocab_size=st.integers(min_value=1, max_value=4),
 )
+@pytest.mark.slow
 def test_vocab_and_encode_match_reference(spark, texts, vocab_size):
     df = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string"
