@@ -2722,6 +2722,53 @@ def q_g61_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _g64_url_expr():
+    """Deterministic messy-URL fixture column: mixed-case scheme/host,
+    explicit default ports, tracking params (alone and mixed with a kept
+    param), trailing slashes, fragments — every rule in
+    text.normalize_url exercised, same expression replayed in SQL."""
+    d = F.col("doc_id")
+    num = (d % 50).cast("string")
+    scheme = F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    host = F.when(
+        d % 3 == 0,
+        F.concat(F.lit("WWW.Site"), num, F.lit(".Example.COM")),
+    ).otherwise(F.concat(F.lit("www.site"), num, F.lit(".example.com")))
+    port = (
+        F.when((d % 11 == 0) & (d % 2 == 0), F.lit(":443"))
+        .when(d % 11 == 0, F.lit(":80"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(F.lit("/p/"), (d % 25).cast("string"))
+    query = (
+        F.when(
+            (d % 5 == 0) & (d % 7 == 0),
+            F.lit("?q=1&utm_source=x&utm_campaign=y"),
+        )
+        .when(d % 5 == 0, F.lit("?utm_source=x&utm_campaign=y"))
+        .when(d % 7 == 0, F.lit("?q=1"))
+        .otherwise(F.lit(""))
+    )
+    trail = F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit(""))
+    frag = F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, query, trail, frag)
+
+
+def q_g64_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G64: URL canonicalization + URL-keyed dedup (text.normalize_url +
+    text.dedup_by_url) — collapse crawl refetches of the same page that
+    arrive under cosmetically different URLs (case, default ports,
+    tracking params, fragments, trailing slashes). Survivor = minimum
+    doc_id per canonical URL; the oracle regenerates the regex chain
+    from URL_STRIP_STEPS and replays the rebuild in SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    with_url = docs.withColumn("url", _g64_url_expr())
+    out = text.dedup_by_url(with_url, url_col="url", id_col="doc_id")
+    return out.select(
+        F.col("canon_url").alias("url"), "doc_id"
+    ).orderBy("url")
+
+
 def q_g60_md_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G60: Markdown -> text extraction (text.markdown_to_text). Each
     document is wrapped in markup exercising every rule — ATX header,
@@ -2985,6 +3032,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g13b_salted_auto": q_g13b_salted_auto,
         "g59_cap_per_group": q_g59_cap_per_group,
         "g60_md_text": q_g60_md_text,
+        "g64_url_dedup": q_g64_url_dedup,
         "g61_c4_clean": q_g61_c4_clean,
         "g62_contamination": q_g62_contamination,
         "g63_stream_cap": q_g63_stream_cap,
@@ -5656,6 +5704,59 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM c
     """
 
+    # G64: canonical-URL chain generated from the operator's own step
+    # table (no capture groups anywhere, so the patterns are spelled
+    # identically in Java regex and RE2).
+    from ferc_xbrl_extractor_spark.operators.text import URL_STRIP_STEPS
+
+    _u64 = "u"
+    for _pat, _rep in URL_STRIP_STEPS:
+        _u64 = f"regexp_replace({_u64}, '{_pat}', '{_rep}', 'g')"
+    _u64_rest = (
+        "regexp_replace(u1, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')"
+    )
+    sql["g64_url_dedup"] = f"""
+        WITH u0 AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+                   || '://'
+                   || (CASE WHEN doc_id % 3 = 0
+                        THEN 'WWW.Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM'
+                        ELSE 'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' END)
+                   || (CASE WHEN doc_id % 11 = 0 AND doc_id % 2 = 0 THEN ':443'
+                            WHEN doc_id % 11 = 0 THEN ':80' ELSE '' END)
+                   || '/p/' || CAST(doc_id % 25 AS VARCHAR)
+                   || (CASE WHEN doc_id % 5 = 0 AND doc_id % 7 = 0
+                        THEN '?q=1&utm_source=x&utm_campaign=y'
+                        WHEN doc_id % 5 = 0 THEN '?utm_source=x&utm_campaign=y'
+                        WHEN doc_id % 7 = 0 THEN '?q=1' ELSE '' END)
+                   || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                   || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)
+                   AS u
+            FROM documents
+        ),
+        u1 AS (SELECT doc_id, u, {_u64} AS u1 FROM u0),
+        parts AS (
+            SELECT doc_id, u, u1,
+                   lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+                   lower(regexp_extract(u1, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS h,
+                   regexp_replace({_u64_rest}, '/+$', '', 'g') AS rest
+            FROM u1
+        ),
+        canon AS (
+            SELECT doc_id,
+                   CASE WHEN sch = '' THEN u ELSE
+                     sch || '://' ||
+                     (CASE WHEN sch = 'http' THEN regexp_replace(h, ':80$', '', 'g')
+                           WHEN sch = 'https' THEN regexp_replace(h, ':443$', '', 'g')
+                           ELSE h END) ||
+                     (CASE WHEN rest = '' THEN '/' ELSE rest END)
+                   END AS url
+            FROM parts
+        )
+        SELECT url, MIN(doc_id) AS doc_id FROM canon GROUP BY url ORDER BY url
+    """
+
     _u60_ws = (
         "CAST(('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 15))"
         " AS BIGINT)"
@@ -5918,7 +6019,9 @@ _SUITES: dict[str, list[str]] = {
         "g61_c4_clean", "g4_text_stats",
     ],
     "g4_score_suite": ["g4_bm25", "g4_surprisal"],
-    "g4_chunk_redact": ["g4_chunk", "g4_pii_redact", "g60_md_text"],
+    "g4_chunk_redact": [
+        "g4_chunk", "g4_pii_redact", "g60_md_text", "g64_url_dedup"
+    ],
     "g17_packing_suite": ["g17_pack_sequences", "g17_materialize_seqs"],
     "g18_quant_suite": ["g18_quantize_int8", "g18_quantized_topk"],
     "s7_corpus_roundtrip": ["s7_jsonl_roundtrip", "s7_orc_roundtrip"],
@@ -6066,6 +6169,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g13b_salted_auto": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
     "g59_cap_per_group": [("doc_id", "i"), ("grp", "s"), ("n_chars", "i")],
     "g60_md_text": [("doc_id", "i"), ("clean_md5", "s"), ("n_clean_chars", "i")],
+    "g64_url_dedup": [("url", "s"), ("doc_id", "i")],
     "g61_c4_clean": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_lines", "i"), ("keep", "b")],
     "g62_contamination": [("doc_id", "i"), ("n_hit_grams", "i"), ("longest_overlap_tokens", "i")],
     "g63_stream_cap": [("event_type", "s"), ("ts", "t"), ("event_id", "i"), ("value", "n")],

@@ -71,6 +71,7 @@ HEADLINE = [
     "g4_chunk",
     "g57_html_text",
     "g60_md_text",
+    "g64_url_dedup",
     "g26_dup_spans",
     "g29_vocab",
     "g29_encode",

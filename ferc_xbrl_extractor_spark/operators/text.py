@@ -1083,3 +1083,74 @@ def c4_clean(
         n_kept.alias("n_kept_lines"),
         keep.alias("keep"),
     )
+
+
+# G64: URL canonicalization steps — applied IN ORDER, before the
+# scheme/host/rest rebuild. Backreference-free and lookaround-free, so
+# the same patterns run under java.util.regex (Spark) and RE2 (DuckDB,
+# with the 'g' flag); the oracle chain is GENERATED from this table
+# (the G60 pattern). Tracking params are the CCNet/C4-style analytics
+# noise that makes byte-identical pages look distinct by URL.
+URL_TRACKING = r"(?:utm_[A-Za-z]+|fbclid|gclid|msclkid)"
+URL_STRIP_STEPS: list[tuple[str, str]] = [
+    (r"#.*$", ""),                               # fragment
+    (URL_TRACKING + r"=[^&#]*&", ""),            # tracking param mid-query
+    (r"[?&]" + URL_TRACKING + r"=[^&#]*$", ""),  # trailing tracking param
+    (r"\?$", ""),                                # empty query left behind
+]
+_URL_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_HOST = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_URL_PREFIX = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def normalize_url(url_col: str | Column = "url") -> Column:
+    """G64: canonical form of a URL — fragments and tracking parameters
+    stripped (URL_STRIP_STEPS), scheme and host lowercased, default
+    ports dropped (``:80`` for http, ``:443`` for https), trailing
+    slashes trimmed, bare hosts given ``/``. Strings without a scheme
+    pass through unchanged (already-canonical keys, non-URL ids).
+
+    This is the dedup key a web-crawl pipeline needs BEFORE content
+    dedup: the same page arrives under `http://WWW.x.com/p/`,
+    `https://www.x.com:443/p?utm_source=feed`, ... and URL-keyed dedup
+    collapses refetches at zero content cost. One codegen'd projection —
+    regexp chain + two ``regexp_extract`` — zero shuffle, zero Python,
+    and bit-replayable by the SQL oracle generated from the same step
+    table."""
+    col = F.col(url_col) if isinstance(url_col, str) else url_col
+    u = col
+    for pat, rep in URL_STRIP_STEPS:
+        u = F.regexp_replace(u, pat, rep)
+    scheme = F.lower(F.regexp_extract(u, _URL_SCHEME, 1))
+    host = F.lower(F.regexp_extract(u, _URL_HOST, 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    rest = F.regexp_replace(u, _URL_PREFIX, "")
+    rest = F.regexp_replace(rest, r"/+$", "")
+    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return F.when(
+        scheme == "", col
+    ).otherwise(F.concat(scheme, F.lit("://"), host, rest))
+
+
+def dedup_by_url(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    canon_col: str = "canon_url",
+) -> DataFrame:
+    """G64: URL-keyed exact dedup — keep the minimum-``id_col`` row per
+    canonical URL (deterministic survivor, the G1 policy). One
+    ``min_by`` hash aggregate over the normalized key: map-side partial
+    combine ships one candidate per canonical URL per task, so the
+    shuffle is |distinct URLs|, not |rows| — the right shape for a crawl
+    where refetch duplication is high."""
+    canon = df.withColumn(canon_col, normalize_url(url_col))
+    from ferc_xbrl_extractor_spark.operators.dedup import dedup_exact_keep
+
+    return dedup_exact_keep(
+        canon, keys=[canon_col], order_by=[F.col(id_col)]
+    )

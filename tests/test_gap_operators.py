@@ -3215,3 +3215,46 @@ def test_curate_funnel_reuses_precomputed_annotation(spark):
         ann.unpersist()
     with pytest.raises(ValueError):
         curate.curate_funnel()
+
+
+def test_normalize_url_goldens_and_url_dedup(spark):
+    """G64: canonicalization goldens — case, default ports, tracking
+    params (alone, consecutive, mixed with kept params), fragments,
+    trailing slashes, bare hosts, scheme-less passthrough — and the
+    min-id survivor policy of dedup_by_url."""
+    from ferc_xbrl_extractor_spark.operators import text
+
+    cases = [
+        ("HTTPS://WWW.X.COM:443/A/b/", "https://www.x.com/A/b"),
+        ("http://x.com:80/p?utm_source=a&utm_campaign=b", "http://x.com/p"),
+        ("http://x.com/p?q=1&utm_source=a&fbclid=z#frag", "http://x.com/p?q=1"),
+        ("http://x.com:8080/p", "http://x.com:8080/p"),  # non-default port kept
+        ("https://x.com:80/p", "https://x.com:80/p"),  # wrong-scheme port kept
+        ("HTTP://X.com", "http://x.com/"),  # bare host -> /
+        ("not a url", "not a url"),  # scheme-less passthrough
+        ("x.com/p/", "x.com/p/"),  # no scheme: untouched
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "doc_id long, url string"
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", text.normalize_url("url").alias("c")).collect()
+    }
+    for i, (_u, want) in enumerate(cases):
+        assert got[i] == want, (i, _u, got[i], want)
+
+    dup = spark.createDataFrame(
+        [
+            (5, "http://a.com/p?utm_source=x"),
+            (3, "HTTP://A.COM:80/p/"),
+            (9, "http://a.com/p#top"),
+            (7, "http://b.com/q"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r["canon_url"]: r["doc_id"]
+        for r in text.dedup_by_url(dup).collect()
+    }
+    assert out == {"http://a.com/p": 3, "http://b.com/q": 7}
