@@ -171,8 +171,16 @@ def test_auto_form_probe_picks_per_corpus_and_is_value_identical(spark):
          for i in range(60)],
         "doc_id long, text string",
     )
-    assert sp.probe_hot_gram(flat, n=4, sample_fraction=1.0) is False
-    assert sp.probe_hot_gram(hot, n=4, sample_fraction=1.0) is True
+    # the probe's threshold is share x shuffle partitions (a session
+    # conf that other tests' get_spark() calls may have re-set on the
+    # shared session) — pin it for a deterministic verdict
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        assert sp.probe_hot_gram(flat, n=4, sample_fraction=1.0) is False
+        assert sp.probe_hot_gram(hot, n=4, sample_fraction=1.0) is True
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     for corpus in (flat, hot):
         auto = {tuple(r) for r in sp.duplicated_spans(corpus, n=4).collect()}
         agg = {
