@@ -13,6 +13,7 @@ def _df(spark, rows):
     return spark.createDataFrame(rows, "c_id string, name string, value string")
 
 
+@pytest.mark.slow
 def test_fuzzy_picks_most_precise(spark):
     df = _df(
         spark,
@@ -91,6 +92,7 @@ def test_cc_two_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+@pytest.mark.slow
 def test_cc_chain_needs_iterations(spark):
     # A 7-node path: the min label must travel 6 hops, exercising the
     # multi-round propagation (one round would only move it one hop).

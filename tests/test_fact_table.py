@@ -1,6 +1,7 @@
 """End-to-end table materialization goldens (reference
 tests/integration/datapackage_test.py:87-152 analogues)."""
 
+import pytest
 from ferc_xbrl_extractor_spark.catalog.tablespec import TableSpec
 from ferc_xbrl_extractor_spark.operators.fact_table import construct_table
 from ferc_xbrl_extractor_spark.sources.filings import scan_filings
@@ -94,6 +95,7 @@ def test_pk_columns_and_order(spark, filing_dir):
     ]
 
 
+@pytest.mark.slow
 def test_skew_safe_mode_equivalence(spark):
     # G13-shaped hot-key fallback: one filing owns ~90% of rows (and one
     # context inside it is hot). skew_safe must produce identical output

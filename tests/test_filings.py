@@ -37,6 +37,7 @@ def filing_zip(tmp_path):
     return str(path)
 
 
+@pytest.mark.slow
 def test_zip_scan_with_rssfeed(spark, filing_zip):
     rows = {r["filing_name"]: r for r in scan_filings(spark, filing_zip).collect()}
     assert set(rows) == {"company_a", "company_b"}

@@ -106,6 +106,7 @@ def test_unpivot_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
+@pytest.mark.slow
 def test_fuzzy_join_property_random_strings(spark):
     """Hypothesis: blocked join == naive cross join on random short
     strings over a tiny alphabet (dense edit-distance neighborhoods —

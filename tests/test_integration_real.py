@@ -129,6 +129,7 @@ def cli_outputs(tmp_path_factory):
     return out
 
 
+@pytest.mark.slow
 def test_cli_u3_sqlite_duckdb_consistency(cli_outputs):
     """U3: both engines hold the same tables with frame-equal contents
     (reference console_scripts_test.py:92-118)."""
@@ -171,6 +172,7 @@ def real_extract(spark):
     return extract(spark, SAMPLE_FILINGS, specs), specs
 
 
+@pytest.mark.slow
 def test_data_quality_used_fact_ratio(real_extract):
     """Reference data_quality_test.py:37-55: >99% of facts consumed
     overall, >95% per filing, across the full catalog."""
@@ -183,6 +185,7 @@ def test_data_quality_used_fact_ratio(real_extract):
         assert r["ratio"] > 0.95, f"{r['filing_name']}: {r['ratio']}"
 
 
+@pytest.mark.slow
 def test_data_quality_referential_integrity(real_extract):
     """Every extracted table's (entity_id, filing_name) must exist in the
     identification table (reference data_quality_test.py:70-89)."""
@@ -197,6 +200,7 @@ def test_data_quality_referential_integrity(real_extract):
         assert violations.isEmpty(), name
 
 
+@pytest.mark.slow
 def test_data_quality_publication_time_non_null(real_extract):
     from pyspark.sql import functions as F
 

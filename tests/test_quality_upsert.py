@@ -49,6 +49,7 @@ def test_check_constraints_report(spark, people):
     assert [r["constraint"] for r in report][0] == "size"
 
 
+@pytest.mark.slow
 def test_uniqueness_approx_same_decision_no_expand(spark, people):
     """approx=True (HLL) must reach the same pass/fail decisions as the
     exact ratio at a tolerant threshold, and must NOT introduce the

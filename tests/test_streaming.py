@@ -431,6 +431,7 @@ def test_stream_upsert_parquet_applies_batches_incrementally(spark, tmp_path):
     assert got2 == {1: ("a2", 2), 2: ("b", 1), 3: ("c3", 3), 9: ("new", 2)}
 
 
+@pytest.mark.slow
 def test_stream_interval_join_matches_batch(spark, tmp_path):
     """Stream-stream watermarked interval join ≡ the same join in batch."""
     from ferc_xbrl_extractor_spark.streaming import stream_interval_join
@@ -612,6 +613,7 @@ def test_stream_neardup_suppress_greedy_and_cross_batch(spark, tmp_path):
     assert all(r["fp"] == fps[r["doc_id"]] for r in got)
 
 
+@pytest.mark.slow
 def test_stream_dedup_ttl_expires_and_rebounds(spark, tmp_path):
     from ferc_xbrl_extractor_spark.streaming.stateful import stream_dedup_ttl
 
@@ -745,6 +747,7 @@ def test_stream_check_constraints_validation(spark):
         )
 
 
+@pytest.mark.slow
 def test_stream_cap_per_key_quota_and_windows(spark, tmp_path):
     from ferc_xbrl_extractor_spark.streaming.stateful import stream_cap_per_key
 
