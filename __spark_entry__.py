@@ -2769,6 +2769,25 @@ def q_g64_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def q_g65_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G65: integer-exact PageRank over a 997-node link graph derived
+    from lineitem (src = l_orderkey % 997, dst = l_partkey % 997,
+    duplicate links collapsed). Three propagation iterations in
+    micro-units with floor arithmetic; the oracle UNROLLS the same
+    iterations (operators/graph.pagerank_oracle_sql — the G37 k-means
+    replay pattern), so ranks are bit-exact."""
+    from ferc_xbrl_extractor_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 997).alias("src"),
+        (F.col("l_partkey") % 997).alias("dst"),
+    )
+    return graph.pagerank(li, iters=3).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("node_rank").cast("long").alias("node_rank"),
+    )
+
+
 def q_g60_md_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G60: Markdown -> text extraction (text.markdown_to_text). Each
     document is wrapped in markup exercising every rule — ATX header,
@@ -3033,6 +3052,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g59_cap_per_group": q_g59_cap_per_group,
         "g60_md_text": q_g60_md_text,
         "g64_url_dedup": q_g64_url_dedup,
+        "g65_pagerank": q_g65_pagerank,
         "g61_c4_clean": q_g61_c4_clean,
         "g62_contamination": q_g62_contamination,
         "g63_stream_cap": q_g63_stream_cap,
@@ -5704,6 +5724,15 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM c
     """
 
+    # G65: the propagation iterations are unrolled by the operator's own
+    # oracle generator — pattern parity is structural.
+    from ferc_xbrl_extractor_spark.operators.graph import pagerank_oracle_sql
+
+    sql["g65_pagerank"] = pagerank_oracle_sql(
+        "SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst FROM lineitem",
+        iters=3,
+    )
+
     # G64: canonical-URL chain generated from the operator's own step
     # table (no capture groups anywhere, so the patterns are spelled
     # identically in Java regex and RE2).
@@ -6073,7 +6102,7 @@ _SUITES: dict[str, list[str]] = {
     ],
     "g_training_suite": [
         "g37_kmeans", "g38_bigram_lm", "g39_shuffle_order",
-        "g40_repeat_mix", "g41_epoch",
+        "g40_repeat_mix", "g41_epoch", "g65_pagerank",
     ],
 }
 
@@ -6170,6 +6199,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g59_cap_per_group": [("doc_id", "i"), ("grp", "s"), ("n_chars", "i")],
     "g60_md_text": [("doc_id", "i"), ("clean_md5", "s"), ("n_clean_chars", "i")],
     "g64_url_dedup": [("url", "s"), ("doc_id", "i")],
+    "g65_pagerank": [("node", "i"), ("node_rank", "i")],
     "g61_c4_clean": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_lines", "i"), ("keep", "b")],
     "g62_contamination": [("doc_id", "i"), ("n_hit_grams", "i"), ("longest_overlap_tokens", "i")],
     "g63_stream_cap": [("event_type", "s"), ("ts", "t"), ("event_id", "i"), ("value", "n")],

@@ -112,6 +112,7 @@ HEADLINE = [
     "g39_shuffle_order",
     "g40_repeat_mix",
     "g41_epoch",
+    "g65_pagerank",
 ]
 
 

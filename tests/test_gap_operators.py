@@ -3258,3 +3258,47 @@ def test_normalize_url_goldens_and_url_dedup(spark):
         for r in text.dedup_by_url(dup).collect()
     }
     assert out == {"http://a.com/p": 3, "http://b.com/q": 7}
+
+
+def test_pagerank_matches_python_reference(spark):
+    """G65: the integer micro-unit recurrence equals a serial Python
+    replay (floor arithmetic, dangling mass dropped), independent of
+    partitioning; validation raises on iters < 1."""
+    from ferc_xbrl_extractor_spark.operators import graph
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (1, 2)]  # dup edge
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    got = {
+        r["node"]: r["node_rank"]
+        for r in graph.pagerank(df, iters=3).collect()
+    }
+
+    uniq = sorted(set(edges))
+    nodes = sorted({u for e in uniq for u in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _d in uniq:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    unit, base = 1_000_000, (15 * 1_000_000) // (100 * n)
+
+    def ref(iters):
+        r = {v: unit // n for v in nodes}
+        for _ in range(iters):
+            nxt = {v: base for v in nodes}
+            for s, d in uniq:
+                nxt[d] += (85 * r[s]) // (100 * outdeg[s])
+            r = nxt
+        return r
+
+    assert got == ref(3)
+    # node 4 is a pure source: it ends at exactly the base mass
+    assert got[4] == base
+    # long run crosses the periodic lineage cut (every 8 rounds)
+    got9 = {
+        r["node"]: r["node_rank"]
+        for r in graph.pagerank(df, iters=9).collect()
+    }
+    assert got9 == ref(9)
+
+    with pytest.raises(ValueError):
+        graph.pagerank(df, iters=0)
