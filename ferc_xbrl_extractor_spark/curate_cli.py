@@ -77,6 +77,13 @@ def parse(argv: list[str] | None = None) -> argparse.Namespace:
         "gram length from surviving text.",
     )
     p.add_argument(
+        "--url-col",
+        default=None,
+        help="URL column: canonicalize (case/ports/tracking-params/"
+        "fragments) and drop refetch duplicates BEFORE every other "
+        "stage (G64 — the cheapest attrition runs first).",
+    )
+    p.add_argument(
         "--c4",
         action="store_true",
         help="Apply the C4 cleaning rule-pack (G61) first: line-level "
@@ -153,6 +160,7 @@ def run_main(args: argparse.Namespace) -> int:
         max_stopword_ratio=args.max_stopword_ratio,
         min_uniq_ratio=args.min_uniq_ratio,
         min_overlap=args.min_overlap,
+        url_col=args.url_col,
         max_dup_line_ratio=args.max_dup_line_ratio,
         max_dup_3gram_ratio=args.max_dup_3gram_ratio,
         neardup_threshold=args.neardup_threshold,

@@ -59,6 +59,7 @@ def curate_corpus(
     min_uniq_ratio: float = 0.3,
     shingle_n: int = 3,
     min_overlap: int = 5,
+    url_col: str | None = None,
     c4: bool = False,
     c4_kwargs: dict | None = None,
     max_dup_line_ratio: float | None = None,
@@ -123,8 +124,16 @@ def curate_corpus(
     encoded against a vocab built from the final survivors (last, so the
     vocab reflects what ships).
     """
+    if url_col is not None:
+        # G64 runs BEFORE EVERYTHING: URL-keyed refetch dedup costs one
+        # canonical-key aggregate and zero content work — the cheapest
+        # possible attrition, so it goes first (the crawl-pipeline
+        # convention). Survivor = minimum id per canonical URL.
+        docs = text.dedup_by_url(
+            docs, url_col=url_col, id_col=id_col
+        ).drop("canon_url")
     if c4:
-        # G61 runs FIRST (raw-crawl line cleanup precedes every
+        # G61 runs next (raw-crawl line cleanup precedes every
         # statistic): failing pages drop, surviving pages continue with
         # the line-filtered text so all downstream stats see clean text
         cleaned = text.c4_clean(docs, text_col, **(c4_kwargs or {}))
@@ -253,6 +262,7 @@ def curate_corpus(
 # drop_stage is the FIRST of these whose predicate rejects it, matching
 # curate_corpus' filter order exactly.
 CURATE_STAGES = [
+    "url_dup",
     "c4",
     "repetition",
     "quality",
@@ -276,6 +286,7 @@ def curate_annotate(
     min_uniq_ratio: float = 0.3,
     shingle_n: int = 3,
     min_overlap: int = 5,
+    url_col: str | None = None,
     c4: bool = False,
     c4_kwargs: dict | None = None,
     max_dup_line_ratio: float | None = None,
@@ -313,6 +324,16 @@ def curate_annotate(
     == the drop_stage-IS-NULL slice (pinned by tests).
     """
     out_cols = list(docs.columns)
+    fail_url = F.lit(False)
+    if url_col is not None:
+        url_winners = text.dedup_by_url(
+            docs, url_col=url_col, id_col=id_col
+        ).select(id_col)
+        marked = url_winners.withColumn("__url_win", F.lit(True))
+        docs = docs.join(marked, id_col, "left").withColumn(
+            "__fail_url", ~F.coalesce(F.col("__url_win"), F.lit(False))
+        ).drop("__url_win")
+        fail_url = F.col("__fail_url")
     fail_c4 = F.lit(False)
     if c4:
         cleaned = text.c4_clean(docs, text_col, **(c4_kwargs or {}))
@@ -368,22 +389,27 @@ def curate_annotate(
         )
         fail_gopher = F.col("__fail_gopher")
 
-    annotated = stats.withColumn("__f_c4", fail_c4).withColumn(
-        "__f_rep", ~F.col("__f_c4") & fail_rep
+    annotated = stats.withColumn("__f_url", fail_url).withColumn(
+        "__f_c4", ~F.col("__f_url") & fail_c4
     ).withColumn(
-        "__f_qual", ~F.col("__f_c4") & ~F.col("__f_rep") & fail_quality
+        "__f_rep", ~F.col("__f_url") & ~F.col("__f_c4") & fail_rep
+    ).withColumn(
+        "__f_qual",
+        ~F.col("__f_url") & ~F.col("__f_c4") & ~F.col("__f_rep")
+        & fail_quality,
     )
     annotated = annotated.withColumn(
         "__f_clf",
-        ~F.col("__f_c4") & ~F.col("__f_rep") & ~F.col("__f_qual") & fail_clf,
+        ~F.col("__f_url") & ~F.col("__f_c4") & ~F.col("__f_rep")
+        & ~F.col("__f_qual") & fail_clf,
     ).withColumn(
         "__f_gopher",
-        ~F.col("__f_c4") & ~F.col("__f_rep") & ~F.col("__f_qual")
-        & ~F.col("__f_clf") & fail_gopher,
+        ~F.col("__f_url") & ~F.col("__f_c4") & ~F.col("__f_rep")
+        & ~F.col("__f_qual") & ~F.col("__f_clf") & fail_gopher,
     )
     pass_rules = (
-        ~F.col("__f_c4") & ~F.col("__f_rep") & ~F.col("__f_qual")
-        & ~F.col("__f_clf") & ~F.col("__f_gopher")
+        ~F.col("__f_url") & ~F.col("__f_c4") & ~F.col("__f_rep")
+        & ~F.col("__f_qual") & ~F.col("__f_clf") & ~F.col("__f_gopher")
     )
 
     # population the real pipeline hands the later stages
@@ -473,7 +499,8 @@ def curate_annotate(
         annotated = annotated.withColumn("__sampled", F.lit(True))
 
     drop_stage = (
-        F.when(F.col("__f_c4"), "c4")
+        F.when(F.col("__f_url"), "url_dup")
+        .when(F.col("__f_c4"), "c4")
         .when(F.col("__f_rep"), "repetition")
         .when(F.col("__f_qual"), "quality")
         .when(F.col("__f_clf"), "classifier")

@@ -3302,3 +3302,36 @@ def test_pagerank_matches_python_reference(spark):
 
     with pytest.raises(ValueError):
         graph.pagerank(df, iters=0)
+
+
+def test_curate_url_dedup_stage_runs_first_and_annotates(spark):
+    """G64 as a curation stage: url_col drops refetch duplicates before
+    every other stage; annotate attributes them to 'url_dup' and the
+    NULL-slice ≡ curate_corpus invariant holds with the stage on."""
+    from ferc_xbrl_extractor_spark.pipeline import curate
+
+    good = "the quick brown fox and a dog run to the hills in summer "
+    rows = [
+        (1, good * 2, "http://a.com/p?utm_source=x"),
+        (2, good * 2, "HTTP://A.COM:80/p/"),     # refetch of doc 1's page
+        (3, good * 2 + "extra", "http://b.com/q"),
+        (4, "tiny", "http://c.com/r"),           # url-unique, fails quality
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, url string"
+    )
+    params = dict(min_tokens=5, min_uniq_ratio=0.2, url_col="url")
+    out_ids = sorted(
+        r["doc_id"] for r in curate.curate_corpus(docs, **params).collect()
+    )
+    assert out_ids == [1, 3]  # 2 lost to url_dup, 4 to quality
+    ann = {
+        r["doc_id"]: r["drop_stage"]
+        for r in curate.curate_annotate(docs, **params).collect()
+    }
+    assert ann == {1: None, 2: "url_dup", 3: None, 4: "quality"}
+    funnel = {
+        r["drop_stage"]: r["n_docs"]
+        for r in curate.curate_funnel(docs, **params).collect()
+    }
+    assert funnel == {None: 2, "url_dup": 1, "quality": 1}
