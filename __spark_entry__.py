@@ -2724,9 +2724,12 @@ def q_g61_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _g64_url_expr():
     """Deterministic messy-URL fixture column: mixed-case scheme/host,
-    explicit default ports, tracking params (alone and mixed with a kept
-    param), trailing slashes, fragments — every rule in
-    text.normalize_url exercised, same expression replayed in SQL."""
+    explicit default ports, tracking params (alone and mixed with kept
+    params), PERMUTED kept-param order (the %35 and %7 branches carry
+    the same params in different order and must collapse), a near-miss
+    tracking name (xfbclid — must SURVIVE), trailing slashes, fragments
+    — every rule in text.normalize_url exercised, same expression
+    replayed in SQL."""
     d = F.col("doc_id")
     num = (d % 50).cast("string")
     scheme = F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
@@ -2743,10 +2746,11 @@ def _g64_url_expr():
     query = (
         F.when(
             (d % 5 == 0) & (d % 7 == 0),
-            F.lit("?q=1&utm_source=x&utm_campaign=y"),
+            F.lit("?q=1&utm_source=x&z=2"),
         )
         .when(d % 5 == 0, F.lit("?utm_source=x&utm_campaign=y"))
-        .when(d % 7 == 0, F.lit("?q=1"))
+        .when(d % 7 == 0, F.lit("?z=2&q=1"))
+        .when(d % 9 == 0, F.lit("?xfbclid=1&q=2"))
         .otherwise(F.lit(""))
     )
     trail = F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit(""))
@@ -5733,58 +5737,38 @@ def fine_oracle_sql() -> dict[str, str]:
         iters=3,
     )
 
-    # G64: canonical-URL chain generated from the operator's own step
-    # table (no capture groups anywhere, so the patterns are spelled
-    # identically in Java regex and RE2).
-    from ferc_xbrl_extractor_spark.operators.text import URL_STRIP_STEPS
+    # G64: canonical-URL query generated WHOLLY from the operator's own
+    # tables (text.normalize_url_sql — fragment steps, anchored
+    # per-param tracking filter, param sort, scheme/host/rest rebuild).
+    from ferc_xbrl_extractor_spark.operators.text import normalize_url_sql
 
-    _u64 = "u"
-    for _pat, _rep in URL_STRIP_STEPS:
-        _u64 = f"regexp_replace({_u64}, '{_pat}', '{_rep}', 'g')"
-    _u64_rest = (
-        "regexp_replace(u1, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')"
-    )
-    sql["g64_url_dedup"] = f"""
-        WITH u0 AS (
-            SELECT doc_id,
-                   (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
-                   || '://'
-                   || (CASE WHEN doc_id % 3 = 0
-                        THEN 'WWW.Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM'
-                        ELSE 'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' END)
-                   || (CASE WHEN doc_id % 11 = 0 AND doc_id % 2 = 0 THEN ':443'
-                            WHEN doc_id % 11 = 0 THEN ':80' ELSE '' END)
-                   || '/p/' || CAST(doc_id % 25 AS VARCHAR)
-                   || (CASE WHEN doc_id % 5 = 0 AND doc_id % 7 = 0
-                        THEN '?q=1&utm_source=x&utm_campaign=y'
-                        WHEN doc_id % 5 = 0 THEN '?utm_source=x&utm_campaign=y'
-                        WHEN doc_id % 7 = 0 THEN '?q=1' ELSE '' END)
-                   || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
-                   || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)
-                   AS u
-            FROM documents
-        ),
-        u1 AS (SELECT doc_id, u, {_u64} AS u1 FROM u0),
-        parts AS (
-            SELECT doc_id, u, u1,
-                   lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
-                   lower(regexp_extract(u1, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS h,
-                   regexp_replace({_u64_rest}, '/+$', '', 'g') AS rest
-            FROM u1
-        ),
-        canon AS (
-            SELECT doc_id,
-                   CASE WHEN sch = '' THEN u ELSE
-                     sch || '://' ||
-                     (CASE WHEN sch = 'http' THEN regexp_replace(h, ':80$', '', 'g')
-                           WHEN sch = 'https' THEN regexp_replace(h, ':443$', '', 'g')
-                           ELSE h END) ||
-                     (CASE WHEN rest = '' THEN '/' ELSE rest END)
-                   END AS url
-            FROM parts
-        )
-        SELECT url, MIN(doc_id) AS doc_id FROM canon GROUP BY url ORDER BY url
+    _u64_fixture = """
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+               || '://'
+               || (CASE WHEN doc_id % 3 = 0
+                    THEN 'WWW.Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM'
+                    ELSE 'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' END)
+               || (CASE WHEN doc_id % 11 = 0 AND doc_id % 2 = 0 THEN ':443'
+                        WHEN doc_id % 11 = 0 THEN ':80' ELSE '' END)
+               || '/p/' || CAST(doc_id % 25 AS VARCHAR)
+               || (CASE WHEN doc_id % 5 = 0 AND doc_id % 7 = 0
+                    THEN '?q=1&utm_source=x&z=2'
+                    WHEN doc_id % 5 = 0 THEN '?utm_source=x&utm_campaign=y'
+                    WHEN doc_id % 7 = 0 THEN '?z=2&q=1'
+                    WHEN doc_id % 9 = 0 THEN '?xfbclid=1&q=2' ELSE '' END)
+               || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+               || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)
+               AS u
+        FROM documents
     """
+    _u64_canon = normalize_url_sql(
+        _u64_fixture, cols=["doc_id"], url_col="u", out_col="url"
+    )
+    sql["g64_url_dedup"] = (
+        f"SELECT url, MIN(doc_id) AS doc_id FROM ({_u64_canon}) "
+        "GROUP BY url ORDER BY url"
+    )
 
     _u60_ws = (
         "CAST(('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 15))"

@@ -35,8 +35,19 @@ No reference counterpart (the reference is an XBRL ETL); SURVEY.md
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _edges_with_outdegree(e: DataFrame) -> DataFrame:
+    """Attach out-degree to a (__s, __d) edge relation as ``__deg``.
+
+    Shape pin (tests/test_gap_operators.py): a groupBy aggregate joined
+    back — map-side combinable, AQE-skew-splittable — never a count
+    window partitioned by __s, which would serialize a hub source's
+    whole out-edge list through one task."""
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    return e.join(deg, "__s")
 
 
 def pagerank(
@@ -74,16 +85,14 @@ def pagerank(
     n = nodes.count()  # bounded: one long
     base = (15 * unit) // (100 * n)
     # out-degree rides WITH the edge relation (one join per iteration,
-    # not two), hash-partitioned on the join key once and reused — every
-    # iteration's ranks arrive partitioned the same way, so the join
-    # pays no edge-side exchange after this materialization.
-    e2 = (
-        e.repartition("__s")
-        .withColumn(
-            "__deg", F.count(F.lit(1)).over(Window.partitionBy("__s"))
-        )
-        .persist()
-    )
+    # not two). Degree is a groupBy aggregate joined back — map-side
+    # combinable and AQE-skew-splittable — NOT a count window: a window
+    # partitioned by __s would serialize a hub source's entire out-edge
+    # list (10⁷ links for an index page in a crawl graph) through one
+    # task at this one-time materialization. The join leaves e2
+    # hash-partitioned on __s, so every iteration's ranks⋈edges join
+    # pays no edge-side exchange after this.
+    e2 = _edges_with_outdegree(e).persist()
     ranks = nodes.withColumn("node_rank", F.lit(unit // n).cast("long"))
     for t in range(1, iters + 1):
         contrib = (
@@ -112,7 +121,14 @@ def pagerank(
         # barriers, ~0.5s each on local[32]).
         if t % 8 == 0 and t < iters:
             ranks = ranks.localCheckpoint(eager=False)
+    # Materialize the result BEFORE dropping the caches: the returned
+    # plan references nodes (iters+1×) and e2 (iters×); an eager cut
+    # here costs the one job the caller's first action would run anyway
+    # and makes both unpersists safe (no cached-relation leak per call
+    # on a long-lived session, no recompute after the caches drop).
+    ranks = ranks.localCheckpoint(eager=True)
     e2.unpersist()
+    nodes.unpersist()
     return ranks
 
 

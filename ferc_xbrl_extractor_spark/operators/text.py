@@ -1086,41 +1086,65 @@ def c4_clean(
 
 
 # G64: URL canonicalization steps — applied IN ORDER, before the
-# scheme/host/rest rebuild. Backreference-free and lookaround-free, so
-# the same patterns run under java.util.regex (Spark) and RE2 (DuckDB,
-# with the 'g' flag); the oracle chain is GENERATED from this table
-# (the G60 pattern). Tracking params are the CCNet/C4-style analytics
-# noise that makes byte-identical pages look distinct by URL.
-URL_TRACKING = r"(?:utm_[A-Za-z]+|fbclid|gclid|msclkid)"
+# query rebuild and the scheme/host/rest rebuild. Backreference-free and
+# lookaround-free, so the same patterns run under java.util.regex
+# (Spark) and RE2 (DuckDB, with the 'g' flag); the oracle chain is
+# GENERATED from these tables (the G60 pattern).
 URL_STRIP_STEPS: list[tuple[str, str]] = [
-    (r"#.*$", ""),                               # fragment
-    (URL_TRACKING + r"=[^&#]*&", ""),            # tracking param mid-query
-    (r"[?&]" + URL_TRACKING + r"=[^&#]*$", ""),  # trailing tracking param
-    (r"\?$", ""),                                # empty query left behind
+    (r"#.*$", ""),  # fragment
 ]
+# Tracking params are the CCNet/C4-style analytics noise that makes
+# byte-identical pages look distinct by URL. Matched PER PARAM after the
+# query splits on '&', anchored at the param start — so near-miss names
+# like 'xfbclid' survive (an unanchored mid-query strip once chewed
+# '?xfbclid=1&q=2' into '?xq=2' and silently merged distinct documents).
+URL_TRACKING = r"^(?:utm_[A-Za-z]+|fbclid|gclid|msclkid)="
 _URL_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _URL_HOST = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _URL_PREFIX = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
 
 
+def _rebuild_query(u: Column) -> Column:
+    """Split the query on '&', drop empty and tracking params
+    (URL_TRACKING, anchored per param), SORT the survivors, rejoin.
+    Param-order permutations ('?a=1&b=2' vs '?b=2&a=1' — the same page,
+    emitted constantly by real crawls) canonicalize to one key; an
+    emptied query drops its '?'. Pure higher-order functions inside the
+    projection — zero shuffle, zero Python."""
+    base = F.regexp_replace(u, r"\?.*$", "")
+    q = F.regexp_extract(u, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(URL_TRACKING),
+    )
+    return F.when(
+        F.size(params) > 0,
+        F.concat(base, F.lit("?"), F.array_join(F.sort_array(params), "&")),
+    ).otherwise(base)
+
+
 def normalize_url(url_col: str | Column = "url") -> Column:
-    """G64: canonical form of a URL — fragments and tracking parameters
-    stripped (URL_STRIP_STEPS), scheme and host lowercased, default
-    ports dropped (``:80`` for http, ``:443`` for https), trailing
-    slashes trimmed, bare hosts given ``/``. Strings without a scheme
-    pass through unchanged (already-canonical keys, non-URL ids).
+    """G64: canonical form of a URL — fragments stripped
+    (URL_STRIP_STEPS), tracking parameters dropped and the remaining
+    query parameters SORTED (URL_TRACKING + ``_rebuild_query``), scheme
+    and host lowercased, default ports dropped (``:80`` for http,
+    ``:443`` for https), trailing slashes trimmed, bare hosts given
+    ``/``. Strings without a scheme pass through unchanged
+    (already-canonical keys, non-URL ids).
 
     This is the dedup key a web-crawl pipeline needs BEFORE content
     dedup: the same page arrives under `http://WWW.x.com/p/`,
-    `https://www.x.com:443/p?utm_source=feed`, ... and URL-keyed dedup
-    collapses refetches at zero content cost. One codegen'd projection —
-    regexp chain + two ``regexp_extract`` — zero shuffle, zero Python,
-    and bit-replayable by the SQL oracle generated from the same step
-    table."""
+    `https://www.x.com:443/p?utm_source=feed`, `...?b=2&a=1` vs
+    `...?a=1&b=2`, and URL-keyed dedup collapses refetches at zero
+    content cost. One codegen'd projection — regexp chain + split/
+    filter/sort_array/array_join + two ``regexp_extract`` — zero
+    shuffle, zero Python, and bit-replayable by the SQL oracle
+    :func:`normalize_url_sql` generated from the same tables."""
     col = F.col(url_col) if isinstance(url_col, str) else url_col
     u = col
     for pat, rep in URL_STRIP_STEPS:
         u = F.regexp_replace(u, pat, rep)
+    u = _rebuild_query(u)
     scheme = F.lower(F.regexp_extract(u, _URL_SCHEME, 1))
     host = F.lower(F.regexp_extract(u, _URL_HOST, 1))
     host = (
@@ -1154,3 +1178,60 @@ def dedup_by_url(
     return dedup_exact_keep(
         canon, keys=[canon_col], order_by=[F.col(id_col)]
     )
+
+
+def normalize_url_sql(
+    inner_sql: str,
+    cols: list[str],
+    url_col: str = "u",
+    out_col: str = "canon_url",
+) -> str:
+    """ANSI/DuckDB-SQL replay of :func:`normalize_url`, GENERATED from
+    the same URL_STRIP_STEPS / URL_TRACKING tables (the G60/G65
+    generated-oracle pattern) so Spark and the oracle cannot drift.
+    ``inner_sql`` must yield ``cols`` plus ``url_col``; returns a SELECT
+    of ``cols`` + ``out_col``. Patterns are capture-group-free and
+    RE2-safe; the per-param tracking filter and the param sort use
+    DuckDB's list lambdas, mirroring Spark's higher-order functions."""
+    u = url_col
+    for pat, rep in URL_STRIP_STEPS:
+        u = f"regexp_replace({u}, '{pat}', '{rep}', 'g')"
+    params = (
+        "list_filter(string_split(__q, '&'), "
+        f"x -> x <> '' AND NOT regexp_matches(x, '{URL_TRACKING}'))"
+    )
+    keep = ", ".join(cols)
+    return f"""
+        SELECT {keep},
+               CASE WHEN __sch = '' THEN {url_col} ELSE
+                 __sch || '://' ||
+                 (CASE WHEN __sch = 'http' THEN regexp_replace(__h, ':80$', '', 'g')
+                       WHEN __sch = 'https' THEN regexp_replace(__h, ':443$', '', 'g')
+                       ELSE __h END) ||
+                 (CASE WHEN __rest = '' THEN '/' ELSE __rest END)
+               END AS {out_col}
+        FROM (
+          SELECT {keep}, {url_col},
+                 lower(regexp_extract(__u2, '{_URL_SCHEME}', 1)) AS __sch,
+                 lower(regexp_extract(__u2, '{_URL_HOST}', 1)) AS __h,
+                 regexp_replace(regexp_replace(__u2, '{_URL_PREFIX}', '', 'g'),
+                                '/+$', '', 'g') AS __rest
+          FROM (
+            SELECT {keep}, {url_col},
+                   CASE WHEN len(__p) > 0
+                        THEN __base || '?' || array_to_string(list_sort(__p), '&')
+                        ELSE __base END AS __u2
+            FROM (
+              SELECT {keep}, {url_col},
+                     regexp_replace(__uf, '\\?.*$', '', 'g') AS __base,
+                     {params} AS __p
+              FROM (
+                SELECT {keep}, {url_col},
+                       {u} AS __uf,
+                       regexp_extract({u}, '\\?(.*)$', 1) AS __q
+                FROM ({inner_sql})
+              )
+            )
+          )
+        )
+    """

@@ -3219,9 +3219,10 @@ def test_curate_funnel_reuses_precomputed_annotation(spark):
 
 def test_normalize_url_goldens_and_url_dedup(spark):
     """G64: canonicalization goldens — case, default ports, tracking
-    params (alone, consecutive, mixed with kept params), fragments,
-    trailing slashes, bare hosts, scheme-less passthrough — and the
-    min-id survivor policy of dedup_by_url."""
+    params (alone, consecutive, mixed with kept params, NEAR-MISS names
+    that must survive), param-order permutations, fragments, trailing
+    slashes, bare hosts, scheme-less passthrough — and the min-id
+    survivor policy of dedup_by_url."""
     from ferc_xbrl_extractor_spark.operators import text
 
     cases = [
@@ -3233,6 +3234,16 @@ def test_normalize_url_goldens_and_url_dedup(spark):
         ("HTTP://X.com", "http://x.com/"),  # bare host -> /
         ("not a url", "not a url"),  # scheme-less passthrough
         ("x.com/p/", "x.com/p/"),  # no scheme: untouched
+        # param-order permutations of the same page -> one key
+        ("http://x.com/p?b=2&a=1", "http://x.com/p?a=1&b=2"),
+        ("http://x.com/p?a=1&b=2", "http://x.com/p?a=1&b=2"),
+        ("http://x.com/p?b=2&utm_source=s&a=1", "http://x.com/p?a=1&b=2"),
+        # near-miss tracking names are KEPT (anchored per-param match;
+        # the old unanchored mid-query strip turned this into '?xq=2')
+        ("http://x.com/p?xfbclid=1&q=2", "http://x.com/p?q=2&xfbclid=1"),
+        ("http://x.com/p?myutm_x=1&q=2", "http://x.com/p?myutm_x=1&q=2"),
+        # consecutive tracking params + empty segments all drop
+        ("http://x.com/p?utm_a=1&utm_b=2&&gclid=9", "http://x.com/p"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "doc_id long, url string"
@@ -3258,6 +3269,24 @@ def test_normalize_url_goldens_and_url_dedup(spark):
         for r in text.dedup_by_url(dup).collect()
     }
     assert out == {"http://a.com/p": 3, "http://b.com/q": 7}
+
+    # the generated SQL replay (normalize_url_sql) agrees byte-for-byte
+    # with the Spark expression on every golden — pins the generator
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{u}')" for i, (u, _) in enumerate(cases))
+        + ") v(doc_id, u)"
+    )
+    q = text.normalize_url_sql(
+        "SELECT doc_id, u FROM t", cols=["doc_id"], url_col="u"
+    )
+    sql_got = dict(con.execute(q).fetchall())
+    con.close()
+    for i, (_u, want) in enumerate(cases):
+        assert sql_got[i] == want, ("oracle", i, _u, sql_got[i], want)
 
 
 def test_pagerank_matches_python_reference(spark):
@@ -3302,6 +3331,62 @@ def test_pagerank_matches_python_reference(spark):
 
     with pytest.raises(ValueError):
         graph.pagerank(df, iters=0)
+
+
+def test_pagerank_degree_is_aggregate_not_window(spark):
+    """G65 scale shape: out-degree is a map-side-combinable groupBy
+    aggregate joined back — never a count window partitioned by the
+    source, which would serialize a hub page's entire out-edge list
+    (10⁷ links for an index page in a crawl graph) through one task."""
+    import inspect
+
+    from ferc_xbrl_extractor_spark.operators import graph
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    ).select(F.col("src").alias("__s"), F.col("dst").alias("__d"))
+    plan = (
+        graph._edges_with_outdegree(e)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "Aggregate" in plan  # Hash/Sort/ObjectHashAggregate
+    # belt-and-braces: no window API anywhere in the module
+    assert "Window" not in inspect.getsource(graph)
+
+
+def test_pagerank_hub_skew_graph(spark):
+    """G65 on a hub-skewed graph (one source owns ~50% of all edges):
+    ranks still equal the serial integer replay — the shape the degree
+    aggregate exists to survive."""
+    from ferc_xbrl_extractor_spark.operators import graph
+
+    k = 400
+    # hub 0 → {1..k} is half the edges; ring 1→2→…→k→1 is the other half
+    edges = [(0, i) for i in range(1, k + 1)]
+    edges += [(i, i % k + 1) for i in range(1, k + 1)]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(16)
+    got = {
+        r["node"]: r["node_rank"]
+        for r in graph.pagerank(df, iters=3).collect()
+    }
+
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    outdeg: dict[int, int] = {}
+    for s, _d in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    unit, base = 1_000_000, (15 * 1_000_000) // (100 * n)
+    r = {v: unit // n for v in nodes}
+    for _ in range(3):
+        nxt = {v: base for v in nodes}
+        for s, d in edges:
+            nxt[d] += (85 * r[s]) // (100 * outdeg[s])
+        r = nxt
+    assert got == r
+    assert got[0] == base  # the hub has no in-links
 
 
 def test_curate_url_dedup_stage_runs_first_and_annotates(spark):
