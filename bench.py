@@ -239,7 +239,10 @@ def main() -> None:
             break
     out["queries_inline"] = len(out["queries"])
     line = json.dumps(out, separators=(",", ":"))
-    assert len(line) <= budget + 32, "headline line exceeds tail budget"
+    if len(line) > budget + 32:
+        # a BENCH_TAIL_BYTES below the fixed headline overhead must not
+        # lose the stdout record after the whole suite already ran
+        print("WARN headline line exceeds tail budget", file=sys.stderr)
     print(line)
 
 

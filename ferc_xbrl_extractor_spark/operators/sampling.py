@@ -358,14 +358,17 @@ def _bounded_running_select(
         .orderBy("__blk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )  # over <= n_blocks rows, never the corpus
+    # bases descends from the same parent as local — rename its key so
+    # the self-join is unambiguous by construction (no analyzer WARN, no
+    # silent mis-bind after a refactor)
     bases = btot.select(
-        "__blk",
+        F.col("__blk").alias("__bblk"),
         F.coalesce(F.sum("__t").over(w_base), F.lit(0)).alias("__base"),
     )
     return (
-        local.join(F.broadcast(bases), "__blk")
+        local.join(F.broadcast(bases), local["__blk"] == bases["__bblk"])
         .filter(F.col("__base") + F.col("__local") < F.lit(remainder))
-        .drop("__blk", "__local", "__base")
+        .drop("__blk", "__bblk", "__local", "__base")
     )
 
 
