@@ -605,6 +605,114 @@ def connected_components(
     return labels
 
 
+def connected_components_twophase(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    return_rounds: bool = False,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log n)-round form for HIGH-DIAMETER pair
+    graphs. Same contract as :func:`connected_components`: (id, label)
+    for every node appearing in ``pairs``, label = component minimum.
+
+    Min-label propagation needs diameter-many rounds; near-dup
+    components are clique-ish so that is 3-4 — but CHAIN-shaped dup
+    graphs (quote chains, boilerplate that mutates a little per page)
+    have diameters in the thousands, multiplying rounds. Star
+    contraction halves path lengths every alternation:
+
+    - large-star(u): every neighbor v > u re-points to
+      m = min(N(u) ∪ {u}); emitted edges stay big→small oriented.
+    - small-star(u), edges oriented u > v: every neighbor v ≤ u and u
+      itself re-point to m = min(N(u)); self-loops drop.
+
+    At the fixpoint the edge set is a star forest rooted at component
+    minimums, read off as the label map. Convergence = the oriented
+    distinct edge set stops changing, detected from ONE tiny aggregate
+    per round (count + xxhash64 xor-fold — an order-insensitive set
+    signature), so each round is two keyed
+    aggregate+join shuffles over O(|edges|) and one bounded action.
+    Each round's edge set is ``localCheckpoint``ed so iterative lineage
+    never compounds (same policy as propagation).
+    """
+    raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    nodes = (
+        raw.select(F.col("a").alias("id"))
+        .unionByName(raw.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    edges = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    # count + xor-fold of row hashes: an order-insensitive DISTINCT-set
+    # signature that cannot overflow under ANSI arithmetic
+    sig_cols = [
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+    ]
+    prev_sig = tuple(edges.agg(*sig_cols).first())
+    rounds = 0
+    converged = prev_sig[0] == 0
+    while not converged and rounds < max_iter:
+        rounds += 1
+        # large-star over the bidirectional neighbor relation
+        nbr = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            nbr.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("u", "__mn").alias("__m"))
+        )
+        large = (
+            nbr.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            .distinct()
+        )  # v > u >= m, so output stays strictly big->small
+        # small-star on the oriented set: min neighbor is already < u
+        mins2 = large.groupBy("u").agg(F.min("v").alias("__m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("n"), F.col("__m").alias("m"))
+            .unionByName(
+                mins2.select(F.col("u").alias("n"), F.col("__m").alias("m"))
+            )
+            .where(F.col("n") != F.col("m"))
+            .select(
+                F.greatest("n", "m").alias("u"), F.least("n", "m").alias("v")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = tuple(small.agg(*sig_cols).first())
+        edges = small
+        if sig == prev_sig:
+            converged = True
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_twophase did not converge in {max_iter} "
+            "rounds — raise max_iter"
+        )
+    labels = nodes.join(
+        edges.select(F.col("u").alias("id"), F.col("v").alias("label")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("label", F.col("id")).alias("label"))
+    if return_rounds:
+        return labels, rounds
+    return labels
+
+
 def attach_clusters(
     df: DataFrame,
     pairs: DataFrame,

@@ -140,6 +140,58 @@ def test_cc_unconverged_raises(spark):
         connected_components(_pairs(spark, chain), max_iter=2)
 
 
+def test_cc_twophase_matches_propagation(spark):
+    """Large-star/small-star contraction yields the SAME label map as
+    min-label propagation on a chain, a clique, a singleton-ish pair,
+    and a random graph — the opt-in form for high-diameter dup graphs."""
+    from ferc_xbrl_extractor_spark.operators.neardup import (
+        connected_components_twophase,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    nodes = list(range(50))
+    random_edges = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(55)}
+    )
+    cases = [
+        [(i, i + 1) for i in range(1, 12)],                     # chain
+        [(a, b) for a in range(5) for b in range(a + 1, 5)],    # clique
+        [(1, 2), (2, 3), (10, 11), (20, 20)],                   # + self-pair
+        random_edges,
+    ]
+    for edges in cases:
+        want = {
+            r["id"]: r["label"]
+            for r in connected_components(_pairs(spark, edges)).collect()
+        }
+        got = {
+            r["id"]: r["label"]
+            for r in connected_components_twophase(
+                _pairs(spark, edges)
+            ).collect()
+        }
+        assert got == want, edges[:5]
+
+
+@pytest.mark.slow
+def test_cc_twophase_chain_converges_in_log_rounds(spark):
+    """A diameter-1000 chain — the shape that multiplies propagation
+    rounds into the thousands — converges in O(log n) alternations."""
+    from ferc_xbrl_extractor_spark.operators.neardup import (
+        connected_components_twophase,
+    )
+
+    chain = [(i, i + 1) for i in range(1, 1001)]
+    labels, rounds = connected_components_twophase(
+        _pairs(spark, chain), return_rounds=True
+    )
+    assert rounds <= 15, rounds  # log2(1000) ~ 10, + slack + confirm round
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert got == {i: 1 for i in range(1, 1002)}
+
+
 def test_dedup_by_pairs_keeps_min_and_singletons(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
