@@ -3,9 +3,10 @@
 Re-running corpus-wide dedup per ingestion increment is O(corpus) work
 for O(increment) new data — the same ceiling the reference hits
 rebuilding every table per run (ref:xbrl.py:28-81). This module keeps a
-persistent fingerprint index (hive-partitioned parquet, keyed by a
-fingerprint prefix) and dedups each new batch against it WITHOUT ever
-shuffling the index:
+persistent fingerprint index (hive-partitioned parquet keyed by a
+fingerprint prefix, bucketed+sorted on the fingerprint within each
+partition) and dedups each new batch against it WITHOUT ever shuffling
+the index:
 
 1. batch-internal dedup: one ``min_by`` survivor aggregate per
    fingerprint (the G1 shape).
@@ -34,9 +35,36 @@ from ferc_xbrl_extractor_spark.operators.text import fingerprint
 
 PREFIX_COL = "fp_pfx"
 
+# Buckets per prefix partition for the digest-bucketed index layout
+# (write_digest_bucketed's trade applied to the fingerprint index): the
+# one-time bucket shuffle at init/append buys every maintenance rebuild
+# an exchange-free groupBy(fp). Raise with corpus size.
+INDEX_BUCKETS = 16
+
 
 def _with_prefix(df: DataFrame, prefix_len: int) -> DataFrame:
     return df.withColumn(PREFIX_COL, F.substring("fp", 1, prefix_len))
+
+
+def _index_table(index_dir: str) -> str:
+    """Deterministic session-catalog name for the bucketed index table at
+    ``index_dir`` (bucket metadata lives in the catalog, not the files)."""
+    import hashlib
+
+    return "fpindex_" + hashlib.md5(index_dir.encode()).hexdigest()[:12]
+
+
+def _read_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Read the index WITH bucket metadata when this session created it
+    (catalog table → bucketed scan, exchange-free keyed ops); fall back
+    to the plain parquet path otherwise — same rows, the files are
+    ordinary parquet. A real deployment keeps the table in a shared
+    metastore so every session gets the bucketed scan; the local session
+    catalog is in-memory, hence the fallback."""
+    name = _index_table(index_dir)
+    if spark.catalog.tableExists(name):
+        return spark.table(name)
+    return spark.read.parquet(index_dir)
 
 
 def index_init(
@@ -46,14 +74,25 @@ def index_init(
     text_col: str = "text",
     prefix_len: int = 2,
 ) -> None:
-    """Create/overwrite the fingerprint index from an existing corpus."""
+    """Create/overwrite the fingerprint index from an existing corpus.
+
+    Layout: hive-partitioned by fingerprint prefix (probe-side partition
+    pruning) AND bucketed+sorted on ``fp`` within each partition (the
+    digest-bucketed trade — see ``operators.dedup.write_digest_bucketed``):
+    the keyed exchange is paid here once, so :func:`index_compact` and any
+    other fp-keyed maintenance over the index runs with ZERO index-side
+    Exchange (pinned in tests/test_incremental.py)."""
     fps = fingerprint(docs, text_col).select("fp").distinct()
+    name = _index_table(index_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
     (
         _with_prefix(fps, prefix_len)
-        .repartition(F.col(PREFIX_COL))
         .write.mode("overwrite")
         .partitionBy(PREFIX_COL)
-        .parquet(index_dir)
+        .bucketBy(INDEX_BUCKETS, "fp")
+        .sortBy("fp")
+        .option("path", index_dir)
+        .saveAsTable(name)
     )
 
 
@@ -118,7 +157,7 @@ def incremental_dedup(
     batch_fps = surv.select("fp")
     if prune is None:
         prune = 16 ** prefix_len > PRUNE_MIN_PARTITIONS
-    index = spark.read.parquet(index_dir)
+    index = _read_index(spark, index_dir)
     if prune:
         touched = [
             r[0]
@@ -139,18 +178,79 @@ def incremental_dedup(
         n_batch = fp_docs.count()
         n_surv = surv.count()
     if update_index and n_fresh:
-        (
-            _with_prefix(fresh.select("fp"), prefix_len)
-            .write.mode("append")
-            .partitionBy(PREFIX_COL)
-            .parquet(index_dir)
-        )
+        append = _with_prefix(fresh.select("fp"), prefix_len)
+        name = _index_table(index_dir)
+        if spark.catalog.tableExists(name):
+            # bucketed append: the spec must be restated and match the
+            # table's (Spark validates); keeps every appended file
+            # bucket-suffixed so maintenance stays exchange-free
+            (
+                append.write.mode("append")
+                .partitionBy(PREFIX_COL)
+                .bucketBy(INDEX_BUCKETS, "fp")
+                .sortBy("fp")
+                .saveAsTable(name)
+            )
+        else:
+            # index created by another session: the catalog entry (and
+            # with it the bucket metadata) is gone — append plain
+            # partitioned parquet; rows stay correct, a later
+            # index_init/index_compact restores the bucketed layout
+            append.write.mode("append").partitionBy(PREFIX_COL).parquet(
+                index_dir
+            )
     return IncrementResult(
         fresh=fresh,
         n_fresh=n_fresh,
         n_batch_dups=None if n_batch is None else n_batch - n_surv,
         n_historical_dups=None if n_surv is None else n_surv - n_fresh,
     )
+
+
+def index_compact_plan(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The dedup relation :func:`index_compact` rewrites from: distinct
+    fingerprints over the index scan. Over the bucketed layout this is
+    ZERO-Exchange (the scan's bucket clustering already satisfies the
+    aggregate — pinned in tests/test_incremental.py); exposed separately
+    so the plan is inspectable without executing the rewrite."""
+    return _read_index(spark, index_dir).select("fp").distinct()
+
+
+def index_compact(spark: SparkSession, index_dir: str) -> int:
+    """Rewrite the fingerprint index after many appends: collapse any
+    duplicate fingerprints (concurrent writers) and the per-append small
+    files back into one bucketed file set.
+
+    The read side is :func:`index_compact_plan` — exchange-free over the
+    bucketed layout, which is exactly what the layout was bought for:
+    init/appends pay the keyed shuffle once, every maintenance rebuild
+    reads pre-clustered. The deduped set stages through a sibling
+    directory (disk, not executor storage — at 100 TB the fp set is
+    hundreds of GB) and is rewritten through the same bucketed writer as
+    :func:`index_init`, restoring the layout even after plain fallback
+    appends. Returns the distinct-fingerprint count."""
+    import shutil
+
+    # infer the prefix length from the data (must match across appends)
+    first = _read_index(spark, index_dir).select(PREFIX_COL).first()
+    prefix_len = len(first[0]) if first else 2
+    tmp = index_dir.rstrip("/") + "__compact"
+    index_compact_plan(spark, index_dir).write.mode("overwrite").parquet(tmp)
+    fps = spark.read.parquet(tmp)
+    name = _index_table(index_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        _with_prefix(fps, prefix_len)
+        .write.mode("overwrite")
+        .partitionBy(PREFIX_COL)
+        .bucketBy(INDEX_BUCKETS, "fp")
+        .sortBy("fp")
+        .option("path", index_dir)
+        .saveAsTable(name)
+    )
+    n = spark.table(name).count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n
 
 
 # ---------------------------------------------------------------------------

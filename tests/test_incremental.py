@@ -70,6 +70,83 @@ def test_increment_probe_never_shuffles_the_index(spark, index_dir):
     assert "PartitionFilters" in plan
 
 
+def test_index_compact_is_exchange_free_and_correct(spark, index_dir):
+    """The digest-bucketed index layout: maintenance dedup over the index
+    runs with ZERO Exchange (the bucket clustering satisfies the
+    aggregate), and compaction after appends preserves the fingerprint
+    set, collapses duplicates, and keeps later probes correct."""
+    from ferc_xbrl_extractor_spark.pipeline.incremental import (
+        index_compact,
+        index_compact_plan,
+    )
+
+    # grow the index with two increments (bucketed appends)
+    incremental_dedup(
+        spark, index_dir, _docs(spark, [(10, "zeta eta"), (11, "theta")])
+    )
+    incremental_dedup(spark, index_dir, _docs(spark, [(20, "iota kappa")]))
+
+    plan = (
+        index_compact_plan(spark, index_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+    before = {r["fp"] for r in spark.read.parquet(index_dir).collect()}
+    n = index_compact(spark, index_dir)
+    after = {r["fp"] for r in spark.read.parquet(index_dir).collect()}
+    assert after == before
+    assert n == len(before)
+
+    # the compacted index still suppresses historical dups
+    res = incremental_dedup(
+        spark,
+        index_dir,
+        _docs(spark, [(30, "zeta eta"), (31, "lambda")]),
+        collect_stats=True,
+        update_index=False,
+    )
+    assert {r["doc_id"] for r in res.fresh.collect()} == {31}
+    assert res.n_historical_dups == 1
+
+
+def test_index_cross_session_fallback_path(spark, index_dir):
+    """A session that did not create the index has no catalog entry: the
+    probe falls back to the plain parquet path and plain appends, stays
+    correct, and a later compact restores the bucketed layout."""
+    from ferc_xbrl_extractor_spark.pipeline.incremental import (
+        _index_table,
+        index_compact_plan,
+    )
+
+    name = _index_table(index_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")  # simulate a fresh session
+
+    res = incremental_dedup(
+        spark,
+        index_dir,
+        _docs(spark, [(50, "alpha beta"), (51, "mu nu")]),
+        collect_stats=True,
+    )
+    assert {r["doc_id"] for r in res.fresh.collect()} == {51}
+    assert res.n_historical_dups == 1
+
+    # fallback append landed; compact re-registers the bucketed table
+    from ferc_xbrl_extractor_spark.pipeline.incremental import index_compact
+
+    n = index_compact(spark, index_dir)
+    assert n == 4  # 3 initial + "mu nu"
+    plan = (
+        index_compact_plan(spark, index_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
 def test_update_index_false_leaves_index_untouched(spark, index_dir):
     before = spark.read.parquet(index_dir).count()
     batch = _docs(spark, [(40, "brand new doc")])
