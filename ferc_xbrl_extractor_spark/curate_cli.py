@@ -84,6 +84,27 @@ def parse(argv: list[str] | None = None) -> argparse.Namespace:
         "stage (G64 — the cheapest attrition runs first).",
     )
     p.add_argument(
+        "--link-edges",
+        default=None,
+        help="Parquet path of a (src, dst) link graph over document ids: "
+        "rank with G65 PageRank and attach the link_rank quality prior "
+        "(usable as --budget-score-col link_rank).",
+    )
+    p.add_argument(
+        "--link-ranks",
+        default=None,
+        help="Parquet path of a precomputed (node, node_rank) relation "
+        "(e.g. a prior pagerank output) instead of --link-edges.",
+    )
+    p.add_argument(
+        "--min-link-rank",
+        type=int,
+        default=None,
+        help="Drop ranked documents with link_rank below this (stage "
+        "'linkrank'); unranked documents always pass.",
+    )
+    p.add_argument("--link-rank-iters", type=int, default=3)
+    p.add_argument(
         "--c4",
         action="store_true",
         help="Apply the C4 cleaning rule-pack (G61) first: line-level "
@@ -161,6 +182,14 @@ def run_main(args: argparse.Namespace) -> int:
         min_uniq_ratio=args.min_uniq_ratio,
         min_overlap=args.min_overlap,
         url_col=args.url_col,
+        link_edges=(
+            spark.read.parquet(args.link_edges) if args.link_edges else None
+        ),
+        link_ranks=(
+            spark.read.parquet(args.link_ranks) if args.link_ranks else None
+        ),
+        min_link_rank=args.min_link_rank,
+        link_rank_iters=args.link_rank_iters,
         max_dup_line_ratio=args.max_dup_line_ratio,
         max_dup_3gram_ratio=args.max_dup_3gram_ratio,
         neardup_threshold=args.neardup_threshold,

@@ -48,6 +48,27 @@ from ferc_xbrl_extractor_spark.operators import (
 from ferc_xbrl_extractor_spark.operators.dedup import dedup_exact_keep
 
 
+def _link_rank_relation(link_ranks: DataFrame, id_col: str) -> DataFrame:
+    """Normalize a (id → rank) relation to ``(id_col, link_rank)``.
+    Accepts :func:`operators.graph.pagerank` output ``(node, node_rank)``
+    verbatim, or any two-column relation keyed by ``id_col``."""
+    cols = link_ranks.columns
+    if "node" in cols and "node_rank" in cols:
+        return link_ranks.select(
+            F.col("node").alias(id_col), F.col("node_rank").alias("link_rank")
+        )
+    if id_col in cols:
+        other = [c for c in cols if c != id_col]
+        if len(other) == 1:
+            return link_ranks.select(
+                id_col, F.col(other[0]).alias("link_rank")
+            )
+    raise ValueError(
+        "link_ranks must be (node, node_rank) or "
+        f"({id_col}, <rank>) — got columns {cols}"
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
@@ -75,6 +96,10 @@ def curate_corpus(
     keep_logit: float = 0.0,
     gopher: bool = False,
     gopher_kwargs: dict | None = None,
+    link_ranks: DataFrame | None = None,
+    link_edges: DataFrame | None = None,
+    min_link_rank: int | None = None,
+    link_rank_iters: int = 3,
     paragraph_sep: str | None = None,
     trim_spans_n: int | None = None,
     trim_spans_min_count: int = 2,
@@ -105,7 +130,14 @@ def curate_corpus(
     ``gopher=True`` applies the G34 rule-pack (keep == fail_mask 0;
     thresholds overridable via ``gopher_kwargs``) as an additional
     map-side screen — the bitmask columns are dropped after filtering so
-    the stage composes transparently; ``paragraph_sep`` runs G35
+    the stage composes transparently; ``link_ranks`` (an (id → rank)
+    relation, e.g. :func:`operators.graph.pagerank` output) or
+    ``link_edges`` (a (src, dst) link graph, ranked in-pipeline with
+    ``link_rank_iters`` G65 iterations) attaches a ``link_rank`` quality
+    prior — consumable downstream via ``budget_score_col="link_rank"``
+    or ``score_buckets`` — and with ``min_link_rank`` drops ranked
+    documents below the threshold (stage ``linkrank``; unranked
+    documents always pass); ``paragraph_sep`` runs G35
     corpus-wide paragraph dedup on the survivors (before span trimming:
     whole repeated paragraphs are cheaper to remove than the n-gram
     spans they would otherwise become); ``trim_spans_n`` removes G26
@@ -164,6 +196,28 @@ def curate_corpus(
         quality = ruled.filter(F.col("keep")).select(
             *[c for c in ruled.columns if c in before]
         )
+    if link_edges is not None:
+        # G65 quality prior derived in-pipeline from a (src, dst) link
+        # graph over document ids
+        if link_ranks is not None:
+            raise ValueError("pass link_ranks OR link_edges, not both")
+        from ferc_xbrl_extractor_spark.operators.graph import pagerank
+
+        link_ranks = pagerank(link_edges, iters=link_rank_iters)
+    if link_ranks is not None:
+        # one keyed join (O(nodes) rank relation; AQE broadcasts it when
+        # small) attaching `link_rank` — consumable downstream via
+        # budget_score_col="link_rank" / score_buckets. Documents ABSENT
+        # from the link graph keep a NULL rank and are never dropped by
+        # min_link_rank: no prior is not a bad prior.
+        quality = quality.join(
+            _link_rank_relation(link_ranks, id_col), id_col, "left"
+        )
+        if min_link_rank is not None:
+            quality = quality.filter(
+                F.col("link_rank").isNull()
+                | (F.col("link_rank") >= F.lit(int(min_link_rank)))
+            )
     clean = quality
     if benchmark is not None:
         clean = neardup.decontaminate(
@@ -268,6 +322,7 @@ CURATE_STAGES = [
     "quality",
     "classifier",
     "gopher",
+    "linkrank",
     "decontaminate",
     "exact_dup",
     "near_dup",
@@ -300,6 +355,10 @@ def curate_annotate(
     keep_logit: float = 0.0,
     gopher: bool = False,
     gopher_kwargs: dict | None = None,
+    link_ranks: DataFrame | None = None,
+    link_edges: DataFrame | None = None,
+    min_link_rank: int | None = None,
+    link_rank_iters: int = 3,
     cut_lineage: bool = True,
 ) -> DataFrame:
     """Per-document curation lineage: every input row annotated with
@@ -389,6 +448,24 @@ def curate_annotate(
         )
         fail_gopher = F.col("__fail_gopher")
 
+    fail_link = F.lit(False)
+    if link_edges is not None:
+        if link_ranks is not None:
+            raise ValueError("pass link_ranks OR link_edges, not both")
+        from ferc_xbrl_extractor_spark.operators.graph import pagerank
+
+        link_ranks = pagerank(link_edges, iters=link_rank_iters)
+    if link_ranks is not None and min_link_rank is not None:
+        # same join + threshold as curate_corpus' linkrank stage;
+        # unranked (NULL) documents never fail — no prior is not a bad
+        # prior
+        stats = stats.join(
+            _link_rank_relation(link_ranks, id_col), id_col, "left"
+        )
+        fail_link = F.col("link_rank").isNotNull() & (
+            F.col("link_rank") < F.lit(int(min_link_rank))
+        )
+
     annotated = stats.withColumn("__f_url", fail_url).withColumn(
         "__f_c4", ~F.col("__f_url") & fail_c4
     ).withColumn(
@@ -406,10 +483,16 @@ def curate_annotate(
         "__f_gopher",
         ~F.col("__f_url") & ~F.col("__f_c4") & ~F.col("__f_rep")
         & ~F.col("__f_qual") & ~F.col("__f_clf") & fail_gopher,
+    ).withColumn(
+        "__f_link",
+        ~F.col("__f_url") & ~F.col("__f_c4") & ~F.col("__f_rep")
+        & ~F.col("__f_qual") & ~F.col("__f_clf") & ~F.col("__f_gopher")
+        & fail_link,
     )
     pass_rules = (
         ~F.col("__f_url") & ~F.col("__f_c4") & ~F.col("__f_rep")
         & ~F.col("__f_qual") & ~F.col("__f_clf") & ~F.col("__f_gopher")
+        & ~F.col("__f_link")
     )
 
     # population the real pipeline hands the later stages
@@ -505,6 +588,7 @@ def curate_annotate(
         .when(F.col("__f_qual"), "quality")
         .when(F.col("__f_clf"), "classifier")
         .when(F.col("__f_gopher"), "gopher")
+        .when(F.col("__f_link"), "linkrank")
         .when(F.col("__contam"), "decontaminate")
         .when(~F.col("__dup_winner"), "exact_dup")
         .when(~F.col("__nd_winner"), "near_dup")

@@ -827,6 +827,46 @@ def test_curate_cli_runs_end_to_end(spark, tmp_path, capsys):
     assert "tiny" not in " ".join(r["seq_text"] for r in back.collect())
 
 
+def test_curate_cli_linkrank_flags(spark, tmp_path, capsys):
+    """--link-edges + --min-link-rank: the CLI ranks the link graph and
+    drops below-threshold ranked docs; unranked docs survive."""
+    import json as _json
+
+    from ferc_xbrl_extractor_spark.curate_cli import parse, run_main
+    from ferc_xbrl_extractor_spark.operators import graph
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [
+            (i, f"document {i} has plenty of distinct interesting words "
+                f"a{i} b{i} c{i} d{i} e{i}", "web")
+            for i in range(1, 7)
+        ],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    edges_path = str(tmp_path / "edges")
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (5, 1), (1, 2), (2, 3), (3, 4)],
+        "src long, dst long",
+    )
+    edges.write.parquet(edges_path)
+    ranks = {r["node"]: r["node_rank"]
+             for r in graph.pagerank(edges, iters=3).collect()}
+    thresh = ranks[5] + 1
+
+    out = str(tmp_path / "out")
+    args = parse(
+        [src, "--output", out, "--min-tokens", "5", "--min-uniq-ratio", "0",
+         "--max-stopword-ratio", "1",
+         "--link-edges", edges_path, "--min-link-rank", str(thresh),
+         "--shards", "1"]
+    )
+    assert run_main(args) == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = {n for n, v in ranks.items() if v >= thresh} | {6}
+    assert summary["output_rows"] == len(want)
+
+
 def test_chunk_documents_windows_and_edges(spark):
     from ferc_xbrl_extractor_spark.operators.text import chunk_documents
 
@@ -3217,7 +3257,74 @@ def test_curate_funnel_reuses_precomputed_annotation(spark):
         curate.curate_funnel()
 
 
-def test_normalize_url_goldens_and_url_dedup(spark):
+def test_curate_linkrank_stage(spark):
+    """G65 as a curation stage: link_ranks joins a link_rank quality
+    prior; min_link_rank drops ranked docs below threshold and NEVER
+    drops unranked docs; the annotate funnel attributes those drops to
+    'linkrank'; the NULL-slice ≡ curate_corpus invariant holds; and an
+    edges input ranks in-pipeline to the same result."""
+    from ferc_xbrl_extractor_spark.operators import graph
+    from ferc_xbrl_extractor_spark.pipeline import curate
+
+    good = "the quick brown fox and a dog run to the hills in summer "
+    docs = spark.createDataFrame(
+        [(i, good * 2 + str(i)) for i in range(1, 7)],
+        "doc_id long, text string",
+    )
+    # 1 is a hub target (high rank), 5 a pure source (base rank = low),
+    # 6 absent from the graph entirely (NULL rank -> must survive)
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (5, 1), (1, 2), (2, 3), (3, 4)],
+        "src long, dst long",
+    )
+    ranks = graph.pagerank(edges, iters=3)
+    rank_map = {r["node"]: r["node_rank"] for r in ranks.collect()}
+    thresh = rank_map[5] + 1  # drops exactly the base-mass source docs
+
+    params = dict(min_tokens=5, min_uniq_ratio=0.2,
+                  link_ranks=ranks, min_link_rank=thresh)
+    out = curate.curate_corpus(docs, **params)
+    assert "link_rank" in out.columns  # prior rides along for budgets
+    got = {r["doc_id"]: r["link_rank"] for r in out.collect()}
+    want_kept = {n for n, v in rank_map.items() if v >= thresh} | {6}
+    assert set(got) == want_kept
+    assert got[6] is None  # unranked passes with NULL prior
+    assert got[1] == rank_map[1]
+
+    ann = {
+        r["doc_id"]: r["drop_stage"]
+        for r in curate.curate_annotate(docs, **params).collect()
+    }
+    assert {i for i, s in ann.items() if s is None} == set(got)
+    assert all(s == "linkrank" for i, s in ann.items() if s is not None)
+    funnel = {
+        r["drop_stage"]: r["n_docs"]
+        for r in curate.curate_funnel(docs, **params).collect()
+    }
+    assert funnel == {None: len(got), "linkrank": 6 - len(got)}
+
+    # edges input ranks in-pipeline to the same survivors
+    out2 = curate.curate_corpus(
+        docs, min_tokens=5, min_uniq_ratio=0.2,
+        link_edges=edges, min_link_rank=thresh,
+    )
+    assert {r["doc_id"] for r in out2.collect()} == set(got)
+    with pytest.raises(ValueError, match="not both"):
+        curate.curate_corpus(
+            docs, link_ranks=ranks, link_edges=edges, min_link_rank=1
+        )
+
+    # the prior feeds the token budget: highest-rank docs ship first
+    budget = curate.curate_corpus(
+        docs.filter(F.col("doc_id") != 6),
+        min_tokens=5, min_uniq_ratio=0.2,
+        link_ranks=ranks,
+        token_budget=30,
+        budget_score_col="link_rank",
+    )
+    picked = {r["doc_id"] for r in budget.collect()}
+    assert 1 in picked  # the hub target is the top prior
+    assert len(picked) < 5
     """G64: canonicalization goldens — case, default ports, tracking
     params (alone, consecutive, mixed with kept params, NEAR-MISS names
     that must survive), param-order permutations, fragments, trailing
