@@ -196,3 +196,78 @@ def test_auto_form_probe_picks_per_corpus_and_is_value_identical(spark):
             ).collect()
         }
         assert auto == agg == win
+
+
+def test_probe_cache_never_keys_local_relations(spark):
+    """Regression pin (r6 gotcha, fixed once): two DIFFERENT literal
+    corpora share a LocalRelation plan shape whose canonicalized text
+    covers the schema, not the data — caching them would cross-
+    contaminate verdicts. The cache must skip LocalRelations entirely:
+    opposite verdicts back-to-back, zero entries added."""
+
+    def _values(rows):
+        vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+        df = spark.sql(
+            f"SELECT col1 AS doc_id, col2 AS text FROM VALUES {vals}"
+        )
+        plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
+        assert "LocalRelation" in plan  # the shape under test
+        return df
+
+    hot = _values(
+        [(i, "x y z w" if i % 4 else f"u{i} v{i} a{i} b{i}")
+         for i in range(60)]
+    )
+    flat = _values(
+        [(i, f"p{i} q{i} r{i} s{i} t{i} u{i} tail gram here four")
+         for i in range(60)]
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    n0 = len(sp._HOT_GRAM_PROBE_CACHE)
+    try:
+        # same schema, same probe params, opposite data: the second call
+        # must NOT return the first's cached verdict
+        assert sp.probe_hot_gram(hot, n=4, sample_fraction=1.0) is True
+        assert sp.probe_hot_gram(flat, n=4, sample_fraction=1.0) is False
+        assert sp.probe_hot_gram(hot, n=4, sample_fraction=1.0) is True
+        assert len(sp._HOT_GRAM_PROBE_CACHE) == n0  # nothing was cached
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def test_probe_cache_keys_file_backed_plans(spark, tmp_path):
+    """File-backed corpora cache by canonicalized plan (paths included):
+    the second probe over the same parquet is a dict hit, and a probe
+    over a DIFFERENT path with identical schema does not collide."""
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        p_hot = str(tmp_path / "hot")
+        p_flat = str(tmp_path / "flat")
+        spark.createDataFrame(
+            [(i, "x y z w" if i % 4 else f"u{i} v{i} a{i} b{i}")
+             for i in range(60)],
+            "doc_id long, text string",
+        ).write.parquet(p_hot)
+        spark.createDataFrame(
+            [(i, f"p{i} q{i} r{i} s{i} t{i} u{i} tail gram here four")
+             for i in range(60)],
+            "doc_id long, text string",
+        ).write.parquet(p_flat)
+        n0 = len(sp._HOT_GRAM_PROBE_CACHE)
+        hot = spark.read.parquet(p_hot)
+        flat = spark.read.parquet(p_flat)
+        assert sp.probe_hot_gram(hot, n=4, sample_fraction=1.0) is True
+        assert len(sp._HOT_GRAM_PROBE_CACHE) == n0 + 1
+        # fresh DataFrame over the same files: canonicalization makes it
+        # the same key — cache hit, no growth
+        assert sp.probe_hot_gram(
+            spark.read.parquet(p_hot), n=4, sample_fraction=1.0
+        ) is True
+        assert len(sp._HOT_GRAM_PROBE_CACHE) == n0 + 1
+        # different path, same schema: its own key, its own verdict
+        assert sp.probe_hot_gram(flat, n=4, sample_fraction=1.0) is False
+        assert len(sp._HOT_GRAM_PROBE_CACHE) == n0 + 2
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
