@@ -360,6 +360,7 @@ def curate_annotate(
     min_link_rank: int | None = None,
     link_rank_iters: int = 3,
     cut_lineage: bool = True,
+    _narrow: bool = False,
 ) -> DataFrame:
     """Per-document curation lineage: every input row annotated with
     ``drop_stage`` — the FIRST pipeline stage that rejects it (stage
@@ -495,8 +496,6 @@ def curate_annotate(
         & ~F.col("__f_link")
     )
 
-    # population the real pipeline hands the later stages
-    survivors = annotated.filter(pass_rules)
     # The later stages (contamination, decontaminate->exact-dup, near-dup,
     # sample) each branch off `survivors`, and a branch re-executes the
     # whole scan + per-token stats lineage — 3-4 corpus re-reads inside
@@ -510,14 +509,54 @@ def curate_annotate(
     keep = [id_col, text_col]
     if stratum_col and stratum_col not in keep:
         keep.append(stratum_col)
-    survivors = survivors.select(*keep)
-    if cut_lineage:
-        survivors = survivors.localCheckpoint(eager=False)
+    if _narrow and cut_lineage:
+        # funnel path: the caller only consumes (id, drop_stage), so the
+        # checkpoint can carry ALL rows with their flag bits instead of
+        # the survivors alone — the final flag scan then reads this one
+        # materialization instead of RE-TOKENIZING the corpus a second
+        # time (the stats columns feed the __f_* bits). One per-token
+        # pass over the corpus total; at 100 TB that is a whole corpus
+        # re-scan eliminated.
+        flag_cols = [c for c in annotated.columns if c.startswith("__f_")]
+        annotated = annotated.select(id_col, *keep[1:], *flag_cols)
+        annotated = annotated.localCheckpoint(eager=False)
+        out_cols = [id_col]
+        survivors = annotated.filter(pass_rules).select(*keep)
+    else:
+        # population the real pipeline hands the later stages
+        survivors = annotated.filter(pass_rules).select(*keep)
+        if cut_lineage:
+            survivors = survivors.localCheckpoint(eager=False)
 
-    def _flag_members(df: DataFrame, ids: DataFrame, name: str) -> DataFrame:
-        marked = ids.select(F.col(id_col)).withColumn(f"__{name}", F.lit(True))
+    def _mark(ids: DataFrame, name: str) -> DataFrame:
+        # ONE marker relation per stage id-set, shared by BOTH of its
+        # consumers (the membership flag on `annotated` and the next
+        # stage's population filter) so identical subtrees can share
+        # their exchange. Join strategy stays AQE-decided: contaminated
+        # ids are usually tiny, but the winner/sampled sets scale with
+        # the corpus — forcing broadcast here would ship a corpus-sized
+        # hash relation to every task at 100 TB.
+        return ids.select(F.col(id_col)).withColumn(f"__{name}", F.lit(True))
+
+    def _flag_members(df: DataFrame, marked: DataFrame, name: str) -> DataFrame:
         return df.join(marked, id_col, "left").withColumn(
             f"__{name}", F.coalesce(F.col(f"__{name}"), F.lit(False))
+        )
+
+    def _members(df: DataFrame, marked: DataFrame, name: str) -> DataFrame:
+        # semi-join via the SAME broadcast relation as the flag (ids are
+        # unique per stage set, so left-join + filter ≡ left_semi)
+        return (
+            df.join(marked, id_col, "left")
+            .filter(F.col(f"__{name}").isNotNull())
+            .drop(f"__{name}")
+        )
+
+    def _non_members(df: DataFrame, marked: DataFrame, name: str) -> DataFrame:
+        return (
+            df.join(marked, id_col, "left")
+            .filter(F.col(f"__{name}").isNull())
+            .drop(f"__{name}")
         )
 
     # Every stage's id-set below has TWO consumers in the one final plan
@@ -538,12 +577,14 @@ def curate_annotate(
                 n=shingle_n, min_overlap=min_overlap,
             ).select(id_col)
         )
-        annotated = _flag_members(annotated, contaminated, "contam")
+        marked_c = _mark(contaminated, "contam")
+        annotated = _flag_members(annotated, marked_c, "contam")
         # decontaminate(survivors, ...) would recompute the SAME
         # contamination probe the flag above just ran (r5: the funnel's
-        # duplicated heaviest stage); the clean population is simply the
-        # anti-join against the ids already derived.
-        clean = survivors.join(contaminated, id_col, "left_anti")
+        # duplicated heaviest stage); the clean population filters
+        # through the SAME broadcast relation as the flag, so the hashed
+        # relation builds once (ReuseExchange).
+        clean = _non_members(survivors, marked_c, "contam")
     else:
         annotated = annotated.withColumn("__contam", F.lit(False))
 
@@ -553,8 +594,9 @@ def curate_annotate(
             fp, keys=["fp"], order_by=[F.col(id_col)]
         ).select(id_col)
     )
-    deduped = fp.join(winners, id_col, "left_semi").drop("fp")
-    annotated = _flag_members(annotated, winners, "dup_winner")
+    marked_w = _mark(winners, "dup_winner")
+    deduped = _members(fp, marked_w, "dup_winner").drop("fp")
+    annotated = _flag_members(annotated, marked_w, "dup_winner")
 
     if neardup_threshold is not None:
         pairs = neardup.jaccard_pairs(
@@ -565,8 +607,9 @@ def curate_annotate(
             neardup.dedup_by_pairs(deduped, pairs, id_col=id_col)
             .select(id_col)
         )
-        annotated = _flag_members(annotated, nd_ids, "nd_winner")
-        final_pop = deduped.join(nd_ids, id_col, "left_semi")
+        marked_nd = _mark(nd_ids, "nd_winner")
+        annotated = _flag_members(annotated, marked_nd, "nd_winner")
+        final_pop = _members(deduped, marked_nd, "nd_winner")
     else:
         annotated = annotated.withColumn("__nd_winner", F.lit(True))
         final_pop = deduped
@@ -577,7 +620,7 @@ def curate_annotate(
         sampled = sampling.stratified_sample_n(
             final_pop, stratum_col, sample_n, id_col=id_col, salt=sample_salt
         ).select(id_col)
-        annotated = _flag_members(annotated, sampled, "sampled")
+        annotated = _flag_members(annotated, _mark(sampled, "sampled"), "sampled")
     else:
         annotated = annotated.withColumn("__sampled", F.lit(True))
 
@@ -617,7 +660,10 @@ def curate_funnel(docs: DataFrame | None = None,
     if annotated is None:
         if docs is None:
             raise ValueError("curate_funnel needs docs or annotated")
-        annotated = curate_annotate(docs, benchmark, **kwargs)
+        # _narrow: the funnel consumes only drop_stage, so annotate can
+        # checkpoint the flag bits for ALL rows and skip the second
+        # corpus tokenization its full-width output would need
+        annotated = curate_annotate(docs, benchmark, _narrow=True, **kwargs)
     return annotated.groupBy("drop_stage").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
