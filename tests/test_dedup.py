@@ -140,39 +140,45 @@ def test_cc_unconverged_raises(spark):
         connected_components(_pairs(spark, chain), max_iter=2)
 
 
-def test_cc_twophase_matches_propagation(spark):
-    """Large-star/small-star contraction yields the SAME label map as
-    min-label propagation on a chain, a clique, a singleton-ish pair,
-    and a random graph — the opt-in form for high-diameter dup graphs."""
+def _cc_both_forms_agree(spark, edges):
     from ferc_xbrl_extractor_spark.operators.neardup import (
         connected_components_twophase,
     )
 
-    import random
+    want = {
+        r["id"]: r["label"]
+        for r in connected_components(_pairs(spark, edges)).collect()
+    }
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components_twophase(_pairs(spark, edges)).collect()
+    }
+    assert got == want, edges[:5]
 
-    rng = random.Random(11)
-    nodes = list(range(50))
-    random_edges = sorted(
-        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(55)}
-    )
+
+def test_cc_twophase_matches_propagation(spark):
+    """Large-star/small-star contraction yields the SAME label map as
+    min-label propagation on a chain, a clique, and a graph with a
+    self-pair — the opt-in form for high-diameter dup graphs."""
     cases = [
         [(i, i + 1) for i in range(1, 12)],                     # chain
         [(a, b) for a in range(5) for b in range(a + 1, 5)],    # clique
         [(1, 2), (2, 3), (10, 11), (20, 20)],                   # + self-pair
-        random_edges,
     ]
     for edges in cases:
-        want = {
-            r["id"]: r["label"]
-            for r in connected_components(_pairs(spark, edges)).collect()
-        }
-        got = {
-            r["id"]: r["label"]
-            for r in connected_components_twophase(
-                _pairs(spark, edges)
-            ).collect()
-        }
-        assert got == want, edges[:5]
+        _cc_both_forms_agree(spark, edges)
+
+
+@pytest.mark.slow
+def test_cc_twophase_matches_propagation_random_graph(spark):
+    """Same equality on a seeded 50-node random graph (the two full CC
+    runs make this the slow half of the comparison)."""
+    import random
+
+    rng = random.Random(11)
+    nodes = list(range(50))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(55)})
+    _cc_both_forms_agree(spark, edges)
 
 
 @pytest.mark.slow

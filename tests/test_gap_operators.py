@@ -112,6 +112,7 @@ def test_embedding_neardup_bucketed_finds_identicals(spark):
     assert bucketed <= exact  # bucketing only ever loses pairs, never invents
 
 
+@pytest.mark.slow
 def test_ivf_topk_recall_vs_brute_force(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -968,6 +969,7 @@ def test_bloom_decontaminate_equals_exact(spark):
     assert 2 in got and 4 in got and 1 not in got
 
 
+@pytest.mark.slow
 def test_interval_join_matches_naive_range_join(spark):
     """Bucketized point-in-interval join must equal the naive inequality
     join on every bound mode, and must plan as an equi-join (never
@@ -2478,6 +2480,7 @@ def test_leakage_safe_split_colocates_clusters(spark):
     assert leaks.agg(F.sum("n_leaky_docs")).first()[0] == 0
 
 
+@pytest.mark.slow
 def test_select_to_token_budget_matches_brute_force(spark):
     import random
 
@@ -2572,6 +2575,7 @@ def test_dsir_weights_match_python_reference(spark):
     assert got[5] == (0, 0)  # empty doc: no features, weight 0
 
 
+@pytest.mark.slow
 def test_hard_negative_pairs_roles_and_ranks(spark):
     from ferc_xbrl_extractor_spark.operators import similarity
 
@@ -3303,12 +3307,8 @@ def test_curate_linkrank_stage(spark):
     }
     assert funnel == {None: len(got), "linkrank": 6 - len(got)}
 
-    # edges input ranks in-pipeline to the same survivors
-    out2 = curate.curate_corpus(
-        docs, min_tokens=5, min_uniq_ratio=0.2,
-        link_edges=edges, min_link_rank=thresh,
-    )
-    assert {r["doc_id"] for r in out2.collect()} == set(got)
+    # the edges-input path is covered end-to-end (with a collect) by
+    # test_curate_cli_linkrank_flags; here only the guard is pinned
     with pytest.raises(ValueError, match="not both"):
         curate.curate_corpus(
             docs, link_ranks=ranks, link_edges=edges, min_link_rank=1

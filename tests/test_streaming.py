@@ -101,6 +101,7 @@ def test_stream_dedup_first_single_batch(spark, tmp_path):
     assert got == {"click": (1, "first"), "view": (4, "first")}
 
 
+@pytest.mark.slow
 def test_stream_dedup_state_suppresses_across_batches(spark, tmp_path):
     path = str(tmp_path / "in")
     b1 = spark.createDataFrame(
@@ -167,6 +168,7 @@ def test_stream_asof_enrich_carries_state_across_batches(spark, tmp_path):
     assert len(rows) == 3
 
 
+@pytest.mark.slow
 def test_stream_sliding_matches_batch(spark, event_dir):
     from ferc_xbrl_extractor_spark.streaming import stream_sliding_counts
 
@@ -199,6 +201,7 @@ def test_stream_sliding_matches_batch(spark, event_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_asof_enrich_late_reference_does_not_regress_state(spark, tmp_path):
     """A reference OLDER than the carried state must neither crash
     merge_asof (unsorted right side) nor roll state back."""
@@ -229,6 +232,7 @@ def test_stream_asof_enrich_late_reference_does_not_regress_state(spark, tmp_pat
     assert {r["event_id"]: r["ref_val"] for r in rows} == {1: 200}
 
 
+@pytest.mark.slow
 def test_stream_asof_enrich_numeric_time_axis(spark, tmp_path):
     """The stateful as-of also works over a numeric time column
     (versions/sequence numbers), matching the batch asof_join contract."""
@@ -553,6 +557,7 @@ def test_stream_semantic_decontaminate_matches_batch(spark, tmp_path):
     assert streamed[100][1] and streamed[102][1] and not streamed[101][1]
 
 
+@pytest.mark.slow
 def test_stream_neardup_suppress_greedy_and_cross_batch(spark, tmp_path):
     from ferc_xbrl_extractor_spark.operators import neardup
     from ferc_xbrl_extractor_spark.streaming.stateful import (
@@ -662,6 +667,7 @@ def test_stream_dedup_ttl_expires_and_rebounds(spark, tmp_path):
     assert [r["event_id"] for r in rows if r["event_type"] == "view"] == [3]
 
 
+@pytest.mark.slow
 def test_stream_check_constraints_per_window(spark, tmp_path):
     from ferc_xbrl_extractor_spark.operators.quality import (
         completeness,
