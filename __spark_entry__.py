@@ -2773,6 +2773,48 @@ def q_g64_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _g66_url_expr():
+    """Messy-URL fixture for the domain report: four host shapes per
+    doc_id — plain 3-label (→ 2-label registrable domain), co.uk-style
+    (→ 3-label), bare 2-label, and a 4-label CDN host — plus permuted
+    query params, default ports, and trailing slashes so canonical-URL
+    counting is exercised alongside the domain heuristic."""
+    d = F.col("doc_id")
+    num = (d % 20).cast("string")
+    host = (
+        F.when(d % 4 == 0, F.concat(F.lit("www.example"), num, F.lit(".com")))
+        .when(d % 4 == 1, F.concat(F.lit("news.daily"), num, F.lit(".co.uk")))
+        .when(d % 4 == 2, F.concat(F.lit("blog"), num, F.lit(".org")))
+        .otherwise(F.concat(F.lit("cdn.static.img"), num, F.lit(".net")))
+    )
+    port = F.when(d % 7 == 0, F.lit(":80")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/p/"), (d % 25).cast("string"))
+    query = (
+        F.when(d % 5 == 0, F.lit("?b=2&a=1"))
+        .when(d % 5 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit(""))
+    )
+    trail = F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit(""))
+    return F.concat(F.lit("http://"), host, port, path, query, trail)
+
+
+def q_g66_domain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G66: per-registrable-domain corpus report (text.domain_report) —
+    doc count, DISTINCT canonical-URL count, total text chars per
+    domain; the balancing dimension crawl curation caps on. The oracle
+    replays the host extraction + 2/3-label domain heuristic in RE2 and
+    reuses the generated normalize_url_sql chain for the URL count."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    with_url = docs.withColumn("url", _g66_url_expr())
+    rep = text.domain_report(with_url)
+    return rep.select(
+        "domain",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    ).orderBy("domain")
+
+
 def q_g65_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G65: integer-exact PageRank over a 997-node link graph derived
     from lineitem (src = l_orderkey % 997, dst = l_partkey % 997,
@@ -3057,6 +3099,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g60_md_text": q_g60_md_text,
         "g64_url_dedup": q_g64_url_dedup,
         "g65_pagerank": q_g65_pagerank,
+        "g66_domain_report": q_g66_domain_report,
         "g61_c4_clean": q_g61_c4_clean,
         "g62_contamination": q_g62_contamination,
         "g63_stream_cap": q_g63_stream_cap,
@@ -5770,6 +5813,60 @@ def fine_oracle_sql() -> dict[str, str]:
         "GROUP BY url ORDER BY url"
     )
 
+    # G66: domain report — host + registrable-domain heuristic replayed
+    # in RE2; the canonical-URL chain reuses the generated replay.
+    from ferc_xbrl_extractor_spark.operators.text import (
+        URL_SECOND_LEVEL_TLDS,
+    )
+
+    _u66_fixture = """
+        SELECT doc_id, text,
+               'http://'
+               || (CASE WHEN doc_id % 4 = 0 THEN 'www.example' || CAST(doc_id % 20 AS VARCHAR) || '.com'
+                        WHEN doc_id % 4 = 1 THEN 'news.daily' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk'
+                        WHEN doc_id % 4 = 2 THEN 'blog' || CAST(doc_id % 20 AS VARCHAR) || '.org'
+                        ELSE 'cdn.static.img' || CAST(doc_id % 20 AS VARCHAR) || '.net' END)
+               || (CASE WHEN doc_id % 7 = 0 THEN ':80' ELSE '' END)
+               || '/p/' || CAST(doc_id % 25 AS VARCHAR)
+               || (CASE WHEN doc_id % 5 = 0 THEN '?b=2&a=1'
+                        WHEN doc_id % 5 = 1 THEN '?a=1&b=2' ELSE '' END)
+               || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+               AS u
+        FROM documents
+    """
+    _u66_canon = normalize_url_sql(
+        _u66_fixture, cols=["doc_id", "text", "u"], out_col="canon"
+    )
+    _u66_host = (
+        "regexp_replace(lower(regexp_extract(u, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':[0-9]+$', '', 'g')"
+    )
+    _u66_sld = "', '".join(URL_SECOND_LEVEL_TLDS)
+    sql["g66_domain_report"] = f"""
+        WITH canon AS ({_u66_canon}),
+        hosted AS (
+            SELECT doc_id, text, canon, {_u66_host} AS host FROM canon
+        ),
+        domained AS (
+            SELECT doc_id, text, canon,
+                   CASE
+                     WHEN len(string_split(host, '.')) <= 1 THEN host
+                     WHEN len(string_split(host, '.')) >= 3
+                          AND regexp_extract(host, '([^.]+)[.][^.]+$', 1)
+                              IN ('{_u66_sld}')
+                          AND length(regexp_extract(host, '([^.]+)$', 1)) = 2
+                     THEN regexp_extract(host, '([^.]+[.][^.]+[.][^.]+)$', 1)
+                     ELSE regexp_extract(host, '([^.]+[.][^.]+)$', 1)
+                   END AS domain
+            FROM hosted
+        )
+        SELECT domain,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT canon) AS n_urls,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        FROM domained GROUP BY domain ORDER BY domain
+    """
+
     _u60_ws = (
         "CAST(('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 15))"
         " AS BIGINT)"
@@ -6033,7 +6130,8 @@ _SUITES: dict[str, list[str]] = {
     ],
     "g4_score_suite": ["g4_bm25", "g4_surprisal"],
     "g4_chunk_redact": [
-        "g4_chunk", "g4_pii_redact", "g60_md_text", "g64_url_dedup"
+        "g4_chunk", "g4_pii_redact", "g60_md_text", "g64_url_dedup",
+        "g66_domain_report",
     ],
     "g17_packing_suite": ["g17_pack_sequences", "g17_materialize_seqs"],
     "g18_quant_suite": ["g18_quantize_int8", "g18_quantized_topk"],
@@ -6183,6 +6281,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g59_cap_per_group": [("doc_id", "i"), ("grp", "s"), ("n_chars", "i")],
     "g60_md_text": [("doc_id", "i"), ("clean_md5", "s"), ("n_clean_chars", "i")],
     "g64_url_dedup": [("url", "s"), ("doc_id", "i")],
+    "g66_domain_report": [("domain", "s"), ("n_docs", "i"), ("n_urls", "i"), ("n_chars", "i")],
     "g65_pagerank": [("node", "i"), ("node_rank", "i")],
     "g61_c4_clean": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_lines", "i"), ("keep", "b")],
     "g62_contamination": [("doc_id", "i"), ("n_hit_grams", "i"), ("longest_overlap_tokens", "i")],

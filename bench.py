@@ -72,6 +72,7 @@ HEADLINE = [
     "g57_html_text",
     "g60_md_text",
     "g64_url_dedup",
+    "g66_domain_report",
     "g26_dup_spans",
     "g29_vocab",
     "g29_encode",

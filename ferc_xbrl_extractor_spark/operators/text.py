@@ -1160,6 +1160,76 @@ def normalize_url(url_col: str | Column = "url") -> Column:
     ).otherwise(F.concat(scheme, F.lit("://"), host, rest))
 
 
+# G66: the "generic" 2-level TLDs where the registrable domain needs
+# THREE labels (bbc.co.uk, not co.uk). A pragmatic public-suffix
+# approximation — the full PSL is a data file, not logic; swap it in by
+# broadcasting a suffix table when exactness matters.
+URL_SECOND_LEVEL_TLDS = ("co", "com", "org", "net", "ac", "gov", "edu")
+
+
+def host_of_url(url_col: str | Column = "url") -> Column:
+    """G66: lowercased host of a URL, port stripped; empty string for
+    scheme-less values. One regexp_extract + one regexp_replace —
+    map-side, RE2-safe, replayed verbatim by the SQL oracle."""
+    col = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(col, _URL_HOST, 1)), r":[0-9]+$", ""
+    )
+
+
+def registrable_domain(host_col: str | Column = "host") -> Column:
+    """G66: registrable-domain approximation of a host — the last two
+    labels, or three when the second-to-last is a generic 2-level TLD
+    label (URL_SECOND_LEVEL_TLDS) under a 2-char country TLD:
+    ``www.site.example.com`` → ``example.com``, ``news.bbc.co.uk`` →
+    ``bbc.co.uk``. Pure array ops inside the projection — zero shuffle,
+    zero Python."""
+    col = F.col(host_col) if isinstance(host_col, str) else host_col
+    labels = F.split(col, r"\.")
+    n = F.size(labels)
+    two = F.array_join(F.slice(labels, -2, 2), ".")
+    three = F.array_join(F.slice(labels, -3, 3), ".")
+    second = F.element_at(labels, -2)
+    tld = F.element_at(labels, -1)
+    needs_three = (
+        (n >= 3)
+        & second.isin(*URL_SECOND_LEVEL_TLDS)
+        & (F.length(tld) == 2)
+    )
+    return F.when(n <= 1, col).when(needs_three, three).otherwise(two)
+
+
+def domain_report(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """G66: per-registrable-domain corpus report — document count,
+    distinct canonical-URL count, total text bytes. THE balancing
+    dimension crawl curation caps on (a handful of domains otherwise
+    monopolize any token budget); feed ``domain_col`` to
+    ``cap_per_group``/``group_cap_col`` for the enforcement half.
+
+    One map-side projection (host → domain + canonical URL) and ONE hash
+    aggregate; the distinct-URL count rides in the same aggregate. At
+    100 TB the output is |domains| rows — millions, not billions."""
+    dom = registrable_domain(host_of_url(url_col))
+    return (
+        df.select(
+            dom.alias(domain_col),
+            normalize_url(url_col).alias("__canon"),
+            F.length(F.col(text_col)).cast("long").alias("__chars"),
+        )
+        .groupBy(domain_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("__canon")).alias("n_urls"),
+            F.sum("__chars").alias("n_chars"),
+        )
+    )
+
+
 def dedup_by_url(
     df: DataFrame,
     url_col: str = "url",

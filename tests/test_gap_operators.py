@@ -3396,6 +3396,53 @@ def test_curate_linkrank_stage(spark):
         assert sql_got[i] == want, ("oracle", i, _u, sql_got[i], want)
 
 
+def test_host_and_registrable_domain_goldens(spark):
+    """G66: host extraction (lowercase, port stripped, empty for
+    scheme-less) and the 2/3-label registrable-domain heuristic."""
+    cases = [
+        ("HTTP://WWW.Example.COM:8080/p?q=1", "www.example.com", "example.com"),
+        ("https://news.bbc.co.uk/x", "news.bbc.co.uk", "bbc.co.uk"),
+        ("http://blog7.org/", "blog7.org", "blog7.org"),
+        ("http://cdn.static.img3.net/a", "cdn.static.img3.net", "img3.net"),
+        ("http://sub.dept.ac.jp/", "sub.dept.ac.jp", "dept.ac.jp"),
+        ("http://localhost:80/x", "localhost", "localhost"),
+        ("http://10.0.0.1:8080/x", "10.0.0.1", "0.1"),  # documented: IPs not special-cased
+        ("not a url", "", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _h, _d) in enumerate(cases)],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: (r["h"], r["d"])
+        for r in df.select(
+            "doc_id",
+            text.host_of_url("url").alias("h"),
+            text.registrable_domain(text.host_of_url("url")).alias("d"),
+        ).collect()
+    }
+    for i, (_u, h, d) in enumerate(cases):
+        assert got[i] == (h, d), (i, _u, got[i])
+
+
+def test_domain_report_counts(spark):
+    """G66: per-domain doc counts, DISTINCT canonical-URL counts (param
+    permutations and tracking params collapse), and char totals."""
+    rows = [
+        (1, "aaaa", "http://www.x.com/p?a=1&b=2"),
+        (2, "bbb", "http://www.x.com/p?b=2&a=1"),       # same canon URL
+        (3, "cc", "http://news.x.com/q?utm_source=s"),  # same domain, new URL
+        (4, "d", "http://y.co.uk/r"),
+        (5, "ee", "https://sub.y.co.uk/r2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    got = {
+        r["domain"]: (r["n_docs"], r["n_urls"], r["n_chars"])
+        for r in text.domain_report(df).collect()
+    }
+    assert got == {"x.com": (3, 2, 9), "y.co.uk": (2, 2, 3)}
+
+
 def test_pagerank_matches_python_reference(spark):
     """G65: the integer micro-unit recurrence equals a serial Python
     replay (floor arithmetic, dangling mass dropped), independent of
