@@ -84,6 +84,13 @@ def parse(argv: list[str] | None = None) -> argparse.Namespace:
         "stage (G64 — the cheapest attrition runs first).",
     )
     p.add_argument(
+        "--domain-col",
+        default=None,
+        help="Derive a registrable-domain column of this name from "
+        "--url-col (G66), usable as --group-cap-col / --stratum-col for "
+        "domain balancing.",
+    )
+    p.add_argument(
         "--link-edges",
         default=None,
         help="Parquet path of a (src, dst) link graph over document ids: "
@@ -182,6 +189,7 @@ def run_main(args: argparse.Namespace) -> int:
         min_uniq_ratio=args.min_uniq_ratio,
         min_overlap=args.min_overlap,
         url_col=args.url_col,
+        domain_col=args.domain_col,
         link_edges=(
             spark.read.parquet(args.link_edges) if args.link_edges else None
         ),

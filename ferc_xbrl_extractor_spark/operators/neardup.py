@@ -713,11 +713,24 @@ def connected_components_twophase(
     return labels
 
 
+def _cc_labels(pairs: DataFrame, cc: str) -> DataFrame:
+    """Dispatch between the CC forms: "propagation" (min-label, rounds =
+    diameter — the near-dup default, components are clique-ish) and
+    "twophase" (large-star/small-star, O(log n) rounds — opt into it for
+    chain-shaped dup graphs). Same (id, label) contract either way."""
+    if cc == "propagation":
+        return connected_components(pairs, id_a="id_a", id_b="id_b")
+    if cc == "twophase":
+        return connected_components_twophase(pairs, id_a="id_a", id_b="id_b")
+    raise ValueError(f"cc must be 'propagation' or 'twophase', got {cc!r}")
+
+
 def attach_clusters(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     cluster_col: str = "cluster",
+    cc: str = "propagation",
 ) -> DataFrame:
     """Annotate every document with its near-dup cluster id: the component
     min-id for documents in the pair graph, the document's own id for
@@ -725,7 +738,7 @@ def attach_clusters(
     the corpus — so the left join broadcasts (AQE, from runtime stats)."""
     # Internal names are __-prefixed: the corpus may legitimately carry a
     # column called "label" (the embeddings table does).
-    labels = connected_components(pairs, id_a="id_a", id_b="id_b").withColumnsRenamed(
+    labels = _cc_labels(pairs, cc).withColumnsRenamed(
         {"id": id_col, "label": "__cc_label"}
     )
     return (
@@ -736,13 +749,16 @@ def attach_clusters(
 
 
 def dedup_by_pairs(
-    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    cc: str = "propagation",
 ) -> DataFrame:
     """Collapse a corpus by a near-dup pair relation: keep exactly one
     survivor (the minimum id) per connected component, pass singletons
     through. ``df`` is never shuffled — the loser set (|non-survivors|
     rows) anti-joins against the scan, broadcast by AQE when small."""
-    labels = connected_components(pairs, id_a="id_a", id_b="id_b")
+    labels = _cc_labels(pairs, cc)
     losers = labels.filter(F.col("label") != F.col("id")).select(
         F.col("id").alias(id_col)
     )
@@ -754,6 +770,7 @@ def dedup_by_pairs_best(
     pairs: DataFrame,
     keep_by: str,
     id_col: str = "doc_id",
+    cc: str = "propagation",
 ) -> DataFrame:
     """:func:`dedup_by_pairs` with a QUALITY keep policy: per near-dup
     component the survivor is the member with the highest ``keep_by``
@@ -768,7 +785,7 @@ def dedup_by_pairs_best(
     component is ONE ``max_by`` aggregate (no window sort), and ``df``
     itself is never shuffled — the loser set anti-joins against the scan.
     """
-    labels = connected_components(pairs, id_a="id_a", id_b="id_b")
+    labels = _cc_labels(pairs, cc)
     members = labels.withColumnsRenamed({"id": id_col, "label": "__cc"})
     scored = df.select(
         id_col, F.col(keep_by).cast("double").alias("__score")

@@ -81,6 +81,7 @@ def curate_corpus(
     shingle_n: int = 3,
     min_overlap: int = 5,
     url_col: str | None = None,
+    domain_col: str | None = None,
     c4: bool = False,
     c4_kwargs: dict | None = None,
     max_dup_line_ratio: float | None = None,
@@ -130,7 +131,10 @@ def curate_corpus(
     ``gopher=True`` applies the G34 rule-pack (keep == fail_mask 0;
     thresholds overridable via ``gopher_kwargs``) as an additional
     map-side screen — the bitmask columns are dropped after filtering so
-    the stage composes transparently; ``link_ranks`` (an (id → rank)
+    the stage composes transparently; ``domain_col`` derives a G66
+    registrable-domain column from ``url_col`` in-plan, so
+    ``group_cap_col``/``stratum_col`` can balance by domain without the
+    caller materializing it; ``link_ranks`` (an (id → rank)
     relation, e.g. :func:`operators.graph.pagerank` output) or
     ``link_edges`` (a (src, dst) link graph, ranked in-pipeline with
     ``link_rank_iters`` G65 iterations) attaches a ``link_rank`` quality
@@ -164,6 +168,15 @@ def curate_corpus(
         docs = text.dedup_by_url(
             docs, url_col=url_col, id_col=id_col
         ).drop("canon_url")
+    if domain_col is not None:
+        # G66: registrable domain derived in-plan from the URL, so
+        # stratum_col / group_cap_col can balance by domain without the
+        # caller materializing the column first
+        if url_col is None:
+            raise ValueError("domain_col requires url_col")
+        docs = docs.withColumn(
+            domain_col, text.registrable_domain(text.host_of_url(url_col))
+        )
     if c4:
         # G61 runs next (raw-crawl line cleanup precedes every
         # statistic): failing pages drop, surviving pages continue with
@@ -342,6 +355,7 @@ def curate_annotate(
     shingle_n: int = 3,
     min_overlap: int = 5,
     url_col: str | None = None,
+    domain_col: str | None = None,
     c4: bool = False,
     c4_kwargs: dict | None = None,
     max_dup_line_ratio: float | None = None,
@@ -394,6 +408,13 @@ def curate_annotate(
             "__fail_url", ~F.coalesce(F.col("__url_win"), F.lit(False))
         ).drop("__url_win")
         fail_url = F.col("__fail_url")
+    if domain_col is not None:
+        # same in-plan derivation as curate_corpus (G66)
+        if url_col is None:
+            raise ValueError("domain_col requires url_col")
+        docs = docs.withColumn(
+            domain_col, text.registrable_domain(text.host_of_url(url_col))
+        )
     fail_c4 = F.lit(False)
     if c4:
         cleaned = text.c4_clean(docs, text_col, **(c4_kwargs or {}))

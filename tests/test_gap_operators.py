@@ -3443,6 +3443,73 @@ def test_domain_report_counts(spark):
     assert got == {"x.com": (3, 2, 9), "y.co.uk": (2, 2, 3)}
 
 
+def test_curate_domain_col_and_group_cap(spark):
+    """G66 in the pipeline: domain_col derives the registrable domain
+    from url_col in-plan; group_cap over it caps the hot domain; the
+    annotate NULL-slice invariant holds with both knobs on."""
+    from ferc_xbrl_extractor_spark.pipeline import curate
+
+    good = "the quick brown fox and a dog run to the hills in summer "
+    rows = [
+        (i, good * 2 + str(i), f"http://www.hot.com/p/{i}") for i in range(1, 5)
+    ] + [(9, good * 2 + "nine", "http://cold.org/q")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    params = dict(
+        min_tokens=5, min_uniq_ratio=0.2,
+        url_col="url", domain_col="domain",
+        group_cap=2, group_cap_col="domain",
+    )
+    out = curate.curate_corpus(docs, **params)
+    got = {(r["doc_id"], r["domain"]) for r in out.collect()}
+    kept_hot = {i for i, d in got if d == "hot.com"}
+    assert len(kept_hot) == 2  # capped
+    assert (9, "cold.org") in got
+    ann = {
+        r["doc_id"]: r["drop_stage"]
+        for r in curate.curate_annotate(
+            docs, min_tokens=5, min_uniq_ratio=0.2,
+            url_col="url", domain_col="domain",
+        ).collect()
+    }
+    assert set(ann) == {1, 2, 3, 4, 9} and all(s is None for s in ann.values())
+    with pytest.raises(ValueError, match="requires url_col"):
+        curate.curate_corpus(docs, domain_col="domain")
+
+
+def test_dedup_by_pairs_twophase_dispatch(spark):
+    """cc='twophase' reaches the star-contraction CC from the pair-dedup
+    consumers with identical survivors/clusters; bad names raise."""
+    from ferc_xbrl_extractor_spark.operators import neardup
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", float(i)) for i in range(6)],
+        "doc_id long, text string, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    for cc in ("propagation", "twophase"):
+        kept = sorted(
+            r["doc_id"]
+            for r in neardup.dedup_by_pairs(docs, pairs, cc=cc).collect()
+        )
+        assert kept == [0, 3, 4], cc
+        best = sorted(
+            r["doc_id"]
+            for r in neardup.dedup_by_pairs_best(
+                docs, pairs, keep_by="score", cc=cc
+            ).collect()
+        )
+        assert best == [2, 3, 5], cc
+        clusters = {
+            r["doc_id"]: r["cluster"]
+            for r in neardup.attach_clusters(docs, pairs, cc=cc).collect()
+        }
+        assert clusters == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}, cc
+    with pytest.raises(ValueError, match="cc must be"):
+        neardup.dedup_by_pairs(docs, pairs, cc="magic")
+
+
 def test_pagerank_matches_python_reference(spark):
     """G65: the integer micro-unit recurrence equals a serial Python
     replay (floor arithmetic, dangling mass dropped), independent of
