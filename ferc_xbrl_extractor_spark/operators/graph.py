@@ -15,10 +15,12 @@ Scale shape — per iteration:
   → groupBy(dst).sum         (map-side partial combine — a hub page's
                               in-links combine before the shuffle)
   → left join onto the node list (in-linkless nodes keep the base mass).
-The ranks relation is O(|nodes|) and is ``localCheckpoint``ed each
-round, so iterative lineage never compounds (same policy as
-``neardup.connected_components``). Edges are persisted once and reused
-across iterations.
+The ranks relation is O(|nodes|); iterative lineage is cut periodically
+with ``localCheckpoint`` so long runs never compound the plan (same
+policy as ``neardup.connected_components``). The node list is
+checkpointed once (eager, ContextCleaner-reclaimed — no cache
+registration to leak); the degreed edge relation stays lazy, its keyed
+exchange reused across iterations.
 
 Integer exactness: ranks live in micro-units; every division is a
 ``floor`` on integers, so the recurrence
@@ -76,23 +78,33 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d")
     ).distinct()
+    # nodes is consumed iters+2 times (count, every round's left join);
+    # an EAGER localCheckpoint materializes the O(|nodes|) relation once
+    # and lets ContextCleaner reclaim the blocks when the result is
+    # dropped — unlike persist(), which stays registered in the
+    # CacheManager until an explicit unpersist (the r6 form leaked one
+    # cached relation per call on a long-lived session). Only this tiny
+    # relation is checkpointed: materializing anything bigger eagerly
+    # executes its subplan WITHOUT adaptive query execution (measured
+    # 0.7 → 7.9s at sf0.1 when the final ranks were eagerly cut).
     nodes = (
         e.select(F.col("__s").alias("node"))
         .union(e.select(F.col("__d").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    n = nodes.count()  # bounded: one long
+    n = nodes.count()  # bounded: one long, served from the checkpoint
     base = (15 * unit) // (100 * n)
     # out-degree rides WITH the edge relation (one join per iteration,
     # not two). Degree is a groupBy aggregate joined back — map-side
     # combinable and AQE-skew-splittable — NOT a count window: a window
     # partitioned by __s would serialize a hub source's entire out-edge
     # list (10⁷ links for an index page in a crawl graph) through one
-    # task at this one-time materialization. The join leaves e2
-    # hash-partitioned on __s, so every iteration's ranks⋈edges join
-    # pays no edge-side exchange after this.
-    e2 = _edges_with_outdegree(e).persist()
+    # task at this one-time materialization. e2 stays LAZY: its keyed
+    # exchange is canonically identical across the iteration references,
+    # so exchange reuse shuffles the edge relation once per action — no
+    # cache registration to leak.
+    e2 = _edges_with_outdegree(e)
     ranks = nodes.withColumn("node_rank", F.lit(unit // n).cast("long"))
     for t in range(1, iters + 1):
         contrib = (
@@ -121,14 +133,6 @@ def pagerank(
         # barriers, ~0.5s each on local[32]).
         if t % 8 == 0 and t < iters:
             ranks = ranks.localCheckpoint(eager=False)
-    # Materialize the result BEFORE dropping the caches: the returned
-    # plan references nodes (iters+1×) and e2 (iters×); an eager cut
-    # here costs the one job the caller's first action would run anyway
-    # and makes both unpersists safe (no cached-relation leak per call
-    # on a long-lived session, no recompute after the caches drop).
-    ranks = ranks.localCheckpoint(eager=True)
-    e2.unpersist()
-    nodes.unpersist()
     return ranks
 
 

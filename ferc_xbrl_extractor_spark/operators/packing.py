@@ -90,9 +90,13 @@ def pack_sequences(
         .orderBy("__blk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # bases descends from the same parent as local — rename its keys so
+    # the self-join is unambiguous by construction (the analyzer's
+    # "trivially true equals predicate" WARN is exactly the silent
+    # mis-bind hazard after a refactor)
+    bkeys = [f"__b{i}" for i in range(len(streams))] + ["__bblk"]
     bases = totals.select(
-        *streams,
-        "__blk",
+        *[F.col(k).alias(b) for k, b in zip(streams + ["__blk"], bkeys)],
         F.coalesce(F.sum("__blk_tok").over(w_base), F.lit(0)).alias("__base"),
     )
 
@@ -102,11 +106,9 @@ def pack_sequences(
     # already treat NULL as an ordinary grouping value, so <=> makes the
     # whole decomposition null-total.
     cond = F.lit(True)
-    for k in streams + ["__blk"]:
-        cond = cond & local[k].eqNullSafe(bases[k])
-    packed = local.join(F.broadcast(bases), cond).drop(bases["__blk"], *(
-        [bases[k] for k in streams]
-    ))
+    for k, b in zip(streams + ["__blk"], bkeys):
+        cond = cond & local[k].eqNullSafe(bases[b])
+    packed = local.join(F.broadcast(bases), cond).drop(*bkeys)
     offset = (F.col("__base") + F.col("__local_off")).alias("tok_offset")
     out = packed.select("*", offset).drop("__blk", "__local_off", "__base")
     seq_id = F.floor(F.col("tok_offset") / budget)
