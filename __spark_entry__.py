@@ -1905,6 +1905,29 @@ def q_g13b_salted_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g67_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G67: exact per-key skew diagnostics (analytics.skew_report) over a
+    deliberately skewed key — every third lineitem collapses onto key 0
+    (~33% share), the rest spread over 997 keys. Reports the top-10
+    hottest keys with integer-exact salt_need = ceil(n·P/total); the
+    oracle replays the counts, the 1-row total, the integer ceiling
+    division, and the (n desc, key) top-k in SQL."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 997)
+        .alias("skew_key")
+    )
+    # partitions pinned so the oracle's salt_need is session-independent
+    out = analytics.skew_report(li, ["skew_key"], top_k=10, partitions=32)
+    return out.select(
+        F.col("skew_key").cast("long").alias("skew_key"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_total").cast("long").alias("n_total"),
+        "share",
+        F.col("salt_need").cast("long").alias("salt_need"),
+    )
+
+
 def q_g19_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G19: bucketized point-in-interval join — each user's non-signup
     events matched to the 2-hour windows opened by that user's signup
@@ -3095,6 +3118,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g57_html_text": q_g57_html_text,
         "g58_stream_quality": q_g58_stream_quality,
         "g13b_salted_auto": q_g13b_salted_auto,
+        "g67_skew_report": q_g67_skew_report,
         "g59_cap_per_group": q_g59_cap_per_group,
         "g60_md_text": q_g60_md_text,
         "g64_url_dedup": q_g64_url_dedup,
@@ -5082,6 +5106,28 @@ def fine_oracle_sql() -> dict[str, str]:
     # G13b: probe-independent result — identical plain GROUP BY oracle
     sql["g13b_salted_auto"] = sql["g13_salted_agg"]
 
+    # G67: exact skew diagnostics — counts, 1-row total, integer ceiling
+    # division ((n*P + tot - 1) // tot), (n desc, key) top-k.
+    sql["g67_skew_report"] = """
+        WITH keyed AS (
+            SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0
+                        ELSE l_orderkey % 997 END AS skew_key
+            FROM lineitem
+        ),
+        counts AS (
+            SELECT skew_key, COUNT(*) AS n_rows FROM keyed GROUP BY skew_key
+        ),
+        tot AS (SELECT SUM(n_rows) AS n_total FROM counts)
+        SELECT skew_key,
+               n_rows,
+               CAST(n_total AS BIGINT) AS n_total,
+               ROUND(n_rows * 1.0 / n_total, 6) AS share,
+               CAST((n_rows * 32 + n_total - 1) // n_total AS BIGINT)
+                 AS salt_need
+        FROM counts CROSS JOIN tot
+        ORDER BY n_rows DESC, skew_key LIMIT 10
+    """
+
     # G59: per-group cap — QUALIFY replay over the same synthetic skew
     sql["g59_cap_per_group"] = """
         SELECT doc_id, grp, CAST(n_chars AS BIGINT) AS n_chars FROM (
@@ -6175,7 +6221,7 @@ _SUITES: dict[str, list[str]] = {
     ],
     "g_analytics_misc_suite": [
         "g21_unpivot", "g13_salted_agg", "g13b_salted_auto", "g10_json",
-        "g25_zorder",
+        "g25_zorder", "g67_skew_report",
     ],
     "g32_report_suite": ["g32_corpus_report", "g32_stratum_report"],
     "g_boilerplate_suite": [
@@ -6278,6 +6324,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g21_unpivot": [("l_orderkey", "i"), ("l_linenumber", "i"), ("name", "s"), ("value", "n")],
     "g13_salted_agg": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
     "g13b_salted_auto": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
+    "g67_skew_report": [("skew_key", "i"), ("n_rows", "i"), ("n_total", "i"), ("share", "n"), ("salt_need", "i")],
     "g59_cap_per_group": [("doc_id", "i"), ("grp", "s"), ("n_chars", "i")],
     "g60_md_text": [("doc_id", "i"), ("clean_md5", "s"), ("n_clean_chars", "i")],
     "g64_url_dedup": [("url", "s"), ("doc_id", "i")],

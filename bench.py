@@ -73,6 +73,7 @@ HEADLINE = [
     "g60_md_text",
     "g64_url_dedup",
     "g66_domain_report",
+    "g67_skew_report",
     "g26_dup_spans",
     "g29_vocab",
     "g29_encode",

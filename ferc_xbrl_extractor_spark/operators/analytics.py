@@ -251,6 +251,56 @@ def salted_agg_auto(
     )
 
 
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 20,
+    partitions: int | None = None,
+) -> DataFrame:
+    """G67: exact per-key skew diagnostics — the audit-side complement to
+    the :func:`probe_salt_buckets` sample (the probe decides cheaply at
+    runtime; this reports exactly, for the human planning a pipeline).
+
+    Returns the ``top_k`` hottest keys with ``n_rows``, ``n_total``,
+    ``share`` (rounded to 6), and ``salt_need`` — the reducer multiple
+    this key alone would load onto one unsalted reducer, i.e. the salt
+    bucket count that levels it back to average:
+    ``ceil(n · P / total)`` computed in INTEGER arithmetic
+    (``(n·P + total − 1) div total``) so the number is bit-identical in
+    every engine; consumers round it up to a power of two like
+    ``probe_salt_buckets`` does. ``salt_need`` ≤ 1 means the key is
+    harmless at the session's shuffle parallelism.
+
+    Plan shape: one map-side-combinable count aggregate (the only
+    corpus-scale shuffle), a 1-row total broadcast back, and a top-k
+    ``orderBy(...).limit`` that Spark executes as TakeOrderedAndProject —
+    per-partition heaps, no full sort. Deterministic: ties break on the
+    key columns.
+    """
+    p = partitions if partitions is not None else int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n_rows",
+            "n_total",
+            F.round(F.col("n_rows") / F.col("n_total"), 6).alias("share"),
+            # `div`, not `/`: Spark's `/` is double division and doubles
+            # lose integer exactness past 2^53 — corpus-scale counts
+            # times the partition count get there
+            F.expr(f"(n_rows * {p} + n_total - 1) div n_total")
+            .cast("long")
+            .alias("salt_need"),
+        )
+        .orderBy(F.col("n_rows").desc(), *key_cols)
+        .limit(top_k)
+    )
+
+
 def session_window_agg(
     df: DataFrame,
     ts_col: str,

@@ -2918,6 +2918,33 @@ def test_html_to_text_plan_is_single_projection(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_skew_report_goldens(spark):
+    """G67: exact per-key skew report — hand-checked counts, shares,
+    integer-ceiling salt_need at a pinned parallelism, deterministic
+    (n desc, key) top-k with ties, and TakeOrdered plan shape."""
+    from ferc_xbrl_extractor_spark.operators.analytics import skew_report
+
+    # 16 rows: 'a'×8, 'b'×4, 'c'×2, 'd'×2 (tie with 'c')
+    rows = ["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"] * 2
+    df = spark.createDataFrame([(k,) for k in rows], "k string")
+    rep = skew_report(df, ["k"], top_k=3, partitions=8)
+    got = [
+        (r["k"], r["n_rows"], r["n_total"], r["share"], r["salt_need"])
+        for r in rep.collect()
+    ]
+    # salt_need = ceil(n*8/16): a→4, b→2, c→1
+    assert got == [
+        ("a", 8, 16, 0.5, 4),
+        ("b", 4, 16, 0.25, 2),
+        ("c", 2, 16, 0.125, 1),  # tie with d, key order wins
+    ]
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k heaps, no full sort
+
+    # empty input: no rows, no division blow-up
+    assert skew_report(df.filter("k = 'zzz'"), ["k"]).count() == 0
+
+
 def test_probe_salt_buckets_skew_vs_uniform(spark):
     from ferc_xbrl_extractor_spark.operators.analytics import (
         probe_salt_buckets,
