@@ -13,6 +13,7 @@ gap surface SURVEY.md §2.12 declares for the new engine.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -155,6 +156,44 @@ def ngrams_from_tokens(toks_col: str | Column, n: int = 2) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "compression_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """G68: zlib compression ratio of the document text — the classic
+    templated/repetitive-page quality signal (CCNet-class screens drop
+    the extremes: very low = boilerplate so repetitive it deflates to
+    nothing, near/above 1 = incompressible binary junk).
+
+    ``ratio = len(zlib.compress(utf8)) / len(utf8)``, NULL for NULL or
+    empty text. Implemented as an Arrow-batched ``pandas_udf`` — zlib is
+    C-speed, so the pass costs about one scan; there is deliberately no
+    SQL oracle (no engine-portable DEFLATE), the pytest pins exact
+    values against the same zlib and the monotone fixtures (repetitive ≪
+    mixed < random) that hold across zlib builds."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    # type hints are strings under future-annotations and resolve
+    # against MODULE globals — hence the module-level pandas import
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, level)) / len(b)
+
+        return s.map(one)
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))
 
 
 def with_repetition_stats(

@@ -86,6 +86,7 @@ def curate_corpus(
     c4_kwargs: dict | None = None,
     max_dup_line_ratio: float | None = None,
     max_dup_3gram_ratio: float | None = None,
+    min_compression_ratio: float | None = None,
     neardup_threshold: float | None = None,
     neardup_keep_by: str | None = None,
     redact: bool = False,
@@ -120,7 +121,11 @@ def curate_corpus(
     filter/project further downstream). ``benchmark=None`` skips
     decontamination; ``sample_n=None`` skips sampling;
     ``max_dup_*_ratio=None`` skips the repetition screen;
-    ``neardup_threshold=None`` skips near-dup cluster dedup; ``redact``
+    ``neardup_threshold=None`` skips near-dup cluster dedup;
+    ``min_compression_ratio`` adds the G68 zlib-ratio screen to the
+    repetition stage (pages that deflate below the floor are template
+    spam even when the line/n-gram ratios pass; NULL/empty text is the
+    quality screen's business); ``redact``
     scrubs PII from surviving text (applied after dedup so redaction
     cost is paid on survivors only and never perturbs dedup keys).
 
@@ -194,6 +199,16 @@ def curate_corpus(
             stats = stats.filter(F.col("dup_line_ratio") <= max_dup_line_ratio)
         if max_dup_3gram_ratio is not None:
             stats = stats.filter(F.col("dup_3gram_ratio") <= max_dup_3gram_ratio)
+    if min_compression_ratio is not None:
+        # G68 rides the repetition screen (same drop_stage): a page so
+        # repetitive it deflates below the floor is template spam even
+        # when its line/n-gram ratios pass. NULL ratio (empty text)
+        # passes here — the quality screen owns empties.
+        stats = text.compression_ratio(stats, text_col)
+        stats = stats.filter(
+            F.col("compression_ratio").isNull()
+            | (F.col("compression_ratio") >= float(min_compression_ratio))
+        )
     quality = stats.filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("stopword_ratio") <= max_stopword_ratio)
@@ -360,6 +375,7 @@ def curate_annotate(
     c4_kwargs: dict | None = None,
     max_dup_line_ratio: float | None = None,
     max_dup_3gram_ratio: float | None = None,
+    min_compression_ratio: float | None = None,
     neardup_threshold: float | None = None,
     stratum_col: str | None = None,
     sample_n: int | None = None,
@@ -446,6 +462,12 @@ def curate_annotate(
             fail_rep = fail_rep | (
                 F.col("dup_3gram_ratio") > max_dup_3gram_ratio
             )
+    if min_compression_ratio is not None:
+        stats = text.compression_ratio(stats, text_col)
+        fail_rep = fail_rep | (
+            F.col("compression_ratio").isNotNull()
+            & (F.col("compression_ratio") < float(min_compression_ratio))
+        )
 
     fail_quality = (
         (F.col("n_tokens") < min_tokens)

@@ -2918,6 +2918,54 @@ def test_html_to_text_plan_is_single_projection(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_compression_ratio_signal_and_curate_screen(spark):
+    """G68: zlib ratio equals a direct-zlib replay per row; monotone
+    across repetitive ≪ mixed < random fixtures; NULL/empty → NULL; the
+    curate min_compression_ratio screen drops only the sub-floor page
+    and attributes it to the repetition stage."""
+    import hashlib
+    import zlib
+
+    from ferc_xbrl_extractor_spark.pipeline import curate
+
+    spam = "spam " * 200
+    good = ("the quick brown fox jumps over a lazy dog near the river "
+            "bank while seventeen geese argue about topology ") * 3
+    rnd = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(40)
+    )
+    rows = [(1, spam), (2, good), (3, rnd), (4, None), (5, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in text.compression_ratio(df).collect()
+    }
+    for i, t in rows:
+        if not t:
+            assert got[i] is None, i
+        else:
+            b = t.encode("utf-8")
+            assert got[i] == len(zlib.compress(b, 6)) / len(b), i
+    assert got[1] < got[3] and got[1] < got[2] < 1.0
+
+    floor = (got[1] + got[2]) / 2  # between spam and good
+    out = curate.curate_corpus(
+        df.filter("text IS NOT NULL AND text <> ''"),
+        min_tokens=5, min_uniq_ratio=0.0, max_stopword_ratio=1.0,
+        min_compression_ratio=floor,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {2, 3}
+    ann = {
+        r["doc_id"]: r["drop_stage"]
+        for r in curate.curate_annotate(
+            df.filter("text IS NOT NULL AND text <> ''"),
+            min_tokens=5, min_uniq_ratio=0.0, max_stopword_ratio=1.0,
+            min_compression_ratio=floor,
+        ).collect()
+    }
+    assert ann == {1: "repetition", 2: None, 3: None}
+
+
 def test_skew_report_goldens(spark):
     """G67: exact per-key skew report — hand-checked counts, shares,
     integer-ceiling salt_need at a pinned parallelism, deterministic
