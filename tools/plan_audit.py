@@ -54,6 +54,10 @@ INTENTIONAL_BNLJ = {
     # cross-joined so the probe is a map-side transform (g4_bm25 shape).
     "g29_encode",
     "g29_decode",
+    # g67_skew_report: the ONE-row corpus-total relation broadcast back
+    # onto the per-key counts for the share/salt_need projection (the
+    # g4_bm25 shape).
+    "g67_skew_report",
     # g29_coverage / g38_bigram_lm: ONE-row corpus-total / vocab-size
     # relation cross-joined into the projection (the g4_bm25 shape).
     "g29_coverage",
