@@ -42,6 +42,15 @@ def parse(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--min-uniq-ratio", type=float, default=0.3)
     p.add_argument("--max-dup-line-ratio", type=float, default=None)
     p.add_argument("--max-dup-3gram-ratio", type=float, default=None)
+    p.add_argument(
+        "--min-compression-ratio",
+        type=float,
+        default=None,
+        help="Drop documents whose zlib compressed/raw size ratio falls "
+        "below this (G68 — template spam deflates to almost nothing, so "
+        "its ratio is far lower than prose's; rides the repetition "
+        "screen's drop stage).",
+    )
     p.add_argument("--benchmark", help="Eval-suite corpus to decontaminate against.")
     p.add_argument(
         "--benchmark-format", choices=["parquet", "jsonl", "csv"], default="parquet"
@@ -200,6 +209,7 @@ def run_main(args: argparse.Namespace) -> int:
         link_rank_iters=args.link_rank_iters,
         max_dup_line_ratio=args.max_dup_line_ratio,
         max_dup_3gram_ratio=args.max_dup_3gram_ratio,
+        min_compression_ratio=args.min_compression_ratio,
         neardup_threshold=args.neardup_threshold,
         neardup_keep_by=args.neardup_keep_by,
         redact=args.redact,

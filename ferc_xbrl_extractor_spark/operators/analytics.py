@@ -277,9 +277,16 @@ def skew_report(
     per-partition heaps, no full sort. Deterministic: ties break on the
     key columns.
     """
-    p = partitions if partitions is not None else int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    if partitions is not None:
+        p = partitions
+    else:
+        # some vendor runtimes set this conf to a non-numeric sentinel
+        # ('auto'); degrade to the cluster's default parallelism rather
+        # than raising on a diagnostics call
+        try:
+            p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:
+            p = df.sparkSession.sparkContext.defaultParallelism
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
     total = counts.agg(F.sum("n_rows").alias("n_total"))
     return (

@@ -7,20 +7,29 @@ signals (G4/G28/G34). This module provides the propagation primitive as
 plain DataFrame ops.
 
 Scale shape — per iteration:
-  ranks ⋈ edges on ``src``   (both sides arrive hash-partitioned on the
-                              key after the first iteration — one keyed
-                              exchange each, no broadcast of anything
-                              corpus-sized)
-  → per-edge contribution    (pure projection, integer floor arithmetic)
+  edges ⟕ ranks on ``src``   (ranks arrives hash-partitioned on the key
+                              straight from the previous round's
+                              aggregate — its exchange is reused; the
+                              edge side's keyed exchange is canonically
+                              identical across rounds and reused too)
+  → per-edge contribution    (pure projection, integer floor arithmetic;
+                              a source absent from ``ranks`` holds the
+                              closed-form constant — see below)
   → groupBy(dst).sum         (map-side partial combine — a hub page's
-                              in-links combine before the shuffle)
-  → left join onto the node list (in-linkless nodes keep the base mass).
-The ranks relation is O(|nodes|); iterative lineage is cut periodically
-with ``localCheckpoint`` so long runs never compound the plan (same
-policy as ``neardup.connected_components``). The node list is
-checkpointed once (eager, ContextCleaner-reclaimed — no cache
-registration to leak); the degreed edge relation stays lazy, its keyed
-exchange reused across iterations.
+                              in-links combine before the shuffle).
+Intermediate rounds iterate over the CONTRIBUTING relation alone
+(nodes that appear as a ``dst``): a node with no in-links scores
+exactly ``base`` from round 1 on (and the uniform ``unit // n`` at
+round 0), so instead of a per-round left join onto the full node list
+— a third keyed exchange per round in the r7 form — the constant is
+folded into a ``coalesce`` on the source side of the edge join and the
+node list is joined back ONCE at final read-off. Round 1 needs no rank
+join at all (every source holds the uniform r0). The ranks relation is
+O(|dst nodes|); iterative lineage is cut periodically with
+``localCheckpoint`` so long runs never compound the plan (same policy
+as ``neardup.connected_components``). The node list is checkpointed
+once (eager, ContextCleaner-reclaimed — no cache registration to
+leak); the degreed edge relation stays lazy.
 
 Integer exactness: ranks live in micro-units; every division is a
 ``floor`` on integers, so the recurrence
@@ -75,21 +84,25 @@ def pagerank(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    e = edges.select(
-        F.col(src).alias("__s"), F.col(dst).alias("__d")
-    ).distinct()
-    # nodes is consumed iters+2 times (count, every round's left join);
-    # an EAGER localCheckpoint materializes the O(|nodes|) relation once
-    # and lets ContextCleaner reclaim the blocks when the result is
-    # dropped — unlike persist(), which stays registered in the
-    # CacheManager until an explicit unpersist (the r6 form leaked one
-    # cached relation per call on a long-lived session). Only this tiny
-    # relation is checkpointed: materializing anything bigger eagerly
-    # executes its subplan WITHOUT adaptive query execution (measured
-    # 0.7 → 7.9s at sf0.1 when the final ranks were eagerly cut).
+    raw = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    e = raw.distinct()
+    # nodes is consumed twice (count, final read-off); an EAGER
+    # localCheckpoint materializes the O(|nodes|) relation once and lets
+    # ContextCleaner reclaim the blocks when the result is dropped —
+    # unlike persist(), which stays registered in the CacheManager until
+    # an explicit unpersist (the r6 form leaked one cached relation per
+    # call on a long-lived session). Only this tiny relation is
+    # checkpointed: materializing anything bigger eagerly executes its
+    # subplan WITHOUT adaptive query execution (measured 0.7 → 7.9s at
+    # sf0.1 when the final ranks were eagerly cut). The subplan is built
+    # from the PRE-distinct edge projection via explode — the node set
+    # is identical (duplicates collapse in the node-level distinct) and
+    # skipping the O(|edges|) distinct aggregate inside this non-AQE
+    # checkpoint execution halved the operator's wall-clock at sf0.1
+    # (1.26 → 0.67s); it also means edges scan once here, not twice
+    # (the r7 union form scanned the edge subplan per branch).
     nodes = (
-        e.select(F.col("__s").alias("node"))
-        .union(e.select(F.col("__d").alias("node")))
+        raw.select(F.explode(F.array("__s", "__d")).alias("node"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -105,25 +118,35 @@ def pagerank(
     # so exchange reuse shuffles the edge relation once per action — no
     # cache registration to leak.
     e2 = _edges_with_outdegree(e)
-    ranks = nodes.withColumn("node_rank", F.lit(unit // n).cast("long"))
+    # Intermediate ranks cover ONLY nodes that receive in-links (the
+    # groupBy(dst) output). A node absent from that relation scores the
+    # closed-form constant every round — unit//n at round 0, base after
+    # — so its rank is supplied by a coalesce on the edge join instead
+    # of a per-round left join onto the full node list (the r7 form's
+    # third keyed exchange per round). Round 1 is join-free: every
+    # source holds the uniform r0.
+    ranks: DataFrame | None = None
     for t in range(1, iters + 1):
-        contrib = (
-            ranks.join(e2, ranks["node"] == e2["__s"])
-            .select(
+        if ranks is None:
+            joined = e2
+            src_rank = F.lit(unit // n).cast("long")
+        else:
+            joined = e2.join(ranks, e2["__s"] == ranks["node"], "left")
+            src_rank = F.coalesce(
+                F.col("node_rank"), F.lit(base).cast("long")
+            )
+        ranks = (
+            joined.select(
                 F.col("__d").alias("node"),
                 F.floor(
-                    F.lit(damping_pct) * F.col("node_rank")
+                    F.lit(damping_pct) * src_rank
                     / (F.lit(100) * F.col("__deg"))
                 ).cast("long").alias("__c"),
             )
             .groupBy("node")
-            .agg(F.sum("__c").alias("__in"))
-        )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit(base) + F.coalesce(F.col("__in"), F.lit(0))
-            ).cast("long").alias("node_rank"),
+            .agg(
+                (F.lit(base) + F.sum("__c")).cast("long").alias("node_rank")
+            )
         )
         # Unlike connected_components (whose convergence test forces an
         # action every round), the iteration count here is FIXED — so
@@ -133,7 +156,14 @@ def pagerank(
         # barriers, ~0.5s each on local[32]).
         if t % 8 == 0 and t < iters:
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+    # ONE read-off join restores the in-linkless nodes at exactly base
+    # (algebraically identical to the per-round left join: a node never
+    # present in any contrib relation scores base every round >= 1).
+    return nodes.join(ranks, "node", "left").select(
+        "node",
+        F.coalesce(F.col("node_rank"), F.lit(base))
+        .cast("long").alias("node_rank"),
+    )
 
 
 def pagerank_oracle_sql(
@@ -145,35 +175,48 @@ def pagerank_oracle_sql(
     """ANSI-SQL replay of :func:`pagerank` with the iterations UNROLLED
     (recursive CTEs cannot aggregate over the recursive term, so the
     loop is generated — the same pattern as the G37 k-means oracle).
+    Mirrors the deferred-read-off structure: intermediate rounds cover
+    only contributing (in-linked) nodes, sources missing from the
+    previous round's relation coalesce to the closed-form constant, and
+    the full node list is joined back once at the end.
     ``edges_sql`` must yield columns (src, dst)."""
+    # base = FLOOR(15*unit / (100*n)) — the per-round teleport mass
+    base = f"CAST(FLOOR((15.0 * {unit}) / (100 * nn.n)) AS BIGINT)"
     sql = [
         f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
         "outdeg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
         # DuckDB '/' is float division and CAST(double AS BIGINT)
-        # ROUNDS — every division goes through an explicit FLOOR
-        f"r0 AS (SELECT node, CAST(FLOOR({unit} * 1.0 / n) AS BIGINT) AS r"
-        " FROM nodes, nn)",
+        # ROUNDS — every division goes through an explicit FLOOR.
+        # Round 1 is join-free: every source holds the uniform r0.
+        f"r1 AS (SELECT e.dst AS node, {base} + "
+        f"SUM(CAST(FLOOR(({damping_pct} * "
+        f"CAST(FLOOR({unit} * 1.0 / nn.n) AS BIGINT))"
+        f" / (100.0 * outdeg.deg)) AS BIGINT)) AS r "
+        "FROM e JOIN outdeg ON e.src = outdeg.src CROSS JOIN nn "
+        "GROUP BY e.dst, nn.n)",
     ]
-    prev = "r0"
-    for t in range(1, iters + 1):
+    prev = "r1"
+    for t in range(2, iters + 1):
+        # a source absent from the previous round's relation holds
+        # exactly base — the coalesce replays the Spark-side fold
         sql.append(
-            f"c{t} AS (SELECT e.dst AS node, "
-            f"SUM(CAST(FLOOR(({damping_pct} * {prev}.r) / (100.0 * outdeg.deg)) AS BIGINT)) AS m "
-            f"FROM {prev} JOIN e ON {prev}.node = e.src "
-            "JOIN outdeg ON e.src = outdeg.src GROUP BY e.dst)"
-        )
-        sql.append(
-            f"r{t} AS (SELECT nodes.node, "
-            f"CAST(FLOOR((15.0 * {unit}) / (100 * nn.n)) AS BIGINT)"
-            f" + COALESCE(c{t}.m, 0) AS r "
-            f"FROM nodes CROSS JOIN nn LEFT JOIN c{t} ON nodes.node = c{t}.node)"
+            f"r{t} AS (SELECT e.dst AS node, {base} + "
+            f"SUM(CAST(FLOOR(({damping_pct} * "
+            f"COALESCE({prev}.r, {base}))"
+            f" / (100.0 * outdeg.deg)) AS BIGINT)) AS r "
+            f"FROM e JOIN outdeg ON e.src = outdeg.src CROSS JOIN nn "
+            f"LEFT JOIN {prev} ON e.src = {prev}.node "
+            "GROUP BY e.dst, nn.n)"
         )
         prev = f"r{t}"
     return (
         "WITH " + ",\n".join(sql)
         # SUM(BIGINT) is HUGEINT in DuckDB — cast back so the typed
-        # value-hash compare sees int64 on both engines
-        + f"\nSELECT node, CAST(r AS BIGINT) AS node_rank FROM {prev}"
+        # value-hash compare sees int64 on both engines. In-linkless
+        # nodes read off at exactly base, once.
+        + f"\nSELECT nodes.node, CAST(COALESCE({prev}.r, {base}) AS BIGINT)"
+        f" AS node_rank FROM nodes CROSS JOIN nn "
+        f"LEFT JOIN {prev} ON nodes.node = {prev}.node"
     )

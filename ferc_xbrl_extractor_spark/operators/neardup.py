@@ -611,7 +611,7 @@ def connected_components_twophase(
     id_b: str = "id_b",
     max_iter: int = 50,
     return_rounds: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, int]:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
     Beyond", SoCC'14) — the O(log n)-round form for HIGH-DIAMETER pair

@@ -54,15 +54,47 @@ def _index_table(index_dir: str) -> str:
     return "fpindex_" + hashlib.md5(index_dir.encode()).hexdigest()[:12]
 
 
+def _dir_has_unbucketed_files(index_dir: str) -> bool:
+    """True when any parquet data file under ``index_dir`` lacks the
+    ``_NNNNN`` bucket-id suffix Spark stamps on bucketed writes.
+
+    Mixed-layout hazard: a session WITHOUT the catalog entry appends
+    plain parquet (the documented fallback below); a session that still
+    HOLDS the bucketed catalog table would then fail its bucketed scan
+    with 'Invalid bucket file' at execution time. Detecting the plain
+    file up front lets that session degrade to the plain-parquet read
+    (same rows, one keyed exchange more) until ``index_compact``
+    restores the layout. Local-FS listing; non-local paths skip the
+    check (returns False) and keep the catalog read."""
+    import os
+    import re
+
+    bucketed = re.compile(r"_\d{5}(\.c\d+)?\.[^/]*parquet$")
+    try:
+        for root, _dirs, files in os.walk(index_dir):
+            for f in files:
+                if f.endswith(".parquet") and not bucketed.search(f):
+                    return True
+    except OSError:
+        return False
+    return False
+
+
 def _read_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """Read the index WITH bucket metadata when this session created it
     (catalog table → bucketed scan, exchange-free keyed ops); fall back
     to the plain parquet path otherwise — same rows, the files are
     ordinary parquet. A real deployment keeps the table in a shared
     metastore so every session gets the bucketed scan; the local session
-    catalog is in-memory, hence the fallback."""
+    catalog is in-memory, hence the fallback. When another session's
+    plain-parquet append has mixed un-bucketed files into a directory
+    this session still holds catalog bucket metadata for, the bucketed
+    scan would fail ('Invalid bucket file') — detected up front and
+    degraded to the plain read (see :func:`_dir_has_unbucketed_files`)."""
     name = _index_table(index_dir)
-    if spark.catalog.tableExists(name):
+    if spark.catalog.tableExists(name) and not _dir_has_unbucketed_files(
+        index_dir
+    ):
         return spark.table(name)
     return spark.read.parquet(index_dir)
 

@@ -67,6 +67,7 @@ def load_table(
     sf_dir: str,
     name: str,
     repartition_cols: list[str | Column] | None = None,
+    repair: bool = True,
 ) -> DataFrame:
     """Read ``{sf_dir}/{name}.parquet`` with ns-timestamp repair and
     row-group-aware re-parallelization.
@@ -118,12 +119,21 @@ def load_table(
     # shuffle merely replaces the ENSURE_REQUIREMENTS exchange Catalyst
     # would insert anyway; above it, it doubles as the parallelization
     # repair. Round-robin repair stays size-gated.
+    # ``repair=False`` opts a consumer out of the round-robin repair:
+    # right for plans whose FIRST operator is already a wide aggregate
+    # over trivially-computed columns (the exchange parallelizes
+    # everything downstream anyway, so the repair shuffle is a pure
+    # extra pass over the data) — and doubly so for iterative operators
+    # that eagerly checkpoint a subplan, which re-pay the repair
+    # exchange non-adaptively at checkpoint time (measured on G65
+    # pagerank at sf0.1: 1.97s with repair, 0.78s without). A
+    # caller-supplied key still wins over the flag.
     if repartition_cols:
         df = df.repartition(
             cpus,
             *[F.col(c) if isinstance(c, str) else c for c in repartition_cols],
         )
-    elif (
+    elif repair and (
         num_rows >= 100_000 or file_bytes >= 512 << 10
     ) and row_groups < cpus // 2:
         df = df.repartition(cpus)

