@@ -2753,7 +2753,11 @@ def _g64_url_expr():
     explicit default ports, tracking params (alone and mixed with kept
     params), PERMUTED kept-param order (the %35 and %7 branches carry
     the same params in different order and must collapse), a near-miss
-    tracking name (xfbclid — must SURVIVE), trailing slashes, fragments
+    tracking name (xfbclid — must SURVIVE), percent-encoding variants
+    (the d%8∈{0,1,2} branches carry '%7Eu'/'~u'/'%7eu' — the same path
+    after unreserved decode — and d%8∈{3,4} carry '%2f'/'%2F' hex-case
+    variants of a RESERVED escape that stays encoded but uppercases),
+    trailing slashes, fragments
     — every rule in text.normalize_url exercised, same expression
     replayed in SQL."""
     d = F.col("doc_id")
@@ -2769,6 +2773,14 @@ def _g64_url_expr():
         .otherwise(F.lit(""))
     )
     path = F.concat(F.lit("/p/"), (d % 25).cast("string"))
+    pseg = (
+        F.when(d % 8 == 0, F.lit("/%7Eu"))
+        .when(d % 8 == 1, F.lit("/~u"))
+        .when(d % 8 == 2, F.lit("/%7eu"))
+        .when(d % 8 == 3, F.lit("/a%2fb"))
+        .when(d % 8 == 4, F.lit("/a%2Fb"))
+        .otherwise(F.lit(""))
+    )
     query = (
         F.when(
             (d % 5 == 0) & (d % 7 == 0),
@@ -2781,7 +2793,9 @@ def _g64_url_expr():
     )
     trail = F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit(""))
     frag = F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, port, path, query, trail, frag)
+    return F.concat(
+        scheme, F.lit("://"), host, port, path, pseg, query, trail, frag
+    )
 
 
 def q_g64_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5850,6 +5864,11 @@ def fine_oracle_sql() -> dict[str, str]:
                || (CASE WHEN doc_id % 11 = 0 AND doc_id % 2 = 0 THEN ':443'
                         WHEN doc_id % 11 = 0 THEN ':80' ELSE '' END)
                || '/p/' || CAST(doc_id % 25 AS VARCHAR)
+               || (CASE WHEN doc_id % 8 = 0 THEN '/%7Eu'
+                        WHEN doc_id % 8 = 1 THEN '/~u'
+                        WHEN doc_id % 8 = 2 THEN '/%7eu'
+                        WHEN doc_id % 8 = 3 THEN '/a%2fb'
+                        WHEN doc_id % 8 = 4 THEN '/a%2Fb' ELSE '' END)
                || (CASE WHEN doc_id % 5 = 0 AND doc_id % 7 = 0
                     THEN '?q=1&utm_source=x&z=2'
                     WHEN doc_id % 5 = 0 THEN '?utm_source=x&utm_campaign=y'

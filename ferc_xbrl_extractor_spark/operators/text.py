@@ -1138,6 +1138,21 @@ URL_STRIP_STEPS: list[tuple[str, str]] = [
 # like 'xfbclid' survive (an unanchored mid-query strip once chewed
 # '?xfbclid=1&q=2' into '?xq=2' and silently merged distinct documents).
 URL_TRACKING = r"^(?:utm_[A-Za-z]+|fbclid|gclid|msclkid)="
+# RFC 3986 §2.3 unreserved characters: percent-encoding them is
+# OPTIONAL, and real crawls see both forms of the same page constantly
+# ('%7Euser' vs '~user', '%2Fpath' case variants) — encoders disagree
+# on unreserved-set escaping. Canonical form: decode them. The decode
+# step table is GENERATED (uppercase hex only — the escape-hex
+# uppercasing pass runs first), literal find→replace pairs, so both
+# engines replay it with plain replace(), no regex.
+URL_UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    "0123456789-._~"
+)
+URL_PCT_DECODE_STEPS: list[tuple[str, str]] = [
+    (f"%{ord(c):02X}", c) for c in URL_UNRESERVED
+]
+_URL_PCT_HEX = r"^[0-9A-Fa-f]{2}"
 _URL_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _URL_HOST = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _URL_PREFIX = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
@@ -1162,9 +1177,42 @@ def _rebuild_query(u: Column) -> Column:
     ).otherwise(base)
 
 
+def _pct_canonicalize(u: Column) -> Column:
+    """Percent-encoding canonical form: escape hex uppercased
+    (``%2f`` → ``%2F``) and percent-encoded RFC-3986 unreserved
+    characters decoded (``%7E`` → ``~``, ``%41`` → ``A``) via the
+    generated URL_PCT_DECODE_STEPS literal replace chain. The
+    uppercasing splits on ``%`` and rewrites each segment's leading hex
+    pair with higher-order array functions — no backreferences, no
+    callbacks, so DuckDB's list lambdas replay it structurally. A ``%``
+    not followed by two hex digits passes through (malformed escapes
+    are kept verbatim, like the rest of the canonicalizer's
+    garbage-in-garbage-kept policy)."""
+    parts = F.split(u, "%", -1)
+    fixed = F.transform(
+        parts,
+        lambda p, i: F.when(i == F.lit(0), p)
+        .when(
+            p.rlike(_URL_PCT_HEX),
+            F.concat(
+                F.lit("%"),
+                F.upper(F.substring(p, 1, 2)),
+                F.substr(p, F.lit(3)),
+            ),
+        )
+        .otherwise(F.concat(F.lit("%"), p)),
+    )
+    out = F.array_join(fixed, "")
+    for find, rep in URL_PCT_DECODE_STEPS:
+        out = F.replace(out, F.lit(find), F.lit(rep))
+    return out
+
+
 def normalize_url(url_col: str | Column = "url") -> Column:
     """G64: canonical form of a URL — fragments stripped
-    (URL_STRIP_STEPS), tracking parameters dropped and the remaining
+    (URL_STRIP_STEPS), percent-encoding canonicalized (escape hex
+    uppercased, unreserved characters decoded — ``_pct_canonicalize``),
+    tracking parameters dropped and the remaining
     query parameters SORTED (URL_TRACKING + ``_rebuild_query``), scheme
     and host lowercased, default ports dropped (``:80`` for http,
     ``:443`` for https), trailing slashes trimmed, bare hosts given
@@ -1183,6 +1231,11 @@ def normalize_url(url_col: str | Column = "url") -> Column:
     u = col
     for pat, rep in URL_STRIP_STEPS:
         u = F.regexp_replace(u, pat, rep)
+    # after the fragment strip (an ENCODED '#', %23, is reserved and
+    # stays encoded — decoding only unreserved characters can never
+    # change URL structure), before the query rebuild (params sort over
+    # canonical bytes)
+    u = _pct_canonicalize(u)
     u = _rebuild_query(u)
     scheme = F.lower(F.regexp_extract(u, _URL_SCHEME, 1))
     host = F.lower(F.regexp_extract(u, _URL_HOST, 1))
@@ -1305,6 +1358,19 @@ def normalize_url_sql(
     u = url_col
     for pat, rep in URL_STRIP_STEPS:
         u = f"regexp_replace({u}, '{pat}', '{rep}', 'g')"
+    # percent canonicalization, mirroring _pct_canonicalize: split on
+    # '%', uppercase each segment's leading hex pair, rejoin, then the
+    # generated unreserved-decode replace chain (literal, regex-free)
+    # COALESCE: DuckDB's array_to_string returns NULL (not '') for an
+    # empty list — i.e. for every URL with no '%' at all
+    pct = (
+        "__parts[1] || COALESCE(array_to_string(list_transform("
+        "__parts[2:], "
+        f"x -> '%' || (CASE WHEN regexp_matches(x, '{_URL_PCT_HEX}') "
+        "THEN upper(x[1:2]) || x[3:] ELSE x END)), ''), '')"
+    )
+    for find, rep in URL_PCT_DECODE_STEPS:
+        pct = f"replace({pct}, '{find}', '{rep}')"
     params = (
         "list_filter(string_split(__q, '&'), "
         f"x -> x <> '' AND NOT regexp_matches(x, '{URL_TRACKING}'))"
@@ -1336,9 +1402,16 @@ def normalize_url_sql(
                      {params} AS __p
               FROM (
                 SELECT {keep}, {url_col},
-                       {u} AS __uf,
-                       regexp_extract({u}, '\\?(.*)$', 1) AS __q
-                FROM ({inner_sql})
+                       __upct AS __uf,
+                       regexp_extract(__upct, '\\?(.*)$', 1) AS __q
+                FROM (
+                  SELECT {keep}, {url_col}, {pct} AS __upct
+                  FROM (
+                    SELECT {keep}, {url_col},
+                           string_split({u}, '%') AS __parts
+                    FROM ({inner_sql})
+                  )
+                )
               )
             )
           )

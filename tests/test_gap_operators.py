@@ -3437,6 +3437,19 @@ def test_normalize_url_goldens_and_url_dedup(spark):
         ("http://x.com/p?myutm_x=1&q=2", "http://x.com/p?myutm_x=1&q=2"),
         # consecutive tracking params + empty segments all drop
         ("http://x.com/p?utm_a=1&utm_b=2&&gclid=9", "http://x.com/p"),
+        # percent-encoding: unreserved escapes decode (both hex cases)…
+        ("http://x.com/%7Euser/p", "http://x.com/~user/p"),
+        ("http://x.com/%7euser/p", "http://x.com/~user/p"),
+        ("http://x.com/~user/p", "http://x.com/~user/p"),
+        ("http://x.com/%41%42c", "http://x.com/ABc"),
+        ("http://x.com/p?q=%7e1", "http://x.com/p?q=~1"),
+        # …reserved escapes stay encoded but hex-uppercase…
+        ("http://x.com/a%2fb", "http://x.com/a%2Fb"),
+        ("http://x.com/a%2Fb", "http://x.com/a%2Fb"),
+        ("http://x.com/50%25off", "http://x.com/50%25off"),
+        # …and malformed escapes pass through verbatim
+        ("http://x.com/100%", "http://x.com/100%"),
+        ("http://x.com/a%zzb", "http://x.com/a%zzb"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "doc_id long, url string"
