@@ -1291,11 +1291,74 @@ def registrable_domain(host_col: str | Column = "host") -> Column:
     return F.when(n <= 1, col).when(needs_three, three).otherwise(two)
 
 
+def with_registrable_domain(
+    df: DataFrame,
+    host_col: str = "host",
+    out_col: str = "domain",
+    suffixes: DataFrame | None = None,
+    suffix_col: str = "suffix",
+    max_suffix_labels: int = 3,
+) -> DataFrame:
+    """G66: attach the registrable domain of ``host_col`` as
+    ``out_col`` — by the heuristic expression (:func:`registrable_domain`,
+    the default) or EXACTLY against a public-suffix table.
+
+    ``suffixes``: a 1-column relation of public-suffix rules
+    (``co.uk``, ``ne.jp``, ``id.au``, …) — the plain-rule subset of the
+    PSL (wildcard ``*.x`` and exception ``!x`` rules are out of scope;
+    the published list is ~9k plain rules, a natural broadcast dim).
+    Longest-match semantics via ``max_suffix_labels`` BROADCAST left
+    joins, one per candidate suffix length, longest wins — all
+    map-side, zero shuffle of the corpus at any scale. A host with no
+    matching rule falls back to the PSL's prevailing-``*`` rule
+    (suffix = last label, registrable = last two), matching the
+    heuristic's base case. A host with no label above its matched
+    suffix (``host == 'co.uk'``) has no registrable domain and passes
+    through unchanged, like the heuristic's ``n <= 1`` case.
+    """
+    col = F.col(host_col)
+    if suffixes is None:
+        return df.withColumn(out_col, registrable_domain(host_col))
+    labels = F.split(col, r"\.")
+    n = F.size(labels)
+    out = df
+    hits: list[tuple[int, str]] = []
+    for k in range(max_suffix_labels, 0, -1):
+        cand_col, hit_col = f"__sfx{k}", f"__sfxhit{k}"
+        # candidate only when at least one label sits ABOVE the suffix;
+        # a NULL candidate can never join-match
+        out = out.withColumn(
+            cand_col,
+            F.when(n >= k + 1, F.array_join(F.slice(labels, -k, k), ".")),
+        )
+        rules = (
+            suffixes.select(F.col(suffix_col).alias(cand_col))
+            .where(F.size(F.split(F.col(cand_col), r"\.")) == k)
+            .distinct()
+            .withColumn(hit_col, F.lit(True))
+        )
+        out = out.join(F.broadcast(rules), cand_col, "left")
+        hits.append((k, hit_col))
+    dom = F.when(n <= 1, col)
+    for k, hit_col in hits:  # longest first
+        dom = dom.when(
+            F.col(hit_col),
+            F.array_join(F.slice(labels, -(k + 1), k + 1), "."),
+        )
+    dom = dom.otherwise(F.array_join(F.slice(labels, -2, 2), "."))
+    out = out.withColumn(out_col, dom)
+    return out.drop(
+        *[c for k in range(1, max_suffix_labels + 1)
+          for c in (f"__sfx{k}", f"__sfxhit{k}")]
+    )
+
+
 def domain_report(
     df: DataFrame,
     url_col: str = "url",
     text_col: str = "text",
     domain_col: str = "domain",
+    suffixes: DataFrame | None = None,
 ) -> DataFrame:
     """G66: per-registrable-domain corpus report — document count,
     distinct canonical-URL count, total text bytes. THE balancing
@@ -1303,17 +1366,24 @@ def domain_report(
     monopolize any token budget); feed ``domain_col`` to
     ``cap_per_group``/``group_cap_col`` for the enforcement half.
 
-    One map-side projection (host → domain + canonical URL) and ONE hash
+    ``suffixes``: optional public-suffix relation for exact domain
+    grouping (:func:`with_registrable_domain`); the heuristic stays the
+    default.
+
+    One map-side projection (host → domain + canonical URL, the
+    suffix-table mode adding only broadcast joins) and ONE hash
     aggregate; the distinct-URL count rides in the same aggregate. At
     100 TB the output is |domains| rows — millions, not billions."""
-    dom = registrable_domain(host_of_url(url_col))
+    base = df.select(
+        host_of_url(url_col).alias("__host"),
+        normalize_url(url_col).alias("__canon"),
+        F.length(F.col(text_col)).cast("long").alias("__chars"),
+    )
+    base = with_registrable_domain(
+        base, "__host", domain_col, suffixes=suffixes
+    )
     return (
-        df.select(
-            dom.alias(domain_col),
-            normalize_url(url_col).alias("__canon"),
-            F.length(F.col(text_col)).cast("long").alias("__chars"),
-        )
-        .groupBy(domain_col)
+        base.groupBy(domain_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count_distinct(F.col("__canon")).alias("n_urls"),

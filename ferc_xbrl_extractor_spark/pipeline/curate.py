@@ -82,6 +82,7 @@ def curate_corpus(
     min_overlap: int = 5,
     url_col: str | None = None,
     domain_col: str | None = None,
+    domain_suffixes=None,
     c4: bool = False,
     c4_kwargs: dict | None = None,
     max_dup_line_ratio: float | None = None,
@@ -179,9 +180,12 @@ def curate_corpus(
         # caller materializing the column first
         if url_col is None:
             raise ValueError("domain_col requires url_col")
-        docs = docs.withColumn(
-            domain_col, text.registrable_domain(text.host_of_url(url_col))
-        )
+        docs = text.with_registrable_domain(
+            docs.withColumn("__g66_host", text.host_of_url(url_col)),
+            "__g66_host",
+            domain_col,
+            suffixes=domain_suffixes,
+        ).drop("__g66_host")
     if c4:
         # G61 runs next (raw-crawl line cleanup precedes every
         # statistic): failing pages drop, surviving pages continue with
@@ -371,6 +375,7 @@ def curate_annotate(
     min_overlap: int = 5,
     url_col: str | None = None,
     domain_col: str | None = None,
+    domain_suffixes=None,
     c4: bool = False,
     c4_kwargs: dict | None = None,
     max_dup_line_ratio: float | None = None,
@@ -428,9 +433,12 @@ def curate_annotate(
         # same in-plan derivation as curate_corpus (G66)
         if url_col is None:
             raise ValueError("domain_col requires url_col")
-        docs = docs.withColumn(
-            domain_col, text.registrable_domain(text.host_of_url(url_col))
-        )
+        docs = text.with_registrable_domain(
+            docs.withColumn("__g66_host", text.host_of_url(url_col)),
+            "__g66_host",
+            domain_col,
+            suffixes=domain_suffixes,
+        ).drop("__g66_host")
     fail_c4 = F.lit(False)
     if c4:
         cleaned = text.c4_clean(docs, text_col, **(c4_kwargs or {}))

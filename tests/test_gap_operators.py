@@ -3524,6 +3524,79 @@ def test_host_and_registrable_domain_goldens(spark):
         assert got[i] == (h, d), (i, _u, got[i])
 
 
+def test_registrable_domain_psl_mode(spark):
+    """G66 exact mode (VERDICT r7 #3): with a public-suffix relation,
+    ne.jp/go.jp/id.au-class hosts — which the 7-label heuristic
+    mis-buckets — group at the right level via longest-match broadcast
+    joins; unmatched hosts fall back to the prevailing-* rule (last two
+    labels); a host EQUAL to a suffix passes through; the heuristic
+    default is untouched."""
+    psl = spark.createDataFrame(
+        [("co.uk",), ("ne.jp",), ("go.jp",), ("id.au",), ("jp",),
+         ("uk",), ("au",), ("com",), ("kawasaki.jp",)],
+        "suffix string",
+    )
+    cases = [
+        # host, heuristic answer, PSL answer
+        ("www.isp.ne.jp", "ne.jp", "isp.ne.jp"),       # heuristic WRONG
+        ("www.soumu.go.jp", "go.jp", "soumu.go.jp"),   # heuristic WRONG
+        ("shop.big.id.au", "id.au", "big.id.au"),      # heuristic WRONG
+        ("news.bbc.co.uk", "bbc.co.uk", "bbc.co.uk"),  # both right
+        ("www.example.com", "example.com", "example.com"),
+        ("deep.city.kawasaki.jp", "kawasaki.jp", "city.kawasaki.jp"),
+        ("unknown.tld.zz", "tld.zz", "tld.zz"),        # prevailing-*
+        ("co.uk", "co.uk", "co.uk"),                   # suffix-only host
+        ("localhost", "localhost", "localhost"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _e, _p) in enumerate(cases)],
+        "doc_id long, host string",
+    )
+    heur = {
+        r["doc_id"]: r["domain"]
+        for r in text.with_registrable_domain(df).collect()
+    }
+    exact = {
+        r["doc_id"]: r["domain"]
+        for r in text.with_registrable_domain(df, suffixes=psl).collect()
+    }
+    for i, (h, e, p) in enumerate(cases):
+        assert heur[i] == e, ("heuristic", h, heur[i], e)
+        assert exact[i] == p, ("psl", h, exact[i], p)
+
+    # the report and the curate cap re-bucket on the exact domains
+    docs = spark.createDataFrame(
+        [(i, "text " + str(i),
+          f"http://{h}/p/{i}") for i, (h, _e, _p) in enumerate(cases[:3])],
+        "doc_id long, text string, url string",
+    )
+    rep = {r["domain"] for r in text.domain_report(docs, suffixes=psl).collect()}
+    assert rep == {"isp.ne.jp", "soumu.go.jp", "big.id.au"}
+
+    from ferc_xbrl_extractor_spark.pipeline import curate
+
+    good = "the quick brown fox and a dog run to the hills in summer "
+    crows = (
+        [(i, good * 2 + str(i), f"http://www.site{i}.ne.jp/p") for i in range(4)]
+        + [(9, good * 2 + "nine", "http://cold.org/q")]
+    )
+    cdocs = spark.createDataFrame(crows, "doc_id long, text string, url string")
+    # the heuristic buckets every www.site<i>.ne.jp host as 'ne.jp'
+    # ('ne' is not in its 7-label table) → the cap hits them as ONE
+    # group; the PSL mode re-buckets each site<i>.ne.jp as its own
+    # registrable domain → the cap never binds
+    base = dict(
+        min_tokens=5, min_uniq_ratio=0.2, url_col="url",
+        domain_col="domain", group_cap=2, group_cap_col="domain",
+    )
+    heur_kept = curate.curate_corpus(cdocs, **base).count()
+    assert heur_kept == 3  # 2 of the ne.jp bucket + cold.org
+    psl_kept = curate.curate_corpus(
+        cdocs, domain_suffixes=psl, **base
+    ).count()
+    assert psl_kept == 5  # each site is its own domain → cap never binds
+
+
 def test_domain_report_counts(spark):
     """G66: per-domain doc counts, DISTINCT canonical-URL counts (param
     permutations and tracking params collapse), and char totals."""
