@@ -848,6 +848,19 @@ def q_g2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 recall loop (neardup.neardup_recall_report): per-threshold
+    recall/precision of the MinHash-LSH candidate set and the SimHash
+    pair set against brute-force Jaccard truth, on a 400-doc
+    deterministic md5-ordered sample — the band-shape tuning diagnostic
+    run before a production dedup. Every stage is md5-replayable, so
+    the oracle recomputes the full report exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return neardup.neardup_recall_report(
+        docs, thresholds=(0.5, 0.7), sample_n=400
+    ).orderBy("method", "threshold")
+
+
 def q_g2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2 SimHash variant — oracle-checked exactly: the fingerprint is pure
     md5 arithmetic (token hash = first 15 md5 hex chars as a 60-bit int,
@@ -3091,6 +3104,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_cluster_dedup": q_g2_cluster_dedup,
         "g2_minhash_lsh": q_g2_minhash_lsh,
         "g2_simhash": q_g2_simhash,
+        "g2_recall_report": q_g2_recall_report,
         "g3_cosine_topk": q_g3_cosine_topk,
         "g3_lsh_topk": q_g3_lsh_topk,
         "g3_ivf_topk": q_g3_ivf_topk,
@@ -3653,6 +3667,121 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM fp a JOIN fp b ON (a.fp >> 28) = (b.fp >> 28)
         WHERE a.doc_id < b.doc_id
           AND bit_count(xor(a.fp, b.fp)) <= 10
+    """
+
+    # G2 recall report: the full tuning diagnostic replayed end-to-end —
+    # md5-u60-ordered 400-doc sample, shingle-Jaccard truth at >=0.5,
+    # MinHash band candidates (12 hashes // 2 = 6 bands), SimHash pairs
+    # (32 bits, 4 prefix bits, hamming <= 10), then per-threshold
+    # recall/precision with NULL on zero denominators (rounded 4, the
+    # cross-engine float rule). "precision" is quoted: DOUBLE PRECISION
+    # makes it a DuckDB type keyword.
+    sql["g2_recall_report"] = """
+        WITH samp AS (
+            SELECT doc_id, text FROM documents
+            ORDER BY CAST(('0x' || substr(md5('g2recall' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id
+            LIMIT 400
+        ),
+        stoks AS (
+            SELECT *, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS w
+            FROM samp
+        ),
+        sds AS (
+            SELECT DISTINCT doc_id, w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+            FROM stoks, UNNEST(range(greatest(len(w) - 2, 0))) AS t(i)
+        ),
+        ssizes AS (SELECT doc_id, count(*) AS n FROM sds GROUP BY 1),
+        scommon AS (
+            SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_common
+            FROM sds sa JOIN sds sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT id_a, id_b,
+                   ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+            FROM scommon
+            JOIN ssizes sa ON id_a = sa.doc_id
+            JOIN ssizes sb ON id_b = sb.doc_id
+            WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+        ),
+        ssig AS (
+            SELECT doc_id, t.h AS h,
+                   min(md5(CAST(t.h AS VARCHAR) || ':' || shingle)) AS m
+            FROM sds, UNNEST(range(12)) AS t(h)
+            GROUP BY doc_id, t.h
+        ),
+        sband AS (
+            SELECT doc_id, h // 2 AS b,
+                   md5(string_agg(m, '|' ORDER BY h)) AS bh
+            FROM ssig GROUP BY doc_id, h // 2
+        ),
+        cand_lsh AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM sband a JOIN sband c ON a.b = c.b AND a.bh = c.bh
+            WHERE a.doc_id < c.doc_id
+        ),
+        stok AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(t.tk), 1, 15)) AS BIGINT) AS h
+            FROM stoks, UNNEST(w) AS t(tk)
+        ),
+        scontrib AS (
+            SELECT doc_id, b.b AS b,
+                   sum(CASE WHEN (h >> CAST(b.b AS INT)) & 1 = 1
+                            THEN 1 ELSE -1 END) AS s
+            FROM stok, range(32) b(b)
+            GROUP BY doc_id, b.b
+        ),
+        sfp AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0
+                                 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                                 ELSE 0 END) AS BIGINT) AS fp
+            FROM scontrib GROUP BY doc_id
+        ),
+        cand_sim AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sfp a JOIN sfp b ON (a.fp >> 28) = (b.fp >> 28)
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.fp, b.fp)) <= 10
+        ),
+        th AS (SELECT UNNEST([0.5, 0.7]) AS threshold),
+        x_lsh AS (
+            SELECT th.threshold, count(*) AS n_true,
+                   sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+            FROM truth CROSS JOIN th
+            LEFT JOIN cand_lsh c ON truth.id_a = c.id_a AND truth.id_b = c.id_b
+            WHERE truth.jaccard >= th.threshold
+            GROUP BY th.threshold
+        ),
+        x_sim AS (
+            SELECT th.threshold, count(*) AS n_true,
+                   sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+            FROM truth CROSS JOIN th
+            LEFT JOIN cand_sim c ON truth.id_a = c.id_a AND truth.id_b = c.id_b
+            WHERE truth.jaccard >= th.threshold
+            GROUP BY th.threshold
+        ),
+        r AS (
+            SELECT 'minhash_lsh' AS method, th.threshold,
+                   COALESCE(x_lsh.n_true, 0) AS n_true,
+                   (SELECT count(*) FROM cand_lsh) AS n_cand,
+                   COALESCE(x_lsh.n_hit, 0) AS n_hit
+            FROM th LEFT JOIN x_lsh USING (threshold)
+            UNION ALL
+            SELECT 'simhash', th.threshold,
+                   COALESCE(x_sim.n_true, 0),
+                   (SELECT count(*) FROM cand_sim),
+                   COALESCE(x_sim.n_hit, 0)
+            FROM th LEFT JOIN x_sim USING (threshold)
+        )
+        SELECT method, CAST(threshold AS DOUBLE) AS threshold,
+               CAST(n_true AS BIGINT) AS n_true,
+               CAST(n_cand AS BIGINT) AS n_cand,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               CASE WHEN n_true > 0 THEN round(n_hit * 1.0 / n_true, 4) END AS recall,
+               CASE WHEN n_cand > 0 THEN round(n_hit * 1.0 / n_cand, 4) END AS "precision"
+        FROM r ORDER BY method, threshold
     """
 
     # G53: streaming near-dup suppression at max_hamming=0 ≡ keep-first
@@ -6229,7 +6358,8 @@ _SUITES: dict[str, list[str]] = {
         "g8_tumbling", "g8_sliding", "g8_session", "g58_stream_quality"
     ],
     "g2_neardup_suite": [
-        "g2_jaccard", "g2_minhash_lsh", "g2_simhash", "g52_dedup_best"
+        "g2_jaccard", "g2_minhash_lsh", "g2_simhash", "g52_dedup_best",
+        "g2_recall_report",
     ],
     "g3_ann_suite": [
         "g3_cosine_topk", "g3_lsh_topk", "g3_ivf_topk",
@@ -6323,6 +6453,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g2_jaccard": [("id_a", "i"), ("id_b", "i"), ("jaccard", "n")],
     "g2_minhash_lsh": [("id_a", "i"), ("id_b", "i"), ("jaccard", "n")],
     "g2_simhash": [("id_a", "i"), ("id_b", "i"), ("hamming", "i")],
+    "g2_recall_report": [("method", "s"), ("threshold", "n"), ("n_true", "i"), ("n_cand", "i"), ("n_hit", "i"), ("recall", "n"), ("precision", "n")],
     "g3_cosine_topk": [("query_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],
     "g3_lsh_topk": [("query_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],
     "g3_ivf_topk": [("query_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],

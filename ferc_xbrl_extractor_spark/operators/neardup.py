@@ -713,16 +713,186 @@ def connected_components_twophase(
     return labels
 
 
+def _recall_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sample_n: int,
+    salt: str,
+) -> DataFrame:
+    """The recall report's bounded deterministic sample: the
+    ``sample_n`` lowest ``hash_u60(salt || id)`` documents. A limit over
+    an order-by plans as TakeOrderedAndProject — per-partition heaps,
+    never a global sort (pinned in tests/test_dedup.py). Split out of
+    :func:`neardup_recall_report` so the plan is inspectable before the
+    operator's eager checkpoint erases it behind a Scan ExistingRDD."""
+    from ferc_xbrl_extractor_spark.operators.sampling import hash_u60
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .orderBy(hash_u60(F.col(id_col), salt), F.col(id_col))
+        .limit(int(sample_n))
+    )
+
+
+def neardup_recall_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    thresholds: tuple[float, ...] = (0.5, 0.7),
+    sample_n: int = 400,
+    salt: str = "g2recall",
+    num_hashes: int = 12,
+    bands: int = 6,
+    simhash_bits: int = 32,
+    simhash_prefix_bits: int = 4,
+    simhash_max_hamming: int = 10,
+) -> DataFrame:
+    """G2 recall measurement loop (the G3 ``recall_report`` pattern
+    applied to near-dup candidates): on a BOUNDED deterministic sample,
+    compare each approximate pair generator's candidate set against the
+    brute-force Jaccard truth and report per-threshold recall/precision
+    — the tuning diagnostic (bands × rows for MinHash-LSH, prefix bits ×
+    hamming radius for SimHash) every production dedup wants measured
+    before committing a 100-TB run to one band shape.
+
+    Sample: the ``sample_n`` lowest ``hash_u60(salt || id)`` documents —
+    deterministic, engine-portable (md5), and plan-bounded (a
+    TakeOrderedAndProject, never a full sort; pinned in
+    tests/test_plans.py). Truth = inverted-index Jaccard pairs over the
+    sample at ``min(thresholds)``; candidates = LSH band collisions
+    (pre-verification — the band shape's raw output is what's being
+    graded) and SimHash pairs within ``simhash_max_hamming``.
+
+    Returns one row per (method, threshold):
+    ``(method, threshold, n_true, n_cand, n_hit, recall, precision)``
+    with ``recall = n_hit/n_true`` and ``precision = n_hit/n_cand``
+    (NULL on zero denominators), rounded to 4 for cross-engine
+    comparison. All post-sample relations are O(sample pairs) — the
+    cross joins below are |thresholds|-row and 1-row broadcasts."""
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    tmin = min(thresholds)
+    # bounded (sample_n rows) and consumed by three pipelines (truth,
+    # LSH, SimHash): eager-checkpoint once, same policy as
+    # graph.pagerank's node list
+    sample = _recall_sample(df, id_col, text_col, sample_n, salt)
+    sample = sample.localCheckpoint(eager=True)
+    truth = jaccard_pairs(sample, id_col, text_col, n=n, threshold=tmin)
+    spine = df.sparkSession.createDataFrame(
+        [(float(t),) for t in sorted(thresholds)], "threshold double"
+    )
+    methods = [
+        (
+            "minhash_lsh",
+            lsh_candidate_pairs(
+                sample, id_col, text_col, n, num_hashes, bands
+            ),
+        ),
+        (
+            "simhash",
+            simhash_pairs(
+                sample,
+                id_col,
+                text_col,
+                bits=simhash_bits,
+                prefix_bits=simhash_prefix_bits,
+                max_hamming=simhash_max_hamming,
+            ).select("id_a", "id_b"),
+        ),
+    ]
+    outs = []
+    for name, cand in methods:
+        cand = cand.select("id_a", "id_b")
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+        tr = truth.join(
+            cand.withColumn("__hit", F.lit(True)), ["id_a", "id_b"], "left"
+        )
+        agg = (
+            tr.select("jaccard", "__hit")
+            .crossJoin(F.broadcast(spine))
+            .filter(F.col("jaccard") >= F.col("threshold"))
+            .groupBy("threshold")
+            .agg(
+                F.count(F.lit(1)).alias("n_true"),
+                F.sum(
+                    F.coalesce(F.col("__hit").cast("long"), F.lit(0))
+                ).alias("n_hit"),
+            )
+        )
+        outs.append(
+            spine.join(agg, "threshold", "left")
+            .crossJoin(F.broadcast(n_cand))
+            .select(
+                F.lit(name).alias("method"),
+                "threshold",
+                F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+                F.col("n_cand").cast("long").alias("n_cand"),
+                F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+                F.when(
+                    F.coalesce("n_true", F.lit(0)) > 0,
+                    F.round(F.col("n_hit") / F.col("n_true"), 4),
+                ).alias("recall"),
+                F.when(
+                    F.col("n_cand") > 0,
+                    F.round(
+                        F.coalesce("n_hit", F.lit(0)) / F.col("n_cand"), 4
+                    ),
+                ).alias("precision"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def connected_components_auto(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    probe_rounds: int = 4,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components with measured dispatch (the G13b probe
+    pattern, third use): run min-label propagation for ``probe_rounds``
+    bounded rounds — near-dup components are clique-ish (diameter ≤ ~3)
+    and converge there, paying nothing over the plain propagation call —
+    and on non-convergence RESTART on the star-contraction form, whose
+    O(log n) rounds handle the high-diameter graphs propagation would
+    grind through diameter-many rounds on. The probe's sunk cost is
+    bounded: ``probe_rounds`` keyed join+aggregate passes over O(|edges|),
+    exactly the work the first contraction rounds would do anyway.
+
+    This removes the opt-in footgun the r7 verdict named: callers no
+    longer have to KNOW their pair graph's shape — ``cc="auto"`` is
+    correct on both, value-identical to either form (label = component
+    minimum)."""
+    try:
+        return connected_components(pairs, id_a, id_b, max_iter=probe_rounds)
+    except RuntimeError:
+        return connected_components_twophase(
+            pairs, id_a, id_b, max_iter=max_iter
+        )
+
+
 def _cc_labels(pairs: DataFrame, cc: str) -> DataFrame:
     """Dispatch between the CC forms: "propagation" (min-label, rounds =
-    diameter — the near-dup default, components are clique-ish) and
-    "twophase" (large-star/small-star, O(log n) rounds — opt into it for
-    chain-shaped dup graphs). Same (id, label) contract either way."""
+    diameter — the near-dup default, components are clique-ish),
+    "twophase" (large-star/small-star, O(log n) rounds — for
+    chain-shaped dup graphs), and "auto" (bounded propagation probe,
+    star contraction on non-convergence — shape-oblivious). Same
+    (id, label) contract every way."""
     if cc == "propagation":
         return connected_components(pairs, id_a="id_a", id_b="id_b")
     if cc == "twophase":
         return connected_components_twophase(pairs, id_a="id_a", id_b="id_b")
-    raise ValueError(f"cc must be 'propagation' or 'twophase', got {cc!r}")
+    if cc == "auto":
+        return connected_components_auto(pairs, id_a="id_a", id_b="id_b")
+    raise ValueError(
+        f"cc must be 'propagation', 'twophase', or 'auto', got {cc!r}"
+    )
 
 
 def attach_clusters(

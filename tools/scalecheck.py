@@ -189,6 +189,50 @@ def pairgraph_three_decades() -> None:
     shutil.rmtree(t100, ignore_errors=True)
 
 
+def chain_graph_tiers() -> None:
+    """Chain-shaped pair-graph tier (VERDICT r7 #4): one path graph of
+    100k and 1M edges — diameter = |E|, the adversarial shape for
+    min-label propagation — through connected_components_auto, which
+    probes propagation for 4 bounded rounds and restarts on the
+    large-star/small-star contraction (O(log n) alternations). The
+    sub-linear time ratio for 10× edges is the evidence that the auto
+    dispatch removes the high-diameter footgun AT SCALE, not just on
+    the pytest fixture. Run: python tools/scalecheck.py chain."""
+    spark = get_spark(
+        "scalecheck_chain",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    out: dict = {}
+    for n in (100_000, 1_000_000):
+        edges = spark.range(1, n).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+
+        def run(e=edges):
+            labels = neardup.connected_components_auto(e)
+            # correctness rides the measurement: one component, min=1
+            assert (
+                labels.agg(
+                    F.count_distinct("label"), F.min("label")
+                ).first()
+                == (1, 1)
+            )
+
+        out[str(n)] = {"edges": n, "cc_auto_s": timeit(run, reps=1)}
+    tiers = sorted(out)
+    ratio = out[tiers[1]]["cc_auto_s"] / max(out[tiers[0]]["cc_auto_s"], 1e-9)
+    print(
+        json.dumps(
+            {
+                "record": "scalecheck_chain",
+                "op": "connected_components_auto",
+                "tiers": out,
+                "time_ratio_for_10x_edges": round(ratio, 2),
+            }
+        )
+    )
+
+
 def timeit(fn, reps: int = 2) -> float:
     fn()  # warm
     best = float("inf")
@@ -331,5 +375,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "pairgraph":
         pairgraph_three_decades()
+    elif len(sys.argv) > 1 and sys.argv[1] == "chain":
+        chain_graph_tiers()
     else:
         main()
