@@ -2089,6 +2089,79 @@ def q_g11_ppm_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _g69_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G69 fixture: 97 formula-built 9x8 P6 images constructed in-plan
+    (unhex — the g11_ppm_real pattern, so the oracle rebuilds the SAME
+    pixels arithmetically without a decoder). Ids group by
+    q = media_id // 8 with a per-member blue-channel tweak t =
+    media_id % 8 (luma weight 114/1000 — a sub-unit luma shift), so
+    within-group images are perceptual near-dups (hamming ~0-3) and
+    cross-group images differ wildly: the shape a perceptual dedup
+    exists to catch. Pixel formulas (row 0..7, col 0..8):
+      pr = (q*53 + (row+1)*(col+2)*7) % 256
+      pg = (q*29 + row*31 + col*17) % 256
+      pb = (q*11 + row*3 + col*43 + t) % 256
+    9x8 input makes the dHash resize an identity (center sampling maps
+    i -> i), so the oracle replays luma + neighbor bits directly."""
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select((F.col("doc_id") % 97).alias("media_id")).distinct()
+    m = F.col("media_id")
+    q, t = (m / 8).cast("long"), m % 8
+    parts = [F.lit("50360a3920380a3235350a")]  # "P6\n9 8\n255\n"
+    for row in range(8):
+        for col in range(9):
+            pr = (q * 53 + F.lit((row + 1) * (col + 2) * 7)) % 256
+            pg = (q * 29 + F.lit(row * 31 + col * 17)) % 256
+            pb = (q * 11 + t + F.lit(row * 3 + col * 43)) % 256
+            parts.append(
+                F.format_string(
+                    "%02x%02x%02x",
+                    pr.cast("int"),
+                    pg.cast("int"),
+                    pb.cast("int"),
+                )
+            )
+    hexes = ids.select("media_id", F.unhex(F.concat(*parts)).alias("content"))
+    return multimodal.media_table_from_binary(
+        hexes, "media_id", "content", "image", "image/x-portable-pixmap"
+    )
+
+
+def q_g69_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G69 fingerprint gate: the REAL PPM decode + dHash over the
+    formula-built images — the oracle recomputes luma and the 64
+    neighbor-comparison bits from the pixel formulas directly (a
+    stubbed decode could not hash-match), including the signed 64-bit
+    two's-complement wrap and the masked top-byte bucket."""
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    media = _g69_media(spark, sf_dir)
+    fp = multimodal.image_dhash(media)
+    return fp.select(
+        "media_id",
+        "dhash",
+        F.shiftright(F.col("dhash"), 56).bitwiseAND(F.lit(255))
+        .cast("long").alias("bucket"),
+    ).orderBy("media_id")
+
+
+def q_g69_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G69 closing the loop: perceptual near-duplicate image pairs —
+    dHash into the generic bucketed Hamming join
+    (neardup.hamming_pairs, the SimHash shape: keyed on the top byte,
+    never all-pairs). Within-group re-encodes/light-edits pair up,
+    cross-group images don't; the oracle replays fingerprints AND the
+    bucketed join."""
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    media = _g69_media(spark, sf_dir)
+    return multimodal.image_dedup_pairs(
+        media, prefix_bits=8, max_hamming=10
+    ).orderBy("id_a", "id_b")
+
+
 def q_g11_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G11 REAL audio-codec gate: 8-sample constant-amplitude PCM WAVs
     built in-plan (fixed 44-byte header + unhex little-endian samples),
@@ -3087,6 +3160,8 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g12_stream_asof": q_g12_stream_asof,
         "g11_multimodal": q_g11_multimodal,
         "g11_ppm_real": q_g11_ppm_real,
+        "g69_image_dhash": q_g69_image_dhash,
+        "g69_image_dedup": q_g69_image_dedup,
         "g11_wav_real": q_g11_wav_real,
         "g11_frame_sample": q_g11_frame_sample,
         "s8_stream_extract": q_s8_stream_extract,
@@ -5378,6 +5453,68 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM c
     """
 
+    # G69: perceptual image dHash + bucketed Hamming pairs, replayed
+    # WITHOUT a decoder — the pixel grid regenerates from the fixture's
+    # integer formulas (9x8 input makes the resize an identity), luma is
+    # the ITU-R 601-2 integer form, the 64 neighbor bits pack into a
+    # signed BIGINT via an explicit two's-complement wrap of bit 63
+    # (DuckDB << on BIGINT at 63 overflows), and the bucket masks after
+    # the arithmetic shift exactly like the Spark side.
+    _g69_grid = """
+        ids AS (SELECT DISTINCT doc_id % 97 AS media_id FROM documents),
+        px AS (
+            SELECT media_id, r.row AS row, c.col AS col,
+                   ((media_id // 8) * 53 + (r.row + 1) * (c.col + 2) * 7) % 256 AS pr,
+                   ((media_id // 8) * 29 + r.row * 31 + c.col * 17) % 256 AS pg,
+                   ((media_id // 8) * 11 + (media_id % 8) + r.row * 3 + c.col * 43) % 256 AS pb
+            FROM ids, UNNEST(range(8)) AS r(row), UNNEST(range(9)) AS c(col)
+        ),
+        lum AS (
+            SELECT media_id, row, col,
+                   (299 * pr + 587 * pg + 114 * pb) // 1000 AS L
+            FROM px
+        ),
+        bits AS (
+            SELECT a.media_id, (a.row * 8 + a.col) AS i,
+                   CASE WHEN b.L > a.L THEN 1 ELSE 0 END AS bit
+            FROM lum a
+            JOIN lum b ON a.media_id = b.media_id AND a.row = b.row
+                      AND b.col = a.col + 1
+            WHERE a.col < 8
+        ),
+        packed AS (
+            SELECT media_id,
+                   sum(CASE WHEN bit = 1 AND i < 63
+                            THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                            ELSE 0 END) AS v_low,
+                   max(CASE WHEN bit = 1 AND i = 63 THEN 1 ELSE 0 END) AS b63
+            FROM bits GROUP BY media_id
+        ),
+        fp AS (
+            SELECT media_id,
+                   CAST(CASE WHEN b63 = 1
+                             THEN v_low - 9223372036854775807 - 1
+                             ELSE v_low END AS BIGINT) AS dhash
+            FROM packed
+        )
+    """
+    sql["g69_image_dhash"] = f"""
+        WITH {_g69_grid}
+        SELECT media_id, dhash,
+               CAST((dhash >> 56) & 255 AS BIGINT) AS bucket
+        FROM fp ORDER BY media_id
+    """
+    sql["g69_image_dedup"] = f"""
+        WITH {_g69_grid},
+        bk AS (SELECT media_id, dhash, (dhash >> 56) & 255 AS bucket FROM fp)
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+        FROM bk a JOIN bk b ON a.bucket = b.bucket
+        WHERE a.media_id < b.media_id
+          AND bit_count(xor(a.dhash, b.dhash)) <= 10
+        ORDER BY id_a, id_b
+    """
+
     # G11 real WAV decode: DC-signal features replayed with integer
     # arithmetic (RMS of a constant is exactly |amplitude|).
     sql["g11_wav_real"] = """
@@ -6319,7 +6456,7 @@ _SUITES: dict[str, list[str]] = {
     ],
     "g11_media_suite": [
         "g11_multimodal", "g11_frame_sample", "g11_ppm_real",
-        "g11_wav_real",
+        "g11_wav_real", "g69_image_dhash", "g69_image_dedup",
     ],
     "g14_sample_suite": [
         "g14_split", "g14_sample_rate", "g14_sample_stratified",
@@ -6415,6 +6552,8 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g11_multimodal": [("media_id", "i"), ("n_bytes", "i"), ("content_md5", "s")],
     "g11_frame_sample": [("media_id", "i"), ("sample_ms", "i")],
     "g11_ppm_real": [("media_id", "i"), ("n_bytes", "i"), ("f0", "n"), ("f1", "n")],
+    "g69_image_dhash": [("media_id", "i"), ("dhash", "i"), ("bucket", "i")],
+    "g69_image_dedup": [("id_a", "i"), ("id_b", "i"), ("hamming", "i")],
     "g11_wav_real": [("media_id", "i"), ("sample_rate", "i"), ("n_samples", "i"), ("duration_ms", "i"), ("rms0", "n"), ("rms1", "n"), ("zc0", "i"), ("zc1", "i")],
     "g14_split": [("doc_id", "i"), ("split", "s")],
     "g14_sample_rate": [("doc_id", "i"), ("lang", "s")],

@@ -51,6 +51,9 @@ HEADLINE = [
     "g2_cluster_dedup",
     "g2_minhash_lsh",
     "g2_simhash",
+    "g2_recall_report",
+    "g69_image_dhash",
+    "g69_image_dedup",
     "g3_cosine_topk",
     "g3_lsh_topk",
     "g3_ivf_topk",

@@ -100,6 +100,13 @@ def parse(argv: list[str] | None = None) -> argparse.Namespace:
         "domain balancing.",
     )
     p.add_argument(
+        "--suffix-list",
+        default=None,
+        help="Public-suffix-list file (publicsuffix.org plain-rule "
+        "format): exact registrable-domain grouping for --domain-col "
+        "instead of the built-in heuristic.",
+    )
+    p.add_argument(
         "--link-edges",
         default=None,
         help="Parquet path of a (src, dst) link graph over document ids: "
@@ -199,6 +206,11 @@ def run_main(args: argparse.Namespace) -> int:
         min_overlap=args.min_overlap,
         url_col=args.url_col,
         domain_col=args.domain_col,
+        domain_suffixes=(
+            text.load_public_suffixes(spark, args.suffix_list)
+            if args.suffix_list
+            else None
+        ),
         link_edges=(
             spark.read.parquet(args.link_edges) if args.link_edges else None
         ),

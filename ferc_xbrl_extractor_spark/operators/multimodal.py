@@ -295,6 +295,103 @@ def resize_images(
     return media.mapInPandas(run, MEDIA_SCHEMA)
 
 
+def image_dhash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    out_col: str = "dhash",
+    width: int = 9,
+    height: int = 8,
+) -> DataFrame:
+    """G69: perceptual image fingerprint — the classic difference hash
+    (dHash): decode, ITU-R 601-2 luma, nearest-neighbor resize to
+    ``width × height``, one bit per horizontal neighbor pair
+    (bit = L[r, c+1] > L[r, c]), (width-1) × height bits packed
+    little-endian into a signed 64-bit value (two's-complement wrap, so
+    both engines' BIGINT carry it bit-exactly). Re-encoded crops,
+    recompressions, and small edits of the same image land within a few
+    bits — feed the output to :func:`neardup.hamming_pairs` (or
+    :func:`image_dedup_pairs`) for the bucketed pair join; content
+    dedup by md5 can't see any of it.
+
+    Decode policy mirrors ``extract_features``: NULL/empty content →
+    NULL hash (quarantine, don't crash); PPM (P6) decodes via the
+    pure-numpy codec everywhere; other formats ride Pillow when
+    importable, else the documented NotImplementedError raise path.
+    Arrow-batched ``pandas_udf`` — the decode is per-blob C-speed numpy.
+    """
+    if (width - 1) * height > 64:
+        raise ValueError(
+            f"(width-1)*height = {(width - 1) * height} bits exceed the "
+            "64-bit fingerprint"
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _dh(s: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None or len(b) == 0:
+                return None
+            b = bytes(b)
+            if b[:2] == b"P6":
+                g = _luma(_nn_resize(decode_ppm(b), width, height))
+            elif _PILImage is None:
+                raise NotImplementedError(
+                    "only the built-in PPM (P6) codec is available in "
+                    "this environment (Pillow not importable); re-encode "
+                    "media as PPM or install Pillow"
+                )
+            else:
+                import io
+
+                img = (
+                    _PILImage.open(io.BytesIO(b))
+                    .convert("L")
+                    .resize((width, height))
+                )
+                g = np.asarray(img, dtype=np.uint8)
+            bits = (g[:, 1:].astype(np.int16) > g[:, :-1].astype(np.int16))
+            v = 0
+            for i, bit in enumerate(bits.flatten()):
+                if bit:
+                    v |= 1 << i
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        return s.apply(one)
+
+    return media.withColumn(out_col, _dh(F.col(content_col)))
+
+
+def image_dedup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    prefix_bits: int = 8,
+    max_hamming: int = 10,
+    width: int = 9,
+    height: int = 8,
+) -> DataFrame:
+    """G69: perceptual near-duplicate image pairs — :func:`image_dhash`
+    into the generic bucketed Hamming join (``neardup.hamming_pairs``),
+    the exact shape SimHash text dedup uses: keyed on the fingerprint's
+    top ``prefix_bits``, never all-pairs. Returns (id_a, id_b, hamming),
+    id_a < id_b, hamming ≤ ``max_hamming``. NULL-hash rows (undecodable
+    blobs) drop before the join."""
+    from ferc_xbrl_extractor_spark.operators.neardup import hamming_pairs
+
+    fp = image_dhash(
+        media, id_col, content_col, "dhash", width, height
+    ).filter(F.col("dhash").isNotNull())
+    return hamming_pairs(
+        fp,
+        id_col,
+        "dhash",
+        total_bits=64,
+        prefix_bits=prefix_bits,
+        max_hamming=max_hamming,
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: explode per-media sample timestamps
     from metadata (duration), leaving the frame decode itself to the

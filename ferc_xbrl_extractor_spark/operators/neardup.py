@@ -458,6 +458,55 @@ def simhash_pairs(
     )
 
 
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    total_bits: int = 64,
+    prefix_bits: int = 8,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Generic Hamming-radius pair join over a precomputed fingerprint
+    column (the :func:`simhash_pairs` bucket shape, factored out so
+    non-text fingerprints — G69's perceptual image dHash — reuse it):
+    bucket on the top ``prefix_bits`` bits, self-join per bucket, filter
+    ``bit_count(xor) <= max_hamming``. The shuffle is keyed on the
+    bucket — never all-pairs. The prefix is masked after the arithmetic
+    shift (``(fp >> k) & (2^p - 1)``) so SIGNED fingerprints (a 64-bit
+    hash with bit 63 set is negative in both engines' BIGINT) bucket by
+    their true top bits, engine-independently. Radius caveat is the
+    standard single-table LSH one: a true pair differing inside the
+    prefix lands in different buckets — choose ``prefix_bits`` against
+    the expected radius (or band multiple prefixes upstream).
+
+    Returns (id_a, id_b, hamming), id_a < id_b."""
+    mask = (1 << prefix_bits) - 1
+    fp = df.select(
+        F.col(id_col), F.col(fp_col).cast("bigint").alias("__fp")
+    ).withColumn(
+        "bucket",
+        F.shiftright(F.col("__fp"), total_bits - prefix_bits)
+        .bitwiseAND(F.lit(mask)),
+    )
+    a = fp.select(
+        F.col(id_col).alias("id_a"), F.col("__fp").alias("fp_a"), "bucket"
+    )
+    b = fp.select(
+        F.col(id_col).alias("id_b"), F.col("__fp").alias("fp_b"), "bucket"
+    )
+    # shuffle_hash for the same reason as simhash_pairs: few distinct
+    # bucket keys with long runs are sort-merge's worst case
+    return (
+        a.join(b.hint("shuffle_hash"), "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def contamination_report(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -637,6 +686,16 @@ def connected_components_twophase(
     aggregate+join shuffles over O(|edges|) and one bounded action.
     Each round's edge set is ``localCheckpoint``ed so iterative lineage
     never compounds (same policy as propagation).
+
+    Signature-collision bound: the convergence test is probabilistic —
+    two DIFFERENT consecutive edge sets of equal cardinality whose
+    64-bit xor-folds collide would terminate a round early with wrong
+    labels, silently. The collision probability is ~2⁻⁶⁴ per round
+    (xxhash64 is well-mixed and the sets differ in ≥1 element), i.e.
+    ~10⁻¹⁸ for a 50-round run — below any realistic hardware-fault
+    floor. The exact alternative (a per-round anti-join set diff) costs
+    one more O(|edges|) shuffle per round; accepted trade, made visible
+    here per the r7 review.
     """
     raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     nodes = (

@@ -1291,6 +1291,28 @@ def registrable_domain(host_col: str | Column = "host") -> Column:
     return F.when(n <= 1, col).when(needs_three, three).otherwise(two)
 
 
+def load_public_suffixes(spark, path: str) -> DataFrame:
+    """Read a publicsuffix.org data file (the PSL's plain-text format:
+    ``//`` comments, blank lines, one rule per line) into the 1-column
+    ``(suffix)`` relation :func:`with_registrable_domain` consumes.
+    Plain rules only — wildcard (``*.x``) and exception (``!x``) rules
+    are skipped, matching the documented plain-rule scope of the exact
+    mode; rules are lowercased and de-duplicated. ~9k rows from the
+    published list — a natural broadcast dimension."""
+    s = F.trim(F.col("value"))
+    return (
+        spark.read.text(path)
+        .select(F.lower(s).alias("suffix"))
+        .filter(
+            (F.length("suffix") > 0)
+            & ~F.col("suffix").startswith("//")
+            & ~F.col("suffix").startswith("*")
+            & ~F.col("suffix").startswith("!")
+        )
+        .distinct()
+    )
+
+
 def with_registrable_domain(
     df: DataFrame,
     host_col: str = "host",

@@ -1992,6 +1992,72 @@ def _ppm(w, h, pattern):
     return b"P6\n%d %d\n255\n" % (w, h) + bytes(body)
 
 
+def test_image_dhash_and_perceptual_dedup(spark):
+    """G69: the dHash fingerprint equals a direct numpy replay; an
+    identical re-encode hashes to hamming 0 and a lightly-edited copy
+    lands within the radius while an unrelated image does not; NULL
+    content quarantines to a NULL hash; oversized bit layouts raise."""
+    import numpy as np
+
+    from ferc_xbrl_extractor_spark.operators import multimodal as mm
+
+    # a 36x16 "photo": smooth nonlinear gradient
+    base = _ppm(
+        36, 16,
+        lambda x, y: ((x * 7 + y * y) % 256, (x * x // 3 + y * 11) % 256,
+                      (x * 3 + y * 5) % 256),
+    )
+    # same image with the left column band brightened — flips only the
+    # (row, 0) comparison bits of the 9x8 grid, i.e. a small hamming
+    edited = _ppm(
+        36, 16,
+        lambda x, y: (
+            min(255, (x * 7 + y * y) % 256 + (200 if x < 4 else 0)),
+            min(255, (x * x // 3 + y * 11) % 256 + (200 if x < 4 else 0)),
+            min(255, (x * 3 + y * 5) % 256 + (200 if x < 4 else 0)),
+        ),
+    )
+    noise = _ppm(
+        36, 16,
+        lambda x, y: (
+            (x * 97 + y * 31) * 57 % 256,
+            (x * 13 + y * 89) * 41 % 256,
+            (x * 61 + y * 7) * 29 % 256,
+        ),
+    )
+    rows = [(1, base), (2, base), (3, edited), (4, noise), (5, None)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in mm.image_dhash(media).collect()
+    }
+    assert got[5] is None
+    assert got[1] == got[2] != got[4]
+
+    # direct numpy replay of the documented recipe
+    g = mm._luma(mm._nn_resize(mm.decode_ppm(base), 9, 8))
+    v = 0
+    for i, bit in enumerate(
+        (g[:, 1:].astype(np.int16) > g[:, :-1].astype(np.int16)).flatten()
+    ):
+        if bit:
+            v |= 1 << i
+    want = v - (1 << 64) if v >= (1 << 63) else v
+    assert got[1] == want
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.image_dedup_pairs(media, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0          # exact re-encode
+    assert (1, 3) in pairs             # light edit: within radius
+    assert 0 < pairs[(1, 3)] <= 10
+    assert (1, 4) not in pairs         # unrelated image
+
+    with pytest.raises(ValueError, match="64-bit"):
+        mm.image_dhash(media, width=12, height=8)
+
+
 def test_ppm_codec_roundtrip_and_comments():
     import numpy as np
 
@@ -3595,6 +3661,28 @@ def test_registrable_domain_psl_mode(spark):
         cdocs, domain_suffixes=psl, **base
     ).count()
     assert psl_kept == 5  # each site is its own domain → cap never binds
+
+
+def test_load_public_suffixes_parses_psl_format(spark, tmp_path):
+    """The PSL loader keeps plain rules only — comments, blanks,
+    wildcard and exception rules drop; case folds; dups collapse."""
+    f = tmp_path / "psl.dat"
+    f.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\n"
+        "CO.UK\n"
+        "co.uk\n"
+        "\n"
+        "  ne.jp  \n"
+        "*.kawasaki.jp\n"
+        "!city.kawasaki.jp\n"
+        "// trailing comment\n"
+    )
+    got = {
+        r["suffix"]
+        for r in text.load_public_suffixes(spark, str(f)).collect()
+    }
+    assert got == {"com", "co.uk", "ne.jp"}
 
 
 def test_domain_report_counts(spark):

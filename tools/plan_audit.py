@@ -77,6 +77,12 @@ INTENTIONAL_BNLJ = {
     # g54_drift_report: two 1-row snapshot-total relations cross-joined
     # into the bucket-spine projection (the g49/g4_bm25 shape).
     "g54_drift_report",
+    # g2_recall_report: the |thresholds|-row spine (a LocalRelation) and
+    # a 1-row candidate-count relation cross-joined onto the bounded
+    # sample-pair truth — truth-pairs × thresholds is the report's
+    # semantics (the g3_recall measurement-loop shape); every input is
+    # sample-bounded by construction.
+    "g2_recall_report",
 }
 
 
