@@ -1092,6 +1092,7 @@ def test_semantic_dedup_blocks_by_cluster_and_keeps_min_id(spark):
     assert survivors == {1, 3, 4, 6, 7}
 
 
+@pytest.mark.slow
 def test_quality_classifier_train_and_score_roundtrip(spark):
     from ferc_xbrl_extractor_spark.operators import classifier
 
@@ -1692,6 +1693,7 @@ def test_recall_report_goldens(spark):
     assert rep == {1: (2, 1, 0.5), 2: (2, 2, 1.0), 3: (1, 0, 0.0)}
 
 
+@pytest.mark.slow
 def test_curate_annotate_funnel_matches_pipeline(spark):
     """G36: drop_stage lineage equals the real pipeline's decisions —
     the NULL slice IS curate_corpus' output, and every row gets exactly
@@ -3410,6 +3412,7 @@ def test_curate_funnel_reuses_precomputed_annotation(spark):
         curate.curate_funnel()
 
 
+@pytest.mark.slow
 def test_curate_linkrank_stage(spark):
     """G65 as a curation stage: link_ranks joins a link_rank quality
     prior; min_link_rank drops ranked docs below threshold and NEVER
@@ -3639,8 +3642,16 @@ def test_registrable_domain_psl_mode(spark):
     rep = {r["domain"] for r in text.domain_report(docs, suffixes=psl).collect()}
     assert rep == {"isp.ne.jp", "soumu.go.jp", "big.id.au"}
 
+
+@pytest.mark.slow
+def test_curate_group_cap_rebuckets_on_psl_domains(spark):
+    """G66 PSL mode through the pipeline: the group cap re-binds per
+    TRUE registrable domain when domain_suffixes is passed (the fast
+    golden/report assertions live in test_registrable_domain_psl_mode;
+    the two curate_corpus runs here are the slow half)."""
     from ferc_xbrl_extractor_spark.pipeline import curate
 
+    psl = spark.createDataFrame([("ne.jp",), ("jp",)], "suffix string")
     good = "the quick brown fox and a dog run to the hills in summer "
     crows = (
         [(i, good * 2 + str(i), f"http://www.site{i}.ne.jp/p") for i in range(4)]
@@ -3870,6 +3881,7 @@ def test_pagerank_hub_skew_graph(spark):
     assert got[0] == base  # the hub has no in-links
 
 
+@pytest.mark.slow
 def test_curate_url_dedup_stage_runs_first_and_annotates(spark):
     """G64 as a curation stage: url_col drops refetch duplicates before
     every other stage; annotate attributes them to 'url_dup' and the

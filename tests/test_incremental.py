@@ -214,6 +214,7 @@ LONG_B_NEAR = "colorless green ideas sleep furiously while the committee debates
 UNIQUE = "entirely unrelated text about parquet partitioning strategies for analytical engines"
 
 
+@pytest.mark.slow
 def test_incremental_neardup_drops_internal_and_historical(spark, tmp_path):
     from ferc_xbrl_extractor_spark.pipeline.incremental import (
         incremental_neardup,

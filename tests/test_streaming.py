@@ -129,6 +129,7 @@ def test_stream_dedup_state_suppresses_across_batches(spark, tmp_path):
     assert len(rows) == 2  # the other click row was state-suppressed
 
 
+@pytest.mark.slow
 def test_stream_asof_enrich_carries_state_across_batches(spark, tmp_path):
     path = str(tmp_path / "in")
     schema = (
@@ -253,6 +254,7 @@ def test_stream_asof_enrich_numeric_time_axis(spark, tmp_path):
     assert {r["event_id"]: r["ref_val"] for r in rows} == {1: 100, 2: 200}
 
 
+@pytest.mark.slow
 def test_stream_curate_filters_and_dedups_across_batches(spark, tmp_path):
     from ferc_xbrl_extractor_spark.streaming.stateful import stream_curate
 

@@ -67,6 +67,7 @@ def _vec_df(spark, n=40, d=6):
     )
 
 
+@pytest.mark.slow
 def test_kmeans_matches_reference(spark):
     df, vecs = _vec_df(spark)
     cents = clustering.kmeans_train(df, k=4, iters=3)
