@@ -488,6 +488,18 @@ def hamming_pairs(
         F.shiftright(F.col("__fp"), total_bits - prefix_bits)
         .bitwiseAND(F.lit(mask)),
     )
+    # LAZY localCheckpoint: the two self-join sides differ by the
+    # shuffle_hash hint, which breaks canonical plan equality, so
+    # ReusedExchange never fires and the upstream fingerprint subplan —
+    # typically a DECODE UDF over every blob (G69) — would execute
+    # twice. The lazy cut materializes the (id, fp, bucket) relation
+    # once inside the action (3 narrow columns per row, cheap at any
+    # scale) and both sides read it; lazy, not eager, so it runs under
+    # AQE and adds no extra job. On the 97-image sf0.1 fixture both
+    # forms are job-floor-bound (~2.4s measured either way); the cut is
+    # for scale, where the per-blob decode dominates and halving it is
+    # the whole game.
+    fp = fp.localCheckpoint(eager=False)
     a = fp.select(
         F.col(id_col).alias("id_a"), F.col("__fp").alias("fp_a"), "bucket"
     )
