@@ -2203,6 +2203,79 @@ def q_g11_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _g70_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G70 fixture: 89 formula-built 130-sample 16-bit PCM WAVs
+    constructed in-plan (the g11_wav_real header trick + unhex
+    little-endian samples). Ids group by q = media_id // 8 with a
+    per-member DC offset t = media_id % 8 (≤7 of ±1900 amplitude —
+    frame means shift by at most 7, so within-group clips are
+    perceptual near-dups and cross-group wrap patterns differ wildly).
+    Sample formula (j = 0..129):
+      v_j = ((q + 1) * (j + 3) * 37) % 3800 - 1900 + t
+    130 samples / 65 frames → every frame is exactly 2 samples
+    (idx = j // 2), so the oracle replays the envelope with one
+    GROUP BY."""
+    import numpy as _np
+
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    header_hex = multimodal.encode_wav(
+        8000, _np.zeros(130, dtype=_np.int64)
+    )[:44].hex()
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select((F.col("doc_id") % 89).alias("media_id")).distinct()
+    m = F.col("media_id")
+    q, t = (m / 8).cast("long"), m % 8
+    parts = [F.lit(header_hex)]
+    for j in range(130):
+        v = ((q + 1) * F.lit((j + 3) * 37)) % 3800 - 1900 + t
+        a16 = v.cast("long").bitwiseAND(F.lit(65535))
+        parts.append(
+            F.format_string(
+                "%02x%02x",
+                (a16 % 256).cast("int"),
+                (a16 / 256).cast("int"),
+            )
+        )
+    wav = ids.select("media_id", F.unhex(F.concat(*parts)).alias("content"))
+    return multimodal.media_table_from_binary(
+        wav, "media_id", "content", "audio", "audio/wav"
+    )
+
+
+def q_g70_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G70 fingerprint gate: the REAL RIFF decode + envelope dHash over
+    the formula-built WAVs — the oracle recomputes per-frame mean
+    absolute amplitude and the 64 comparison bits from the sample
+    formula directly (a stubbed decode could not hash-match),
+    including the signed two's-complement pack and the masked
+    top-byte bucket."""
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    media = _g70_media(spark, sf_dir)
+    fp = multimodal.audio_fingerprint(media)
+    return fp.select(
+        "media_id",
+        "afp",
+        F.shiftright(F.col("afp"), 56).bitwiseAND(F.lit(255))
+        .cast("long").alias("bucket"),
+    ).orderBy("media_id")
+
+
+def q_g70_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G70 closing the loop: perceptual near-duplicate audio pairs —
+    envelope dHash into the generic bucketed Hamming join
+    (neardup.hamming_pairs). Within-group gain/DC variants pair up,
+    cross-group clips don't; the oracle replays fingerprints AND the
+    bucketed join."""
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    media = _g70_media(spark, sf_dir)
+    return multimodal.audio_dedup_pairs(
+        media, prefix_bits=8, max_hamming=10
+    ).orderBy("id_a", "id_b")
+
+
 def q_g11_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G11 pure-JVM plumbing: per-media frame-sample timestamps exploded
     from metadata duration (documents stand in as media; duration_ms :=
@@ -3162,6 +3235,8 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g11_ppm_real": q_g11_ppm_real,
         "g69_image_dhash": q_g69_image_dhash,
         "g69_image_dedup": q_g69_image_dedup,
+        "g70_audio_fp": q_g70_audio_fp,
+        "g70_audio_dedup": q_g70_audio_dedup,
         "g11_wav_real": q_g11_wav_real,
         "g11_frame_sample": q_g11_frame_sample,
         "s8_stream_extract": q_s8_stream_extract,
@@ -5515,6 +5590,63 @@ def fine_oracle_sql() -> dict[str, str]:
         ORDER BY id_a, id_b
     """
 
+    # G70: envelope dHash + bucketed Hamming pairs, replayed WITHOUT a
+    # decoder — samples regenerate from the fixture's integer formula,
+    # each of the 65 frames is exactly 2 samples (idx = j // 2), frame
+    # mean-abs is an integer floor, the 64 comparison bits pack with
+    # the same explicit two's-complement wrap as G69.
+    _g70_grid = """
+        ids AS (SELECT DISTINCT doc_id % 89 AS media_id FROM documents),
+        smp AS (
+            SELECT media_id, s.j AS j,
+                   ((media_id // 8 + 1) * (s.j + 3) * 37) % 3800 - 1900
+                       + (media_id % 8) AS v
+            FROM ids, UNNEST(range(130)) AS s(j)
+        ),
+        frames AS (
+            SELECT media_id, j // 2 AS k, sum(abs(v)) // count(*) AS m
+            FROM smp GROUP BY media_id, j // 2
+        ),
+        bits AS (
+            SELECT a.media_id, a.k AS i,
+                   CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+            FROM frames a
+            JOIN frames b ON a.media_id = b.media_id AND b.k = a.k + 1
+            WHERE a.k < 64
+        ),
+        packed AS (
+            SELECT media_id,
+                   sum(CASE WHEN bit = 1 AND i < 63
+                            THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                            ELSE 0 END) AS v_low,
+                   max(CASE WHEN bit = 1 AND i = 63 THEN 1 ELSE 0 END) AS b63
+            FROM bits GROUP BY media_id
+        ),
+        fp AS (
+            SELECT media_id,
+                   CAST(CASE WHEN b63 = 1
+                             THEN v_low - 9223372036854775807 - 1
+                             ELSE v_low END AS BIGINT) AS afp
+            FROM packed
+        )
+    """
+    sql["g70_audio_fp"] = f"""
+        WITH {_g70_grid}
+        SELECT media_id, afp,
+               CAST((afp >> 56) & 255 AS BIGINT) AS bucket
+        FROM fp ORDER BY media_id
+    """
+    sql["g70_audio_dedup"] = f"""
+        WITH {_g70_grid},
+        bk AS (SELECT media_id, afp, (afp >> 56) & 255 AS bucket FROM fp)
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+        FROM bk a JOIN bk b ON a.bucket = b.bucket
+        WHERE a.media_id < b.media_id
+          AND bit_count(xor(a.afp, b.afp)) <= 10
+        ORDER BY id_a, id_b
+    """
+
     # G11 real WAV decode: DC-signal features replayed with integer
     # arithmetic (RMS of a constant is exactly |amplitude|).
     sql["g11_wav_real"] = """
@@ -6457,6 +6589,7 @@ _SUITES: dict[str, list[str]] = {
     "g11_media_suite": [
         "g11_multimodal", "g11_frame_sample", "g11_ppm_real",
         "g11_wav_real", "g69_image_dhash", "g69_image_dedup",
+        "g70_audio_fp", "g70_audio_dedup",
     ],
     "g14_sample_suite": [
         "g14_split", "g14_sample_rate", "g14_sample_stratified",
@@ -6554,6 +6687,8 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g11_ppm_real": [("media_id", "i"), ("n_bytes", "i"), ("f0", "n"), ("f1", "n")],
     "g69_image_dhash": [("media_id", "i"), ("dhash", "i"), ("bucket", "i")],
     "g69_image_dedup": [("id_a", "i"), ("id_b", "i"), ("hamming", "i")],
+    "g70_audio_fp": [("media_id", "i"), ("afp", "i"), ("bucket", "i")],
+    "g70_audio_dedup": [("id_a", "i"), ("id_b", "i"), ("hamming", "i")],
     "g11_wav_real": [("media_id", "i"), ("sample_rate", "i"), ("n_samples", "i"), ("duration_ms", "i"), ("rms0", "n"), ("rms1", "n"), ("zc0", "i"), ("zc1", "i")],
     "g14_split": [("doc_id", "i"), ("split", "s")],
     "g14_sample_rate": [("doc_id", "i"), ("lang", "s")],

@@ -54,6 +54,8 @@ HEADLINE = [
     "g2_recall_report",
     "g69_image_dhash",
     "g69_image_dedup",
+    "g70_audio_fp",
+    "g70_audio_dedup",
     "g3_cosine_topk",
     "g3_lsh_topk",
     "g3_ivf_topk",

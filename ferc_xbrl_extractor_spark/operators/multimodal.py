@@ -392,6 +392,90 @@ def image_dedup_pairs(
     )
 
 
+def audio_fingerprint(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    out_col: str = "afp",
+    frames: int = 65,
+) -> DataFrame:
+    """G70: perceptual audio fingerprint — the dHash idea over the
+    energy envelope: decode PCM WAV (pure-numpy RIFF kernel), take
+    channel 0, split the samples into ``frames`` equal-by-index frames
+    (sample i → frame ``i * frames // n``), per-frame mean absolute
+    amplitude with INTEGER floor division, one bit per consecutive
+    frame pair (bit k = m[k+1] > m[k]) — (frames-1) ≤ 64 bits packed
+    little-endian into a signed 64-bit value, exactly like
+    :func:`image_dhash`. Re-encoded, resampled-alike, or
+    slightly-gain-shifted copies of the same clip land within a few
+    bits; byte-level md5 dedup sees none of it.
+
+    NULL/empty content, or clips with fewer samples than ``frames``
+    (nothing to envelope at this resolution), fingerprint to NULL —
+    the quarantine policy of the other decode kernels. Every step is
+    integer arithmetic, so a formula-built fixture is replayable by a
+    SQL oracle without a decoder."""
+    if frames < 2 or frames - 1 > 64:
+        raise ValueError(f"frames must be in [2, 65], got {frames}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _afp(s: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None or len(b) == 0:
+                return None
+            _rate, samples = decode_wav(bytes(b))
+            ch0 = samples[:, 0].astype(np.int64)
+            n = len(ch0)
+            if n < frames:
+                return None
+            idx = (np.arange(n) * frames) // n
+            absamp = np.abs(ch0)
+            # int64 accumulation (bincount's weights path goes through
+            # float64 — exact only below 2^53; stay integer outright)
+            sums = np.zeros(frames, dtype=np.int64)
+            np.add.at(sums, idx, absamp)
+            counts = np.bincount(idx, minlength=frames).astype(np.int64)
+            means = sums // counts
+            v = 0
+            for k in range(frames - 1):
+                if means[k + 1] > means[k]:
+                    v |= 1 << k
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        return s.apply(one)
+
+    return media.withColumn(out_col, _afp(F.col(content_col)))
+
+
+def audio_dedup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    prefix_bits: int = 8,
+    max_hamming: int = 10,
+    frames: int = 65,
+) -> DataFrame:
+    """G70: perceptual near-duplicate audio pairs —
+    :func:`audio_fingerprint` into the generic bucketed Hamming join
+    (``neardup.hamming_pairs``). Returns (id_a, id_b, hamming),
+    id_a < id_b; NULL-fingerprint rows (undecodable or too-short clips)
+    drop before the join."""
+    from ferc_xbrl_extractor_spark.operators.neardup import hamming_pairs
+
+    fp = audio_fingerprint(
+        media, id_col, content_col, "afp", frames
+    ).filter(F.col("afp").isNotNull())
+    return hamming_pairs(
+        fp,
+        id_col,
+        "afp",
+        total_bits=64,
+        prefix_bits=prefix_bits,
+        max_hamming=max_hamming,
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: explode per-media sample timestamps
     from metadata (duration), leaving the frame decode itself to the

@@ -2060,6 +2060,62 @@ def test_image_dhash_and_perceptual_dedup(spark):
         mm.image_dhash(media, width=12, height=8)
 
 
+def test_audio_fingerprint_and_perceptual_dedup(spark):
+    """G70: the envelope dHash equals a direct numpy replay; an exact
+    re-encode pairs at hamming 0 and a small gain shift lands within
+    the radius while an unrelated clip does not; NULL/too-short clips
+    quarantine to NULL; frame-budget validation raises."""
+    import numpy as np
+
+    from ferc_xbrl_extractor_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    sig = (
+        (np.sin(np.arange(400) / 9.0) * 1500)
+        + (np.sin(np.arange(400) / 2.3) * 400)
+    ).astype(np.int64)
+    base = mm.encode_wav(8000, sig)
+    shifted = mm.encode_wav(8000, (sig * 0.95).astype(np.int64))  # gain -5%
+    noise = mm.encode_wav(8000, rng.randint(-1800, 1800, 400).astype(np.int64))
+    short = mm.encode_wav(8000, sig[:10])  # < frames samples
+    rows = [(1, base), (2, base), (3, shifted), (4, noise), (5, short),
+            (6, None)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r["media_id"]: r["afp"]
+        for r in mm.audio_fingerprint(media).collect()
+    }
+    assert got[5] is None and got[6] is None
+    assert got[1] == got[2]
+
+    # direct replay of the documented recipe
+    _r, samples = mm.decode_wav(base)
+    ch0 = samples[:, 0].astype(np.int64)
+    idx = (np.arange(len(ch0)) * 65) // len(ch0)
+    sums = np.zeros(65, dtype=np.int64)
+    np.add.at(sums, idx, np.abs(ch0))
+    counts = np.bincount(idx, minlength=65).astype(np.int64)
+    means = sums // counts
+    v = 0
+    for k in range(64):
+        if means[k + 1] > means[k]:
+            v |= 1 << k
+    want = v - (1 << 64) if v >= (1 << 63) else v
+    assert got[1] == want
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.audio_dedup_pairs(media, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0           # exact re-encode
+    assert (1, 3) in pairs              # small gain shift: within radius
+    assert pairs[(1, 3)] <= 10
+    assert (1, 4) not in pairs          # unrelated clip
+
+    with pytest.raises(ValueError, match="frames"):
+        mm.audio_fingerprint(media, frames=80)
+
+
 def test_ppm_codec_roundtrip_and_comments():
     import numpy as np
 
