@@ -2276,6 +2276,74 @@ def q_g70_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _g71_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G71 fixture: 83 formula-built 3-frame 9x8 GRAYSCALE C444 Y4M
+    clips constructed in-plan (header + 'FRAME\\n' markers + 72
+    formula Y bytes + constant 0x80 chroma planes per frame). With
+    U = V = 128 the BT.601 integer conversion is the identity
+    (RGB = (y,y,y)) and the ITU-R 601-2 luma is exactly the Y plane,
+    so the oracle replays the per-frame dHash straight from the Y
+    formula. Ids group by q = media_id // 8 with a per-member
+    brightness lift t = media_id % 8 applied to the LEFT half
+    (col < 4) — within-group frames differ only at the col-3/4
+    comparison boundary (small hamming), cross-group wrap patterns
+    differ wildly. Y formula (frame f = 0..2, row 0..7, col 0..8):
+      y = ((q+1) * (row*9 + col + 7) * (f+2) * 13) % 240
+          + (t if col < 4 else 0)
+    9x8 frames make the dHash resize an identity."""
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    header_hex = b"YUV4MPEG2 W9 H8 F25:1 C444\n".hex()
+    frame_hex = b"FRAME\n".hex()
+    chroma_hex = "80" * 144  # constant U and V planes
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select((F.col("doc_id") % 83).alias("media_id")).distinct()
+    m = F.col("media_id")
+    q, t = (m / 8).cast("long"), m % 8
+    parts = [F.lit(header_hex)]
+    for f in range(3):
+        parts.append(F.lit(frame_hex))
+        for row in range(8):
+            for col in range(9):
+                y = (q + 1) * F.lit((row * 9 + col + 7) * (f + 2) * 13) % 240
+                if col < 4:
+                    y = y + t
+                parts.append(F.format_string("%02x", y.cast("int")))
+        parts.append(F.lit(chroma_hex))
+    vid = ids.select("media_id", F.unhex(F.concat(*parts)).alias("content"))
+    return multimodal.media_table_from_binary(
+        vid, "media_id", "content", "video", "video/x-yuv4mpeg"
+    )
+
+
+def q_g71_video_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G71 fingerprint gate: the REAL Y4M decode (YUV→RGB→luma) +
+    per-frame dHash over the formula-built clips — the oracle
+    recomputes the 64 comparison bits per (clip, frame) from the Y
+    formula directly (grayscale C444 makes luma ≡ Y; a stubbed decode
+    could not hash-match)."""
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    media = _g71_media(spark, sf_dir)
+    return multimodal.video_frame_hashes(media).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+def q_g71_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G71 closing the loop: perceptual near-duplicate video pairs —
+    temporally-aligned per-frame Hamming matches, keyed on
+    (frame_idx, hash top byte), video pair survives at ≥2 matched
+    frames of 3. The oracle replays frame hashes AND the aligned
+    bucketed join + match count."""
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    media = _g71_media(spark, sf_dir)
+    return multimodal.video_dedup_pairs(
+        media, prefix_bits=8, max_hamming=10, min_matched_frames=2
+    ).orderBy("id_a", "id_b")
+
+
 def q_g11_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G11 pure-JVM plumbing: per-media frame-sample timestamps exploded
     from metadata duration (documents stand in as media; duration_ms :=
@@ -3237,6 +3305,8 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g69_image_dedup": q_g69_image_dedup,
         "g70_audio_fp": q_g70_audio_fp,
         "g70_audio_dedup": q_g70_audio_dedup,
+        "g71_video_hashes": q_g71_video_hashes,
+        "g71_video_dedup": q_g71_video_dedup,
         "g11_wav_real": q_g11_wav_real,
         "g11_frame_sample": q_g11_frame_sample,
         "s8_stream_extract": q_s8_stream_extract,
@@ -5647,6 +5717,64 @@ def fine_oracle_sql() -> dict[str, str]:
         ORDER BY id_a, id_b
     """
 
+    # G71: per-frame video dHash + temporally-aligned pair join,
+    # replayed WITHOUT a decoder — grayscale C444 makes luma ≡ the Y
+    # plane, which regenerates from the fixture's integer formula; the
+    # pack/bucket arithmetic is the G69 form per (clip, frame).
+    _g71_grid = """
+        ids AS (SELECT DISTINCT doc_id % 83 AS media_id FROM documents),
+        px AS (
+            SELECT media_id, f.f AS f, r.row AS row, c.col AS col,
+                   ((media_id // 8 + 1) * (r.row * 9 + c.col + 7)
+                    * (f.f + 2) * 13) % 240
+                   + (CASE WHEN c.col < 4 THEN media_id % 8 ELSE 0 END)
+                       AS L
+            FROM ids, UNNEST(range(3)) AS f(f),
+                 UNNEST(range(8)) AS r(row), UNNEST(range(9)) AS c(col)
+        ),
+        bits AS (
+            SELECT a.media_id, a.f, (a.row * 8 + a.col) AS i,
+                   CASE WHEN b.L > a.L THEN 1 ELSE 0 END AS bit
+            FROM px a
+            JOIN px b ON a.media_id = b.media_id AND a.f = b.f
+                     AND a.row = b.row AND b.col = a.col + 1
+            WHERE a.col < 8
+        ),
+        packed AS (
+            SELECT media_id, f,
+                   sum(CASE WHEN bit = 1 AND i < 63
+                            THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                            ELSE 0 END) AS v_low,
+                   max(CASE WHEN bit = 1 AND i = 63 THEN 1 ELSE 0 END) AS b63
+            FROM bits GROUP BY media_id, f
+        ),
+        fp AS (
+            SELECT media_id, f,
+                   CAST(CASE WHEN b63 = 1
+                             THEN v_low - 9223372036854775807 - 1
+                             ELSE v_low END AS BIGINT) AS dhash
+            FROM packed
+        )
+    """
+    sql["g71_video_hashes"] = f"""
+        WITH {_g71_grid}
+        SELECT media_id, CAST(f AS INT) AS frame_idx, dhash
+        FROM fp ORDER BY media_id, frame_idx
+    """
+    sql["g71_video_dedup"] = f"""
+        WITH {_g71_grid},
+        bk AS (SELECT media_id, f, dhash, (dhash >> 56) & 255 AS bucket
+               FROM fp)
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_matched
+        FROM bk a JOIN bk b ON a.f = b.f AND a.bucket = b.bucket
+        WHERE a.media_id < b.media_id
+          AND bit_count(xor(a.dhash, b.dhash)) <= 10
+        GROUP BY a.media_id, b.media_id
+        HAVING count(*) >= 2
+        ORDER BY id_a, id_b
+    """
+
     # G11 real WAV decode: DC-signal features replayed with integer
     # arithmetic (RMS of a constant is exactly |amplitude|).
     sql["g11_wav_real"] = """
@@ -6590,6 +6718,7 @@ _SUITES: dict[str, list[str]] = {
         "g11_multimodal", "g11_frame_sample", "g11_ppm_real",
         "g11_wav_real", "g69_image_dhash", "g69_image_dedup",
         "g70_audio_fp", "g70_audio_dedup",
+        "g71_video_hashes", "g71_video_dedup",
     ],
     "g14_sample_suite": [
         "g14_split", "g14_sample_rate", "g14_sample_stratified",
@@ -6689,6 +6818,8 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g69_image_dedup": [("id_a", "i"), ("id_b", "i"), ("hamming", "i")],
     "g70_audio_fp": [("media_id", "i"), ("afp", "i"), ("bucket", "i")],
     "g70_audio_dedup": [("id_a", "i"), ("id_b", "i"), ("hamming", "i")],
+    "g71_video_hashes": [("media_id", "i"), ("frame_idx", "i"), ("dhash", "i")],
+    "g71_video_dedup": [("id_a", "i"), ("id_b", "i"), ("n_matched", "i")],
     "g11_wav_real": [("media_id", "i"), ("sample_rate", "i"), ("n_samples", "i"), ("duration_ms", "i"), ("rms0", "n"), ("rms1", "n"), ("zc0", "i"), ("zc1", "i")],
     "g14_split": [("doc_id", "i"), ("split", "s")],
     "g14_sample_rate": [("doc_id", "i"), ("lang", "s")],

@@ -56,6 +56,8 @@ HEADLINE = [
     "g69_image_dedup",
     "g70_audio_fp",
     "g70_audio_dedup",
+    "g71_video_hashes",
+    "g71_video_dedup",
     "g3_cosine_topk",
     "g3_lsh_topk",
     "g3_ivf_topk",

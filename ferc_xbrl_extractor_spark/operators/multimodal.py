@@ -295,6 +295,18 @@ def resize_images(
     return media.mapInPandas(run, MEDIA_SCHEMA)
 
 
+def _dhash_pack(g: np.ndarray) -> int:
+    """Pack a (h, w) luma grid into the signed 64-bit difference hash:
+    bit i = L[row, col+1] > L[row, col], i = row*(w-1)+col little-endian,
+    two's-complement wrap so the value rides a BIGINT in any engine."""
+    bits = g[:, 1:].astype(np.int16) > g[:, :-1].astype(np.int16)
+    v = 0
+    for i, bit in enumerate(bits.flatten()):
+        if bit:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def image_dhash(
     media: DataFrame,
     id_col: str = "media_id",
@@ -350,12 +362,7 @@ def image_dhash(
                     .resize((width, height))
                 )
                 g = np.asarray(img, dtype=np.uint8)
-            bits = (g[:, 1:].astype(np.int16) > g[:, :-1].astype(np.int16))
-            v = 0
-            for i, bit in enumerate(bits.flatten()):
-                if bit:
-                    v |= 1 << i
-            return v - (1 << 64) if v >= (1 << 63) else v
+            return _dhash_pack(g)
 
         return s.apply(one)
 
@@ -473,6 +480,115 @@ def audio_dedup_pairs(
         total_bits=64,
         prefix_bits=prefix_bits,
         max_hamming=max_hamming,
+    )
+
+
+VIDEO_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("dhash", T.LongType(), False),
+    ]
+)
+
+
+def video_frame_hashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    width: int = 9,
+    height: int = 8,
+    every: int = 1,
+) -> DataFrame:
+    """G71: per-frame perceptual hashes of a video — decode Y4M (the
+    pure-numpy YUV4MPEG2 kernel), take every ``every``-th frame, dHash
+    each decoded RGB frame through the SAME luma/resize/pack recipe as
+    :func:`image_dhash`. One blob in, many (media_id, frame_idx, dhash)
+    rows out via ``mapInPandas`` (the blob explode shape —
+    Arrow-batched, per-frame work is C-speed numpy). NULL/empty blobs
+    contribute no rows (quarantine)."""
+    if (width - 1) * height > 64:
+        raise ValueError("(width-1)*height bits exceed the 64-bit hash")
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            fidx: list[int] = []
+            hashes: list[int] = []
+            for mid, b in zip(pdf[id_col], pdf[content_col]):
+                if b is None or len(b) == 0:
+                    continue
+                _fn, _fd, frames = decode_y4m(bytes(b))
+                for fi in range(0, len(frames), every):
+                    g = _luma(_nn_resize(frames[fi], width, height))
+                    ids.append(int(mid))
+                    fidx.append(fi)
+                    hashes.append(_dhash_pack(g))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, VIDEO_HASH_SCHEMA)
+
+
+def video_dedup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    prefix_bits: int = 8,
+    max_hamming: int = 10,
+    min_matched_frames: int = 2,
+    every: int = 1,
+) -> DataFrame:
+    """G71: perceptual near-duplicate video pairs — per-frame dHashes
+    joined TEMPORALLY ALIGNED: frame i of video A pairs with frame i of
+    video B when the hashes land in the same top-``prefix_bits`` bucket
+    within ``max_hamming`` bits (re-encodes, brightness shifts, chroma
+    recompression); a video pair survives when at least
+    ``min_matched_frames`` frames match. The join is keyed on
+    (frame_idx, bucket) — never all-pairs, and never across time
+    offsets (time-shifted dups need a sliding variant; documented out
+    of scope, same family as the text operators' positional grams).
+
+    Returns (id_a, id_b, n_matched), id_a < id_b. The frame-hash
+    relation is lazily checkpointed for the same hint-breaks-reuse
+    reason as ``neardup.hamming_pairs``."""
+    mask = (1 << prefix_bits) - 1
+    fh = video_frame_hashes(
+        media, id_col, content_col, every=every
+    ).withColumn(
+        "bucket",
+        F.shiftright(F.col("dhash"), 64 - prefix_bits)
+        .bitwiseAND(F.lit(mask)),
+    ).localCheckpoint(eager=False)
+    a = fh.select(
+        F.col("media_id").alias("id_a"),
+        "frame_idx",
+        F.col("dhash").alias("fp_a"),
+        "bucket",
+    )
+    b = fh.select(
+        F.col("media_id").alias("id_b"),
+        "frame_idx",
+        F.col("dhash").alias("fp_b"),
+        "bucket",
+    )
+    return (
+        a.join(b.hint("shuffle_hash"), ["frame_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+            <= max_hamming
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        .filter(F.col("n_matched") >= min_matched_frames)
     )
 
 

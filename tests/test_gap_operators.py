@@ -2060,6 +2060,65 @@ def test_image_dhash_and_perceptual_dedup(spark):
         mm.image_dhash(media, width=12, height=8)
 
 
+def test_video_frame_hashes_and_perceptual_dedup(spark):
+    """G71: per-frame dHashes equal the image recipe applied to each
+    decoded frame; a re-encode matches on every frame, a brightness
+    shift still matches (comparisons are shift-invariant), a one-frame
+    overlap stays under min_matched_frames, and NULL blobs contribute
+    no rows."""
+    import numpy as np
+
+    from ferc_xbrl_extractor_spark.operators import multimodal as mm
+
+    def frame(seed):
+        y = np.fromfunction(
+            lambda r, c: (seed * 7 + r * 29 + c * c) % 240, (8, 9)
+        ).astype(np.uint8)
+        flat = np.full((8, 9), 128, np.uint8)
+        return (y, flat, flat)  # grayscale C444
+
+    vid = lambda *seeds: mm.encode_y4m([frame(s) for s in seeds])
+    base = vid(1, 2, 3)
+    bright = mm.encode_y4m(
+        [(np.minimum(y + 9, 255).astype(np.uint8), u, v)
+         for y, u, v in [frame(s) for s in (1, 2, 3)]]
+    )
+    partial = vid(1, 50, 60)   # only frame 0 in common
+    other = vid(80, 81, 82)
+    rows = [(1, base), (2, base), (3, bright), (4, partial), (5, other),
+            (6, None)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+
+    fh = {
+        (r["media_id"], r["frame_idx"]): r["dhash"]
+        for r in mm.video_frame_hashes(media).collect()
+    }
+    assert {m for m, _f in fh} == {1, 2, 3, 4, 5}  # NULL blob -> no rows
+    assert all((m, f) in fh for m in (1, 2) for f in (0, 1, 2))
+    # per-frame hash == the image recipe on the decoded frame
+    _fn, _fd, frames = mm.decode_y4m(base)
+    want0 = mm._dhash_pack(mm._luma(mm._nn_resize(frames[0], 9, 8)))
+    assert fh[(1, 0)] == want0
+    # a uniform +9 brightness shift preserves every comparison bit
+    assert all(fh[(3, f)] == fh[(1, f)] for f in (0, 1, 2))
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_matched"]
+        for r in mm.video_dedup_pairs(media, min_matched_frames=2).collect()
+    }
+    assert pairs[(1, 2)] == 3 and pairs[(1, 3)] == 3
+    assert (1, 4) not in pairs   # single shared frame < min_matched
+    assert (1, 5) not in pairs   # unrelated
+    # lowering the bar surfaces the partial overlap
+    loose = {
+        (r["id_a"], r["id_b"]): r["n_matched"]
+        for r in mm.video_dedup_pairs(media, min_matched_frames=1).collect()
+    }
+    assert loose[(1, 4)] == 1
+    with pytest.raises(ValueError, match="every"):
+        mm.video_frame_hashes(media, every=0)
+
+
 def test_audio_fingerprint_and_perceptual_dedup(spark):
     """G70: the envelope dHash equals a direct numpy replay; an exact
     re-encode pairs at hamming 0 and a small gain shift lands within
