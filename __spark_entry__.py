@@ -2109,21 +2109,30 @@ def _g69_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = docs.select((F.col("doc_id") % 97).alias("media_id")).distinct()
     m = F.col("media_id")
     q, t = (m / 8).cast("long"), m % 8
-    parts = [F.lit("50360a3920380a3235350a")]  # "P6\n9 8\n255\n"
-    for row in range(8):
-        for col in range(9):
-            pr = (q * 53 + F.lit((row + 1) * (col + 2) * 7)) % 256
-            pg = (q * 29 + F.lit(row * 31 + col * 17)) % 256
-            pb = (q * 11 + t + F.lit(row * 3 + col * 43)) % 256
-            parts.append(
-                F.format_string(
-                    "%02x%02x%02x",
-                    pr.cast("int"),
-                    pg.cast("int"),
-                    pb.cast("int"),
-                )
-            )
-    hexes = ids.select("media_id", F.unhex(F.concat(*parts)).alias("content"))
+    # ONE transform over the 72 pixel indexes instead of 72 inlined
+    # format_string nodes: identical bytes, but the expression tree is
+    # ~10 nodes instead of ~400 — per-call Catalyst analysis was the
+    # dominant cost of this fixture (the loop now runs at execution
+    # time, codegen'd)
+    px = F.transform(
+        F.sequence(F.lit(0), F.lit(71)),
+        lambda i: F.format_string(
+            "%02x%02x%02x",
+            ((q * 53 + ((i / 9).cast("long") + 1) * ((i % 9) + 2) * 7)
+             % 256).cast("int"),
+            ((q * 29 + (i / 9).cast("long") * 31 + (i % 9) * 17)
+             % 256).cast("int"),
+            ((q * 11 + t + (i / 9).cast("long") * 3 + (i % 9) * 43)
+             % 256).cast("int"),
+        ),
+    )
+    hexes = ids.select(
+        "media_id",
+        F.unhex(
+            # "P6\n9 8\n255\n"
+            F.concat(F.lit("50360a3920380a3235350a"), F.array_join(px, ""))
+        ).alias("content"),
+    )
     return multimodal.media_table_from_binary(
         hexes, "media_id", "content", "image", "image/x-portable-pixmap"
     )
@@ -2226,18 +2235,28 @@ def _g70_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = docs.select((F.col("doc_id") % 89).alias("media_id")).distinct()
     m = F.col("media_id")
     q, t = (m / 8).cast("long"), m % 8
-    parts = [F.lit(header_hex)]
-    for j in range(130):
-        v = ((q + 1) * F.lit((j + 3) * 37)) % 3800 - 1900 + t
+
+    # one transform over the 130 sample indexes (see _g69_media: the
+    # inlined-format_string form paid its cost in per-call analysis)
+    def sample_hex(j):
+        v = ((q + 1) * (j + 3) * 37) % 3800 - 1900 + t
         a16 = v.cast("long").bitwiseAND(F.lit(65535))
-        parts.append(
-            F.format_string(
-                "%02x%02x",
-                (a16 % 256).cast("int"),
-                (a16 / 256).cast("int"),
-            )
+        return F.format_string(
+            "%02x%02x", (a16 % 256).cast("int"), (a16 / 256).cast("int")
         )
-    wav = ids.select("media_id", F.unhex(F.concat(*parts)).alias("content"))
+
+    wav = ids.select(
+        "media_id",
+        F.unhex(
+            F.concat(
+                F.lit(header_hex),
+                F.array_join(
+                    F.transform(F.sequence(F.lit(0), F.lit(129)), sample_hex),
+                    "",
+                ),
+            )
+        ).alias("content"),
+    )
     return multimodal.media_table_from_binary(
         wav, "media_id", "content", "audio", "audio/wav"
     )
@@ -2300,16 +2319,26 @@ def _g71_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = docs.select((F.col("doc_id") % 83).alias("media_id")).distinct()
     m = F.col("media_id")
     q, t = (m / 8).cast("long"), m % 8
+    # row*9+col is exactly the flat pixel index i, so each frame's Y
+    # plane is one transform over 0..71 (see _g69_media for why: the
+    # inlined form paid ~400 expression nodes of per-call analysis)
     parts = [F.lit(header_hex)]
+
+    # factory, NOT a default-arg lambda: transform's binder treats a
+    # second parameter as the element index (see neardup.perm)
+    def _ybyte(f):
+        return lambda i: F.format_string(
+            "%02x",
+            (
+                (q + 1) * (i + 7) * F.lit((f + 2) * 13) % 240
+                + F.when(i % 9 < 4, t).otherwise(F.lit(0))
+            ).cast("int"),
+        )
+
     for f in range(3):
-        parts.append(F.lit(frame_hex))
-        for row in range(8):
-            for col in range(9):
-                y = (q + 1) * F.lit((row * 9 + col + 7) * (f + 2) * 13) % 240
-                if col < 4:
-                    y = y + t
-                parts.append(F.format_string("%02x", y.cast("int")))
-        parts.append(F.lit(chroma_hex))
+        yplane = F.transform(F.sequence(F.lit(0), F.lit(71)), _ybyte(f))
+        parts += [F.lit(frame_hex), F.array_join(yplane, ""),
+                  F.lit(chroma_hex)]
     vid = ids.select("media_id", F.unhex(F.concat(*parts)).alias("content"))
     return multimodal.media_table_from_binary(
         vid, "media_id", "content", "video", "video/x-yuv4mpeg"
