@@ -187,6 +187,120 @@ def _time_shredder_single_process(sf_dir: str) -> float:
     return round(best, 3)
 
 
+def _time_perceptual_single_process() -> dict[str, float]:
+    """Same-work single-process baselines for the G69/G70/G71
+    perceptual rows: build the SAME formula blobs the fixtures build,
+    then time decode + fingerprint + the all-pairs-within-bucket match
+    in one Python thread over numpy — the reference-technology
+    execution model for this work. The Spark rows at these fixture
+    sizes (83-97 blobs) are job-floor measurements, not work
+    measurements; this is the honest denominator."""
+    import numpy as np
+
+    from ferc_xbrl_extractor_spark.operators.multimodal import (
+        _dhash_pack,
+        _luma,
+        _nn_resize,
+        decode_ppm,
+        decode_wav,
+        decode_y4m,
+        encode_ppm,
+        encode_wav,
+        encode_y4m,
+    )
+
+    out: dict[str, float] = {}
+
+    # G69: 97 formula PPMs (the _g69_media pixel formulas)
+    ppms = []
+    for m in range(97):
+        q, t = m // 8, m % 8
+        i = np.arange(72)
+        row, col = i // 9, i % 9
+        rgb = np.stack(
+            [
+                (q * 53 + (row + 1) * (col + 2) * 7) % 256,
+                (q * 29 + row * 31 + col * 17) % 256,
+                (q * 11 + t + row * 3 + col * 43) % 256,
+            ],
+            axis=-1,
+        ).reshape(8, 9, 3).astype(np.uint8)
+        ppms.append(encode_ppm(rgb))
+    t0 = time.time()
+    fps = [_dhash_pack(_luma(_nn_resize(decode_ppm(b), 9, 8))) for b in ppms]
+    _bucket_pairs(fps)
+    out["g69_image_dedup"] = round(time.time() - t0, 3)
+
+    # G70: 89 formula WAVs (the _g70_media sample formula)
+    wavs = []
+    for m in range(89):
+        q, t = m // 8, m % 8
+        j = np.arange(130)
+        v = ((q + 1) * (j + 3) * 37) % 3800 - 1900 + t
+        wavs.append(encode_wav(8000, v.astype(np.int64)))
+    t0 = time.time()
+    afps = []
+    for b in wavs:
+        _r, samples = decode_wav(b)
+        ch0 = samples[:, 0].astype(np.int64)
+        idx = (np.arange(len(ch0)) * 65) // len(ch0)
+        sums = np.zeros(65, dtype=np.int64)
+        np.add.at(sums, idx, np.abs(ch0))
+        counts = np.bincount(idx, minlength=65).astype(np.int64)
+        means = sums // counts
+        v = 0
+        for k in range(64):
+            if means[k + 1] > means[k]:
+                v |= 1 << k
+        afps.append(v - (1 << 64) if v >= (1 << 63) else v)
+    _bucket_pairs(afps)
+    out["g70_audio_dedup"] = round(time.time() - t0, 3)
+
+    # G71: 83 formula Y4M clips (the _g71_media Y formula, C444 gray)
+    vids = []
+    for m in range(83):
+        q, t = m // 8, m % 8
+        frames = []
+        for f in range(3):
+            i = np.arange(72)
+            y = ((q + 1) * (i + 7) * (f + 2) * 13) % 240 + np.where(
+                i % 9 < 4, t, 0
+            )
+            y = y.reshape(8, 9).astype(np.uint8)
+            flat = np.full((8, 9), 128, np.uint8)
+            frames.append((y, flat, flat))
+        vids.append(encode_y4m(frames))
+    t0 = time.time()
+    per_frame: list[list[int]] = []
+    for b in vids:
+        _fn, _fd, frames = decode_y4m(b)
+        per_frame.append(
+            [_dhash_pack(_luma(_nn_resize(fr, 9, 8))) for fr in frames]
+        )
+    for f in range(3):
+        _bucket_pairs([fh[f] for fh in per_frame])
+    out["g71_video_dedup"] = round(time.time() - t0, 3)
+    return out
+
+
+def _bucket_pairs(fps: list[int], max_hamming: int = 10) -> int:
+    """The single-thread twin of neardup.hamming_pairs: group by top
+    byte, compare within buckets."""
+    from collections import defaultdict
+
+    buckets: dict[int, list[int]] = defaultdict(list)
+    for i, fp in enumerate(fps):
+        buckets[(fp >> 56) & 255].append(i)
+    n = 0
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                h = bin((fps[members[x]] ^ fps[members[y]]) & ((1 << 64) - 1))
+                if h.count("1") <= max_hamming:
+                    n += 1
+    return n
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     con = duckdb.connect()
@@ -197,6 +311,7 @@ def main() -> None:
         "xbrl_fuzzy_dedup": _time_duckdb(con, FUZZY_SAMEWORK),
         "xbrl_shredder_roundtrip": _time_shredder_single_process(sf_dir),
     }
+    out.update(_time_perceptual_single_process())
     print(json.dumps({"samework": out, "sf_dir": sf_dir}))
 
 
