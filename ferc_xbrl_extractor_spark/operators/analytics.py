@@ -372,3 +372,128 @@ def unpivot(
         var_col,
         value_col,
     )
+
+
+def _cms_bucket(key: Column, row: int, width: int, salt: str) -> Column:
+    """Deterministic bucket for sketch row ``row``: the 60-bit integer of
+    the first 15 hex digits of ``md5('{salt}{row}:' || key)`` mod
+    ``width`` — non-negative in every engine (the operand is a positive
+    60-bit value) and replayable in ANSI SQL as
+    ``CAST(('0x' || substr(md5(...), 1, 15)) AS BIGINT) % width``."""
+    u60 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}{row}:"), key)), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return u60 % width
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    count_col: str | None = None,
+    salt: str = "cms",
+) -> DataFrame:
+    """G72: build a count-min sketch over ``key_col`` — the FIXED-SIZE
+    frequency summary for key domains too large to count exactly.
+
+    :func:`skew_report` (G67) is the exact audit: its groupBy shuffles one
+    row per distinct key, which at 100 TB over a billion-key domain (URLs,
+    n-grams, user ids) is itself a corpus-scale shuffle. The sketch path
+    caps the state at ``depth × width`` cells REGARDLESS of key
+    cardinality: each input row increments one bucket per sketch row
+    (md5-derived, engine-replayable), and the aggregate over
+    ``(sketch_row, bucket)`` is map-side combinable down to at most
+    ``depth × width`` partial rows per task — the shuffle carries
+    ``O(depth × width × tasks)`` rows, never ``O(|keys|)``.
+
+    Estimates (:func:`cms_estimate`) never undercount; the classical bound
+    overestimates by at most ``e·N/width`` with probability
+    ``1 − e^−depth`` (N = total weight). Sketches built with the same
+    ``(depth, width, salt)`` are mergeable by summing ``n`` per cell —
+    union + groupBy — which makes the summary incremental (per-day
+    sketches roll up like the G7 HLL partials).
+
+    Returns the sketch relation ``(sketch_row, bucket, n)`` with at most
+    ``depth × width`` rows. ``count_col`` weights each input row (default
+    1). NULL keys are skipped (they would otherwise pool into one cell per
+    row and masquerade as a heavy hitter).
+    """
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    key = F.col(key_col).cast("string")
+    w = (F.col(count_col) if count_col else F.lit(1)).cast("long")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("sketch_row"),
+                _cms_bucket(key, d, width, salt).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.filter(key.isNotNull())
+        .select(F.explode(cells).alias("__cell"), w.alias("__w"))
+        .groupBy(
+            F.col("__cell.sketch_row").alias("sketch_row"),
+            F.col("__cell.bucket").alias("bucket"),
+        )
+        .agg(F.sum("__w").alias("n"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    salt: str = "cms",
+    out_col: str = "n_est",
+) -> DataFrame:
+    """G72: point-query a count-min sketch for each distinct key in
+    ``keys`` — the estimate is the MIN over the ``depth`` sketch rows of
+    that key's bucket count (0 when the bucket is empty: a key the sketch
+    never saw estimates 0 unless every one of its buckets collided).
+
+    ``(depth, width, salt)`` must match the :func:`cms_build` call — the
+    buckets are recomputed here from the same recipe. The sketch is at
+    most ``depth × width`` rows, so it is broadcast: the probe side stays
+    map-side whatever its size (estimate a billion candidate keys without
+    a shuffle on the sketch). Heavy-hitter workflow: candidates come from
+    any cheap bounded source (a per-partition local top-k, a prior day's
+    report, a dictionary); the sketch then prices them exactly one
+    broadcast join away.
+
+    Returns ``(key_col, out_col)`` — one row per distinct non-NULL input
+    key, estimates never below the true count for keys the sketch
+    ingested.
+    """
+    key = F.col(key_col).cast("string")
+    probes = keys.filter(key.isNotNull()).select(key.alias(key_col)).distinct()
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("sketch_row"),
+                _cms_bucket(F.col(key_col), d, width, salt).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    probed = probes.select(
+        key_col, F.explode(cells).alias("__cell")
+    ).select(
+        key_col,
+        F.col("__cell.sketch_row").alias("sketch_row"),
+        F.col("__cell.bucket").alias("bucket"),
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["sketch_row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias(out_col))
+    )

@@ -859,3 +859,162 @@ def cap_per_group(
         .drop("__rk")
     )
     return under_rows.unionByName(over_rows)
+
+
+def mixture_allocation(
+    df: DataFrame,
+    budget: int,
+    domain_col: str = "domain",
+    avail_col: str = "avail_tokens",
+    weight_col: str = "weight",
+    num_blocks: int = 64,
+) -> DataFrame:
+    """G73: exact water-filling token allocation — split a token
+    ``budget`` across domains in proportion to target ``weight_col``,
+    capping every domain at its ``avail_col`` and re-flowing the
+    undrawable remainder to the domains that still have supply.
+
+    This is the planning step between the G66 domain report (how many
+    tokens each domain HAS) and the G48 budget selector / G30 temperature
+    mix (which documents to TAKE): a target mixture says "40% web, 40%
+    code, 20% books", but a domain short of its share can't donate tokens
+    it doesn't have — naive proportional rates either under-fill the
+    budget or silently over-sample the short domain. Water-filling is the
+    unique allocation ``a_d = min(avail_d, r·w_d)`` with the single rate
+    ``r`` chosen so ``Σ a_d`` reaches the budget (all-avail when the
+    corpus can't reach it).
+
+    Exact and engine-replayable in ONE pass over the sorted ratios, no
+    iteration: sort domains by ``avail/weight`` ascending (the order in
+    which they saturate as ``r`` grows); with exclusive running sums
+    ``(cumA, cumW)`` in that order, domain ``d`` saturates iff
+    ``avail_d · (W − cumW_d) ≤ w_d · (B − cumA_d)`` — every comparison in
+    64-bit INTEGER arithmetic, so the saturated set is bit-identical in
+    every engine. Unsaturated domains get ``w_d · RB div RW`` (integer
+    floor; ``RB, RW`` = budget and weight remaining after the saturated
+    set), leaving a documented shortfall < #unsaturated tokens.
+
+    Scale shape: the running sums use the same two-phase block prefix as
+    :func:`select_to_token_budget` — ``repartitionByRange`` on the
+    saturation order, block-local windows, and an unpartitioned window
+    over the ONE-ROW-PER-BLOCK totals only — so no task ever sorts more
+    than ``|domains| / num_blocks`` rows and the |domains|-row relation
+    (~10⁷ registrable domains at crawl scale) never funnels through one
+    task. Totals and the saturated-set remainder are 1-row broadcasts.
+
+    Caveats: ``avail·W`` and ``w·B`` must stay under 2⁶³ — at ppm-style
+    integer weights (Σw ≤ 10⁶·|domains|) this holds through ~10¹² tokens
+    per domain; rescale weights down if Σw is astronomical. Rows with
+    NULL or non-positive weight take no part in the fill and allocate 0
+    (a zero-weight domain is "don't sample", not "sample freely"); NULL
+    avail counts as 0.
+
+    Returns one row per input domain: ``(domain_col, avail_tokens,
+    weight, saturated, allocated, rate)`` with ``rate`` =
+    ``allocated/avail`` rounded to 6 (NULL when ``avail`` is 0).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    dom = F.col(domain_col)
+    avail = F.coalesce(F.col(avail_col).cast("long"), F.lit(0))
+    w = F.col(weight_col).cast("long")
+
+    base = df.select(
+        dom.alias(domain_col),
+        avail.alias("__avail"),
+        w.alias("__w"),
+    )
+    live = base.filter(F.col("__w") > 0)
+    # NULL weight must land here too: `~(NULL > 0)` is NULL (dropped by
+    # filter), so spell the complement null-safely
+    dead = base.filter(F.col("__w").isNull() | (F.col("__w") <= 0))
+
+    ratio = (F.col("__avail") / F.col("__w")).alias("__ratio")
+    order = [F.col("__ratio").asc(), F.col(domain_col).asc()]
+    blocks = live.select("*", ratio).repartitionByRange(
+        num_blocks, *order
+    ).withColumn("__blk", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__blk")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = blocks.select(
+        "*",
+        F.coalesce(F.sum("__avail").over(w_local), F.lit(0)).alias("__la"),
+        F.coalesce(F.sum("__w").over(w_local), F.lit(0)).alias("__lw"),
+    )
+    btot = blocks.groupBy("__blk").agg(
+        F.sum("__avail").alias("__ta"), F.sum("__w").alias("__tw")
+    )
+    w_base = (
+        Window.partitionBy()
+        .orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # over <= num_blocks rows, never the domain relation
+    bases = btot.select(
+        F.col("__blk").alias("__bblk"),
+        F.coalesce(F.sum("__ta").over(w_base), F.lit(0)).alias("__ba"),
+        F.coalesce(F.sum("__tw").over(w_base), F.lit(0)).alias("__bw"),
+    )
+    totals = btot.agg(
+        F.sum("__ta").alias("__tota"), F.sum("__tw").alias("__totw")
+    )
+    cums = (
+        local.join(F.broadcast(bases), local["__blk"] == bases["__bblk"])
+        .crossJoin(F.broadcast(totals))
+        .select(
+            domain_col,
+            "__avail",
+            "__w",
+            (F.col("__ba") + F.col("__la")).alias("__cuma"),
+            (F.col("__bw") + F.col("__lw")).alias("__cumw"),
+            "__tota",
+            "__totw",
+        )
+    )
+    sat = cums.withColumn(
+        "__sat",
+        F.col("__avail") * (F.col("__totw") - F.col("__cumw"))
+        <= F.col("__w") * (F.lit(budget) - F.col("__cuma")),
+    )
+    rem = sat.agg(
+        (
+            F.lit(budget)
+            - F.coalesce(
+                F.sum(F.when(F.col("__sat"), F.col("__avail"))), F.lit(0)
+            )
+        ).alias("__rb"),
+        (
+            F.coalesce(F.first("__totw"), F.lit(0))
+            - F.coalesce(
+                F.sum(F.when(F.col("__sat"), F.col("__w"))), F.lit(0)
+            )
+        ).alias("__rw"),
+    )
+    filled = (
+        sat.crossJoin(F.broadcast(rem))
+        .select(
+            domain_col,
+            F.col("__avail").alias(avail_col),
+            F.col("__w").alias(weight_col),
+            F.col("__sat").alias("saturated"),
+            F.when(F.col("__sat"), F.col("__avail"))
+            .otherwise(F.expr("(__w * __rb) div __rw").cast("long"))
+            .alias("allocated"),
+        )
+    )
+    empty = dead.select(
+        domain_col,
+        F.col("__avail").alias(avail_col),
+        F.col("__w").alias(weight_col),
+        F.lit(False).alias("saturated"),
+        F.lit(0).cast("long").alias("allocated"),
+    )
+    return filled.unionByName(empty).withColumn(
+        "rate",
+        F.when(
+            F.col(avail_col) > 0,
+            F.round(F.col("allocated") / F.col(avail_col), 6),
+        ),
+    )

@@ -457,3 +457,119 @@ def stream_cap_per_key(
         if window_ms is not None
         else GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_heavy_hitters(
+    events: DataFrame,
+    key_col: str,
+    capacity: int = 256,
+    num_shards: int = 8,
+    count_col: str | None = None,
+) -> DataFrame:
+    """G74: streaming heavy hitters — a SpaceSaving summary (Metwally et
+    al., ICDT'05) of the hottest keys, maintained in bounded state while
+    the stream runs. The streaming complement of G67's exact skew report
+    and G72's count-min sketch: the skew report needs the whole corpus,
+    the sketch needs a candidate set to probe — SpaceSaving TRACKS its
+    own candidates, at most ``capacity`` counters per shard, and still
+    guarantees every key with true count above ``(shard mass)/capacity``
+    is present, with per-key error bounded by the counter it evicted
+    (``err_max``, reported per row; 0 means the count is exact).
+
+    Keys are sharded by ``xxhash64(key) % num_shards`` so the state store
+    spreads across tasks; a shard sees EVERY occurrence of its keys, so
+    per-key counts never split and the union of shard summaries obeys the
+    same guarantee at ``capacity × num_shards`` total counters. Global
+    top-k = take the k largest ``n_est`` over the union (a k-row
+    TakeOrderedAndProject on ≤ capacity·num_shards rows).
+
+    Deterministic: batch counts merge in (count desc, key asc) order and
+    eviction always takes the (count, key)-smallest counter, so a replay
+    produces the identical summary. With ``capacity`` ≥ the shard's
+    distinct keys nothing ever evicts and the summary IS the exact group
+    count (the gate oracle pins that configuration; overflow behavior is
+    pytest-pinned against an in-memory reference — same no-SQL-oracle
+    class as BPE).
+
+    Emits in "update" mode: every microbatch re-emits each updated
+    shard's full current summary ``(key, n_est, err_max)`` — consumers
+    keep the latest emission per key (a monitoring sink) or read the
+    final batch (finite backfills).
+    """
+    if capacity < 1:
+        raise ValueError("stream_heavy_hitters: capacity must be >= 1")
+    if num_shards < 1:
+        raise ValueError("stream_heavy_hitters: num_shards must be >= 1")
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("n_est", T.LongType()),
+            T.StructField("err_max", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("keys", T.ArrayType(T.StringType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+            T.StructField("errs", T.ArrayType(T.LongType())),
+        ]
+    )
+    w = (
+        F.col(count_col).cast("long")
+        if count_col
+        else F.lit(1).cast("long")
+    )
+    src = events.select(
+        F.col(key_col).cast("string").alias("__k"), w.alias("__w")
+    ).filter(F.col("__k").isNotNull())
+    src = src.withColumn(
+        "__shard", F.pmod(F.xxhash64("__k"), F.lit(num_shards))
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        batch = (
+            pdf.groupby("__k", sort=False)["__w"].sum().astype("int64")
+        )
+        if state.exists:
+            keys, counts, errs = state.get
+            summary = {
+                k: [int(c), int(e)]
+                for k, c, e in zip(keys, counts, errs)
+            }
+        else:
+            summary = {}
+        # deterministic merge order: heaviest batch keys first, name-tied
+        items = sorted(batch.items(), key=lambda kv: (-kv[1], kv[0]))
+        for k, c in items:
+            c = int(c)
+            if k in summary:
+                summary[k][0] += c
+            elif len(summary) < capacity:
+                summary[k] = [c, 0]
+            else:
+                evict = min(summary.items(), key=lambda kv: (kv[1][0], kv[0]))
+                floor = evict[1][0]
+                del summary[evict[0]]
+                summary[k] = [floor + c, floor]
+        ks = sorted(summary)
+        state.update(
+            (
+                ks,
+                [summary[k][0] for k in ks],
+                [summary[k][1] for k in ks],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "key": ks,
+                "n_est": [summary[k][0] for k in ks],
+                "err_max": [summary[k][1] for k in ks],
+            }
+        )
+
+    return src.groupBy("__shard").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

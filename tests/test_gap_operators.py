@@ -4028,3 +4028,175 @@ def test_curate_url_dedup_stage_runs_first_and_annotates(spark):
         for r in curate.curate_funnel(docs, **params).collect()
     }
     assert funnel == {None: 2, "url_dup": 1, "quality": 1}
+
+
+def test_cms_sketch_bounds_merge_and_plan(spark):
+    """G72: count-min sketch — never undercounts, exact when collision-free,
+    mergeable by summing cells, weighted builds, NULL keys skipped, and the
+    probe join broadcasts the sketch (not the probe side)."""
+    from ferc_xbrl_extractor_spark.operators.analytics import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d"] * 2 + ["e"] * 1
+    df = spark.createDataFrame([(k,) for k in rows], "k string")
+    truth = {"a": 50, "b": 20, "c": 5, "d": 2, "e": 1}
+    probes = spark.createDataFrame([(k,) for k in truth], "k string")
+
+    # tight width forces collisions: estimates may overshoot, never under
+    sk_tight = cms_build(df, "k", depth=3, width=4)
+    est_tight = {
+        r["k"]: r["n_est"]
+        for r in cms_estimate(sk_tight, probes, "k", depth=3, width=4).collect()
+    }
+    assert set(est_tight) == set(truth)
+    for k, n in truth.items():
+        assert est_tight[k] >= n
+    # sketch relation never exceeds depth x width cells
+    assert sk_tight.count() <= 3 * 4
+
+    # roomy width: 5 keys in 4096 buckets x 3 rows -> exact (deterministic
+    # given the fixed md5 salts; this would fail permanently, not flakily)
+    sk = cms_build(df, "k", depth=3, width=4096)
+    est = {
+        r["k"]: r["n_est"]
+        for r in cms_estimate(sk, probes, "k", depth=3, width=4096).collect()
+    }
+    assert est == truth
+    # unseen key estimates 0 in the roomy sketch
+    ghost = spark.createDataFrame([("zzz",)], "k string")
+    assert cms_estimate(sk, ghost, "k", depth=3, width=4096).collect()[0][
+        "n_est"
+    ] == 0
+
+    # mergeable: cell-summed union of two half-sketches == whole sketch
+    half1 = cms_build(df.filter("k < 'c'"), "k", depth=3, width=4096)
+    half2 = cms_build(df.filter("k >= 'c'"), "k", depth=3, width=4096)
+    merged = (
+        half1.unionByName(half2)
+        .groupBy("sketch_row", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    whole = {(r["sketch_row"], r["bucket"]): r["n"] for r in sk.collect()}
+    got = {(r["sketch_row"], r["bucket"]): r["n"] for r in merged.collect()}
+    assert got == whole
+
+    # weighted build: count_col multiplies instead of repeating rows
+    wdf = spark.createDataFrame(
+        [("a", 50), ("b", 20), ("c", 5), ("d", 2), ("e", 1)],
+        "k string, n int",
+    )
+    sk_w = cms_build(wdf, "k", depth=3, width=4096, count_col="n")
+    assert {
+        (r["sketch_row"], r["bucket"]): r["n"] for r in sk_w.collect()
+    } == whole
+
+    # NULL keys are skipped, not pooled
+    ndf = spark.createDataFrame([("a",), (None,), (None,)], "k string")
+    sk_n = cms_build(ndf, "k", depth=2, width=16)
+    assert sk_n.agg(F.sum("n")).collect()[0][0] == 2  # 1 row x 2 sketch rows
+
+    # the probe join broadcasts the (<= depth*width row) sketch
+    plan = (
+        cms_estimate(sk, probes, "k", depth=3, width=4096)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="depth"):
+        cms_build(df, "k", depth=0)
+    with _pytest.raises(ValueError, match="width"):
+        cms_build(df, "k", width=1)
+
+
+def test_mixture_allocation_waterfill(spark):
+    """G73: water-filling mixture allocation — hand goldens, the
+    budget>=corpus and budget=0 edges, zero/NULL-weight exclusion,
+    block-count invariance, and equality with an iterative fixpoint
+    reference on seeded random instances."""
+    from ferc_xbrl_extractor_spark.operators.sampling import (
+        mixture_allocation,
+    )
+
+    def run(rows, budget, num_blocks=8):
+        df = spark.createDataFrame(
+            rows, "domain string, avail_tokens long, weight long"
+        )
+        out = mixture_allocation(df, budget, num_blocks=num_blocks)
+        return {
+            r["domain"]: (r["allocated"], r["saturated"], r["rate"])
+            for r in out.collect()
+        }
+
+    # B saturates at 10; A drinks the remaining 50 of the 60 budget
+    got = run([("A", 100, 1), ("B", 10, 1)], 60)
+    assert got == {"A": (50, False, 0.5), "B": (10, True, 1.0)}
+
+    # equal weights, both short of half the budget on one side
+    got = run([("A", 100, 2), ("B", 100, 1)], 90)
+    # nothing saturates: r = 90/3 -> A 60, B 30
+    assert got == {"A": (60, False, 0.6), "B": (30, False, 0.3)}
+
+    # budget >= corpus: everything saturates at avail
+    got = run([("A", 5, 1), ("B", 7, 3)], 1000)
+    assert got == {"A": (5, True, 1.0), "B": (7, True, 1.0)}
+
+    # budget 0: all zero
+    got = run([("A", 5, 1), ("B", 7, 3)], 0)
+    assert {k: v[0] for k, v in got.items()} == {"A": 0, "B": 0}
+
+    # zero/NULL weight: excluded from the fill, allocated 0; NULL avail = 0
+    got = run(
+        [("A", 100, 1), ("Z", 50, 0), ("N", 50, None), ("E", None, 2)], 80
+    )
+    assert got["Z"] == (0, False, 0.0)
+    assert got["N"] == (0, False, 0.0)
+    assert got["E"][0] == 0 and got["E"][2] is None  # avail 0 -> rate NULL
+    # A and E split by weight, E has nothing: A takes the whole budget
+    assert got["A"] == (80, False, 0.8)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="budget"):
+        run([("A", 1, 1)], -1)
+
+    # iterative fixpoint reference on seeded random instances; also pins
+    # block-count invariance (1 block == 8 blocks == 64)
+    import random as _random
+
+    def ref(items, budget):
+        sat: set = set()
+        while True:
+            rb = budget - sum(a for d, (a, w) in items.items() if d in sat)
+            rw = sum(w for d, (a, w) in items.items() if d not in sat)
+            new = set(sat)
+            for d, (a, w) in items.items():
+                if d not in sat and rw > 0 and a * rw <= w * rb:
+                    new.add(d)
+            if new == sat:
+                break
+            sat = new
+        rb = budget - sum(a for d, (a, w) in items.items() if d in sat)
+        rw = sum(w for d, (a, w) in items.items() if d not in sat)
+        return {
+            d: a if d in sat else (w * rb) // rw
+            for d, (a, w) in items.items()
+        }
+
+    rng = _random.Random(7)
+    for trial in range(4):
+        n = rng.randint(1, 9)
+        items = {
+            f"d{i}": (rng.randint(0, 60), rng.randint(1, 9))
+            for i in range(n)
+        }
+        budget = rng.randint(0, 250)
+        rows = [(d, a, w) for d, (a, w) in items.items()]
+        expect = ref(items, budget)
+        got1 = {k: v[0] for k, v in run(rows, budget, num_blocks=1).items()}
+        got8 = {k: v[0] for k, v in run(rows, budget, num_blocks=8).items()}
+        assert got1 == expect, (items, budget, got1, expect)
+        assert got8 == expect, (items, budget)

@@ -810,3 +810,71 @@ def test_stream_cap_per_key_quota_and_windows(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="cap"):
         stream_cap_per_key(stream2, ["event_type"], "ts", "event_id", [], cap=0)
+
+
+def test_stream_heavy_hitters_exact_and_eviction(spark, tmp_path):
+    """G74: SpaceSaving heavy hitters — exact when capacity covers the
+    shard's keys, guarantee-preserving under eviction (matches an
+    in-memory reference replay), cross-batch accumulation, weighted
+    counts, and validation."""
+    from ferc_xbrl_extractor_spark.streaming.stateful import (
+        stream_heavy_hitters,
+    )
+
+    def feed(batches, **kw):
+        path = str(tmp_path / f"hh_{abs(hash(str(batches) + str(kw)))}")
+        schema = "k string, n long"
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        out = stream_heavy_hitters(stream, "k", **kw)
+        name = f"hh{abs(hash(str(batches) + str(kw)))}"
+        got = _drain(spark, out, name, mode="update").collect()
+        # update mode re-emits per batch; per-key counts are monotone
+        # (an evicted counter only ever re-enters at or above its old
+        # value), so the final summary is the max emission per key
+        final: dict = {}
+        for r in got:
+            if r["key"] not in final or r["n_est"] > final[r["key"]][0]:
+                final[r["key"]] = (r["n_est"], r["err_max"])
+        return final
+
+    # capacity >= distinct keys: exact counts, zero error, single batch
+    rows = [("a", 1)] * 5 + [("b", 1)] * 3 + [("c", 1)] * 1
+    got = feed([rows], capacity=16, num_shards=2)
+    assert got == {"a": (5, 0), "b": (3, 0), "c": (1, 0)}
+
+    # cross-batch accumulation stays exact
+    got = feed([rows, rows], capacity=16, num_shards=2)
+    assert got == {"a": (10, 0), "b": (6, 0), "c": (2, 0)}
+
+    # weighted: count_col multiplies
+    got = feed([[("a", 7), ("b", 2), ("a", 3)]], capacity=8,
+               num_shards=1, count_col="n")
+    assert got == {"a": (10, 0), "b": (2, 0)}
+
+    # eviction: capacity 2, one shard — replay the documented merge
+    # (batch keys in (count desc, key asc) order, evict (count, key)-min)
+    batch = [("a", 1)] * 6 + [("b", 1)] * 4 + [("c", 1)] * 3 + [("d", 1)]
+    got = feed([batch], capacity=2, num_shards=1)
+    # merge order a(6), b(4), c(3), d(1): a,b fill; c evicts b(4)->7 err 4;
+    # d evicts a(6)->7 err 6
+    assert got == {"c": (7, 4), "d": (7, 6)}
+    # SpaceSaving guarantee held: every estimate >= true count of its key,
+    # and the total mass is conserved across the summary minimum
+    assert got["c"][0] >= 3 and got["d"][0] >= 1
+
+    with pytest.raises(ValueError, match="capacity"):
+        stream_heavy_hitters(
+            spark.readStream.schema("k string, n long").parquet(
+                str(tmp_path)
+            ),
+            "k",
+            capacity=0,
+        )
