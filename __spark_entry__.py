@@ -1944,6 +1944,103 @@ def q_g67_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g72_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G72: count-min sketch frequency estimation (analytics.cms_build +
+    cms_estimate) over the g67 synthetic skew relation, with a
+    deliberately tight width=64 so buckets collide and the min-over-rows
+    matters. Probes the keys < 21 (the hot key 0 plus 20 cold ones) and
+    reports exact vs estimated counts with the overcount — estimates can
+    exceed, never undercut, the truth. The oracle replays the md5-derived
+    buckets, the (sketch_row, bucket) cell sums, the left-join min, and
+    the exact counts in SQL."""
+    from ferc_xbrl_extractor_spark.operators import analytics
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 997)
+        .alias("skew_key")
+    )
+    sk = analytics.cms_build(li, "skew_key", depth=3, width=64)
+    probes = li.filter(F.col("skew_key") < 21)
+    est = analytics.cms_estimate(
+        sk, probes, "skew_key", depth=3, width=64
+    ).select(F.col("skew_key").cast("long").alias("skew_key"), "n_est")
+    exact = probes.groupBy("skew_key").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        est.join(exact, "skew_key")
+        .select(
+            "skew_key",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_est").cast("long").alias("n_est"),
+            (F.col("n_est") - F.col("n_exact"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .orderBy("skew_key")
+    )
+
+
+def q_g73_mixture_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G73: water-filling mixture allocation (sampling.mixture_allocation)
+    — per-source char supply from documents, a literal target-weight CASE
+    (three 8-weight domains that saturate, three 3-weight, thirteen
+    1-weight, one 0-weight excluded), budget 60k < supply so the
+    re-flow is exercised. The oracle replays the sorted-ratio exclusive
+    cumulative sums, the integer saturation inequality, and the floor
+    division in one window pass."""
+    from ferc_xbrl_extractor_spark.operators.sampling import (
+        mixture_allocation,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    avail = docs.groupBy(F.col("source").alias("domain")).agg(
+        F.sum(F.length("text")).cast("long").alias("avail_tokens")
+    )
+    wt = (
+        F.when(F.col("domain").isin("src0", "src1", "src2"), F.lit(8))
+        .when(F.col("domain").isin("src3", "src4", "src5"), F.lit(3))
+        .when(F.col("domain") == "src19", F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    out = mixture_allocation(
+        avail.withColumn("weight", wt.cast("long")), budget=60_000
+    )
+    return out.select(
+        "domain",
+        F.col("avail_tokens").cast("long").alias("avail_tokens"),
+        F.col("weight").cast("long").alias("weight"),
+        "saturated",
+        F.col("allocated").cast("long").alias("allocated"),
+        "rate",
+    ).orderBy("domain")
+
+
+def q_g74_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G74: streaming heavy hitters (stateful.stream_heavy_hitters) over a
+    one-file event stream with capacity 64 >> the 5 distinct event types —
+    nothing evicts, so the SpaceSaving summary IS the exact group count
+    with err_max 0 (the oracle's plain GROUP BY); eviction behavior and
+    cross-batch accumulation are pytest-pinned."""
+    from ferc_xbrl_extractor_spark.streaming.stateful import (
+        stream_heavy_hitters,
+    )
+
+    events = _t(spark, sf_dir, "events").select("event_type")
+    tmp = _cached_fixture(
+        "g74_topk_in",
+        sf_dir,
+        lambda d: events.coalesce(1).write.mode("overwrite").parquet(d),
+    )
+    stream = spark.readStream.schema(events.schema).parquet(tmp)
+    out = stream_heavy_hitters(stream, "event_type", capacity=64,
+                               num_shards=2)
+    return _drain_stream(spark, out, "g74_topk", mode="update").orderBy(
+        "key"
+    )
+
+
 def q_g19_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G19: bucketized point-in-interval join — each user's non-signup
     events matched to the 2-hour windows opened by that user's signup
@@ -3405,6 +3502,9 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g58_stream_quality": q_g58_stream_quality,
         "g13b_salted_auto": q_g13b_salted_auto,
         "g67_skew_report": q_g67_skew_report,
+        "g72_cms_topk": q_g72_cms_topk,
+        "g73_mixture_alloc": q_g73_mixture_alloc,
+        "g74_stream_topk": q_g74_stream_topk,
         "g59_cap_per_group": q_g59_cap_per_group,
         "g60_md_text": q_g60_md_text,
         "g64_url_dedup": q_g64_url_dedup,
@@ -5529,6 +5629,121 @@ def fine_oracle_sql() -> dict[str, str]:
         ORDER BY n_rows DESC, skew_key LIMIT 10
     """
 
+    # G72: count-min sketch — md5-derived buckets (the Spark _cms_bucket
+    # recipe: 'cms{row}:' salt, first 15 md5 hex digits as a 60-bit int,
+    # mod width), cell sums, probe left-join min, exact counts joined.
+    _cms_b = (
+        "CAST(('0x' || substr(md5('cms' || CAST({d} AS VARCHAR) || ':' || "
+        "CAST(skew_key AS VARCHAR)), 1, 15)) AS BIGINT) % 64"
+    )
+    sql["g72_cms_topk"] = f"""
+        WITH keyed AS (
+            SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0
+                        ELSE l_orderkey % 997 END AS skew_key
+            FROM lineitem
+        ),
+        rows3 AS (SELECT unnest([0, 1, 2]) AS d),
+        sk AS (
+            SELECT d AS sketch_row, {_cms_b.format(d='d')} AS bucket,
+                   COUNT(*) AS n
+            FROM keyed CROSS JOIN rows3
+            GROUP BY 1, 2
+        ),
+        probes AS (
+            SELECT DISTINCT skew_key FROM keyed WHERE skew_key < 21
+        ),
+        pb AS (
+            SELECT skew_key, d AS sketch_row,
+                   {_cms_b.format(d='d')} AS bucket
+            FROM probes CROSS JOIN rows3
+        ),
+        est AS (
+            SELECT pb.skew_key, MIN(COALESCE(sk.n, 0)) AS n_est
+            FROM pb LEFT JOIN sk USING (sketch_row, bucket)
+            GROUP BY 1
+        ),
+        exact AS (
+            SELECT skew_key, COUNT(*) AS n_exact FROM keyed
+            WHERE skew_key < 21 GROUP BY 1
+        )
+        SELECT est.skew_key,
+               CAST(exact.n_exact AS BIGINT) AS n_exact,
+               CAST(est.n_est AS BIGINT) AS n_est,
+               CAST(est.n_est - exact.n_exact AS BIGINT) AS overcount
+        FROM est JOIN exact USING (skew_key)
+        ORDER BY est.skew_key
+    """
+
+    # G73: water-filling — sorted-ratio exclusive cumsums, integer
+    # saturation inequality, floor division; mirrors mixture_allocation.
+    sql["g73_mixture_alloc"] = """
+        WITH avail AS (
+            SELECT source AS domain,
+                   CAST(SUM(length(text)) AS BIGINT) AS a
+            FROM documents GROUP BY 1
+        ),
+        weighted AS (
+            SELECT domain, a,
+                   CAST(CASE
+                        WHEN domain IN ('src0', 'src1', 'src2') THEN 8
+                        WHEN domain IN ('src3', 'src4', 'src5') THEN 3
+                        WHEN domain = 'src19' THEN 0
+                        ELSE 1 END AS BIGINT) AS wt
+            FROM avail
+        ),
+        live AS (SELECT * FROM weighted WHERE wt > 0),
+        tot AS (
+            SELECT CAST(SUM(a) AS BIGINT) AS ta,
+                   CAST(SUM(wt) AS BIGINT) AS tw
+            FROM live
+        ),
+        cums AS (
+            SELECT domain, a, wt,
+                   COALESCE(SUM(a) OVER w, 0) AS cuma,
+                   COALESCE(SUM(wt) OVER w, 0) AS cumw
+            FROM live
+            WINDOW w AS (ORDER BY a * 1.0 / wt ASC, domain ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        sat AS (
+            SELECT cums.*,
+                   a * (tw - cumw) <= wt * (60000 - cuma) AS is_sat
+            FROM cums CROSS JOIN tot
+        ),
+        rem AS (
+            SELECT 60000 - COALESCE(SUM(CASE WHEN is_sat THEN a END), 0)
+                       AS rb,
+                   (SELECT tw FROM tot)
+                       - COALESCE(SUM(CASE WHEN is_sat THEN wt END), 0)
+                       AS rw
+            FROM sat
+        ),
+        filled AS (
+            SELECT domain, a, wt, is_sat,
+                   CAST(CASE WHEN is_sat THEN a
+                             ELSE (wt * rb) // rw END AS BIGINT)
+                       AS allocated
+            FROM sat CROSS JOIN rem
+            UNION ALL
+            SELECT domain, a, wt, FALSE, CAST(0 AS BIGINT)
+            FROM weighted WHERE wt IS NULL OR wt <= 0
+        )
+        SELECT domain, a AS avail_tokens, wt AS weight,
+               is_sat AS saturated, allocated,
+               CASE WHEN a > 0
+                    THEN ROUND(allocated * 1.0 / a, 6) END AS rate
+        FROM filled ORDER BY domain
+    """
+
+    # G74: capacity >= distinct keys -> the SpaceSaving summary is the
+    # exact group count with zero error.
+    sql["g74_stream_topk"] = """
+        SELECT event_type AS key,
+               CAST(COUNT(*) AS BIGINT) AS n_est,
+               CAST(0 AS BIGINT) AS err_max
+        FROM events GROUP BY 1 ORDER BY 1
+    """
+
     # G59: per-group cap — QUALIFY replay over the same synthetic skew
     sql["g59_cap_per_group"] = """
         SELECT doc_id, grp, CAST(n_chars AS BIGINT) AS n_chars FROM (
@@ -6741,7 +6956,7 @@ _SUITES: dict[str, list[str]] = {
     "xbrl_join_suite": ["xbrl_context_join", "xbrl_ref_integrity"],
     "g12_stream_suite": [
         "g12_stream_dedup", "g12_stream_asof", "s8_stream_extract",
-        "g53_stream_neardup", "g63_stream_cap",
+        "g53_stream_neardup", "g63_stream_cap", "g74_stream_topk",
     ],
     "g11_media_suite": [
         "g11_multimodal", "g11_frame_sample", "g11_ppm_real",
@@ -6753,7 +6968,7 @@ _SUITES: dict[str, list[str]] = {
         "g14_split", "g14_sample_rate", "g14_sample_stratified",
         "g30_temperature_mix", "g47_leakage_safe_split",
         "g48_budget_select", "g51_score_buckets", "g59_cap_per_group",
-        "g14_weighted_sample",
+        "g14_weighted_sample", "g73_mixture_alloc",
     ],
     "g4_doc_suite": [
         "g4_language_id", "g4_fingerprint", "g4_repetition", "g55_novelty",
@@ -6807,7 +7022,7 @@ _SUITES: dict[str, list[str]] = {
     ],
     "g_analytics_misc_suite": [
         "g21_unpivot", "g13_salted_agg", "g13b_salted_auto", "g10_json",
-        "g25_zorder", "g67_skew_report",
+        "g25_zorder", "g67_skew_report", "g72_cms_topk",
     ],
     "g32_report_suite": ["g32_corpus_report", "g32_stratum_report"],
     "g_boilerplate_suite": [
@@ -6918,6 +7133,9 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g13_salted_agg": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
     "g13b_salted_auto": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
     "g67_skew_report": [("skew_key", "i"), ("n_rows", "i"), ("n_total", "i"), ("share", "n"), ("salt_need", "i")],
+    "g72_cms_topk": [("skew_key", "i"), ("n_exact", "i"), ("n_est", "i"), ("overcount", "i")],
+    "g73_mixture_alloc": [("domain", "s"), ("avail_tokens", "i"), ("weight", "i"), ("saturated", "b"), ("allocated", "i"), ("rate", "n")],
+    "g74_stream_topk": [("key", "s"), ("n_est", "i"), ("err_max", "i")],
     "g59_cap_per_group": [("doc_id", "i"), ("grp", "s"), ("n_chars", "i")],
     "g60_md_text": [("doc_id", "i"), ("clean_md5", "s"), ("n_clean_chars", "i")],
     "g64_url_dedup": [("url", "s"), ("doc_id", "i")],
