@@ -58,6 +58,10 @@ INTENTIONAL_BNLJ = {
     # onto the per-key counts for the share/salt_need projection (the
     # g4_bm25 shape).
     "g67_skew_report",
+    # g73_mixture_alloc: two ONE-row relations (live totals, post-
+    # saturation remainder) broadcast onto the |domains|-row allocation
+    # (the g67/g4_bm25 shape).
+    "g73_mixture_alloc",
     # g29_coverage / g38_bigram_lm: ONE-row corpus-total / vocab-size
     # relation cross-joined into the projection (the g4_bm25 shape).
     "g29_coverage",
