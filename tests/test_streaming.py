@@ -850,14 +850,10 @@ def test_stream_heavy_hitters_exact_and_eviction(spark, tmp_path):
     got = feed([rows], capacity=16, num_shards=2)
     assert got == {"a": (5, 0), "b": (3, 0), "c": (1, 0)}
 
-    # cross-batch accumulation stays exact
-    got = feed([rows, rows], capacity=16, num_shards=2)
-    assert got == {"a": (10, 0), "b": (6, 0), "c": (2, 0)}
-
-    # weighted: count_col multiplies
-    got = feed([[("a", 7), ("b", 2), ("a", 3)]], capacity=8,
-               num_shards=1, count_col="n")
-    assert got == {"a": (10, 0), "b": (2, 0)}
+    # cross-batch accumulation stays exact, weighted by count_col
+    got = feed([[("a", 7), ("b", 2)], [("a", 3), ("c", 4)]],
+               capacity=16, num_shards=2, count_col="n")
+    assert got == {"a": (10, 0), "b": (2, 0), "c": (4, 0)}
 
     # eviction: capacity 2, one shard — replay the documented merge
     # (batch keys in (count desc, key asc) order, evict (count, key)-min)
