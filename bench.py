@@ -81,6 +81,9 @@ HEADLINE = [
     "g64_url_dedup",
     "g66_domain_report",
     "g67_skew_report",
+    "g72_cms_topk",
+    "g73_mixture_alloc",
+    "g74_stream_topk",
     "g26_dup_spans",
     "g29_vocab",
     "g29_encode",

@@ -3,6 +3,7 @@
     python -m ferc_xbrl_extractor_spark.epoch_cli CORPUS \
         --output OUT [--input-format parquet|jsonl|csv] \
         [--rates web=1.5,books=4.3 --key-col source --default-rate 1.0] \
+        [--target-weights web=8,code=3 --token-budget 1000000] \
         [--budget 2048] [--by source] [--salt s1] [--token-col n_tok] \
         [--materialize] [--shards 16] \
         [--output-format parquet|json|csv] [--manifest]
@@ -57,6 +58,20 @@ def parse(argv: list[str] | None = None) -> argparse.Namespace:
         default="parquet",
     )
     p.add_argument("--rates", help="Mixture spec: stratum=epochs[,...]")
+    p.add_argument(
+        "--target-weights",
+        help="G73 water-filling: stratum=weight[,...] target mixture; "
+        "with --token-budget, derives supply-feasible rates instead of "
+        "--rates (mutually exclusive with it).",
+    )
+    p.add_argument(
+        "--token-budget", type=int,
+        help="Total token budget for --target-weights.",
+    )
+    p.add_argument(
+        "--default-weight", type=int, default=1,
+        help="Weight for strata missing from --target-weights.",
+    )
     p.add_argument("--key-col", default="source")
     p.add_argument("--default-rate", type=float, default=1.0)
     p.add_argument("--id-col", default="doc_id")
@@ -93,9 +108,36 @@ def run_main(args: argparse.Namespace) -> int:
     else:
         docs = load_documents_csv(spark, args.corpus)
 
+    if args.target_weights and args.rates:
+        raise SystemExit("--target-weights and --rates are mutually exclusive")
+    if bool(args.target_weights) != (args.token_budget is not None):
+        raise SystemExit("--target-weights and --token-budget go together")
+    if args.target_weights:
+        from ferc_xbrl_extractor_spark.pipeline.epoch import mixture_rates
+
+        weights = {
+            k: int(v)
+            for k, v in (
+                part.partition("=")[::2]
+                for part in args.target_weights.split(",")
+                if part
+            )
+        }
+        rates = mixture_rates(
+            docs,
+            budget=args.token_budget,
+            weights=weights,
+            key_col=args.key_col,
+            text_col=args.text_col,
+            token_col=args.token_col,
+            default_weight=args.default_weight,
+        )
+    else:
+        rates = _parse_rates(args.rates)
+
     epoch = build_epoch(
         docs,
-        rates=_parse_rates(args.rates),
+        rates=rates,
         key_col=args.key_col,
         default_rate=args.default_rate,
         id_col=args.id_col,
@@ -117,6 +159,11 @@ def run_main(args: argparse.Namespace) -> int:
     )
     summary = {
         "input_rows": docs.count(),
+        **(
+            {"derived_rates": {k: rates[k] for k in sorted(rates)}}
+            if args.target_weights
+            else {}
+        ),
         "epoch_rows": n_rows,
         "sequences": int(n_seqs),
         "budget": args.budget,

@@ -106,3 +106,54 @@ def build_epoch(
             packed, text_col=text_col, by=by
         )
     return packed
+
+
+def mixture_rates(
+    df: DataFrame,
+    budget: int,
+    weights: dict[str, int],
+    key_col: str = "source",
+    text_col: str = "text",
+    token_col: str | None = None,
+    default_weight: int = 1,
+) -> dict[str, float]:
+    """G73 → G41 bridge: turn a target weight mixture + token budget into
+    the per-stratum ``rates`` dict :func:`build_epoch` consumes.
+
+    Measures each stratum's token supply from the corpus (ONE map-side-
+    combinable aggregate), water-fills the budget across strata with
+    :func:`~ferc_xbrl_extractor_spark.operators.sampling.mixture_allocation`
+    (integer-exact, supply-capped, remainder re-flowed), and returns
+    ``{stratum: allocated/avail}`` — sampling rates in [0, 1], supply-
+    feasible by construction. A stratum missing from ``weights`` gets
+    ``default_weight``; weight 0 excludes it (rate 0.0).
+
+    The collect is bounded by the stratum cardinality — this is a
+    mixture over epoch strata (sources / languages / domains-as-buckets),
+    the same |strata|-row class as ``repeat_by_rate``'s rate dict, not
+    the raw |domains| crawl relation. Rates above 1.0 (true multi-epoch
+    upsampling) are a TRAINING choice, not a supply computation — pass
+    those through ``build_epoch(rates=...)`` directly.
+    """
+    from ferc_xbrl_extractor_spark.operators.sampling import (
+        mixture_allocation,
+    )
+
+    n_tok = (
+        F.col(token_col).cast("long")
+        if token_col
+        else F.size(tokens(text_col)).cast("long")
+    )
+    avail = df.groupBy(F.col(key_col).alias("domain")).agg(
+        F.sum(n_tok).alias("avail_tokens")
+    )
+    wt = F.lit(default_weight)
+    for k, v in sorted(weights.items()):
+        wt = F.when(F.col("domain") == k, F.lit(int(v))).otherwise(wt)
+    alloc = mixture_allocation(
+        avail.withColumn("weight", wt.cast("long")), budget=budget
+    )
+    return {
+        r["domain"]: (float(r["rate"]) if r["rate"] is not None else 0.0)
+        for r in alloc.collect()  # bounded: one row per stratum
+    }

@@ -452,3 +452,58 @@ def test_epoch_cli_rates_validation():
     assert _parse_rates(None) is None
     with _pytest.raises(SystemExit):
         _parse_rates("nope")
+
+
+def test_mixture_rates_and_cli_target_weights(spark, tmp_path, capsys):
+    """G73 -> G41 bridge: mixture_rates derives supply-feasible rates
+    (allocated/avail in [0,1], saturated strata at 1.0) and the CLI's
+    --target-weights/--token-budget path threads them into build_epoch;
+    flag pairing is validated."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from ferc_xbrl_extractor_spark.epoch_cli import parse, run_main
+    from ferc_xbrl_extractor_spark.pipeline.epoch import mixture_rates
+
+    # per-stratum supply: a=10 docs x 4 tokens = 40, b=10 x 8 = 80
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(["t"] * (4 if i % 2 else 8)),
+             "a" if i % 2 else "b")
+            for i in range(20)
+        ],
+        "doc_id long, text string, source string",
+    )
+    # weight a=3, b=1, budget 60: ratio a=40/3 saturates first?
+    # r0 = 60/4 = 15 >= 40/3 -> a saturates (40); rb=20, rw=1 -> b gets 20
+    rates = mixture_rates(docs, budget=60, weights={"a": 3, "b": 1})
+    assert rates == {"a": 1.0, "b": 0.25}
+
+    # budget >= supply: every stratum at 1.0
+    rates = mixture_rates(docs, budget=1000, weights={"a": 3})
+    assert rates == {"a": 1.0, "b": 1.0}
+
+    # weight 0 excludes
+    rates = mixture_rates(docs, budget=60, weights={"a": 0, "b": 1})
+    assert rates["a"] == 0.0 and rates["b"] == 0.75
+
+    # CLI path: derived rates recorded in the summary, epoch built
+    src = str(tmp_path / "corpus_tw")
+    docs.write.parquet(src)
+    out = str(tmp_path / "epoch_tw")
+    argv = [src, "--output", out, "--target-weights", "a=3,b=1",
+            "--token-budget", "60", "--budget", "16", "--salt", "s1",
+            "--shards", "2"]
+    assert run_main(parse(argv)) == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["derived_rates"] == {"a": 1.0, "b": 0.25}
+    # a kept whole (10 docs); b subsampled at 0.25 (Bernoulli, not exact)
+    assert 10 <= summary["epoch_rows"] <= 20
+
+    with _pytest.raises(SystemExit, match="mutually exclusive"):
+        run_main(parse(argv + ["--rates", "a=1.0"]))
+    with _pytest.raises(SystemExit, match="go together"):
+        run_main(parse([src, "--output", out, "--target-weights", "a=3"]))
+    with _pytest.raises(SystemExit, match="go together"):
+        run_main(parse([src, "--output", out, "--token-budget", "10"]))
