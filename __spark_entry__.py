@@ -5629,12 +5629,13 @@ def fine_oracle_sql() -> dict[str, str]:
         ORDER BY n_rows DESC, skew_key LIMIT 10
     """
 
-    # G72: count-min sketch — md5-derived buckets (the Spark _cms_bucket
-    # recipe: 'cms{row}:' salt, first 15 md5 hex digits as a 60-bit int,
-    # mod width), cell sums, probe left-join min, exact counts joined.
+    # G72: count-min sketch — Kirsch-Mitzenmacher buckets (ONE md5 per
+    # key: h1/h2 = hex digits 1-15/16-30 as 60-bit ints, bucket_d =
+    # (h1 + d*h2) % width), cell sums, probe left-join min, exact counts.
     _cms_b = (
-        "CAST(('0x' || substr(md5('cms' || CAST({d} AS VARCHAR) || ':' || "
-        "CAST(skew_key AS VARCHAR)), 1, 15)) AS BIGINT) % 64"
+        "(CAST(('0x' || substr(md5('cms' || CAST(skew_key AS VARCHAR)), 1, 15)) AS BIGINT)"
+        " + {d} * CAST(('0x' || substr(md5('cms' || CAST(skew_key AS VARCHAR)), 16, 15)) AS BIGINT))"
+        " % 64"
     )
     sql["g72_cms_topk"] = f"""
         WITH keyed AS (

@@ -374,18 +374,25 @@ def unpivot(
     )
 
 
-def _cms_bucket(key: Column, row: int, width: int, salt: str) -> Column:
-    """Deterministic bucket for sketch row ``row``: the 60-bit integer of
-    the first 15 hex digits of ``md5('{salt}{row}:' || key)`` mod
-    ``width`` — non-negative in every engine (the operand is a positive
-    60-bit value) and replayable in ANSI SQL as
-    ``CAST(('0x' || substr(md5(...), 1, 15)) AS BIGINT) % width``."""
-    u60 = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{salt}{row}:"), key)), 1, 15),
-        16,
-        10,
-    ).cast("bigint")
-    return u60 % width
+def _cms_hashes(key: Column, salt: str) -> tuple[Column, Column]:
+    """ONE md5 per key, split into two independent 60-bit integers
+    (hex digits 1-15 and 16-30) — the Kirsch-Mitzenmacher pair from
+    which every sketch row's bucket derives arithmetically as
+    ``(h1 + row * h2) % width``. One hash per input row instead of
+    ``depth`` (the hash, not the aggregate, dominates the build scan),
+    and still replayable in ANSI SQL:
+    ``CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT)`` / ``substr(..., 16, 15)``."""
+    h = F.md5(F.concat(F.lit(salt), key))
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("bigint")
+    return h1, h2
+
+
+def _cms_bucket(h1: Column, h2: Column, row: int, width: int) -> Column:
+    """Bucket for sketch row ``row``: ``(h1 + row·h2) % width``, non-
+    negative in every engine (both operands are positive 60-bit values;
+    the sum stays far under 2⁶³ for any practical depth)."""
+    return (h1 + F.lit(row) * h2) % width
 
 
 def cms_build(
@@ -427,18 +434,27 @@ def cms_build(
         raise ValueError(f"width must be >= 2, got {width}")
     key = F.col(key_col).cast("string")
     w = (F.col(count_col) if count_col else F.lit(1)).cast("long")
+    h1, h2 = _cms_hashes(key, salt)
+    # materialize the hash pair in its own projection BEFORE the explode:
+    # expressions inlined into the cell array would be recomputed per
+    # sketch row (measured 3x slower at depth 4); as attributes behind a
+    # Generate they evaluate once per input row
+    hashed = df.filter(key.isNotNull()).select(
+        w.alias("__w"), h1.alias("__h1"), h2.alias("__h2")
+    )
     cells = F.array(
         *[
             F.struct(
                 F.lit(d).alias("sketch_row"),
-                _cms_bucket(key, d, width, salt).alias("bucket"),
+                _cms_bucket(
+                    F.col("__h1"), F.col("__h2"), d, width
+                ).alias("bucket"),
             )
             for d in range(depth)
         ]
     )
     return (
-        df.filter(key.isNotNull())
-        .select(F.explode(cells).alias("__cell"), w.alias("__w"))
+        hashed.select(F.explode(cells).alias("__cell"), "__w")
         .groupBy(
             F.col("__cell.sketch_row").alias("sketch_row"),
             F.col("__cell.bucket").alias("bucket"),
@@ -476,16 +492,22 @@ def cms_estimate(
     """
     key = F.col(key_col).cast("string")
     probes = keys.filter(key.isNotNull()).select(key.alias(key_col)).distinct()
+    p1, p2 = _cms_hashes(F.col(key_col), salt)
+    hashed = probes.select(
+        key_col, p1.alias("__h1"), p2.alias("__h2")
+    )  # one md5 per probe, same boundary as the build side
     cells = F.array(
         *[
             F.struct(
                 F.lit(d).alias("sketch_row"),
-                _cms_bucket(F.col(key_col), d, width, salt).alias("bucket"),
+                _cms_bucket(
+                    F.col("__h1"), F.col("__h2"), d, width
+                ).alias("bucket"),
             )
             for d in range(depth)
         ]
     )
-    probed = probes.select(
+    probed = hashed.select(
         key_col, F.explode(cells).alias("__cell")
     ).select(
         key_col,
