@@ -2041,6 +2041,52 @@ def q_g74_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g75_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G75: windowed event funnel (analytics.window_funnel) — signup →
+    click → purchase per user within 7 days of the signup, longest-
+    ordered-prefix semantics. The oracle replays the chained min-reach
+    CTEs with the same INTERVAL arithmetic."""
+    from ferc_xbrl_extractor_spark.operators.analytics import window_funnel
+
+    events = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    out = window_funnel(
+        events, ["signup", "click", "purchase"], window="7 days"
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "steps_reached",
+        "t_first",
+        "t_last",
+    ).orderBy("user_id")
+
+
+def q_g76_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G76: mergeable histogram quantiles (analytics.hist_partials →
+    hist_rollup → hist_quantile): per-(flag, status) bucket counts over
+    literal l_quantity edges, merged up to flag, then p50/p90 by linear
+    interpolation — the whole partial→merge→estimate chain replayed in
+    SQL (the rollup is exact, so the oracle builds the flag-level counts
+    directly)."""
+    from ferc_xbrl_extractor_spark.operators.analytics import (
+        hist_partials,
+        hist_quantile,
+        hist_rollup,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = [1.0, 10.0, 20.0, 30.0, 40.0, 51.0]
+    parts = hist_partials(
+        li, ["l_returnflag", "l_linestatus"], "l_quantity", edges
+    )
+    rolled = hist_rollup(parts, ["l_returnflag"])
+    out = hist_quantile(rolled, ["l_returnflag"], edges, [0.5, 0.9])
+    return out.select("l_returnflag", "p5", "p9").orderBy("l_returnflag")
+
+
 def q_g19_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G19: bucketized point-in-interval join — each user's non-signup
     events matched to the 2-hour windows opened by that user's signup
@@ -3503,6 +3549,8 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g13b_salted_auto": q_g13b_salted_auto,
         "g67_skew_report": q_g67_skew_report,
         "g72_cms_topk": q_g72_cms_topk,
+        "g75_funnel": q_g75_funnel,
+        "g76_hist_quantile": q_g76_hist_quantile,
         "g73_mixture_alloc": q_g73_mixture_alloc,
         "g74_stream_topk": q_g74_stream_topk,
         "g59_cap_per_group": q_g59_cap_per_group,
@@ -5745,6 +5793,86 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1 ORDER BY 1
     """
 
+    # G75: windowed funnel — chained min-reach CTEs, INTERVAL arithmetic.
+    sql["g75_funnel"] = """
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY 1
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts >= s1.t1
+              AND e.ts <= s1.t1 + INTERVAL 7 DAY
+            GROUP BY 1
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e
+            JOIN s1 ON e.user_id = s1.user_id
+            JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+              AND e.ts <= s1.t1 + INTERVAL 7 DAY
+            GROUP BY 1
+        )
+        SELECT s1.user_id,
+               CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                         WHEN s2.t2 IS NOT NULL THEN 2
+                         ELSE 1 END AS INT) AS steps_reached,
+               s1.t1 AS t_first,
+               COALESCE(s3.t3, s2.t2, s1.t1) AS t_last
+        FROM s1
+        LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        ORDER BY s1.user_id
+    """
+
+    # G76: histogram quantiles — literal CASE buckets, window cumsum,
+    # double interpolation mirroring hist_quantile term for term (every
+    # literal CAST to DOUBLE so DuckDB doesn't drift into exact DECIMAL
+    # arithmetic that rounds differently at the 1e-6 digit).
+    sql["g76_hist_quantile"] = """
+        WITH h AS (
+            SELECT l_returnflag,
+                   CASE WHEN CAST(l_quantity AS DOUBLE) < 10.0 THEN 0
+                        WHEN CAST(l_quantity AS DOUBLE) < 20.0 THEN 1
+                        WHEN CAST(l_quantity AS DOUBLE) < 30.0 THEN 2
+                        WHEN CAST(l_quantity AS DOUBLE) < 40.0 THEN 3
+                        ELSE 4 END AS bucket,
+                   COUNT(*) AS n
+            FROM lineitem WHERE l_quantity IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT l_returnflag, bucket, n,
+                   CAST(COALESCE(SUM(n) OVER (
+                       PARTITION BY l_returnflag ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS DOUBLE) AS cb,
+                   CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS DOUBLE)
+                       AS tot,
+                   CAST(CASE bucket WHEN 0 THEN 1.0 WHEN 1 THEN 10.0
+                        WHEN 2 THEN 20.0 WHEN 3 THEN 30.0
+                        ELSE 40.0 END AS DOUBLE) AS lo,
+                   CAST(CASE bucket WHEN 0 THEN 10.0 WHEN 1 THEN 20.0
+                        WHEN 2 THEN 30.0 WHEN 3 THEN 40.0
+                        ELSE 51.0 END AS DOUBLE) AS hi
+            FROM h
+        )
+        SELECT l_returnflag,
+               ROUND(MAX(CASE WHEN cb < CAST(0.5 AS DOUBLE) * tot
+                               AND CAST(0.5 AS DOUBLE) * tot <= cb + n
+                         THEN lo + (hi - lo)
+                              * (CAST(0.5 AS DOUBLE) * tot - cb) / n
+                         END), 6) AS p5,
+               ROUND(MAX(CASE WHEN cb < CAST(0.9 AS DOUBLE) * tot
+                               AND CAST(0.9 AS DOUBLE) * tot <= cb + n
+                         THEN lo + (hi - lo)
+                              * (CAST(0.9 AS DOUBLE) * tot - cb) / n
+                         END), 6) AS p9
+        FROM c GROUP BY 1 ORDER BY 1
+    """
+
     # G59: per-group cap — QUALIFY replay over the same synthetic skew
     sql["g59_cap_per_group"] = """
         SELECT doc_id, grp, CAST(n_chars AS BIGINT) AS n_chars FROM (
@@ -6996,10 +7124,11 @@ _SUITES: dict[str, list[str]] = {
     "g6_multidim_suite": ["g6_rollup", "g6_cube", "g6_grouping_sets"],
     "g7_quantile_suite": [
         "g7_exact_quantiles", "g7_median", "g7_approx_distinct",
-        "g7_hll_merge",
+        "g7_hll_merge", "g76_hist_quantile",
     ],
     "g8_event_window_suite": [
-        "g8_tumbling", "g8_sliding", "g8_session", "g58_stream_quality"
+        "g8_tumbling", "g8_sliding", "g8_session", "g58_stream_quality",
+        "g75_funnel",
     ],
     "g2_neardup_suite": [
         "g2_jaccard", "g2_minhash_lsh", "g2_simhash", "g52_dedup_best",
@@ -7135,6 +7264,8 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g13b_salted_auto": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "n"), ("sum_price", "n")],
     "g67_skew_report": [("skew_key", "i"), ("n_rows", "i"), ("n_total", "i"), ("share", "n"), ("salt_need", "i")],
     "g72_cms_topk": [("skew_key", "i"), ("n_exact", "i"), ("n_est", "i"), ("overcount", "i")],
+    "g75_funnel": [("user_id", "i"), ("steps_reached", "i"), ("t_first", "t"), ("t_last", "t")],
+    "g76_hist_quantile": [("l_returnflag", "s"), ("p5", "n"), ("p9", "n")],
     "g73_mixture_alloc": [("domain", "s"), ("avail_tokens", "i"), ("weight", "i"), ("saturated", "b"), ("allocated", "i"), ("rate", "n")],
     "g74_stream_topk": [("key", "s"), ("n_est", "i"), ("err_max", "i")],
     "g59_cap_per_group": [("doc_id", "i"), ("grp", "s"), ("n_chars", "i")],

@@ -116,6 +116,8 @@ HEADLINE = [
     "g7_exact_quantiles",
     "g8_tumbling",
     "g8_session",
+    "g75_funnel",
+    "g76_hist_quantile",
     "g58_stream_quality",
     "g9_asof_join",
     "g9_asof_forward",

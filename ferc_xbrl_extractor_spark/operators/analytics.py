@@ -519,3 +519,202 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias(out_col))
     )
+
+
+def window_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window: str | None = None,
+) -> DataFrame:
+    """G75: windowed event funnel — for each user, how far through the
+    ordered ``steps`` sequence they progressed (ClickHouse
+    ``windowFunnel`` semantics): step 1 reaches at the user's earliest
+    step-1 event; step ``i`` reaches at the earliest step-``i`` event at
+    or after step ``i-1``'s reach time; with ``window`` (an interval
+    string like ``"7 days"``), every reach must land within that of step
+    1's — INTERVAL arithmetic, exact at any timestamp precision (a
+    seconds-as-double comparison would tie differently across engines at
+    sub-microsecond boundaries). Same-timestamp events
+    count (``>=`` — a signup and a click in the same batch tick both
+    progress the funnel).
+
+    Returns one row per user who reached step 1: ``(user_col,
+    steps_reached, t_first, t_last)`` — the completion distribution is a
+    one-line groupBy away, the per-user relation joins back onto any
+    cohort dimension.
+
+    Plan shape: each step is a type-filtered projection (predicate
+    pushed to the scan) aggregated to ONE row per user, then joined on
+    the user key — after the first exchange every later stage reuses the
+    same hash partitioning (co-partitioned joins + aggregates, no
+    re-shuffle of the big side), and stages shrink monotonically (step
+    ``i``'s input users ⊆ step ``i-1``'s). |steps| is a literal; the
+    chain is |steps| scans of a pushdown-filtered projection — persist
+    the filtered slice upstream if the source is expensive.
+    """
+    if len(steps) < 2:
+        raise ValueError("window_funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
+    user = F.col(user_col)
+    ts = F.col(ts_col)
+    reach = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t1"))
+    )
+    t_cols = ["__t1"]
+    for i, step in enumerate(steps[1:], start=2):
+        prev = t_cols[-1]
+        cond = ts >= F.col(prev)
+        if window is not None:
+            cond = cond & (
+                ts <= F.col("__t1") + F.expr(f"INTERVAL {window}")
+            )
+        prev_cols = [user_col, "__t1"] + ([prev] if prev != "__t1" else [])
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(reach.select(*prev_cols), user_col)
+            .filter(cond)
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"__t{i}"))
+        )
+        reach = reach.join(nxt, user_col, "left")
+        t_cols.append(f"__t{i}")
+    reached = F.lit(1)
+    t_last = F.col("__t1")
+    for i, c in enumerate(t_cols[1:], start=2):
+        reached = F.when(F.col(c).isNotNull(), F.lit(i)).otherwise(reached)
+        t_last = F.when(F.col(c).isNotNull(), F.col(c)).otherwise(t_last)
+    # reached counts the LONGEST PREFIX: a NULL step i makes every later
+    # step's join input empty, so t_{i+1}.. are NULL by construction and
+    # the reverse-order when-chain lands on the last non-NULL prefix
+    return reach.select(
+        user_col,
+        reached.cast("int").alias("steps_reached"),
+        F.col("__t1").alias("t_first"),
+        t_last.alias("t_last"),
+    )
+
+
+def hist_partials(
+    df: DataFrame,
+    part_cols: list[str],
+    value_col: str,
+    edges: list[float],
+) -> DataFrame:
+    """G76: per-partition-group histogram sketch — bucket counts over
+    LITERAL ``edges`` — the mergeable-partials pattern for QUANTILES
+    (the G7 ``hll_partial_sketches`` story, for percentiles instead of
+    distinct counts). ``percentile_approx`` answers one aggregation;
+    materialized bucket counts persist per storage partition (day,
+    shard), merge by plain addition to any coarser grouping
+    (:func:`hist_rollup`), and answer quantile queries forever without
+    rescanning raw data — a day's re-ingest rebuilds one day's counts.
+
+    ``edges`` (ascending, >= 2) define ``len(edges) - 1`` buckets;
+    bucket ``i`` covers ``[edges[i], edges[i+1])`` with both tails
+    clamped (values below the first edge land in bucket 0, above the
+    last in the final bucket — the estimate is range-clipped, pick edges
+    that cover the data; an ``approxQuantile`` probe does). NULL values
+    are not counted.
+
+    Plan shape: ONE map-side-combinable count aggregate over
+    ``part_cols × buckets`` — the literal CASE keeps the bucketing
+    inside codegen and replayable in ANSI SQL.
+
+    Returns ``part_cols + (bucket, n)``.
+    """
+    _validate_edges(edges)
+    v = F.col(value_col).cast("double")
+    bucket = F.lit(len(edges) - 2)
+    for i in range(len(edges) - 2, 0, -1):
+        bucket = F.when(v < F.lit(float(edges[i])), F.lit(i - 1)).otherwise(
+            bucket
+        )
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*part_cols, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _validate_edges(edges: list[float]) -> None:
+    if len(edges) < 2:
+        raise ValueError("edges needs at least 2 entries")
+    if any(b <= a for a, b in zip(edges, edges[1:])):
+        raise ValueError(f"edges must be strictly ascending, got {edges}")
+
+
+def hist_rollup(hist: DataFrame, group_cols: list[str]) -> DataFrame:
+    """G76: merge histogram partials to a coarser grouping — bucket
+    counts add exactly, so unlike a quantile SKETCH the merge loses
+    nothing: the rolled-up histogram is bit-identical to one built from
+    the raw data with the same edges."""
+    return hist.groupBy(*group_cols, "bucket").agg(F.sum("n").alias("n"))
+
+
+def hist_quantile(
+    hist: DataFrame,
+    group_cols: list[str],
+    edges: list[float],
+    qs: list[float],
+) -> DataFrame:
+    """G76: linear-interpolated quantile estimates from bucket counts
+    (the same ``edges`` the partials were built with). For quantile
+    ``q``: find the bucket where the running count crosses ``q·N`` and
+    interpolate inside it —
+    ``lo + (hi − lo) · (q·N − cum_before) / n_bucket`` — deterministic
+    double arithmetic, identical in every engine, error bounded by the
+    bucket width. Empty buckets are skipped by construction (zero-count
+    buckets never cross the rank).
+
+    Plan shape: one window cumsum over the ``groups × buckets`` sketch
+    relation (never the raw data), partitioned by group — the sketch is
+    the operand, so this is dashboard-cheap at any corpus size.
+
+    Returns one row per group: ``group_cols + p<q> ...`` rounded to 6.
+    """
+    _validate_edges(edges)
+    for q in qs:
+        if not 0 < q < 1:
+            raise ValueError(f"quantiles must be in (0, 1), got {q}")
+    w = Window.partitionBy(*group_cols).orderBy("bucket")
+    tot = Window.partitionBy(*group_cols)
+    cum = (
+        hist.withColumn(
+            "__cum_before",
+            F.coalesce(
+                F.sum("n").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("__total", F.sum("n").over(tot))
+    )
+    lo = F.lit(0.0)
+    hi = F.lit(0.0)
+    for i in range(len(edges) - 1):
+        lo = F.when(F.col("bucket") == i, F.lit(float(edges[i]))).otherwise(lo)
+        hi = F.when(F.col("bucket") == i, F.lit(float(edges[i + 1]))).otherwise(
+            hi
+        )
+    aggs = []
+    for q in qs:
+        rank = F.lit(q) * F.col("__total")
+        inside = (F.col("__cum_before") < rank) & (
+            rank <= F.col("__cum_before") + F.col("n")
+        )
+        # the crossing bucket is unique per (group, q): at most one
+        # bucket satisfies cum_before < q·N <= cum_before + n (n > 0)
+        est = F.when(
+            inside,
+            lo + (hi - lo) * (rank - F.col("__cum_before")) / F.col("n"),
+        )
+        name = f"p{str(q).replace('0.', '')}"
+        aggs.append(F.round(F.max(est), 6).alias(name))
+    return cum.groupBy(*group_cols).agg(*aggs)

@@ -4226,3 +4226,110 @@ def _mixture_fixpoint_trials(spark, run, trials, block_grid):
                 k: v[0] for k, v in run(rows, budget, num_blocks=nb).items()
             }
             assert got == expect, (items, budget, nb, got, expect)
+
+
+def test_window_funnel_goldens(spark):
+    """G75: windowed event funnel — per-user longest ordered prefix,
+    same-timestamp progression, the window cutting late completions,
+    out-of-order arrivals (funnel is event-time), and validation."""
+    from ferc_xbrl_extractor_spark.operators.analytics import window_funnel
+
+    rows = [
+        # u1 completes all three in order
+        (1, "2024-01-01 00:00:00", "signup"),
+        (1, "2024-01-02 00:00:00", "click"),
+        (1, "2024-01-03 00:00:00", "purchase"),
+        # u2: purchase BEFORE click -> stops at click (step 2)
+        (2, "2024-01-01 00:00:00", "signup"),
+        (2, "2024-01-03 00:00:00", "click"),
+        (2, "2024-01-02 00:00:00", "purchase"),
+        # u3: same-timestamp signup+click both count; no purchase
+        (3, "2024-01-01 00:00:00", "signup"),
+        (3, "2024-01-01 00:00:00", "click"),
+        # u4: never signed up -> absent from the result
+        (4, "2024-01-01 00:00:00", "click"),
+        (4, "2024-01-02 00:00:00", "purchase"),
+        # u5: completes, but purchase lands outside the 3-day window
+        (5, "2024-01-01 00:00:00", "signup"),
+        (5, "2024-01-02 00:00:00", "click"),
+        (5, "2024-01-09 00:00:00", "purchase"),
+        # u6: two signups; funnel anchors on the EARLIEST
+        (6, "2024-01-05 00:00:00", "signup"),
+        (6, "2024-01-01 00:00:00", "signup"),
+        (6, "2024-01-02 00:00:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+    out = window_funnel(df, ["signup", "click", "purchase"])
+    got = {r["user_id"]: r["steps_reached"] for r in out.collect()}
+    assert got == {1: 3, 2: 2, 3: 2, 5: 3, 6: 2}
+
+    win = window_funnel(df, ["signup", "click", "purchase"], window="3 days")
+    goww = {
+        r["user_id"]: (r["steps_reached"], str(r["t_last"]))
+        for r in win.collect()
+    }
+    assert goww[5] == (2, "2024-01-02 00:00:00")  # purchase beyond window
+    assert goww[1] == (3, "2024-01-03 00:00:00")
+    assert goww[6][0] == 2  # anchored at Jan 1, click Jan 2 inside
+
+    # t_first is always step 1's reach; two-step funnel works
+    two = window_funnel(df, ["click", "purchase"])
+    got2 = {r["user_id"]: r["steps_reached"] for r in two.collect()}
+    assert got2 == {1: 2, 2: 1, 3: 1, 4: 2, 5: 2, 6: 1}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least 2"):
+        window_funnel(df, ["signup"])
+    with _pytest.raises(ValueError, match="distinct"):
+        window_funnel(df, ["signup", "signup"])
+
+
+def test_hist_quantiles_merge_and_estimates(spark):
+    """G76: mergeable histogram quantiles — hand-checked interpolation,
+    rollup ≡ direct build (exact mergeability), tail clamping, NULL
+    skip, and validation."""
+    from ferc_xbrl_extractor_spark.operators.analytics import (
+        hist_partials,
+        hist_quantile,
+        hist_rollup,
+    )
+
+    # 100 values 0.5, 1.5, ..., 99.5 in one group, two storage parts
+    df = spark.createDataFrame(
+        [(("a" if i % 2 else "b"), "g", i + 0.5) for i in range(100)],
+        "part string, grp string, v double",
+    )
+    edges = [0.0, 25.0, 50.0, 75.0, 100.0]
+    parts = hist_partials(df, ["grp", "part"], "v", edges)
+    rolled = hist_rollup(parts, ["grp"])
+    direct = hist_partials(df, ["grp"], "v", edges)
+    assert {
+        (r["grp"], r["bucket"], r["n"]) for r in rolled.collect()
+    } == {(r["grp"], r["bucket"], r["n"]) for r in direct.collect()}
+    # uniform data: 25 per bucket
+    assert {r["n"] for r in direct.collect()} == {25}
+
+    q = hist_quantile(rolled, ["grp"], edges, [0.5, 0.9]).collect()[0]
+    # p50: rank 50 crosses bucket 1 exactly at its end -> 50.0
+    # p90: rank 90 in bucket 3: 75 + 25*(90-75)/25 = 90.0
+    assert q["p5"] == 50.0 and q["p9"] == 90.0
+
+    # tails clamp into the edge buckets
+    t = spark.createDataFrame(
+        [("g", -5.0), ("g", 500.0)], "grp string, v double"
+    )
+    tb = {r["bucket"] for r in hist_partials(t, ["grp"], "v", edges).collect()}
+    assert tb == {0, 3}
+
+    # NULLs are not counted
+    n = spark.createDataFrame([("g", None)], "grp string, v double")
+    assert hist_partials(n, ["grp"], "v", edges).count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ascending"):
+        hist_partials(df, ["grp"], "v", [1.0, 1.0])
+    with _pytest.raises(ValueError, match="quantiles"):
+        hist_quantile(rolled, ["grp"], edges, [1.5])
