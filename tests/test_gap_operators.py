@@ -939,6 +939,7 @@ def test_bloom_no_false_negatives_and_bounded_fpr(spark):
     assert fp / 10000 < 0.03  # nominal 1%, generous headroom
 
 
+@pytest.mark.slow
 def test_bloom_decontaminate_equals_exact(spark):
     """The bloom path is a prefilter + exact verify: output must equal the
     plain broadcast-join decontamination at any fpp."""
@@ -2614,6 +2615,7 @@ def test_split_leakage_report_matrix(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slow
 def test_leakage_safe_split_colocates_clusters(spark):
     from ferc_xbrl_extractor_spark.operators import neardup, sampling
 
@@ -2865,6 +2867,7 @@ def test_score_buckets_exact_and_approx(spark):
         sampling.score_buckets(df, "s", labels=("a", "b"), n_buckets=3)
 
 
+@pytest.mark.slow
 def test_dedup_by_pairs_best_keep_policy(spark):
     from ferc_xbrl_extractor_spark.operators import neardup
 
@@ -2892,6 +2895,7 @@ def test_dedup_by_pairs_best_keep_policy(spark):
     assert naive == [1, 4, 6, 8]
 
 
+@pytest.mark.slow
 def test_curate_corpus_keep_by_and_token_budget_stages(spark):
     from ferc_xbrl_extractor_spark.pipeline import curate
 
@@ -3829,6 +3833,7 @@ def test_domain_report_counts(spark):
     assert got == {"x.com": (3, 2, 9), "y.co.uk": (2, 2, 3)}
 
 
+@pytest.mark.slow
 def test_curate_domain_col_and_group_cap(spark):
     """G66 in the pipeline: domain_col derives the registrable domain
     from url_col in-plan; group_cap over it caps the hot domain; the
@@ -3862,6 +3867,7 @@ def test_curate_domain_col_and_group_cap(spark):
         curate.curate_corpus(docs, domain_col="domain")
 
 
+@pytest.mark.slow
 def test_dedup_by_pairs_twophase_dispatch(spark):
     """cc='twophase' reaches the star-contraction CC from the pair-dedup
     consumers with identical survivors/clusters; bad names raise."""
@@ -4136,19 +4142,6 @@ def test_mixture_allocation_waterfill(spark):
     got = run([("A", 100, 1), ("B", 10, 1)], 60)
     assert got == {"A": (50, False, 0.5), "B": (10, True, 1.0)}
 
-    # equal weights, both short of half the budget on one side
-    got = run([("A", 100, 2), ("B", 100, 1)], 90)
-    # nothing saturates: r = 90/3 -> A 60, B 30
-    assert got == {"A": (60, False, 0.6), "B": (30, False, 0.3)}
-
-    # budget >= corpus: everything saturates at avail
-    got = run([("A", 5, 1), ("B", 7, 3)], 1000)
-    assert got == {"A": (5, True, 1.0), "B": (7, True, 1.0)}
-
-    # budget 0: all zero
-    got = run([("A", 5, 1), ("B", 7, 3)], 0)
-    assert {k: v[0] for k, v in got.items()} == {"A": 0, "B": 0}
-
     # zero/NULL weight: excluded from the fill, allocated 0; NULL avail = 0
     got = run(
         [("A", 100, 1), ("Z", 50, 0), ("N", 50, None), ("E", None, 2)], 80
@@ -4163,15 +4156,12 @@ def test_mixture_allocation_waterfill(spark):
     with _pytest.raises(ValueError, match="budget"):
         run([("A", 1, 1)], -1)
 
-    # one seeded fixpoint-reference instance in the default tier (the
-    # full seeded loop incl. block-count invariance is the slow twin)
-    _mixture_fixpoint_trials(spark, run, trials=1, block_grid=(8,))
-
 
 @pytest.mark.slow
 def test_mixture_allocation_fixpoint_property(spark):
-    """G73 slow twin: seeded random instances vs the iterative fixpoint
-    reference, across block counts (1 == 8 -> blocking invariance)."""
+    """G73 slow twin: the no-saturation / all-saturated / zero-budget
+    edges, plus seeded random instances vs the iterative fixpoint
+    reference across block counts (1 == 8 -> blocking invariance)."""
     from ferc_xbrl_extractor_spark.operators.sampling import (
         mixture_allocation,
     )
@@ -4185,6 +4175,18 @@ def test_mixture_allocation_fixpoint_property(spark):
             r["domain"]: (r["allocated"], r["saturated"], r["rate"])
             for r in out.collect()
         }
+
+    # equal weights, nothing saturates: r = 90/3 -> A 60, B 30
+    got = run([("A", 100, 2), ("B", 100, 1)], 90)
+    assert got == {"A": (60, False, 0.6), "B": (30, False, 0.3)}
+
+    # budget >= corpus: everything saturates at avail
+    got = run([("A", 5, 1), ("B", 7, 3)], 1000)
+    assert got == {"A": (5, True, 1.0), "B": (7, True, 1.0)}
+
+    # budget 0: all zero
+    got = run([("A", 5, 1), ("B", 7, 3)], 0)
+    assert {k: v[0] for k, v in got.items()} == {"A": 0, "B": 0}
 
     _mixture_fixpoint_trials(spark, run, trials=4, block_grid=(1, 8))
 

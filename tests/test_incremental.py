@@ -23,6 +23,7 @@ def index_dir(spark, tmp_path):
     return d
 
 
+@pytest.mark.slow
 def test_increment_dedups_within_batch_and_against_history(spark, index_dir):
     batch = _docs(
         spark,
@@ -272,6 +273,7 @@ def test_incremental_neardup_probe_never_shuffles_the_index(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
 
 
+@pytest.mark.slow
 def test_prune_auto_skips_for_tiny_band_layouts(spark, tmp_path):
     """prefix_len=1 (16 partitions) sits under PRUNE_MIN_PARTITIONS, so
     the driver-side prefix collect is skipped and results are identical

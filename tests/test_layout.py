@@ -75,6 +75,7 @@ def test_zorder_layout_bounds_every_column_span(spark, tmp_path):
     assert spark.read.parquet(zpath).count() == n
 
 
+@pytest.mark.slow
 def test_skipping_report_reads_footers_and_scores_layouts(spark, tmp_path):
     """G25 validator: the footer-only report reproduces file_spans'
     verdict without scanning data — the z-ordered layout skips most row

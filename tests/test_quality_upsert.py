@@ -203,6 +203,7 @@ def test_upsert_parquet_empty_updates_is_noop(spark, tmp_path):
     assert spark.read.parquet(table).count() == 1
 
 
+@pytest.mark.slow
 def test_uniqueness_approx_matches_exact_null_key_semantics(spark):
     """approx=True must skip NULL-keyed rows exactly like count_distinct
     does — a bare struct would count them and flip a failing

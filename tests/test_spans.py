@@ -155,6 +155,7 @@ def test_contamination_spans_runs_and_zeros(spark):
     assert len(out) == 3
 
 
+@pytest.mark.slow
 def test_auto_form_probe_picks_per_corpus_and_is_value_identical(spark):
     """G26 "auto" (r5 review item #8): the probe picks the window form on
     flat corpora and the aggregate form on hot-gram corpora, and BOTH

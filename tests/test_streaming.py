@@ -335,6 +335,7 @@ def test_stream_filings_dir_matches_batch_shred(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_stream_extract_to_parquet_matches_batch_extract(spark, tmp_path):
     """Continuous extract: drained incremental output (one filing per
     microbatch, dynamic-partition-overwrite per filing) must equal the
@@ -512,6 +513,7 @@ def test_gopher_rules_is_stream_safe(spark, tmp_path):
     assert got == batch == {1: True, 2: False}
 
 
+@pytest.mark.slow
 def test_stream_semantic_decontaminate_matches_batch(spark, tmp_path):
     """The G42 literal-matrix path is a stateless projection, so the SAME
     operator call works unchanged on a readStream source — streaming
@@ -812,11 +814,7 @@ def test_stream_cap_per_key_quota_and_windows(spark, tmp_path):
         stream_cap_per_key(stream2, ["event_type"], "ts", "event_id", [], cap=0)
 
 
-def test_stream_heavy_hitters_exact_and_eviction(spark, tmp_path):
-    """G74: SpaceSaving heavy hitters — exact when capacity covers the
-    shard's keys, guarantee-preserving under eviction (matches an
-    in-memory reference replay), cross-batch accumulation, weighted
-    counts, and validation."""
+def _hh_feed(spark, tmp_path, batches, **kw):
     from ferc_xbrl_extractor_spark.streaming.stateful import (
         stream_heavy_hitters,
     )
@@ -845,26 +843,21 @@ def test_stream_heavy_hitters_exact_and_eviction(spark, tmp_path):
                 final[r["key"]] = (r["n_est"], r["err_max"])
         return final
 
-    # capacity >= distinct keys: exact counts, zero error, single batch
+    return feed(batches, **kw)
+
+
+def test_stream_heavy_hitters_exact(spark, tmp_path):
+    """G74 default tier: exact counts with zero error when capacity
+    covers the shard's keys (the gate oracle's configuration), plus
+    validation; eviction and cross-batch accumulation run in the slow
+    twin."""
+    from ferc_xbrl_extractor_spark.streaming.stateful import (
+        stream_heavy_hitters,
+    )
+
     rows = [("a", 1)] * 5 + [("b", 1)] * 3 + [("c", 1)] * 1
-    got = feed([rows], capacity=16, num_shards=2)
+    got = _hh_feed(spark, tmp_path, [rows], capacity=16, num_shards=2)
     assert got == {"a": (5, 0), "b": (3, 0), "c": (1, 0)}
-
-    # cross-batch accumulation stays exact, weighted by count_col
-    got = feed([[("a", 7), ("b", 2)], [("a", 3), ("c", 4)]],
-               capacity=16, num_shards=2, count_col="n")
-    assert got == {"a": (10, 0), "b": (2, 0), "c": (4, 0)}
-
-    # eviction: capacity 2, one shard — replay the documented merge
-    # (batch keys in (count desc, key asc) order, evict (count, key)-min)
-    batch = [("a", 1)] * 6 + [("b", 1)] * 4 + [("c", 1)] * 3 + [("d", 1)]
-    got = feed([batch], capacity=2, num_shards=1)
-    # merge order a(6), b(4), c(3), d(1): a,b fill; c evicts b(4)->7 err 4;
-    # d evicts a(6)->7 err 6
-    assert got == {"c": (7, 4), "d": (7, 6)}
-    # SpaceSaving guarantee held: every estimate >= true count of its key,
-    # and the total mass is conserved across the summary minimum
-    assert got["c"][0] >= 3 and got["d"][0] >= 1
 
     with pytest.raises(ValueError, match="capacity"):
         stream_heavy_hitters(
@@ -874,3 +867,24 @@ def test_stream_heavy_hitters_exact_and_eviction(spark, tmp_path):
             "k",
             capacity=0,
         )
+
+
+@pytest.mark.slow
+def test_stream_heavy_hitters_eviction_and_crossbatch(spark, tmp_path):
+    """G74 slow twin: eviction replays the documented in-memory merge;
+    cross-batch accumulation stays exact and count_col weights."""
+    # cross-batch accumulation stays exact, weighted by count_col
+    got = _hh_feed(spark, tmp_path,
+                   [[("a", 7), ("b", 2)], [("a", 3), ("c", 4)]],
+                   capacity=16, num_shards=2, count_col="n")
+    assert got == {"a": (10, 0), "b": (2, 0), "c": (4, 0)}
+
+    # eviction: capacity 2, one shard — replay the documented merge
+    # (batch keys in (count desc, key asc) order, evict (count, key)-min)
+    batch = [("a", 1)] * 6 + [("b", 1)] * 4 + [("c", 1)] * 3 + [("d", 1)]
+    got = _hh_feed(spark, tmp_path, [batch], capacity=2, num_shards=1)
+    # merge order a(6), b(4), c(3), d(1): a,b fill; c evicts b(4)->7 err 4;
+    # d evicts a(6)->7 err 6
+    assert got == {"c": (7, 4), "d": (7, 6)}
+    # SpaceSaving guarantee held: every estimate >= true count of its key
+    assert got["c"][0] >= 3 and got["d"][0] >= 1
