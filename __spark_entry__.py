@@ -965,6 +965,20 @@ def q_g3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g77_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G77: IVF kNN self-join (similarity.knn_join) — every embedding's
+    top-4 cosine neighbors probing its 2 nearest of the 8 supplied
+    inverted lists; the query side is the corpus (no broadcast, no cross
+    join — ONE cluster-keyed equi-join). The oracle replays home-list
+    argmax, the top-2 probe QUALIFY, the pair join, and the ranked top-k
+    (the g3_ivf recipe with probes = every vector)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cvecs = _ivf_centroids(spark, sf_dir)
+    # no final orderBy: the gate's value hash is order-insensitive and
+    # the global sort would be the plan's only corpus-wide exchange
+    return similarity.knn_join(emb, cvecs, k=4, nprobe=2)
+
+
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     emb = _t(spark, sf_dir, "embeddings")
     cvecs = _IVF_CENTROID_CACHE.get(sf_dir)
@@ -3500,6 +3514,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_cosine_topk": q_g3_cosine_topk,
         "g3_lsh_topk": q_g3_lsh_topk,
         "g3_ivf_topk": q_g3_ivf_topk,
+        "g77_knn_join": q_g77_knn_join,
         "g3_recall": q_g3_recall,
         "g3_embedding_neardup": q_g3_embedding_neardup,
         "g42_semantic_decon": q_g42_semantic_decon,
@@ -4380,6 +4395,46 @@ def fine_oracle_sql() -> dict[str, str]:
                         LEAST(nr.n_relevant, 5)) AS DOUBLE),
                    0.0), 4) AS ndcg
         FROM nr LEFT JOIN ph ON nr.query_id = ph.query_id
+    """
+
+    # G77: IVF kNN self-join — the g3_ivf CTEs with probes = EVERY vector
+    # (top-2 lists), home-list argmax on the corpus side, ranked top-4.
+    sql["g77_knn_join"] = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                   FROM embeddings),
+        u AS (SELECT vec_id,
+                     list_transform(ve, x -> x / sqrt(list_inner_product(ve, ve))) AS uv
+              FROM e),
+        cent AS (SELECT CAST(vec_id - {_IVF_CENTROID_IDS[0]} AS INT) AS cluster,
+                        uv AS cv
+                 FROM u
+                 WHERE vec_id BETWEEN {_IVF_CENTROID_IDS[0]} AND {_IVF_CENTROID_IDS[-1]}),
+        assigned AS (
+            SELECT u.vec_id, u.uv, cent.cluster
+            FROM u, cent
+            QUALIFY row_number() OVER (
+                PARTITION BY u.vec_id
+                ORDER BY list_inner_product(u.uv, cent.cv) DESC, cent.cluster) = 1
+        ),
+        probes AS (
+            SELECT q.vec_id AS query_id, q.uv AS qv, cent.cluster
+            FROM u q, cent
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_inner_product(q.uv, cent.cv) DESC, cent.cluster) <= 2
+        ),
+        scored AS (
+            SELECT p.query_id AS vec_id, a.vec_id AS neighbor_id,
+                   ROUND(list_inner_product(p.qv, a.uv), 4) AS sim
+            FROM probes p JOIN assigned a USING (cluster)
+            WHERE a.vec_id <> p.query_id
+        )
+        SELECT vec_id, neighbor_id, sim,
+               CAST(row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 4
+        ORDER BY vec_id, rank
     """
 
     # G27: SemDeDup — same quantizer/assignment CTEs as g3_ivf_topk, pair
@@ -7137,7 +7192,7 @@ _SUITES: dict[str, list[str]] = {
     "g3_ann_suite": [
         "g3_cosine_topk", "g3_lsh_topk", "g3_ivf_topk",
         "g3_embedding_neardup", "g3_recall", "g44_ranking_report",
-        "g50_hard_negatives",
+        "g50_hard_negatives", "g77_knn_join",
     ],
     "g26_span_suite": [
         "g26_dup_spans", "g26_trim_spans", "g62_contamination"
@@ -7236,6 +7291,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g3_cosine_topk": [("query_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],
     "g3_lsh_topk": [("query_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],
     "g3_ivf_topk": [("query_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],
+    "g77_knn_join": [("vec_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],
     "g3_embedding_neardup": [("id_a", "i"), ("id_b", "i"), ("sim", "n")],
     "g3_recall": [("query_id", "i"), ("n_exact", "i"), ("n_hit", "i"), ("recall", "n")],
     "g42_semantic_decon": [("vec_id", "i"), ("max_bench_sim", "n"), ("nearest_bench_id", "i"), ("contaminated", "b")],

@@ -61,6 +61,7 @@ HEADLINE = [
     "g3_cosine_topk",
     "g3_lsh_topk",
     "g3_ivf_topk",
+    "g77_knn_join",
     "g3_recall",
     "g44_ranking_report",
     "g50_hard_negatives",

@@ -1236,3 +1236,103 @@ def ranking_report(
             ).alias("ndcg"),
         )
     )
+
+
+def knn_join(
+    df: DataFrame,
+    centroids_vectors: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """G77: k-nearest-neighbor SELF-join — every vector's ``k`` nearest
+    neighbors by cosine, under IVF blocking. The relation behind semantic
+    near-dup graphs, recommendation candidates, and kNN-classifier
+    features; :func:`ivf_topk` is the few-queries-vs-corpus search, this
+    is the N-vs-N form where the query side IS the corpus and nothing may
+    be broadcast or cross-joined.
+
+    Both probe assignments happen MAP-SIDE against the literal centroid
+    matrix (:func:`ivf_assign`'s expression shape): the corpus side keys
+    on its home list (probe 0), the query side fans out to its ``nprobe``
+    nearest lists by iterative argmax-with-masking over a materialized
+    dots column — positions are masked, not values, so exact-tie clusters
+    resolve lowest-id-first, the same ``(dot DESC, cluster ASC)`` order a
+    SQL replay's ``row_number`` uses. The ONE shuffle is the equi-join on
+    the list id (both sides hash-partition by cluster; Σ|list|·|probes
+    into list| pair work, never N²); unit-normalizing before the join
+    makes each pair score a single dot product.
+
+    Exact within the probed lists — the usual IVF recall/nprobe tradeoff;
+    measure with :func:`recall_report` against a ``cosine_topk`` sample.
+    Returns ``(id_col, neighbor_id, sim, rank)``, ``rank`` 1..k by
+    (sim desc, neighbor_id).
+    """
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if nprobe > len(centroids_vectors):
+        raise ValueError(
+            f"nprobe {nprobe} exceeds nlist {len(centroids_vectors)}"
+        )
+    ucents = unit_centroids_from_rows(centroids_vectors)
+    nlist = len(ucents)
+    cmat = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in ucents]
+    )
+    nvec = _unit(F.col(vec_col))
+    dots = F.transform(
+        cmat,
+        lambda c: F.aggregate(
+            F.zip_with(nvec, c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    # Top-nprobe list ids as ONE expression: zip dots with their cluster
+    # ids, array_sort by (dot DESC, cluster ASC) — exact float ties
+    # resolve lowest-id-first, the order a SQL replay's row_number uses —
+    # and slice. A per-probe argmax-and-mask column chain was measured
+    # 10x slower: project collapsing re-inlines the nlist×dim matrix
+    # product into every derived column and codegen blows up.
+    tagged = F.zip_with(
+        dots,
+        F.sequence(F.lit(0), F.lit(nlist - 1)),
+        lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("i")),
+    )
+    ranked = F.array_sort(
+        tagged,
+        lambda a, b: F.when(a["d"] > b["d"], F.lit(-1))
+        .when(a["d"] < b["d"], F.lit(1))
+        .otherwise(a["i"] - b["i"])
+        .cast("int"),
+    )
+    probes_arr = F.transform(
+        F.slice(ranked, 1, nprobe), lambda s: s["i"]
+    )
+    base = df.select(
+        F.col(id_col), nvec.alias("__nvec"), probes_arr.alias("__probes")
+    )
+    corpus = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__nvec").alias("__cv"),
+        # home list = nearest centroid = probe 0
+        F.element_at("__probes", 1).alias("__cluster"),
+    )
+    queries = base.select(
+        id_col,
+        F.col("__nvec").alias("__qv"),
+        F.explode("__probes").alias("__cluster"),
+    )
+    scored = (
+        queries.join(corpus, "__cluster")
+        .filter(F.col("neighbor_id") != F.col(id_col))
+        .select(
+            id_col,
+            "neighbor_id",
+            F.round(dot(F.col("__qv"), F.col("__cv")), 4).alias("sim"),
+        )
+    )
+    return topk_per_key(
+        scored, [id_col], [F.col("sim").desc(), F.col("neighbor_id")], k
+    ).select(id_col, "neighbor_id", "sim", "rank")

@@ -4335,3 +4335,78 @@ def test_hist_quantiles_merge_and_estimates(spark):
         hist_partials(df, ["grp"], "v", [1.0, 1.0])
     with _pytest.raises(ValueError, match="quantiles"):
         hist_quantile(rolled, ["grp"], edges, [1.5])
+
+
+def _knn_fixture(spark):
+    # 24 vectors in 4 well-separated directions + noise, dim 4
+    rows = []
+    for i in range(24):
+        base = [0.0] * 4
+        base[i % 4] = 1.0
+        base[(i + 1) % 4] = 0.05 * (i % 7)
+        rows.append((i, [float(x) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    return df, cents
+
+
+def test_knn_join_full_probe_equals_brute(spark):
+    """G77: IVF kNN self-join — probing every list reproduces the brute
+    cosine_topk self-join exactly; validation. (Partial-probe rank/sim
+    consistency is the slow twin.)"""
+    from ferc_xbrl_extractor_spark.operators.similarity import (
+        cosine_topk,
+        knn_join,
+    )
+
+    df, cents = _knn_fixture(spark)
+
+    brute = cosine_topk(
+        df, df, k=3, query_id_col="vec_id", exclude_self=True
+    )
+    bset = {
+        (r["vec_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in brute.collect()
+    }
+    full = knn_join(df, cents, k=3, nprobe=4)
+    fset = {
+        (r["vec_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in full.collect()
+    }
+    assert fset == bset
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="nprobe"):
+        knn_join(df, cents, nprobe=0)
+    with _pytest.raises(ValueError, match="nlist"):
+        knn_join(df, cents, nprobe=9)
+
+
+@pytest.mark.slow
+def test_knn_join_partial_probe_consistency(spark):
+    """G77 slow twin: partial probes return contiguous ranks, <= k rows
+    per id, and every returned pair's sim equals the brute pair score."""
+    from ferc_xbrl_extractor_spark.operators.similarity import (
+        cosine_topk,
+        knn_join,
+    )
+
+    df, cents = _knn_fixture(spark)
+    brute = cosine_topk(
+        df, df, k=23, query_id_col="vec_id", exclude_self=True
+    )
+    bsims = {
+        (r["vec_id"], r["neighbor_id"]): r["sim"] for r in brute.collect()
+    }
+    part = knn_join(df, cents, k=3, nprobe=1).collect()
+    per = {}
+    for r in part:
+        per.setdefault(r["vec_id"], []).append(r["rank"])
+        assert r["sim"] == bsims[(r["vec_id"], r["neighbor_id"])]
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    assert all(len(v) <= 3 for v in per.values())
