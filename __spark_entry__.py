@@ -979,6 +979,25 @@ def q_g77_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_join(emb, cvecs, k=4, nprobe=2)
 
 
+def q_g78_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G78: JL random projection (similarity.random_projection) 64 → 8
+    with the md5-derived ±1 matrix — output exploded to (vec_id,
+    component, value) scalars for the gate compare. The oracle rebuilds
+    the IDENTICAL literal matrix (rp_matrix is plain Python) and replays
+    each component as list_inner_product × the same scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.random_projection(emb, dim=64, out_dim=8)
+    return out.select(
+        "vec_id", F.posexplode("rp").alias("component", "value")
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("component").cast("int").alias("component"),
+        # + 0.0 canonicalizes IEEE signed zero: round() emits -0.0 for
+        # tiny negatives and the hash normalizer prints the sign
+        (F.round("value", 4) + F.lit(0.0)).alias("value"),
+    )
+
+
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     emb = _t(spark, sf_dir, "embeddings")
     cvecs = _IVF_CENTROID_CACHE.get(sf_dir)
@@ -3515,6 +3534,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_lsh_topk": q_g3_lsh_topk,
         "g3_ivf_topk": q_g3_ivf_topk,
         "g77_knn_join": q_g77_knn_join,
+        "g78_random_projection": q_g78_random_projection,
         "g3_recall": q_g3_recall,
         "g3_embedding_neardup": q_g3_embedding_neardup,
         "g42_semantic_decon": q_g42_semantic_decon,
@@ -4435,6 +4455,28 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM scored
         QUALIFY rank <= 4
         ORDER BY vec_id, rank
+    """
+
+    # G78: JL projection — the identical md5-derived +-1 literal matrix
+    # (rp_matrix), one list_inner_product per component, same scale.
+    from ferc_xbrl_extractor_spark.operators.similarity import rp_matrix
+
+    _rp_rows = ",\n            ".join(
+        f"({j}, CAST([{', '.join(repr(c) for c in row)}] AS DOUBLE[]))"
+        for j, row in enumerate(rp_matrix(64, 8))
+    )
+    _rp_scale = repr(1.0 / (8 ** 0.5))
+    sql["g78_random_projection"] = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                   FROM embeddings),
+        m (j, mrow) AS (VALUES
+            {_rp_rows})
+        SELECT e.vec_id,
+               CAST(m.j AS INT) AS component,
+               ROUND(list_inner_product(e.ve, m.mrow)
+                     * CAST({_rp_scale} AS DOUBLE), 4)
+                   + CAST(0 AS DOUBLE) AS value
+        FROM e CROSS JOIN m
     """
 
     # G27: SemDeDup — same quantizer/assignment CTEs as g3_ivf_topk, pair
@@ -7164,7 +7206,7 @@ _SUITES: dict[str, list[str]] = {
         "g66_domain_report",
     ],
     "g17_packing_suite": ["g17_pack_sequences", "g17_materialize_seqs"],
-    "g18_quant_suite": ["g18_quantize_int8", "g18_quantized_topk"],
+    "g18_quant_suite": ["g18_quantize_int8", "g18_quantized_topk", "g78_random_projection"],
     "s7_corpus_roundtrip": ["s7_jsonl_roundtrip", "s7_orc_roundtrip"],
     "g15_decontaminate_suite": [
         "g15_decontaminate", "g15_bloom_decontaminate",
@@ -7292,6 +7334,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g3_lsh_topk": [("query_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],
     "g3_ivf_topk": [("query_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],
     "g77_knn_join": [("vec_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],
+    "g78_random_projection": [("vec_id", "i"), ("component", "i"), ("value", "n")],
     "g3_embedding_neardup": [("id_a", "i"), ("id_b", "i"), ("sim", "n")],
     "g3_recall": [("query_id", "i"), ("n_exact", "i"), ("n_hit", "i"), ("recall", "n")],
     "g42_semantic_decon": [("vec_id", "i"), ("max_bench_sim", "n"), ("nearest_bench_id", "i"), ("contaminated", "b")],

@@ -97,6 +97,7 @@ HEADLINE = [
     "g17_pack_sequences",
     "g18_quantize_int8",
     "g18_quantized_topk",
+    "g78_random_projection",
     "g15_decontaminate",
     "g16_curate_e2e",
     "g36_curate_funnel",

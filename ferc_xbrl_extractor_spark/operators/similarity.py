@@ -1336,3 +1336,73 @@ def knn_join(
     return topk_per_key(
         scored, [id_col], [F.col("sim").desc(), F.col("neighbor_id")], k
     ).select(id_col, "neighbor_id", "sim", "rank")
+
+
+def _rp_coeff(out_row: int, d: int, salt: str) -> float:
+    """Deterministic ±1 projection coefficient derived from md5 —
+    identical on every executor AND buildable by a SQL oracle (the
+    matrix is a literal), zero broadcast state."""
+    h = hashlib.md5(f"{salt}:{out_row}:{d}".encode()).digest()
+    return 1.0 if h[0] & 1 else -1.0
+
+
+def rp_matrix(dim: int, out_dim: int, salt: str = "rp") -> list[list[float]]:
+    """The G78 projection matrix as plain Python floats — exposed so
+    tests and SQL oracles can rebuild the identical literal."""
+    return [
+        [_rp_coeff(j, d, salt) for d in range(dim)] for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "rp",
+    salt: str = "rp",
+) -> DataFrame:
+    """G78: Johnson-Lindenstrauss random projection — compress an
+    embedding column from ``dim`` to ``out_dim`` with a fixed ±1 matrix
+    scaled by ``1/sqrt(out_dim)`` (Achlioptas 2003: database-friendly
+    random projections). Pairwise distances survive within the JL bound,
+    so downstream ANN / near-dup / clustering run on vectors
+    ``dim/out_dim``× smaller — at 100 TB the embedding column is often
+    the corpus' biggest payload, and halving it halves every vector
+    shuffle (compose with :func:`quantize_int8` for another 4×).
+
+    Purely map-side: the matrix rides the plan as a constant-folded
+    literal (the :func:`hyperplane_signature` expression shape — one
+    ``F.expr``, not out_dim×dim ``F.lit`` py4j round-trips), each output
+    component the same sequential fold a SQL ``list_inner_product``
+    computes. No shuffle, no fit, no state; the md5-derived coefficients
+    make the projection reproducible on any engine from ``(dim,
+    out_dim, salt)`` alone.
+    """
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    if out_dim > dim:
+        raise ValueError(
+            f"out_dim {out_dim} exceeds input dim {dim} — projection only"
+        )
+    mat = rp_matrix(dim, out_dim, salt)
+    pmat = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{c!r}D" for c in row) + ")"
+            for row in mat
+        )
+        + ")"
+    )
+    scale = 1.0 / (out_dim ** 0.5)
+    vec = F.col(vec_col)
+    proj = F.transform(
+        pmat,
+        lambda r: F.aggregate(
+            F.zip_with(vec, r, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        * F.lit(scale),
+    )
+    return df.withColumn(out_col, proj)
