@@ -4355,10 +4355,24 @@ def _knn_fixture(spark):
     return df, cents
 
 
+def test_knn_join_validation(spark):
+    """G77 default tier: argument validation (full-probe ≡ brute and
+    partial-probe consistency are slow twins; cross-engine value
+    correctness is the g77_knn_join oracle, green at both scales)."""
+    from ferc_xbrl_extractor_spark.operators.similarity import knn_join
+
+    df, cents = _knn_fixture(spark)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="nprobe"):
+        knn_join(df, cents, nprobe=0)
+    with _pytest.raises(ValueError, match="nlist"):
+        knn_join(df, cents, nprobe=9)
+
+
+@pytest.mark.slow
 def test_knn_join_full_probe_equals_brute(spark):
-    """G77: IVF kNN self-join — probing every list reproduces the brute
-    cosine_topk self-join exactly; validation. (Partial-probe rank/sim
-    consistency is the slow twin.)"""
+    """G77 slow twin: probing every list reproduces the brute
+    cosine_topk self-join exactly."""
     from ferc_xbrl_extractor_spark.operators.similarity import (
         cosine_topk,
         knn_join,
@@ -4379,12 +4393,6 @@ def test_knn_join_full_probe_equals_brute(spark):
         for r in full.collect()
     }
     assert fset == bset
-
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="nprobe"):
-        knn_join(df, cents, nprobe=0)
-    with _pytest.raises(ValueError, match="nlist"):
-        knn_join(df, cents, nprobe=9)
 
 
 @pytest.mark.slow
@@ -4412,10 +4420,28 @@ def test_knn_join_partial_probe_consistency(spark):
     assert all(len(v) <= 3 for v in per.values())
 
 
+def test_random_projection_validation(spark):
+    """G78 default tier: validation (the replay bit-equality and JL band
+    are the slow twin; cross-engine values are the g78 oracle)."""
+    from ferc_xbrl_extractor_spark.operators.similarity import (
+        random_projection,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="out_dim"):
+        random_projection(df, dim=8, out_dim=0)
+    with _pytest.raises(ValueError, match="projection only"):
+        random_projection(df, dim=8, out_dim=16)
+
+
+@pytest.mark.slow
 def test_random_projection_jl_and_replay(spark):
-    """G78: JL random projection — numpy replay of the md5 matrix is
-    bit-equal, pairwise cosine distortion stays inside a pinned band on
-    a deterministic fixture, composes with quantized ANN, validation."""
+    """G78 slow twin: numpy replay of the md5 matrix is bit-equal and
+    pairwise distances stay inside the pinned JL band on a deterministic
+    fixture."""
     import math
     import random as _random
 
@@ -4454,9 +4480,3 @@ def test_random_projection_jl_and_replay(spark):
     )
     assert 0.55 < ratios[0] and ratios[-1] < 1.65, (ratios[0], ratios[-1])
     assert abs(ratios[len(ratios) // 2] - 1.0) < 0.05
-
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="out_dim"):
-        random_projection(df, dim=64, out_dim=0)
-    with _pytest.raises(ValueError, match="projection only"):
-        random_projection(df, dim=64, out_dim=128)
