@@ -41,6 +41,7 @@ def test_fuzzy_tie_is_error(spark):
     assert sorted(err["values"]) == ["1.1", "1.2"]
 
 
+@pytest.mark.slow
 def test_fuzzy_string_conflict_is_error(spark):
     df = _df(spark, [("a", "job", "accountant"), ("a", "job", "pringle")])
     res = fuzzy_dedup(df, ["c_id", "name"])

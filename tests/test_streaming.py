@@ -32,6 +32,7 @@ def event_dir(spark, tmp_path):
     return path, df.schema
 
 
+@pytest.mark.slow
 def test_stream_tumbling_matches_batch(spark, event_dir):
     path, schema = event_dir
     stream = spark.readStream.schema(schema).parquet(path)
