@@ -2120,6 +2120,33 @@ def q_g76_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_returnflag", "p5", "p9").orderBy("l_returnflag")
 
 
+def q_g79_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G79: streaming funnel (stateful.stream_funnel) on a one-file event
+    stream — a single microbatch replays events in event-time order, so
+    the result is EXACTLY the batch window_funnel the g75 oracle
+    computes (user cast to string, 7-day window); cross-batch
+    greedy-monotone extension is pytest-pinned."""
+    from ferc_xbrl_extractor_spark.streaming.stateful import stream_funnel
+
+    events = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    tmp = _cached_fixture(
+        "g79_funnel_in",
+        sf_dir,
+        lambda d: events.coalesce(1).write.mode("overwrite").parquet(d),
+    )
+    stream = spark.readStream.schema(events.schema).parquet(tmp)
+    out = stream_funnel(
+        stream,
+        ["signup", "click", "purchase"],
+        window_ms=7 * 86_400_000,
+    )
+    return _drain_stream(spark, out, "g79_funnel", mode="update")
+
+
 def q_g19_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G19: bucketized point-in-interval join — each user's non-signup
     events matched to the 2-hour windows opened by that user's signup
@@ -3588,6 +3615,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g76_hist_quantile": q_g76_hist_quantile,
         "g73_mixture_alloc": q_g73_mixture_alloc,
         "g74_stream_topk": q_g74_stream_topk,
+        "g79_stream_funnel": q_g79_stream_funnel,
         "g59_cap_per_group": q_g59_cap_per_group,
         "g60_md_text": q_g60_md_text,
         "g64_url_dedup": q_g64_url_dedup,
@@ -5970,6 +5998,40 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM c GROUP BY 1 ORDER BY 1
     """
 
+    # G79: single-microbatch streaming funnel == the batch funnel (user
+    # as string — the stream op's shard-friendly key type).
+    sql["g79_stream_funnel"] = """
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY 1
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts >= s1.t1
+              AND e.ts <= s1.t1 + INTERVAL 7 DAY
+            GROUP BY 1
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e
+            JOIN s1 ON e.user_id = s1.user_id
+            JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+              AND e.ts <= s1.t1 + INTERVAL 7 DAY
+            GROUP BY 1
+        )
+        SELECT CAST(s1.user_id AS VARCHAR) AS user,
+               CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                         WHEN s2.t2 IS NOT NULL THEN 2
+                         ELSE 1 END AS INT) AS steps_reached,
+               s1.t1 AS t_first,
+               COALESCE(s3.t3, s2.t2, s1.t1) AS t_last
+        FROM s1
+        LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """
+
     # G59: per-group cap — QUALIFY replay over the same synthetic skew
     sql["g59_cap_per_group"] = """
         SELECT doc_id, grp, CAST(n_chars AS BIGINT) AS n_chars FROM (
@@ -7183,6 +7245,7 @@ _SUITES: dict[str, list[str]] = {
     "g12_stream_suite": [
         "g12_stream_dedup", "g12_stream_asof", "s8_stream_extract",
         "g53_stream_neardup", "g63_stream_cap", "g74_stream_topk",
+        "g79_stream_funnel",
     ],
     "g11_media_suite": [
         "g11_multimodal", "g11_frame_sample", "g11_ppm_real",
@@ -7367,6 +7430,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g76_hist_quantile": [("l_returnflag", "s"), ("p5", "n"), ("p9", "n")],
     "g73_mixture_alloc": [("domain", "s"), ("avail_tokens", "i"), ("weight", "i"), ("saturated", "b"), ("allocated", "i"), ("rate", "n")],
     "g74_stream_topk": [("key", "s"), ("n_est", "i"), ("err_max", "i")],
+    "g79_stream_funnel": [("user", "s"), ("steps_reached", "i"), ("t_first", "t"), ("t_last", "t")],
     "g59_cap_per_group": [("doc_id", "i"), ("grp", "s"), ("n_chars", "i")],
     "g60_md_text": [("doc_id", "i"), ("clean_md5", "s"), ("n_clean_chars", "i")],
     "g64_url_dedup": [("url", "s"), ("doc_id", "i")],

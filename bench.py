@@ -119,6 +119,7 @@ HEADLINE = [
     "g8_tumbling",
     "g8_session",
     "g75_funnel",
+    "g79_stream_funnel",
     "g76_hist_quantile",
     "g58_stream_quality",
     "g9_asof_join",

@@ -573,3 +573,103 @@ def stream_heavy_hitters(
     return src.groupBy("__shard").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_ms: int | None = None,
+) -> DataFrame:
+    """G79: the G75 windowed funnel under Structured Streaming — per-user
+    reach state advances as events arrive; every microbatch re-emits the
+    users whose chain moved ("update" semantics, the G74 contract).
+
+    State per user is ONE timestamp per reached step (bounded by
+    |steps|, never by event count). Within a batch, events replay in
+    event-time order, so a single-batch run equals the batch
+    ``window_funnel`` EXACTLY (the gate oracle pins that). Across
+    batches the chain is greedy-monotone: committed reach times are
+    final, later batches only extend or leave them — an out-of-order
+    straggler that would have improved an ALREADY-COMMITTED step's time
+    is not retroactively applied (retraction would need the full per-
+    step event history in state — unbounded; the same arrival-order
+    contract as ``stream_cap_per_key``'s quota). Extensions still honor
+    event time: a batch's step-i candidates are its events at/after the
+    committed step-(i-1) time (and within ``window_ms`` of step 1 when
+    set).
+
+    Output per emission: ``(user, steps_reached, t_first, t_last)``.
+    """
+    if len(steps) < 2:
+        raise ValueError("stream_funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
+    out_schema = T.StructType(
+        [
+            T.StructField("user", T.StringType()),
+            T.StructField("steps_reached", T.IntegerType()),
+            T.StructField("t_first", T.TimestampType()),
+            T.StructField("t_last", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("reach_us", T.ArrayType(T.LongType()))]
+    )
+    src = events.select(
+        F.col(user_col).cast("string").alias("__u"),
+        F.col(ts_col).cast("timestamp").alias("__ts"),
+        F.col(type_col).cast("string").alias("__t"),
+    ).filter(F.col("__t").isin(list(steps)))
+    step_ix = {s: i for i, s in enumerate(steps)}
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values("__ts", kind="mergesort")
+        ev = [
+            (int(t.value // 1000), step_ix[s])
+            for t, s in zip(pdf["__ts"], pdf["__t"])
+        ]  # (epoch micros, step index), event-time order
+        reach = list(state.get[0]) if state.exists else []
+        before = len(reach)
+        # extend greedily: for each next step, the earliest batch event
+        # of that step at/after the committed previous reach (and inside
+        # the window of step 1)
+        progressed = True
+        while progressed and len(reach) < len(steps):
+            want = len(reach)
+            floor = reach[-1] if reach else None
+            cand = [
+                us
+                for us, six in ev
+                if six == want
+                and (floor is None or us >= floor)
+                and (
+                    window_ms is None
+                    or not reach
+                    or us <= reach[0] + window_ms * 1000
+                )
+            ]
+            if cand:
+                reach.append(min(cand))
+            else:
+                progressed = False
+        if not reach or len(reach) == before:
+            return  # nothing new committed; no emission
+        state.update((reach,))
+        yield pd.DataFrame(
+            {
+                "user": [key[0]],
+                "steps_reached": [len(reach)],
+                "t_first": [pd.Timestamp(reach[0], unit="us")],
+                "t_last": [pd.Timestamp(reach[-1], unit="us")],
+            }
+        )
+
+    return src.groupBy("__u").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

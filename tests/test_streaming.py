@@ -889,3 +889,86 @@ def test_stream_heavy_hitters_eviction_and_crossbatch(spark, tmp_path):
     assert got == {"c": (7, 4), "d": (7, 6)}
     # SpaceSaving guarantee held: every estimate >= true count of its key
     assert got["c"][0] >= 3 and got["d"][0] >= 1
+
+
+def test_stream_funnel_single_batch_and_crossbatch(spark, tmp_path):
+    """G79: streaming funnel — a single batch equals the batch
+    window_funnel exactly (same fixture as the G75 goldens); across
+    batches committed reach times are final and later batches extend;
+    no-progress batches emit nothing; validation."""
+    from ferc_xbrl_extractor_spark.streaming.stateful import stream_funnel
+
+    schema = "user_id long, ts_s string, event_type string"
+
+    def _write(path, rows, append=False):
+        df = (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+        )
+        df.coalesce(1).write.mode("append" if append else "overwrite").parquet(
+            path
+        )
+        return df.schema
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "signup"),
+        (1, "2024-01-02 00:00:00", "click"),
+        (1, "2024-01-03 00:00:00", "purchase"),
+        (2, "2024-01-01 00:00:00", "signup"),
+        (2, "2024-01-03 00:00:00", "click"),
+        (2, "2024-01-02 00:00:00", "purchase"),  # before click: stops at 2
+        (5, "2024-01-01 00:00:00", "signup"),
+        (5, "2024-01-02 00:00:00", "click"),
+        (5, "2024-01-09 00:00:00", "purchase"),  # beyond 3-day window
+    ]
+    p1 = str(tmp_path / "f1")
+    sch = _write(p1, rows)
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp"
+    ).parquet(p1)
+    out = stream_funnel(
+        stream, ["signup", "click", "purchase"],
+        window_ms=3 * 86_400_000,
+    )
+    got = {
+        r["user"]: (r["steps_reached"], str(r["t_first"]), str(r["t_last"]))
+        for r in _drain(spark, out, "funnel1", mode="update").collect()
+    }
+    assert got == {
+        "1": (3, "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+        "2": (2, "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+        "5": (2, "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+    }
+
+    # cross-batch: batch 1 commits signup; batch 2 extends with click +
+    # purchase; a late batch-2 signup EARLIER than the committed one is
+    # not retroactively applied (documented greedy-monotone contract)
+    p2 = str(tmp_path / "f2")
+    _write(p2, [(7, "2024-01-05 00:00:00", "signup")])
+    _write(p2, [(7, "2024-01-01 00:00:00", "signup"),   # late, ignored
+                (7, "2024-01-06 00:00:00", "click"),
+                (7, "2024-01-07 00:00:00", "purchase")], append=True)
+    stream2 = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p2)
+    )
+    out2 = stream_funnel(stream2, ["signup", "click", "purchase"])
+    rows2 = _drain(spark, out2, "funnel2", mode="update").collect()
+    # two emissions for user 7 (one per batch); the final chain anchors
+    # on the COMMITTED Jan 5 signup, not the late Jan 1 one
+    final = max(
+        (r for r in rows2 if r["user"] == "7"),
+        key=lambda r: r["steps_reached"],
+    )
+    assert final["steps_reached"] == 3
+    assert str(final["t_first"]) == "2024-01-05 00:00:00"
+    assert str(final["t_last"]) == "2024-01-07 00:00:00"
+
+    with pytest.raises(ValueError, match="at least 2"):
+        stream_funnel(stream2, ["signup"])
+    with pytest.raises(ValueError, match="distinct"):
+        stream_funnel(stream2, ["signup", "signup"])
