@@ -5919,7 +5919,10 @@ def fine_oracle_sql() -> dict[str, str]:
     """
 
     # G75: windowed funnel — chained min-reach CTEs, INTERVAL arithmetic.
-    sql["g75_funnel"] = """
+    # G75/G79 share ONE funnel replay template (chained min-reach CTEs,
+    # INTERVAL arithmetic) — only the output projection differs, so the
+    # two gates can never drift apart semantically.
+    _funnel_tpl = """
         WITH s1 AS (
             SELECT user_id, MIN(ts) AS t1 FROM events
             WHERE event_type = 'signup' GROUP BY 1
@@ -5940,7 +5943,7 @@ def fine_oracle_sql() -> dict[str, str]:
               AND e.ts <= s1.t1 + INTERVAL 7 DAY
             GROUP BY 1
         )
-        SELECT s1.user_id,
+        SELECT {proj},
                CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
                          WHEN s2.t2 IS NOT NULL THEN 2
                          ELSE 1 END AS INT) AS steps_reached,
@@ -5949,8 +5952,16 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM s1
         LEFT JOIN s2 ON s1.user_id = s2.user_id
         LEFT JOIN s3 ON s1.user_id = s3.user_id
-        ORDER BY s1.user_id
+        {tail}
     """
+    sql["g75_funnel"] = _funnel_tpl.format(
+        proj="s1.user_id", tail="ORDER BY s1.user_id"
+    )
+    # G79: a single microbatch == the batch funnel (user as string — the
+    # stream op's shard-friendly key type).
+    sql["g79_stream_funnel"] = _funnel_tpl.format(
+        proj="CAST(s1.user_id AS VARCHAR) AS user", tail=""
+    )
 
     # G76: histogram quantiles — literal CASE buckets, window cumsum,
     # double interpolation mirroring hist_quantile term for term (every
@@ -5996,40 +6007,6 @@ def fine_oracle_sql() -> dict[str, str]:
                               * (CAST(0.9 AS DOUBLE) * tot - cb) / n
                          END), 6) AS p9
         FROM c GROUP BY 1 ORDER BY 1
-    """
-
-    # G79: single-microbatch streaming funnel == the batch funnel (user
-    # as string — the stream op's shard-friendly key type).
-    sql["g79_stream_funnel"] = """
-        WITH s1 AS (
-            SELECT user_id, MIN(ts) AS t1 FROM events
-            WHERE event_type = 'signup' GROUP BY 1
-        ),
-        s2 AS (
-            SELECT e.user_id, MIN(e.ts) AS t2
-            FROM events e JOIN s1 ON e.user_id = s1.user_id
-            WHERE e.event_type = 'click' AND e.ts >= s1.t1
-              AND e.ts <= s1.t1 + INTERVAL 7 DAY
-            GROUP BY 1
-        ),
-        s3 AS (
-            SELECT e.user_id, MIN(e.ts) AS t3
-            FROM events e
-            JOIN s1 ON e.user_id = s1.user_id
-            JOIN s2 ON e.user_id = s2.user_id
-            WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
-              AND e.ts <= s1.t1 + INTERVAL 7 DAY
-            GROUP BY 1
-        )
-        SELECT CAST(s1.user_id AS VARCHAR) AS user,
-               CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
-                         WHEN s2.t2 IS NOT NULL THEN 2
-                         ELSE 1 END AS INT) AS steps_reached,
-               s1.t1 AS t_first,
-               COALESCE(s3.t3, s2.t2, s1.t1) AS t_last
-        FROM s1
-        LEFT JOIN s2 ON s1.user_id = s2.user_id
-        LEFT JOIN s3 ON s1.user_id = s3.user_id
     """
 
     # G59: per-group cap — QUALIFY replay over the same synthetic skew

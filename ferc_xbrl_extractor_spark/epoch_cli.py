@@ -27,6 +27,25 @@ import json
 import sys
 
 
+def _parse_weights(spec: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for part in spec.split(","):
+        if not part:
+            continue
+        key, sep, val = part.partition("=")
+        try:
+            weight = int(val)
+        except ValueError:
+            weight = None
+        if not sep or not key or weight is None:
+            raise SystemExit(
+                "--target-weights entries must look like "
+                f"stratum=integer_weight, got {part!r}"
+            )
+        out[key] = weight
+    return out
+
+
 def _parse_rates(spec: str | None) -> dict[str, float] | None:
     if not spec:
         return None
@@ -115,14 +134,7 @@ def run_main(args: argparse.Namespace) -> int:
     if args.target_weights:
         from ferc_xbrl_extractor_spark.pipeline.epoch import mixture_rates
 
-        weights = {
-            k: int(v)
-            for k, v in (
-                part.partition("=")[::2]
-                for part in args.target_weights.split(",")
-                if part
-            )
-        }
+        weights = _parse_weights(args.target_weights)
         rates = mixture_rates(
             docs,
             budget=args.token_budget,

@@ -428,8 +428,11 @@ def cms_build(
     1). NULL keys are skipped (they would otherwise pool into one cell per
     row and masquerade as a heavy hitter).
     """
-    if depth < 1:
-        raise ValueError(f"depth must be >= 1, got {depth}")
+    if not 1 <= depth <= 8:
+        # bucket_d = h1 + d*h2 with h1, h2 < 2^60: at d <= 7 the sum
+        # stays < 8*2^60 = 2^63 (int64-safe, ANSI-safe, SQL-replayable);
+        # depth 9 would overflow row 8 in both engines
+        raise ValueError(f"depth must be in [1, 8], got {depth}")
     if width < 2:
         raise ValueError(f"width must be >= 2, got {width}")
     key = F.col(key_col).cast("string")
@@ -488,7 +491,9 @@ def cms_estimate(
 
     Returns ``(key_col, out_col)`` — one row per distinct non-NULL input
     key, estimates never below the true count for keys the sketch
-    ingested.
+    ingested. ``key_col`` comes back STRING-typed (the sketch hashes the
+    string form); cast it back before joining onto a non-string source
+    relation.
     """
     key = F.col(key_col).cast("string")
     probes = keys.filter(key.isNotNull()).select(key.alias(key_col)).distinct()

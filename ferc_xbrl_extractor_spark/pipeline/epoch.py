@@ -126,7 +126,9 @@ def mixture_rates(
     (integer-exact, supply-capped, remainder re-flowed), and returns
     ``{stratum: allocated/avail}`` — sampling rates in [0, 1], supply-
     feasible by construction. A stratum missing from ``weights`` gets
-    ``default_weight``; weight 0 excludes it (rate 0.0).
+    ``default_weight``; weight 0 excludes it (rate 0.0); NULL strata
+    are not in the returned dict and fall to ``build_epoch``'s
+    ``default_rate`` (same as the plain ``--rates`` path).
 
     The collect is bounded by the stratum cardinality — this is a
     mixture over epoch strata (sources / languages / domains-as-buckets),
@@ -144,8 +146,13 @@ def mixture_rates(
         if token_col
         else F.size(tokens(text_col)).cast("long")
     )
-    avail = df.groupBy(F.col(key_col).alias("domain")).agg(
-        F.sum(n_tok).alias("avail_tokens")
+    # NULL strata can't be addressed by a weights dict (and a None dict
+    # key breaks every consumer that sorts/filters the strata) — they
+    # fall through to build_epoch's default_rate, like the --rates path
+    avail = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("domain"))
+        .agg(F.sum(n_tok).alias("avail_tokens"))
     )
     wt = F.lit(default_weight)
     for k, v in sorted(weights.items()):

@@ -618,11 +618,19 @@ def stream_funnel(
     state_schema = T.StructType(
         [T.StructField("reach_us", T.ArrayType(T.LongType()))]
     )
-    src = events.select(
-        F.col(user_col).cast("string").alias("__u"),
-        F.col(ts_col).cast("timestamp").alias("__ts"),
-        F.col(type_col).cast("string").alias("__t"),
-    ).filter(F.col("__t").isin(list(steps)))
+    src = (
+        events.select(
+            F.col(user_col).cast("string").alias("__u"),
+            F.col(ts_col).cast("timestamp").alias("__ts"),
+            F.col(type_col).cast("string").alias("__t"),
+        )
+        .filter(F.col("__t").isin(list(steps)))
+        # NULL event time would arrive as pandas NaT whose .value is the
+        # int64 sentinel (~year 1677) and would commit as a "minimum" —
+        # batch window_funnel ignores NULL ts (min() skips nulls), so
+        # drop them here to keep the single-batch == batch contract
+        .filter(F.col("__ts").isNotNull())
+    )
     step_ix = {s: i for i, s in enumerate(steps)}
 
     def fn(

@@ -4115,6 +4115,8 @@ def test_cms_sketch_bounds_merge_and_plan(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="depth"):
         cms_build(df, "k", depth=0)
+    with _pytest.raises(ValueError, match="depth"):
+        cms_build(df, "k", depth=9)  # row 8 would overflow h1 + 8*h2
     with _pytest.raises(ValueError, match="width"):
         cms_build(df, "k", width=1)
 

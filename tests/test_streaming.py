@@ -819,32 +819,28 @@ def _hh_feed(spark, tmp_path, batches, **kw):
     from ferc_xbrl_extractor_spark.streaming.stateful import (
         stream_heavy_hitters,
     )
-
-    def feed(batches, **kw):
-        path = str(tmp_path / f"hh_{abs(hash(str(batches) + str(kw)))}")
-        schema = "k string, n long"
-        for i, rows in enumerate(batches):
-            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-                "append"
-            ).parquet(path)
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(path)
-        )
-        out = stream_heavy_hitters(stream, "k", **kw)
-        name = f"hh{abs(hash(str(batches) + str(kw)))}"
-        got = _drain(spark, out, name, mode="update").collect()
-        # update mode re-emits per batch; per-key counts are monotone
-        # (an evicted counter only ever re-enters at or above its old
-        # value), so the final summary is the max emission per key
-        final: dict = {}
-        for r in got:
-            if r["key"] not in final or r["n_est"] > final[r["key"]][0]:
-                final[r["key"]] = (r["n_est"], r["err_max"])
-        return final
-
-    return feed(batches, **kw)
+    path = str(tmp_path / f"hh_{abs(hash(str(batches) + str(kw)))}")
+    schema = "k string, n long"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_heavy_hitters(stream, "k", **kw)
+    name = f"hh{abs(hash(str(batches) + str(kw)))}"
+    got = _drain(spark, out, name, mode="update").collect()
+    # update mode re-emits per batch; per-key counts are monotone
+    # (an evicted counter only ever re-enters at or above its old
+    # value), so the final summary is the max emission per key
+    final: dict = {}
+    for r in got:
+        if r["key"] not in final or r["n_est"] > final[r["key"]][0]:
+            final[r["key"]] = (r["n_est"], r["err_max"])
+    return final
 
 
 def test_stream_heavy_hitters_exact(spark, tmp_path):
@@ -915,6 +911,10 @@ def test_stream_funnel_single_batch_and_crossbatch(spark, tmp_path):
         (1, "2024-01-01 00:00:00", "signup"),
         (1, "2024-01-02 00:00:00", "click"),
         (1, "2024-01-03 00:00:00", "purchase"),
+        # NULL event time: batch window_funnel's min() skips it; the
+        # stream must too (NaT would otherwise commit as a "minimum")
+        (1, None, "signup"),
+        (9, None, "signup"),  # user 9's ONLY event: absent from result
         (2, "2024-01-01 00:00:00", "signup"),
         (2, "2024-01-03 00:00:00", "click"),
         (2, "2024-01-02 00:00:00", "purchase"),  # before click: stops at 2
@@ -939,7 +939,7 @@ def test_stream_funnel_single_batch_and_crossbatch(spark, tmp_path):
         "1": (3, "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
         "2": (2, "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
         "5": (2, "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
-    }
+    }  # no "9": NULL-ts events are dropped, not NaT-committed
 
     # cross-batch: batch 1 commits signup; batch 2 extends with click +
     # purchase; a late batch-2 signup EARLIER than the committed one is

@@ -505,3 +505,19 @@ def test_mixture_rates_and_cli_target_weights(spark, tmp_path, capsys):
         run_main(parse([src, "--output", out, "--target-weights", "a=3"]))
     with _pytest.raises(SystemExit, match="go together"):
         run_main(parse([src, "--output", out, "--token-budget", "10"]))
+    # spec-shape validation mirrors _parse_rates (SystemExit, no traceback)
+    for bad in ("a", "a=1.5", "=3"):
+        with _pytest.raises(SystemExit, match="stratum=integer_weight"):
+            run_main(parse([src, "--output", out, "--target-weights", bad,
+                            "--token-budget", "10"]))
+
+    # NULL strata: excluded from the derived dict (no None key to sort/
+    # address), rows fall to build_epoch's default_rate
+    docs_null = docs.unionByName(
+        spark.createDataFrame(
+            [(100, "t t t t", None)],
+            "doc_id long, text string, source string",
+        )
+    )
+    rates = mixture_rates(docs_null, budget=60, weights={"a": 3, "b": 1})
+    assert rates == {"a": 1.0, "b": 0.25}
