@@ -107,7 +107,11 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()  # bounded: one long, served from the checkpoint
-    base = (15 * unit) // (100 * n)
+    # teleport mass = (100 - damping_pct)% of unit, per node — derived
+    # from the SAME parameter the edge contributions scale by (a
+    # hardcoded 15 here silently broke every damping_pct != 85: total
+    # per-round mass would exceed/undershoot 1)
+    base = ((100 - damping_pct) * unit) // (100 * n)
     # out-degree rides WITH the edge relation (one join per iteration,
     # not two). Degree is a groupBy aggregate joined back — map-side
     # combinable and AQE-skew-splittable — NOT a count window: a window
@@ -180,8 +184,11 @@ def pagerank_oracle_sql(
     previous round's relation coalesce to the closed-form constant, and
     the full node list is joined back once at the end.
     ``edges_sql`` must yield columns (src, dst)."""
-    # base = FLOOR(15*unit / (100*n)) — the per-round teleport mass
-    base = f"CAST(FLOOR((15.0 * {unit}) / (100 * nn.n)) AS BIGINT)"
+    # base = FLOOR((100-damping)*unit / (100*n)) — per-round teleport mass
+    base = (
+        f"CAST(FLOOR(({100 - damping_pct}.0 * {unit}) / (100 * nn.n))"
+        " AS BIGINT)"
+    )
     sql = [
         f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",

@@ -51,17 +51,32 @@ def decode_ppm(b: bytes) -> np.ndarray:
         raise ValueError("not a P6 PPM")
     tokens: list[int] = []
     i = 2
+    # every scan is bounds-checked: a truncated/garbage header must
+    # raise (quarantinable), not walk past the buffer — the unbounded
+    # token scan here used to spin forever on b'' (.isspace() is False)
     while len(tokens) < 3:
+        if i >= len(b):
+            raise ValueError("truncated PPM header")
         c = b[i : i + 1]
         if c == b"#":
-            i = b.index(b"\n", i) + 1
+            nl = b.find(b"\n", i)
+            if nl < 0:
+                raise ValueError("truncated PPM header")
+            i = nl + 1
         elif c.isspace():
             i += 1
         else:
             j = i
-            while not b[j : j + 1].isspace():
+            while j < len(b) and not b[j : j + 1].isspace():
                 j += 1
-            tokens.append(int(b[i:j]))
+            if j == len(b):
+                raise ValueError("truncated PPM header")
+            try:
+                tokens.append(int(b[i:j]))
+            except ValueError:
+                raise ValueError(
+                    f"malformed PPM header token {b[i:j]!r}"
+                ) from None
             i = j
     w, h, maxval = tokens
     if not 0 < maxval < 256:
@@ -345,8 +360,15 @@ def image_dhash(
             if b is None or len(b) == 0:
                 return None
             b = bytes(b)
+            # malformed blobs quarantine to NULL like NULL/empty content
+            # (one corrupt upload must not kill the corpus-wide job —
+            # the shredder's E1 policy); the no-codec raise below is the
+            # documented exception and deliberately NOT caught
             if b[:2] == b"P6":
-                g = _luma(_nn_resize(decode_ppm(b), width, height))
+                try:
+                    g = _luma(_nn_resize(decode_ppm(b), width, height))
+                except ValueError:
+                    return None
             elif _PILImage is None:
                 raise NotImplementedError(
                     "only the built-in PPM (P6) codec is available in "
@@ -356,11 +378,20 @@ def image_dhash(
             else:
                 import io
 
-                img = (
-                    _PILImage.open(io.BytesIO(b))
-                    .convert("L")
-                    .resize((width, height))
-                )
+                # mirror the PPM path's order and kernel: resize FIRST
+                # (nearest-neighbor, like _nn_resize — PIL's default
+                # bicubic would hash the same image differently per
+                # container format), then the ITU-R 601-2 luma
+                try:
+                    img = (
+                        _PILImage.open(io.BytesIO(b))
+                        .resize(
+                            (width, height), _PILImage.Resampling.NEAREST
+                        )
+                        .convert("L")
+                    )
+                except (ValueError, OSError):
+                    return None
                 g = np.asarray(img, dtype=np.uint8)
             return _dhash_pack(g)
 
@@ -431,7 +462,13 @@ def audio_fingerprint(
         def one(b):
             if b is None or len(b) == 0:
                 return None
-            _rate, samples = decode_wav(bytes(b))
+            try:
+                _rate, samples = decode_wav(bytes(b))
+            except ValueError:
+                # truncated / non-PCM / non-RIFF blob: quarantine to
+                # NULL like the docstring's too-short clips, don't kill
+                # the job
+                return None
             ch0 = samples[:, 0].astype(np.int64)
             n = len(ch0)
             if n < frames:
@@ -520,7 +557,10 @@ def video_frame_hashes(
             for mid, b in zip(pdf[id_col], pdf[content_col]):
                 if b is None or len(b) == 0:
                     continue
-                _fn, _fd, frames = decode_y4m(bytes(b))
+                try:
+                    _fn, _fd, frames = decode_y4m(bytes(b))
+                except ValueError:
+                    continue  # malformed clip: quarantine, don't crash
                 for fi in range(0, len(frames), every):
                     g = _luma(_nn_resize(frames[fi], width, height))
                     ids.append(int(mid))
@@ -634,6 +674,10 @@ def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_format != 1:
         raise ValueError(f"unsupported WAV format code {audio_format} (PCM only)")
+    if channels < 1:
+        # a zero channel count would divide by zero below — malformed,
+        # same quarantinable class as the other header checks
+        raise ValueError(f"malformed WAV channel count {channels}")
     if bits == 8:  # 8-bit WAV is unsigned, offset-128
         samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
     elif bits == 16:

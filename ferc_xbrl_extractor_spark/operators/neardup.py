@@ -443,18 +443,18 @@ def simhash_pairs(
         hashed.groupBy(id_col)
         .agg(*contribs)
         .select(F.col(id_col), fp_expr.alias("fp"))
-    ).withColumn("bucket", F.shiftright(F.col("fp"), bits - prefix_bits))
-    a = fp.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "bucket")
-    b = fp.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "bucket")
-    # Same rationale as jaccard_pairs' inverted-index join: few distinct
-    # bucket keys with long runs are sort-merge's worst case; a
-    # per-partition hash build skips both sorts (measured ~20% at sf0.1).
-    return (
-        a.join(b.hint("shuffle_hash"), "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    )
+    # the bucketed join is hamming_pairs — the generic form THIS shape
+    # was factored into; riding it (instead of a duplicated tail) also
+    # buys its lazy fingerprint checkpoint, so the bits-buffer aggregate
+    # above executes once per action, not once per join side
+    return hamming_pairs(
+        fp,
+        id_col,
+        "fp",
+        total_bits=bits,
+        prefix_bits=prefix_bits,
+        max_hamming=max_hamming,
     )
 
 

@@ -1331,7 +1331,7 @@ def with_registrable_domain(
     out_col: str = "domain",
     suffixes: DataFrame | None = None,
     suffix_col: str = "suffix",
-    max_suffix_labels: int = 3,
+    max_suffix_labels: int | None = None,
 ) -> DataFrame:
     """G66: attach the registrable domain of ``host_col`` as
     ``out_col`` — by the heuristic expression (:func:`registrable_domain`,
@@ -1341,9 +1341,16 @@ def with_registrable_domain(
     (``co.uk``, ``ne.jp``, ``id.au``, …) — the plain-rule subset of the
     PSL (wildcard ``*.x`` and exception ``!x`` rules are out of scope;
     the published list is ~9k plain rules, a natural broadcast dim).
-    Longest-match semantics via ``max_suffix_labels`` BROADCAST left
-    joins, one per candidate suffix length, longest wins — all
-    map-side, zero shuffle of the corpus at any scale. A host with no
+    Longest-match semantics via one BROADCAST left join per candidate
+    suffix length, longest wins — all map-side, zero shuffle of the
+    corpus at any scale. The candidate count is DERIVED from the rules
+    (one bounded aggregate over the broadcast-sized relation), so a
+    5-label rule like ``s3.dualstack.ap-northeast-1.amazonaws.com``
+    can never be silently out-ranged; pass ``max_suffix_labels`` to
+    assert a ceiling instead (rules longer than it raise). Hosts are
+    lowercased for matching AND in ``out_col`` (PSL rules are
+    lowercase; domains are case-insensitive — a mixed-case host must
+    not silently miss its rule). A host with no
     matching rule falls back to the PSL's prevailing-``*`` rule
     (suffix = last label, registrable = last two), matching the
     heuristic's base case. A host with no label above its matched
@@ -1353,11 +1360,28 @@ def with_registrable_domain(
     col = F.col(host_col)
     if suffixes is None:
         return df.withColumn(out_col, registrable_domain(host_col))
+    col = F.lower(col)
+    # derive the candidate fan from the rules themselves (bounded: the
+    # suffix relation is a broadcast dim); an explicit max_suffix_labels
+    # is a ceiling ASSERTION, not a silent truncation
+    longest = (
+        suffixes.agg(
+            F.max(F.size(F.split(F.col(suffix_col), r"\."))).alias("k")
+        ).collect()[0]["k"]
+        or 1
+    )
+    if max_suffix_labels is not None and longest > max_suffix_labels:
+        raise ValueError(
+            f"suffix rules reach {longest} labels, beyond "
+            f"max_suffix_labels={max_suffix_labels} — longer rules would "
+            "be silently ignored"
+        )
+    fan = int(longest)
     labels = F.split(col, r"\.")
     n = F.size(labels)
     out = df
     hits: list[tuple[int, str]] = []
-    for k in range(max_suffix_labels, 0, -1):
+    for k in range(fan, 0, -1):
         cand_col, hit_col = f"__sfx{k}", f"__sfxhit{k}"
         # candidate only when at least one label sits ABOVE the suffix;
         # a NULL candidate can never join-match
@@ -1382,7 +1406,7 @@ def with_registrable_domain(
     dom = dom.otherwise(F.array_join(F.slice(labels, -2, 2), "."))
     out = out.withColumn(out_col, dom)
     return out.drop(
-        *[c for k in range(1, max_suffix_labels + 1)
+        *[c for k in range(1, fan + 1)
           for c in (f"__sfx{k}", f"__sfxhit{k}")]
     )
 

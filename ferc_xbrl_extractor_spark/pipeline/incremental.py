@@ -80,6 +80,15 @@ def _dir_has_unbucketed_files(index_dir: str) -> bool:
     return False
 
 
+# Directories whose layout this session has verified clean (no foreign
+# plain-parquet files): the os.walk in _dir_has_unbucketed_files is
+# O(#files) local-FS work and the verdict only changes when files are
+# added — this session's own appends/compacts invalidate below; a
+# CONCURRENT foreign append mid-session was always a point-in-time race
+# (the walk sees whatever exists when it runs) and stays one.
+_CLEAN_LAYOUT_DIRS: set[str] = set()
+
+
 def _read_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """Read the index WITH bucket metadata when this session created it
     (catalog table → bucketed scan, exchange-free keyed ops); fall back
@@ -92,10 +101,12 @@ def _read_index(spark: SparkSession, index_dir: str) -> DataFrame:
     scan would fail ('Invalid bucket file') — detected up front and
     degraded to the plain read (see :func:`_dir_has_unbucketed_files`)."""
     name = _index_table(index_dir)
-    if spark.catalog.tableExists(name) and not _dir_has_unbucketed_files(
-        index_dir
-    ):
-        return spark.table(name)
+    if spark.catalog.tableExists(name):
+        if index_dir in _CLEAN_LAYOUT_DIRS:
+            return spark.table(name)
+        if not _dir_has_unbucketed_files(index_dir):
+            _CLEAN_LAYOUT_DIRS.add(index_dir)
+            return spark.table(name)
     return spark.read.parquet(index_dir)
 
 
@@ -212,6 +223,7 @@ def incremental_dedup(
     if update_index and n_fresh:
         append = _with_prefix(fresh.select("fp"), prefix_len)
         name = _index_table(index_dir)
+        _CLEAN_LAYOUT_DIRS.discard(index_dir)  # files change: re-verify
         if spark.catalog.tableExists(name):
             # bucketed append: the spec must be restated and match the
             # table's (Spark validates); keeps every appended file
@@ -282,6 +294,7 @@ def index_compact(spark: SparkSession, index_dir: str) -> int:
     )
     n = spark.table(name).count()
     shutil.rmtree(tmp, ignore_errors=True)
+    _CLEAN_LAYOUT_DIRS.discard(index_dir)  # layout rewritten: re-verify
     return n
 
 

@@ -2120,6 +2120,40 @@ def test_video_frame_hashes_and_perceptual_dedup(spark):
         mm.video_frame_hashes(media, every=0)
 
 
+def test_malformed_media_quarantines_not_crashes(spark):
+    """Decode quarantine (review fix): a corrupt/truncated blob must
+    fingerprint to NULL (image/audio) or contribute no rows (video) —
+    one bad upload can't kill a corpus-wide dedup job — while NULL/empty
+    content keeps its documented NULL path."""
+    from ferc_xbrl_extractor_spark.operators import multimodal as mm
+
+    bad_ppm = b"P6 garbage-not-a-header"
+    bad_wav = b"RIFFxxxxWAVEjunk"
+    bad_y4m = b"YUV4MPEG2 not-actually-a-stream"
+    media = spark.createDataFrame(
+        [(1, bytearray(bad_ppm)), (2, None)], "media_id long, content binary"
+    )
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in mm.image_dhash(media, content_col="content").collect()
+    }
+    assert got == {1: None, 2: None}
+
+    audio = spark.createDataFrame(
+        [(1, bytearray(bad_wav)), (2, None)], "media_id long, content binary"
+    )
+    gota = {
+        r["afp"]
+        for r in mm.audio_fingerprint(audio, content_col="content").collect()
+    }
+    assert gota == {None}
+
+    video = spark.createDataFrame(
+        [(1, bytearray(bad_y4m))], "media_id long, content binary"
+    )
+    assert mm.video_frame_hashes(video, content_col="content").count() == 0
+
+
 def test_audio_fingerprint_and_perceptual_dedup(spark):
     """G70: the envelope dHash equals a direct numpy replay; an exact
     re-encode pairs at hamming 0 and a small gain shift lands within
@@ -3721,7 +3755,10 @@ def test_registrable_domain_psl_mode(spark):
     default is untouched."""
     psl = spark.createDataFrame(
         [("co.uk",), ("ne.jp",), ("go.jp",), ("id.au",), ("jp",),
-         ("uk",), ("au",), ("com",), ("kawasaki.jp",)],
+         ("uk",), ("au",), ("com",), ("kawasaki.jp",),
+         # the real PSL has plain rules up to 5 labels: the candidate
+         # fan must be DERIVED from the rules, never silently capped
+         ("s3.dualstack.ap-northeast-1.amazonaws.com",)],
         "suffix string",
     )
     cases = [
@@ -3735,6 +3772,13 @@ def test_registrable_domain_psl_mode(spark):
         ("unknown.tld.zz", "tld.zz", "tld.zz"),        # prevailing-*
         ("co.uk", "co.uk", "co.uk"),                   # suffix-only host
         ("localhost", "localhost", "localhost"),
+        # 5-label rule honored, not out-ranged to 'amazonaws.com'
+        ("bucket.s3.dualstack.ap-northeast-1.amazonaws.com",
+         "amazonaws.com",
+         "bucket.s3.dualstack.ap-northeast-1.amazonaws.com"),
+        # domains are case-insensitive: a mixed-case host must match
+        # the (lowercase) rules, not fall through to prevailing-*
+        ("WWW.ISP.NE.JP", "ne.jp", "isp.ne.jp"),
     ]
     df = spark.createDataFrame(
         [(i, h) for i, (h, _e, _p) in enumerate(cases)],
@@ -3749,8 +3793,19 @@ def test_registrable_domain_psl_mode(spark):
         for r in text.with_registrable_domain(df, suffixes=psl).collect()
     }
     for i, (h, e, p) in enumerate(cases):
-        assert heur[i] == e, ("heuristic", h, heur[i], e)
+        if h != h.lower():
+            # heuristic path is case-preserving; only the exact mode
+            # canonicalizes — compare it case-insensitively
+            assert heur[i].lower() == e, ("heuristic", h, heur[i], e)
+        else:
+            assert heur[i] == e, ("heuristic", h, heur[i], e)
         assert exact[i] == p, ("psl", h, exact[i], p)
+
+    # max_suffix_labels is a ceiling ASSERTION now: rules beyond it raise
+    # instead of being silently ignored
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="beyond"):
+        text.with_registrable_domain(df, suffixes=psl, max_suffix_labels=3)
 
     # the report and the curate cap re-bucket on the exact domains
     docs = spark.createDataFrame(
@@ -3921,17 +3976,19 @@ def test_pagerank_matches_python_reference(spark):
     outdeg = {}
     for s, _d in uniq:
         outdeg[s] = outdeg.get(s, 0) + 1
-    unit, base = 1_000_000, (15 * 1_000_000) // (100 * n)
+    unit = 1_000_000
 
-    def ref(iters):
+    def ref(iters, damping=85):
+        base = ((100 - damping) * unit) // (100 * n)
         r = {v: unit // n for v in nodes}
         for _ in range(iters):
             nxt = {v: base for v in nodes}
             for s, d in uniq:
-                nxt[d] += (85 * r[s]) // (100 * outdeg[s])
+                nxt[d] += (damping * r[s]) // (100 * outdeg[s])
             r = nxt
         return r
 
+    base = (15 * unit) // (100 * n)
     assert got == ref(3)
     # node 4 is a pure source: it ends at exactly the base mass
     assert got[4] == base
@@ -3941,6 +3998,16 @@ def test_pagerank_matches_python_reference(spark):
         for r in graph.pagerank(df, iters=9).collect()
     }
     assert got9 == ref(9)
+
+    # non-default damping: teleport mass must scale with the SAME
+    # parameter as the edge contributions (a hardcoded 15% base broke
+    # every damping_pct != 85 — regression pin)
+    got90 = {
+        r["node"]: r["node_rank"]
+        for r in graph.pagerank(df, iters=3, damping_pct=90).collect()
+    }
+    assert got90 == ref(3, damping=90)
+    assert got90[4] == (10 * unit) // (100 * n)
 
     with pytest.raises(ValueError):
         graph.pagerank(df, iters=0)
