@@ -998,6 +998,19 @@ def q_g78_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g80_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G80: reciprocal-rank fusion (similarity.rrf_fuse) of the two
+    approximate retrievers over the same query set — sign-LSH top-5 and
+    IVF nprobe top-5 — into one hybrid top-5, k0=60 per Cormack et al.
+    Contributions are exact integer micro-units (RRF_MICRO div (k0+rank)),
+    so the fused scores and ranks are hash-exact cross-engine; the oracle
+    replays the identical division over the two retrievers' own
+    (individually hash-green) CTEs."""
+    lsh = q_g3_lsh_topk(spark, sf_dir)
+    ivf = q_g3_ivf_topk(spark, sf_dir)
+    return similarity.rrf_fuse([lsh, ivf], k0=60, k=5)
+
+
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     emb = _t(spark, sf_dir, "embeddings")
     cvecs = _IVF_CENTROID_CACHE.get(sf_dir)
@@ -2095,6 +2108,24 @@ def q_g75_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_first",
         "t_last",
     ).orderBy("user_id")
+
+
+def q_g81_label_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G81: crowd-label aggregation (labels.aggregate_labels,
+    reweight=True) — events recast as an annotation log (item = event_id
+    mod 200, annotator = user_id mod 25, label = event_type): majority
+    vote with deterministic tie-break, agreement ratio, and the
+    reliability-weighted revote (one Dawid-Skene EM half-step, integer
+    micro-unit weights). The oracle replays counts → windows → majority
+    → annotator accuracy (BIGINT floor division) → weighted revote."""
+    from ferc_xbrl_extractor_spark.operators.labels import aggregate_labels
+
+    ann = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 200).alias("item_id"),
+        (F.col("user_id") % 25).alias("annotator_id"),
+        F.col("event_type").alias("label"),
+    )
+    return aggregate_labels(ann, reweight=True)
 
 
 def q_g76_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3562,6 +3593,8 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_ivf_topk": q_g3_ivf_topk,
         "g77_knn_join": q_g77_knn_join,
         "g78_random_projection": q_g78_random_projection,
+        "g80_rrf_fuse": q_g80_rrf_fuse,
+        "g81_label_agg": q_g81_label_agg,
         "g3_recall": q_g3_recall,
         "g3_embedding_neardup": q_g3_embedding_neardup,
         "g42_semantic_decon": q_g42_semantic_decon,
@@ -4483,6 +4516,35 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM scored
         QUALIFY rank <= 4
         ORDER BY vec_id, rank
+    """
+
+    # G80: RRF fusion — each retriever CTE contributes the identical
+    # integer micro-unit 1e9 // (60 + rank); fused score is an exact
+    # BIGINT sum, re-rank over (score DESC, neighbor ASC).
+    sql["g80_rrf_fuse"] = f"""
+        WITH lsh AS ({sql["g3_lsh_topk"]}),
+        ivf AS ({sql["g3_ivf_topk"]}),
+        contribs AS (
+            SELECT query_id, neighbor_id,
+                   1000000000 // (60 + CAST(rank AS BIGINT)) AS c
+            FROM lsh
+            UNION ALL
+            SELECT query_id, neighbor_id,
+                   1000000000 // (60 + CAST(rank AS BIGINT)) AS c
+            FROM ivf
+        ),
+        fused AS (
+            SELECT query_id, neighbor_id,
+                   CAST(count(*) AS BIGINT) AS n_lists,
+                   CAST(sum(c) AS BIGINT) AS rrf_micro
+            FROM contribs GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, n_lists, rrf_micro,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_micro DESC, neighbor_id) AS INT) AS fused_rank
+        FROM fused
+        QUALIFY fused_rank <= 5
     """
 
     # G78: JL projection — the identical md5-derived +-1 literal matrix
@@ -5918,6 +5980,66 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1 ORDER BY 1
     """
 
+    # G81: crowd-label aggregation — counts, per-item window totals,
+    # majority with (votes DESC, label ASC) tie-break, annotator accuracy
+    # as exact BIGINT floor division + 1, weighted revote. Mirrors
+    # labels.aggregate_labels(reweight=True) relation for relation.
+    sql["g81_label_agg"] = """
+        WITH ann AS (
+            SELECT event_id % 200 AS item_id,
+                   user_id % 25 AS annotator_id,
+                   event_type AS label
+            FROM events WHERE event_type IS NOT NULL
+        ),
+        counts AS (
+            SELECT item_id, label, CAST(count(*) AS BIGINT) AS n_votes
+            FROM ann GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT item_id, label, n_votes,
+                   CAST(sum(n_votes) OVER (PARTITION BY item_id)
+                        AS BIGINT) AS n_annotations,
+                   CAST(count(*) OVER (PARTITION BY item_id)
+                        AS BIGINT) AS n_labels
+            FROM counts
+        ),
+        maj AS (
+            SELECT item_id, label, n_votes, n_annotations, n_labels,
+                   ROUND(CAST(n_votes AS DOUBLE) / n_annotations, 4)
+                       AS agreement
+            FROM tot
+            QUALIFY row_number() OVER (
+                PARTITION BY item_id
+                ORDER BY n_votes DESC, label) = 1
+        ),
+        scored AS (
+            SELECT ann.annotator_id, ann.label, maj.label AS maj_label
+            FROM ann JOIN maj USING (item_id)
+        ),
+        acc AS (
+            SELECT annotator_id,
+                   (sum(CAST(label = maj_label AS BIGINT)) * 1000000)
+                       // count(*) + 1 AS w
+            FROM scored GROUP BY 1
+        ),
+        wcounts AS (
+            SELECT item_id, label, CAST(sum(w) AS BIGINT) AS w_micro
+            FROM ann JOIN acc USING (annotator_id)
+            GROUP BY 1, 2
+        ),
+        wwin AS (
+            SELECT item_id, label AS label_weighted, w_micro
+            FROM wcounts
+            QUALIFY row_number() OVER (
+                PARTITION BY item_id
+                ORDER BY w_micro DESC, label) = 1
+        )
+        SELECT maj.item_id, maj.label, maj.n_votes, maj.n_annotations,
+               maj.n_labels, maj.agreement,
+               wwin.label_weighted, wwin.w_micro
+        FROM maj JOIN wwin USING (item_id)
+    """
+
     # G75: windowed funnel — chained min-reach CTEs, INTERVAL arithmetic.
     # G75/G79 share ONE funnel replay template (chained min-reach CTEs,
     # INTERVAL arithmetic) — only the output projection differs, so the
@@ -7274,7 +7396,7 @@ _SUITES: dict[str, list[str]] = {
     "g3_ann_suite": [
         "g3_cosine_topk", "g3_lsh_topk", "g3_ivf_topk",
         "g3_embedding_neardup", "g3_recall", "g44_ranking_report",
-        "g50_hard_negatives", "g77_knn_join",
+        "g50_hard_negatives", "g77_knn_join", "g80_rrf_fuse",
     ],
     "g26_span_suite": [
         "g26_dup_spans", "g26_trim_spans", "g62_contamination"
@@ -7289,7 +7411,7 @@ _SUITES: dict[str, list[str]] = {
     ],
     "g_analytics_misc_suite": [
         "g21_unpivot", "g13_salted_agg", "g13b_salted_auto", "g10_json",
-        "g25_zorder", "g67_skew_report", "g72_cms_topk",
+        "g25_zorder", "g67_skew_report", "g72_cms_topk", "g81_label_agg",
     ],
     "g32_report_suite": ["g32_corpus_report", "g32_stratum_report"],
     "g_boilerplate_suite": [
@@ -7375,6 +7497,8 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g3_ivf_topk": [("query_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],
     "g77_knn_join": [("vec_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],
     "g78_random_projection": [("vec_id", "i"), ("component", "i"), ("value", "n")],
+    "g80_rrf_fuse": [("query_id", "i"), ("neighbor_id", "i"), ("n_lists", "i"), ("rrf_micro", "i"), ("fused_rank", "i")],
+    "g81_label_agg": [("item_id", "i"), ("label", "s"), ("n_votes", "i"), ("n_annotations", "i"), ("n_labels", "i"), ("agreement", "n"), ("label_weighted", "s"), ("w_micro", "i")],
     "g3_embedding_neardup": [("id_a", "i"), ("id_b", "i"), ("sim", "n")],
     "g3_recall": [("query_id", "i"), ("n_exact", "i"), ("n_hit", "i"), ("recall", "n")],
     "g42_semantic_decon": [("vec_id", "i"), ("max_bench_sim", "n"), ("nearest_bench_id", "i"), ("contaminated", "b")],

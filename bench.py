@@ -62,6 +62,7 @@ HEADLINE = [
     "g3_lsh_topk",
     "g3_ivf_topk",
     "g77_knn_join",
+    "g80_rrf_fuse",
     "g3_recall",
     "g44_ranking_report",
     "g50_hard_negatives",
@@ -119,6 +120,7 @@ HEADLINE = [
     "g8_tumbling",
     "g8_session",
     "g75_funnel",
+    "g81_label_agg",
     "g79_stream_funnel",
     "g76_hist_quantile",
     "g58_stream_quality",

@@ -2,7 +2,8 @@
 
 Submodules: filters (P1-P7), dedup (A2/A3/G1), fact_table (the per-table
 pipeline), joins (J1/J2/G9), stats (A4-A8), analytics (G5-G8/G10),
-text (G4), neardup (G2 + G46 split-leakage audit), similarity (G3 +
+text (G4), labels (G81 crowd-label aggregation), neardup (G2 + G46
+split-leakage audit), similarity (G3 +
 G27 semantic dedup + G50 hard-negative mining), spans (G26
 duplicated-span detection), multimodal (G11), bloom (G15 bloom
 prefilter), quality (G20 one-pass constraint suites), classifier
@@ -15,6 +16,7 @@ from ferc_xbrl_extractor_spark.operators import (  # noqa: F401
     analytics,
     bloom,
     classifier,
+    labels,
     multimodal,
     neardup,
     quality,

@@ -21,6 +21,7 @@ planes/probes), but the shuffle is keyed by bucket.
 from __future__ import annotations
 
 import hashlib
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1236,6 +1237,72 @@ def ranking_report(
             ).alias("ndcg"),
         )
     )
+
+
+RRF_MICRO = 10**9
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int | None = None,
+) -> DataFrame:
+    """G80: reciprocal-rank fusion of N retriever rankings (Cormack,
+    Clarke & Büttcher, SIGIR'09): each list contributes ``1/(k0 + rank)``
+    per (query, item); items are re-ranked by the summed score. The
+    standard zero-training way to combine lexical (BM25) and dense (ANN)
+    retrieval into one hybrid result — k0=60 per the paper.
+
+    Contributions ride as exact integer micro-units
+    ``RRF_MICRO div (k0 + rank)`` (the G44 micro-gain trick): the fused
+    score is an order-free long sum, bitwise-reproducible across engines
+    and partitionings — no float summation in the aggregate. Returns
+    ``(query, item, n_lists, rrf_micro, fused_rank)`` with ``fused_rank``
+    dense over (rrf_micro DESC, item ASC); ``k`` keeps the top fused k
+    per query.
+
+    Scale shape: the inputs are top-k relations (|queries| × k rows each,
+    tiny next to the corpora that produced them), so the union is
+    map-side, the (query, item) aggregate is map-side combinable, and the
+    per-query re-rank window partitions on the query key with ≤ N·k rows
+    per partition — nothing here touches vectors or documents, and no
+    relation grows with the corpus.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k0 < 1:
+        raise ValueError("k0 must be >= 1")
+    contribs = [
+        r.select(
+            F.col(query_col),
+            F.col(item_col),
+            F.expr(
+                f"{RRF_MICRO}L div ({k0}L + cast({rank_col} as long))"
+            ).alias("__c"),
+        )
+        for r in rankings
+    ]
+    unioned = reduce(DataFrame.union, contribs)
+    fused = unioned.groupBy(query_col, item_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.sum("__c").cast("long").alias("rrf_micro"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_micro").desc(), F.col(item_col)
+    )
+    out = fused.select(
+        query_col,
+        item_col,
+        "n_lists",
+        "rrf_micro",
+        F.row_number().over(w).cast("int").alias("fused_rank"),
+    )
+    if k is not None:
+        out = out.filter(F.col("fused_rank") <= k)
+    return out
 
 
 def knn_join(

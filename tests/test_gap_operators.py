@@ -4549,3 +4549,120 @@ def test_random_projection_jl_and_replay(spark):
     )
     assert 0.55 < ratios[0] and ratios[-1] < 1.65, (ratios[0], ratios[-1])
     assert abs(ratios[len(ratios) // 2] - 1.0) < 0.05
+
+
+def test_rrf_fuse_goldens_and_validation(spark):
+    """G80 default tier: hand-computed RRF goldens — integer micro-unit
+    contributions, order-free long sum, (score DESC, item ASC) re-rank,
+    top-k cut, n_lists count — plus argument validation (cross-engine
+    values are the g80_rrf_fuse oracle, hash-green at both scales)."""
+    from ferc_xbrl_extractor_spark.operators.similarity import (
+        RRF_MICRO,
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (2, 20, 1), (2, 21, 2)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"]): (
+            r["n_lists"], r["rrf_micro"], r["fused_rank"]
+        )
+        for r in rrf_fuse([a, b], k0=60).collect()
+    }
+    c = lambda r: RRF_MICRO // (60 + r)  # noqa: E731
+    assert got[(1, 11)] == (2, c(2) + c(1), 1)  # both lists, best fused
+    assert got[(1, 10)] == (1, c(1), 2)         # single list, rank-1
+    assert got[(1, 13)] == (1, c(2), 3)
+    assert got[(1, 12)] == (1, c(3), 4)
+    assert got[(2, 20)] == (2, 2 * c(1), 1)
+    assert got[(2, 21)] == (1, c(2), 2)
+
+    # ties on rrf_micro break by item id ascending (deterministic)
+    t = spark.createDataFrame(
+        [(5, 9, 1), (5, 3, 1)], "query_id long, neighbor_id long, rank long"
+    )
+    tied = {
+        r["neighbor_id"]: r["fused_rank"]
+        for r in rrf_fuse([t], k0=60).collect()
+    }
+    assert tied == {3: 1, 9: 2}
+
+    # top-k cut keeps exactly the best k fused rows per query
+    top1 = rrf_fuse([a, b], k0=60, k=1).collect()
+    assert sorted((r["query_id"], r["neighbor_id"]) for r in top1) == [
+        (1, 11), (2, 20)
+    ]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with _pytest.raises(ValueError, match="k0"):
+        rrf_fuse([a], k0=0)
+
+
+def test_label_aggregation_goldens(spark):
+    """G81 default tier: majority vote, deterministic tie-break, NULL
+    abstention, and the reliability-weighted revote — hand-computed
+    goldens incl. an annotator whose weight flips a tied item
+    (cross-engine values are the g81_label_agg oracle, hash-green at
+    both scales)."""
+    from ferc_xbrl_extractor_spark.operators.labels import (
+        ACC_MICRO,
+        aggregate_labels,
+    )
+
+    rows = [
+        # item 1: a,a,b — majority 'a' 2/3; rater 3 dissents
+        (1, 1, "a"), (1, 2, "a"), (1, 3, "b"),
+        # item 2: a vs b tie — tie-break to 'a'; weighted: rater 1
+        # (round-1 accuracy 1.0) outweighs rater 3 (1/3)
+        (2, 1, "a"), (2, 3, "b"),
+        # item 3: only rater 3 — 'b' either way
+        (3, 3, "b"),
+        # item 4: all-NULL annotations vanish from the output
+        (4, 1, None),
+    ]
+    ann = spark.createDataFrame(
+        rows, "item_id long, annotator_id long, label string"
+    )
+    maj = {r["item_id"]: r.asDict() for r in aggregate_labels(ann).collect()}
+    assert set(maj) == {1, 2, 3}
+    assert (maj[1]["label"], maj[1]["n_votes"], maj[1]["n_annotations"],
+            maj[1]["n_labels"], maj[1]["agreement"]) == ("a", 2, 3, 2, 0.6667)
+    assert (maj[2]["label"], maj[2]["agreement"]) == ("a", 0.5)
+    assert (maj[3]["label"], maj[3]["agreement"]) == ("b", 1.0)
+
+    out = {r["item_id"]: r.asDict()
+           for r in aggregate_labels(ann, reweight=True).collect()}
+    # round-1 accuracies vs majority: rater1 2/2, rater2 1/1, rater3 1/3
+    w1 = ACC_MICRO + 1
+    w3 = ACC_MICRO // 3 + 1
+    assert out[1]["label_weighted"] == "a" and out[1]["w_micro"] == 2 * w1
+    assert out[2]["label_weighted"] == "a" and out[2]["w_micro"] == w1
+    assert out[3]["label_weighted"] == "b" and out[3]["w_micro"] == w3
+    # majority columns unchanged by the reweight join
+    assert out[1]["label"] == "a" and out[1]["n_votes"] == 2
+
+    # a dissenting-but-reliable pool flips a tie the raw vote can't:
+    # raters 1,2 perfect elsewhere, rater 3 always wrong elsewhere —
+    # on the tied item their labels disagree, weighted picks 1,2's side
+    rows2 = [
+        (10, 1, "x"), (10, 2, "x"), (10, 3, "y"),
+        (11, 1, "x"), (11, 2, "x"), (11, 3, "y"),
+        # tie by count: one vote 'p' (rater 3) vs one vote 'q' (rater 1);
+        # raw tie-break picks 'p' (label asc), weighted picks 'q'
+        (12, 3, "p"), (12, 1, "q"),
+    ]
+    ann2 = spark.createDataFrame(
+        rows2, "item_id long, annotator_id long, label string"
+    )
+    out2 = {r["item_id"]: r.asDict()
+            for r in aggregate_labels(ann2, reweight=True).collect()}
+    assert out2[12]["label"] == "p"           # raw tie-break: label asc
+    assert out2[12]["label_weighted"] == "q"  # reliability flips it
