@@ -807,6 +807,28 @@ def q_g2_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.jaccard_pairs(docs, n=3, threshold=0.5)
 
 
+def q_g82_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G82: asymmetric shingle-containment join (neardup.
+    containment_pairs) over the corpus augmented with derived excerpt
+    documents (every 10th doc's first 120 characters, id + 100000) —
+    the quote/subset case a symmetric Jaccard join can't score: the
+    excerpt is ≥0.8-contained in its parent while the reverse direction
+    (and its Jaccard) stays far below threshold. The oracle rebuilds the
+    identical augmented corpus (substr is 1-based in both engines) and
+    replays the directed |∩|/|S(src)| ratios."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.substring("text", 1, 120).alias("text"),
+        )
+    )
+    return neardup.containment_pairs(
+        docs.union(excerpts), n=3, threshold=0.8
+    )
+
+
 def q_g2_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2 closing the loop: near-dup *pairs* → connected components →
     one survivor per duplicate cluster. Labels every document with its
@@ -2126,6 +2148,24 @@ def q_g81_label_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("label"),
     )
     return aggregate_labels(ann, reweight=True)
+
+
+def q_g83_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G83: SCD2 validity intervals (analytics.scd2_intervals) — each
+    user's event_type change log collapsed to versioned
+    [valid_from, valid_to) intervals, event_id as the equal-timestamp
+    tie-break. The oracle replays the null-safe change flag (IS DISTINCT
+    FROM lag) and the lead-based interval close over the same windows."""
+    from ferc_xbrl_extractor_spark.operators.analytics import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "event_type",
+    )
+    return scd2_intervals(
+        ev, ["user_id"], ts_col="ts", attr_cols=["event_type"],
+        order_cols=["event_id"],
+    )
 
 
 def q_g76_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3595,6 +3635,8 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g78_random_projection": q_g78_random_projection,
         "g80_rrf_fuse": q_g80_rrf_fuse,
         "g81_label_agg": q_g81_label_agg,
+        "g82_containment": q_g82_containment,
+        "g83_scd2": q_g83_scd2,
         "g3_recall": q_g3_recall,
         "g3_embedding_neardup": q_g3_embedding_neardup,
         "g42_semantic_decon": q_g42_semantic_decon,
@@ -3920,6 +3962,47 @@ def fine_oracle_sql() -> dict[str, str]:
         WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
     """
     sql["g2_jaccard"] = f"WITH {_SHINGLES_CTE}, {_jaccard_body}"
+
+    # G82: directed containment over the excerpt-augmented corpus — the
+    # same shingle inverted index as g2_jaccard, rebuilt over documents
+    # UNION excerpt rows, with the asymmetric |∩|/|S(src)| ratio emitted
+    # in both directions before the threshold.
+    sql["g82_containment"] = """
+        WITH aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, substr(text, 1, 120)
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        toks2 AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> len(x) > 0) AS w
+            FROM aug
+        ),
+        ds2 AS (
+            SELECT DISTINCT doc_id,
+                   w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+            FROM toks2, UNNEST(range(greatest(len(w) - 2, 0))) AS t(i)
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM ds2 a JOIN ds2 b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM ds2 GROUP BY 1),
+        d AS (
+            SELECT id_a AS src, id_b AS dst,
+                   CAST(n_common AS DOUBLE) / sa.n AS c
+            FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+            UNION ALL
+            SELECT id_b, id_a, CAST(n_common AS DOUBLE) / sb.n
+            FROM pairs JOIN sizes sb ON id_b = sb.doc_id
+        )
+        SELECT src AS id_a, dst AS id_b, ROUND(c, 4) AS containment
+        FROM d WHERE c >= 0.8
+    """
 
     # Transitive closure of the Jaccard pair graph; component label =
     # min reachable id. Mirrors neardup.connected_components' min-label
@@ -5980,6 +6063,31 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1 ORDER BY 1
     """
 
+    # G83: SCD2 intervals — null-safe change flag (IS DISTINCT FROM the
+    # lag), change rows keep their ts as valid_from, lead closes it.
+    sql["g83_scd2"] = """
+        WITH src AS (
+            SELECT user_id, ts, event_id, event_type FROM events
+        ),
+        flagged AS (
+            SELECT *,
+                   (row_number() OVER w = 1) OR
+                   (event_type IS DISTINCT FROM lag(event_type) OVER w)
+                       AS is_open
+            FROM src
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        v AS (SELECT * FROM flagged WHERE is_open)
+        SELECT user_id,
+               CAST(row_number() OVER w2 AS INT) AS version,
+               event_type,
+               ts AS valid_from,
+               lead(ts) OVER w2 AS valid_to,
+               lead(ts) OVER w2 IS NULL AS is_current
+        FROM v
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
     # G81: crowd-label aggregation — counts, per-item window totals,
     # majority with (votes DESC, label ASC) tie-break, annotator accuracy
     # as exact BIGINT floor division + 1, weighted revote. Mirrors
@@ -7378,7 +7486,7 @@ _SUITES: dict[str, list[str]] = {
     # suite entry instead of two (gate headroom, VERDICT r5 item #1).
     "g_window_asof_suite": [
         "g5_window_funcs", "g5_moving_agg", "g9_asof_join",
-        "g9_asof_forward",
+        "g9_asof_forward", "g83_scd2",
     ],
     "g6_multidim_suite": ["g6_rollup", "g6_cube", "g6_grouping_sets"],
     "g7_quantile_suite": [
@@ -7391,7 +7499,7 @@ _SUITES: dict[str, list[str]] = {
     ],
     "g2_neardup_suite": [
         "g2_jaccard", "g2_minhash_lsh", "g2_simhash", "g52_dedup_best",
-        "g2_recall_report",
+        "g2_recall_report", "g82_containment",
     ],
     "g3_ann_suite": [
         "g3_cosine_topk", "g3_lsh_topk", "g3_ivf_topk",
@@ -7491,6 +7599,8 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g2_jaccard": [("id_a", "i"), ("id_b", "i"), ("jaccard", "n")],
     "g2_minhash_lsh": [("id_a", "i"), ("id_b", "i"), ("jaccard", "n")],
     "g2_simhash": [("id_a", "i"), ("id_b", "i"), ("hamming", "i")],
+    "g82_containment": [("id_a", "i"), ("id_b", "i"), ("containment", "n")],
+    "g83_scd2": [("user_id", "i"), ("version", "i"), ("event_type", "s"), ("valid_from", "t"), ("valid_to", "t"), ("is_current", "b")],
     "g2_recall_report": [("method", "s"), ("threshold", "n"), ("n_true", "i"), ("n_cand", "i"), ("n_hit", "i"), ("recall", "n"), ("precision", "n")],
     "g3_cosine_topk": [("query_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],
     "g3_lsh_topk": [("query_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],

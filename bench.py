@@ -48,6 +48,7 @@ HEADLINE = [
     "xbrl_fuzzy_dedup",
     "g1_dedup_keep",
     "g2_jaccard",
+    "g82_containment",
     "g2_cluster_dedup",
     "g2_minhash_lsh",
     "g2_simhash",
@@ -125,6 +126,7 @@ HEADLINE = [
     "g76_hist_quantile",
     "g58_stream_quality",
     "g9_asof_join",
+    "g83_scd2",
     "g9_asof_forward",
     "g37_kmeans",
     "g38_bigram_lm",

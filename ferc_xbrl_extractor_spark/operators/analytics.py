@@ -723,3 +723,67 @@ def hist_quantile(
         name = f"p{str(q).replace('0.', '')}"
         aggs.append(F.round(F.max(est), 6).alias(name))
     return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    attr_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """G83: slowly-changing-dimension type-2 build — turn a per-key
+    change log into versioned validity intervals (Kimball's SCD2, the
+    standard warehouse shape every as-of join consumes; the G9 as-of
+    join is exactly "probe these intervals at time t").
+
+    Per key, rows ordered by ``(ts_col, *order_cols)`` collapse into one
+    version row per *change*: a row opens a version iff it is the key's
+    first row or any ``attr_cols`` value differs from the previous row
+    (null-safe — NULL→value and value→NULL are changes, NULL→NULL is
+    not). Each version carries ``version`` (1-based per key),
+    ``valid_from`` (its opening ts), ``valid_to`` (the next version's
+    ``valid_from``, NULL for the current one) and ``is_current``.
+    Consecutive duplicate states merge into the earlier version —
+    re-emitting an unchanged record extends the interval rather than
+    splitting it.
+
+    ``order_cols`` breaks equal-timestamp ties; pass a unique column
+    (an event id) whenever timestamps can collide, or the winner among
+    same-instant changes is partition-order-dependent.
+
+    Scale shape: ONE exchange hash-partitioned on the key — the change
+    detection (per-attr null-safe lag + row_number) and the interval
+    windows (lead + version row_number) share that partitioning, and the
+    second window pass runs over the *filtered* change rows (|versions|
+    ≤ |rows|) with only a sort, no new shuffle (filter preserves the
+    child's partitioning). No aggregate, no join; dimension keys are
+    naturally high-cardinality so the key-partitioned windows don't
+    single-reducer.
+    """
+    if not key_cols:
+        raise ValueError("scd2_intervals needs at least one key column")
+    attrs = attr_cols
+    if attrs is None:
+        skip = set(key_cols) | {ts_col} | set(order_cols or [])
+        attrs = [c for c in df.columns if c not in skip]
+    if not attrs:
+        raise ValueError("scd2_intervals needs at least one attr column")
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.row_number().over(w) == 1
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    versions = df.select(
+        *key_cols, ts_col, *(order_cols or []), *attrs
+    ).withColumn("__open", changed).filter(F.col("__open")).drop("__open")
+    return versions.select(
+        *key_cols,
+        F.row_number().over(w).cast("int").alias("version"),
+        *attrs,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+    )

@@ -220,6 +220,103 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """G82: asymmetric shingle containment join — ``C(a ⊆ b) =
+    |S(a) ∩ S(b)| / |S(a)|`` (Broder 1997's containment, the companion
+    to resemblance/Jaccard). Catches what a symmetric Jaccard join
+    structurally cannot: a short document quoted or embedded inside a
+    much longer one scores near-1 containment while its Jaccard stays
+    near |a|/|b| — the quote-extraction / subset-document case every
+    crawl dedup hits (article + article-with-comments, excerpt pages,
+    readers reposting a paragraph).
+
+    Returns directed ``(id_a, id_b, containment)`` rows — "id_a's
+    shingle set is contained in id_b's at this ratio" — for every
+    ordered pair with containment ≥ threshold (both directions of a
+    mutual near-dup appear; a strict subset appears once).
+
+    Plan shape: identical to :func:`jaccard_pairs` — ONE
+    shingle-keyed self-join over the reused inverted-index exchange,
+    one (pair) aggregate carrying both docs' set sizes — then the two
+    directed candidates are generated from each unordered pair by an
+    in-plan ``explode`` (no second aggregate, no extra shuffle: the
+    directed relation is derived from the half-sized pair aggregate).
+    ``max_shingle_df`` is the same stop-shingle cap (dropping shingles
+    only lowers measured containment).
+    """
+    st = (
+        doc_shingle_arrays(df, id_col, text_col, n)
+        .select(
+            F.col(id_col),
+            F.size("__sh").alias("n_sh"),
+            F.explode_outer("__sh").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
+    if max_shingle_df is not None:
+        freq = st.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        st = st.join(
+            F.broadcast(freq.filter(F.col("df_") > max_shingle_df)),
+            "shingle",
+            "left_anti",
+        )
+    st = st.repartition("shingle")
+    j = st.alias("a").join(
+        st.alias("b").hint("shuffle_hash"),
+        F.col("a.shingle") == F.col("b.shingle"),
+    )
+    pairs = (
+        j.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"),
+                    F.col("id_b").alias("dst"),
+                    (F.col("n_common") / F.col("n_a").cast("double")).alias(
+                        "c"
+                    ),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"),
+                    F.col("id_a").alias("dst"),
+                    (F.col("n_common") / F.col("n_b").cast("double")).alias(
+                        "c"
+                    ),
+                ),
+            )
+        ).alias("__d")
+    )
+    return (
+        directed.filter(F.col("__d.c") >= threshold)
+        .select(
+            F.col("__d.src").alias("id_a"),
+            F.col("__d.dst").alias("id_b"),
+            F.round("__d.c", 4).alias("containment"),
+        )
+    )
+
+
 def minhash_signature(
     text_col: str | Column = "text", n: int = 3, num_hashes: int = 12
 ) -> Column:

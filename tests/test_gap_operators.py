@@ -4666,3 +4666,119 @@ def test_label_aggregation_goldens(spark):
             for r in aggregate_labels(ann2, reweight=True).collect()}
     assert out2[12]["label"] == "p"           # raw tie-break: label asc
     assert out2[12]["label_weighted"] == "q"  # reliability flips it
+
+
+def test_containment_pairs_goldens(spark):
+    """G82 default tier: directed containment goldens — a strict subset
+    document scores 1.0 into its superset while the reverse direction
+    stays below threshold (the case symmetric Jaccard can't express),
+    mutual near-dups appear in both directions, unrelated docs don't
+    pair (cross-engine values are the g82_containment oracle over the
+    excerpt-augmented corpus, hash-green at both scales)."""
+    from ferc_xbrl_extractor_spark.operators.neardup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),                                   # 10 tokens, 8 shingles
+        (2, base + " lam mu nu xi om pi rho sig tau ups phi chi"),
+        (3, "one two three four five six seven eight nine ten"),
+        (4, base + " extra"),                        # near-dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(docs, n=3, threshold=0.6).collect()
+    }
+    # doc1's 8 shingles all appear in doc2 (20 shingles) and doc4
+    assert got[(1, 2)] == 1.0
+    assert (2, 1) not in got            # 8/20 = 0.4 < threshold
+    assert got[(1, 4)] == 1.0           # subset of the near-dup too
+    assert got[(4, 1)] == round(8 / 9, 4)
+    assert not any(3 in p for p in got)  # unrelated doc never pairs
+
+    # symmetric Jaccard misses the subset pair entirely at the same bar
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, n=3, threshold=0.6).collect()
+    }
+    assert (1, 2) not in jac and (2, 1) not in jac
+
+    # stop-shingle cap can only lower measured containment (drop the
+    # shared-by-3 shingles; the 1→2 ratio recomputes over survivors)
+    capped = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            docs, n=3, threshold=0.1, max_shingle_df=2
+        ).collect()
+    }
+    for k, v in capped.items():
+        if k in got:
+            assert v <= got[k] + 1e-9
+
+
+def test_scd2_intervals_goldens(spark):
+    """G83 default tier: hand-computed SCD2 goldens — change rows open
+    versions, consecutive duplicate states merge into the earlier
+    version, NULL→value / value→NULL are changes while NULL→NULL is
+    not, intervals chain exactly (valid_to = next valid_from), the last
+    version is current, and equal timestamps break by the order column
+    (cross-engine values are the g83_scd2 oracle, hash-green at both
+    scales)."""
+    import datetime as _dt
+
+    from ferc_xbrl_extractor_spark.operators.analytics import scd2_intervals
+
+    t = lambda s: _dt.datetime(2024, 1, s)  # noqa: E731
+    rows = [
+        # user 1: a, a (dup merges), b, b (dup), a again -> 3 versions
+        (1, t(1), 1, "a"), (1, t(2), 2, "a"), (1, t(3), 3, "b"),
+        (1, t(4), 4, "b"), (1, t(5), 5, "a"),
+        # user 2: NULL, NULL (no change), x, NULL -> 3 versions
+        (2, t(1), 6, None), (2, t(2), 7, None), (2, t(3), 8, "x"),
+        (2, t(4), 9, None),
+        # user 3: two same-instant rows -> event_id orders them; the
+        # second (id 11) differs so it opens version 2 at the same ts
+        (3, t(1), 10, "p"), (3, t(1), 11, "q"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = scd2_intervals(
+        df, ["user_id"], ts_col="ts", attr_cols=["event_type"],
+        order_cols=["event_id"],
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for v in by_user.values():
+        v.sort(key=lambda r: r["version"])
+
+    u1 = [(r["event_type"], r["valid_from"], r["valid_to"], r["is_current"])
+          for r in by_user[1]]
+    assert u1 == [
+        ("a", t(1), t(3), False),
+        ("b", t(3), t(5), False),
+        ("a", t(5), None, True),
+    ]
+    u2 = [(r["event_type"], r["valid_from"], r["valid_to"]) for r in by_user[2]]
+    assert u2 == [(None, t(1), t(3)), ("x", t(3), t(4)), (None, t(4), None)]
+    u3 = [(r["event_type"], r["valid_from"], r["valid_to"]) for r in by_user[3]]
+    assert u3 == [("p", t(1), t(1)), ("q", t(1), None)]
+
+    # default attrs = every non-key/ts/order column
+    out2 = scd2_intervals(
+        df, ["user_id"], ts_col="ts", order_cols=["event_id"]
+    )
+    assert "version" in out2.columns
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="key"):
+        scd2_intervals(df, [], ts_col="ts", attr_cols=["event_type"])
+    with _pytest.raises(ValueError, match="attr"):
+        scd2_intervals(
+            df.select("user_id", "ts", "event_id"), ["user_id"],
+            ts_col="ts", order_cols=["event_id"],
+        )

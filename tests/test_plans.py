@@ -558,3 +558,30 @@ def test_bucketed_dedup_exact_runs_exchange_free(spark):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_dedup_t")
+
+
+def test_scd2_both_windows_share_one_exchange(spark):
+    """G83 plan pin: the change-collapse (lag + row_number) and the
+    interval close (lead + version) partition on the same key, and the
+    filter between them preserves partitioning — so the whole SCD2
+    build is ONE hash exchange and ONE sort; a second exchange or sort
+    would mean the window specs drifted apart."""
+    import datetime as _dt
+
+    from ferc_xbrl_extractor_spark.operators.analytics import scd2_intervals
+
+    rows = [
+        (i % 7, _dt.datetime(2024, 1, 1 + (i % 20)), i, f"s{i % 3}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = scd2_intervals(
+        df, ["user_id"], ts_col="ts", attr_cols=["event_type"],
+        order_cols=["event_id"],
+    )
+    plan = _executed_plan(out)
+    assert plan.count("Window") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort") == 1, plan
