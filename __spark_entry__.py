@@ -807,6 +807,16 @@ def q_g2_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.jaccard_pairs(docs, n=3, threshold=0.5)
 
 
+def q_g84_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G84: prefix-filtered exact Jaccard join (neardup.ppjoin_pairs) —
+    candidate pairs from the rarest-shingle prefixes only (plus the
+    size filter), exact-verified. Provably the same output as
+    jaccard_pairs at the same threshold, so the oracle IS the g2_jaccard
+    SQL — the correctness gate checks the optimization changed nothing."""
+    docs = _t(spark, sf_dir, "documents")
+    return neardup.ppjoin_pairs(docs, n=3, threshold=0.5)
+
+
 def q_g82_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G82: asymmetric shingle-containment join (neardup.
     containment_pairs) over the corpus augmented with derived excerpt
@@ -3637,6 +3647,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g81_label_agg": q_g81_label_agg,
         "g82_containment": q_g82_containment,
         "g83_scd2": q_g83_scd2,
+        "g84_ppjoin": q_g84_ppjoin,
         "g3_recall": q_g3_recall,
         "g3_embedding_neardup": q_g3_embedding_neardup,
         "g42_semantic_decon": q_g42_semantic_decon,
@@ -3962,6 +3973,11 @@ def fine_oracle_sql() -> dict[str, str]:
         WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
     """
     sql["g2_jaccard"] = f"WITH {_SHINGLES_CTE}, {_jaccard_body}"
+
+    # G84: prefix-filtered join is EXACT — its contract is "same output
+    # as the full inverted-index join", so its oracle is g2_jaccard's
+    # SQL verbatim: the gate proves the optimization changed nothing.
+    sql["g84_ppjoin"] = sql["g2_jaccard"]
 
     # G82: directed containment over the excerpt-augmented corpus — the
     # same shingle inverted index as g2_jaccard, rebuilt over documents
@@ -7499,7 +7515,7 @@ _SUITES: dict[str, list[str]] = {
     ],
     "g2_neardup_suite": [
         "g2_jaccard", "g2_minhash_lsh", "g2_simhash", "g52_dedup_best",
-        "g2_recall_report", "g82_containment",
+        "g2_recall_report", "g82_containment", "g84_ppjoin",
     ],
     "g3_ann_suite": [
         "g3_cosine_topk", "g3_lsh_topk", "g3_ivf_topk",
@@ -7600,6 +7616,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g2_minhash_lsh": [("id_a", "i"), ("id_b", "i"), ("jaccard", "n")],
     "g2_simhash": [("id_a", "i"), ("id_b", "i"), ("hamming", "i")],
     "g82_containment": [("id_a", "i"), ("id_b", "i"), ("containment", "n")],
+    "g84_ppjoin": [("id_a", "i"), ("id_b", "i"), ("jaccard", "n")],
     "g83_scd2": [("user_id", "i"), ("version", "i"), ("event_type", "s"), ("valid_from", "t"), ("valid_to", "t"), ("is_current", "b")],
     "g2_recall_report": [("method", "s"), ("threshold", "n"), ("n_true", "i"), ("n_cand", "i"), ("n_hit", "i"), ("recall", "n"), ("precision", "n")],
     "g3_cosine_topk": [("query_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],

@@ -49,6 +49,7 @@ HEADLINE = [
     "g1_dedup_keep",
     "g2_jaccard",
     "g82_containment",
+    "g84_ppjoin",
     "g2_cluster_dedup",
     "g2_minhash_lsh",
     "g2_simhash",

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ferc_xbrl_extractor_spark.operators.text import tokens
@@ -217,6 +217,92 @@ def jaccard_pairs(
     return (
         pairs.filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    broadcast_verify: bool = True,
+) -> DataFrame:
+    """G84: prefix-filtered exact Jaccard join (the SSJoin/PPJoin family
+    — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08). Same OUTPUT as
+    :func:`jaccard_pairs` — exact ``(id_a, id_b, jaccard)`` at the
+    threshold — but candidate generation touches only each document's
+    *prefix*: its ``floor((1-t)·|S|) + 1`` globally-rarest shingles.
+
+    Why this is the scale path: the full inverted-index join pays
+    Σ df(s)² over every shingle s — stopword-heavy shingles with
+    million-document posting lists dominate the shuffle even though
+    pairs sharing ONLY those shingles can never reach the threshold.
+    The prefix-filtering theorem (under any global total order, two
+    sets with J ≥ t must share a prefix element) lets the pair join run
+    over posting lists of the RAREST shingles only; frequent shingles
+    drop out of candidate generation entirely, and correctness is
+    restored by exact verification of the surviving candidate set.
+    The size filter (t·|B| ≤ |A| ≤ |B|/t, another J ≥ t necessity)
+    prunes candidates before the aggregate.
+
+    Global order = (document frequency ASC, shingle ASC) — the standard
+    rarest-first order that minimizes posting-list overlap, computed
+    with one shingle-keyed aggregate joined back onto the same
+    shingle-partitioned exchange (no extra corpus shuffle); the
+    per-document prefix is a rank window over the doc's own shingles.
+    Verification is :func:`_verify_candidates` — ``array_intersect``
+    per candidate pair, no aggregate.
+
+    Use :func:`jaccard_pairs` when the corpus has no frequent-shingle
+    skew (its single self-join is one stage shorter); use this form
+    when posting lists are Zipf-distributed — i.e. real text at scale.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    docs_arr = doc_shingle_arrays(df, id_col, text_col, n)
+    st = (
+        docs_arr.select(
+            F.col(id_col),
+            F.size("__sh").alias("n_sh"),
+            F.explode_outer("__sh").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
+    st = st.repartition("shingle")
+    dfreq = st.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    # df_ join rides the same hashpartitioning(shingle) exchange as the
+    # aggregate that produced it — exchange reuse, no new corpus shuffle
+    ranked = st.join(dfreq.hint("shuffle_hash"), "shingle")
+    w = Window.partitionBy(id_col).orderBy("df_", "shingle")
+    pref = (
+        ranked.withColumn("__rnk", F.row_number().over(w))
+        .filter(
+            F.col("__rnk")
+            <= F.floor((1.0 - threshold) * F.col("n_sh")).cast("int") + 1
+        )
+        .select(id_col, "n_sh", "shingle")
+    )
+    pref = pref.repartition("shingle")
+    j = pref.alias("a").join(
+        pref.alias("b").hint("shuffle_hash"),
+        F.col("a.shingle") == F.col("b.shingle"),
+    )
+    cands = (
+        j.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        # size filter: J >= t forces t·max(|A|,|B|) <= min(|A|,|B|)
+        .filter(
+            F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+            >= threshold * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_candidates(
+        cands, docs_arr, id_col, threshold, broadcast_verify
     )
 
 

@@ -4782,3 +4782,45 @@ def test_scd2_intervals_goldens(spark):
             df.select("user_id", "ts", "event_id"), ["user_id"],
             ts_col="ts", order_cols=["event_id"],
         )
+
+
+def test_ppjoin_equals_jaccard_pairs(spark):
+    """G84 default tier: prefix-filtered join ≡ the full inverted-index
+    join — value identity at two thresholds on a stopword-heavy fixture
+    (every doc shares a universal header trigram, the posting list the
+    prefix filter exists to skip), plus validation. Cross-engine
+    exactness is the g84_ppjoin oracle — literally the g2_jaccard SQL —
+    hash-green at both scales."""
+    from ferc_xbrl_extractor_spark.operators.neardup import (
+        jaccard_pairs,
+        ppjoin_pairs,
+    )
+
+    header = "common header line"          # universal trigram, df = |docs|
+    base = "alpha beta gamma delta epsilon zeta eta theta".split()
+    rows = []
+    for i in range(24):
+        body = list(base)
+        body[i % len(base)] = f"tok{i}"    # one mutation per doc
+        if i % 3 == 0:
+            body.append(f"tail{i // 3}")
+        rows.append((i, header + " " + " ".join(body)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for t in (0.5, 0.8):
+        full = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in jaccard_pairs(docs, n=3, threshold=t).collect()
+        }
+        pp = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in ppjoin_pairs(docs, n=3, threshold=t).collect()
+        }
+        assert pp == full, (t, pp ^ full)
+    assert full, "fixture must produce pairs for the comparison to bite"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="threshold"):
+        ppjoin_pairs(docs, threshold=0.0)
+    with _pytest.raises(ValueError, match="threshold"):
+        ppjoin_pairs(docs, threshold=1.5)
