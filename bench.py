@@ -135,6 +135,7 @@ HEADLINE = [
     "g40_repeat_mix",
     "g41_epoch",
     "g65_pagerank",
+    "g85_triangles",
 ]
 
 

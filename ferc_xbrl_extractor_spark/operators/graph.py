@@ -227,3 +227,98 @@ def pagerank_oracle_sql(
         f" AS node_rank FROM nodes CROSS JOIN nn "
         f"LEFT JOIN {prev} ON nodes.node = {prev}.node"
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """G85: per-node triangle counts by degree-ordered edge orientation
+    (Suri & Vassilvitskii, WWW'11 — the "curse of the last reducer"
+    fix). Triangle density is the link-graph spam signal PageRank can't
+    see: link farms and mutual-citation rings are trianglerich while
+    organic link neighborhoods are sparse, so crawl curation thresholds
+    on clustering structure next to the G65 rank prior.
+
+    Input is treated as an UNDIRECTED multigraph: direction, self-loops
+    and duplicate links are normalized away first. Returns
+    ``(node, n_triangles)`` for every node incident to ≥1 canonical
+    edge (zeros included).
+
+    Why the orientation matters at 100 TB: the naive wedge join builds
+    Σ deg(v)² candidate wedges — a celebrity node with 10⁷ neighbors
+    owns 10¹⁴ wedges and one reducer dies. Orienting every edge from
+    its (degree, id)-smaller endpoint bounds every out-neighborhood by
+    O(√m) (no node keeps more than its rank in the degree order), so
+    the wedge join is Σ outdeg(v)² ≤ O(m^1.5) TOTAL with no skewed
+    key — each triangle {x,y,z}, π(x)<π(y)<π(z), is generated exactly
+    once as the wedge (x→y, x→z) closed by the oriented edge y→z.
+
+    Plan shape: one distinct over canonical edges, one degree
+    aggregate joined back (both endpoints), the wedge self-join on the
+    oriented source, and a LEFT SEMI join against the oriented edge
+    set to close wedges — semi, so closing rows never duplicate. The
+    corner explode + count is an |triangles|-row aggregate.
+    """
+    e = (
+        edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+        .filter(F.col("__a") != F.col("__b"))
+        .select(
+            F.least("__a", "__b").alias("__a"),
+            F.greatest("__a", "__b").alias("__b"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("__a").alias("__n"))
+        .union(e.select(F.col("__b").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("__n", "__a")
+                  .withColumnRenamed("__deg", "__da"), "__a")
+        .join(deg.withColumnRenamed("__n", "__b")
+                 .withColumnRenamed("__deg", "__db"), "__b")
+    )
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("__a") < F.col("__b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("__a")).otherwise(F.col("__b")).alias("__u"),
+        F.when(a_first, F.col("__b")).otherwise(F.col("__a")).alias("__v"),
+        F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias("__dv"),
+    )
+    e1 = oriented.select(
+        F.col("__u"), F.col("__v").alias("__v1"), F.col("__dv").alias("__d1")
+    )
+    e2 = oriented.select(
+        F.col("__u"), F.col("__v").alias("__v2"), F.col("__dv").alias("__d2")
+    )
+    # each unordered wedge once: π(v1) < π(v2) in the same (deg, id) order
+    wedges = e1.join(e2, "__u").filter(
+        (F.col("__d1") < F.col("__d2"))
+        | ((F.col("__d1") == F.col("__d2")) & (F.col("__v1") < F.col("__v2")))
+    )
+    closing = oriented.select(
+        F.col("__u").alias("__v1"), F.col("__v").alias("__v2")
+    )
+    tris = wedges.join(closing, ["__v1", "__v2"], "left_semi").select(
+        "__u", "__v1", "__v2"
+    )
+    corner_counts = (
+        tris.select(
+            F.explode(F.array("__u", "__v1", "__v2")).alias("__n")
+        )
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.select("__n")
+        .join(corner_counts, "__n", "left")
+        .select(
+            F.col("__n").alias("node"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+        )
+    )

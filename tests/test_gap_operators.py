@@ -4824,3 +4824,34 @@ def test_ppjoin_equals_jaccard_pairs(spark):
         ppjoin_pairs(docs, threshold=0.0)
     with _pytest.raises(ValueError, match="threshold"):
         ppjoin_pairs(docs, threshold=1.5)
+
+
+def test_triangle_counts_goldens(spark):
+    """G85 default tier: hand-checked triangle goldens — K4 corners in 3
+    triangles each, a pendant and a 4-cycle in none, duplicate/reversed/
+    self-loop edges normalized away, and a star-plus-rim (wheel) graph
+    where the hub's count equals the rim size (cross-engine values are
+    the g85_triangles oracle over the lineitem-derived graph, hash-green
+    at both scales)."""
+    import itertools
+
+    from ferc_xbrl_extractor_spark.operators.graph import triangle_counts
+
+    edges = list(itertools.combinations(range(4), 2))   # K4
+    edges += [(3, 4)]                                   # pendant
+    edges += [(10, 11), (11, 12), (12, 13), (13, 10)]   # C4: no triangles
+    edges += [(0, 1), (1, 0), (2, 2)]                   # dup, reversed, loop
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0,
+                   10: 0, 11: 0, 12: 0, 13: 0}
+
+    # wheel W6: hub 99 joined to a 6-cycle rim — hub in 6 triangles
+    # (one per rim edge), each rim node in 2; the hub is the skewed
+    # high-degree node the orientation exists to keep off one reducer
+    rim = [(i, (i + 1) % 6) for i in range(6)]
+    wheel = rim + [(99, i) for i in range(6)]
+    wf = spark.createDataFrame(wheel, "src long, dst long")
+    wgot = {r["node"]: r["n_triangles"] for r in triangle_counts(wf).collect()}
+    assert wgot[99] == 6
+    assert all(wgot[i] == 2 for i in range(6))
