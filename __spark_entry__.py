@@ -817,6 +817,25 @@ def q_g84_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.ppjoin_pairs(docs, n=3, threshold=0.5)
 
 
+def q_g86_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G86: Bloom-prefiltered star join (bloom.bloom_join) — lineitem
+    joined to the ~10% most expensive orders; the dim keys build a
+    broadcast bitmap that filters the fact side BEFORE its shuffle.
+    Output is exactly the plain join (no false negatives; the exact
+    join removes false positives), so the oracle IS the plain join."""
+    from ferc_xbrl_extractor_spark.operators.bloom import bloom_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_linenumber", "l_quantity"
+    )
+    od = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_orderkey").alias("okey"), "o_totalprice")
+    )
+    return bloom_join(li, od, "okey")
+
+
 def q_g82_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G82: asymmetric shingle-containment join (neardup.
     containment_pairs) over the corpus augmented with derived excerpt
@@ -3667,6 +3686,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g83_scd2": q_g83_scd2,
         "g84_ppjoin": q_g84_ppjoin,
         "g85_triangles": q_g85_triangles,
+        "g86_bloom_join": q_g86_bloom_join,
         "g3_recall": q_g3_recall,
         "g3_embedding_neardup": q_g3_embedding_neardup,
         "g42_semantic_decon": q_g42_semantic_decon,
@@ -3997,6 +4017,15 @@ def fine_oracle_sql() -> dict[str, str]:
     # as the full inverted-index join", so its oracle is g2_jaccard's
     # SQL verbatim: the gate proves the optimization changed nothing.
     sql["g84_ppjoin"] = sql["g2_jaccard"]
+
+    # G86: the bloom prefilter is output-invisible by construction, so
+    # the oracle is the PLAIN join — the gate proves exactness at any fpp.
+    sql["g86_bloom_join"] = """
+        SELECT l.l_orderkey AS okey, l.l_linenumber, l.l_quantity,
+               o.o_totalprice
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice > 450000
+    """
 
     # G82: directed containment over the excerpt-augmented corpus — the
     # same shingle inverted index as g2_jaccard, rebuilt over documents
@@ -7567,6 +7596,7 @@ _SUITES: dict[str, list[str]] = {
     "g15_decontaminate_suite": [
         "g15_decontaminate", "g15_bloom_decontaminate",
         "g42_semantic_decon", "g46_split_leakage", "g49_dsir_weights",
+        "g86_bloom_join",
     ],
     # r6 fold: windows + as-of share the orders/events relations; one
     # suite entry instead of two (gate headroom, VERDICT r5 item #1).
@@ -7735,6 +7765,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g66_domain_report": [("domain", "s"), ("n_docs", "i"), ("n_urls", "i"), ("n_chars", "i")],
     "g65_pagerank": [("node", "i"), ("node_rank", "i")],
     "g85_triangles": [("node", "i"), ("n_triangles", "i")],
+    "g86_bloom_join": [("okey", "i"), ("l_linenumber", "i"), ("l_quantity", "n"), ("o_totalprice", "n")],
     "g61_c4_clean": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_lines", "i"), ("keep", "b")],
     "g62_contamination": [("doc_id", "i"), ("n_hit_grams", "i"), ("longest_overlap_tokens", "i")],
     "g63_stream_cap": [("event_type", "s"), ("ts", "t"), ("event_id", "i"), ("value", "n")],

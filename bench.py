@@ -102,6 +102,7 @@ HEADLINE = [
     "g18_quantized_topk",
     "g78_random_projection",
     "g15_decontaminate",
+    "g86_bloom_join",
     "g16_curate_e2e",
     "g36_curate_funnel",
     "g20_quality_suite",

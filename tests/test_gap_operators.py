@@ -4855,3 +4855,43 @@ def test_triangle_counts_goldens(spark):
     wgot = {r["node"]: r["n_triangles"] for r in triangle_counts(wf).collect()}
     assert wgot[99] == 6
     assert all(wgot[i] == 2 for i in range(6))
+
+
+def test_bloom_join_exactness_and_prefilter(spark):
+    """G86 default tier: bloom_join ≡ the plain inner join on a fixture
+    sized so false positives are certain to occur at fpp=0.5 (the join
+    must remove them), duplicate dim keys multiply rows exactly as the
+    plain join does, and the prefilter provably drops non-matching fact
+    rows before the join at tight fpp (cross-engine exactness is the
+    g86_bloom_join oracle — the plain-join SQL — hash-green at both
+    scales)."""
+    from ferc_xbrl_extractor_spark.operators.bloom import (
+        bloom_build,
+        bloom_join,
+        might_contain,
+    )
+
+    fact = spark.createDataFrame(
+        [(k, k * 10) for k in range(200)], "okey long, v long"
+    )
+    dim_rows = [(k, f"d{k}") for k in range(0, 200, 20)]   # 10 keys
+    dim_rows.append((40, "d40b"))                          # duplicate key
+    dim = spark.createDataFrame(dim_rows, "okey long, name string")
+
+    plain = {(r["okey"], r["v"], r["name"])
+             for r in fact.join(dim, "okey").collect()}
+    for fpp in (0.5, 0.01):
+        got = {(r["okey"], r["v"], r["name"])
+               for r in bloom_join(fact, dim, "okey", fpp=fpp).collect()}
+        assert got == plain, fpp
+    assert len(plain) == 11  # 10 keys + the duplicated key's second row
+
+    # the prefilter itself: at 1% fpp, ≤ a handful of the 190
+    # non-matching fact keys survive the bitmap (none is typical)
+    bloom = bloom_build(dim.select("okey"), "okey", fpp=0.01)
+    survivors = fact.filter(might_contain(bloom, F.col("okey"))).count()
+    assert 10 <= survivors <= 20, survivors
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fpp"):
+        bloom_join(fact, dim, "okey", fpp=0.0)
