@@ -3439,6 +3439,27 @@ def q_g65_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPR_SEEDS = list(range(20))
+
+
+def q_g87_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G87: personalized PageRank (graph.pagerank with seeds) — the g65
+    graph ranked by closeness to a 20-node trusted seed set instead of
+    global centrality (TrustRank-style crawl prior). Teleport and r0
+    become seed-membership CASEs; the oracle unrolls the identical
+    recurrence with IN-list constants via pagerank_oracle_sql(seeds=)."""
+    from ferc_xbrl_extractor_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem", repair=False).select(
+        (F.col("l_orderkey") % 997).alias("src"),
+        (F.col("l_partkey") % 997).alias("dst"),
+    )
+    return graph.pagerank(li, iters=3, seeds=_PPR_SEEDS).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("node_rank").cast("long").alias("node_rank"),
+    )
+
+
 def q_g85_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G85: per-node triangle counts (graph.triangle_counts) over a
     9973-node undirected graph derived from lineitem (the g65 recipe at
@@ -3687,6 +3708,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g84_ppjoin": q_g84_ppjoin,
         "g85_triangles": q_g85_triangles,
         "g86_bloom_join": q_g86_bloom_join,
+        "g87_ppr": q_g87_ppr,
         "g3_recall": q_g3_recall,
         "g3_embedding_neardup": q_g3_embedding_neardup,
         "g42_semantic_decon": q_g42_semantic_decon,
@@ -7178,6 +7200,13 @@ def fine_oracle_sql() -> dict[str, str]:
         iters=3,
     )
 
+    # G87: personalized form — same generator, seed-membership CASEs.
+    sql["g87_ppr"] = pagerank_oracle_sql(
+        "SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst FROM lineitem",
+        iters=3,
+        seeds=_PPR_SEEDS,
+    )
+
     # G85: triangle counts — canonical undirected edges, (degree, id)
     # orientation via row-value comparisons, unordered wedges closed by
     # an EXISTS against the oriented edge set, corner explode + count.
@@ -7645,6 +7674,7 @@ _SUITES: dict[str, list[str]] = {
     "g_training_suite": [
         "g37_kmeans", "g38_bigram_lm", "g39_shuffle_order",
         "g40_repeat_mix", "g41_epoch", "g65_pagerank", "g85_triangles",
+        "g87_ppr",
     ],
 }
 
@@ -7765,6 +7795,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g66_domain_report": [("domain", "s"), ("n_docs", "i"), ("n_urls", "i"), ("n_chars", "i")],
     "g65_pagerank": [("node", "i"), ("node_rank", "i")],
     "g85_triangles": [("node", "i"), ("n_triangles", "i")],
+    "g87_ppr": [("node", "i"), ("node_rank", "i")],
     "g86_bloom_join": [("okey", "i"), ("l_linenumber", "i"), ("l_quantity", "n"), ("o_totalprice", "n")],
     "g61_c4_clean": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_lines", "i"), ("keep", "b")],
     "g62_contamination": [("doc_id", "i"), ("n_hit_grams", "i"), ("longest_overlap_tokens", "i")],

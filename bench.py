@@ -136,6 +136,7 @@ HEADLINE = [
     "g40_repeat_mix",
     "g41_epoch",
     "g65_pagerank",
+    "g87_ppr",
     "g85_triangles",
 ]
 

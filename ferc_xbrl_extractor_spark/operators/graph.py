@@ -68,8 +68,10 @@ def pagerank(
     dst: str = "dst",
     damping_pct: int = 85,
     unit: int = 1_000_000,
+    seeds: list | None = None,
 ) -> DataFrame:
-    """Integer-exact PageRank over a directed edge list.
+    """Integer-exact PageRank over a directed edge list — uniform or
+    PERSONALIZED (G87: seed-restart, Haveliwala WWW'02).
 
     Args:
         edges: (src, dst) relation; duplicate edges are collapsed (a
@@ -78,12 +80,26 @@ def pagerank(
             convergence-tested, so the oracle can unroll it.
         damping_pct: damping factor in percent (85 = the classic 0.85).
         unit: micro-unit scale for the integer ranks.
+        seeds: optional restart set — teleport mass lands ONLY on these
+            nodes (``base = (100-damping)%·unit // (100·|seeds|)`` per
+            seed, zero elsewhere; r0 = ``unit // |seeds|`` on seeds).
+            The crawl-curation use: seed with a trusted domain list and
+            ranks measure closeness-to-trust (TrustRank-style priors)
+            instead of global centrality. Seed sets are operator
+            literals (a trusted-domain list, not a relation), so
+            membership compiles to an in-plan ``isin`` — no join, no
+            broadcast, and the SQL oracle replays it as ``IN``. Seeds
+            absent from the graph's node set are ignored in the OUTPUT
+            domain but still count in |seeds| (mass parked on them
+            drops, like dangling mass).
 
     Returns (node, rank_micro) — higher is more central. Total mass is
     NOT conserved (dangling mass drops); consumers use the ordering.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if seeds is not None and len(seeds) == 0:
+        raise ValueError("seeds must be a non-empty list (or None)")
     raw = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     e = raw.distinct()
     # nodes is consumed twice (count, final read-off); an EAGER
@@ -110,8 +126,25 @@ def pagerank(
     # teleport mass = (100 - damping_pct)% of unit, per node — derived
     # from the SAME parameter the edge contributions scale by (a
     # hardcoded 15 here silently broke every damping_pct != 85: total
-    # per-round mass would exceed/undershoot 1)
-    base = ((100 - damping_pct) * unit) // (100 * n)
+    # per-round mass would exceed/undershoot 1). Personalized form:
+    # the same mass concentrates on the |seeds| restart nodes.
+    base = ((100 - damping_pct) * unit) // (100 * (len(seeds) if seeds is not None else n))
+
+    def _base_of(col):
+        # per-node teleport: uniform `base`, or base·1[node ∈ seeds]
+        if seeds is None:
+            return F.lit(base).cast("long")
+        return F.when(col.isin(seeds), F.lit(base)).otherwise(
+            F.lit(0)
+        ).cast("long")
+
+    def _r0_of(col):
+        r0 = unit // (len(seeds) if seeds is not None else n)
+        if seeds is None:
+            return F.lit(r0).cast("long")
+        return F.when(col.isin(seeds), F.lit(r0)).otherwise(
+            F.lit(0)
+        ).cast("long")
     # out-degree rides WITH the edge relation (one join per iteration,
     # not two). Degree is a groupBy aggregate joined back — map-side
     # combinable and AQE-skew-splittable — NOT a count window: a window
@@ -133,11 +166,11 @@ def pagerank(
     for t in range(1, iters + 1):
         if ranks is None:
             joined = e2
-            src_rank = F.lit(unit // n).cast("long")
+            src_rank = _r0_of(F.col("__s"))
         else:
             joined = e2.join(ranks, e2["__s"] == ranks["node"], "left")
             src_rank = F.coalesce(
-                F.col("node_rank"), F.lit(base).cast("long")
+                F.col("node_rank"), _base_of(F.col("__s"))
             )
         ranks = (
             joined.select(
@@ -148,8 +181,11 @@ def pagerank(
                 ).cast("long").alias("__c"),
             )
             .groupBy("node")
-            .agg(
-                (F.lit(base) + F.sum("__c")).cast("long").alias("node_rank")
+            .agg(F.sum("__c").cast("long").alias("__sum"))
+            .select(
+                "node",
+                (_base_of(F.col("node")) + F.col("__sum"))
+                .cast("long").alias("node_rank"),
             )
         )
         # Unlike connected_components (whose convergence test forces an
@@ -165,7 +201,7 @@ def pagerank(
     # present in any contrib relation scores base every round >= 1).
     return nodes.join(ranks, "node", "left").select(
         "node",
-        F.coalesce(F.col("node_rank"), F.lit(base))
+        F.coalesce(F.col("node_rank"), _base_of(F.col("node")))
         .cast("long").alias("node_rank"),
     )
 
@@ -175,6 +211,7 @@ def pagerank_oracle_sql(
     iters: int = 3,
     damping_pct: int = 85,
     unit: int = 1_000_000,
+    seeds: list | None = None,
 ) -> str:
     """ANSI-SQL replay of :func:`pagerank` with the iterations UNROLLED
     (recursive CTEs cannot aggregate over the recursive term, so the
@@ -182,13 +219,35 @@ def pagerank_oracle_sql(
     Mirrors the deferred-read-off structure: intermediate rounds cover
     only contributing (in-linked) nodes, sources missing from the
     previous round's relation coalesce to the closed-form constant, and
-    the full node list is joined back once at the end.
+    the full node list is joined back once at the end. With ``seeds``
+    (the G87 personalized form), the per-node teleport and r0 constants
+    become CASE-over-IN expressions on the same literal list the
+    operator compiled to ``isin``.
     ``edges_sql`` must yield columns (src, dst)."""
-    # base = FLOOR((100-damping)*unit / (100*n)) — per-round teleport mass
-    base = (
-        f"CAST(FLOOR(({100 - damping_pct}.0 * {unit}) / (100 * nn.n))"
-        " AS BIGINT)"
-    )
+
+    def _case(col: str, then: str) -> str:
+        lst = ", ".join(repr(s) for s in seeds)
+        return (
+            f"CAST(CASE WHEN {col} IN ({lst}) THEN {then} ELSE 0 END"
+            " AS BIGINT)"
+        )
+
+    if seeds is None:
+        # base = FLOOR((100-damping)*unit / (100*n)) per node
+        base_of = lambda col: (  # noqa: E731
+            f"CAST(FLOOR(({100 - damping_pct}.0 * {unit}) / (100 * nn.n))"
+            " AS BIGINT)"
+        )
+        r0_of = lambda col: (  # noqa: E731
+            f"CAST(FLOOR({unit} * 1.0 / nn.n) AS BIGINT)"
+        )
+    else:
+        k = len(seeds)
+        base_lit = ((100 - damping_pct) * unit) // (100 * k)
+        r0_lit = unit // k
+        base_of = lambda col: _case(col, str(base_lit))  # noqa: E731
+        r0_of = lambda col: _case(col, str(r0_lit))  # noqa: E731
+
     sql = [
         f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
@@ -196,10 +255,10 @@ def pagerank_oracle_sql(
         "outdeg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
         # DuckDB '/' is float division and CAST(double AS BIGINT)
         # ROUNDS — every division goes through an explicit FLOOR.
-        # Round 1 is join-free: every source holds the uniform r0.
-        f"r1 AS (SELECT e.dst AS node, {base} + "
+        # Round 1 is join-free: every source holds its r0.
+        f"r1 AS (SELECT e.dst AS node, {base_of('e.dst')} + "
         f"SUM(CAST(FLOOR(({damping_pct} * "
-        f"CAST(FLOOR({unit} * 1.0 / nn.n) AS BIGINT))"
+        f"{r0_of('e.src')})"
         f" / (100.0 * outdeg.deg)) AS BIGINT)) AS r "
         "FROM e JOIN outdeg ON e.src = outdeg.src CROSS JOIN nn "
         "GROUP BY e.dst, nn.n)",
@@ -207,11 +266,11 @@ def pagerank_oracle_sql(
     prev = "r1"
     for t in range(2, iters + 1):
         # a source absent from the previous round's relation holds
-        # exactly base — the coalesce replays the Spark-side fold
+        # exactly its base — the coalesce replays the Spark-side fold
         sql.append(
-            f"r{t} AS (SELECT e.dst AS node, {base} + "
+            f"r{t} AS (SELECT e.dst AS node, {base_of('e.dst')} + "
             f"SUM(CAST(FLOOR(({damping_pct} * "
-            f"COALESCE({prev}.r, {base}))"
+            f"COALESCE({prev}.r, {base_of('e.src')}))"
             f" / (100.0 * outdeg.deg)) AS BIGINT)) AS r "
             f"FROM e JOIN outdeg ON e.src = outdeg.src CROSS JOIN nn "
             f"LEFT JOIN {prev} ON e.src = {prev}.node "
@@ -222,8 +281,9 @@ def pagerank_oracle_sql(
         "WITH " + ",\n".join(sql)
         # SUM(BIGINT) is HUGEINT in DuckDB — cast back so the typed
         # value-hash compare sees int64 on both engines. In-linkless
-        # nodes read off at exactly base, once.
-        + f"\nSELECT nodes.node, CAST(COALESCE({prev}.r, {base}) AS BIGINT)"
+        # nodes read off at exactly their base, once.
+        + f"\nSELECT nodes.node, CAST(COALESCE({prev}.r, "
+        f"{base_of('nodes.node')}) AS BIGINT)"
         f" AS node_rank FROM nodes CROSS JOIN nn "
         f"LEFT JOIN {prev} ON nodes.node = {prev}.node"
     )

@@ -4895,3 +4895,68 @@ def test_bloom_join_exactness_and_prefilter(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="fpp"):
         bloom_join(fact, dim, "okey", fpp=0.0)
+
+
+def test_personalized_pagerank_matches_python_reference(spark):
+    """G87: the seed-restart recurrence equals a serial Python replay —
+    teleport mass lands only on seeds (base·1[v ∈ seeds]), r0
+    concentrates on seeds, non-seed sources absent from a round hold 0
+    — and a seeded run orders closeness-to-seed differently from the
+    uniform run on the same graph; validation raises on empty seeds
+    (cross-engine values are the g87_ppr oracle, hash-green both
+    scales)."""
+    from ferc_xbrl_extractor_spark.operators import graph
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (5, 4), (3, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(5)
+    seeds = [1]
+    got = {
+        r["node"]: r["node_rank"]
+        for r in graph.pagerank(df, iters=3, seeds=seeds).collect()
+    }
+
+    uniq = sorted(set(edges))
+    nodes = sorted({u for e in uniq for u in e})
+    outdeg = {}
+    for s, _d in uniq:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    unit = 1_000_000
+
+    def ref(iters, seed_set, damping=85):
+        k = len(seed_set)
+        base = ((100 - damping) * unit) // (100 * k)
+        r = {v: (unit // k if v in seed_set else 0) for v in nodes}
+        for _ in range(iters):
+            nxt = {v: (base if v in seed_set else 0) for v in nodes}
+            for s, d in uniq:
+                nxt[d] += (damping * r[s]) // (100 * outdeg[s])
+            r = nxt
+        return r
+
+    assert got == ref(3, {1})
+    # the run crossing the periodic lineage cut stays exact too
+    got9 = {
+        r["node"]: r["node_rank"]
+        for r in graph.pagerank(df, iters=9, seeds=seeds).collect()
+    }
+    assert got9 == ref(9, {1})
+    # multi-seed
+    got2 = {
+        r["node"]: r["node_rank"]
+        for r in graph.pagerank(df, iters=3, seeds=[1, 5]).collect()
+    }
+    assert got2 == ref(3, {1, 5})
+    # the restart concentrates mass: the seed dominates the seeded run
+    # (it is NOT the uniform run's top node — node 3 is), and the two
+    # scores differ on every node
+    uni = {
+        r["node"]: r["node_rank"]
+        for r in graph.pagerank(df, iters=3).collect()
+    }
+    assert max(got, key=lambda v: (got[v], -v)) == 1
+    assert max(uni, key=lambda v: (uni[v], -v)) == 3
+    assert all(got[v] != uni[v] for v in got)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="seeds"):
+        graph.pagerank(df, seeds=[])
