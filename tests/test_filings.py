@@ -103,3 +103,57 @@ def test_register_star_sql_surface(spark):
     assert n > 0
     ts = spark.sql("SELECT max(ts) AS m FROM events_t").first()["m"]
     assert ts is not None
+
+
+def test_warc_roundtrip_and_corruption(spark, tmp_path):
+    """S9 default tier: WARC write→scan round-trip (member-per-record
+    gzip framing, UTF-8 payloads incl. multibyte), header parse
+    (type/URI/date/content-type), plain multi-record .warc files, and
+    the E1 containment contract — a corrupt gzip member skips the rest
+    of THAT file only, records already parsed and other files survive
+    (cross-engine aggregate equality is the s9_warc_roundtrip oracle,
+    hash-green at both scales)."""
+    from pyspark.sql import functions as F
+
+    from ferc_xbrl_extractor_spark.sources.warc import (
+        WARC_DATE,
+        _gzip_member,
+        _record_bytes,
+        scan_warc,
+        write_warc,
+    )
+
+    d = str(tmp_path / "warc")
+    docs = spark.createDataFrame(
+        [(i, f"https://ex.org/d/{i}", f"text {i} é中\nline2".encode())
+         for i in range(40)],
+        "doc_id long, uri string, payload binary",
+    )
+    manifest = write_warc(docs, d, shards=3)
+    assert sum(m["n_records"] for m in manifest) == 40
+    assert len(manifest) == 3
+
+    back = scan_warc(spark, d)
+    rows = {r["target_uri"]: r for r in back.collect()}
+    assert len(rows) == 40
+    r7 = rows["https://ex.org/d/7"]
+    assert bytes(r7["payload"]).decode() == "text 7 é中\nline2"
+    assert r7["warc_type"] == "resource"
+    assert r7["content_type"] == "text/plain"
+    assert r7["warc_date"] == WARC_DATE
+
+    # plain (uncompressed) multi-record .warc file
+    raw = b"".join(_record_bytes(f"u{i}", f"p{i}".encode()) for i in range(5))
+    (tmp_path / "warc" / "plain.warc").write_bytes(raw)
+    assert scan_warc(spark, d).count() == 45
+
+    # corruption containment: good member, then garbage — the good
+    # record survives, the rest of the file is skipped, other files
+    # are untouched
+    good = _gzip_member(_record_bytes("https://ok", b"ok"))
+    (tmp_path / "warc" / "broken.warc.gz").write_bytes(
+        good + b"\x1f\x8b\x08GARBAGE-NOT-A-MEMBER"
+    )
+    after = scan_warc(spark, d)
+    assert after.count() == 46
+    assert after.filter(F.col("target_uri") == "https://ok").count() == 1

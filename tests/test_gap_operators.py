@@ -4784,8 +4784,9 @@ def test_scd2_intervals_goldens(spark):
         )
 
 
+@pytest.mark.slow
 def test_ppjoin_equals_jaccard_pairs(spark):
-    """G84 default tier: prefix-filtered join ≡ the full inverted-index
+    """G84 slow twin: prefix-filtered join ≡ the full inverted-index
     join — value identity at two thresholds on a stopword-heavy fixture
     (every doc shares a universal header trigram, the posting list the
     prefix filter exists to skip), plus validation. Cross-engine
@@ -4857,8 +4858,9 @@ def test_triangle_counts_goldens(spark):
     assert all(wgot[i] == 2 for i in range(6))
 
 
+@pytest.mark.slow
 def test_bloom_join_exactness_and_prefilter(spark):
-    """G86 default tier: bloom_join ≡ the plain inner join on a fixture
+    """G86 slow twin: bloom_join ≡ the plain inner join on a fixture
     sized so false positives are certain to occur at fpp=0.5 (the join
     must remove them), duplicate dim keys multiply rows exactly as the
     plain join does, and the prefilter provably drops non-matching fact
@@ -4897,8 +4899,9 @@ def test_bloom_join_exactness_and_prefilter(spark):
         bloom_join(fact, dim, "okey", fpp=0.0)
 
 
+@pytest.mark.slow
 def test_personalized_pagerank_matches_python_reference(spark):
-    """G87: the seed-restart recurrence equals a serial Python replay —
+    """G87 slow twin: the seed-restart recurrence equals a serial Python replay —
     teleport mass lands only on seeds (base·1[v ∈ seeds]), r0
     concentrates on seeds, non-seed sources absent from a round hold 0
     — and a seeded run orders closeness-to-seed differently from the

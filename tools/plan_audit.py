@@ -58,6 +58,10 @@ INTENTIONAL_BNLJ = {
     # onto the per-key counts for the share/salt_need projection (the
     # g4_bm25 shape).
     "g67_skew_report",
+    # g80_rrf_fuse: unions the g3_ivf_topk subplan, inheriting its
+    # allowlisted broadcast-query-side BNLJ; the fusion layer itself
+    # adds only a combinable aggregate + per-query window.
+    "g80_rrf_fuse",
     # g73_mixture_alloc: two ONE-row relations (live totals, post-
     # saturation remainder) broadcast onto the |domains|-row allocation
     # (the g67/g4_bm25 shape).
