@@ -817,6 +817,36 @@ def q_g84_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.ppjoin_pairs(docs, n=3, threshold=0.5)
 
 
+def q_g89_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G89: collocation mining (text.collocations) — top-50 token pairs
+    within 2 positions by exact-rational LIFT (min_count=3). The oracle
+    replays posexplode → two leads over the doc window → pair/marginal
+    aggregates → one rounded division → total-order rank."""
+    from ferc_xbrl_extractor_spark.operators.text import collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return collocations(docs, window=2, min_count=3, top_k=50)
+
+
+def q_g88_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G88: explicit salted equi-join (joins.salted_join) — lineitem
+    keyed down to 5 hot values (every key owns ~20% of the corpus, the
+    shape that serializes one reducer per key in a plain shuffled join)
+    against an in-plan 5-row dim, salts=8. The oracle is the PLAIN
+    join — the gate proves salting is output-invisible."""
+    from ferc_xbrl_extractor_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 5).alias("hot_key"),
+        "l_orderkey", "l_linenumber", "l_quantity",
+    )
+    dim = spark.range(5).select(
+        F.col("id").alias("hot_key"),
+        ((F.col("id") + 1) * 10).alias("weight"),
+    )
+    return salted_join(li, dim, "hot_key", salts=8)
+
+
 def q_g86_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G86: Bloom-prefiltered star join (bloom.bloom_join) — lineitem
     joined to the ~10% most expensive orders; the dim keys build a
@@ -3759,6 +3789,8 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g86_bloom_join": q_g86_bloom_join,
         "g87_ppr": q_g87_ppr,
         "s9_warc_roundtrip": q_s9_warc_roundtrip,
+        "g88_salted_join": q_g88_salted_join,
+        "g89_collocations": q_g89_collocations,
         "g3_recall": q_g3_recall,
         "g3_embedding_neardup": q_g3_embedding_neardup,
         "g42_semantic_decon": q_g42_semantic_decon,
@@ -4089,6 +4121,64 @@ def fine_oracle_sql() -> dict[str, str]:
     # as the full inverted-index join", so its oracle is g2_jaccard's
     # SQL verbatim: the gate proves the optimization changed nothing.
     sql["g84_ppjoin"] = sql["g2_jaccard"]
+
+    # G89: collocations — posexplode with positions, two leads over the
+    # doc window, pair + marginal aggregates, ONE rounded double
+    # division (exact-integer inputs), total-order rank.
+    sql["g89_collocations"] = f"""
+        WITH {_TOKENS_CTE},
+        base AS (
+            SELECT doc_id, i AS pos, w[i + 1] AS w1
+            FROM toks, UNNEST(range(len(w))) AS t(i)
+        ),
+        led AS (
+            SELECT w1,
+                   lead(w1, 1) OVER dw AS n1,
+                   lead(w1, 2) OVER dw AS n2
+            FROM base
+            WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        praw AS (
+            SELECT w1, n1 AS w2 FROM led WHERE n1 IS NOT NULL
+            UNION ALL
+            SELECT w1, n2 FROM led WHERE n2 IS NOT NULL
+        ),
+        pairs AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+            FROM praw GROUP BY 1, 2 HAVING count(*) >= 3
+        ),
+        marg AS (
+            SELECT w1 AS t, CAST(count(*) AS BIGINT) AS n_w
+            FROM base GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM marg),
+        scored AS (
+            SELECT p.w1, p.w2, p.n_pair,
+                   m1.n_w AS n_w1, m2.n_w AS n_w2,
+                   ROUND(p.n_pair * CAST(n_total AS DOUBLE)
+                         / (m1.n_w * m2.n_w), 4) AS lift
+            FROM pairs p
+            JOIN marg m1 ON p.w1 = m1.t
+            JOIN marg m2 ON p.w2 = m2.t
+            CROSS JOIN tot
+        )
+        SELECT w1, w2, n_pair, n_w1, n_w2, lift,
+               CAST(row_number() OVER (
+                   ORDER BY lift DESC, n_pair DESC, w1, w2) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 50
+    """
+
+    # G88: salting is output-invisible by construction — plain join.
+    sql["g88_salted_join"] = """
+        SELECT l.l_orderkey % 5 AS hot_key,
+               l.l_orderkey, l.l_linenumber, l.l_quantity,
+               d.weight
+        FROM lineitem l
+        JOIN (SELECT i AS hot_key, (i + 1) * 10 AS weight
+              FROM range(5) t(i)) d
+          ON (l.l_orderkey % 5) = d.hot_key
+    """
 
     # G86: the bloom prefilter is output-invisible by construction, so
     # the oracle is the PLAIN join — the gate proves exactness at any fpp.
@@ -7665,7 +7755,7 @@ _SUITES: dict[str, list[str]] = {
     ],
     "g4_doc_suite": [
         "g4_language_id", "g4_fingerprint", "g4_repetition", "g55_novelty",
-        "g61_c4_clean", "g4_text_stats",
+        "g61_c4_clean", "g4_text_stats", "g89_collocations",
     ],
     "g4_score_suite": ["g4_bm25", "g4_surprisal"],
     "g4_chunk_redact": [
@@ -7718,6 +7808,7 @@ _SUITES: dict[str, list[str]] = {
     "g_analytics_misc_suite": [
         "g21_unpivot", "g13_salted_agg", "g13b_salted_auto", "g10_json",
         "g25_zorder", "g67_skew_report", "g72_cms_topk", "g81_label_agg",
+        "g88_salted_join",
     ],
     "g32_report_suite": ["g32_corpus_report", "g32_stratum_report"],
     "g_boilerplate_suite": [
@@ -7851,6 +7942,8 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g85_triangles": [("node", "i"), ("n_triangles", "i")],
     "g87_ppr": [("node", "i"), ("node_rank", "i")],
     "g86_bloom_join": [("okey", "i"), ("l_linenumber", "i"), ("l_quantity", "n"), ("o_totalprice", "n")],
+    "g88_salted_join": [("hot_key", "i"), ("l_orderkey", "i"), ("l_linenumber", "i"), ("l_quantity", "n"), ("weight", "i")],
+    "g89_collocations": [("w1", "s"), ("w2", "s"), ("n_pair", "i"), ("n_w1", "i"), ("n_w2", "i"), ("lift", "n"), ("rank", "i")],
     "g61_c4_clean": [("doc_id", "i"), ("clean_md5", "s"), ("n_kept_lines", "i"), ("keep", "b")],
     "g62_contamination": [("doc_id", "i"), ("n_hit_grams", "i"), ("longest_overlap_tokens", "i")],
     "g63_stream_cap": [("event_type", "s"), ("ts", "t"), ("event_id", "i"), ("value", "n")],

@@ -85,6 +85,8 @@ HEADLINE = [
     "g64_url_dedup",
     "g66_domain_report",
     "g67_skew_report",
+    "g88_salted_join",
+    "g89_collocations",
     "g72_cms_topk",
     "g73_mixture_alloc",
     "g74_stream_topk",

@@ -183,3 +183,50 @@ def interval_join(
         f"`{point_col}` {lo_ok} `{start_col}` AND `{point_col}` {hi_ok} `{end_col}`"
     )
     return p.join(i, on, "inner").filter(contained).drop("__bkt")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salts: int = 8,
+) -> DataFrame:
+    """G88: explicit key-salting for an equi-join whose BIG side has hot
+    keys — output identical to ``big.join(small, on)`` (the gate oracle
+    is the plain join).
+
+    Every big-side row gets a deterministic salt in ``[0, salts)``
+    (xxhash64 over its full row content — content-derived, so the plan
+    is layout- and partitioning-independent); the small side explodes
+    into ``salts`` copies, one per salt value; the join runs on
+    ``(on, salt)``. A key owning 30% of the corpus now spreads across
+    ``salts`` reducers instead of serializing through one.
+
+    When to use it over AQE's skew-join (which this engine leaves ON):
+    AQE re-splits oversized SORT-MERGE partitions at runtime, but the
+    paths it does not cover are exactly the ones a pipeline meets at
+    100 TB — stream-static joins (no runtime re-plan inside a
+    microbatch), bucketed/pre-partitioned layouts whose exchanges are
+    elided (nothing left for AQE to re-split), and shuffled-hash joins
+    where the per-key build side itself is the bottleneck. The salt is
+    visible in the plan at AUTHOR time, so the operator composes with
+    those paths. Cost: the small side ships ``salts`` copies — size it
+    like a broadcast (if the small side already broadcasts, you don't
+    need salting at all; this is for the mid-size dim that does not).
+
+    Rows with NULL join keys are dropped (inner-join semantics in both
+    forms). ``salts`` must be >= 1.
+    """
+    if salts < 1:
+        raise ValueError("salts must be >= 1")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salts)
+    ).cast("int")
+    b = big.withColumn("__salt", salt)
+    s = small.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0).cast("int"), F.lit(salts - 1).cast("int"))
+        ).alias("__salt"),
+    )
+    return b.join(s, [on, "__salt"]).drop("__salt")

@@ -14,7 +14,7 @@ gap surface SURVEY.md §2.12 declares for the new engine.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # A small, fixed stopword list shared with the oracle SQL. Deliberately
@@ -1553,3 +1553,107 @@ def normalize_url_sql(
           )
         )
     """
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """G89: corpus collocation statistics — ordered token pairs
+    co-occurring within ``window`` positions, scored by LIFT
+    ``n_pair · N / (n_a · n_b)`` (pointwise mutual information's exact
+    rational core, before the log — one integer-exact ratio instead of
+    a transcendental, so the score is hash-reproducible cross-engine).
+    The corpus-analysis primitive behind phrase mining ("new york",
+    "machine learning"), tokenizer-merge candidates, and template/spam
+    fingerprinting (boilerplate pairs score extreme lift).
+
+    Returns the top ``top_k`` pairs as ``(w1, w2, n_pair, n_w1, n_w2,
+    lift, rank)`` under the total order (lift DESC, n_pair DESC, w1,
+    w2); pairs below ``min_count`` occurrences are cut before scoring
+    (rare-pair lift is noise — a pair seen once between two hapaxes
+    scores N).
+
+    Scale shape: ONE posexplode projection; pair generation is
+    ``window`` lead() columns over a doc-keyed window (one exchange on
+    the doc id — never a self-join on position); the pair aggregate and
+    the unigram marginal aggregate are both map-side combinable; N is
+    a 1-row broadcast; marginals attach by two keyed joins against the
+    (already small) filtered pair relation; the final top-k is a
+    TakeOrdered, not a global sort.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    base = (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(F.col(id_col), F.posexplode("__toks").alias("pos", "w1"))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # leads materialize in a projection first — Catalyst forbids window
+    # expressions inside a generator
+    led = base.select(
+        "w1",
+        *[
+            F.lead("w1", k).over(w).alias(f"__n{k}")
+            for k in range(1, window + 1)
+        ],
+    )
+    pair_cols = F.array(
+        *[
+            F.struct(
+                F.col("w1").alias("a"), F.col(f"__n{k}").alias("b")
+            )
+            for k in range(1, window + 1)
+        ]
+    )
+    pairs = (
+        led.select(F.explode(pair_cols).alias("__p"))
+        .filter(F.col("__p.b").isNotNull())
+        .select(F.col("__p.a").alias("w1"), F.col("__p.b").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    marg = base.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("n_w")
+    )
+    total = marg.agg(F.sum("n_w").cast("long").alias("n_total"))
+    scored = (
+        pairs.join(marg.withColumnRenamed("n_w", "n_w1"), "w1")
+        .join(
+            marg.withColumnRenamed("w1", "w2").withColumnRenamed(
+                "n_w", "n_w2"
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "n_pair", "n_w1", "n_w2",
+            F.round(
+                F.col("n_pair")
+                * F.col("n_total").cast("double")
+                / (F.col("n_w1") * F.col("n_w2")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+    )
+    # two-phase top-k (the cosine_topk shape): per-partition prune cuts
+    # the unpartitioned final rank's input to <= top_k rows per task
+    order = [F.col("lift").desc(), F.col("n_pair").desc(), "w1", "w2"]
+    wp = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        scored.withColumn("__r", F.row_number().over(wp))
+        .filter(F.col("__r") <= top_k)
+        .drop("__r")
+    )
+    ww = Window.orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(ww).cast("int"))
+        .filter(F.col("rank") <= top_k)
+    )

@@ -4963,3 +4963,84 @@ def test_personalized_pagerank_matches_python_reference(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="seeds"):
         graph.pagerank(df, seeds=[])
+
+
+def test_salted_join_equals_plain_join(spark):
+    """G88 default tier: salted_join ≡ the plain inner join on a
+    hot-key fixture (one key owns 60% of the big side), duplicate
+    small-side keys multiply exactly, NULL keys drop in both forms, the
+    plan salts the SMALL side into `salts` copies (explode visible),
+    and partitioning of the big side doesn't change the result
+    (cross-engine exactness is the g88_salted_join oracle — the plain
+    join — hash-green at both scales)."""
+    from ferc_xbrl_extractor_spark.operators.joins import salted_join
+
+    big_rows = [(0 if i % 10 < 6 else i % 5, i) for i in range(300)]
+    big_rows.append((None, 999))
+    big = spark.createDataFrame(big_rows, "k long, v long")
+    dim_rows = [(0, "hot"), (1, "a"), (2, "b"), (2, "b2")]  # dup key 2
+    dim = spark.createDataFrame(dim_rows, "k long, name string")
+
+    plain = {(r["k"], r["v"], r["name"]) for r in big.join(dim, "k").collect()}
+    for salts in (1, 8):
+        got = {
+            (r["k"], r["v"], r["name"])
+            for r in salted_join(big, dim, "k", salts=salts).collect()
+        }
+        assert got == plain, salts
+    # partition invariance of the big side
+    got7 = {
+        (r["k"], r["v"], r["name"])
+        for r in salted_join(big.repartition(7), dim, "k", salts=8).collect()
+    }
+    assert got7 == plain
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="salts"):
+        salted_join(big, dim, "k", salts=0)
+
+
+def test_collocations_goldens(spark):
+    """G89 default tier: hand-computed lift goldens — a repeated bigram
+    scores above a dispersed pair, cross-document boundaries never
+    pair, window=2 catches a gapped pair, min_count cuts, top_k cuts,
+    rank tie-break is total (cross-engine values are the
+    g89_collocations oracle, hash-green at both scales)."""
+    from ferc_xbrl_extractor_spark.operators.text import collocations
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is a big city and new york never sleeps"),
+            (2, "machine learning and machine learning again in new york"),
+            (3, "the cat sat on the mat"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["w1"], r["w2"]): r for r in
+           collocations(docs, window=2, min_count=2, top_k=10).collect()}
+    # 26 tokens total; 'machine learning' 2·26/(2·2)=13.0 beats
+    # 'new york' 3·26/(3·3)=8.6667
+    assert out[("machine", "learning")]["lift"] == 13.0
+    assert out[("machine", "learning")]["rank"] == 1
+    assert out[("new", "york")]["lift"] == 8.6667
+    assert out[("new", "york")]["n_pair"] == 3
+    assert len(out) == 2  # everything else below min_count
+
+    # window=2 pairs across one gap; doc boundaries never pair
+    gap = spark.createDataFrame(
+        [(1, "a x b"), (2, "a y b"), (3, "b a")],
+        "doc_id long, text string",
+    )
+    got = {(r["w1"], r["w2"]): r["n_pair"] for r in
+           collocations(gap, window=2, min_count=2, top_k=10).collect()}
+    assert got[("a", "b")] == 2          # both via the 1-gap lead
+    assert ("b", "a") not in got         # only 1 occurrence (doc 3)
+    # top_k cuts deterministically
+    assert len(collocations(gap, window=2, min_count=1, top_k=3)
+               .collect()) == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="window"):
+        collocations(docs, window=0)
+    with _pytest.raises(ValueError, match="top_k"):
+        collocations(docs, top_k=0)
