@@ -875,6 +875,15 @@ def q_g82_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and its Jaccard) stays far below threshold. The oracle rebuilds the
     identical augmented corpus (substr is 1-based in both engines) and
     replays the directed |∩|/|S(src)| ratios."""
+    return neardup.containment_pairs(
+        _excerpt_aug(spark, sf_dir), n=3, threshold=0.8
+    )
+
+
+def _excerpt_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The G82/G90 fixture: documents plus derived excerpt docs (every
+    10th doc's first 120 chars, id + 100000) — subset-containment
+    structure the raw corpus lacks."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     excerpts = (
         docs.filter(F.col("doc_id") % 10 == 0)
@@ -883,8 +892,20 @@ def q_g82_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("text", 1, 120).alias("text"),
         )
     )
-    return neardup.containment_pairs(
-        docs.union(excerpts), n=3, threshold=0.8
+    return docs.union(excerpts)
+
+
+def q_g90_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G90: containment dedup (neardup.dedup_by_containment) over the
+    excerpt-augmented corpus — every derived excerpt (and each
+    mutual-containment near-dup's higher id) drops; containers survive.
+    The oracle replays the directed-pair drop rule (one-way containment
+    OR mutual with larger id) over the g82 pair relation."""
+    out = neardup.dedup_by_containment(
+        _excerpt_aug(spark, sf_dir), n=3, threshold=0.8
+    )
+    return out.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
     )
 
 
@@ -3791,6 +3812,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_warc_roundtrip": q_s9_warc_roundtrip,
         "g88_salted_join": q_g88_salted_join,
         "g89_collocations": q_g89_collocations,
+        "g90_containment_dedup": q_g90_containment_dedup,
         "g3_recall": q_g3_recall,
         "g3_embedding_neardup": q_g3_embedding_neardup,
         "g42_semantic_decon": q_g42_semantic_decon,
@@ -4228,6 +4250,32 @@ def fine_oracle_sql() -> dict[str, str]:
         )
         SELECT src AS id_a, dst AS id_b, ROUND(c, 4) AS containment
         FROM d WHERE c >= 0.8
+    """
+
+    # G90: containment dedup — the g82 directed pair relation + the
+    # drop rule (one-way containment always drops the subset; mutual
+    # drops the larger id), survivors read off the augmented corpus.
+    sql["g90_containment_dedup"] = f"""
+        WITH cp AS (SELECT id_a, id_b FROM ({sql["g82_containment"]})),
+        rev AS (
+            SELECT id_b AS id_a, id_a AS id_b, TRUE AS m FROM cp
+        ),
+        drops AS (
+            SELECT DISTINCT cp.id_a AS doc_id
+            FROM cp LEFT JOIN rev
+              ON cp.id_a = rev.id_a AND cp.id_b = rev.id_b
+            WHERE rev.m IS NULL OR cp.id_a > cp.id_b
+        ),
+        aug2 AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, substr(text, 1, 120)
+            FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT aug2.doc_id,
+               CAST(length(aug2.text) AS BIGINT) AS n_chars
+        FROM aug2 LEFT JOIN drops USING (doc_id)
+        WHERE drops.doc_id IS NULL
     """
 
     # Transitive closure of the Jaccard pair graph; component label =
@@ -7788,6 +7836,7 @@ _SUITES: dict[str, list[str]] = {
     "g2_neardup_suite": [
         "g2_jaccard", "g2_minhash_lsh", "g2_simhash", "g52_dedup_best",
         "g2_recall_report", "g82_containment", "g84_ppjoin",
+        "g90_containment_dedup",
     ],
     "g3_ann_suite": [
         "g3_cosine_topk", "g3_lsh_topk", "g3_ivf_topk",
@@ -7892,6 +7941,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g2_simhash": [("id_a", "i"), ("id_b", "i"), ("hamming", "i")],
     "g82_containment": [("id_a", "i"), ("id_b", "i"), ("containment", "n")],
     "g84_ppjoin": [("id_a", "i"), ("id_b", "i"), ("jaccard", "n")],
+    "g90_containment_dedup": [("doc_id", "i"), ("n_chars", "i")],
     "g83_scd2": [("user_id", "i"), ("version", "i"), ("event_type", "s"), ("valid_from", "t"), ("valid_to", "t"), ("is_current", "b")],
     "g2_recall_report": [("method", "s"), ("threshold", "n"), ("n_true", "i"), ("n_cand", "i"), ("n_hit", "i"), ("recall", "n"), ("precision", "n")],
     "g3_cosine_topk": [("query_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],

@@ -50,6 +50,7 @@ HEADLINE = [
     "g2_jaccard",
     "g82_containment",
     "g84_ppjoin",
+    "g90_containment_dedup",
     "g2_cluster_dedup",
     "g2_minhash_lsh",
     "g2_simhash",

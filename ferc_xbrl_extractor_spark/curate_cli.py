@@ -58,6 +58,15 @@ def parse(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--min-overlap", type=int, default=5)
     p.add_argument("--neardup-threshold", type=float, default=None)
     p.add_argument(
+        "--containment-threshold",
+        type=float,
+        default=None,
+        help="Drop documents whose shingle set is >= this contained in "
+        "another document's (G90 — excerpt/quote/subset pages a "
+        "symmetric near-dup threshold can't catch; runs after exact and "
+        "near-dup dedup, lowest id survives mutual containment).",
+    )
+    p.add_argument(
         "--neardup-keep-by",
         default=None,
         help="Numeric column deciding the near-dup survivor (G52 "
@@ -224,6 +233,7 @@ def run_main(args: argparse.Namespace) -> int:
         min_compression_ratio=args.min_compression_ratio,
         neardup_threshold=args.neardup_threshold,
         neardup_keep_by=args.neardup_keep_by,
+        containment_threshold=args.containment_threshold,
         redact=args.redact,
         stratum_col=args.stratum_col,
         sample_n=args.sample_n,

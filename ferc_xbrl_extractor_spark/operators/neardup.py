@@ -403,6 +403,54 @@ def containment_pairs(
     )
 
 
+def dedup_by_containment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """G90: drop documents whose shingle set is ≥``threshold``-contained
+    in another document's — the quote/excerpt/subset cleanup the
+    symmetric near-dup stage structurally misses (an excerpt's Jaccard
+    against its parent is |a|/|b|, far below any dedup threshold, while
+    its containment is ~1).
+
+    Survivor rule, deterministic: a document drops iff some directed
+    containment pair (src=it, dst=other) meets the threshold AND either
+    the containment is one-way (a strict subset always drops — the
+    container carries all its content) or it is mutual and the doc has
+    the larger id (mutual ≈ near-identical; lowest id survives, the G1
+    convention). Chains (A ⊆ B ⊆ C) drop every proper subset: set
+    containment gives c(A→C) ≥ c over exact subsets, and the
+    greedy rule needs only SOME container to survive the threshold, not
+    a specific one.
+
+    Scale shape: rides :func:`containment_pairs` (ONE shingle-keyed
+    self-join); the drop rule is one self-join of the DIRECTED pair
+    relation (|pairs| rows — the near-dup regime, tiny next to the
+    corpus) + a left-anti against the corpus scan.
+    """
+    p = (
+        pairs
+        if pairs is not None
+        else containment_pairs(df, id_col, text_col, n, threshold)
+    ).select("id_a", "id_b")
+    rev = p.select(
+        F.col("id_a").alias("id_b"), F.col("id_b").alias("id_a")
+    ).withColumn("__mutual", F.lit(True))
+    drops = (
+        p.join(rev, ["id_a", "id_b"], "left")
+        .filter(
+            F.col("__mutual").isNull() | (F.col("id_a") > F.col("id_b"))
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return df.join(drops, id_col, "left_anti")
+
+
 def minhash_signature(
     text_col: str | Column = "text", n: int = 3, num_hashes: int = 12
 ) -> Column:

@@ -90,6 +90,7 @@ def curate_corpus(
     min_compression_ratio: float | None = None,
     neardup_threshold: float | None = None,
     neardup_keep_by: str | None = None,
+    containment_threshold: float | None = None,
     redact: bool = False,
     stratum_col: str | None = None,
     sample_n: int | None = None,
@@ -123,6 +124,7 @@ def curate_corpus(
     decontamination; ``sample_n=None`` skips sampling;
     ``max_dup_*_ratio=None`` skips the repetition screen;
     ``neardup_threshold=None`` skips near-dup cluster dedup;
+    ``containment_threshold=None`` skips subset/containment dedup (G90);
     ``min_compression_ratio`` adds the G68 zlib-ratio screen to the
     repetition stage (pages that deflate below the floor are template
     spam even when the line/n-gram ratios pass; NULL/empty text is the
@@ -292,6 +294,18 @@ def curate_corpus(
             )
         else:
             deduped = neardup.dedup_by_pairs(deduped, pairs, id_col=id_col)
+    if containment_threshold is not None:
+        # G90 runs AFTER symmetric dedup: exact/near dup already removed
+        # whole-doc copies, so the containment pass only has to catch
+        # proper subsets (excerpts, quote pages) — the pair relation it
+        # joins is smaller for it.
+        deduped = neardup.dedup_by_containment(
+            deduped,
+            id_col=id_col,
+            text_col=text_col,
+            n=shingle_n,
+            threshold=containment_threshold,
+        )
     if paragraph_sep is not None:
         deduped = (
             text.paragraph_dedup(
@@ -358,6 +372,7 @@ CURATE_STAGES = [
     "decontaminate",
     "exact_dup",
     "near_dup",
+    "contained",
     "sample",
 ]
 
@@ -382,6 +397,7 @@ def curate_annotate(
     max_dup_3gram_ratio: float | None = None,
     min_compression_ratio: float | None = None,
     neardup_threshold: float | None = None,
+    containment_threshold: float | None = None,
     stratum_col: str | None = None,
     sample_n: int | None = None,
     sample_salt: str = "curate",
@@ -665,6 +681,19 @@ def curate_annotate(
         annotated = annotated.withColumn("__nd_winner", F.lit(True))
         final_pop = deduped
 
+    if containment_threshold is not None:
+        ct_ids = _cut_ids(
+            neardup.dedup_by_containment(
+                final_pop, id_col=id_col, text_col=text_col,
+                n=shingle_n, threshold=containment_threshold,
+            ).select(id_col)
+        )
+        marked_ct = _mark(ct_ids, "not_contained")
+        annotated = _flag_members(annotated, marked_ct, "not_contained")
+        final_pop = _members(final_pop, marked_ct, "not_contained")
+    else:
+        annotated = annotated.withColumn("__not_contained", F.lit(True))
+
     if sample_n is not None:
         if not stratum_col:
             raise ValueError("sample_n requires stratum_col")
@@ -686,6 +715,7 @@ def curate_annotate(
         .when(F.col("__contam"), "decontaminate")
         .when(~F.col("__dup_winner"), "exact_dup")
         .when(~F.col("__nd_winner"), "near_dup")
+        .when(~F.col("__not_contained"), "contained")
         .when(~F.col("__sampled"), "sample")
     )
     return annotated.select(

@@ -5044,3 +5044,61 @@ def test_collocations_goldens(spark):
         collocations(docs, window=0)
     with _pytest.raises(ValueError, match="top_k"):
         collocations(docs, top_k=0)
+
+
+def test_containment_dedup_and_curate_stage(spark):
+    """G90: dedup_by_containment goldens — a strict subset drops and
+    its container survives, mutual containment keeps the lower id,
+    unrelated docs untouched — and the curation stage: containment
+    drops attribute to 'contained' in annotate/funnel and the
+    NULL-slice ≡ curate_corpus invariant holds (cross-engine values
+    are the g90_containment_dedup oracle, hash-green at both scales)."""
+    from ferc_xbrl_extractor_spark.operators.neardup import (
+        dedup_by_containment,
+    )
+    from ferc_xbrl_extractor_spark.pipeline import curate
+
+    base = ("the quick brown fox jumps over a lazy dog near the old "
+            "river bank every summer morning")
+    rows = [
+        (1, base + " while children play outside in the warm golden sun"),
+        (2, base),                                   # strict subset of 1
+        (3, base + " while children play outside in the warm golden sun "),
+        (4, "completely different words about machine learning and "
+            "neural networks training on large datasets forever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"]
+            for r in dedup_by_containment(docs, threshold=0.8).collect()}
+    # 2 ⊆ 1 drops; 1 and 3 are mutual (identical shingles) -> 3 drops
+    assert kept == {1, 4}
+
+    # supplied-pairs form short-circuits the shingle join
+    pre = spark.createDataFrame(
+        [(2, 1, 1.0)], "id_a long, id_b long, containment double"
+    )
+    kept2 = {r["doc_id"]
+             for r in dedup_by_containment(docs, pairs=pre).collect()}
+    assert kept2 == {1, 3, 4}
+
+    # curation stage: excerpt drops as 'contained', survivors match
+    params = dict(min_tokens=5, min_uniq_ratio=0.2,
+                  containment_threshold=0.8)
+    out = {r["doc_id"] for r in curate.curate_corpus(docs, **params).collect()}
+    assert out == {1, 4}
+    ann = {r["doc_id"]: r["drop_stage"]
+           for r in curate.curate_annotate(docs, **params).collect()}
+    assert {i for i, s in ann.items() if s is None} == out
+    # doc 3 is an EXACT dup after whitespace normalization, so the
+    # earlier stage claims it (stage order pinned); only the true
+    # proper subset reaches the containment stage
+    assert ann[2] == "contained" and ann[3] == "exact_dup"
+    funnel = {r["drop_stage"]: r["n_docs"]
+              for r in curate.curate_funnel(docs, **params).collect()}
+    assert funnel == {None: 2, "contained": 1, "exact_dup": 1}
+
+    # CLI flag parses and routes
+    from ferc_xbrl_extractor_spark.curate_cli import parse
+    args = parse(["corpus", "--output", "y",
+                  "--containment-threshold", "0.8"])
+    assert args.containment_threshold == 0.8
