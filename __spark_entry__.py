@@ -817,6 +817,24 @@ def q_g84_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.ppjoin_pairs(docs, n=3, threshold=0.5)
 
 
+def q_g91_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G91: per-document writing-system profile (text.
+    with_script_profile) — class counts via codegen'd regexp_replace
+    length deltas, exact-ratio rounding, deterministic argmax label.
+    The oracle is GENERATED from the operator's own SCRIPT_CLASSES
+    table (character-identical regexes, same CASE argmax)."""
+    from ferc_xbrl_extractor_spark.operators.text import (
+        with_script_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = with_script_profile(docs)
+    return out.select(
+        "doc_id", "n_chars", "latin_ratio", "digit_ratio",
+        "cyrillic_ratio", "cjk_ratio", "script",
+    )
+
+
 def q_g89_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G89: collocation mining (text.collocations) — top-50 token pairs
     within 2 positions by exact-rational LIFT (min_count=3). The oracle
@@ -3813,6 +3831,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g88_salted_join": q_g88_salted_join,
         "g89_collocations": q_g89_collocations,
         "g90_containment_dedup": q_g90_containment_dedup,
+        "g91_script_profile": q_g91_script_profile,
         "g3_recall": q_g3_recall,
         "g3_embedding_neardup": q_g3_embedding_neardup,
         "g42_semantic_decon": q_g42_semantic_decon,
@@ -4143,6 +4162,58 @@ def fine_oracle_sql() -> dict[str, str]:
     # as the full inverted-index join", so its oracle is g2_jaccard's
     # SQL verbatim: the gate proves the optimization changed nothing.
     sql["g84_ppjoin"] = sql["g2_jaccard"]
+
+    # G91: script profile — generated from the operator's own
+    # SCRIPT_CLASSES table: identical character-class regexes (with
+    # DuckDB's 'g' flag matching Java's replace-all default), the same
+    # exact-ratio rounding, the same declaration-order argmax CASE.
+    from ferc_xbrl_extractor_spark.operators.text import SCRIPT_CLASSES
+
+    _sc_counts = ",\n               ".join(
+        f"length(text) - length(regexp_replace(text, '[{cls}]', '', 'g'))"
+        f" AS n_{name}"
+        for name, cls in SCRIPT_CLASSES
+    )
+    _sc_names = [n for n, _ in SCRIPT_CLASSES]
+
+    def _sc_case() -> str:
+        branches = []
+        for name in _sc_names:
+            conds = [f"n_{name} > 0"]
+            for other in _sc_names:
+                if other == name:
+                    continue
+                op = ">" if _sc_names.index(other) < _sc_names.index(name) \
+                    else ">="
+                conds.append(f"n_{name} {op} n_{other}")
+            branches.append(
+                f"WHEN {' AND '.join(conds)} THEN '{name}'"
+            )
+        return "CASE " + " ".join(branches) + " ELSE 'other' END"
+
+    sql["g91_script_profile"] = f"""
+        WITH c AS (
+            SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               {_sc_counts}
+            FROM documents
+        )
+        SELECT doc_id, n_chars,
+               CASE WHEN n_chars > 0
+                    THEN ROUND(n_latin / CAST(n_chars AS DOUBLE), 4)
+                    ELSE 0.0 END AS latin_ratio,
+               CASE WHEN n_chars > 0
+                    THEN ROUND(n_digit / CAST(n_chars AS DOUBLE), 4)
+                    ELSE 0.0 END AS digit_ratio,
+               CASE WHEN n_chars > 0
+                    THEN ROUND(n_cyrillic / CAST(n_chars AS DOUBLE), 4)
+                    ELSE 0.0 END AS cyrillic_ratio,
+               CASE WHEN n_chars > 0
+                    THEN ROUND(n_cjk / CAST(n_chars AS DOUBLE), 4)
+                    ELSE 0.0 END AS cjk_ratio,
+               {_sc_case()} AS script
+        FROM c
+    """
 
     # G89: collocations — posexplode with positions, two leads over the
     # doc window, pair + marginal aggregates, ONE rounded double
@@ -7804,6 +7875,7 @@ _SUITES: dict[str, list[str]] = {
     "g4_doc_suite": [
         "g4_language_id", "g4_fingerprint", "g4_repetition", "g55_novelty",
         "g61_c4_clean", "g4_text_stats", "g89_collocations",
+        "g91_script_profile",
     ],
     "g4_score_suite": ["g4_bm25", "g4_surprisal"],
     "g4_chunk_redact": [
@@ -7942,6 +8014,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g82_containment": [("id_a", "i"), ("id_b", "i"), ("containment", "n")],
     "g84_ppjoin": [("id_a", "i"), ("id_b", "i"), ("jaccard", "n")],
     "g90_containment_dedup": [("doc_id", "i"), ("n_chars", "i")],
+    "g91_script_profile": [("doc_id", "i"), ("n_chars", "i"), ("latin_ratio", "n"), ("digit_ratio", "n"), ("cyrillic_ratio", "n"), ("cjk_ratio", "n"), ("script", "s")],
     "g83_scd2": [("user_id", "i"), ("version", "i"), ("event_type", "s"), ("valid_from", "t"), ("valid_to", "t"), ("is_current", "b")],
     "g2_recall_report": [("method", "s"), ("threshold", "n"), ("n_true", "i"), ("n_cand", "i"), ("n_hit", "i"), ("recall", "n"), ("precision", "n")],
     "g3_cosine_topk": [("query_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],

@@ -72,6 +72,7 @@ HEADLINE = [
     "g42_semantic_decon",
     "g27_semantic_dedup",
     "g4_text_stats",
+    "g91_script_profile",
     "g28_quality_classifier",
     "g32_corpus_report",
     "g32_stratum_report",

@@ -1657,3 +1657,70 @@ def collocations(
         pruned.withColumn("rank", F.row_number().over(ww).cast("int"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+# Unicode script ranges for G91 — class spellings chosen inside the
+# java.util.regex ∩ RE2 intersection (literal \uXXXX ranges, no
+# properties like \p{Script=...}, which RE2 spells differently).
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", "A-Za-z"),
+    ("digit", "0-9"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("arabic", "؀-ۿ"),
+    ("cjk", "一-鿿"),
+    ("kana", "぀-ヿ"),
+    ("hangul", "가-힯"),
+]
+
+
+def with_script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """G91: per-document writing-system profile — for each Unicode
+    script class, the fraction of characters in it, plus the dominant
+    ``script`` label. The multilingual-corpus router: script detection
+    is cheaper and stricter than model-based language ID (G4's n-gram
+    lang_pred refines WITHIN a script), and mixed-script documents
+    (spam, encoding damage, code) surface as low max-ratio rows.
+
+    Counting is ``length(text) - length(regexp_replace(text, '[cls]',
+    ''))`` per class — pure codegen'd string expressions, no explode, no
+    shuffle, ONE projection (the G57/G60 zero-Python pattern); class
+    spellings live in the java.util.regex ∩ RE2 intersection so the
+    DuckDB oracle runs the character-identical regexes. Ratios are
+    count/n_chars rounded 4dp (exact-integer division, deterministic);
+    the dominant script is the first class in SCRIPT_CLASSES order whose
+    count is strictly greater than every LATER class and >= every
+    earlier one — a deterministic argmax both engines replay as a CASE
+    chain; all-zero rows (whitespace/punct-only or empty) label
+    ``'other'``.
+    """
+    n_chars = F.length(F.col(text_col))
+    counts = {
+        name: n_chars
+        - F.length(F.regexp_replace(F.col(text_col), f"[{cls}]", ""))
+        for name, cls in SCRIPT_CLASSES
+    }
+    out = df.withColumn("n_chars", n_chars.cast("long"))
+    for name, _ in SCRIPT_CLASSES:
+        out = out.withColumn(
+            f"{name}_ratio",
+            F.when(
+                F.col("n_chars") > 0,
+                F.round(counts[name] / F.col("n_chars").cast("double"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+    # deterministic argmax: first class (declaration order) that is
+    # >= every other class's count and > 0
+    script = F.lit("other")
+    names = [n for n, _ in SCRIPT_CLASSES]
+    for name in reversed(names):
+        cond = (counts[name] > 0) & F.lit(True)
+        for other in names:
+            if other == name:
+                continue
+            # strictly greater than LATER classes, >= earlier ones
+            if names.index(other) < names.index(name):
+                cond = cond & (counts[name] > counts[other])
+            else:
+                cond = cond & (counts[name] >= counts[other])
+        script = F.when(cond, F.lit(name)).otherwise(script)
+    return out.withColumn("script", script)

@@ -5102,3 +5102,42 @@ def test_containment_dedup_and_curate_stage(spark):
     args = parse(["corpus", "--output", "y",
                   "--containment-threshold", "0.8"])
     assert args.containment_threshold == 0.8
+
+
+def test_script_profile_goldens(spark):
+    """G91 default tier: script goldens — Latin/Cyrillic/CJK/digit
+    documents label correctly, a mixed-script doc labels by its
+    dominant class with the exact ratios, whitespace-only and empty
+    docs label 'other' with zero ratios, and argmax ties break by
+    declaration order (cross-engine values are the g91_script_profile
+    oracle, generated from SCRIPT_CLASSES, hash-green at both
+    scales)."""
+    from ferc_xbrl_extractor_spark.operators.text import (
+        with_script_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world this is english text"),
+            (2, "привет мир это русский текст"),
+            (3, "你好世界这是中文"),
+            (4, "mixed 混合 text с кириллицей"),
+            (5, "12345 67890"),
+            (6, "   ...   "),
+            (7, ""),
+            (8, "ab12"),  # 2 latin vs 2 digit: declaration order wins
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in with_script_profile(docs).collect()}
+    assert got[1]["script"] == "latin"
+    assert got[1]["latin_ratio"] == round(27 / 32, 4)
+    assert got[2]["script"] == "cyrillic"
+    assert got[3]["script"] == "cjk" and got[3]["cjk_ratio"] == 1.0
+    assert got[4]["script"] == "cyrillic"          # dominant class
+    assert got[4]["cjk_ratio"] == round(2 / 26, 4)
+    assert got[5]["script"] == "digit"
+    assert got[6]["script"] == "other" and got[6]["latin_ratio"] == 0.0
+    assert got[7]["script"] == "other" and got[7]["n_chars"] == 0
+    assert got[8]["script"] == "latin"             # tie -> earlier class
