@@ -2297,6 +2297,26 @@ def q_g81_label_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregate_labels(ann, reweight=True)
 
 
+def q_g92_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G92: time-decayed activity per event_type (analytics.
+    decayed_counts) — 7-day half-life against a 2024-02-01 reference,
+    unweighted (each event contributes its age's decay factor), so the
+    score is the pure recency mass. The oracle consumes the IDENTICAL
+    literal micro-unit LUT (generated by decay_lut_micro) with
+    list_extract — no pow/exp in either plan."""
+    from ferc_xbrl_extractor_spark.operators.analytics import (
+        decayed_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    return decayed_counts(
+        ev, ["event_type"], ts_col="ts", ref_date="2024-02-01",
+        half_life_days=7, horizon_days=64,
+    )
+
+
 def q_g83_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G83: SCD2 validity intervals (analytics.scd2_intervals) — each
     user's event_type change log collapsed to versioned
@@ -3832,6 +3852,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g89_collocations": q_g89_collocations,
         "g90_containment_dedup": q_g90_containment_dedup,
         "g91_script_profile": q_g91_script_profile,
+        "g92_decayed_counts": q_g92_decayed_counts,
         "g3_recall": q_g3_recall,
         "g3_embedding_neardup": q_g3_embedding_neardup,
         "g42_semantic_decon": q_g42_semantic_decon,
@@ -6411,6 +6432,30 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1 ORDER BY 1
     """
 
+    # G92: decayed counts — the identical literal micro-unit LUT
+    # (decay_lut_micro is plain Python), whole-day ages, exact sums.
+    from ferc_xbrl_extractor_spark.operators.analytics import (
+        decay_lut_micro,
+    )
+
+    _g92_lut = decay_lut_micro(7, 64)
+    sql["g92_decayed_counts"] = f"""
+        WITH e AS (
+            SELECT event_type,
+                   date_diff('day', CAST(ts AS DATE),
+                             DATE '2024-02-01') AS age
+            FROM events
+        )
+        SELECT event_type,
+               CAST(sum(CASE WHEN age >= 0 AND age < 64
+                        THEN list_extract({_g92_lut!r}, age + 1)
+                        ELSE 0 END) AS BIGINT) AS decayed_micro,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(age >= 0 AND age <= 7 AS BIGINT))
+                    AS BIGINT) AS n_recent
+        FROM e GROUP BY 1
+    """
+
     # G83: SCD2 intervals — null-safe change flag (IS DISTINCT FROM the
     # lag), change rows keep their ts as valid_from, lead closes it.
     sql["g83_scd2"] = """
@@ -7903,7 +7948,7 @@ _SUITES: dict[str, list[str]] = {
     ],
     "g8_event_window_suite": [
         "g8_tumbling", "g8_sliding", "g8_session", "g58_stream_quality",
-        "g75_funnel",
+        "g75_funnel", "g92_decayed_counts",
     ],
     "g2_neardup_suite": [
         "g2_jaccard", "g2_minhash_lsh", "g2_simhash", "g52_dedup_best",
@@ -8015,6 +8060,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g84_ppjoin": [("id_a", "i"), ("id_b", "i"), ("jaccard", "n")],
     "g90_containment_dedup": [("doc_id", "i"), ("n_chars", "i")],
     "g91_script_profile": [("doc_id", "i"), ("n_chars", "i"), ("latin_ratio", "n"), ("digit_ratio", "n"), ("cyrillic_ratio", "n"), ("cjk_ratio", "n"), ("script", "s")],
+    "g92_decayed_counts": [("event_type", "s"), ("decayed_micro", "i"), ("n_events", "i"), ("n_recent", "i")],
     "g83_scd2": [("user_id", "i"), ("version", "i"), ("event_type", "s"), ("valid_from", "t"), ("valid_to", "t"), ("is_current", "b")],
     "g2_recall_report": [("method", "s"), ("threshold", "n"), ("n_true", "i"), ("n_cand", "i"), ("n_hit", "i"), ("recall", "n"), ("precision", "n")],
     "g3_cosine_topk": [("query_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],

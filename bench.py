@@ -127,6 +127,7 @@ HEADLINE = [
     "g8_tumbling",
     "g8_session",
     "g75_funnel",
+    "g92_decayed_counts",
     "g81_label_agg",
     "g79_stream_funnel",
     "g76_hist_quantile",

@@ -787,3 +787,67 @@ def scd2_intervals(
         F.lead(ts_col).over(w).alias("valid_to"),
         F.lead(ts_col).over(w).isNull().alias("is_current"),
     )
+
+
+def decay_lut_micro(half_life_days: int, horizon_days: int) -> list[int]:
+    """The G92 decay table: ``round(1e6 · 2^(-d / half_life))`` per age
+    day d ∈ [0, horizon) — computed in plain Python so both engines
+    consume the IDENTICAL integer literals (no transcendental in either
+    plan)."""
+    return [
+        int(round(1_000_000 * 2 ** (-d / half_life_days)))
+        for d in range(horizon_days)
+    ]
+
+
+def decayed_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    ref_date: str = "2024-02-01",
+    half_life_days: int = 7,
+    horizon_days: int = 64,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """G92: exponentially time-decayed counts per key — the
+    recency-weighted activity score (trending sources, freshness priors
+    for crawl scheduling, decayed per-domain quality) computed with
+    EXACT integer arithmetic: ages quantize to whole days and the decay
+    factor is a literal micro-unit lookup table (:func:`decay_lut_micro`
+    — the G44/G80 micro-gain pattern), so the per-key score is an
+    order-free long sum, hash-reproducible cross-engine, with no
+    ``pow``/``exp`` in the plan at all.
+
+    Rows older than ``horizon_days`` (or dated after ``ref_date``)
+    contribute zero — at 2^(-64/7) the factor is below one micro-unit
+    anyway, so the horizon is a table bound, not a semantic cut.
+    ``weight_col`` (integral — cast to long) weights each event;
+    default 1. Returns ``(key_cols..., decayed_micro, n_events,
+    n_recent)`` where n_recent counts rows within one half-life.
+
+    Scale shape: one map-side projection (date diff + a bounded
+    ``element_at`` on a literal array) + ONE combinable aggregate.
+    """
+    if half_life_days < 1 or horizon_days < 1:
+        raise ValueError("half_life_days and horizon_days must be >= 1")
+    lut = decay_lut_micro(half_life_days, horizon_days)
+    lut_col = F.array(*[F.lit(v).cast("long") for v in lut])
+    age = F.datediff(
+        F.lit(ref_date).cast("date"), F.col(ts_col).cast("date")
+    )
+    factor = F.when(
+        (age >= 0) & (age < horizon_days),
+        F.element_at(lut_col, age + 1),
+    ).otherwise(F.lit(0).cast("long"))
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    return df.groupBy(*key_cols).agg(
+        F.sum(w * factor).cast("long").alias("decayed_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            ((age >= 0) & (age <= half_life_days)).cast("long")
+        ).cast("long").alias("n_recent"),
+    )

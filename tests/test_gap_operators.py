@@ -5141,3 +5141,47 @@ def test_script_profile_goldens(spark):
     assert got[6]["script"] == "other" and got[6]["latin_ratio"] == 0.0
     assert got[7]["script"] == "other" and got[7]["n_chars"] == 0
     assert got[8]["script"] == "latin"             # tie -> earlier class
+
+
+def test_decayed_counts_goldens(spark):
+    """G92 default tier: hand-computed decay goldens — same-day events
+    score the full micro-unit, one-half-life-old events exactly the
+    rounded half, beyond-horizon and future rows contribute zero,
+    integral weights multiply, n_recent counts one half-life
+    (cross-engine values are the g92_decayed_counts oracle over the
+    shared LUT, hash-green at both scales)."""
+    import datetime as _dt
+
+    from ferc_xbrl_extractor_spark.operators.analytics import (
+        decay_lut_micro,
+        decayed_counts,
+    )
+
+    lut = decay_lut_micro(7, 64)
+    assert lut[0] == 1_000_000 and lut[7] == 500_000
+    ref = _dt.datetime(2024, 2, 1)
+    rows = [
+        ("a", ref, 1),                              # age 0: 1_000_000
+        ("a", ref - _dt.timedelta(days=7), 1),      # age 7: 500_000
+        ("a", ref - _dt.timedelta(days=100), 1),    # beyond horizon: 0
+        ("a", ref + _dt.timedelta(days=1), 1),      # future: 0
+        ("b", ref - _dt.timedelta(days=14), 3),     # age 14, weight 3
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, w long")
+    got = {r["k"]: r.asDict()
+           for r in decayed_counts(
+               df, ["k"], ts_col="ts", ref_date="2024-02-01",
+               half_life_days=7, horizon_days=64).collect()}
+    assert got["a"]["decayed_micro"] == 1_500_000
+    assert got["a"]["n_events"] == 4 and got["a"]["n_recent"] == 2
+    assert got["b"]["decayed_micro"] == lut[14]
+
+    wgot = {r["k"]: r["decayed_micro"]
+            for r in decayed_counts(
+                df, ["k"], ts_col="ts", ref_date="2024-02-01",
+                weight_col="w").collect()}
+    assert wgot["b"] == 3 * lut[14]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="half_life"):
+        decayed_counts(df, ["k"], half_life_days=0)
