@@ -58,6 +58,14 @@ def parse(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--min-overlap", type=int, default=5)
     p.add_argument("--neardup-threshold", type=float, default=None)
     p.add_argument(
+        "--allowed-scripts",
+        nargs="+",
+        default=None,
+        help="Keep only documents whose dominant Unicode script (G91) "
+        "is in this list (e.g. latin cyrillic) — the multilingual "
+        "router screen; runs right after c4 cleanup.",
+    )
+    p.add_argument(
         "--containment-threshold",
         type=float,
         default=None,
@@ -234,6 +242,7 @@ def run_main(args: argparse.Namespace) -> int:
         neardup_threshold=args.neardup_threshold,
         neardup_keep_by=args.neardup_keep_by,
         containment_threshold=args.containment_threshold,
+        allowed_scripts=args.allowed_scripts,
         redact=args.redact,
         stratum_col=args.stratum_col,
         sample_n=args.sample_n,

@@ -1673,6 +1673,35 @@ SCRIPT_CLASSES: list[tuple[str, str]] = [
 ]
 
 
+def _script_counts(text_col: str) -> dict:
+    n_chars = F.length(F.col(text_col))
+    return {
+        name: n_chars
+        - F.length(F.regexp_replace(F.col(text_col), f"[{cls}]", ""))
+        for name, cls in SCRIPT_CLASSES
+    }
+
+
+def script_of(text_col: str = "text") -> Column:
+    """G91: the dominant-script label alone (the argmax column
+    with_script_profile attaches) — for screens that route on script
+    without materializing the per-class ratios."""
+    counts = _script_counts(text_col)
+    names = [n for n, _ in SCRIPT_CLASSES]
+    script = F.lit("other")
+    for name in reversed(names):
+        cond = counts[name] > 0
+        for other in names:
+            if other == name:
+                continue
+            if names.index(other) < names.index(name):
+                cond = cond & (counts[name] > counts[other])
+            else:
+                cond = cond & (counts[name] >= counts[other])
+        script = F.when(cond, F.lit(name)).otherwise(script)
+    return script
+
+
 def with_script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """G91: per-document writing-system profile — for each Unicode
     script class, the fraction of characters in it, plus the dominant
@@ -1693,13 +1722,10 @@ def with_script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     chain; all-zero rows (whitespace/punct-only or empty) label
     ``'other'``.
     """
-    n_chars = F.length(F.col(text_col))
-    counts = {
-        name: n_chars
-        - F.length(F.regexp_replace(F.col(text_col), f"[{cls}]", ""))
-        for name, cls in SCRIPT_CLASSES
-    }
-    out = df.withColumn("n_chars", n_chars.cast("long"))
+    counts = _script_counts(text_col)
+    out = df.withColumn(
+        "n_chars", F.length(F.col(text_col)).cast("long")
+    )
     for name, _ in SCRIPT_CLASSES:
         out = out.withColumn(
             f"{name}_ratio",
@@ -1709,18 +1735,5 @@ def with_script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).otherwise(F.lit(0.0)),
         )
     # deterministic argmax: first class (declaration order) that is
-    # >= every other class's count and > 0
-    script = F.lit("other")
-    names = [n for n, _ in SCRIPT_CLASSES]
-    for name in reversed(names):
-        cond = (counts[name] > 0) & F.lit(True)
-        for other in names:
-            if other == name:
-                continue
-            # strictly greater than LATER classes, >= earlier ones
-            if names.index(other) < names.index(name):
-                cond = cond & (counts[name] > counts[other])
-            else:
-                cond = cond & (counts[name] >= counts[other])
-        script = F.when(cond, F.lit(name)).otherwise(script)
-    return out.withColumn("script", script)
+    # >= every other class's count and > 0 — script_of
+    return out.withColumn("script", script_of(text_col))

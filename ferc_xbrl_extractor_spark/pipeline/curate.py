@@ -85,6 +85,7 @@ def curate_corpus(
     domain_suffixes=None,
     c4: bool = False,
     c4_kwargs: dict | None = None,
+    allowed_scripts: list[str] | None = None,
     max_dup_line_ratio: float | None = None,
     max_dup_3gram_ratio: float | None = None,
     min_compression_ratio: float | None = None,
@@ -197,6 +198,13 @@ def curate_corpus(
             cleaned.filter(F.col("keep"))
             .withColumn(text_col, F.col("clean_text"))
             .drop("clean_text", "n_kept_lines", "keep")
+        )
+    if allowed_scripts is not None:
+        # G91 script routing next: dominant-script membership is one
+        # codegen'd expression, the cheapest per-row screen after c4 —
+        # off-script documents never pay tokenization/statistics
+        docs = docs.filter(
+            text.script_of(text_col).isin(list(allowed_scripts))
         )
     stats = text.with_text_stats(docs, text_col)
     if max_dup_line_ratio is not None or max_dup_3gram_ratio is not None:
@@ -364,6 +372,7 @@ def curate_corpus(
 CURATE_STAGES = [
     "url_dup",
     "c4",
+    "script",
     "repetition",
     "quality",
     "classifier",
@@ -393,6 +402,7 @@ def curate_annotate(
     domain_suffixes=None,
     c4: bool = False,
     c4_kwargs: dict | None = None,
+    allowed_scripts: list[str] | None = None,
     max_dup_line_ratio: float | None = None,
     max_dup_3gram_ratio: float | None = None,
     min_compression_ratio: float | None = None,
@@ -471,6 +481,12 @@ def curate_annotate(
             .drop("clean_text", "n_kept_lines", "keep")
         )
         fail_c4 = F.col("__fail_c4")
+
+    fail_script = F.lit(False)
+    if allowed_scripts is not None:
+        fail_script = ~text.script_of(text_col).isin(
+            list(allowed_scripts)
+        )
     stats = text.with_text_stats(docs, text_col)
 
     fail_rep = F.lit(False)
@@ -537,30 +553,35 @@ def curate_annotate(
     annotated = stats.withColumn("__f_url", fail_url).withColumn(
         "__f_c4", ~F.col("__f_url") & fail_c4
     ).withColumn(
-        "__f_rep", ~F.col("__f_url") & ~F.col("__f_c4") & fail_rep
+        "__f_script", ~F.col("__f_url") & ~F.col("__f_c4") & fail_script
+    ).withColumn(
+        "__f_rep",
+        ~F.col("__f_url") & ~F.col("__f_c4") & ~F.col("__f_script")
+        & fail_rep,
     ).withColumn(
         "__f_qual",
-        ~F.col("__f_url") & ~F.col("__f_c4") & ~F.col("__f_rep")
-        & fail_quality,
+        ~F.col("__f_url") & ~F.col("__f_c4") & ~F.col("__f_script")
+        & ~F.col("__f_rep") & fail_quality,
     )
     annotated = annotated.withColumn(
         "__f_clf",
-        ~F.col("__f_url") & ~F.col("__f_c4") & ~F.col("__f_rep")
-        & ~F.col("__f_qual") & fail_clf,
+        ~F.col("__f_url") & ~F.col("__f_c4") & ~F.col("__f_script")
+        & ~F.col("__f_rep") & ~F.col("__f_qual") & fail_clf,
     ).withColumn(
         "__f_gopher",
-        ~F.col("__f_url") & ~F.col("__f_c4") & ~F.col("__f_rep")
-        & ~F.col("__f_qual") & ~F.col("__f_clf") & fail_gopher,
+        ~F.col("__f_url") & ~F.col("__f_c4") & ~F.col("__f_script")
+        & ~F.col("__f_rep") & ~F.col("__f_qual") & ~F.col("__f_clf")
+        & fail_gopher,
     ).withColumn(
         "__f_link",
-        ~F.col("__f_url") & ~F.col("__f_c4") & ~F.col("__f_rep")
-        & ~F.col("__f_qual") & ~F.col("__f_clf") & ~F.col("__f_gopher")
-        & fail_link,
+        ~F.col("__f_url") & ~F.col("__f_c4") & ~F.col("__f_script")
+        & ~F.col("__f_rep") & ~F.col("__f_qual") & ~F.col("__f_clf")
+        & ~F.col("__f_gopher") & fail_link,
     )
     pass_rules = (
-        ~F.col("__f_url") & ~F.col("__f_c4") & ~F.col("__f_rep")
-        & ~F.col("__f_qual") & ~F.col("__f_clf") & ~F.col("__f_gopher")
-        & ~F.col("__f_link")
+        ~F.col("__f_url") & ~F.col("__f_c4") & ~F.col("__f_script")
+        & ~F.col("__f_rep") & ~F.col("__f_qual") & ~F.col("__f_clf")
+        & ~F.col("__f_gopher") & ~F.col("__f_link")
     )
 
     # The later stages (contamination, decontaminate->exact-dup, near-dup,
@@ -707,6 +728,7 @@ def curate_annotate(
     drop_stage = (
         F.when(F.col("__f_url"), "url_dup")
         .when(F.col("__f_c4"), "c4")
+        .when(F.col("__f_script"), "script")
         .when(F.col("__f_rep"), "repetition")
         .when(F.col("__f_qual"), "quality")
         .when(F.col("__f_clf"), "classifier")

@@ -5185,3 +5185,44 @@ def test_decayed_counts_goldens(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="half_life"):
         decayed_counts(df, ["k"], half_life_days=0)
+
+
+def test_curate_script_screen(spark):
+    """G91 curation stage: allowed_scripts keeps only dominant-script
+    members, drops attribute to 'script' (after c4, before repetition
+    in the stage order), the NULL-slice ≡ curate_corpus invariant
+    holds, and the CLI flag parses a list."""
+    from ferc_xbrl_extractor_spark.pipeline import curate
+
+    good = "the quick brown fox jumps over the lazy dog near the river "
+    docs = spark.createDataFrame(
+        [
+            (1, good * 2),
+            (2, "привет мир это русский текст про собаку и реку " * 2),
+            (3, good + "и немного кириллицы but mostly latin text here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    params = dict(min_tokens=5, min_uniq_ratio=0.1,
+                  allowed_scripts=["latin"])
+    out = {r["doc_id"] for r in curate.curate_corpus(docs, **params).collect()}
+    assert out == {1, 3}  # doc 3 is latin-dominant despite mixed chars
+
+    ann = {r["doc_id"]: r["drop_stage"]
+           for r in curate.curate_annotate(docs, **params).collect()}
+    assert ann[2] == "script" and ann[1] is None and ann[3] is None
+    funnel = {r["drop_stage"]: r["n_docs"]
+              for r in curate.curate_funnel(docs, **params).collect()}
+    assert funnel == {None: 2, "script": 1}
+
+    # multi-script allow-list keeps both
+    both = curate.curate_corpus(
+        docs, min_tokens=5, min_uniq_ratio=0.1,
+        allowed_scripts=["latin", "cyrillic"],
+    )
+    assert {r["doc_id"] for r in both.collect()} == {1, 2, 3}
+
+    from ferc_xbrl_extractor_spark.curate_cli import parse
+    args = parse(["corpus", "--output", "y",
+                  "--allowed-scripts", "latin", "cyrillic"])
+    assert args.allowed_scripts == ["latin", "cyrillic"]

@@ -62,6 +62,10 @@ INTENTIONAL_BNLJ = {
     # allowlisted broadcast-query-side BNLJ; the fusion layer itself
     # adds only a combinable aggregate + per-query window.
     "g80_rrf_fuse",
+    # g89_collocations: the ONE-row corpus-total relation broadcast
+    # back onto the (already min_count-filtered) pair relation for the
+    # lift projection — the g4_bm25 shape.
+    "g89_collocations",
     # g73_mixture_alloc: two ONE-row relations (live totals, post-
     # saturation remainder) broadcast onto the |domains|-row allocation
     # (the g67/g4_bm25 shape).
