@@ -817,6 +817,29 @@ def q_g84_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.ppjoin_pairs(docs, n=3, threshold=0.5)
 
 
+def q_g93_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G93: calibration/reliability report (classifier.
+    calibration_report) — a deterministic synthetic scorer over the
+    documents corpus (en docs score 0.40-0.99, others 0.00-0.59, spread
+    by doc_id) against the lang='en' label, 10 bins. Both engines
+    quantize per row (floor(score·1e6)) then sum exact longs; the IEEE
+    double ops producing the score are identical expressions."""
+    from ferc_xbrl_extractor_spark.operators.classifier import (
+        calibration_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("lang") == "en",
+            ((F.col("doc_id") * 7) % 60 + 40) / F.lit(100.0),
+        ).otherwise(((F.col("doc_id") * 7) % 60) / F.lit(100.0)).alias(
+            "score"
+        ),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return calibration_report(docs, "score", "label", n_bins=10)
+
+
 def q_g91_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G91: per-document writing-system profile (text.
     with_script_profile) — class counts via codegen'd regexp_replace
@@ -3853,6 +3876,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g90_containment_dedup": q_g90_containment_dedup,
         "g91_script_profile": q_g91_script_profile,
         "g92_decayed_counts": q_g92_decayed_counts,
+        "g93_calibration": q_g93_calibration,
         "g3_recall": q_g3_recall,
         "g3_embedding_neardup": q_g3_embedding_neardup,
         "g42_semantic_decon": q_g42_semantic_decon,
@@ -4183,6 +4207,39 @@ def fine_oracle_sql() -> dict[str, str]:
     # as the full inverted-index join", so its oracle is g2_jaccard's
     # SQL verbatim: the gate proves the optimization changed nothing.
     sql["g84_ppjoin"] = sql["g2_jaccard"]
+
+    # G93: calibration report — identical per-row micro quantization,
+    # exact long sums, integer floor divisions, |gap| window ECE.
+    sql["g93_calibration"] = """
+        WITH s AS (
+            SELECT CASE WHEN lang = 'en'
+                        THEN ((doc_id * 7) % 60 + 40) / 100.0
+                        ELSE ((doc_id * 7) % 60) / 100.0 END AS score,
+                   lang = 'en' AS label
+            FROM documents
+        ),
+        r AS (
+            SELECT LEAST(CAST(FLOOR(score * 10) AS INT), 9) AS bin,
+                   CAST(FLOOR(score * 1000000) AS BIGINT) AS sm,
+                   CAST(label AS BIGINT) AS pos
+            FROM s
+            WHERE score IS NOT NULL AND label IS NOT NULL
+        ),
+        per_bin AS (
+            SELECT bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(sm) // count(*) AS BIGINT) AS conf_micro,
+                   CAST((sum(pos) * 1000000) // count(*) AS BIGINT)
+                       AS obs_micro
+            FROM r GROUP BY 1
+        )
+        SELECT bin, n, n_pos, conf_micro, obs_micro,
+               CAST(abs(conf_micro - obs_micro) AS BIGINT) AS gap_micro,
+               CAST(sum(n * abs(conf_micro - obs_micro)) OVER ()
+                    // sum(n) OVER () AS BIGINT) AS ece_micro
+        FROM per_bin
+    """
 
     # G91: script profile — generated from the operator's own
     # SCRIPT_CLASSES table: identical character-class regexes (with
@@ -7976,7 +8033,9 @@ _SUITES: dict[str, list[str]] = {
         "g25_zorder", "g67_skew_report", "g72_cms_topk", "g81_label_agg",
         "g88_salted_join",
     ],
-    "g32_report_suite": ["g32_corpus_report", "g32_stratum_report"],
+    "g32_report_suite": [
+        "g32_corpus_report", "g32_stratum_report", "g93_calibration",
+    ],
     "g_boilerplate_suite": [
         "g33_strip_lines", "g34_gopher_rules", "g35_paragraph_dedup",
         "g36_curate_funnel", "g57_html_text",
@@ -8061,6 +8120,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g90_containment_dedup": [("doc_id", "i"), ("n_chars", "i")],
     "g91_script_profile": [("doc_id", "i"), ("n_chars", "i"), ("latin_ratio", "n"), ("digit_ratio", "n"), ("cyrillic_ratio", "n"), ("cjk_ratio", "n"), ("script", "s")],
     "g92_decayed_counts": [("event_type", "s"), ("decayed_micro", "i"), ("n_events", "i"), ("n_recent", "i")],
+    "g93_calibration": [("bin", "i"), ("n", "i"), ("n_pos", "i"), ("conf_micro", "i"), ("obs_micro", "i"), ("gap_micro", "i"), ("ece_micro", "i")],
     "g83_scd2": [("user_id", "i"), ("version", "i"), ("event_type", "s"), ("valid_from", "t"), ("valid_to", "t"), ("is_current", "b")],
     "g2_recall_report": [("method", "s"), ("threshold", "n"), ("n_true", "i"), ("n_cand", "i"), ("n_hit", "i"), ("recall", "n"), ("precision", "n")],
     "g3_cosine_topk": [("query_id", "i"), ("neighbor_id", "i"), ("sim", "n"), ("rank", "i")],

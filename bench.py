@@ -74,6 +74,7 @@ HEADLINE = [
     "g4_text_stats",
     "g91_script_profile",
     "g28_quality_classifier",
+    "g93_calibration",
     "g32_corpus_report",
     "g32_stratum_report",
     "g33_strip_lines",

@@ -132,3 +132,64 @@ def train_quality_classifier(
     ).fit(assembled)
     weights = {c: float(w) for c, w in zip(feats, model.coefficients)}
     return weights, float(model.intercept)
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """G93: classifier calibration (reliability) report — per
+    equal-width score bin: count, positives, mean confidence, observed
+    positive rate, their gap, and the corpus ECE (expected calibration
+    error, Naeini et al. AAAI'15) — the diagnostic that decides whether
+    a G28-style quality classifier's scores can be THRESHOLDED at a
+    probability (curation cutoffs, budget_score_col weighting) or only
+    RANKED. A filter tuned to "keep p ≥ 0.8" on a miscalibrated scorer
+    silently shifts the corpus mix; this report is the check.
+
+    Exactness discipline: scores quantize per ROW to integer
+    micro-units (``floor(score·1e6)`` — deterministic scalar op), so
+    every aggregate is an order-free long sum and the per-bin means are
+    integer floor divisions — no float summation anywhere, hash-exact
+    cross-engine. ECE = Σ n_b·|gap_b| div N rides a window over the
+    ≤ n_bins report rows (bounded relation — not a corpus window).
+
+    Returns ``(bin, n, n_pos, conf_micro, obs_micro, gap_micro,
+    ece_micro)`` — bin = ``least(floor(score·n_bins), n_bins-1)``
+    (scores at exactly 1.0 land in the top bin), ece_micro identical on
+    every row. NULL scores or labels are dropped.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    sm = F.floor(F.col(score_col) * 1_000_000).cast("long")
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    rows = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        b.alias("bin"),
+        sm.alias("__sm"),
+        F.col(label_col).cast("boolean").cast("long").alias("__pos"),
+    )
+    per_bin = rows.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.expr("sum(__sm) div count(1)").alias("conf_micro"),
+        F.expr("(sum(__pos) * 1000000) div count(1)").alias("obs_micro"),
+    )
+    gap = F.abs(F.col("conf_micro") - F.col("obs_micro"))
+    # the empty-frame window below runs over the <= n_bins report rows
+    # — a bounded relation, not a corpus window
+    return per_bin.select(
+        "bin", "n", "n_pos", "conf_micro", "obs_micro",
+        gap.cast("long").alias("gap_micro"),
+    ).withColumn(
+        "ece_micro",
+        F.expr(
+            "sum(n * gap_micro) over () div sum(n) over ()"
+        ).cast("long"),
+    )

@@ -5226,3 +5226,50 @@ def test_curate_script_screen(spark):
     args = parse(["corpus", "--output", "y",
                   "--allowed-scripts", "latin", "cyrillic"])
     assert args.allowed_scripts == ["latin", "cyrillic"]
+
+
+def test_calibration_report_goldens(spark):
+    """G93 default tier: hand-computed reliability goldens — per-bin
+    confidence/observed-rate means as exact integer floor divisions,
+    |gap| rows, the weighted ECE identical on every row, a perfectly
+    calibrated scorer reports near-zero gaps, score=1.0 lands in the
+    top bin, NULL rows drop (cross-engine values are the
+    g93_calibration oracle, hash-green at both scales)."""
+    from ferc_xbrl_extractor_spark.operators.classifier import (
+        calibration_report,
+    )
+
+    rows = [(i / 10 if i < 10 else 0.999, i % 2 == 0) for i in range(20)]
+    rows += [(None, True), (0.5, None), (1.0, True)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    got = {r["bin"]: r.asDict()
+           for r in calibration_report(df, "score", "label",
+                                       n_bins=5).collect()}
+    # bin 0 holds scores 0.0, 0.1 -> conf floor((0+100000)/2)=50000,
+    # obs = 1/2 -> 500000, gap 450000
+    assert (got[0]["n"], got[0]["n_pos"], got[0]["conf_micro"],
+            got[0]["obs_micro"], got[0]["gap_micro"]) == (
+        2, 1, 50000, 500000, 450000)
+    # score exactly 1.0 clamps into the top bin
+    assert got[4]["n"] == 13
+    ece = got[0]["ece_micro"]
+    assert all(r["ece_micro"] == ece for r in got.values())
+    total_n = sum(r["n"] for r in got.values())
+    assert total_n == 21  # the two NULL rows dropped
+    assert ece == sum(r["n"] * r["gap_micro"]
+                      for r in got.values()) // total_n
+
+    # a perfectly calibrated scorer: in each bin, observed == conf
+    cal_rows = []
+    for b in range(10):
+        p = b / 10 + 0.05
+        for j in range(20):
+            cal_rows.append((p, j < round(p * 20)))
+    cal = spark.createDataFrame(cal_rows, "score double, label boolean")
+    crep = calibration_report(cal, "score", "label", n_bins=10).collect()
+    assert all(r["gap_micro"] <= 50000 for r in crep)  # quantization only
+    assert crep[0]["ece_micro"] <= 50000
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_bins"):
+        calibration_report(df, "score", "label", n_bins=0)
