@@ -1,0 +1,112 @@
+"""Scale evidence for G81 (labels.aggregate_labels, reweight=True): the
+two-pass crowd-label reduction at 1M and 10M annotations — two decades
+past the 10k-row gate fixture, on the axis that matters (the annotation
+volume; items and annotators grow with it).
+
+Corpus: n annotations over n/50 items (~50 votes each) from 500
+annotators; each item has a planted true label and annotators vote for
+it with 70% probability (xxhash64-derived, deterministic), else one of
+4 decoys. The measured runs assert ≥99% of items recover their planted
+label under the reliability-weighted vote — correctness inside the
+measurement, the scalecheck_hamming pattern.
+
+Writes nothing to the repo. Usage:
+    python tools/scalecheck_labels.py  → one JSON line for the record.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ferc_xbrl_extractor_spark.operators.labels import (  # noqa: E402
+    aggregate_labels,
+)
+from ferc_xbrl_extractor_spark.session import get_spark  # noqa: E402
+
+
+def build(spark, n: int):
+    n_items = n // 50
+    base = spark.range(n).select(
+        (F.col("id") % n_items).alias("item_id"),
+        F.pmod(F.xxhash64("id", F.lit("a")), F.lit(500)).alias(
+            "annotator_id"
+        ),
+        F.col("id"),
+    )
+    true_label = F.concat(
+        F.lit("L"), (F.col("item_id") % 5).cast("string")
+    )
+    decoy = F.concat(
+        F.lit("L"),
+        F.pmod(F.xxhash64("id", F.lit("d")), F.lit(5)).cast("string"),
+    )
+    ann = base.select(
+        "item_id",
+        "annotator_id",
+        F.when(
+            F.pmod(F.xxhash64("id", F.lit("n")), F.lit(10)) < 7, true_label
+        ).otherwise(decoy).alias("label"),
+    )
+    return ann, n_items
+
+
+def timed(spark, n: int) -> dict:
+    ann, n_items = build(spark, n)
+    run = lambda: aggregate_labels(ann, reweight=True)  # noqa: E731
+    out = run()
+    correct = out.filter(
+        F.col("label_weighted")
+        == F.concat(F.lit("L"), (F.col("item_id") % 5).cast("string"))
+    ).count()
+    assert correct >= 0.99 * n_items, (correct, n_items)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        total = run().count()
+        best = min(best, time.time() - t0)
+    assert total == n_items, (total, n_items)
+    return {
+        "annotations": n,
+        "items": n_items,
+        "planted_recovered": int(correct),
+        "agg_s": round(best, 3),
+    }
+
+
+def main() -> None:
+    spark = get_spark(
+        "scalecheck-labels",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    t1 = timed(spark, 1_000_000)
+    t10 = timed(spark, 10_000_000)
+    print(
+        json.dumps(
+            {
+                "record": "scalecheck_labels",
+                "op": "aggregate_labels(reweight=True) (G81)",
+                "tiers": {"1m": t1, "10m": t10},
+                "time_ratio_for_10x_annotations": round(
+                    t10["agg_s"] / t1["agg_s"], 2
+                ),
+                "note": "two-pass estimate (majority -> annotator "
+                "accuracy broadcast -> weighted revote) over 500 "
+                "annotators at 70% base reliability; >=99% of planted "
+                "item labels recovered inside both measured runs. Every "
+                "stage is a combinable aggregate or an |items|-scale "
+                "window; the accuracy relation stays 500 rows at any "
+                "corpus size.",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
