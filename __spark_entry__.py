@@ -4219,7 +4219,8 @@ def fine_oracle_sql() -> dict[str, str]:
             FROM documents
         ),
         r AS (
-            SELECT LEAST(CAST(FLOOR(score * 10) AS INT), 9) AS bin,
+            SELECT GREATEST(LEAST(CAST(FLOOR(score * 10) AS INT), 9), 0)
+                       AS bin,
                    CAST(FLOOR(score * 1000000) AS BIGINT) AS sm,
                    CAST(label AS BIGINT) AS pos
             FROM s
@@ -4327,7 +4328,8 @@ def fine_oracle_sql() -> dict[str, str]:
             SELECT p.w1, p.w2, p.n_pair,
                    m1.n_w AS n_w1, m2.n_w AS n_w2,
                    ROUND(p.n_pair * CAST(n_total AS DOUBLE)
-                         / (m1.n_w * m2.n_w), 4) AS lift
+                         / (CAST(m1.n_w AS DOUBLE)
+                            * CAST(m2.n_w AS DOUBLE)), 4) AS lift
             FROM pairs p
             JOIN marg m1 ON p.w1 = m1.t
             JOIN marg m2 ON p.w2 = m2.t

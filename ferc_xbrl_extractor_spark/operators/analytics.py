@@ -819,8 +819,11 @@ def decayed_counts(
     ``pow``/``exp`` in the plan at all.
 
     Rows older than ``horizon_days`` (or dated after ``ref_date``)
-    contribute zero — at 2^(-64/7) the factor is below one micro-unit
-    anyway, so the horizon is a table bound, not a semantic cut.
+    contribute zero. NOTE the horizon IS a semantic cliff unless sized
+    generously: at the defaults (half_life=7, horizon=64) a 63-day-old
+    event still contributes ~1953 micro-units and a 64-day-old one 0.
+    Size ``horizon_days ≳ 20·half_life_days`` when the tail must decay
+    below one micro-unit before the cut (2^(-20) ≈ 0.95 micro).
     ``weight_col`` (integral — cast to long) weights each event;
     default 1. Returns ``(key_cols..., decayed_micro, n_events,
     n_recent)`` where n_recent counts rows within one half-life.

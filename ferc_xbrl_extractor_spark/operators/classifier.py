@@ -164,9 +164,16 @@ def calibration_report(
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
     sm = F.floor(F.col(score_col) * 1_000_000).cast("long")
-    b = F.least(
-        F.floor(F.col(score_col) * n_bins).cast("int"),
-        F.lit(n_bins - 1),
+    # clamp BOTH ends: scores at exactly 1.0 land in the top bin, and
+    # out-of-domain scores (a raw linear output below 0 or above 1)
+    # clamp into the edge bins instead of minting negative bin ids —
+    # their conf_micro means still expose them (sm is unclamped)
+    b = F.greatest(
+        F.least(
+            F.floor(F.col(score_col) * n_bins).cast("int"),
+            F.lit(n_bins - 1),
+        ),
+        F.lit(0),
     )
     rows = df.filter(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()

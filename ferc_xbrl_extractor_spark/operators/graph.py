@@ -225,8 +225,18 @@ def pagerank_oracle_sql(
     operator compiled to ``isin``.
     ``edges_sql`` must yield columns (src, dst)."""
 
+    def _lit(s) -> str:
+        # SQL literal, not repr(): a string seed containing a single
+        # quote makes repr emit double quotes, which DuckDB parses as
+        # an IDENTIFIER — domain seed lists ("o'reilly.com") would
+        # break the oracle. Strings single-quote with '' escaping;
+        # everything else renders as a plain number.
+        if isinstance(s, str):
+            return "'" + s.replace("'", "''") + "'"
+        return str(s)
+
     def _case(col: str, then: str) -> str:
-        lst = ", ".join(repr(s) for s in seeds)
+        lst = ", ".join(_lit(s) for s in seeds)
         return (
             f"CAST(CASE WHEN {col} IN ({lst}) THEN {then} ELSE 0 END"
             " AS BIGINT)"

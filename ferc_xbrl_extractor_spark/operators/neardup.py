@@ -275,12 +275,21 @@ def ppjoin_pairs(
     # aggregate that produced it — exchange reuse, no new corpus shuffle
     ranked = st.join(dfreq.hint("shuffle_hash"), "shingle")
     w = Window.partitionBy(id_col).orderBy("df_", "shingle")
+    # Prefix length = n - o_min + 1 where o_min = ceil(t·n) is the
+    # smallest overlap a qualifying pair can have (J ≥ t ⇒ |∩| ≥ t·|A|).
+    # ceil is computed as floor((t − ε)·n) + 1: the bare float forms —
+    # floor((1−t)·n)+1 or ceil(t·n) — both undershoot the prefix by 1
+    # when t·n lands on an integer and t is not exactly representable
+    # (t=0.8, n=10: (1−0.8)·10 = 1.9999999999999996), producing FALSE
+    # NEGATIVES against jaccard_pairs. ε=1e-9 only relaxes o_min within
+    # 1e-9·n of an integer boundary — conservative (a longer prefix is
+    # always correct, merely less pruned).
+    o_min = (
+        F.floor(F.lit(threshold - 1e-9) * F.col("n_sh")).cast("int") + 1
+    )
     pref = (
         ranked.withColumn("__rnk", F.row_number().over(w))
-        .filter(
-            F.col("__rnk")
-            <= F.floor((1.0 - threshold) * F.col("n_sh")).cast("int") + 1
-        )
+        .filter(F.col("__rnk") <= F.col("n_sh") - o_min + 1)
         .select(id_col, "n_sh", "shingle")
     )
     pref = pref.repartition("shingle")
@@ -290,10 +299,14 @@ def ppjoin_pairs(
     )
     cands = (
         j.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        # size filter: J >= t forces t·max(|A|,|B|) <= min(|A|,|B|)
+        # size filter: J >= t forces t·max(|A|,|B|) <= min(|A|,|B|);
+        # the same ε guards the float boundary (0.8·10 evaluates to
+        # 8.0000000000000004 in IEEE, which would wrongly reject an
+        # exactly-qualifying 8-vs-10 pair)
         .filter(
             F.least(F.col("a.n_sh"), F.col("b.n_sh"))
-            >= threshold * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+            >= (threshold - 1e-9)
+            * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

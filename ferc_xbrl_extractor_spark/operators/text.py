@@ -1635,10 +1635,16 @@ def collocations(
         .crossJoin(F.broadcast(total))
         .select(
             "w1", "w2", "n_pair", "n_w1", "n_w2",
+            # each factor casts to double BEFORE the multiply: a
+            # long·long product overflows int64 for tokens appearing
+            # >3e9 times (corpus scale) and Spark wraps silently
             F.round(
                 F.col("n_pair")
                 * F.col("n_total").cast("double")
-                / (F.col("n_w1") * F.col("n_w2")).cast("double"),
+                / (
+                    F.col("n_w1").cast("double")
+                    * F.col("n_w2").cast("double")
+                ),
                 4,
             ).alias("lift"),
         )
@@ -1716,11 +1722,13 @@ def with_script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     spellings live in the java.util.regex ∩ RE2 intersection so the
     DuckDB oracle runs the character-identical regexes. Ratios are
     count/n_chars rounded 4dp (exact-integer division, deterministic);
-    the dominant script is the first class in SCRIPT_CLASSES order whose
-    count is strictly greater than every LATER class and >= every
-    earlier one — a deterministic argmax both engines replay as a CASE
-    chain; all-zero rows (whitespace/punct-only or empty) label
-    ``'other'``.
+    the dominant script is the FIRST class in SCRIPT_CLASSES order
+    whose count is positive, strictly greater than every
+    earlier-declared class's count, and >= every later one's — i.e.
+    ties break toward the earlier-declared class (pinned by the
+    ``'ab12' → latin`` test golden) — a deterministic argmax both
+    engines replay as a CASE chain; all-zero rows (whitespace/punct-only
+    or empty) label ``'other'``.
     """
     counts = _script_counts(text_col)
     out = df.withColumn(

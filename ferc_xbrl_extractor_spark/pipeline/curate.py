@@ -69,6 +69,18 @@ def _link_rank_relation(link_ranks: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _validate_scripts(allowed_scripts) -> None:
+    """script_of only ever emits SCRIPT_CLASSES names (+ 'other'): an
+    unknown or wrong-case entry would silently filter the corpus to
+    zero rows, so fail fast instead."""
+    valid = {n for n, _ in text.SCRIPT_CLASSES} | {"other"}
+    bad = [x for x in allowed_scripts if x not in valid]
+    if bad:
+        raise ValueError(
+            f"unknown script names {bad}; valid: {sorted(valid)}"
+        )
+
+
 def curate_corpus(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
@@ -203,6 +215,7 @@ def curate_corpus(
         # G91 script routing next: dominant-script membership is one
         # codegen'd expression, the cheapest per-row screen after c4 —
         # off-script documents never pay tokenization/statistics
+        _validate_scripts(allowed_scripts)
         docs = docs.filter(
             text.script_of(text_col).isin(list(allowed_scripts))
         )
@@ -484,6 +497,7 @@ def curate_annotate(
 
     fail_script = F.lit(False)
     if allowed_scripts is not None:
+        _validate_scripts(allowed_scripts)
         fail_script = ~text.script_of(text_col).isin(
             list(allowed_scripts)
         )

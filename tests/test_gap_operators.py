@@ -5273,3 +5273,68 @@ def test_calibration_report_goldens(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n_bins"):
         calibration_report(df, "score", "label", n_bins=0)
+
+
+def test_ppjoin_threshold_boundary_exact(spark):
+    """G84 regression (review-found): at threshold 0.8 a pair whose
+    Jaccard is EXACTLY 0.8 and whose rare shingles sit outside the
+    shared set must still pair — the bare float prefix length
+    floor((1-t)·n)+1 undershot by one ((1-0.8)·10 → 1.9999999999999996)
+    and dropped it; same for the size filter at exactly t·max = min."""
+    from ferc_xbrl_extractor_spark.operators.neardup import (
+        jaccard_pairs,
+        ppjoin_pairs,
+    )
+
+    # doc 1: 2 globally-rare shingles + 8 shared; doc 2: the 8 shared
+    # (12 tokens / 10 shingles vs 10 tokens / 8 shingles)
+    shared = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    docs = spark.createDataFrame(
+        [(1, "r1 r2 " + shared), (2, shared)],
+        "doc_id long, text string",
+    )
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_pairs(docs, n=3, threshold=0.8).collect()}
+    assert jac == {(1, 2): 0.8}
+    pp = {(r["id_a"], r["id_b"]): r["jaccard"]
+          for r in ppjoin_pairs(docs, n=3, threshold=0.8).collect()}
+    assert pp == jac
+
+
+def test_review_fix_edges(spark):
+    """Review-found hardening: unknown allowed_scripts fail fast
+    instead of silently emptying the corpus; calibration clamps
+    negative scores into bin 0 (conf mean still exposes them); the
+    personalized-pagerank oracle generator quotes string seeds as SQL
+    literals."""
+    import pytest as _pytest
+
+    from ferc_xbrl_extractor_spark.operators.classifier import (
+        calibration_report,
+    )
+    from ferc_xbrl_extractor_spark.operators.graph import (
+        pagerank_oracle_sql,
+    )
+    from ferc_xbrl_extractor_spark.pipeline import curate
+
+    docs = spark.createDataFrame(
+        [(1, "hello world text here ok fine")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="unknown script"):
+        curate.curate_corpus(docs, min_tokens=2, allowed_scripts=["Latin"])
+    with _pytest.raises(ValueError, match="unknown script"):
+        curate.curate_annotate(docs, min_tokens=2,
+                               allowed_scripts=["korean"])
+
+    df = spark.createDataFrame(
+        [(-0.01, True), (0.5, False)], "score double, label boolean"
+    )
+    got = {r["bin"]: r for r in
+           calibration_report(df, "score", "label", n_bins=10).collect()}
+    assert set(got) == {0, 5}
+    assert got[0]["conf_micro"] < 0  # unclamped mean exposes the outlier
+
+    sql = pagerank_oracle_sql(
+        "SELECT src, dst FROM edges", iters=1, seeds=["o'reilly.com", "x"]
+    )
+    assert "'o''reilly.com'" in sql and '"' not in sql
