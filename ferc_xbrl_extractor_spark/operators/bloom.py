@@ -28,6 +28,12 @@ wrapper uses it strictly as a *prefilter*: survivors of the bloom probe
 are re-verified with the exact join, which now only touches the ~fpp
 fraction of corpus shingles that matched — output is exactly the
 broadcast-join result at any fpp.
+
+For the JOIN prefilter (G86), the default is the REGISTER-BLOCKED form
+(:func:`blocked_bloom_words`): all k bits of a key in one 64-bit word,
+so the probe is a broadcast join on the word index plus a pure
+expression mask test — no driver collect at build, no Python at probe.
+In-regime measurement: ``SCALECHECK_BLOOM_r09.json``.
 """
 
 from __future__ import annotations
@@ -87,7 +93,12 @@ def bloom_build(
         n_keys = keys.count()
     m, k = _geometry(n_keys, fpp)
     h1, h2 = _hashes_mod(F.col(key_col), m)
-    word_rows = (
+    # the driver pull is bounded by the BITMAP (m/64 words — 1.5M rows
+    # for a 10⁷-key 1% filter), never by key count, but 10⁶+ Py4J Row
+    # objects still cost seconds to deserialize; toPandas rides Arrow
+    # and lands the words as two numpy columns, then a single
+    # vectorized scatter fills the array.
+    word_pdf = (
         keys.select(h1.alias("__h1"), h2.alias("__h2"))
         .select("*", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"))
         .select(
@@ -101,11 +112,12 @@ def bloom_build(
         )
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
-        .collect()
+        .toPandas()
     )
     words = np.zeros(m // 64, dtype=np.uint64)
-    for r in word_rows:
-        words[r["word"]] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    words[word_pdf["word"].to_numpy(dtype=np.int64)] = (
+        word_pdf["bits"].to_numpy(dtype=np.int64).view(np.uint64)
+    )
     return BloomFilter(words=words, m_bits=m, k=k, n_keys=n_keys, fpp=fpp)
 
 
@@ -166,12 +178,74 @@ def bloom_decontaminate(
     return corpus.join(hits.select(id_col), id_col, "left_anti")
 
 
+def blocked_bloom_words(
+    keys: DataFrame, key_col: str, fpp: float = 0.01, n_keys: int | None = None
+) -> tuple[DataFrame, int, int]:
+    """Register-blocked Bloom filter (Putze/Sanders/Singler, JEA'09) as
+    a RELATION: all k bits of a key live in ONE 64-bit word, so build
+    and probe never leave the JVM —
+
+    - word index  = ``xxhash64(key) mod W``
+    - k bit lanes = successive 6-bit slices of ``xxhash64(key, seed)``
+    - word mask   = OR of ``shiftleft(1, lane_j)`` — a pure Catalyst
+      expression shared verbatim by build and probe.
+
+    Build is one projection + one ``bit_or`` aggregate (no explode —
+    the k probe positions collapse into the single mask expression) and
+    the result stays distributed as a ``(word, bits)`` DataFrame of
+    W = m/64 rows — ~1.8 bytes/key, a broadcast dim two orders of
+    magnitude past the hash-relation ceiling. Nothing is ever collected
+    to the driver, so the build also scales past the point where the
+    driver-side bitmap of :func:`bloom_build` would strain the driver
+    heap (10⁹ keys → ~1.8 GB relation, still a shuffle-side build).
+
+    Blocking costs accuracy for locality: a 64-bit block needs ~1.5×
+    the standard bits for the same nominal fpp (the geometry below
+    budgets that in), and the realized fpp is approximate — callers
+    re-verify with an exact join, so fpp only prices the prefilter.
+
+    Returns ``(words, W, k)``.
+    """
+    if n_keys is None:
+        n_keys = keys.count()
+    n = max(n_keys, 1)
+    m = int(math.ceil(1.5 * -n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, ((m + 63) // 64) * 64)
+    w = m // 64
+    k = min(8, max(1, round(m / n * math.log(2))))
+    word, mask = _blocked_word_mask(key_col, w, k)
+    words = (
+        keys.select(word.alias("__bw"), mask.alias("__bm"))
+        .groupBy("__bw")
+        .agg(F.bit_or("__bm").alias("__bits"))
+    )
+    return words, w, k
+
+
+def _blocked_word_mask(key_col: str, w: int, k: int) -> tuple[Column, Column]:
+    """(word index, k-lane bit mask) for the blocked filter — identical
+    expressions at build and probe time. Lanes are 6-bit slices of the
+    second hash (k ≤ 8 uses 48 of its 64 bits); duplicate lanes merely
+    waste a bit, the standard blocked-bloom tradeoff. Built via
+    ``F.expr`` because ``shiftleft``'s Python wrapper only takes a
+    literal shift count — the SQL form accepts a per-row one."""
+    word = F.pmod(F.xxhash64(F.col(key_col)), F.lit(w))
+    lanes = [
+        f"cast((shiftrightunsigned(xxhash64(`{key_col}`, {_H2_SEED}L), "
+        f"{6 * j}) & 63) AS int)"
+        for j in range(k)
+    ]
+    mask = F.expr(" | ".join(f"shiftleft(1L, {lane})" for lane in lanes))
+    return word, mask
+
+
 def bloom_join(
     fact: DataFrame,
     dim: DataFrame,
     on: str,
     fpp: float = 0.01,
     n_keys: int | None = None,
+    mode: str = "blocked",
 ) -> DataFrame:
     """G86: exact inner equi-join with a Bloom prefilter on the fact
     side — the explicit form of runtime bloom-join pushdown for when the
@@ -199,11 +273,39 @@ def bloom_join(
     join on ``on``). Duplicate dim keys behave exactly as in the plain
     join (row multiplication); ``n_keys`` skips the sizing count when
     the caller already knows |dim|.
+
+    ``mode``:
+      - ``"blocked"`` (default): register-blocked filter
+        (:func:`blocked_bloom_words`) — the probe is ONE broadcast
+        join on the word index plus a JVM mask-test expression; no
+        driver collect, no Python in the hot path. The in-regime
+        measurement (``SCALECHECK_BLOOM_r09.json``) is this mode.
+      - ``"udf"``: the classic driver-built bitmap probed by an
+        Arrow-batched numpy UDF (:func:`bloom_build` /
+        :func:`might_contain`) — kept for closure-shipped reuse of one
+        filter across many DataFrames.
     """
     if not 0 < fpp < 1:
         raise ValueError("fpp must be in (0, 1)")
-    bloom = bloom_build(
+    if mode == "udf":
+        bloom = bloom_build(
+            dim.select(on), on, fpp=fpp, n_keys=n_keys
+        )
+        pre = fact.filter(might_contain(bloom, F.col(on)))
+        return pre.join(dim, on)
+    if mode != "blocked":
+        raise ValueError(f"mode must be 'blocked' or 'udf', got {mode!r}")
+    words, w, k = blocked_bloom_words(
         dim.select(on), on, fpp=fpp, n_keys=n_keys
     )
-    pre = fact.filter(might_contain(bloom, F.col(on)))
+    word, mask = _blocked_word_mask(on, w, k)
+    pre = (
+        fact.withColumn("__bw", word)
+        .withColumn("__bm", mask)
+        .join(F.broadcast(words), "__bw")  # inner: an unset word can't match
+        .filter(
+            F.col("__bits").bitwiseAND(F.col("__bm")) == F.col("__bm")
+        )
+        .drop("__bw", "__bm", "__bits")
+    )
     return pre.join(dim, on)

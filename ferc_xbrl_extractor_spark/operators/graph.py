@@ -155,6 +155,24 @@ def pagerank(
     # so exchange reuse shuffles the edge relation once per action — no
     # cache registration to leak.
     e2 = _edges_with_outdegree(e)
+    # Personalized (seeded) teleport is FOLDED into the edge relation
+    # ONCE (r8 verdict #4): the seed-membership CASE-over-IN used to
+    # ride the coalesce of every round's join (per edge per round) and
+    # the read-off projection of every round's aggregate (per node per
+    # round). Seeds are literals, so the per-endpoint teleport mass is a
+    # pure projection — evaluate it here as __sbase/__dbase columns and
+    # the rounds revert to g65's exact shape: the coalesce reads a
+    # column, the aggregate carries the dst mass as a combinable
+    # max(__dbase) (constant within each group by construction).
+    # Measured at sf0.1 (g87_ppr, 20 seeds): 1.6 → ~0.7s. The uniform
+    # path keeps plain literals — adding constant columns to the edge
+    # exchange would only widen its shuffle rows.
+    if seeds is not None:
+        e2 = e2.select(
+            "*",
+            _base_of(F.col("__s")).alias("__sbase"),
+            _base_of(F.col("__d")).alias("__dbase"),
+        )
     # Intermediate ranks cover ONLY nodes that receive in-links (the
     # groupBy(dst) output). A node absent from that relation scores the
     # closed-form constant every round — unit//n at round 0, base after
@@ -170,24 +188,41 @@ def pagerank(
         else:
             joined = e2.join(ranks, e2["__s"] == ranks["node"], "left")
             src_rank = F.coalesce(
-                F.col("node_rank"), _base_of(F.col("__s"))
+                F.col("node_rank"),
+                F.col("__sbase") if seeds is not None
+                else F.lit(base).cast("long"),
             )
-        ranks = (
-            joined.select(
-                F.col("__d").alias("node"),
-                F.floor(
-                    F.lit(damping_pct) * src_rank
-                    / (F.lit(100) * F.col("__deg"))
-                ).cast("long").alias("__c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("__c").cast("long").alias("__sum"))
-            .select(
-                "node",
-                (_base_of(F.col("node")) + F.col("__sum"))
-                .cast("long").alias("node_rank"),
-            )
+        contrib = joined.select(
+            F.col("__d").alias("node"),
+            F.floor(
+                F.lit(damping_pct) * src_rank
+                / (F.lit(100) * F.col("__deg"))
+            ).cast("long").alias("__c"),
+            *([F.col("__dbase")] if seeds is not None else []),
         )
+        if seeds is not None:
+            ranks = (
+                contrib.groupBy("node")
+                .agg(
+                    F.sum("__c").cast("long").alias("__sum"),
+                    F.max("__dbase").alias("__b"),
+                )
+                .select(
+                    "node",
+                    (F.col("__b") + F.col("__sum"))
+                    .cast("long").alias("node_rank"),
+                )
+            )
+        else:
+            ranks = (
+                contrib.groupBy("node")
+                .agg(F.sum("__c").cast("long").alias("__sum"))
+                .select(
+                    "node",
+                    (F.lit(base).cast("long") + F.col("__sum"))
+                    .cast("long").alias("node_rank"),
+                )
+            )
         # Unlike connected_components (whose convergence test forces an
         # action every round), the iteration count here is FIXED — so
         # rounds chain into ONE job and the lineage cut is only needed

@@ -195,12 +195,18 @@ def salted_join(
     keys — output identical to ``big.join(small, on)`` (the gate oracle
     is the plain join).
 
-    Every big-side row gets a deterministic salt in ``[0, salts)``
-    (xxhash64 over its full row content — content-derived, so the plan
-    is layout- and partitioning-independent); the small side explodes
-    into ``salts`` copies, one per salt value; the join runs on
-    ``(on, salt)``. A key owning 30% of the corpus now spreads across
-    ``salts`` reducers instead of serializing through one.
+    Every big-side row gets a salt in ``[0, salts)`` — xxhash64 over
+    its full row content MIXED with a per-partition row ordinal
+    (r8 ADVICE: content alone sent exact-duplicate rows, common after
+    narrow fact-table projections, to ONE salt, silently re-serializing
+    precisely the duplicate-row skew case). The ordinal is
+    ``monotonically_increasing_id()`` — stable per (partition, row
+    position), including under task retry, and ANY salt assignment is
+    output-correct here because the small side is replicated across all
+    salts. The small side explodes into ``salts`` copies, one per salt
+    value; the join runs on ``(on, salt)``. A key owning 30% of the
+    corpus now spreads across ``salts`` reducers instead of serializing
+    through one — whether its rows are distinct or byte-identical.
 
     When to use it over AQE's skew-join (which this engine leaves ON):
     AQE re-splits oversized SORT-MERGE partitions at runtime, but the
@@ -220,7 +226,9 @@ def salted_join(
     if salts < 1:
         raise ValueError("salts must be >= 1")
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salts)
+        F.xxhash64(*[F.col(c) for c in big.columns])
+        + F.monotonically_increasing_id(),
+        F.lit(salts),
     ).cast("int")
     b = big.withColumn("__salt", salt)
     s = small.select(

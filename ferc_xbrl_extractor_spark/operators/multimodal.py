@@ -9,13 +9,21 @@ rows like any other row.
 Codec layering (the ``pipeline/sinks.py`` frictionless pattern), in
 dispatch order inside the same Arrow-batched ``mapInPandas`` bodies:
 
-1. **PPM (P6) images, PCM WAV audio, and Y4M video** — REAL
-   pure-numpy codecs, always available: all three formats are
-   uncompressed (header + raw samples), so decode, ITU-R 601-2 luma,
+1. **PPM (P6) images, BASELINE JPEG (r9 — operators/jpeg.py, the
+   pure-numpy ITU-T T.81 subset: SOF0/SOF1 Huffman, any sampling
+   factors, restart markers), PCM WAV audio, and Y4M video** — REAL
+   codecs, always available. PPM/WAV/Y4M are uncompressed (header +
+   raw samples); JPEG adds the entropy+DCT pipeline a real crawl's
+   images actually arrive in. Decode, ITU-R 601-2 luma,
    nearest-neighbor resize, linear-interp resample, BT.601 YUV->RGB
    frame extraction, and RMS/zero-crossing audio features are numpy
    array ops with no media library at all. ``decode_stub=False``
-   genuinely decodes in any environment for these formats.
+   genuinely decodes in any environment for these formats. Baseline
+   JPEG decodes through the BUILT-IN codec even when Pillow is
+   importable, so hashes/features are environment-independent;
+   out-of-scope variants (progressive, arithmetic) fall through to
+   Pillow when present and otherwise QUARANTINE to NULL per the E1
+   contract.
 2. **Pillow** — layered in for every other image format when importable.
 3. Neither applies → ``decode_stub=False`` raises NotImplementedError at
    the batch level; ``decode_stub=True`` produces deterministic fake
@@ -37,10 +45,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # image codec for non-PPM formats, layered in when available
+from ferc_xbrl_extractor_spark.operators.jpeg import (
+    decode_jpeg_baseline,
+    encode_jpeg_baseline,
+)
+
+try:  # image codec for non-PPM/JPEG formats, layered in when available
     from PIL import Image as _PILImage
 except ImportError:  # pragma: no cover - sandbox has no Pillow
     _PILImage = None
+
+
+def _decode_rgb_builtin(b: bytes):
+    """(h, w, 3) uint8 via the always-available codecs, or None if the
+    bytes are neither PPM nor decodable baseline JPEG (the caller
+    decides between Pillow fallthrough and E1 quarantine). Raises
+    ValueError only for malformed PPM (parity with the pre-r9 paths)."""
+    if b[:2] == b"P6":
+        return decode_ppm(b)
+    if b[:2] == b"\xff\xd8":
+        try:
+            return decode_jpeg_baseline(b)
+        except ValueError:
+            return None
+    return None
 
 
 def decode_ppm(b: bytes) -> np.ndarray:
@@ -193,14 +221,20 @@ def extract_features(
         # other formats fall through to Pillow when importable.
         if not b:
             return None
-        if b[:2] == b"P6":
-            row = _nn_resize(_luma(decode_ppm(b)), dim, 1)[0]
+        arr = _decode_rgb_builtin(b)
+        if arr is not None:
+            row = _nn_resize(_luma(arr), dim, 1)[0]
             return [float(p) / 128.0 - 1.0 for p in row]
+        if b[:2] == b"\xff\xd8" and _PILImage is None:
+            # JPEG the baseline codec could not decode (malformed or
+            # progressive/arithmetic): quarantine, don't kill the job (E1)
+            return None
         if _PILImage is None:
             raise NotImplementedError(
-                "only the built-in PPM (P6) codec is available in this "
-                "environment (Pillow not importable); re-encode media as "
-                "PPM, run with decode_stub=True, or install Pillow"
+                "only the built-in PPM (P6) and baseline-JPEG codecs are "
+                "available in this environment (Pillow not importable); "
+                "re-encode media, run with decode_stub=True, or install "
+                "Pillow"
             )
         import io
 
@@ -248,11 +282,25 @@ def resize_images(
         b = bytes(b)
         if b[:2] == b"P6":
             return encode_ppm(_nn_resize(decode_ppm(b), width, height))
+        if b[:2] == b"\xff\xd8":
+            try:
+                arr = decode_jpeg_baseline(b)
+            except ValueError:
+                if _PILImage is None:
+                    return None  # quarantine (E1)
+                arr = None
+            if arr is not None:
+                # JPEG stays JPEG (baseline 4:4:4 — resize implies
+                # re-encode; quality 85 matches the encoder default)
+                return encode_jpeg_baseline(
+                    _nn_resize(arr, width, height)
+                )
         if _PILImage is None:
             raise NotImplementedError(
-                "only the built-in PPM (P6) codec is available in this "
-                "environment (Pillow not importable); re-encode media as "
-                "PPM, run with decode_stub=True, or install Pillow"
+                "only the built-in PPM (P6) and baseline-JPEG codecs are "
+                "available in this environment (Pillow not importable); "
+                "re-encode media, run with decode_stub=True, or install "
+                "Pillow"
             )
         import io
 
@@ -267,6 +315,8 @@ def resize_images(
             return declared
         if b is not None and bytes(b[:2]) == b"P6":
             return "image/x-portable-pixmap"
+        if b is not None and bytes(b[:2]) == b"\xff\xd8":
+            return "image/jpeg"
         return "image/png"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -364,18 +414,26 @@ def image_dhash(
             # (one corrupt upload must not kill the corpus-wide job —
             # the shredder's E1 policy); the no-codec raise below is the
             # documented exception and deliberately NOT caught
-            if b[:2] == b"P6":
+            g = None
+            is_builtin = b[:2] == b"P6" or b[:2] == b"\xff\xd8"
+            if is_builtin:
                 try:
-                    g = _luma(_nn_resize(decode_ppm(b), width, height))
+                    arr = _decode_rgb_builtin(b)
                 except ValueError:
+                    return None  # malformed PPM
+                if arr is not None:
+                    g = _luma(_nn_resize(arr, width, height))
+                elif _PILImage is None:
+                    # JPEG beyond the baseline codec, no Pillow: E1
                     return None
-            elif _PILImage is None:
+                # else: progressive/arithmetic JPEG falls to Pillow below
+            if g is None and _PILImage is None:
                 raise NotImplementedError(
-                    "only the built-in PPM (P6) codec is available in "
-                    "this environment (Pillow not importable); re-encode "
-                    "media as PPM or install Pillow"
+                    "only the built-in PPM (P6) and baseline-JPEG codecs "
+                    "are available in this environment (Pillow not "
+                    "importable); re-encode media or install Pillow"
                 )
-            else:
+            if g is None:
                 import io
 
                 # mirror the PPM path's order and kernel: resize FIRST

@@ -440,6 +440,16 @@ def dedup_by_containment(
     greedy rule needs only SOME container to survive the threshold, not
     a specific one.
 
+    Non-transitive-chain caveat (r8 ADVICE): the subset argument above
+    is exact only at ``threshold == 1``. With ``threshold < 1``,
+    containment does not compose — in a chain A→B (c ≥ t), B→C (c ≥ t)
+    where B drops, A is also dropped even though its only surviving
+    "container" C may hold as little as ~t² of A's content (whatever
+    lived in B∖C is lost). At the default t=0.9 the floor is ~81% of
+    A's shingles surviving in C; tighten ``threshold`` toward 1 (or
+    iterate drops against the survivor set) when chained partial
+    excerpts matter more than the one-pass cost.
+
     Scale shape: rides :func:`containment_pairs` (ONE shingle-keyed
     self-join); the drop rule is one self-join of the DIRECTED pair
     relation (|pairs| rows — the near-dup regime, tiny next to the

@@ -1307,19 +1307,18 @@ def load_public_suffixes(spark, path: str) -> DataFrame:
     """Read a publicsuffix.org data file (the PSL's plain-text format:
     ``//`` comments, blank lines, one rule per line) into the 1-column
     ``(suffix)`` relation :func:`with_registrable_domain` consumes.
-    Plain rules only — wildcard (``*.x``) and exception (``!x``) rules
-    are skipped, matching the documented plain-rule scope of the exact
-    mode; rules are lowercased and de-duplicated. ~9k rows from the
-    published list — a natural broadcast dimension."""
+    ALL three rule kinds are kept (r8 verdict #5 — the r8 loader
+    silently dropped ~1k wildcard/exception rows): plain (``co.uk``),
+    wildcard (``*.kawasaki.jp``) and exception (``!city.kawasaki.jp``)
+    rules pass through verbatim for the consumer to dispatch on; rules
+    are lowercased and de-duplicated. ~9.5k rows from the published
+    list — a natural broadcast dimension."""
     s = F.trim(F.col("value"))
     return (
         spark.read.text(path)
         .select(F.lower(s).alias("suffix"))
         .filter(
-            (F.length("suffix") > 0)
-            & ~F.col("suffix").startswith("//")
-            & ~F.col("suffix").startswith("*")
-            & ~F.col("suffix").startswith("!")
+            (F.length("suffix") > 0) & ~F.col("suffix").startswith("//")
         )
         .distinct()
     )
@@ -1337,78 +1336,134 @@ def with_registrable_domain(
     ``out_col`` — by the heuristic expression (:func:`registrable_domain`,
     the default) or EXACTLY against a public-suffix table.
 
-    ``suffixes``: a 1-column relation of public-suffix rules
-    (``co.uk``, ``ne.jp``, ``id.au``, …) — the plain-rule subset of the
-    PSL (wildcard ``*.x`` and exception ``!x`` rules are out of scope;
-    the published list is ~9k plain rules, a natural broadcast dim).
-    Longest-match semantics via one BROADCAST left join per candidate
-    suffix length, longest wins — all map-side, zero shuffle of the
-    corpus at any scale. The candidate count is DERIVED from the rules
-    (one bounded aggregate over the broadcast-sized relation), so a
-    5-label rule like ``s3.dualstack.ap-northeast-1.amazonaws.com``
-    can never be silently out-ranged; pass ``max_suffix_labels`` to
-    assert a ceiling instead (rules longer than it raise). Hosts are
-    lowercased for matching AND in ``out_col`` (PSL rules are
-    lowercase; domains are case-insensitive — a mixed-case host must
-    not silently miss its rule). A host with no
-    matching rule falls back to the PSL's prevailing-``*`` rule
-    (suffix = last label, registrable = last two), matching the
-    heuristic's base case. A host with no label above its matched
-    suffix (``host == 'co.uk'``) has no registrable domain and passes
-    through unchanged, like the heuristic's ``n <= 1`` case.
+    ``suffixes``: a 1-column relation of public-suffix rules in the
+    PSL's own syntax — plain (``co.uk``, ``ne.jp``), wildcard
+    (``*.kawasaki.jp``: ``*`` matches exactly one label, leftmost
+    position only, as in every published rule) and exception
+    (``!city.kawasaki.jp``: beats any matching wildcard/plain rule;
+    the matched labels ARE the registrable domain, per the spec's
+    "rule minus leftmost label is the public suffix"). The published
+    list is ~9.5k rules, a natural broadcast dim. Longest-match
+    semantics via one BROADCAST left join per (rule kind, candidate
+    length) pair PRESENT IN THE RULES — all map-side, zero shuffle of
+    the corpus at any scale; absent (kind, length) pairs cost nothing.
+    The candidate fan is DERIVED from the rules (one bounded aggregate
+    over the broadcast-sized relation), so a 5-label rule like
+    ``s3.dualstack.ap-northeast-1.amazonaws.com`` can never be
+    silently out-ranged; pass ``max_suffix_labels`` to assert a
+    ceiling instead (rules longer than it raise). Malformed rules
+    (``*`` anywhere but as the entire leftmost label, interior ``!``)
+    raise with a count — never a silent drop. Hosts are lowercased for
+    matching AND in ``out_col`` (PSL rules are lowercase; domains are
+    case-insensitive — a mixed-case host must not silently miss its
+    rule). A host with no matching rule falls back to the PSL's
+    prevailing-``*`` rule (suffix = last label, registrable = last
+    two), matching the heuristic's base case. A host that IS a public
+    suffix (``co.uk``; ``a.kawasaki.jp`` under ``*.kawasaki.jp``) has
+    no registrable domain and passes through unchanged — an explicit
+    branch, not the r8 accident-of-fallback.
     """
     col = F.col(host_col)
     if suffixes is None:
         return df.withColumn(out_col, registrable_domain(host_col))
     col = F.lower(col)
-    # derive the candidate fan from the rules themselves (bounded: the
-    # suffix relation is a broadcast dim); an explicit max_suffix_labels
-    # is a ceiling ASSERTION, not a silent truncation
-    longest = (
-        suffixes.agg(
-            F.max(F.size(F.split(F.col(suffix_col), r"\."))).alias("k")
-        ).collect()[0]["k"]
-        or 1
+    # parse rule kinds once — the relation is broadcast-sized, so the
+    # two driver-side aggregates below are bounded by |rules|
+    r = F.lower(F.trim(F.col(suffix_col)))
+    parsed = suffixes.select(
+        F.when(r.startswith("!"), F.lit("exc"))
+        .when(r.startswith("*."), F.lit("wld"))
+        .otherwise(F.lit("pln"))
+        .alias("__kind"),
+        F.when(r.startswith("!"), F.substring(r, 2, 2**30))
+        .otherwise(r)
+        .alias("__key"),  # exceptions keyed on the body; wildcards verbatim
+        r.alias("__raw"),
+    ).withColumn("__k", F.size(F.split(F.col("__key"), r"\.")))
+    # strict malformed-rule gate (r8 verdict #5 / hygiene #8): a '*'
+    # anywhere but as the whole leftmost label, or an interior '!',
+    # would otherwise be treated as literal characters and never match
+    bad = parsed.filter(
+        (
+            F.col("__raw").contains("*")
+            & ~(
+                F.col("__raw").startswith("*.")
+                & ~F.expr("substring(__raw, 3)").contains("*")
+            )
+        )
+        | F.expr("substring(__raw, 2)").contains("!")
     )
+    n_bad = bad.count()
+    if n_bad:
+        ex = [row["__raw"] for row in bad.limit(3).collect()]
+        raise ValueError(
+            f"{n_bad} malformed public-suffix rule(s) (wildcards are "
+            f"leftmost-label-only in the PSL; '!' marks only a leading "
+            f"exception): e.g. {ex}"
+        )
+    meta = {
+        (row["__kind"], int(row["__k"]))
+        for row in parsed.select("__kind", "__k").distinct().collect()
+    }
+    longest = max(k for _, k in meta)
     if max_suffix_labels is not None and longest > max_suffix_labels:
         raise ValueError(
             f"suffix rules reach {longest} labels, beyond "
             f"max_suffix_labels={max_suffix_labels} — longer rules would "
             "be silently ignored"
         )
-    fan = int(longest)
     labels = F.split(col, r"\.")
     n = F.size(labels)
+
+    def _last(k: int):
+        return F.array_join(F.slice(labels, -k, k), ".")
+
     out = df
-    hits: list[tuple[int, str]] = []
-    for k in range(fan, 0, -1):
-        cand_col, hit_col = f"__sfx{k}", f"__sfxhit{k}"
-        # candidate only when at least one label sits ABOVE the suffix;
-        # a NULL candidate can never join-match
-        out = out.withColumn(
-            cand_col,
-            F.when(n >= k + 1, F.array_join(F.slice(labels, -k, k), ".")),
-        )
+    joined_cols: list[str] = []
+    hits: dict[str, list[tuple[int, str]]] = {"exc": [], "pln": [], "wld": []}
+    for kind, k in sorted(meta, key=lambda t: -t[1]):
+        cand_col, hit_col = f"__{kind}{k}", f"__{kind}hit{k}"
+        # candidates fire at n >= k (a NULL candidate can never
+        # join-match); the n == k case — host IS the public suffix —
+        # is resolved to pass-through at decision time
+        if kind == "pln":
+            cand = F.when(n >= k, _last(k))
+        elif kind == "wld":
+            # '*' eats exactly one host label: key = '*.' + the k-1
+            # literal labels
+            if k < 2:
+                continue  # a bare-'*' rule IS the prevailing fallback
+            cand = F.when(
+                n >= k,
+                F.concat(F.lit("*."), _last(k - 1)),
+            )
+        else:  # exc — the matched labels are the registrable domain
+            cand = F.when(n >= k, _last(k))
+        out = out.withColumn(cand_col, cand)
         rules = (
-            suffixes.select(F.col(suffix_col).alias(cand_col))
-            .where(F.size(F.split(F.col(cand_col), r"\.")) == k)
+            parsed.filter((F.col("__kind") == kind) & (F.col("__k") == k))
+            .select(F.col("__key").alias(cand_col))
             .distinct()
             .withColumn(hit_col, F.lit(True))
         )
         out = out.join(F.broadcast(rules), cand_col, "left")
-        hits.append((k, hit_col))
+        joined_cols += [cand_col, hit_col]
+        hits[kind].append((k, hit_col))
     dom = F.when(n <= 1, col)
-    for k, hit_col in hits:  # longest first
+    for k, hit_col in hits["exc"]:  # exceptions beat everything
+        dom = dom.when(F.col(hit_col), _last(k))
+    merged: dict[int, Column] = {}
+    for kind in ("pln", "wld"):  # same precedence: longest match wins
+        for k, hit_col in hits[kind]:
+            c = F.coalesce(F.col(hit_col), F.lit(False))
+            merged[k] = (merged[k] | c) if k in merged else c
+    for k in sorted(merged, reverse=True):
         dom = dom.when(
-            F.col(hit_col),
-            F.array_join(F.slice(labels, -(k + 1), k + 1), "."),
+            merged[k], F.when(n == k, col).otherwise(_last(k + 1))
         )
-    dom = dom.otherwise(F.array_join(F.slice(labels, -2, 2), "."))
+    dom = dom.otherwise(_last(2))
     out = out.withColumn(out_col, dom)
-    return out.drop(
-        *[c for k in range(1, fan + 1)
-          for c in (f"__sfx{k}", f"__sfxhit{k}")]
-    )
+    return out.drop(*joined_cols)
 
 
 def domain_report(
@@ -1669,7 +1724,15 @@ def collocations(
 # java.util.regex ∩ RE2 intersection (literal \uXXXX ranges, no
 # properties like \p{Script=...}, which RE2 spells differently).
 SCRIPT_CLASSES: list[tuple[str, str]] = [
-    ("latin", "A-Za-z"),
+    # latin covers ASCII letters PLUS the accented blocks (Latin-1
+    # Supplement letters À-Ö/Ø-ö/ø, Latin Extended-A/B through ɏ, and
+    # Latin Extended Additional Ḁ-ỿ for Vietnamese) — the r8 ASCII-only
+    # class counted é/ñ/ß toward NO class, so heavily accented
+    # Latin-script documents (French, Vietnamese, Turkish) could
+    # mislabel as 'digit'/'other' and --allowed-scripts latin dropped
+    # legitimate text. The two multiplication/division signs (×, ÷)
+    # are excluded by the range split, as in the Unicode blocks.
+    ("latin", "A-Za-zÀ-ÖØ-öø-ɏḀ-ỿ"),
     ("digit", "0-9"),
     ("cyrillic", "Ѐ-ӿ"),
     ("arabic", "؀-ۿ"),
@@ -1729,7 +1792,23 @@ def with_script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``'ab12' → latin`` test golden) — a deterministic argmax both
     engines replay as a CASE chain; all-zero rows (whitespace/punct-only
     or empty) label ``'other'``.
+
+    Emits ``n_chars``, one ``<class>_ratio`` per script class, and
+    ``script``. Raises if the input already carries any of those names
+    (r8 ADVICE: documents relations in this repo commonly carry
+    ``n_chars`` — silently overwriting it corrupted downstream
+    consumers' expectations; rename or drop the column first).
     """
+    emitted = (
+        ["n_chars", "script"]
+        + [f"{name}_ratio" for name, _ in SCRIPT_CLASSES]
+    )
+    clash = [c for c in emitted if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"with_script_profile would overwrite existing column(s) "
+            f"{clash}; rename or drop them first"
+        )
     counts = _script_counts(text_col)
     out = df.withColumn(
         "n_chars", F.length(F.col(text_col)).cast("long")

@@ -75,7 +75,17 @@ def write_warc(
     """Write (uri, payload-bytes) rows as ``shards`` ``.warc.gz`` files
     (one gzip member per record, the standard layout). Returns the
     collected (file, n_records) manifest — the bounded action that
-    forces the write."""
+    forces the write.
+
+    LOCAL-FILESYSTEM CONTRACT (r8 ADVICE): shards are written with
+    plain ``open()`` inside executor tasks, so ``path`` must be a
+    filesystem shared by driver and executors (local mode, NFS). On a
+    real cluster with executor-local disks the shards would land on
+    the executors (or the write would fail on the missing dir) while
+    the returned manifest looks valid — for cluster deployments route
+    the bytes through a distributed-FS writer (the parquet sinks'
+    path) or collect shard payloads to an object store. The gzip
+    framing itself is location-independent."""
     import os
 
     os.makedirs(path, exist_ok=True)

@@ -2061,6 +2061,138 @@ def test_image_dhash_and_perceptual_dedup(spark):
         mm.image_dhash(media, width=12, height=8)
 
 
+def test_jpeg_codec_roundtrip_and_spec_vectors():
+    """G11/G69 baseline JPEG codec (r8 verdict #7), codec-level: flat
+    fields decode EXACTLY (DC-only blocks are lossless under any quant
+    table), gradients round-trip within tight bounds at q90, 4:2:0 and
+    restart-marker streams decode through the generic MCU walk, odd
+    sizes crop correctly, and out-of-scope variants raise ValueError
+    (the E1 quarantine trigger). Encoder and decoder implement forward
+    and inverse paths independently (FDCT+quantize+Huffman-encode vs
+    Huffman-decode+dequant+IDCT), so round-trip agreement is evidence,
+    not tautology. Pillow cross-check runs where importable."""
+    import numpy as np
+
+    from ferc_xbrl_extractor_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    flat = np.full((16, 24), 130, dtype=np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(flat, 90))
+    assert out.shape == (16, 24, 3)
+    assert int(np.abs(out[..., 0].astype(int) - 130).max()) == 0
+
+    h, w = 37, 53
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(yy * 4) % 256, (xx * 3) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        for ri in (0, 3):
+            got = decode_jpeg_baseline(
+                encode_jpeg_baseline(
+                    rgb, 90, subsampling=sub, restart_interval=ri
+                )
+            )
+            assert got.shape == (h, w, 3), (sub, ri)
+            err = np.abs(got.astype(int) - rgb.astype(int))
+            bound = 4 if sub == "444" else 16  # chroma is box-filtered
+            assert err.max() <= bound, (sub, ri, err.max())
+            assert err.mean() < 2.0, (sub, ri, err.mean())
+
+    # grayscale replicates to 3 channels (the decode_ppm contract)
+    g = ((yy * 5) % 256).astype(np.uint8)
+    got = decode_jpeg_baseline(encode_jpeg_baseline(g, 90))
+    assert (got[..., 0] == got[..., 1]).all()
+    assert np.abs(got[..., 0].astype(int) - g.astype(int)).max() <= 2
+
+    # out-of-scope variants raise (quarantinable), not crash/garbage
+    sof2 = (
+        b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+        b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="progressive|variant"):
+        decode_jpeg_baseline(sof2)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_baseline(b"P6 1 1 255 xxx")
+    with pytest.raises(ValueError):
+        decode_jpeg_baseline(
+            encode_jpeg_baseline(rgb, 90)[:40]
+        )  # truncated
+
+    try:  # luma golden vs Pillow where importable (absent in CI box)
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError:
+        return
+    pil = np.asarray(
+        Image.open(BytesIO(encode_jpeg_baseline(rgb, 90))).convert("RGB")
+    )
+    assert np.abs(
+        pil.astype(int)
+        - decode_jpeg_baseline(encode_jpeg_baseline(rgb, 90)).astype(int)
+    ).max() <= 2
+
+
+def test_image_pipeline_on_real_jpeg_bytes(spark):
+    """G69 on real JPEG bytes end-to-end (r8 verdict #7): dHash equality
+    between a PPM and a q95 JPEG of the SAME image (container-invariant
+    fingerprints), perceptual dedup pairs a JPEG re-encode with its PPM
+    original, resize keeps JPEG as JPEG with updated meta, features
+    decode for real, and a truncated JPEG quarantines to NULL instead
+    of killing the job."""
+    import numpy as np
+
+    from ferc_xbrl_extractor_spark.operators import multimodal as mm
+    from ferc_xbrl_extractor_spark.operators.jpeg import (
+        encode_jpeg_baseline,
+    )
+
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(yy * 6) % 256, (xx * 2) % 256, ((xx * yy) // 4) % 256], axis=-1
+    ).astype(np.uint8)
+    ppm = mm.encode_ppm(img)
+    jpg = encode_jpeg_baseline(img, 95)
+    rows = [(1, ppm), (2, jpg), (3, jpg[:50]), (4, None)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+
+    got = {r["media_id"]: r["dhash"] for r in mm.image_dhash(media).collect()}
+    assert got[1] is not None and got[1] == got[2]  # container-invariant
+    assert got[3] is None and got[4] is None        # E1 quarantine
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.image_dedup_pairs(media, max_hamming=4).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+    tbl = mm.media_table_from_binary(
+        media.filter(F.col("media_id") == 2), "media_id", "content",
+        media_type="image", mime="image/jpeg",
+    )
+    rs = mm.resize_images(tbl, 16, 12, decode_stub=False).collect()
+    assert len(rs) == 1
+    out_bytes = bytes(rs[0]["content"])
+    assert out_bytes[:2] == b"\xff\xd8"
+    assert rs[0]["meta"]["mime"] == "image/jpeg"
+    assert rs[0]["meta"]["width"] == 16 and rs[0]["meta"]["height"] == 12
+
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in mm.extract_features(media, dim=8, decode_stub=False).collect()
+    }
+    assert feats[3] is None
+    assert feats[1] is not None and len(feats[1]) == 8
+    # same image, different container: features within JPEG loss of
+    # each other
+    d = np.abs(np.array(feats[1]) - np.array(feats[2]))
+    assert d.max() < 0.1, d.max()
+
+
 def test_video_frame_hashes_and_perceptual_dedup(spark):
     """G71: per-frame dHashes equal the image recipe applied to each
     decoded frame; a re-encode matches on every frame, a brightness
@@ -3849,8 +3981,9 @@ def test_curate_group_cap_rebuckets_on_psl_domains(spark):
 
 
 def test_load_public_suffixes_parses_psl_format(spark, tmp_path):
-    """The PSL loader keeps plain rules only — comments, blanks,
-    wildcard and exception rules drop; case folds; dups collapse."""
+    """The PSL loader keeps ALL three rule kinds (r8 verdict #5 — the
+    r8 loader silently dropped wildcards/exceptions); comments and
+    blanks drop; case folds; dups collapse."""
     f = tmp_path / "psl.dat"
     f.write_text(
         "// ===BEGIN ICANN DOMAINS===\n"
@@ -3867,7 +4000,56 @@ def test_load_public_suffixes_parses_psl_format(spark, tmp_path):
         r["suffix"]
         for r in text.load_public_suffixes(spark, str(f)).collect()
     }
-    assert got == {"com", "co.uk", "ne.jp"}
+    assert got == {
+        "com", "co.uk", "ne.jp", "*.kawasaki.jp", "!city.kawasaki.jp"
+    }
+
+
+def test_registrable_domain_psl_wildcard_exception(spark):
+    """G66 PSL wildcard/exception semantics (r8 verdict #5), on the
+    PSL spec's own canonical vectors (publicsuffix.org test cases for
+    the *.kawasaki.jp / !city.kawasaki.jp and *.ck / !www.ck rules):
+    '*' matches exactly one label, exceptions beat wildcards, the
+    matched exception IS the registrable domain, and a host equal to a
+    (wildcard-derived) public suffix passes through unchanged."""
+    psl = spark.createDataFrame(
+        [("jp",), ("*.kawasaki.jp",), ("!city.kawasaki.jp",),
+         ("*.ck",), ("!www.ck",), ("uk",), ("co.uk",)],
+        "suffix string",
+    )
+    cases = [
+        ("kawasaki.jp", "kawasaki.jp"),            # plain 'jp' prevails
+        ("a.kawasaki.jp", "a.kawasaki.jp"),        # host IS the wildcard PS
+        ("b.a.kawasaki.jp", "b.a.kawasaki.jp"),    # wildcard: PS=a.kawasaki.jp
+        ("c.b.a.kawasaki.jp", "b.a.kawasaki.jp"),
+        ("city.kawasaki.jp", "city.kawasaki.jp"),  # exception beats wildcard
+        ("deep.city.kawasaki.jp", "city.kawasaki.jp"),
+        ("www.ck", "www.ck"),                      # exception match
+        ("a.www.ck", "www.ck"),
+        ("this.that.ck", "this.that.ck"),          # wildcard: PS=that.ck
+        ("that.ck", "that.ck"),                    # host IS the wildcard PS
+        ("co.uk", "co.uk"),                        # plain-suffix pass-through
+        ("news.bbc.co.uk", "bbc.co.uk"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _p) in enumerate(cases)],
+        "doc_id long, host string",
+    )
+    exact = {
+        r["doc_id"]: r["domain"]
+        for r in text.with_registrable_domain(df, suffixes=psl).collect()
+    }
+    for i, (h, p) in enumerate(cases):
+        assert exact[i] == p, ("psl", h, exact[i], p)
+
+    # malformed rules raise with a count, never a silent drop
+    import pytest as _pytest
+    for bad in ("a.*.ck", "b!ad.com", "*.x.*"):
+        with _pytest.raises(ValueError, match="malformed"):
+            text.with_registrable_domain(
+                df,
+                suffixes=spark.createDataFrame([(bad,)], "suffix string"),
+            )
 
 
 def test_domain_report_counts(spark):
@@ -4883,9 +5065,14 @@ def test_bloom_join_exactness_and_prefilter(spark):
     plain = {(r["okey"], r["v"], r["name"])
              for r in fact.join(dim, "okey").collect()}
     for fpp in (0.5, 0.01):
-        got = {(r["okey"], r["v"], r["name"])
-               for r in bloom_join(fact, dim, "okey", fpp=fpp).collect()}
-        assert got == plain, fpp
+        for mode in ("blocked", "udf"):
+            got = {
+                (r["okey"], r["v"], r["name"])
+                for r in bloom_join(
+                    fact, dim, "okey", fpp=fpp, mode=mode
+                ).collect()
+            }
+            assert got == plain, (fpp, mode)
     assert len(plain) == 11  # 10 keys + the duplicated key's second row
 
     # the prefilter itself: at 1% fpp, ≤ a handful of the 190
@@ -5141,6 +5328,39 @@ def test_script_profile_goldens(spark):
     assert got[6]["script"] == "other" and got[6]["latin_ratio"] == 0.0
     assert got[7]["script"] == "other" and got[7]["n_chars"] == 0
     assert got[8]["script"] == "latin"             # tie -> earlier class
+
+
+def test_script_profile_accented_latin_and_collision(spark):
+    """G91 r8-ADVICE fixes: accented Latin letters (Latin-1 Supplement
+    and Latin Extended through ɏ) count as latin — a French/Vietnamese
+    doc no longer mislabels 'digit'/'other' — while × and ÷ stay
+    excluded; and the operator raises instead of silently overwriting
+    an existing n_chars/script/*_ratio column."""
+    from ferc_xbrl_extractor_spark.operators.text import (
+        with_script_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "éléphant à côté ñandú ß"),       # accented latin
+            (2, "Việt Nam đất nước"),              # extended latin
+            (3, "2×3 4÷2 11"),                     # signs are NOT latin
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in with_script_profile(docs).collect()}
+    assert got[1]["script"] == "latin"
+    assert got[1]["latin_ratio"] == round(19 / 23, 4)
+    assert got[2]["script"] == "latin"
+    assert got[3]["script"] == "digit" and got[3]["latin_ratio"] == 0.0
+
+    import pytest as _pytest
+    for bad in ("n_chars", "script", "latin_ratio"):
+        with _pytest.raises(ValueError, match="overwrite"):
+            with_script_profile(
+                docs.withColumn(bad, F.lit(1))
+            )
 
 
 def test_decayed_counts_goldens(spark):

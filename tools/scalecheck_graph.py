@@ -49,17 +49,28 @@ def main() -> None:
         "scalecheck-graph",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    # seeded tier (r8 verdict #4): the G87 personalized form on the same
+    # hub graphs, 200-literal seed set — after the teleport fold the
+    # rounds are shape-identical to the uniform path (the seed CASE
+    # evaluates once per edge at the reused exchange, not per round), so
+    # seeded/uniform should sit near 1× and scale at the same slope.
+    seeds = list(range(1, 201))
     tiers = {}
+    seeded = {}
     for n_edges in (200_000, 2_000_000):
         e = hub_graph(spark, n_edges)
-        graph.pagerank(e, iters=3).count()  # warm
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            graph.pagerank(e, iters=3).count()
-            best = min(best, time.time() - t0)
-        tiers[str(n_edges)] = round(best, 3)
+        for label, kw in (("uniform", {}), ("seeded", {"seeds": seeds})):
+            graph.pagerank(e, iters=3, **kw).count()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                graph.pagerank(e, iters=3, **kw).count()
+                best = min(best, time.time() - t0)
+            (tiers if label == "uniform" else seeded)[str(n_edges)] = round(
+                best, 3
+            )
     ratio = round(tiers["2000000"] / tiers["200000"], 2)
+    s_ratio = round(seeded["2000000"] / seeded["200000"], 2)
     print(
         json.dumps(
             {
@@ -69,6 +80,12 @@ def main() -> None:
                 "iters": 3,
                 "tiers_sec": tiers,
                 "time_ratio_for_10x_edges": ratio,
+                "seeded_tiers_sec": seeded,
+                "seeded_time_ratio_for_10x_edges": s_ratio,
+                "seeded_over_uniform_at_2m": round(
+                    seeded["2000000"] / tiers["2000000"], 2
+                ),
+                "n_seeds": len(seeds),
             }
         )
     )
