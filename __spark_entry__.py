@@ -1015,6 +1015,115 @@ def q_g2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g94_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G94: CROSS-CORPUS MinHash-LSH near-dup join
+    (neardup.minhash_lsh_join) — documents split by doc_id parity into
+    an "existing corpus" (even) and an "increment" (odd); every
+    cross-side pair with exact Jaccard >= 0.5 among band candidates.
+    Same md5 MinHash family and band geometry as g2_minhash_lsh, so the
+    oracle replays both sides' signatures, the banded equi-join between
+    them, and the exact verification."""
+    docs = _t(spark, sf_dir, "documents")
+    left = docs.filter(F.col("doc_id") % 2 == 0)
+    right = docs.filter(F.col("doc_id") % 2 == 1)
+    return neardup.minhash_lsh_join(
+        left, right, n=3, num_hashes=12, bands=6, threshold=0.5
+    )
+
+
+def q_g95_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G95: pairwise inter-annotator agreement (labels.
+    annotator_agreement) — the g81 annotation recast (item = event_id
+    mod 200, annotator = user_id mod 25, label = event_type), Cohen's
+    kappa per annotator pair in exact integer micro-units
+    (1e6·(A·N − Σ n_a·n_b) div (N² − Σ n_a·n_b), NULL when p_e = 1).
+    The oracle replays one-vote collapse → item self-join → joint
+    counts → marginals → the single integer division."""
+    from ferc_xbrl_extractor_spark.operators.labels import (
+        annotator_agreement,
+    )
+
+    ann = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 200).alias("item_id"),
+        (F.col("user_id") % 25).alias("annotator_id"),
+        F.col("event_type").alias("label"),
+    )
+    return annotator_agreement(ann, min_items=5)
+
+
+def _g96_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G96 fixture: 97 formula-built 32x32 P6 images constructed
+    in-plan (the _g69_media pattern at pHash's native input size, so
+    the 32x32 resize is an identity and the oracle replays the decode
+    arithmetically). Same group structure: q = media_id // 8 picks the
+    image family, t = media_id % 8 tweaks the blue channel (a <=1-unit
+    luma shift), so within-group images are perceptual near-dups and
+    cross-group images differ wildly."""
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select((F.col("doc_id") % 97).alias("media_id")).distinct()
+    m = F.col("media_id")
+    q, t = (m / 8).cast("long"), m % 8
+    px = F.transform(
+        F.sequence(F.lit(0), F.lit(1023)),
+        lambda i: F.format_string(
+            "%02x%02x%02x",
+            ((q * 53 + ((i / 32).cast("long") + 1) * ((i % 32) + 2) * 7)
+             % 256).cast("int"),
+            ((q * 29 + (i / 32).cast("long") * 31 + (i % 32) * 17)
+             % 256).cast("int"),
+            ((q * 11 + t + (i / 32).cast("long") * 3 + (i % 32) * 43)
+             % 256).cast("int"),
+        ),
+    )
+    hexes = ids.select(
+        "media_id",
+        F.unhex(
+            # "P6\n32 32\n255\n"
+            F.concat(
+                F.lit("50360a33322033320a3235350a"), F.array_join(px, "")
+            )
+        ).alias("content"),
+    )
+    return multimodal.media_table_from_binary(
+        hexes, "media_id", "content", "image", "image/x-portable-pixmap"
+    )
+
+
+def q_g96_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G96 fingerprint gate: the REAL decode + integer-DCT pHash
+    (multimodal.image_phash) over the formula-built 32x32 images. The
+    scaled-integer basis (round(2^15·DCT32)) and lower-median threshold
+    make the whole transform exact integer arithmetic, so the oracle
+    recomputes luma, BOTH DCT stages (against the same 32x8 basis
+    constants), the order-statistic threshold, the 64 bits and the
+    two's-complement wrap — a float DCT could not hash-match."""
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    media = _g96_media(spark, sf_dir)
+    fp = multimodal.image_phash(media)
+    return fp.select(
+        "media_id",
+        "phash",
+        F.shiftright(F.col("phash"), 56).bitwiseAND(F.lit(255))
+        .cast("long").alias("bucket"),
+    ).orderBy("media_id")
+
+
+def q_g96_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G96 closing the loop: DCT-hash near-duplicate pairs
+    (multimodal.image_phash_dedup_pairs — the g69 bucketed Hamming
+    join shape on the pHash fingerprint); the oracle replays the
+    fingerprints AND the bucketed join."""
+    from ferc_xbrl_extractor_spark.operators import multimodal
+
+    media = _g96_media(spark, sf_dir)
+    return multimodal.image_phash_dedup_pairs(
+        media, prefix_bits=8, max_hamming=10
+    ).orderBy("id_a", "id_b")
+
+
 def q_g3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: exact brute-force top-5 cosine neighbors for 20 query vectors."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -3855,6 +3964,10 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_jaccard": q_g2_jaccard,
         "g2_cluster_dedup": q_g2_cluster_dedup,
         "g2_minhash_lsh": q_g2_minhash_lsh,
+        "g94_crossdup": q_g94_crossdup,
+        "g95_kappa": q_g95_kappa,
+        "g96_image_phash": q_g96_image_phash,
+        "g96_phash_dedup": q_g96_phash_dedup,
         "g2_simhash": q_g2_simhash,
         "g2_recall_report": q_g2_recall_report,
         "g3_cosine_topk": q_g3_cosine_topk,
@@ -4515,6 +4628,99 @@ def fine_oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, nt.n_tokens
         FROM documents d JOIN nt USING (doc_id)
         WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+
+    # G94: cross-corpus LSH join — per-side signatures and bands (the
+    # g2 recipe over the parity-split document relation), banded
+    # equi-join BETWEEN sides (no id ordering filter: the sides own
+    # separate id spaces), exact verification over cross-side shingles.
+    sql["g94_crossdup"] = f"""
+        WITH {_SHINGLES_CTE},
+        dsl AS (SELECT * FROM ds WHERE doc_id % 2 = 0),
+        dsr AS (SELECT * FROM ds WHERE doc_id % 2 = 1),
+        sigl AS (
+            SELECT doc_id, t.h AS h,
+                   min(md5(CAST(t.h AS VARCHAR) || ':' || shingle)) AS m
+            FROM dsl, UNNEST(range(12)) AS t(h)
+            GROUP BY doc_id, t.h
+        ),
+        bandl AS (
+            SELECT doc_id, h // 2 AS b,
+                   md5(string_agg(m, '|' ORDER BY h)) AS bh
+            FROM sigl GROUP BY doc_id, h // 2
+        ),
+        sigr AS (
+            SELECT doc_id, t.h AS h,
+                   min(md5(CAST(t.h AS VARCHAR) || ':' || shingle)) AS m
+            FROM dsr, UNNEST(range(12)) AS t(h)
+            GROUP BY doc_id, t.h
+        ),
+        bandr AS (
+            SELECT doc_id, h // 2 AS b,
+                   md5(string_agg(m, '|' ORDER BY h)) AS bh
+            FROM sigr GROUP BY doc_id, h // 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM bandl a JOIN bandr c ON a.b = c.b AND a.bh = c.bh
+        ),
+        pairs AS (
+            SELECT cand.id_a, cand.id_b, count(*) AS n_common
+            FROM cand
+            JOIN dsl sa ON sa.doc_id = cand.id_a
+            JOIN dsr sb ON sb.doc_id = cand.id_b AND sb.shingle = sa.shingle
+            GROUP BY 1, 2
+        ),
+        sizel AS (SELECT doc_id, count(*) AS n FROM dsl GROUP BY 1),
+        sizer AS (SELECT doc_id, count(*) AS n FROM dsr GROUP BY 1)
+        SELECT id_a, id_b,
+               ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+        FROM pairs
+        JOIN sizel sa ON id_a = sa.doc_id
+        JOIN sizer sb ON id_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """
+
+    # G95: pairwise Cohen's kappa — one-vote collapse, item self-join,
+    # joint counts, the two marginals of the SAME joint relation, one
+    # integer division (DuckDB // ≡ Spark div incl. negatives).
+    sql["g95_kappa"] = """
+        WITH one_vote AS (
+            SELECT event_id % 200 AS item_id, user_id % 25 AS annotator_id,
+                   min(event_type) AS l
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        joint AS (
+            SELECT a.annotator_id AS aa, b.annotator_id AS ab,
+                   a.l AS la, b.l AS lb, count(*) AS c
+            FROM one_vote a
+            JOIN one_vote b ON a.item_id = b.item_id
+                           AND a.annotator_id < b.annotator_id
+            GROUP BY 1, 2, 3, 4
+        ),
+        totals AS (
+            SELECT aa, ab, SUM(c) AS n_items,
+                   SUM(CASE WHEN la = lb THEN c ELSE 0 END) AS n_agree
+            FROM joint GROUP BY 1, 2
+        ),
+        ma AS (SELECT aa, ab, la AS k, SUM(c) AS na FROM joint GROUP BY 1, 2, 3),
+        mb AS (SELECT aa, ab, lb AS k, SUM(c) AS nb FROM joint GROUP BY 1, 2, 3),
+        chance AS (
+            SELECT ma.aa, ma.ab, SUM(ma.na * mb.nb) AS pe
+            FROM ma JOIN mb ON ma.aa = mb.aa AND ma.ab = mb.ab AND ma.k = mb.k
+            GROUP BY 1, 2
+        )
+        SELECT t.aa AS annotator_a, t.ab AS annotator_b,
+               CAST(t.n_items AS BIGINT) AS n_items,
+               CAST(t.n_agree AS BIGINT) AS n_agree,
+               CAST(CASE WHEN t.n_items * t.n_items - COALESCE(ch.pe, 0) > 0
+                    THEN (1000000 * (t.n_agree * t.n_items - COALESCE(ch.pe, 0)))
+                         // (t.n_items * t.n_items - COALESCE(ch.pe, 0))
+               END AS BIGINT) AS kappa_micro
+        FROM totals t
+        LEFT JOIN chance ch ON t.aa = ch.aa AND t.ab = ch.ab
+        WHERE t.n_items >= 5
     """
 
     sql["g2_minhash_lsh"] = f"""
@@ -6851,6 +7057,97 @@ def fine_oracle_sql() -> dict[str, str]:
         ORDER BY id_a, id_b
     """
 
+    # G96: integer-DCT pHash replayed WITHOUT a decoder OR a float DCT —
+    # pixels regenerate from the 32x32 fixture formulas, luma is the
+    # same integer expression, both DCT stages run against the SAME
+    # scaled-integer basis constants the operator compiled in
+    # (multimodal._PHASH_BASIS[:, :8] — only the kept 8 frequency
+    # columns are ever needed), the threshold is the 32nd-smallest
+    # order statistic, and the 64 bits pack with the g69 wrap.
+    from ferc_xbrl_extractor_spark.operators.multimodal import (
+        _PHASH_BASIS,
+    )
+
+    _g96_basis = ", ".join(
+        str(int(x)) for x in _PHASH_BASIS[:, :8].reshape(-1)
+    )
+    _g96_grid = f"""
+        ids AS (SELECT DISTINCT doc_id % 97 AS media_id FROM documents),
+        px AS (
+            SELECT media_id, r.row AS row, c.col AS col,
+                   ((media_id // 8) * 53 + (r.row + 1) * (c.col + 2) * 7) % 256 AS pr,
+                   ((media_id // 8) * 29 + r.row * 31 + c.col * 17) % 256 AS pg,
+                   ((media_id // 8) * 11 + (media_id % 8) + r.row * 3 + c.col * 43) % 256 AS pb
+            FROM ids, UNNEST(range(32)) AS r(row), UNNEST(range(32)) AS c(col)
+        ),
+        lum AS (
+            SELECT media_id, row, col,
+                   (299 * pr + 587 * pg + 114 * pb) // 1000 AS L
+            FROM px
+        ),
+        basis AS (
+            SELECT t.i // 8 AS bx, t.i % 8 AS bu, ba[t.i + 1] AS bv
+            FROM (SELECT [{_g96_basis}] AS ba), UNNEST(range(256)) AS t(i)
+        ),
+        t1 AS (
+            SELECT l.media_id, b.bu AS u, l.col AS y,
+                   SUM(CAST(b.bv AS BIGINT) * l.L) AS s1
+            FROM lum l JOIN basis b ON b.bx = l.row
+            GROUP BY 1, 2, 3
+        ),
+        coef AS (
+            SELECT t1.media_id, (t1.u * 8 + b.bu) AS i,
+                   SUM(CAST(b.bv AS BIGINT) * t1.s1) AS c
+            FROM t1 JOIN basis b ON b.bx = t1.y
+            GROUP BY 1, 2
+        ),
+        thr AS (
+            SELECT media_id, c AS thr FROM (
+                SELECT media_id, c,
+                       row_number() OVER (
+                           PARTITION BY media_id ORDER BY c, i
+                       ) AS rn
+                FROM coef
+            ) WHERE rn = 32
+        ),
+        bits AS (
+            SELECT coef.media_id, coef.i,
+                   CASE WHEN coef.c > thr.thr THEN 1 ELSE 0 END AS bit
+            FROM coef JOIN thr ON coef.media_id = thr.media_id
+        ),
+        packed AS (
+            SELECT media_id,
+                   sum(CASE WHEN bit = 1 AND i < 63
+                            THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                            ELSE 0 END) AS v_low,
+                   max(CASE WHEN bit = 1 AND i = 63 THEN 1 ELSE 0 END) AS b63
+            FROM bits GROUP BY media_id
+        ),
+        fp AS (
+            SELECT media_id,
+                   CAST(CASE WHEN b63 = 1
+                             THEN v_low - 9223372036854775807 - 1
+                             ELSE v_low END AS BIGINT) AS phash
+            FROM packed
+        )
+    """
+    sql["g96_image_phash"] = f"""
+        WITH {_g96_grid}
+        SELECT media_id, phash,
+               CAST((phash >> 56) & 255 AS BIGINT) AS bucket
+        FROM fp ORDER BY media_id
+    """
+    sql["g96_phash_dedup"] = f"""
+        WITH {_g96_grid},
+        bk AS (SELECT media_id, phash, (phash >> 56) & 255 AS bucket FROM fp)
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM bk a JOIN bk b ON a.bucket = b.bucket
+        WHERE a.media_id < b.media_id
+          AND bit_count(xor(a.phash, b.phash)) <= 10
+        ORDER BY id_a, id_b
+    """
+
     # G70: envelope dHash + bucketed Hamming pairs, replayed WITHOUT a
     # decoder — samples regenerate from the fixture's integer formula,
     # each of the 65 frames is exactly 2 samples (idx = j // 2), frame
@@ -7969,6 +8266,7 @@ _SUITES: dict[str, list[str]] = {
         "g11_wav_real", "g69_image_dhash", "g69_image_dedup",
         "g70_audio_fp", "g70_audio_dedup",
         "g71_video_hashes", "g71_video_dedup",
+        "g96_image_phash", "g96_phash_dedup",
     ],
     "g14_sample_suite": [
         "g14_split", "g14_sample_rate", "g14_sample_stratified",
@@ -8012,7 +8310,7 @@ _SUITES: dict[str, list[str]] = {
     "g2_neardup_suite": [
         "g2_jaccard", "g2_minhash_lsh", "g2_simhash", "g52_dedup_best",
         "g2_recall_report", "g82_containment", "g84_ppjoin",
-        "g90_containment_dedup",
+        "g90_containment_dedup", "g94_crossdup",
     ],
     "g3_ann_suite": [
         "g3_cosine_topk", "g3_lsh_topk", "g3_ivf_topk",
@@ -8033,7 +8331,7 @@ _SUITES: dict[str, list[str]] = {
     "g_analytics_misc_suite": [
         "g21_unpivot", "g13_salted_agg", "g13b_salted_auto", "g10_json",
         "g25_zorder", "g67_skew_report", "g72_cms_topk", "g81_label_agg",
-        "g88_salted_join",
+        "g88_salted_join", "g95_kappa",
     ],
     "g32_report_suite": [
         "g32_corpus_report", "g32_stratum_report", "g93_calibration",
@@ -8074,6 +8372,10 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g11_ppm_real": [("media_id", "i"), ("n_bytes", "i"), ("f0", "n"), ("f1", "n")],
     "g69_image_dhash": [("media_id", "i"), ("dhash", "i"), ("bucket", "i")],
     "g69_image_dedup": [("id_a", "i"), ("id_b", "i"), ("hamming", "i")],
+    "g94_crossdup": [("id_a", "i"), ("id_b", "i"), ("jaccard", "n")],
+    "g95_kappa": [("annotator_a", "i"), ("annotator_b", "i"), ("n_items", "i"), ("n_agree", "i"), ("kappa_micro", "i")],
+    "g96_image_phash": [("media_id", "i"), ("phash", "i"), ("bucket", "i")],
+    "g96_phash_dedup": [("id_a", "i"), ("id_b", "i"), ("hamming", "i")],
     "g70_audio_fp": [("media_id", "i"), ("afp", "i"), ("bucket", "i")],
     "g70_audio_dedup": [("id_a", "i"), ("id_b", "i"), ("hamming", "i")],
     "g71_video_hashes": [("media_id", "i"), ("frame_idx", "i"), ("dhash", "i")],

@@ -55,8 +55,11 @@ HEADLINE = [
     "g2_minhash_lsh",
     "g2_simhash",
     "g2_recall_report",
+    "g94_crossdup",
     "g69_image_dhash",
     "g69_image_dedup",
+    "g96_image_phash",
+    "g96_phash_dedup",
     "g70_audio_fp",
     "g70_audio_dedup",
     "g71_video_hashes",
@@ -75,6 +78,7 @@ HEADLINE = [
     "g91_script_profile",
     "g28_quality_classifier",
     "g93_calibration",
+    "g95_kappa",
     "g32_corpus_report",
     "g32_stratum_report",
     "g33_strip_lines",

@@ -138,3 +138,111 @@ def aggregate_labels(
         "w_micro",
     )
     return maj.join(wwin, item_col)
+
+
+def annotator_agreement(
+    annotations: DataFrame,
+    item_col: str = "item_id",
+    annotator_col: str = "annotator_id",
+    label_col: str = "label",
+    min_items: int = 1,
+) -> DataFrame:
+    """G95: pairwise inter-annotator agreement — Cohen's kappa (1960)
+    for every annotator pair, exact-integer.
+
+    The quality gate BEFORE :func:`aggregate_labels` consumes a crowd:
+    a pair of raters with kappa near 0 agree no better than chance
+    (their "agreement" is marginal-label imbalance, not shared
+    understanding), and a rater whose kappa against everyone is low is
+    noise the weighted vote should not see. Output per pair sharing
+    ≥ ``min_items`` co-labeled items:
+
+      (annotator_a, annotator_b, n_items, n_agree, kappa_micro)
+
+    kappa = (p_o − p_e) / (1 − p_e) over the pair's CO-labeled items,
+    p_e from each side's label marginals on that same item subset. In
+    integers: with N co-labeled items, A agreements, and marginal
+    counts n_a(k), n_b(k),
+
+      kappa_micro = 1e6 · (A·N − Σ_k n_a(k)·n_b(k))
+                        div (N² − Σ_k n_a(k)·n_b(k))
+
+    — one exact floor division at the end, bit-replayable by the SQL
+    oracle. NULL when the denominator is 0 (p_e = 1: both raters used
+    one identical label throughout — chance explains everything, kappa
+    is undefined by definition). N² rides a long: exact to ~3·10⁹
+    co-labeled items per pair, far past any human pair.
+
+    NULL labels drop as abstentions (the :func:`aggregate_labels`
+    contract); duplicate (item, annotator) votes collapse to the
+    MINIMUM label first — one vote per rater per item, deterministic.
+
+    Scale shape: one (item, annotator) aggregate over the annotation
+    volume, ONE item-keyed self-join producing |items|·d² rows for
+    per-item annotator-degree d (bounded: d = raters per item, 3-5 in
+    practice, never the pool size), then aggregates on the
+    (annotator_a, annotator_b [, label]) keys — |pairs|·|labels| rows.
+    The annotation relation is never shuffled twice.
+    """
+    one_vote = (
+        annotations.filter(F.col(label_col).isNotNull())
+        .groupBy(item_col, annotator_col)
+        .agg(F.min(label_col).alias("__l"))
+    )
+    a = one_vote.select(
+        F.col(item_col).alias("__i"),
+        F.col(annotator_col).alias("annotator_a"),
+        F.col("__l").alias("__la"),
+    )
+    b = one_vote.select(
+        F.col(item_col).alias("__i"),
+        F.col(annotator_col).alias("annotator_b"),
+        F.col("__l").alias("__lb"),
+    )
+    joint = (
+        a.join(b, "__i")
+        .filter(F.col("annotator_a") < F.col("annotator_b"))
+        .groupBy("annotator_a", "annotator_b", "__la", "__lb")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    # pair totals + agreements, and the Σ_k n_a(k)·n_b(k) chance term
+    # from the two marginals of the SAME joint relation
+    keys = ["annotator_a", "annotator_b"]
+    totals = joint.groupBy(*keys).agg(
+        F.sum("__c").cast("long").alias("n_items"),
+        F.sum(F.when(F.col("__la") == F.col("__lb"), F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    ma = joint.groupBy(*keys, "__la").agg(
+        F.sum("__c").cast("long").alias("__na")
+    )
+    mb = joint.groupBy(*keys, "__lb").agg(
+        F.sum("__c").cast("long").alias("__nb")
+    ).withColumnRenamed("__lb", "__la")
+    chance = (
+        ma.join(mb, keys + ["__la"])
+        .groupBy(*keys)
+        .agg(F.sum(F.col("__na") * F.col("__nb")).cast("long").alias("__pe"))
+    )
+    pe0 = F.coalesce(F.col("__pe"), F.lit(0)).cast("long")
+    den = F.col("n_items") * F.col("n_items") - pe0
+    num = F.lit(1_000_000).cast("long") * (
+        F.col("n_agree") * F.col("n_items") - pe0
+    )
+    # integer division truncating toward zero on BOTH engines (DuckDB
+    # //, Spark div: -7 // 2 = -3 on each — verified), so negative
+    # kappas (worse-than-chance raters) replay exactly too
+    kappa = F.when(den > 0, num.cast("long")).otherwise(F.lit(None))
+    return (
+        totals.join(chance, keys, "left")
+        .filter(F.col("n_items") >= min_items)
+        .withColumn("__num", kappa)
+        .withColumn("__den", den.cast("long"))
+        .select(
+            *keys,
+            "n_items",
+            "n_agree",
+            F.expr("__num div __den").cast("long").alias("kappa_micro"),
+        )
+    )

@@ -360,6 +360,49 @@ def resize_images(
     return media.mapInPandas(run, MEDIA_SCHEMA)
 
 
+def _decode_gray(b, width: int, height: int):
+    """Shared decode → nearest-neighbor resize → ITU-R 601-2 luma for
+    the perceptual-hash family (dHash, pHash): uint8 (height, width)
+    grid, or None to quarantine (malformed blob; JPEG beyond the
+    baseline codec with no Pillow), or a NotImplementedError raise when
+    NO codec applies at all (the documented no-codec path)."""
+    if b is None or len(b) == 0:
+        return None
+    b = bytes(b)
+    if b[:2] == b"P6" or b[:2] == b"\xff\xd8":
+        try:
+            arr = _decode_rgb_builtin(b)
+        except ValueError:
+            return None  # malformed PPM
+        if arr is not None:
+            return _luma(_nn_resize(arr, width, height))
+        if _PILImage is None:
+            # JPEG beyond the baseline codec, no Pillow: E1 quarantine
+            return None
+        # progressive/arithmetic JPEG falls through to Pillow
+    elif _PILImage is None:
+        raise NotImplementedError(
+            "only the built-in PPM (P6) and baseline-JPEG codecs "
+            "are available in this environment (Pillow not "
+            "importable); re-encode media or install Pillow"
+        )
+    import io
+
+    # mirror the PPM path's order and kernel: resize FIRST
+    # (nearest-neighbor, like _nn_resize — PIL's default bicubic
+    # would hash the same image differently per container format),
+    # then the ITU-R 601-2 luma
+    try:
+        img = (
+            _PILImage.open(io.BytesIO(b))
+            .resize((width, height), _PILImage.Resampling.NEAREST)
+            .convert("L")
+        )
+    except (ValueError, OSError):
+        return None
+    return np.asarray(img, dtype=np.uint8)
+
+
 def _dhash_pack(g: np.ndarray) -> int:
     """Pack a (h, w) luma grid into the signed 64-bit difference hash:
     bit i = L[row, col+1] > L[row, col], i = row*(w-1)+col little-endian,
@@ -407,51 +450,12 @@ def image_dhash(
     @pandas_udf("long")
     def _dh(s: pd.Series) -> pd.Series:
         def one(b):
-            if b is None or len(b) == 0:
-                return None
-            b = bytes(b)
             # malformed blobs quarantine to NULL like NULL/empty content
             # (one corrupt upload must not kill the corpus-wide job —
-            # the shredder's E1 policy); the no-codec raise below is the
-            # documented exception and deliberately NOT caught
-            g = None
-            is_builtin = b[:2] == b"P6" or b[:2] == b"\xff\xd8"
-            if is_builtin:
-                try:
-                    arr = _decode_rgb_builtin(b)
-                except ValueError:
-                    return None  # malformed PPM
-                if arr is not None:
-                    g = _luma(_nn_resize(arr, width, height))
-                elif _PILImage is None:
-                    # JPEG beyond the baseline codec, no Pillow: E1
-                    return None
-                # else: progressive/arithmetic JPEG falls to Pillow below
-            if g is None and _PILImage is None:
-                raise NotImplementedError(
-                    "only the built-in PPM (P6) and baseline-JPEG codecs "
-                    "are available in this environment (Pillow not "
-                    "importable); re-encode media or install Pillow"
-                )
-            if g is None:
-                import io
-
-                # mirror the PPM path's order and kernel: resize FIRST
-                # (nearest-neighbor, like _nn_resize — PIL's default
-                # bicubic would hash the same image differently per
-                # container format), then the ITU-R 601-2 luma
-                try:
-                    img = (
-                        _PILImage.open(io.BytesIO(b))
-                        .resize(
-                            (width, height), _PILImage.Resampling.NEAREST
-                        )
-                        .convert("L")
-                    )
-                except (ValueError, OSError):
-                    return None
-                g = np.asarray(img, dtype=np.uint8)
-            return _dhash_pack(g)
+            # the shredder's E1 policy); the no-codec raise inside
+            # _decode_gray is the documented exception, NOT caught
+            g = _decode_gray(b, width, height)
+            return None if g is None else _dhash_pack(g)
 
         return s.apply(one)
 
@@ -482,6 +486,110 @@ def image_dedup_pairs(
         fp,
         id_col,
         "dhash",
+        total_bits=64,
+        prefix_bits=prefix_bits,
+        max_hamming=max_hamming,
+    )
+
+
+_PHASH_SCALE = 1 << 15
+# 32-point orthonormal DCT-II basis, SCALED TO INTEGERS: B[x, u] =
+# round(2^15 * sqrt(2/32) * c(u) * cos((2x+1)uπ/64)), c(0) = 1/√2.
+# Integer scaling is what makes the hash ENGINE-EXACT: the transform
+# below is pure int64 arithmetic (no float summation order to drift),
+# so a SQL oracle replays it term-for-term from this same constant
+# table. Worst-case magnitude check: |B.T @ g| ≤ 32·2^15·255 ≈ 2.7e8,
+# then |· @ B| ≤ 32·2.7e8·2^15 ≈ 2.8e14 ≪ 2^63 — no overflow.
+_PHASH_BASIS = np.round(
+    _PHASH_SCALE
+    * np.sqrt(2.0 / 32.0)
+    * np.array(
+        [
+            [
+                (1 / np.sqrt(2) if u == 0 else 1.0)
+                * np.cos((2 * x + 1) * u * np.pi / 64)
+                for u in range(32)
+            ]
+            for x in range(32)
+        ]
+    )
+).astype(np.int64)
+
+
+def _phash_pack(g: np.ndarray) -> int:
+    """Pack a (32, 32) luma grid into the signed 64-bit DCT perceptual
+    hash: integer-scaled 2-D DCT, keep the top-left 8×8 (the lowest
+    spatial frequencies), threshold each coefficient against the LOWER
+    MEDIAN (32nd smallest of the 64 — an order statistic, so the
+    threshold is integer-exact too), bit i = coef_i > median,
+    little-endian over the row-major 8×8, two's-complement wrap."""
+    b = _PHASH_BASIS
+    coef = (b.T @ g.astype(np.int64) @ b)[:8, :8].reshape(64)
+    thr = np.sort(coef)[31]
+    v = 0
+    for i, c in enumerate(coef):
+        if c > thr:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_phash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    out_col: str = "phash",
+) -> DataFrame:
+    """G96: DCT perceptual hash — the classic pHash recipe (resize to
+    32×32, 2-D DCT, keep the 8×8 low-frequency block, threshold at the
+    median) with one twist: the DCT runs in SCALED INTEGER arithmetic
+    (basis = round(2¹⁵·DCT32), threshold = lower median), so the hash
+    is bit-identical across engines and partitionings and a SQL oracle
+    replays it exactly — no float summation anywhere.
+
+    pHash survives what dHash does not: global brightness/contrast
+    moves (only the DC band and the threshold shift — a few bits),
+    small blurs and re-encodes (high-frequency loss never reaches the
+    kept 8×8 block). Use :func:`image_dhash` for cheap/fast, this for
+    robust; both feed the same bucketed Hamming join. Decode dispatch,
+    quarantine semantics and the no-codec raise are exactly
+    :func:`image_dhash`'s (shared ``_decode_gray``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _ph(srs: pd.Series) -> pd.Series:
+        return srs.apply(
+            lambda b: (
+                None
+                if (g := _decode_gray(b, 32, 32)) is None
+                else _phash_pack(g)
+            )
+        )
+
+    return media.withColumn(out_col, _ph(F.col(content_col)))
+
+
+def image_phash_dedup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    prefix_bits: int = 8,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """G96: perceptual near-duplicate pairs on the DCT hash —
+    :func:`image_phash` into the generic bucketed Hamming join
+    (``neardup.hamming_pairs``), identical shape to the dHash/SimHash
+    dedups: keyed on the fingerprint's top ``prefix_bits``, never
+    all-pairs. NULL-hash rows (undecodable blobs) drop before the
+    join."""
+    from ferc_xbrl_extractor_spark.operators.neardup import hamming_pairs
+
+    fp = image_phash(media, id_col, content_col, "phash").filter(
+        F.col("phash").isNotNull()
+    )
+    return hamming_pairs(
+        fp,
+        id_col,
+        "phash",
         total_bits=64,
         prefix_bits=prefix_bits,
         max_hamming=max_hamming,

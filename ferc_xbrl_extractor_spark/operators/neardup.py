@@ -100,6 +100,7 @@ def _verify_candidates(
     id_col: str,
     threshold: float,
     broadcast_verify: bool = True,
+    docs_arr_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of a candidate pair set against per-doc
     shingle arrays: n_common = |array_intersect|, sizes = |array| — one
@@ -116,7 +117,8 @@ def _verify_candidates(
     no longer fit a broadcast, set False: both joins run keyed on
     id_a/id_b, still with no post-join aggregate."""
     a = docs_arr.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
-    b = docs_arr.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    b_src = docs_arr_b if docs_arr_b is not None else docs_arr
+    b = b_src.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
     if broadcast_verify:
         cands = F.broadcast(cands)
     j1 = a.join(cands, "id_a")
@@ -608,6 +610,79 @@ def minhash_lsh_pairs(
         df, id_col, text_col, n, num_hashes, bands, shingle_df=st
     )
     return _verify_candidates(cands, docs_arr, id_col, threshold)
+
+
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 6,
+    threshold: float = 0.5,
+    broadcast_verify: bool = True,
+) -> DataFrame:
+    """G94: CROSS-CORPUS MinHash-LSH near-dup join — every
+    ``(id_a ∈ left, id_b ∈ right)`` pair with exact Jaccard ≥
+    ``threshold`` among LSH band candidates. THE operator for merging a
+    new crawl snapshot into an existing corpus (which new documents
+    near-duplicate something already kept?), corpus-vs-corpus overlap
+    audits, and train-vs-eval fuzzy contamination where the symmetric
+    self-join (:func:`minhash_lsh_pairs`) would waste its time on
+    within-corpus pairs nobody asked about.
+
+    Same band geometry and md5 MinHash family as the self-join form
+    (bit-replayable by the SQL oracle); ids are NOT compared across
+    sides (no ``id_a < id_b`` — the corpora own separate id spaces, and
+    a value collision between sides is two different documents).
+
+    Scale shape: one keyed shuffle per side for the signature
+    aggregates (each map-side partial-combined to one row per doc), a
+    banded EQUI-join between the two band tables — |left bands| ×
+    |right bands| never materializes; only per-(band_idx, band_hash)
+    matches do — one distinct over candidates, then the shuffle-free
+    broadcast verification of :func:`_verify_candidates` with per-side
+    shingle arrays. At 100 TB the increment side is typically ≪ the
+    corpus side; the band join broadcasts the small side under AQE and
+    the big side is never shuffled more than its one signature
+    exchange."""
+    la = doc_shingle_arrays(left, id_col, text_col, n)
+    ra = doc_shingle_arrays(right, id_col, text_col, n)
+
+    def _bands(arr: DataFrame) -> DataFrame:
+        st = arr.select(
+            F.col(id_col), F.explode_outer("__sh").alias("shingle")
+        ).filter(F.col("shingle").isNotNull())
+        return band_table(
+            minhash_signature_table(st, id_col, num_hashes),
+            id_col,
+            num_hashes,
+            bands,
+        )
+
+    cands = (
+        _bands(la)
+        .alias("a")
+        .join(
+            _bands(ra).alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return _verify_candidates(
+        cands,
+        la,
+        id_col,
+        threshold,
+        broadcast_verify=broadcast_verify,
+        docs_arr_b=ra,
+    )
 
 
 def token_hashes(toks_col: str | Column) -> Column:

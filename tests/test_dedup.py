@@ -49,6 +49,7 @@ def test_fuzzy_string_conflict_is_error(spark):
     assert res.errors.count() == 1
 
 
+@pytest.mark.slow
 def test_fuzzy_strict_raises(spark):
     df = _df(spark, [("a", "job", "accountant"), ("a", "job", "pringle")])
     with pytest.raises(ValueError, match="has values"):
@@ -201,6 +202,7 @@ def test_cc_twophase_chain_converges_in_log_rounds(spark):
     assert got == {i: 1 for i in range(1, 1002)}
 
 
+@pytest.mark.slow
 def test_cc_auto_dispatch_value_identity(spark):
     """cc='auto' (VERDICT r7 #4): a clique-ish graph converges inside
     the propagation probe; a chain longer than the probe's round budget
@@ -246,6 +248,7 @@ def test_cc_auto_dispatch_value_identity(spark):
     assert {r["cluster"] for r in clustered.collect()} == {0}
 
 
+@pytest.mark.slow
 def test_neardup_recall_report(spark):
     """G2 recall loop (VERDICT r7 #6): exact duplicates are caught by
     every band and every SimHash bucket, so recall at their threshold is

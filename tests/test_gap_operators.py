@@ -828,6 +828,7 @@ def test_curate_cli_runs_end_to_end(spark, tmp_path, capsys):
     assert "tiny" not in " ".join(r["seq_text"] for r in back.collect())
 
 
+@pytest.mark.slow
 def test_curate_cli_linkrank_flags(spark, tmp_path, capsys):
     """--link-edges + --min-link-rank: the CLI ranks the link graph and
     drops below-threshold ranked docs; unranked docs survive."""
@@ -2191,6 +2192,144 @@ def test_image_pipeline_on_real_jpeg_bytes(spark):
     # each other
     d = np.abs(np.array(feats[1]) - np.array(feats[2]))
     assert d.max() < 0.1, d.max()
+
+
+def test_minhash_lsh_join_cross_corpus(spark):
+    """G94: cross-corpus LSH join — a near-dup pair across sides is
+    found with the exact Jaccard, within-side near-dups are NOT
+    reported (that is the self-join's job), disjoint texts pair with
+    nothing, and id-value collisions across sides are two different
+    documents, not a filtered pair (cross-engine values are the
+    g94_crossdup oracle, hash-green at both scales)."""
+    from ferc_xbrl_extractor_spark.operators import neardup
+
+    a = "the quick brown fox jumps over the lazy dog in the morning sun"
+    b = "completely unrelated text about database engines and shuffles"
+    left = spark.createDataFrame(
+        [(1, a), (2, a + " extra"), (3, b)],
+        "doc_id long, text string",
+    )  # 1 and 2 are WITHIN-side near-dups
+    right = spark.createDataFrame(
+        [(1, a + " indeed"), (10, "nothing in common with anything here at all")],
+        "doc_id long, text string",
+    )  # right id 1 collides with left id 1 by VALUE only
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in neardup.minhash_lsh_join(
+            left, right, threshold=0.5
+        ).collect()
+    }
+    assert (1, 1) in got and got[(1, 1)] >= 0.5
+    assert (2, 1) in got            # the other left near-dup pairs too
+    assert all(ib != 10 for _, ib in got)   # disjoint right doc: nothing
+    assert (1, 2) not in got        # within-left pair NOT reported
+
+
+def test_annotator_agreement_kappa_exact(spark):
+    """G95: Cohen's kappa per annotator pair equals the textbook
+    formula on hand-built raters — near-perfect agreement scores high,
+    an anti-correlated rater goes NEGATIVE, chance-only agreement
+    lands at 0, p_e = 1 yields NULL, duplicate votes collapse to the
+    min label, and min_items prunes thin pairs (cross-engine values
+    are the g95_kappa oracle, hash-green at both scales)."""
+    from ferc_xbrl_extractor_spark.operators.labels import (
+        annotator_agreement,
+    )
+
+    l1 = ["a", "a", "b", "a", "b", "a", "a", "b", "a", "b"]
+    l2 = ["a", "a", "b", "a", "b", "a", "a", "b", "b", "b"]  # 9/10
+    l3 = ["b", "b", "a", "b", "a", "b", "b", "a", "b", "a"]  # inverted
+    rows = []
+    for i in range(10):
+        rows += [(i, 1, l1[i]), (i, 2, l2[i]), (i, 3, l3[i])]
+    rows += [(0, 1, "z"), (5, 9, "a")]  # dup vote (min wins); thin rater
+    ann = spark.createDataFrame(
+        rows, "item_id long, annotator_id long, label string"
+    )
+    got = {
+        (r["annotator_a"], r["annotator_b"]): r.asDict()
+        for r in annotator_agreement(ann, min_items=2).collect()
+    }
+
+    def ref(la, lb):
+        n = len(la)
+        agree = sum(x == y for x, y in zip(la, lb))
+        pe = sum(la.count(k) * lb.count(k) for k in set(la) | set(lb))
+        num, den = 1_000_000 * (agree * n - pe), n * n - pe
+        q = abs(num) // den
+        return q if num >= 0 else -q
+
+    l1d = ["a"] + l1[1:]  # dup vote on item 0: min("a","z") = "a"
+    assert got[(1, 2)]["kappa_micro"] == ref(l1d, l2) == 800000
+    assert got[(1, 3)]["kappa_micro"] == ref(l1d, l3) < 0
+    assert (1, 9) not in got and (2, 9) not in got  # min_items
+    # p_e = 1: two raters, one identical constant label each
+    const = spark.createDataFrame(
+        [(i, a, "x") for i in range(3) for a in (1, 2)],
+        "item_id long, annotator_id long, label string",
+    )
+    row = annotator_agreement(const).collect()[0]
+    assert row["kappa_micro"] is None and row["n_agree"] == 3
+
+
+def test_image_phash_invariances_and_dedup(spark):
+    """G96: the integer-DCT pHash is container-invariant (PPM vs q95
+    JPEG of the same photo-like image: hamming 0), survives a global
+    brightness shift and a q70 re-encode (≤ a few bits — dHash's
+    neighbor comparisons cannot make the brightness claim for
+    arbitrary kernels), separates unrelated noise (~32 bits), and the
+    bucketed pair join finds exactly the planted near-dups
+    (fingerprint values are the g96_image_phash oracle — a SQL replay
+    of BOTH DCT stages — hash-green at both scales)."""
+    import numpy as np
+
+    from ferc_xbrl_extractor_spark.operators import multimodal as mm
+    from ferc_xbrl_extractor_spark.operators.jpeg import (
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(30, 220, (8, 8, 3))
+    img = np.repeat(np.repeat(base, 4, axis=0), 4, axis=1).astype(float)
+    k = np.ones((5,)) / 5
+    for ax in (0, 1):
+        img = np.apply_along_axis(
+            lambda v: np.convolve(v, k, mode="same"), ax, img
+        )
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    bright = np.clip(img.astype(int) + 25, 0, 255).astype(np.uint8)
+    noise = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    rows = [
+        (1, mm.encode_ppm(img)),
+        (2, encode_jpeg_baseline(img, 95)),
+        (3, encode_jpeg_baseline(img, 70)),
+        (4, mm.encode_ppm(bright)),
+        (5, mm.encode_ppm(noise)),
+        (6, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r["media_id"]: r["phash"]
+        for r in mm.image_phash(media).collect()
+    }
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert got[6] is None
+    assert got[1] == mm._phash_pack(
+        mm._decode_gray(rows[0][1], 32, 32)
+    )  # spark ≡ direct numpy replay
+    assert ham(got[1], got[2]) == 0          # container-invariant
+    assert ham(got[1], got[3]) <= 4          # q70 re-encode
+    assert ham(got[1], got[4]) <= 4          # brightness +25
+    assert ham(got[1], got[5]) >= 20         # unrelated
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in mm.image_phash_dedup_pairs(media, max_hamming=6).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    assert all(5 not in p for p in pairs)
 
 
 def test_video_frame_hashes_and_perceptual_dedup(spark):
@@ -4285,6 +4424,7 @@ def test_curate_url_dedup_stage_runs_first_and_annotates(spark):
     assert funnel == {None: 2, "url_dup": 1, "quality": 1}
 
 
+@pytest.mark.slow
 def test_cms_sketch_bounds_merge_and_plan(spark):
     """G72: count-min sketch — never undercounts, exact when collision-free,
     mergeable by summing cells, weighted builds, NULL keys skipped, and the
@@ -4370,6 +4510,7 @@ def test_cms_sketch_bounds_merge_and_plan(spark):
         cms_build(df, "k", width=1)
 
 
+@pytest.mark.slow
 def test_mixture_allocation_waterfill(spark):
     """G73: water-filling mixture allocation — hand goldens, the
     budget>=corpus and budget=0 edges, zero/NULL-weight exclusion,
@@ -4788,8 +4929,9 @@ def test_rrf_fuse_goldens_and_validation(spark):
         rrf_fuse([a], k0=0)
 
 
+@pytest.mark.slow
 def test_label_aggregation_goldens(spark):
-    """G81 default tier: majority vote, deterministic tie-break, NULL
+    """G81 (slow tier since r9 rebalance): majority vote, deterministic tie-break, NULL
     abstention, and the reliability-weighted revote — hand-computed
     goldens incl. an annotator whose weight flips a tied item
     (cross-engine values are the g81_label_agg oracle, hash-green at
@@ -5233,6 +5375,7 @@ def test_collocations_goldens(spark):
         collocations(docs, top_k=0)
 
 
+@pytest.mark.slow
 def test_containment_dedup_and_curate_stage(spark):
     """G90: dedup_by_containment goldens — a strict subset drops and
     its container survives, mutual containment keeps the lower id,

@@ -79,6 +79,7 @@ def _drain(spark, stream, name, mode="append"):
     return spark.sql(f"SELECT * FROM {name}")
 
 
+@pytest.mark.slow
 def test_stream_dedup_first_single_batch(spark, tmp_path):
     rows = [
         (3, "2024-01-01 00:10:00", "click", "late"),
@@ -843,6 +844,7 @@ def _hh_feed(spark, tmp_path, batches, **kw):
     return final
 
 
+@pytest.mark.slow
 def test_stream_heavy_hitters_exact(spark, tmp_path):
     """G74 default tier: exact counts with zero error when capacity
     covers the shard's keys (the gate oracle's configuration), plus
@@ -887,6 +889,7 @@ def test_stream_heavy_hitters_eviction_and_crossbatch(spark, tmp_path):
     assert got["c"][0] >= 3 and got["d"][0] >= 1
 
 
+@pytest.mark.slow
 def test_stream_funnel_single_batch_and_crossbatch(spark, tmp_path):
     """G79: streaming funnel — a single batch equals the batch
     window_funnel exactly (same fixture as the G75 goldens); across

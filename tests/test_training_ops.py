@@ -240,6 +240,7 @@ def _epoch_df(spark):
     return spark.createDataFrame(rows, "doc_id long, text string, source string")
 
 
+@pytest.mark.slow
 def test_build_epoch_equals_manual_composition(spark):
     from ferc_xbrl_extractor_spark.operators import packing
     from ferc_xbrl_extractor_spark.pipeline import epoch
@@ -408,6 +409,7 @@ def test_shuffle_order_no_single_partition_sort(spark):
     assert "SinglePartition" not in plan
 
 
+@pytest.mark.slow
 def test_epoch_cli_end_to_end(spark, tmp_path, capsys):
     import json as _json
 
@@ -456,6 +458,7 @@ def test_epoch_cli_rates_validation():
         _parse_rates("nope")
 
 
+@pytest.mark.slow
 def test_mixture_rates_and_cli_target_weights(spark, tmp_path, capsys):
     """G73 -> G41 bridge: mixture_rates derives supply-feasible rates
     (allocated/avail in [0,1], saturated strata at 1.0) and the CLI's
