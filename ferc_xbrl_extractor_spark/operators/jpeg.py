@@ -1,4 +1,4 @@
-"""Pure-numpy baseline JPEG codec (G11/G69 — r8 verdict item #7).
+"""Pure-numpy baseline JPEG + stdlib-zlib PNG codecs (G11/G69 — r8 verdict #7).
 
 A real crawl's images are JPEG-first, but this environment has no
 Pillow/libjpeg — so the perceptual-image family (G69 dHash dedup,
@@ -631,3 +631,154 @@ def encode_jpeg_baseline(
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------- PNG
+# PNG rides in this module because it shares the mission (real decode
+# for the wire formats a crawl actually serves) and the dependency
+# budget (stdlib zlib + numpy only). Spec: RFC 2083 / W3C PNG.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering (types 0-4). Rows carry a leading
+    filter byte; bpp = bytes per pixel. Sequential by spec (each row
+    depends on the previous), vectorized within a row where the filter
+    allows."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = raw[pos + 1 : pos + 1 + stride].astype(np.int64)
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:  # up
+            cur = (row + prev) & 0xFF
+        elif ftype == 1:  # sub — sequential in x by definition
+            cur = row.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 3:  # average
+            cur = row.copy()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # paeth
+            cur = row.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Decode an 8-bit-depth, non-interlaced PNG into (h, w, 3) uint8
+    RGB — stdlib zlib + numpy. Color types: 0 grayscale, 2 RGB,
+    3 palette, 4 gray+alpha, 6 RGBA (alpha dropped — the perceptual
+    pipeline hashes opaque pixels). Raises ``ValueError`` on malformed
+    bytes and on out-of-scope variants (16-bit depth, Adam7 interlace)
+    so callers quarantine per E1, exactly like the JPEG/PPM paths."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        clen = struct.unpack(">I", b[pos : pos + 4])[0]
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + clen]
+        if len(data) != clen:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {ctype_}")
+    if w == 0 or h == 0:
+        raise ValueError("zero-sized PNG")
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG zlib stream: {e}") from e
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if ctype_ == 0:
+        g = px[..., 0]
+        return np.stack([g, g, g], axis=-1)
+    if ctype_ == 2:
+        return px.copy()
+    if ctype_ == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        idx = px[..., 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]
+    if ctype_ == 4:
+        g = px[..., 0]
+        return np.stack([g, g, g], axis=-1)
+    return px[..., :3].copy()  # 6: RGBA -> RGB
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    minimal PNG (color type 0/2, filter 0 scanlines, one IDAT) —
+    stdlib zlib. Lossless, so round-trips are byte-exact on pixels."""
+    import zlib
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ctype = 0 if gray else 2
+    body = arr.reshape(h, -1)
+    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )

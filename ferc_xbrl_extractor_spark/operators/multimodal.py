@@ -9,10 +9,11 @@ rows like any other row.
 Codec layering (the ``pipeline/sinks.py`` frictionless pattern), in
 dispatch order inside the same Arrow-batched ``mapInPandas`` bodies:
 
-1. **PPM (P6) images, BASELINE JPEG (r9 — operators/jpeg.py, the
-   pure-numpy ITU-T T.81 subset: SOF0/SOF1 Huffman, any sampling
-   factors, restart markers), PCM WAV audio, and Y4M video** — REAL
-   codecs, always available. PPM/WAV/Y4M are uncompressed (header +
+1. **PPM (P6) images, BASELINE JPEG and 8-bit PNG (r9 —
+   operators/jpeg.py: the pure-numpy ITU-T T.81 subset — SOF0/SOF1
+   Huffman, any sampling factors, restart markers — plus an RFC-2083
+   PNG decoder over stdlib zlib, all color types at depth 8), PCM WAV
+   audio, and Y4M video** — REAL codecs, always available. PPM/WAV/Y4M are uncompressed (header +
    raw samples); JPEG adds the entropy+DCT pipeline a real crawl's
    images actually arrive in. Decode, ITU-R 601-2 luma,
    nearest-neighbor resize, linear-interp resample, BT.601 YUV->RGB
@@ -21,9 +22,9 @@ dispatch order inside the same Arrow-batched ``mapInPandas`` bodies:
    genuinely decodes in any environment for these formats. Baseline
    JPEG decodes through the BUILT-IN codec even when Pillow is
    importable, so hashes/features are environment-independent;
-   out-of-scope variants (progressive, arithmetic) fall through to
-   Pillow when present and otherwise QUARANTINE to NULL per the E1
-   contract.
+   out-of-scope variants (progressive JPEG, interlaced/16-bit PNG)
+   fall through to Pillow when present and otherwise QUARANTINE to
+   NULL per the E1 contract.
 2. **Pillow** — layered in for every other image format when importable.
 3. Neither applies → ``decode_stub=False`` raises NotImplementedError at
    the batch level; ``decode_stub=True`` produces deterministic fake
@@ -47,7 +48,9 @@ from pyspark.sql import types as T
 
 from ferc_xbrl_extractor_spark.operators.jpeg import (
     decode_jpeg_baseline,
+    decode_png,
     encode_jpeg_baseline,
+    encode_png,
 )
 
 try:  # image codec for non-PPM/JPEG formats, layered in when available
@@ -56,16 +59,29 @@ except ImportError:  # pragma: no cover - sandbox has no Pillow
     _PILImage = None
 
 
+_BUILTIN_IMAGE_MAGIC = (b"P6", b"\xff\xd8", b"\x89PNG")
+
+
+def _is_builtin_image(b: bytes) -> bool:
+    return any(b[: len(m)] == m for m in _BUILTIN_IMAGE_MAGIC)
+
+
 def _decode_rgb_builtin(b: bytes):
-    """(h, w, 3) uint8 via the always-available codecs, or None if the
-    bytes are neither PPM nor decodable baseline JPEG (the caller
-    decides between Pillow fallthrough and E1 quarantine). Raises
-    ValueError only for malformed PPM (parity with the pre-r9 paths)."""
+    """(h, w, 3) uint8 via the always-available codecs (PPM, baseline
+    JPEG, 8-bit PNG), or None if the bytes are not decodable by them
+    (the caller decides between Pillow fallthrough and E1 quarantine).
+    Raises ValueError only for malformed PPM (parity with the pre-r9
+    paths)."""
     if b[:2] == b"P6":
         return decode_ppm(b)
     if b[:2] == b"\xff\xd8":
         try:
             return decode_jpeg_baseline(b)
+        except ValueError:
+            return None
+    if b[:4] == b"\x89PNG":
+        try:
+            return decode_png(b)
         except ValueError:
             return None
     return None
@@ -225,9 +241,12 @@ def extract_features(
         if arr is not None:
             row = _nn_resize(_luma(arr), dim, 1)[0]
             return [float(p) / 128.0 - 1.0 for p in row]
-        if b[:2] == b"\xff\xd8" and _PILImage is None:
-            # JPEG the baseline codec could not decode (malformed or
-            # progressive/arithmetic): quarantine, don't kill the job (E1)
+        if (
+            b[:2] == b"\xff\xd8" or b[:4] == b"\x89PNG"
+        ) and _PILImage is None:
+            # JPEG/PNG the built-in codecs could not decode (malformed,
+            # progressive, interlaced, 16-bit): quarantine, don't kill
+            # the job (E1)
             return None
         if _PILImage is None:
             raise NotImplementedError(
@@ -282,19 +301,20 @@ def resize_images(
         b = bytes(b)
         if b[:2] == b"P6":
             return encode_ppm(_nn_resize(decode_ppm(b), width, height))
-        if b[:2] == b"\xff\xd8":
+        if b[:2] == b"\xff\xd8" or b[:4] == b"\x89PNG":
+            is_png = b[:4] == b"\x89PNG"
             try:
-                arr = decode_jpeg_baseline(b)
+                arr = decode_png(b) if is_png else decode_jpeg_baseline(b)
             except ValueError:
                 if _PILImage is None:
                     return None  # quarantine (E1)
                 arr = None
             if arr is not None:
-                # JPEG stays JPEG (baseline 4:4:4 — resize implies
-                # re-encode; quality 85 matches the encoder default)
-                return encode_jpeg_baseline(
-                    _nn_resize(arr, width, height)
-                )
+                # the container survives the resize: JPEG re-encodes as
+                # baseline 4:4:4 (quality 85, the encoder default), PNG
+                # re-encodes losslessly
+                out = _nn_resize(arr, width, height)
+                return encode_png(out) if is_png else encode_jpeg_baseline(out)
         if _PILImage is None:
             raise NotImplementedError(
                 "only the built-in PPM (P6) and baseline-JPEG codecs are "
@@ -369,7 +389,7 @@ def _decode_gray(b, width: int, height: int):
     if b is None or len(b) == 0:
         return None
     b = bytes(b)
-    if b[:2] == b"P6" or b[:2] == b"\xff\xd8":
+    if _is_builtin_image(b):
         try:
             arr = _decode_rgb_builtin(b)
         except ValueError:
@@ -377,9 +397,9 @@ def _decode_gray(b, width: int, height: int):
         if arr is not None:
             return _luma(_nn_resize(arr, width, height))
         if _PILImage is None:
-            # JPEG beyond the baseline codec, no Pillow: E1 quarantine
+            # JPEG/PNG beyond the built-in codecs, no Pillow: E1
             return None
-        # progressive/arithmetic JPEG falls through to Pillow
+        # e.g. progressive JPEG / interlaced PNG falls through to Pillow
     elif _PILImage is None:
         raise NotImplementedError(
             "only the built-in PPM (P6) and baseline-JPEG codecs "

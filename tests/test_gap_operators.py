@@ -2332,6 +2332,129 @@ def test_image_phash_invariances_and_dedup(spark):
     assert all(5 not in p for p in pairs)
 
 
+def test_png_codec_and_pipeline(spark):
+    """G11/G69 PNG path: lossless round-trip through the stdlib-zlib
+    codec is pixel-exact for RGB and grayscale; all five filter types
+    decode (exercised by hand-built scanlines); palette and RGBA
+    inputs decode; PPM/JPEG/PNG containers of the SAME image hash to
+    the SAME dhash/phash; interlaced and 16-bit variants quarantine to
+    NULL per E1; resize keeps PNG as PNG losslessly."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from ferc_xbrl_extractor_spark.operators import multimodal as mm
+    from ferc_xbrl_extractor_spark.operators.jpeg import (
+        decode_png,
+        encode_jpeg_baseline,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(30, 220, (8, 8, 3))
+    img = np.repeat(np.repeat(base, 4, axis=0), 4, axis=1).astype(
+        np.uint8
+    )
+    assert (decode_png(encode_png(img)) == img).all()
+
+    def chunk(tag, data):
+        return (
+            _struct.pack(">I", len(data)) + tag + data
+            + _struct.pack(">I", _zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    # every filter type on a 5x3 RGB image: rows use filters 0..4
+    rows_px = rng.randint(0, 256, (5, 3, 3), dtype=np.uint8)
+    # build filtered scanlines by applying the spec's forward filters
+    raw = bytearray()
+    prev = np.zeros(9, np.int64)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = rows_px[y].reshape(-1).astype(np.int64)
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:
+            enc = cur.copy()
+            enc[3:] = (cur[3:] - cur[:-3]) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        elif f == 3:
+            enc = cur.copy()
+            for x in range(9):
+                left = cur[x - 3] if x >= 3 else 0
+                enc[x] = (cur[x] - ((left + prev[x]) >> 1)) % 256
+        else:
+            enc = cur.copy()
+            for x in range(9):
+                a = cur[x - 3] if x >= 3 else 0
+                b_ = prev[x]
+                c_ = prev[x - 3] if x >= 3 else 0
+                pp = a + b_ - c_
+                pa, pb, pc = abs(pp - a), abs(pp - b_), abs(pp - c_)
+                pr = a if (pa <= pb and pa <= pc) else (
+                    b_ if pb <= pc else c_
+                )
+                enc[x] = (cur[x] - pr) % 256
+        raw += bytes([f]) + bytes(enc.astype(np.uint8))
+        prev = cur
+    ihdr = _struct.pack(">IIBBBBB", 3, 5, 8, 2, 0, 0, 0)
+    flt_png = (
+        sig + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(flt_png) == rows_px).all()
+
+    # palette + RGBA color types
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    praw = _zlib.compress(b"\x00\x00\x01\x02" + b"\x00\x02\x01\x00")
+    pal_png = (
+        sig
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte) + chunk(b"IDAT", praw) + chunk(b"IEND", b"")
+    )
+    out = decode_png(pal_png)
+    assert out.shape == (2, 3, 3) and tuple(out[0, 1]) == (0, 255, 0)
+
+    # E1: interlaced and 16-bit quarantine (ValueError -> NULL via
+    # _decode_rgb_builtin -> dhash NULL)
+    inter = (
+        sig
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", praw) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(inter)
+
+    # container-invariant hashes + PNG-stays-PNG resize, through Spark
+    rows = [
+        (1, mm.encode_ppm(img)),
+        (2, encode_png(img)),
+        (3, encode_jpeg_baseline(img, 95)),
+        (4, inter),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    d = {r["media_id"]: r["dhash"] for r in mm.image_dhash(media).collect()}
+    assert d[1] == d[2] and d[4] is None     # PNG is lossless: exact
+    ham = bin((d[1] ^ d[3]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 8, ham                     # JPEG is lossy: near, not exact
+    ph = {r["media_id"]: r["phash"] for r in mm.image_phash(media).collect()}
+    assert ph[1] == ph[2] and ph[4] is None
+
+    tbl = mm.media_table_from_binary(
+        media.filter(F.col("media_id") == 2), "media_id", "content",
+        "image", "image/png",
+    )
+    rs = mm.resize_images(tbl, 16, 12, decode_stub=False).collect()[0]
+    out_b = bytes(rs["content"])
+    assert out_b[:4] == b"\x89PNG" and rs["meta"]["mime"] == "image/png"
+    assert (
+        decode_png(out_b) == mm._nn_resize(img, 16, 12)
+    ).all()  # lossless
+
+
 def test_video_frame_hashes_and_perceptual_dedup(spark):
     """G71: per-frame dHashes equal the image recipe applied to each
     decoded frame; a re-encode matches on every frame, a brightness
