@@ -1124,6 +1124,32 @@ def q_g96_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_g97_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G97: content-defined chunking (spans.cdc_chunks, window=8,
+    divisor=64) over documents — boundary positions from windowed md5
+    fingerprints (the SimHash 60-bit hex-cast trick), chunks as one
+    array-expression projection + one explode. The oracle replays
+    positions, window hashes, the boundary filter, the cut
+    construction and per-chunk md5/length with DuckDB list lambdas."""
+    from ferc_xbrl_extractor_spark.operators.spans import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_chunks(docs, window=8, divisor=64)
+
+
+def q_g97_cdc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G97 accounting row: chunk-level dedup report
+    (spans.cdc_dedup_report) — total/distinct chunks, total/duplicated
+    chars, exact micro-unit dedup ratio."""
+    from ferc_xbrl_extractor_spark.operators.spans import (
+        cdc_chunks,
+        cdc_dedup_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_dedup_report(cdc_chunks(docs, window=8, divisor=64))
+
+
 def q_g3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: exact brute-force top-5 cosine neighbors for 20 query vectors."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -3968,6 +3994,8 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g95_kappa": q_g95_kappa,
         "g96_image_phash": q_g96_image_phash,
         "g96_phash_dedup": q_g96_phash_dedup,
+        "g97_cdc_chunks": q_g97_cdc_chunks,
+        "g97_cdc_report": q_g97_cdc_report,
         "g2_simhash": q_g2_simhash,
         "g2_recall_report": q_g2_recall_report,
         "g3_cosine_topk": q_g3_cosine_topk,
@@ -4721,6 +4749,62 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM totals t
         LEFT JOIN chance ch ON t.aa = ch.aa AND t.ab = ch.ab
         WHERE t.n_items >= 5
+    """
+
+    # G97: content-defined chunking — positions, windowed-md5 boundary
+    # filter, explicit cut construction (no list_distinct: element
+    # order under distinct is a per-engine promise), per-chunk
+    # md5/length, all via DuckDB list lambdas.
+    _g97_cuts = """
+        src AS (SELECT doc_id, text, length(text) AS n FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0),
+        bnd AS (
+            SELECT doc_id, text, n,
+                   CASE WHEN n >= 8 THEN
+                       list_filter(range(8, n + 1), i ->
+                           CAST(('0x' || substr(md5(substr(text, i - 7, 8)), 1, 15))
+                                AS BIGINT) % 64 = 0)
+                   ELSE [] END AS bp
+            FROM src
+        ),
+        cut AS (
+            SELECT doc_id, text,
+                   list_concat(
+                       list_concat([0], bp),
+                       CASE WHEN len(bp) > 0 AND bp[len(bp)] = n
+                            THEN [] ELSE [n] END
+                   ) AS cuts
+            FROM bnd
+        ),
+        chunk AS (
+            SELECT doc_id, t.j - 1 AS chunk_idx,
+                   substr(text, cuts[t.j] + 1, cuts[t.j + 1] - cuts[t.j]) AS ch
+            FROM cut, UNNEST(range(1, len(cuts))) AS t(j)
+        ),
+        chunks AS (
+            SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                   md5(ch) AS chunk_md5,
+                   CAST(length(ch) AS BIGINT) AS n_chars
+            FROM chunk WHERE length(ch) > 0
+        )
+    """
+    sql["g97_cdc_chunks"] = f"""
+        WITH {_g97_cuts}
+        SELECT doc_id, chunk_idx, chunk_md5, n_chars FROM chunks
+    """
+    sql["g97_cdc_report"] = f"""
+        WITH {_g97_cuts},
+        per AS (
+            SELECT chunk_md5, count(*) AS c, max(n_chars) AS l
+            FROM chunks GROUP BY 1
+        )
+        SELECT CAST(sum(c) AS BIGINT) AS n_chunks,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(c * l) AS BIGINT) AS total_chars,
+               CAST(sum((c - 1) * l) AS BIGINT) AS dup_chars,
+               CAST((1000000 * sum((c - 1) * l)) // sum(c * l) AS BIGINT)
+                   AS dup_ratio_micro
+        FROM per
     """
 
     sql["g2_minhash_lsh"] = f"""
@@ -8318,7 +8402,8 @@ _SUITES: dict[str, list[str]] = {
         "g50_hard_negatives", "g77_knn_join", "g80_rrf_fuse",
     ],
     "g26_span_suite": [
-        "g26_dup_spans", "g26_trim_spans", "g62_contamination"
+        "g26_dup_spans", "g26_trim_spans", "g62_contamination",
+        "g97_cdc_chunks", "g97_cdc_report",
     ],
     "g29_vocab_suite": [
         "g29_vocab", "g29_encode", "g29_decode", "g29_coverage",
@@ -8376,6 +8461,8 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g95_kappa": [("annotator_a", "i"), ("annotator_b", "i"), ("n_items", "i"), ("n_agree", "i"), ("kappa_micro", "i")],
     "g96_image_phash": [("media_id", "i"), ("phash", "i"), ("bucket", "i")],
     "g96_phash_dedup": [("id_a", "i"), ("id_b", "i"), ("hamming", "i")],
+    "g97_cdc_chunks": [("doc_id", "i"), ("chunk_idx", "i"), ("chunk_md5", "s"), ("n_chars", "i")],
+    "g97_cdc_report": [("n_chunks", "i"), ("n_distinct", "i"), ("total_chars", "i"), ("dup_chars", "i"), ("dup_ratio_micro", "i")],
     "g70_audio_fp": [("media_id", "i"), ("afp", "i"), ("bucket", "i")],
     "g70_audio_dedup": [("id_a", "i"), ("id_b", "i"), ("hamming", "i")],
     "g71_video_hashes": [("media_id", "i"), ("frame_idx", "i"), ("dhash", "i")],

@@ -56,6 +56,8 @@ HEADLINE = [
     "g2_simhash",
     "g2_recall_report",
     "g94_crossdup",
+    "g97_cdc_chunks",
+    "g97_cdc_report",
     "g69_image_dhash",
     "g69_image_dedup",
     "g96_image_phash",

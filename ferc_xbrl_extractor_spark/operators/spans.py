@@ -352,3 +352,128 @@ def contamination_spans(
         .cast("long")
         .alias("longest_overlap_tokens"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    divisor: int = 64,
+    keep_text: bool = False,
+) -> DataFrame:
+    """G97: content-defined chunking (the rsync/LBFS boundary trick) —
+    split each document at positions where the rolling fingerprint of
+    the ``window`` chars ENDING there satisfies ``hash % divisor == 0``.
+    Because boundaries depend only on LOCAL content, an insertion or
+    deletion early in a document shifts only the chunk it lands in —
+    every later chunk re-aligns and hashes identically, which is what
+    makes chunk-level dedup find shared content that whole-document
+    hashing (G1) misses and shingle overlap (G2) can only score, not
+    deduplicate for storage. The training-data uses: dedup storage for
+    versioned crawls, shared-boilerplate accounting, delta-compression
+    planning.
+
+    Expected chunk length is ``divisor`` chars (geometric); no min/max
+    clamps — ``divisor`` sets the distribution (documented scope: the
+    clamped CDC variants trade the pure content-defined property for
+    bounded chunk sizes and need sequential state per doc).
+
+    Fingerprint = the first 15 md5 hex chars of the window as a 60-bit
+    int (the G2 SimHash token-hash trick) — content-defined AND
+    SQL-replayable, unlike a true Rabin polynomial. EVERYTHING runs in
+    ONE projection of array expressions (sequence → filter over
+    windowed md5 → chunk transform) + one explode: no shuffle, no
+    Python, no per-position explode — the per-doc work is O(len·window)
+    md5 input bytes, the row count stays O(chunks).
+
+    Returns (id_col, chunk_idx, chunk_md5, n_chars [, chunk]).
+    """
+    if window < 1 or divisor < 1:
+        raise ValueError("window and divisor must be >= 1")
+    text = F.col(text_col)
+    n = F.length(text)
+    cut_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(text.substr(i - F.lit(window - 1), F.lit(window))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    bpos = F.when(
+        n >= window,
+        F.filter(
+            F.sequence(F.lit(window), n),
+            lambda i: F.pmod(cut_hash(i), F.lit(divisor)) == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # 0-based cut ends: 0, each boundary, and len — appended only when
+    # the last window position is not already a boundary (explicit
+    # branch, not array_distinct: first-occurrence order under distinct
+    # is a per-engine promise the oracle should not have to trust)
+    bp = bpos.cast("array<int>")
+    tail = F.when(
+        F.try_element_at(bp, F.lit(-1)) == n.cast("int"),
+        F.array().cast("array<int>"),
+    ).otherwise(F.array(n.cast("int")))
+    # cuts MUST be materialized as an attribute before the chunk
+    # transform references it: a lambda body substitutes referenced
+    # expressions per element, so an inline cuts (which contains the
+    # O(len) windowed-md5 filter) would re-run the whole boundary scan
+    # for EVERY chunk — O(len · chunks) md5 work (the
+    # simhash_from_hashes substitution trap; measured ~20x on the gate
+    # fixture).
+    staged = df.select(
+        F.col(id_col),
+        text.alias("__t"),
+        F.concat(F.array(F.lit(0).cast("int")), bp, tail).alias("__cuts"),
+    )
+    cuts = F.col("__cuts")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size(cuts) - 2),
+        lambda j: F.struct(
+            j.cast("int").alias("chunk_idx"),
+            F.col("__t").substr(
+                F.element_at(cuts, j + 1) + 1,
+                F.element_at(cuts, j + 2) - F.element_at(cuts, j + 1),
+            ).alias("chunk"),
+        ),
+    )
+    out = (
+        staged.select(F.col(id_col), F.explode(chunks).alias("__c"))
+        .select(
+            id_col,
+            F.col("__c.chunk_idx").alias("chunk_idx"),
+            F.md5(F.col("__c.chunk")).alias("chunk_md5"),
+            F.length(F.col("__c.chunk")).cast("long").alias("n_chars"),
+            *([F.col("__c.chunk").alias("chunk")] if keep_text else []),
+        )
+        .filter(F.col("n_chars") > 0)  # zero-length docs chunk to nothing
+    )
+    return out
+
+
+def cdc_dedup_report(chunks: DataFrame) -> DataFrame:
+    """G97: chunk-level dedup accounting over a :func:`cdc_chunks`
+    relation — ONE row: total/distinct chunk counts, total chars,
+    duplicated chars (chars of every instance beyond each chunk's
+    first), and the dedup ratio in integer micro-units
+    (``1e6 · dup_chars div total_chars`` — exact, replayable). Two
+    map-side-combinable aggregates (per-md5, then corpus); output is
+    one row regardless of corpus size."""
+    per = chunks.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.max("n_chars").cast("long").alias("__len"),
+    )
+    return per.agg(
+        F.sum("__c").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("__c") * F.col("__len")).cast("long").alias("total_chars"),
+        F.sum((F.col("__c") - 1) * F.col("__len")).cast("long").alias("dup_chars"),
+    ).select(
+        "n_chunks",
+        "n_distinct",
+        "total_chars",
+        "dup_chars",
+        F.expr("1000000 * dup_chars div total_chars").cast("long").alias(
+            "dup_ratio_micro"
+        ),
+    )

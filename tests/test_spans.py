@@ -272,3 +272,66 @@ def test_probe_cache_keys_file_backed_plans(spark, tmp_path):
         assert len(sp._HOT_GRAM_PROBE_CACHE) == n0 + 2
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def test_cdc_chunks_insertion_robustness_and_report(spark):
+    """G97: content-defined chunking — chunks concatenate back to the
+    exact text, an INSERTION early in a copy re-aligns every later
+    chunk (the CDC property whole-document hashing lacks: most chunk
+    md5s are shared), empty/NULL docs chunk to nothing, short docs are
+    one chunk, validation raises, and the dedup report's accounting is
+    exact (cross-engine values are the g97_cdc_chunks/g97_cdc_report
+    oracles, hash-green at both scales)."""
+    import pytest as _pytest
+
+    from ferc_xbrl_extractor_spark.operators.spans import (
+        cdc_chunks,
+        cdc_dedup_report,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "in the warm morning sun near the river bank " * 3
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, "INSERTED PREFIX >>> " + base), (3, "short"),
+         (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    ch = cdc_chunks(docs, window=8, divisor=64, keep_text=True).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # exact reconstruction, contiguous idx
+    got = "".join(
+        r["chunk"] for r in sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    )
+    assert got == base
+    assert sorted(r["chunk_idx"] for r in by_doc[1]) == list(
+        range(len(by_doc[1]))
+    )
+    # insertion robustness: ≥60% of the original's chunk hashes
+    # reappear in the prefixed copy
+    a = {r["chunk_md5"] for r in by_doc[1]}
+    b = {r["chunk_md5"] for r in by_doc[2]}
+    assert len(a & b) / len(a) >= 0.6
+    # edges
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_chars"] == 5
+    assert 4 not in by_doc and 5 not in by_doc
+
+    rep = cdc_dedup_report(
+        cdc_chunks(docs, window=8, divisor=64)
+    ).collect()[0]
+    # serial reference over the collected chunks
+    from collections import Counter
+
+    cnt = Counter((r["chunk_md5"], r["n_chars"]) for r in ch)
+    total = sum(n * c for (_, n), c in cnt.items())
+    dup = sum(n * (c - 1) for (_, n), c in cnt.items())
+    assert rep["n_chunks"] == len(ch)
+    assert rep["n_distinct"] == len(cnt)
+    assert rep["total_chars"] == total and rep["dup_chars"] == dup
+    assert rep["dup_ratio_micro"] == (1_000_000 * dup) // total
+
+    with _pytest.raises(ValueError, match=">= 1"):
+        cdc_chunks(docs, window=0)
