@@ -1086,9 +1086,16 @@ def _g96_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("content"),
     )
+    # EAGER checkpoint of the 97-row fixture: as a lazy subplan the
+    # 1024-element content expression lands inside ArrowEvalPython's
+    # input projection, which evaluates it INTERPRETED (no whole-stage
+    # codegen) once per consuming branch — measured 13s for the phash
+    # dedup pair vs ~1s codegen'd. The checkpointed relation is 97 rows
+    # x 3 KB; the non-AQE eager-execution caveat is immaterial at that
+    # size.
     return multimodal.media_table_from_binary(
         hexes, "media_id", "content", "image", "image/x-portable-pixmap"
-    )
+    ).localCheckpoint(eager=True)
 
 
 def q_g96_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2732,9 +2739,11 @@ def _g69_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("50360a3920380a3235350a"), F.array_join(px, ""))
         ).alias("content"),
     )
+    # eager checkpoint: same interpreted-ArrowEvalPython-projection
+    # reasoning as _g96_media (97 rows, trivial size)
     return multimodal.media_table_from_binary(
         hexes, "media_id", "content", "image", "image/x-portable-pixmap"
-    )
+    ).localCheckpoint(eager=True)
 
 
 def q_g69_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2856,9 +2865,11 @@ def _g70_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("content"),
     )
+    # eager checkpoint: same interpreted-ArrowEvalPython-projection
+    # reasoning as _g96_media (bounded fixture size)
     return multimodal.media_table_from_binary(
         wav, "media_id", "content", "audio", "audio/wav"
-    )
+    ).localCheckpoint(eager=True)
 
 
 def q_g70_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2939,9 +2950,11 @@ def _g71_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts += [F.lit(frame_hex), F.array_join(yplane, ""),
                   F.lit(chroma_hex)]
     vid = ids.select("media_id", F.unhex(F.concat(*parts)).alias("content"))
+    # eager checkpoint: same interpreted-ArrowEvalPython-projection
+    # reasoning as _g96_media (bounded fixture size)
     return multimodal.media_table_from_binary(
         vid, "media_id", "content", "video", "video/x-yuv4mpeg"
-    )
+    ).localCheckpoint(eager=True)
 
 
 def q_g71_video_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
