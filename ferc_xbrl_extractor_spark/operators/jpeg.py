@@ -782,3 +782,198 @@ def encode_png(arr: np.ndarray) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------- GIF
+# GIF87a/89a (CompuServe spec; public). Decodes the FIRST image frame
+# to RGB — the perceptual pipeline treats an animation like its poster
+# frame, the convention thumbnailers use.
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
+    """GIF-variant LZW: variable-width codes (LSB-first bit packing),
+    CLEAR resets the table, EOI ends the stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.zeros(n_expected, dtype=np.uint8)
+    n_out = 0
+    # bit reader, LSB-first
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                if n_out == n_expected:
+                    return out  # missing EOI: tolerated, frame complete
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            if n_out != n_expected:
+                raise ValueError(
+                    f"GIF frame decoded {n_out} of {n_expected} pixels"
+                )
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("invalid first GIF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        if n_out + len(entry) > n_expected:
+            raise ValueError("GIF LZW overrun")
+        out[n_out : n_out + len(entry)] = np.frombuffer(entry, np.uint8)
+        n_out += len(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    raise ValueError("unreachable")
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """Decode the first frame of a GIF87a/GIF89a into (h, w, 3) uint8
+    RGB (palette-expanded; transparency rendered as its palette color;
+    interlaced row order undone). Raises ``ValueError`` on malformed
+    bytes — E1-quarantinable like the JPEG/PNG paths."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(b) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(b[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+        if len(gct) != n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    while pos < len(b):
+        blk = b[pos]
+        pos += 1
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{blk:02x}")
+        if pos + 9 > len(b):
+            raise ValueError("truncated GIF image descriptor")
+        _x, _y, w, h, iflags = struct.unpack("<HHHHB", b[pos : pos + 9])
+        pos += 9
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(b[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+            if len(pal) != n:
+                raise ValueError("truncated GIF local color table")
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame without a color table")
+        if w == 0 or h == 0:
+            raise ValueError("zero-sized GIF frame")
+        if pos >= len(b):
+            raise ValueError("truncated GIF before LZW data")
+        min_code = b[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"bad GIF LZW minimum code size {min_code}")
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(data), min_code, w * h).reshape(h, w)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            order = [
+                r
+                for start, step in _GIF_INTERLACE
+                for r in range(start, h, step)
+            ]
+            de = np.zeros_like(idx)
+            de[order] = idx
+            idx = de
+        if int(idx.max()) >= len(pal):
+            raise ValueError("GIF palette index out of range")
+        return pal[idx]
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array with ≤ 256 distinct colors (or
+    an (h, w) grayscale array) as a single-frame GIF89a. LZW is emitted
+    in fixed-width 'clear-flood' form (a CLEAR code before every
+    symbol), the classic patent-era minimal writer — larger output,
+    spec-valid, and exactly what fixtures need."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr, arr, arr], axis=-1)
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"encode_gif needs <= 256 colors, got {len(colors)}")
+    bits = max(2, int(len(colors) - 1).bit_length())
+    pal = np.zeros((1 << bits, 3), np.uint8)
+    pal[: len(colors)] = colors
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code = bits
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    acc = 0
+    nbits = 0
+    data = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for v in idx.reshape(-1):
+        emit(int(v))
+        emit(clear)  # keep the table (and the code width) fixed
+    emit(eoi)
+    if nbits:
+        data.append(acc & 0xFF)
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + bytes(chunk)
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -9,11 +9,12 @@ rows like any other row.
 Codec layering (the ``pipeline/sinks.py`` frictionless pattern), in
 dispatch order inside the same Arrow-batched ``mapInPandas`` bodies:
 
-1. **PPM (P6) images, BASELINE JPEG and 8-bit PNG (r9 —
+1. **PPM (P6) images, BASELINE JPEG, 8-bit PNG and GIF (r9 —
    operators/jpeg.py: the pure-numpy ITU-T T.81 subset — SOF0/SOF1
-   Huffman, any sampling factors, restart markers — plus an RFC-2083
-   PNG decoder over stdlib zlib, all color types at depth 8), PCM WAV
-   audio, and Y4M video** — REAL codecs, always available. PPM/WAV/Y4M are uncompressed (header +
+   Huffman, any sampling factors, restart markers — an RFC-2083 PNG
+   decoder over stdlib zlib (all color types at depth 8), and a
+   GIF87a/89a first-frame LZW decoder incl. interlace), PCM WAV audio,
+   and Y4M video** — REAL codecs, always available. PPM/WAV/Y4M are uncompressed (header +
    raw samples); JPEG adds the entropy+DCT pipeline a real crawl's
    images actually arrive in. Decode, ITU-R 601-2 luma,
    nearest-neighbor resize, linear-interp resample, BT.601 YUV->RGB
@@ -47,8 +48,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ferc_xbrl_extractor_spark.operators.jpeg import (
+    decode_gif,
     decode_jpeg_baseline,
     decode_png,
+    encode_gif,
     encode_jpeg_baseline,
     encode_png,
 )
@@ -59,7 +62,7 @@ except ImportError:  # pragma: no cover - sandbox has no Pillow
     _PILImage = None
 
 
-_BUILTIN_IMAGE_MAGIC = (b"P6", b"\xff\xd8", b"\x89PNG")
+_BUILTIN_IMAGE_MAGIC = (b"P6", b"\xff\xd8", b"\x89PNG", b"GIF8")
 
 
 def _is_builtin_image(b: bytes) -> bool:
@@ -82,6 +85,11 @@ def _decode_rgb_builtin(b: bytes):
     if b[:4] == b"\x89PNG":
         try:
             return decode_png(b)
+        except ValueError:
+            return None
+    if b[:4] == b"GIF8":
+        try:
+            return decode_gif(b)  # first frame = the poster convention
         except ValueError:
             return None
     return None
@@ -241,9 +249,7 @@ def extract_features(
         if arr is not None:
             row = _nn_resize(_luma(arr), dim, 1)[0]
             return [float(p) / 128.0 - 1.0 for p in row]
-        if (
-            b[:2] == b"\xff\xd8" or b[:4] == b"\x89PNG"
-        ) and _PILImage is None:
+        if _is_builtin_image(b) and _PILImage is None:
             # JPEG/PNG the built-in codecs could not decode (malformed,
             # progressive, interlaced, 16-bit): quarantine, don't kill
             # the job (E1)
@@ -301,20 +307,33 @@ def resize_images(
         b = bytes(b)
         if b[:2] == b"P6":
             return encode_ppm(_nn_resize(decode_ppm(b), width, height))
-        if b[:2] == b"\xff\xd8" or b[:4] == b"\x89PNG":
-            is_png = b[:4] == b"\x89PNG"
+        if b[:2] == b"\xff\xd8" or b[:4] == b"\x89PNG" or b[:4] == b"GIF8":
+            kind = (
+                "png" if b[:4] == b"\x89PNG"
+                else "gif" if b[:4] == b"GIF8"
+                else "jpeg"
+            )
             try:
-                arr = decode_png(b) if is_png else decode_jpeg_baseline(b)
+                arr = {
+                    "png": decode_png,
+                    "gif": decode_gif,
+                    "jpeg": decode_jpeg_baseline,
+                }[kind](b)
             except ValueError:
                 if _PILImage is None:
                     return None  # quarantine (E1)
                 arr = None
             if arr is not None:
                 # the container survives the resize: JPEG re-encodes as
-                # baseline 4:4:4 (quality 85, the encoder default), PNG
-                # re-encodes losslessly
+                # baseline 4:4:4 (quality 85, the encoder default);
+                # PNG losslessly; GIF keeps its palette (nearest-
+                # neighbor sampling never mints new colors)
                 out = _nn_resize(arr, width, height)
-                return encode_png(out) if is_png else encode_jpeg_baseline(out)
+                if kind == "png":
+                    return encode_png(out)
+                if kind == "gif":
+                    return encode_gif(out)
+                return encode_jpeg_baseline(out)
         if _PILImage is None:
             raise NotImplementedError(
                 "only the built-in PPM (P6) and baseline-JPEG codecs are "
@@ -337,6 +356,8 @@ def resize_images(
             return "image/x-portable-pixmap"
         if b is not None and bytes(b[:2]) == b"\xff\xd8":
             return "image/jpeg"
+        if b is not None and bytes(b[:4]) == b"GIF8":
+            return "image/gif"
         return "image/png"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
