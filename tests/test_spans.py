@@ -274,6 +274,7 @@ def test_probe_cache_keys_file_backed_plans(spark, tmp_path):
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
+@pytest.mark.slow
 def test_cdc_chunks_insertion_robustness_and_report(spark):
     """G97: content-defined chunking — chunks concatenate back to the
     exact text, an INSERTION early in a copy re-aligns every later
