@@ -1051,6 +1051,24 @@ def q_g95_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return annotator_agreement(ann, min_items=5)
 
 
+def q_g95b_fleiss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G95b: Fleiss' kappa (labels.fleiss_kappa) over the g81/g95
+    annotation recast — ONE chance-corrected agreement number for the
+    whole rater pool, exact integer micro-units; the modal rating
+    count is derived (ties toward more raters) and off-count items are
+    counted in n_dropped_items, never silently lost. The oracle
+    replays the modal probe, the kept-item aggregates and the three
+    integer divisions (negative kappas replay — // ≡ div)."""
+    from ferc_xbrl_extractor_spark.operators.labels import fleiss_kappa
+
+    ann = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 200).alias("item_id"),
+        (F.col("user_id") % 25).alias("annotator_id"),
+        F.col("event_type").alias("label"),
+    )
+    return fleiss_kappa(ann)
+
+
 def _g96_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G96 fixture: 97 formula-built 32x32 P6 images constructed
     in-plan (the _g69_media pattern at pHash's native input size, so
@@ -4005,6 +4023,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_minhash_lsh": q_g2_minhash_lsh,
         "g94_crossdup": q_g94_crossdup,
         "g95_kappa": q_g95_kappa,
+        "g95b_fleiss": q_g95b_fleiss,
         "g96_image_phash": q_g96_image_phash,
         "g96_phash_dedup": q_g96_phash_dedup,
         "g97_cdc_chunks": q_g97_cdc_chunks,
@@ -4720,6 +4739,61 @@ def fine_oracle_sql() -> dict[str, str]:
         JOIN sizel sa ON id_a = sa.doc_id
         JOIN sizer sb ON id_b = sb.doc_id
         WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """
+
+    # G95b: Fleiss' kappa — modal rating count, kept-item aggregates,
+    # three integer divisions on the same one-vote relation.
+    sql["g95b_fleiss"] = """
+        WITH one_vote AS (
+            SELECT event_id % 200 AS item_id, user_id % 25 AS annotator_id,
+                   min(event_type) AS l
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        ni AS (SELECT item_id, count(*) AS n FROM one_vote GROUP BY 1),
+        modal AS (
+            SELECT n FROM (
+                SELECT n, count(*) AS c FROM ni WHERE n >= 2 GROUP BY 1
+            ) ORDER BY c DESC, n DESC LIMIT 1
+        ),
+        kept AS (SELECT item_id FROM ni, modal WHERE ni.n = modal.n),
+        nic AS (
+            SELECT o.item_id, l, count(*) AS c
+            FROM one_vote o JOIN kept USING (item_id)
+            GROUP BY 1, 2
+        ),
+        s2n AS (
+            SELECT sum(c * c) AS s2, count(DISTINCT item_id) AS n_items
+            FROM nic
+        ),
+        t2 AS (
+            SELECT sum(t * t) AS t2
+            FROM (SELECT sum(c) AS t FROM nic GROUP BY l)
+        )
+        SELECT CAST(n_items AS BIGINT) AS n_items,
+               CAST((SELECT n FROM modal) AS BIGINT) AS n_raters,
+               CAST((SELECT count(*) FROM ni) - n_items AS BIGINT)
+                   AS n_dropped_items,
+               CAST((1000000 * (s2 - n_items * (SELECT n FROM modal)))
+                    // (n_items * (SELECT n FROM modal)
+                        * ((SELECT n FROM modal) - 1)) AS BIGINT)
+                   AS po_micro,
+               CAST((1000000 * t2)
+                    // (n_items * (SELECT n FROM modal)
+                        * n_items * (SELECT n FROM modal)) AS BIGINT)
+                   AS pe_micro,
+               CAST(CASE WHEN ((SELECT n FROM modal) - 1)
+                              * (n_items * (SELECT n FROM modal)
+                                 * n_items * (SELECT n FROM modal) - t2)
+                              != 0
+                    THEN (1000000 * ((s2 - n_items * (SELECT n FROM modal))
+                                     * n_items * (SELECT n FROM modal)
+                                     - t2 * ((SELECT n FROM modal) - 1)))
+                         // (((SELECT n FROM modal) - 1)
+                             * (n_items * (SELECT n FROM modal)
+                                * n_items * (SELECT n FROM modal) - t2))
+                    END AS BIGINT) AS kappa_micro
+        FROM s2n, t2
     """
 
     # G95: pairwise Cohen's kappa — one-vote collapse, item self-join,
@@ -8429,7 +8503,7 @@ _SUITES: dict[str, list[str]] = {
     "g_analytics_misc_suite": [
         "g21_unpivot", "g13_salted_agg", "g13b_salted_auto", "g10_json",
         "g25_zorder", "g67_skew_report", "g72_cms_topk", "g81_label_agg",
-        "g88_salted_join", "g95_kappa",
+        "g88_salted_join", "g95_kappa", "g95b_fleiss",
     ],
     "g32_report_suite": [
         "g32_corpus_report", "g32_stratum_report", "g93_calibration",
@@ -8472,6 +8546,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g69_image_dedup": [("id_a", "i"), ("id_b", "i"), ("hamming", "i")],
     "g94_crossdup": [("id_a", "i"), ("id_b", "i"), ("jaccard", "n")],
     "g95_kappa": [("annotator_a", "i"), ("annotator_b", "i"), ("n_items", "i"), ("n_agree", "i"), ("kappa_micro", "i")],
+    "g95b_fleiss": [("n_items", "i"), ("n_raters", "i"), ("n_dropped_items", "i"), ("po_micro", "i"), ("pe_micro", "i"), ("kappa_micro", "i")],
     "g96_image_phash": [("media_id", "i"), ("phash", "i"), ("bucket", "i")],
     "g96_phash_dedup": [("id_a", "i"), ("id_b", "i"), ("hamming", "i")],
     "g97_cdc_chunks": [("doc_id", "i"), ("chunk_idx", "i"), ("chunk_md5", "s"), ("n_chars", "i")],

@@ -81,6 +81,7 @@ HEADLINE = [
     "g28_quality_classifier",
     "g93_calibration",
     "g95_kappa",
+    "g95b_fleiss",
     "g32_corpus_report",
     "g32_stratum_report",
     "g33_strip_lines",

@@ -246,3 +246,115 @@ def annotator_agreement(
             F.expr("__num div __den").cast("long").alias("kappa_micro"),
         )
     )
+
+
+def fleiss_kappa(
+    annotations: DataFrame,
+    item_col: str = "item_id",
+    annotator_col: str = "annotator_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """G95b: Fleiss' kappa (1971) — chance-corrected agreement for the
+    WHOLE rater pool at once (Cohen's kappa is pairwise;
+    :func:`annotator_agreement` yields a pair matrix, this one number
+    summarizes the crowd). ONE output row:
+
+      (n_items, n_raters, n_dropped_items, po_micro, pe_micro,
+       kappa_micro)
+
+    Fleiss requires a constant number of ratings per item; the rating
+    count is DERIVED as the modal per-item count among items with ≥ 2
+    ratings (ties break toward more raters), and items with any other
+    count are dropped AND counted in ``n_dropped_items`` — a visible
+    signal, never a silent narrowing (the r8 hygiene rule). Raises if
+    no item has ≥ 2 ratings.
+
+    Exact integers end to end, one division per reported metric:
+      P̄o  = (Σ_i Σ_c n_ic² − N·n) / (N·n·(n−1))
+      P̄e  = Σ_c T_c² / (N·n)²           with T_c = Σ_i n_ic
+      κ    = (P̄o − P̄e) / (1 − P̄e)
+           = (ΣΣn_ic²·Nn − N²n² − T²·(n−1)/… )  — computed with the Nn
+      common factor cancelled: κ_num = (S2 − N·n)·N·n − T2·(n−1),
+      κ_den = (n−1)·((N·n)² − T2), where S2 = Σ_i Σ_c n_ic²,
+      T2 = Σ_c T_c². Exactness envelope: intermediates stay under 2⁶³
+      for N·n ≤ ~3·10⁹ rating events — far past any human-annotated
+      corpus; κ_micro is NULL when κ_den = 0 (P̄e = 1: a single label
+      everywhere, agreement is indistinguishable from chance).
+
+    NULL labels drop as abstentions and duplicate (item, annotator)
+    votes collapse to the MINIMUM label, exactly as in
+    :func:`annotator_agreement`. Scale shape: one (item, annotator)
+    aggregate over the annotation volume, one (item, label) aggregate,
+    then everything is |items|- or |labels|-sized; the modal-count
+    probe is a bounded collect over distinct rating counts.
+    """
+    one_vote = (
+        annotations.filter(F.col(label_col).isNotNull())
+        .groupBy(item_col, annotator_col)
+        .agg(F.min(label_col).alias("__l"))
+    )
+    n_of_item = one_vote.groupBy(item_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    modal = (
+        n_of_item.filter(F.col("__n") >= 2)
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__n").desc())
+        .limit(1)
+        .collect()
+    )
+    if not modal:
+        raise ValueError(
+            "fleiss_kappa needs at least one item with >= 2 ratings"
+        )
+    n = int(modal[0]["__n"])
+    kept = n_of_item.filter(F.col("__n") == n).select(item_col)
+    n_dropped = n_of_item.count() - kept.count()
+    nic = (
+        one_vote.join(kept, item_col)
+        .groupBy(item_col, "__l")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    s2_n = nic.agg(
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("s2"),
+        F.count_distinct(F.col(item_col)).cast("long").alias("n_items"),
+    )
+    t2 = (
+        nic.groupBy("__l")
+        .agg(F.sum("__c").cast("long").alias("__t"))
+        .agg(F.sum(F.col("__t") * F.col("__t")).cast("long").alias("t2"))
+    )
+    one = s2_n.crossJoin(t2).select(
+        "n_items",
+        F.lit(n).cast("long").alias("n_raters"),
+        F.lit(n_dropped).cast("long").alias("n_dropped_items"),
+        "s2",
+        "t2",
+    )
+    nn = F.col("n_items") * F.lit(n)
+    po_num = F.col("s2") - nn
+    po_den = nn * F.lit(n - 1)
+    pe_den = nn * nn
+    k_num = po_num * nn - F.col("t2") * F.lit(n - 1)
+    k_den = F.lit(n - 1) * (pe_den - F.col("t2"))
+    return one.select(
+        "n_items",
+        "n_raters",
+        "n_dropped_items",
+        (F.lit(1_000_000) * po_num).cast("long").alias("__pon"),
+        po_den.cast("long").alias("__pod"),
+        (F.lit(1_000_000) * F.col("t2")).cast("long").alias("__pen"),
+        pe_den.cast("long").alias("__ped"),
+        (F.lit(1_000_000) * k_num).cast("long").alias("__kn"),
+        k_den.cast("long").alias("__kd"),
+    ).select(
+        "n_items",
+        "n_raters",
+        "n_dropped_items",
+        F.expr("__pon div __pod").cast("long").alias("po_micro"),
+        F.expr("__pen div __ped").cast("long").alias("pe_micro"),
+        F.when(
+            F.col("__kd") != 0, F.expr("__kn div __kd").cast("long")
+        ).alias("kappa_micro"),
+    )

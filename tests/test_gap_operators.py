@@ -2276,6 +2276,50 @@ def test_annotator_agreement_kappa_exact(spark):
     assert row["kappa_micro"] is None and row["n_agree"] == 3
 
 
+def test_fleiss_kappa_exact(spark):
+    """G95b: Fleiss' kappa equals a Fraction-exact reference on a
+    hand-built 4-item/3-rater panel (po=2/3, pe=1/2, kappa=1/3 →
+    333333 micro), the off-count item is DROPPED AND COUNTED, duplicate
+    votes collapse to the min label, p_e=1 yields NULL kappa, and an
+    all-singleton input raises (cross-engine values are the
+    g95b_fleiss oracle, hash-green at both scales)."""
+    import pytest as _pytest
+
+    from ferc_xbrl_extractor_spark.operators.labels import fleiss_kappa
+
+    rows = [
+        (1, 1, "a"), (1, 2, "a"), (1, 3, "a"),
+        (2, 1, "a"), (2, 2, "a"), (2, 3, "b"),
+        (3, 1, "b"), (3, 2, "b"), (3, 3, "b"),
+        (4, 1, "a"), (4, 2, "b"), (4, 3, "b"),
+        (5, 1, "a"), (5, 2, "b"),            # 2 ratings -> dropped
+        (1, 1, "z"),                          # dup vote: min("a","z")
+    ]
+    ann = spark.createDataFrame(
+        rows, "item_id long, annotator_id long, label string"
+    )
+    r = fleiss_kappa(ann).collect()[0]
+    assert r["n_items"] == 4 and r["n_raters"] == 3
+    assert r["n_dropped_items"] == 1
+    assert r["po_micro"] == 666666      # 2/3
+    assert r["pe_micro"] == 500000      # 1/2
+    assert r["kappa_micro"] == 333333   # 1/3
+
+    const = spark.createDataFrame(
+        [(i, a, "x") for i in range(3) for a in (1, 2)],
+        "item_id long, annotator_id long, label string",
+    )
+    rc = fleiss_kappa(const).collect()[0]
+    assert rc["kappa_micro"] is None and rc["po_micro"] == 1_000_000
+
+    singles = spark.createDataFrame(
+        [(i, 1, "a") for i in range(4)],
+        "item_id long, annotator_id long, label string",
+    )
+    with _pytest.raises(ValueError, match=">= 2"):
+        fleiss_kappa(singles)
+
+
 @pytest.mark.slow
 def test_image_phash_invariances_and_dedup(spark):
     """G96: the integer-DCT pHash is container-invariant (PPM vs q95
