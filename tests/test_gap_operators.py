@@ -2276,6 +2276,7 @@ def test_annotator_agreement_kappa_exact(spark):
     assert row["kappa_micro"] is None and row["n_agree"] == 3
 
 
+@pytest.mark.slow
 def test_fleiss_kappa_exact(spark):
     """G95b: Fleiss' kappa equals a Fraction-exact reference on a
     hand-built 4-item/3-rater panel (po=2/3, pe=1/2, kappa=1/3 →
