@@ -296,21 +296,23 @@ def fleiss_kappa(
     n_of_item = one_vote.groupBy(item_col).agg(
         F.count(F.lit(1)).cast("long").alias("__n")
     )
-    modal = (
-        n_of_item.filter(F.col("__n") >= 2)
-        .groupBy("__n")
+    # ONE bounded probe (<= |distinct rating counts| rows) serves the
+    # modal pick AND the dropped-item accounting — the first cut ran
+    # two extra count() jobs for n_dropped, ~1s of pure job floor
+    hist = {
+        int(r["__n"]): int(r["__c"])
+        for r in n_of_item.groupBy("__n")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .orderBy(F.col("__c").desc(), F.col("__n").desc())
-        .limit(1)
         .collect()
-    )
-    if not modal:
+    }
+    eligible = {k: v for k, v in hist.items() if k >= 2}
+    if not eligible:
         raise ValueError(
             "fleiss_kappa needs at least one item with >= 2 ratings"
         )
-    n = int(modal[0]["__n"])
+    n = max(eligible, key=lambda k: (eligible[k], k))
     kept = n_of_item.filter(F.col("__n") == n).select(item_col)
-    n_dropped = n_of_item.count() - kept.count()
+    n_dropped = sum(v for k, v in hist.items() if k != n)
     nic = (
         one_vote.join(kept, item_col)
         .groupBy(item_col, "__l")

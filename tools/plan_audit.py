@@ -58,6 +58,9 @@ INTENTIONAL_BNLJ = {
     # onto the per-key counts for the share/salt_need projection (the
     # g4_bm25 shape).
     "g67_skew_report",
+    # g95b_fleiss: the ONE-row (S2, N) aggregate cross-joined with the
+    # ONE-row T2 aggregate — a 1x1 combine, bounded by construction.
+    "g95b_fleiss",
     # g80_rrf_fuse: unions the g3_ivf_topk subplan, inheriting its
     # allowlisted broadcast-query-side BNLJ; the fusion layer itself
     # adds only a combinable aggregate + per-query window.
