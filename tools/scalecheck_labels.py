@@ -80,6 +80,43 @@ def timed(spark, n: int) -> dict:
     }
 
 
+def timed_kappa(spark, n: int) -> dict:
+    """r9 tier: G95 pairwise Cohen's kappa on the same corpus. The one
+    scale-risk term is the item-keyed self-join (|items|·d² rows for
+    per-item annotator degree d ≈ 50 here — a deliberately HARSH panel;
+    production pools run d = 3-5); the pair/marginal aggregates are
+    |pairs|·|labels|-sized. In-run check: with 500 annotators at 70%
+    shared reliability and uniform-over-5 decoys, the empirical kappa
+    distribution at 1M annotations spans [0.285, 0.693] (median 0.49);
+    every reported pair (>= 100 shared items) is asserted inside
+    (0.20, 0.75) micro — agreement REAL (0 excluded) but imperfect
+    (1.0 excluded) for all C(500,2) = 124,750 pairs."""
+    from ferc_xbrl_extractor_spark.operators.labels import (
+        annotator_agreement,
+    )
+
+    ann, _ = build(spark, n)
+    run = lambda: annotator_agreement(  # noqa: E731
+        ann, min_items=100
+    )
+    out = run().filter(F.col("kappa_micro").isNotNull())
+    bad = out.filter(
+        (F.col("kappa_micro") < 200000) | (F.col("kappa_micro") > 750000)
+    ).count()
+    n_pairs = out.count()
+    assert n_pairs > 0 and bad == 0, (n_pairs, bad)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        run().count()
+        best = min(best, time.time() - t0)
+    return {
+        "annotations": n,
+        "pairs_reported": int(n_pairs),
+        "kappa_s": round(best, 3),
+    }
+
+
 def main() -> None:
     spark = get_spark(
         "scalecheck-labels",
@@ -87,6 +124,8 @@ def main() -> None:
     )
     t1 = timed(spark, 1_000_000)
     t10 = timed(spark, 10_000_000)
+    k1 = timed_kappa(spark, 1_000_000)
+    k10 = timed_kappa(spark, 10_000_000)
     print(
         json.dumps(
             {
@@ -95,6 +134,10 @@ def main() -> None:
                 "tiers": {"1m": t1, "10m": t10},
                 "time_ratio_for_10x_annotations": round(
                     t10["agg_s"] / t1["agg_s"], 2
+                ),
+                "kappa_tiers": {"1m": k1, "10m": k10},
+                "kappa_time_ratio_for_10x": round(
+                    k10["kappa_s"] / k1["kappa_s"], 2
                 ),
                 "note": "two-pass estimate (majority -> annotator "
                 "accuracy broadcast -> weighted revote) over 500 "
