@@ -276,10 +276,14 @@ def fleiss_kappa(
            = (ΣΣn_ic²·Nn − N²n² − T²·(n−1)/… )  — computed with the Nn
       common factor cancelled: κ_num = (S2 − N·n)·N·n − T2·(n−1),
       κ_den = (n−1)·((N·n)² − T2), where S2 = Σ_i Σ_c n_ic²,
-      T2 = Σ_c T_c². Exactness envelope: intermediates stay under 2⁶³
-      for N·n ≤ ~3·10⁹ rating events — far past any human-annotated
-      corpus; κ_micro is NULL when κ_den = 0 (P̄e = 1: a single label
-      everywhere, agreement is indistinguishable from chance).
+      T2 = Σ_c T_c². Exactness: the corpus-sized work reduces to a
+      1-row aggregate (S2, N, T2); the final products — which overflow
+      int64 already at ~270k items × 5 raters if computed in-plan —
+      are evaluated in PYTHON BIGINTS on the driver (bounded by
+      construction: one row), matching the oracle's HUGEINT (int128)
+      arithmetic exactly at any corpus size. κ_micro is None when
+      κ_den = 0 (P̄e = 1: a single label everywhere, agreement is
+      indistinguishable from chance).
 
     NULL labels drop as abstentions and duplicate (item, annotator)
     votes collapse to the MINIMUM label, exactly as in
@@ -327,36 +331,34 @@ def fleiss_kappa(
         .agg(F.sum("__c").cast("long").alias("__t"))
         .agg(F.sum(F.col("__t") * F.col("__t")).cast("long").alias("t2"))
     )
-    one = s2_n.crossJoin(t2).select(
-        "n_items",
-        F.lit(n).cast("long").alias("n_raters"),
-        F.lit(n_dropped).cast("long").alias("n_dropped_items"),
-        "s2",
-        "t2",
-    )
-    nn = F.col("n_items") * F.lit(n)
-    po_num = F.col("s2") - nn
-    po_den = nn * F.lit(n - 1)
+    row = s2_n.crossJoin(t2).collect()[0]  # bounded: ONE row
+    s2, n_items, t2v = int(row["s2"]), int(row["n_items"]), int(row["t2"])
+    # Python bigints from here — the in-plan form overflowed int64 at
+    # ~270k items x 5 raters (1e6 * S2 * N * n); bigint == the oracle's
+    # HUGEINT at any size, and // on nonneg/neg operands is matched by
+    # explicit truncation toward zero below
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    nn = n_items * n
+    po_num, po_den = s2 - nn, nn * (n - 1)
     pe_den = nn * nn
-    k_num = po_num * nn - F.col("t2") * F.lit(n - 1)
-    k_den = F.lit(n - 1) * (pe_den - F.col("t2"))
-    return one.select(
-        "n_items",
-        "n_raters",
-        "n_dropped_items",
-        (F.lit(1_000_000) * po_num).cast("long").alias("__pon"),
-        po_den.cast("long").alias("__pod"),
-        (F.lit(1_000_000) * F.col("t2")).cast("long").alias("__pen"),
-        pe_den.cast("long").alias("__ped"),
-        (F.lit(1_000_000) * k_num).cast("long").alias("__kn"),
-        k_den.cast("long").alias("__kd"),
-    ).select(
-        "n_items",
-        "n_raters",
-        "n_dropped_items",
-        F.expr("__pon div __pod").cast("long").alias("po_micro"),
-        F.expr("__pen div __ped").cast("long").alias("pe_micro"),
-        F.when(
-            F.col("__kd") != 0, F.expr("__kn div __kd").cast("long")
-        ).alias("kappa_micro"),
+    k_num = po_num * nn - t2v * (n - 1)
+    k_den = (n - 1) * (pe_den - t2v)
+    out_row = {
+        "n_items": n_items,
+        "n_raters": n,
+        "n_dropped_items": int(n_dropped),
+        "po_micro": _tdiv(1_000_000 * po_num, po_den),
+        "pe_micro": _tdiv(1_000_000 * t2v, pe_den),
+        "kappa_micro": (
+            _tdiv(1_000_000 * k_num, k_den) if k_den != 0 else None
+        ),
+    }
+    spark = annotations.sparkSession
+    return spark.createDataFrame(
+        [tuple(out_row.values())],
+        "n_items long, n_raters long, n_dropped_items long, "
+        "po_micro long, pe_micro long, kappa_micro long",
     )
