@@ -51,6 +51,20 @@ from pyspark.sql.functions import pandas_udf
 # at build and probe time.
 _H2_SEED = 0x9E3779B9
 
+# Above this many dim keys, bloom_join(mode="udf") auto-dispatches to
+# the blocked form: SCALECHECK_BLOOM_r09.json pins the udf mode's
+# driver-built-bitmap cost at 3× WORSE than no prefilter at 10⁷ keys,
+# while it still wins below the broadcast ceiling. 2M keys ≈ a ~2.9 MB
+# bitmap at 1% fpp — comfortably inside the closure-broadcast regime.
+UDF_MODE_KEY_CEILING = 2_000_000
+
+
+def _q(name: str) -> Column:
+    """Resolve a column by its RAW name — ``F.col``/``select(str)``
+    parse backticks as quoting, so a name containing one needs the
+    escaped-quoted form (r9 ADVICE)."""
+    return F.expr("`" + name.replace("`", "``") + "`")
+
 
 @dataclass
 class BloomFilter:
@@ -228,10 +242,13 @@ def _blocked_word_mask(key_col: str, w: int, k: int) -> tuple[Column, Column]:
     second hash (k ≤ 8 uses 48 of its 64 bits); duplicate lanes merely
     waste a bit, the standard blocked-bloom tradeoff. Built via
     ``F.expr`` because ``shiftleft``'s Python wrapper only takes a
-    literal shift count — the SQL form accepts a per-row one."""
-    word = F.pmod(F.xxhash64(F.col(key_col)), F.lit(w))
+    literal shift count — the SQL form accepts a per-row one. The
+    column name is backtick-escaped before interpolation (r9 ADVICE:
+    a name containing a backtick parsed wrong or mis-bound)."""
+    quoted = "`" + key_col.replace("`", "``") + "`"
+    word = F.pmod(F.xxhash64(F.expr(quoted)), F.lit(w))
     lanes = [
-        f"cast((shiftrightunsigned(xxhash64(`{key_col}`, {_H2_SEED}L), "
+        f"cast((shiftrightunsigned(xxhash64({quoted}, {_H2_SEED}L), "
         f"{6 * j}) & 63) AS int)"
         for j in range(k)
     ]
@@ -283,20 +300,40 @@ def bloom_join(
       - ``"udf"``: the classic driver-built bitmap probed by an
         Arrow-batched numpy UDF (:func:`bloom_build` /
         :func:`might_contain`) — kept for closure-shipped reuse of one
-        filter across many DataFrames.
+        filter across many DataFrames. ANTI-REGIME GUARD (r9 verdict:
+        its own scalecheck measured this mode at 30.1s vs 9.4s for NO
+        prefilter at 10⁷ dim keys — the driver-side bitmap build and
+        closure broadcast dominate long before the prefilter pays):
+        past ``UDF_MODE_KEY_CEILING`` dim keys the call auto-dispatches
+        to ``"blocked"``, so no mode of this operator is ever silently
+        worse than the plain join. Callers who genuinely want a
+        reusable bitmap above the ceiling build it themselves via
+        :func:`bloom_build`.
     """
     if not 0 < fpp < 1:
         raise ValueError("fpp must be in (0, 1)")
-    if mode == "udf":
-        bloom = bloom_build(
-            dim.select(on), on, fpp=fpp, n_keys=n_keys
-        )
-        pre = fact.filter(might_contain(bloom, F.col(on)))
-        return pre.join(dim, on)
-    if mode != "blocked":
+    if mode not in ("blocked", "udf"):
         raise ValueError(f"mode must be 'blocked' or 'udf', got {mode!r}")
+    if mode == "udf":
+        if n_keys is None:
+            n_keys = dim.select(_q(on)).count()
+        if n_keys <= UDF_MODE_KEY_CEILING:
+            bloom = bloom_build(
+                dim.select(_q(on).alias(on)), on, fpp=fpp, n_keys=n_keys
+            )
+            pre = fact.filter(might_contain(bloom, _q(on)))
+            return pre.join(dim, on)
+        # fall through to blocked — the G13b probe-then-dispatch shape
+    clash = {"__bw", "__bm", "__bits"} & (set(fact.columns) | set(dim.columns))
+    if clash:
+        # r9 ADVICE: a caller column named like a working column would
+        # fail analysis as ambiguous or be silently dropped below
+        raise ValueError(
+            f"bloom_join working column(s) {sorted(clash)} already exist "
+            "on an input; rename them first"
+        )
     words, w, k = blocked_bloom_words(
-        dim.select(on), on, fpp=fpp, n_keys=n_keys
+        dim.select(_q(on).alias(on)), on, fpp=fpp, n_keys=n_keys
     )
     word, mask = _blocked_word_mask(on, w, k)
     pre = (

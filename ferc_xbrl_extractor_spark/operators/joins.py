@@ -196,14 +196,22 @@ def salted_join(
     is the plain join).
 
     Every big-side row gets a salt in ``[0, salts)`` — xxhash64 over
-    its full row content MIXED with a per-partition row ordinal
-    (r8 ADVICE: content alone sent exact-duplicate rows, common after
-    narrow fact-table projections, to ONE salt, silently re-serializing
-    precisely the duplicate-row skew case). The ordinal is
-    ``monotonically_increasing_id()`` — stable per (partition, row
-    position), including under task retry, and ANY salt assignment is
-    output-correct here because the small side is replicated across all
-    salts. The small side explodes into ``salts`` copies, one per salt
+    its full row content AND a per-partition row ordinal as one extra
+    hash operand (r8 ADVICE: content alone sent exact-duplicate rows,
+    common after narrow fact-table projections, to ONE salt, silently
+    re-serializing precisely the duplicate-row skew case; r9 ADVICE:
+    ADDING the ordinal to the hash overflowed int64 under ANSI mode
+    with probability ~mid/2⁶⁴ per row — folding it in as an operand
+    keeps every intermediate inside xxhash64's own arithmetic). The
+    ordinal is ``monotonically_increasing_id()``, which is NOT
+    replay-stable: a task retry that re-reads a source whose row order
+    within the partition is not deterministic can route the same row to
+    a different salt on the second attempt. That only moves rows
+    between reducers — ANY salt assignment is output-correct here
+    because the small side is replicated across all salts (the gate
+    oracle is the plain join) — but do not persist ``__salt`` or key
+    downstream state on it. The small side explodes into ``salts``
+    copies, one per salt
     value; the join runs on ``(on, salt)``. A key owning 30% of the
     corpus now spreads across ``salts`` reducers instead of serializing
     through one — whether its rows are distinct or byte-identical.
@@ -226,8 +234,10 @@ def salted_join(
     if salts < 1:
         raise ValueError("salts must be >= 1")
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in big.columns])
-        + F.monotonically_increasing_id(),
+        F.xxhash64(
+            *[F.col(c) for c in big.columns],
+            F.monotonically_increasing_id(),
+        ),
         F.lit(salts),
     ).cast("int")
     b = big.withColumn("__salt", salt)

@@ -40,7 +40,7 @@ surface).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 ACC_MICRO = 10**6
@@ -170,8 +170,12 @@ def annotator_agreement(
     — one exact floor division at the end, bit-replayable by the SQL
     oracle. NULL when the denominator is 0 (p_e = 1: both raters used
     one identical label throughout — chance explains everything, kappa
-    is undefined by definition). N² rides a long: exact to ~3·10⁹
-    co-labeled items per pair, far past any human pair.
+    is undefined by definition). The numerator and denominator ride
+    decimal(38,0), not long (r9 ADVICE: the long form's 1e6·N² term
+    overflowed int64 — a hard ANSI error — once a pair co-labeled
+    ~3·10⁶ items, which real dual-annotation batches reach): exact to
+    ~10¹⁶ co-labeled items per pair, and both engines truncate the
+    decimal ``div`` toward zero so negative kappas still replay.
 
     NULL labels drop as abstentions (the :func:`aggregate_labels`
     contract); duplicate (item, annotator) votes collapse to the
@@ -225,20 +229,22 @@ def annotator_agreement(
         .groupBy(*keys)
         .agg(F.sum(F.col("__na") * F.col("__nb")).cast("long").alias("__pe"))
     )
-    pe0 = F.coalesce(F.col("__pe"), F.lit(0)).cast("long")
-    den = F.col("n_items") * F.col("n_items") - pe0
-    num = F.lit(1_000_000).cast("long") * (
-        F.col("n_agree") * F.col("n_items") - pe0
+    d38 = "decimal(38,0)"
+    pe0 = F.coalesce(F.col("__pe"), F.lit(0)).cast(d38)
+    n_d = F.col("n_items").cast(d38)
+    den = n_d * n_d - pe0
+    num = F.lit(1_000_000).cast(d38) * (
+        F.col("n_agree").cast(d38) * n_d - pe0
     )
     # integer division truncating toward zero on BOTH engines (DuckDB
-    # //, Spark div: -7 // 2 = -3 on each — verified), so negative
-    # kappas (worse-than-chance raters) replay exactly too
-    kappa = F.when(den > 0, num.cast("long")).otherwise(F.lit(None))
+    # //, Spark div — incl. decimal operands: -7 div 2 = -3 on each),
+    # so negative kappas (worse-than-chance raters) replay exactly too
+    kappa = F.when(den > 0, num).otherwise(F.lit(None).cast(d38))
     return (
         totals.join(chance, keys, "left")
         .filter(F.col("n_items") >= min_items)
         .withColumn("__num", kappa)
-        .withColumn("__den", den.cast("long"))
+        .withColumn("__den", den)
         .select(
             *keys,
             "n_items",
@@ -361,4 +367,229 @@ def fleiss_kappa(
         [tuple(out_row.values())],
         "n_items long, n_raters long, n_dropped_items long, "
         "po_micro long, pe_micro long, kappa_micro long",
+    )
+
+
+def _dfloor_div(a: Column, b: Column | int) -> Column:
+    """EXACT floor division on non-negative decimal(38,0) operands —
+    never Spark's ``div``: IntegralDivide always returns BIGINT and
+    SILENTLY wraps when the true quotient exceeds int64 (verified:
+    ``cast(5e20 as decimal(38,0)) div 7`` returns garbage, no ANSI
+    error). ``(a - a % b) / b`` stays decimal: remainder and subtract
+    are exact, and the division's true quotient is then integral, so
+    the scale-6 decimal result is exact whenever the quotient fits 32
+    digits — the oracle replays it as HUGEINT ``//``."""
+    if not isinstance(b, Column):
+        b = F.lit(b).cast("decimal(38,0)")
+    return ((a - a % b) / b).cast("decimal(38,0)")
+
+
+def bt_scores(
+    comparisons: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    tie_col: str | None = None,
+    iters: int = 3,
+    unit: int = 1_000_000,
+    prior: int = 1,
+) -> DataFrame:
+    """G98: Bradley-Terry preference scores from pairwise comparisons —
+    the reduction RLHF/DPO data prep runs over (chosen, rejected) pairs
+    to rank responses, models, or prompts by human preference
+    (Bradley & Terry 1952; minorization-maximization form Hunter 2004,
+    Ann. Stat. 32(1)). The labels family's G81 aggregates categorical
+    votes and G95/G95b measure agreement; this consumes the third crowd
+    relation — "A beats B" — which has no item-level ground truth to
+    vote on, only a global strength ordering to infer.
+
+    MM recurrence, ``iters`` fixed rounds (fixed so the oracle can
+    unroll it — the G65/G37 pattern):
+
+      s_i ← (W_i + p) / ( Σ_j n_ij / (s_i + s_j)  +  2p / (s_i + 1) )
+
+    in DOUBLED win-units so ties stay integral: a decisive comparison
+    pays its winner 2 units, a tie pays each side 1, and every
+    comparison adds 2 units to the pair total n2_ij. ``prior`` adds, in
+    those units, ``prior`` virtual wins AND ``prior`` virtual losses
+    against a frozen anchor opponent at score ``unit`` — the standard
+    regularizer that (a) keeps an undefeated player's score finite
+    (pure BT sends it to +∞), (b) anchors the scale (raw BT is
+    scale-invariant; here "average" ≈ ``unit``), and (c) keeps every
+    denominator positive. Scores are additionally clamped to
+    [1, unit²] micro — a ±10⁶× dynamic range around the anchor; a
+    score at either wall means "the data only bounds this player's
+    strength, it does not estimate it".
+
+    Semantics: NULL winner or loser = abstention, dropped;
+    winner == loser rows are degenerate and dropped; ``tie_col`` NULL
+    reads as "not a tie" (absent column = no ties). Output
+    (player, n_comparisons, bt_micro), bt_micro = s·1e6/unit rounded
+    down — higher is stronger.
+
+    Integer exactness: scores ride decimal(38,0) end-to-end with
+    :func:`_dfloor_div` (see its docstring for why ``div`` is unsafe
+    here), so every round is bit-replayable by :func:`bt_oracle_sql`'s
+    HUGEINT unroll — exact while quotients fit 32 digits, i.e. to
+    ~10¹⁹ comparisons per pair even with both scores collapsed to the
+    clamp floor.
+
+    Scale shape: one groupBy over the comparison relation builds the
+    directed pair stats (|pairs| rows — players × avg-degree, not
+    players²); per round, two keyed joins of pairs onto the O(|players|)
+    score relation and one map-side-combinable groupBy(i). Round 1 is
+    join-free (all scores start at ``unit``: T₁ = (N2_i div 2 + 2p)·unit
+    in closed form). The comparison relation itself is touched once.
+    Lineage is cut every 8 rounds like :func:`~..graph.pagerank`.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if prior < 1:
+        raise ValueError(f"prior must be >= 1 (it anchors the scale), got {prior}")
+    d38 = "decimal(38,0)"
+    u2 = unit * unit
+    cap = unit * unit  # [1, unit^2] micro dynamic range
+    tie = (
+        F.coalesce(F.col(tie_col).cast("boolean"), F.lit(False))
+        if tie_col is not None
+        else F.lit(False)
+    )
+    c = comparisons.filter(
+        F.col(winner_col).isNotNull()
+        & F.col(loser_col).isNotNull()
+        & (F.col(winner_col) != F.col(loser_col))
+    )
+    d = c.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(winner_col).alias("__i"),
+                    F.col(loser_col).alias("__j"),
+                    F.when(tie, F.lit(1)).otherwise(F.lit(2)).alias("__w2"),
+                ),
+                F.struct(
+                    F.col(loser_col).alias("__i"),
+                    F.col(winner_col).alias("__j"),
+                    F.when(tie, F.lit(1)).otherwise(F.lit(0)).alias("__w2"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    pairs = d.groupBy("__i", "__j").agg(
+        F.sum("__w2").cast(d38).alias("__w2"),
+        (F.count(F.lit(1)) * 2).cast(d38).alias("__n2"),
+    )
+    players = pairs.groupBy("__i").agg(
+        F.sum("__w2").cast(d38).alias("__W2"),
+        F.sum("__n2").cast(d38).alias("__N2"),
+    )
+    # round 1, closed form (every score is the anchor `unit`):
+    #   T1 = (N2 div 2 + 2p)·unit  →  s1 = (W2+2p)·unit div (N2 div 2 + 2p)
+    w2p = F.col("__W2") + F.lit(2 * prior)
+    t1 = _dfloor_div(F.col("__N2"), 2) + F.lit(2 * prior)
+    s1 = F.greatest(
+        F.least(
+            _dfloor_div(w2p * F.lit(unit), t1),
+            F.lit(cap).cast(d38),
+        ),
+        F.lit(1).cast(d38),
+    )
+    scores = players.select("__i", s1.alias("__s"))
+    for t in range(2, iters + 1):
+        si = scores.select(F.col("__i"), F.col("__s").alias("__si"))
+        sj = scores.select(
+            F.col("__i").alias("__j"), F.col("__s").alias("__sj")
+        )
+        terms = (
+            pairs.join(si, "__i")
+            .join(sj, "__j")
+            .select(
+                "__i",
+                "__si",
+                _dfloor_div(
+                    F.col("__n2") * F.lit(u2).cast(d38),
+                    F.col("__si") + F.col("__sj"),
+                ).alias("__t"),
+            )
+        )
+        # __si is constant within the group — min() reads it back
+        # without a second join onto the score relation
+        tt = terms.groupBy("__i").agg(
+            F.sum("__t").alias("__T"), F.min("__si").alias("__si")
+        )
+        virt = _dfloor_div(
+            F.lit(4 * prior * u2).cast(d38),
+            F.col("__si") + F.lit(unit),
+        )
+        s_next = F.greatest(
+            F.least(
+                _dfloor_div(
+                    (F.col("__W2") + F.lit(2 * prior))
+                    * F.lit(u2).cast(d38),
+                    F.col("__T") + virt,
+                ),
+                F.lit(cap).cast(d38),
+            ),
+            F.lit(1).cast(d38),
+        )
+        scores = players.join(tt, "__i").select("__i", s_next.alias("__s"))
+        if t % 8 == 0 and t < iters:
+            scores = scores.localCheckpoint(eager=False)
+    return players.join(scores, "__i").select(
+        F.col("__i").alias("player"),
+        _dfloor_div(F.col("__N2"), 2).cast("long").alias("n_comparisons"),
+        F.col("__s").cast("long").alias("bt_micro"),
+    )
+
+
+def bt_oracle_sql(
+    comparisons_sql: str,
+    iters: int = 3,
+    unit: int = 1_000_000,
+    prior: int = 1,
+) -> str:
+    """ANSI-SQL replay of :func:`bt_scores` with the MM rounds UNROLLED
+    (the :func:`~..graph.pagerank_oracle_sql` pattern). HUGEINT
+    arithmetic and ``//`` mirror the decimal(38,0) + exact-floor-div
+    plan bit for bit; all operands are non-negative so truncation ==
+    floor on both engines. ``comparisons_sql`` must yield columns
+    (winner, loser, tie)."""
+    u2 = unit * unit
+    cap = unit * unit
+    p2, p4u2 = 2 * prior, 4 * prior * u2
+    h = "CAST({} AS HUGEINT)"
+    sql = [
+        f"c AS (SELECT winner, loser, COALESCE(tie, FALSE) AS tie "
+        f"FROM ({comparisons_sql}) WHERE winner IS NOT NULL AND "
+        f"loser IS NOT NULL AND winner <> loser)",
+        "d AS (SELECT winner AS i, loser AS j, "
+        "CASE WHEN tie THEN 1 ELSE 2 END AS w2 FROM c "
+        "UNION ALL SELECT loser, winner, "
+        "CASE WHEN tie THEN 1 ELSE 0 END FROM c)",
+        f"pairs AS (SELECT i, j, {h.format('SUM(w2)')} AS w2, "
+        f"{h.format('2 * COUNT(*)')} AS n2 FROM d GROUP BY i, j)",
+        "players AS (SELECT i, SUM(w2) AS W2, SUM(n2) AS N2 "
+        "FROM pairs GROUP BY i)",
+        f"s1 AS (SELECT i, GREATEST(LEAST("
+        f"((W2 + {p2}) * {unit}) // ((N2 // 2) + {p2}), "
+        f"{h.format(cap)}), {h.format(1)}) AS s FROM players)",
+    ]
+    prev = "s1"
+    for t in range(2, iters + 1):
+        sql.append(
+            f"s{t} AS (SELECT p.i, GREATEST(LEAST("
+            f"((pl.W2 + {p2}) * {h.format(u2)}) // ("
+            f"SUM((p.n2 * {h.format(u2)}) // (si.s + sj.s)) + "
+            f"(({h.format(p4u2)}) // (si.s + {unit}))), "
+            f"{h.format(cap)}), {h.format(1)}) AS s "
+            f"FROM pairs p JOIN {prev} si ON p.i = si.i "
+            f"JOIN {prev} sj ON p.j = sj.i "
+            f"JOIN players pl ON p.i = pl.i "
+            f"GROUP BY p.i, pl.W2, si.s)"
+        )
+        prev = f"s{t}"
+    return (
+        "WITH " + ",\n".join(sql)
+        + f"\nSELECT pl.i AS player, CAST(pl.N2 // 2 AS BIGINT) AS "
+        f"n_comparisons, CAST({prev}.s AS BIGINT) AS bt_micro "
+        f"FROM players pl JOIN {prev} ON pl.i = {prev}.i"
     )

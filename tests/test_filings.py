@@ -105,6 +105,48 @@ def test_register_star_sql_surface(spark):
     assert ts is not None
 
 
+def test_warc_writer_cluster_contract(spark, tmp_path):
+    """S9 r10: write_warc routes through pyarrow.fs (r9 verdict item 1
+    — the last executor-local ``open()`` sink). Pins: a ``file://`` URI
+    destination resolves and round-trips; the rename commit leaves no
+    ``.inprogress`` litter; manifest paths join the CALLER's base; and
+    a leftover in-progress dotfile from a dead attempt is invisible to
+    scan_warc (binaryFile skips dotfiles), so a crashed writer never
+    corrupts a later read."""
+    import os
+
+    from ferc_xbrl_extractor_spark.sources.warc import (
+        _gzip_member,
+        _record_bytes,
+        _resolve_fs,
+        scan_warc,
+        write_warc,
+    )
+
+    d = tmp_path / "warc_uri"
+    uri = "file://" + str(d)
+    docs = spark.createDataFrame(
+        [(f"https://ex.org/{i}", f"payload {i}".encode()) for i in range(10)],
+        "uri string, payload binary",
+    )
+    manifest = write_warc(docs, uri, shards=2)
+    assert sum(m["n_records"] for m in manifest) == 10
+    assert all(m["file"].startswith(uri + "/part-") for m in manifest)
+    names = sorted(os.listdir(d))
+    assert names == ["part-00000.warc.gz", "part-00001.warc.gz"]
+
+    fs, p = _resolve_fs(str(d))
+    assert type(fs).__name__ == "LocalFileSystem" and os.path.isabs(p)
+
+    # a dead attempt's in-progress file must not poison the read side
+    (d / ".part-00009.warc.gz.123.inprogress").write_bytes(
+        _gzip_member(_record_bytes("https://ghost", b"ghost"))
+    )
+    back = scan_warc(spark, str(d))
+    assert back.count() == 10
+    assert back.filter(back.target_uri == "https://ghost").count() == 0
+
+
 def test_warc_roundtrip_and_corruption(spark, tmp_path):
     """S9 default tier: WARC write→scan round-trip (member-per-record
     gzip framing, UTF-8 payloads incl. multibyte), header parse

@@ -2277,6 +2277,44 @@ def test_annotator_agreement_kappa_exact(spark):
 
 
 @pytest.mark.slow
+def test_annotator_agreement_past_int64_ceiling(spark):
+    """G95 r10 pin (r9 ADVICE): the kappa arithmetic rides decimal(38,0),
+    so a pair co-labeling 3.2M items with a 100-label near-diagonal
+    confusion — whose old long-typed numerator 1e6·(A·N − pe) ≈ 1.01e19
+    exceeded int64 and hard-errored under ANSI — now returns the exact
+    closed-form value. Cycle of 1000 items, 3200 reps: per-pair
+    pe = 10000·R², A = 999R, N = 1000R →
+    kappa_micro = floor(1e6·989000/990000) = 998989."""
+    from ferc_xbrl_extractor_spark.operators.labels import annotator_agreement
+
+    N, R = 3_200_000, 3200
+    ann = spark.range(N).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id").alias("item_id"),
+                    F.lit("a").alias("annotator_id"),
+                    (F.col("id") % 100).alias("label"),
+                ),
+                F.struct(
+                    F.col("id").alias("item_id"),
+                    F.lit("b").alias("annotator_id"),
+                    F.when(F.col("id") % 1000 == 999, F.lit(0).cast("long"))
+                    .otherwise(F.col("id") % 100)
+                    .alias("label"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    row = annotator_agreement(ann).collect()
+    assert len(row) == 1
+    row = row[0]
+    assert row["n_items"] == N
+    assert row["n_agree"] == 999 * R
+    assert row["kappa_micro"] == (1_000_000 * 989_000) // 990_000  # 998989
+
+
+@pytest.mark.slow
 def test_fleiss_kappa_exact(spark):
     """G95b: Fleiss' kappa equals a Fraction-exact reference on a
     hand-built 4-item/3-rater panel (po=2/3, pe=1/2, kappa=1/3 →
@@ -5476,6 +5514,32 @@ def test_bloom_join_exactness_and_prefilter(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="fpp"):
         bloom_join(fact, dim, "okey", fpp=0.0)
+
+    # r10: a caller column colliding with a working column raises
+    # instead of failing analysis / silently dropping (r9 ADVICE)
+    with _pytest.raises(ValueError, match="__bits"):
+        bloom_join(fact.withColumn("__bits", F.lit(1)), dim, "okey")
+
+    # r10: udf mode past UDF_MODE_KEY_CEILING auto-dispatches to the
+    # blocked plan — its scalecheck shows the closure-shipped bitmap is
+    # 3× worse than NO prefilter there. n_keys is caller-supplied so
+    # the pin needs no 10⁷-row fixture; the blocked plan is recognizable
+    # by its broadcast word-join instead of an ArrowEvalPython node.
+    plan = bloom_join(
+        fact, dim, "okey", n_keys=10_000_000, mode="udf"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    assert "__bits" in plan
+
+    # backtick-bearing key column builds and answers correctly (r9
+    # ADVICE: the lane expression interpolated the raw name)
+    bt_fact = fact.withColumnRenamed("okey", "o`key")
+    bt_dim = dim.withColumnRenamed("okey", "o`key")
+    got = {
+        (r["o`key"], r["v"], r["name"])
+        for r in bloom_join(bt_fact, bt_dim, "o`key").collect()
+    }
+    assert got == plain
 
 
 @pytest.mark.slow
