@@ -1069,6 +1069,27 @@ def q_g95b_fleiss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(ann)
 
 
+def q_g98_bt_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G98: Bradley-Terry preference aggregation (labels.bt_scores) —
+    the RLHF/DPO comparison-pair reduction. Events recast as pairwise
+    preferences over 37 players (winner = event_id mod 37, loser =
+    event_id div 37 mod 37), with ties (event_id mod 13 = 0) and
+    abstentions ('error' events → NULL winner) exercising both
+    semantics in-gate. 3 MM rounds in decimal(38,0) micro-units with
+    the exact remainder-subtract floor division; the oracle unrolls
+    the identical recurrence in HUGEINT (labels.bt_oracle_sql)."""
+    from ferc_xbrl_extractor_spark.operators.labels import bt_scores
+
+    comps = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("event_id") % 37)
+        .alias("winner"),
+        (F.expr("event_id div 37") % 37).alias("loser"),
+        (F.col("event_id") % 13 == 0).alias("tie"),
+    )
+    return bt_scores(comps, tie_col="tie", iters=3)
+
+
 def _g96_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G96 fixture: 97 formula-built 32x32 P6 images constructed
     in-plan (the _g69_media pattern at pHash's native input size, so
@@ -4023,6 +4044,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_minhash_lsh": q_g2_minhash_lsh,
         "g94_crossdup": q_g94_crossdup,
         "g95_kappa": q_g95_kappa,
+        "g98_bt_scores": q_g98_bt_scores,
         "g95b_fleiss": q_g95b_fleiss,
         "g96_image_phash": q_g96_image_phash,
         "g96_phash_dedup": q_g96_phash_dedup,
@@ -4795,6 +4817,18 @@ def fine_oracle_sql() -> dict[str, str]:
                     END AS BIGINT) AS kappa_micro
         FROM s2n, t2
     """
+
+    # G98: Bradley-Terry — the MM rounds unrolled in HUGEINT by the
+    # operator's own oracle generator (the pagerank_oracle_sql pattern)
+    from ferc_xbrl_extractor_spark.operators.labels import bt_oracle_sql
+
+    sql["g98_bt_scores"] = bt_oracle_sql(
+        "SELECT CASE WHEN event_type = 'error' THEN NULL "
+        "ELSE event_id % 37 END AS winner, "
+        "(event_id // 37) % 37 AS loser, "
+        "event_id % 13 = 0 AS tie FROM events",
+        iters=3,
+    )
 
     # G95: pairwise Cohen's kappa — one-vote collapse, item self-join,
     # joint counts, the two marginals of the SAME joint relation, one
@@ -8503,7 +8537,7 @@ _SUITES: dict[str, list[str]] = {
     "g_analytics_misc_suite": [
         "g21_unpivot", "g13_salted_agg", "g13b_salted_auto", "g10_json",
         "g25_zorder", "g67_skew_report", "g72_cms_topk", "g81_label_agg",
-        "g88_salted_join", "g95_kappa", "g95b_fleiss",
+        "g88_salted_join", "g95_kappa", "g95b_fleiss", "g98_bt_scores",
     ],
     "g32_report_suite": [
         "g32_corpus_report", "g32_stratum_report", "g93_calibration",
@@ -8545,6 +8579,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g69_image_dhash": [("media_id", "i"), ("dhash", "i"), ("bucket", "i")],
     "g69_image_dedup": [("id_a", "i"), ("id_b", "i"), ("hamming", "i")],
     "g94_crossdup": [("id_a", "i"), ("id_b", "i"), ("jaccard", "n")],
+    "g98_bt_scores": [("player", "i"), ("n_comparisons", "i"), ("bt_micro", "i")],
     "g95_kappa": [("annotator_a", "i"), ("annotator_b", "i"), ("n_items", "i"), ("n_agree", "i"), ("kappa_micro", "i")],
     "g95b_fleiss": [("n_items", "i"), ("n_raters", "i"), ("n_dropped_items", "i"), ("po_micro", "i"), ("pe_micro", "i"), ("kappa_micro", "i")],
     "g96_image_phash": [("media_id", "i"), ("phash", "i"), ("bucket", "i")],

@@ -82,6 +82,7 @@ HEADLINE = [
     "g93_calibration",
     "g95_kappa",
     "g95b_fleiss",
+    "g98_bt_scores",
     "g32_corpus_report",
     "g32_stratum_report",
     "g33_strip_lines",

@@ -370,3 +370,268 @@ def coverage_report(
         )
     )
     return per_size
+
+
+# ---------------------------------------------------------------------------
+# G99: unigram-LM (SentencePiece-style) tokenizer — the complement to
+# G31 BPE. Kudo 2018 ("Subword Regularization", ACL) trains a unigram
+# language model over subword pieces by EM and segments with Viterbi;
+# this is the tokenizer family most modern LLMs actually ship.
+# Same verification class as G31: no SQL oracle (iterative float EM),
+# pytest-pinned against an independent serial Python reference.
+# ---------------------------------------------------------------------------
+
+
+def _word_relation(df: DataFrame, text_col: str) -> DataFrame:
+    """The Zipf-bounded (word, n) relation every tokenizer trainer here
+    reduces the corpus to — one map-side-combinable aggregate."""
+    return (
+        df.select(F.explode_outer(tokens(text_col)).alias("word"))
+        .filter(F.col("word").isNotNull())
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _viterbi(word: str, logp: dict, max_len: int) -> list:
+    """Best-scoring segmentation of ``word`` under piece log-probs —
+    ties prefer the LONGER last piece (deterministic; float ties are
+    rare but the spec must be total). Characters absent from the model
+    become their own pieces at the configured OOV penalty so encoding
+    never fails on unseen text."""
+    m = len(word)
+    best = [0.0] + [float("-inf")] * m
+    back = [0] * (m + 1)
+    for i in range(1, m + 1):
+        for j in range(max(0, i - max_len), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j == 1:
+                    lp = _OOV_LOGP  # unseen single char
+                else:
+                    continue
+            s = best[j] + lp
+            # strictly-greater keeps the SMALLEST j on ties == the
+            # longest last piece (j scans ascending)
+            if s > best[i]:
+                best[i], back[i] = s, j
+    out, i = [], m
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+_OOV_LOGP = -100.0  # unseen single characters at encode time
+
+
+def unigram_learn(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    seed_size: int = 8000,
+    rounds: int = 2,
+    max_piece_len: int = 8,
+    shrink: float = 0.75,
+) -> DataFrame:
+    """G99: train a unigram-LM subword vocabulary (Kudo 2018) — returns
+    ``(piece, logprob, ecount)``: at most ``vocab_size`` rows unless
+    the corpus character set alone exceeds it — single characters are
+    force-kept so any corpus word remains segmentable.
+
+    Algorithm (the SentencePiece recipe with its documented
+    simplifications): seed with the ``seed_size`` highest-scoring
+    substrings (score = freq·len, the suffix-array seed's ranking) plus
+    all single characters; then ``rounds`` of full soft EM — E-step:
+    forward-backward expected piece counts over every segmentation of
+    every distinct word; M-step: relative-frequency re-estimate — each
+    followed by a count-based prune to ``max(vocab_size, ⌈cur·shrink⌉)``
+    (SentencePiece prunes by likelihood loss; count pruning is the
+    standard cheap proxy and keeps the loop one aggregate per round).
+    After the last round the survivors renormalize.
+
+    Scale shape (the VERDICT-prescribed G31 shape): the corpus
+    collapses ONCE into the distinct-word relation; every EM round is
+    ONE Arrow-batched ``mapInPandas`` pass over that bounded relation
+    emitting per-batch pre-aggregated (piece, ecount) partials, then a
+    map-side-combinable sum whose result is |pieces|-bounded (the
+    driver holds the model dict — a tokenizer vocabulary is
+    driver-sized by definition, ≤ a few MB at 100k pieces). The corpus
+    itself is touched exactly once, at the word reduction.
+    """
+    import math
+
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    if not 0 < shrink <= 1:
+        raise ValueError(f"shrink must be in (0, 1], got {shrink}")
+    words = _word_relation(df, text_col).localCheckpoint()
+
+    # --- seed: top substrings by freq*len, plus all single chars
+    subs = words.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(max_piece_len),
+                                F.length("word") - i + 1,
+                            ),
+                        ),
+                        lambda l: F.col("word").substr(i, l),
+                    ),
+                )
+            )
+        ).alias("piece"),
+        F.col("n"),
+    ).groupBy("piece").agg(
+        F.sum(F.col("n") * F.length("piece")).alias("score")
+    )
+    chars = {
+        r["piece"]: float(r["score"])
+        for r in subs.filter(F.length("piece") == 1).collect()
+    }
+    top = subs.filter(F.length("piece") >= 2).orderBy(
+        F.col("score").desc(), F.col("piece")
+    ).limit(max(seed_size - len(chars), 0)).collect()
+    scores = dict(chars)
+    scores.update({r["piece"]: float(r["score"]) for r in top})
+    total = sum(scores.values())
+    logp = {p: math.log(s / total) for p, s in scores.items()}
+
+    # --- EM rounds over the distinct-word relation
+    ecounts: dict = {}
+    for r in range(rounds):
+        ecounts = _expected_counts(words, logp, max_piece_len)
+        total_e = sum(ecounts.values())
+        logp = {
+            p: math.log(c / total_e) for p, c in ecounts.items() if c > 0
+        }
+        target = max(vocab_size, int(math.ceil(len(logp) * shrink)))
+        if r == rounds - 1:
+            target = vocab_size
+        # prune: singles are never dropped; multi-char pieces keep the
+        # top slots by (ecount desc, piece asc) — deterministic
+        singles = {p for p in logp if len(p) == 1}
+        multis = sorted(
+            (p for p in logp if len(p) > 1),
+            key=lambda p: (-ecounts[p], p),
+        )
+        keep = singles | set(multis[: max(target - len(singles), 0)])
+        logp = {p: lp for p, lp in logp.items() if p in keep}
+        # renormalize the survivors
+        z = math.log(sum(math.exp(lp) for lp in sorted(logp.values())))
+        logp = {p: lp - z for p, lp in logp.items()}
+
+    spark = df.sparkSession
+    rows = [
+        (p, logp[p], float(ecounts.get(p, 0.0)))
+        for p in sorted(logp, key=lambda p: (-logp[p], p))
+    ]
+    return spark.createDataFrame(
+        rows, "piece string, logprob double, ecount double"
+    )
+
+
+def _expected_counts(words: DataFrame, logp: dict, max_len: int) -> dict:
+    """One soft-EM E-step: forward-backward over every distinct word,
+    expected piece counts weighted by word frequency. Per-batch partials
+    pre-aggregate inside the UDF (the exchange carries |pieces|-bounded
+    rows per batch, never per-word rows); the model dict rides the
+    closure once per executor."""
+    import numpy as np
+    import pandas as _pd
+    from typing import Iterator as _It
+
+    def _estep(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            acc: dict = {}
+            for word, n in zip(pdf["word"], pdf["n"]):
+                m = len(word)
+                alpha = np.full(m + 1, -np.inf)
+                alpha[0] = 0.0
+                beta = np.full(m + 1, -np.inf)
+                beta[m] = 0.0
+                spans = []
+                for i in range(1, m + 1):
+                    for j in range(max(0, i - max_len), i):
+                        lp = logp.get(word[j:i])
+                        if lp is not None:
+                            spans.append((j, i, lp))
+                            alpha[i] = np.logaddexp(
+                                alpha[i], alpha[j] + lp
+                            )
+                for j, i, lp in reversed(spans):
+                    beta[j] = np.logaddexp(beta[j], lp + beta[i])
+                z = alpha[m]
+                if not np.isfinite(z):
+                    continue  # unsegmentable (cannot happen post-seed)
+                for j, i, lp in spans:
+                    e = float(np.exp(alpha[j] + lp + beta[i] - z)) * int(n)
+                    piece = word[j:i]
+                    acc[piece] = acc.get(piece, 0.0) + e
+            yield _pd.DataFrame(
+                {"piece": list(acc), "ecount": list(acc.values())}
+            )
+
+    rows = (
+        words.mapInPandas(_estep, "piece string, ecount double")
+        .groupBy("piece")
+        .agg(F.sum("ecount").alias("ecount"))
+        .collect()  # bounded: |pieces| rows
+    )
+    return {r["piece"]: float(r["ecount"]) for r in rows}
+
+
+def unigram_segment_words(
+    words: DataFrame, pieces: DataFrame
+) -> DataFrame:
+    """Viterbi-segment the distinct-word relation under a trained
+    unigram model: ``(word, n) → (word, n, symbols)`` — the same
+    contract :func:`bpe_learn` returns, so the encode path is shared.
+    The documented per-word Python step (a variable-length DP has no
+    vectorized Catalyst form); it runs over the Zipf-bounded word
+    relation, never the corpus, as one Arrow-batched pass with the
+    piece dict riding the closure."""
+    plist = pieces.select("piece", "logprob").collect()
+    logp = {r["piece"]: float(r["logprob"]) for r in plist}
+    max_len = max((len(p) for p in logp), default=1)
+
+    def _seg(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["symbols"] = [
+                _viterbi(w, logp, max_len) for w in pdf["word"]
+            ]
+            yield pdf
+
+    return words.mapInPandas(
+        _seg, "word string, n long, symbols array<string>"
+    )
+
+
+def unigram_encode_documents(
+    df: DataFrame,
+    pieces: DataFrame,
+    text_col: str = "text",
+    out_col: str = "unigram_tokens",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Encode a corpus with a trained unigram model: reduce to the
+    distinct-word relation, Viterbi-segment it (bounded), then reuse
+    the G29/G31 broadcast word→pieces map probe — the corpus is
+    scanned once and never exploded (map path) and OOV words fall back
+    to character pieces, exactly the :func:`bpe_encode_documents`
+    contract (including its join fallback past the broadcast ceiling
+    via ``id_col``)."""
+    words = _word_relation(df, text_col)
+    segs = unigram_segment_words(words, pieces)
+    return bpe_encode_documents(
+        df, segs, text_col=text_col, out_col=out_col, id_col=id_col
+    )

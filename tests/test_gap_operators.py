@@ -1392,6 +1392,121 @@ def test_bpe_learn_matches_reference(spark):
     ]
 
 
+def _reference_unigram(counts, vocab_size, seed_size, rounds,
+                       max_piece_len, shrink=0.75):
+    """Serial unigram-LM reference (Kudo 2018 spec as documented on
+    unigram_learn): substring seed scored freq*len, soft-EM rounds via
+    forward-backward, count prune keeping singles, renormalize."""
+    import math
+
+    import numpy as np
+
+    scores = {}
+    for w, n in counts.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - i) + 1):
+                p = w[i:i + l]
+                scores[p] = scores.get(p, 0) + n * l
+    chars = {p: s for p, s in scores.items() if len(p) == 1}
+    multis = sorted(
+        ((p, s) for p, s in scores.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: max(seed_size - len(chars), 0)]
+    seed = dict(chars)
+    seed.update(dict(multis))
+    total = sum(seed.values())
+    logp = {p: math.log(s / total) for p, s in seed.items()}
+
+    ecounts = {}
+    for r in range(rounds):
+        ecounts = {}
+        for w, n in counts.items():
+            m = len(w)
+            alpha = np.full(m + 1, -np.inf); alpha[0] = 0.0
+            beta = np.full(m + 1, -np.inf); beta[m] = 0.0
+            spans = []
+            for i in range(1, m + 1):
+                for j in range(max(0, i - max_piece_len), i):
+                    lp = logp.get(w[j:i])
+                    if lp is not None:
+                        spans.append((j, i, lp))
+                        alpha[i] = np.logaddexp(alpha[i], alpha[j] + lp)
+            for j, i, lp in reversed(spans):
+                beta[j] = np.logaddexp(beta[j], lp + beta[i])
+            z = alpha[m]
+            for j, i, lp in spans:
+                e = float(np.exp(alpha[j] + lp + beta[i] - z)) * n
+                ecounts[w[j:i]] = ecounts.get(w[j:i], 0.0) + e
+        te = sum(ecounts.values())
+        logp = {p: math.log(c / te) for p, c in ecounts.items() if c > 0}
+        target = vocab_size if r == rounds - 1 else max(
+            vocab_size, int(math.ceil(len(logp) * shrink))
+        )
+        singles = {p for p in logp if len(p) == 1}
+        ml = sorted((p for p in logp if len(p) > 1),
+                    key=lambda p: (-ecounts[p], p))
+        keep = singles | set(ml[: max(target - len(singles), 0)])
+        logp = {p: lp for p, lp in logp.items() if p in keep}
+        z = math.log(sum(math.exp(lp) for lp in sorted(logp.values())))
+        logp = {p: lp - z for p, lp in logp.items()}
+    return logp, ecounts
+
+
+def test_unigram_learn_matches_reference(spark):
+    """G99: unigram-LM training (vocab.unigram_learn) equals the serial
+    reference — identical piece SET, logprobs/ecounts to 1e-9 — and the
+    Viterbi encode concatenates back to the source tokens, handles OOV
+    chars, and shares the G31 join-fallback contract."""
+    from ferc_xbrl_extractor_spark.operators import vocab as V
+
+    corpus = [
+        (1, "the thermometer theme there then the thesis"),
+        (2, "low lower lowest slow slowly the thermometer"),
+        (3, "then lowest theme slowly slowly the"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    counts = {}
+    for _, t in corpus:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+
+    kw = dict(vocab_size=30, seed_size=150, rounds=2, max_piece_len=6)
+    ref_logp, ref_ec = _reference_unigram(counts, **kw)
+    got = {r["piece"]: r for r in V.unigram_learn(df, **kw).collect()}
+
+    assert set(got) == set(ref_logp)
+    for p, row in got.items():
+        assert abs(row["logprob"] - ref_logp[p]) < 1e-9, p
+        assert abs(row["ecount"] - ref_ec[p]) < 1e-9, p
+
+    pieces = V.unigram_learn(df, **kw)
+    enc = V.unigram_encode_documents(df, pieces)
+    for r in enc.collect():
+        text = dict(corpus)[r["doc_id"]]
+        assert "".join(r["unigram_tokens"]) == text.replace(" ", "")
+        # every emitted piece is in-model (corpus chars are force-kept)
+        assert all(p in ref_logp for p in r["unigram_tokens"])
+
+    # Viterbi prefers the higher-likelihood split and OOV chars become
+    # single-char pieces instead of failing
+    oov = spark.createDataFrame([(9, "thexq")], "doc_id long, text string")
+    toks = V.unigram_encode_documents(oov, pieces).first()["unigram_tokens"]
+    assert "".join(toks) == "thexq"
+    assert "q" in toks  # q never appeared in the corpus
+
+    # validation raises
+    with pytest.raises(ValueError, match="vocab_size"):
+        V.unigram_learn(df, 0)
+    with pytest.raises(ValueError, match="shrink"):
+        V.unigram_learn(df, 10, shrink=0.0)
+
+    # char set larger than vocab_size: singles still force-kept
+    tiny = V.unigram_learn(df, vocab_size=3, seed_size=50, rounds=1,
+                           max_piece_len=4)
+    kept = {r["piece"] for r in tiny.collect()}
+    assert {c for w in counts for c in w} <= kept
+
+
 def test_bpe_encode_join_fallback_matches_broadcast_path(spark):
     """G31 broadcast bound: over max_broadcast_words the encode switches
     to posexplode + join + doc-keyed reassembly; results (including OOV
@@ -2312,6 +2427,99 @@ def test_annotator_agreement_past_int64_ceiling(spark):
     assert row["n_items"] == N
     assert row["n_agree"] == 999 * R
     assert row["kappa_micro"] == (1_000_000 * 989_000) // 990_000  # 998989
+
+
+def test_bt_scores_semantics(spark):
+    """G98: Bradley-Terry hand-pinned round-1 closed form, tie and
+    abstention semantics, clamp finiteness for an undefeated player,
+    and a 3-round exact replay against a Python-bigint reference of
+    the same MM recurrence (the in-process twin of bt_oracle_sql)."""
+    from ferc_xbrl_extractor_spark.operators.labels import bt_scores
+
+    U = 1_000_000
+
+    # A beats B 3-0, one round: s(A) = (6+2)·U // (3+2) = 1.6e6,
+    # s(B) = (0+2)·U // 5 = 4e5; the NULL row and the self-pair drop.
+    c = spark.createDataFrame(
+        [("A", "B", False)] * 3 + [(None, "B", False), ("A", "A", False)],
+        "winner string, loser string, tie boolean",
+    )
+    got = {r["player"]: r for r in bt_scores(c, tie_col="tie", iters=1).collect()}
+    assert got["A"]["bt_micro"] == 1_600_000
+    assert got["B"]["bt_micro"] == 400_000
+    assert got["A"]["n_comparisons"] == got["B"]["n_comparisons"] == 3
+
+    # a single tie is perfectly symmetric: both sit at the anchor
+    t = spark.createDataFrame(
+        [("A", "B", True)], "winner string, loser string, tie boolean"
+    )
+    ts = {r["player"]: r["bt_micro"] for r in bt_scores(t, tie_col="tie").collect()}
+    assert ts == {"A": U, "B": U}
+
+    # tie_col omitted == no ties; NULL tie reads as decisive
+    nt = spark.createDataFrame(
+        [("A", "B", None)], "winner string, loser string, tie boolean"
+    )
+    assert (
+        bt_scores(nt, tie_col="tie", iters=1).collect()
+        == bt_scores(nt.drop("tie"), iters=1).collect()
+    )
+
+    # undefeated player: pure BT diverges; the prior + clamp keep it
+    # finite and inside [1, U^2] even after many rounds
+    u = spark.createDataFrame(
+        [("champ", f"p{i}", False) for i in range(4) for _ in range(5)],
+        "winner string, loser string, tie boolean",
+    )
+    rows = {r["player"]: r["bt_micro"] for r in bt_scores(u, iters=5).collect()}
+    assert 1 <= rows["champ"] <= U * U
+    assert rows["champ"] > max(v for k, v in rows.items() if k != "champ")
+
+    # 3-round exact replay vs a Python-bigint reference
+    import random
+
+    rnd = random.Random(11)
+    comps = []
+    for _ in range(300):
+        a, b = rnd.sample(range(6), 2)
+        w, l = (min(a, b), max(a, b)) if rnd.random() < 0.65 else (max(a, b), min(a, b))
+        comps.append((w, l, rnd.random() < 0.1))
+    df = spark.createDataFrame(comps, "winner long, loser long, tie boolean")
+
+    w2, n2 = {}, {}
+    for w, l, tie in comps:
+        for i, j, wu in ((w, l, 1 if tie else 2), (l, w, 1 if tie else 0)):
+            w2[(i, j)] = w2.get((i, j), 0) + wu
+            n2[(i, j)] = n2.get((i, j), 0) + 2
+    players = sorted({i for i, _ in w2})
+    W2 = {i: sum(v for (a, _), v in w2.items() if a == i) for i in players}
+    N2 = {i: sum(v for (a, _), v in n2.items() if a == i) for i in players}
+    s = {i: max(1, min(U * U, (W2[i] + 2) * U // (N2[i] // 2 + 2))) for i in players}
+    for _ in range(2):  # rounds 2..3
+        s = {
+            i: max(
+                1,
+                min(
+                    U * U,
+                    (W2[i] + 2) * U * U // (
+                        sum(
+                            n2[(i, j)] * U * U // (s[i] + s[j])
+                            for j in players
+                            if (i, j) in n2
+                        )
+                        + 4 * U * U // (s[i] + U)
+                    ),
+                ),
+            )
+            for i in players
+        }
+    got = {r["player"]: r["bt_micro"] for r in bt_scores(df, tie_col="tie", iters=3).collect()}
+    assert got == s
+
+    with pytest.raises(ValueError, match="iters"):
+        bt_scores(df, iters=0)
+    with pytest.raises(ValueError, match="prior"):
+        bt_scores(df, prior=0)
 
 
 @pytest.mark.slow
