@@ -7,19 +7,24 @@ only. This module implements the baseline subset of ITU-T T.81 (the
 public JPEG spec) with numpy as the only dependency:
 
 - DECODE (``decode_jpeg_baseline``): baseline + extended-sequential
-  Huffman DCT (SOF0/SOF1), 8-bit samples, grayscale or YCbCr with any
-  sampling factors (4:4:4, 4:2:0, 4:2:2, 4:1:1 all fall out of the
-  generic Hmax/Vmax MCU walk), restart markers (DRI/RSTn), 8- and
-  16-bit quant tables. Unsupported variants raise ``ValueError`` with
-  the reason — progressive (SOF2), arithmetic coding (SOF9+), 12-bit,
-  hierarchical — so callers quarantine them per the E1 contract
-  exactly like a truncated PPM.
+  Huffman DCT (SOF0/SOF1) AND progressive (SOF2, r10 — T.81 Annex G.2:
+  spectral selection, successive approximation, EOB runs, DC/AC
+  refinement, multi-scan DHT/DRI updates), 8-bit samples, grayscale or
+  YCbCr with any sampling factors (4:4:4, 4:2:0, 4:2:2, 4:1:1 all fall
+  out of the generic Hmax/Vmax MCU walk), restart markers (DRI/RSTn),
+  8- and 16-bit quant tables. Unsupported variants raise ``ValueError``
+  with the reason — arithmetic coding (SOF9+), 12-bit,
+  lossless/differential/hierarchical — so callers quarantine them per
+  the E1 contract exactly like a truncated PPM.
 - ENCODE (``encode_jpeg_baseline``): baseline 4:4:4 (or grayscale),
   Annex-K quant tables scaled by the libjpeg quality convention,
   Annex-K Huffman tables. Exists so fixtures and re-encode paths work
   without any external codec; it is an independent implementation of
   the forward path (FDCT + quantize + Huffman), which is what makes
   the decode/encode round-trip a meaningful test.
+  ``encode_jpeg_progressive`` (r10) emits the same quantized
+  coefficients through a SOF2 scan script, so a progressive stream and
+  its baseline twin decode BIT-IDENTICALLY — the cross-path pin.
 
 Entropy decoding is sequential by nature (bit-serial Huffman), so the
 per-block loop is Python — but every block's coefficients land in one
@@ -226,11 +231,13 @@ def _decode_huffman(r: _BitReader, table: dict) -> int:
 
 
 def decode_jpeg_baseline(b: bytes) -> np.ndarray:
-    """Decode baseline/extended-sequential Huffman JPEG bytes into an
-    (h, w, 3) uint8 RGB array (grayscale replicates to 3 channels, the
-    ``decode_ppm`` contract). Raises ``ValueError`` on malformed input
-    AND on out-of-scope variants (progressive, arithmetic, 12-bit) —
-    callers quarantine either way (E1)."""
+    """Decode baseline/extended-sequential OR progressive (SOF2,
+    r10 — T.81 Annex G.2) Huffman JPEG bytes into an (h, w, 3) uint8
+    RGB array (grayscale replicates to 3 channels, the ``decode_ppm``
+    contract). Raises ``ValueError`` on malformed input AND on
+    out-of-scope variants (arithmetic coding, 12-bit,
+    lossless/differential/hierarchical) — callers quarantine either
+    way (E1)."""
     if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -238,6 +245,7 @@ def decode_jpeg_baseline(b: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None  # (h, w, comps) ; comps = [(cid, hs, vs, tq)]
     ri = 0
+    progressive = False
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -262,7 +270,7 @@ def decode_jpeg_baseline(b: bytes) -> np.ndarray:
                 nat = np.zeros(64, dtype=np.int64)
                 nat[_ZZ] = tab.astype(np.int64)  # zigzag -> natural
                 qt[tq] = nat.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
             prec = seg[0]
             if prec != 8:
                 raise ValueError(f"unsupported sample precision {prec}")
@@ -273,10 +281,11 @@ def decode_jpeg_baseline(b: bytes) -> np.ndarray:
                 cid, hv, tq2 = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq2))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError(
-                "unsupported JPEG variant (progressive/lossless/"
-                "differential) — baseline sequential only"
+                "unsupported JPEG variant (lossless/differential) — "
+                "sequential and progressive Huffman only"
             )
         elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("arithmetic-coded JPEG not supported")
@@ -294,6 +303,9 @@ def decode_jpeg_baseline(b: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if progressive:
+                # the multi-scan walker takes over from THIS marker
+                return _decode_progressive(b, pos, frame, qt, huff, ri)
             ns = seg[0]
             scomp = []
             for c in range(ns):
@@ -377,7 +389,14 @@ def _decode_scan(b, pos, frame, scomp, qt, huff, ri) -> np.ndarray:
                             )
                             kk += 1
             mcu_count += 1
-    # vectorized dequant + IDCT per component, then upsample + stack
+    return _reconstruct(planes, h, w, hmax, vmax)
+
+
+def _reconstruct(planes, h, w, hmax, vmax) -> np.ndarray:
+    """Vectorized dequant + 2-D IDCT per component, then upsample,
+    crop, and color-convert — shared by the sequential and progressive
+    paths (a progressive stream reconstructs from the SAME coefficient
+    arrays once all scans have landed, T.81 G.1)."""
     out_planes = []
     for p in planes:
         blocks = p["coef"].reshape(-1, 8, 8) * p["q"]
@@ -409,6 +428,252 @@ def _decode_scan(b, pos, frame, scomp, qt, huff, ri) -> np.ndarray:
     b_ = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r_, g_, b_], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive decode
+# T.81 Annex G.2: spectral selection + successive approximation. The
+# coefficient arrays persist across scans; DC refinement is a
+# two's-complement low-bit OR (the first DC scan lands value<<Al via an
+# arithmetic-shift point transform), AC refinement is sign-magnitude
+# (corrections move coefficients away from zero) with EOB-run state
+# that persists across blocks within a scan (G.1.2.2 / G.1.2.3).
+
+
+def _decode_progressive(b, pos, frame, qt, huff, ri):
+    """Walk every scan from the first SOS (``pos`` = its 0xFF) to EOI,
+    accumulating coefficients, then reconstruct once."""
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("zero-sized JPEG frame")
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    state = {}
+    for cid, hs, vs, tq in comps:
+        # non-interleaved block grid (T.81 A.2.2): ceil over the
+        # component's OWN sample dimensions — the MCU-grid array is its
+        # superset (padding blocks are only coded in interleaved scans)
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        state[cid] = {
+            "hs": hs,
+            "vs": vs,
+            "tq": tq,
+            "bw": -(-cw // 8),
+            "bh": -(-ch // 8),
+            "coef": np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64),
+        }
+    saw_scan = False
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad marker alignment in progressive stream")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:  # stray RST between segments
+            pos += 2
+            continue
+        if pos + 4 > len(b):
+            raise ValueError("truncated progressive stream")
+        seglen = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        seg = b[pos + 4 : pos + 2 + seglen]
+        if marker == 0xC4:  # DHT between scans
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                nval = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nval])
+                huff[(tc, th)] = _canonical_codes(bits, vals)
+                i += 17 + nval
+        elif marker == 0xDD:
+            ri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            ns = seg[0]
+            scomp = []
+            for c in range(ns):
+                cs, tda = seg[1 + 2 * c : 3 + 2 * c]
+                scomp.append((cs, tda >> 4, tda & 0xF))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            r = _BitReader(b, pos + 2 + seglen)
+            _progressive_scan(
+                r, scomp, state, ss, se, ahal >> 4, ahal & 0xF,
+                huff, ri, mcux, mcuy,
+            )
+            saw_scan = True
+            # resync: advance past any partial byte, then to the next
+            # marker (entropy data never contains FF xx, xx != 0)
+            pos = r.pos + (1 if r.bit else 0)
+            while pos + 1 < len(b) and not (
+                b[pos] == 0xFF and b[pos + 1] != 0x00
+            ):
+                pos += 1
+            continue
+        pos += 2 + seglen
+    if not saw_scan:
+        raise ValueError("no scan decoded in progressive stream")
+    planes = []
+    for cid, hs, vs, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"missing quant table {tq}")
+        planes.append(
+            {"coef": state[cid]["coef"], "q": qt[tq], "hs": hs, "vs": vs}
+        )
+    return _reconstruct(planes, h, w, hmax, vmax)
+
+
+def _progressive_scan(
+    r, scomp, state, ss, se, ah, al, huff, ri, mcux, mcuy
+):
+    """Decode one progressive scan into the persistent coefficient
+    arrays. Interleaved scans (ns > 1, DC only per T.81) walk the MCU
+    grid; non-interleaved scans walk the component's own block grid.
+    Restart intervals reset DC predictors AND the EOB run."""
+    ns = len(scomp)
+    if ss == 0 and se != 0:
+        raise ValueError("bad spectral band (Ss=0 requires Se=0)")
+    if ss > 0 and ns != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if ss > se or se > 63:
+        raise ValueError("bad spectral selection range")
+    for cs, td, ta in scomp:
+        if cs not in state:
+            raise ValueError(f"scan references unknown component {cs}")
+        if ss == 0 and ah == 0 and (0, td) not in huff:
+            raise ValueError("missing DC Huffman table for scan")
+        if ss > 0 and ah == 0 and (1, ta) not in huff:
+            raise ValueError("missing AC Huffman table for scan")
+    preds = {cs: 0 for cs, _, _ in scomp}
+    eob = [0]  # EOB run, shared across blocks within the scan
+
+    def _dc_unit(blk, cs, td):
+        if ah == 0:
+            ssss = _decode_huffman(r, huff[(0, td)])
+            diff = _extend(r.receive(ssss), ssss)
+            preds[cs] += diff
+            blk[0] = preds[cs] << al
+        else:  # refinement: two's-complement low-bit OR
+            if r.read_bit():
+                blk[0] = int(blk[0]) | (1 << al)
+
+    units = []
+    if ns > 1:  # interleaved (DC) scan: MCU walk
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for cs, td, ta in scomp:
+                    st = state[cs]
+                    for v in range(st["vs"]):
+                        for hh in range(st["hs"]):
+                            unit.append(
+                                (
+                                    st["coef"][
+                                        my * st["vs"] + v,
+                                        mx * st["hs"] + hh,
+                                    ],
+                                    cs,
+                                    td,
+                                    ta,
+                                )
+                            )
+                units.append(unit)
+    else:
+        cs, td, ta = scomp[0]
+        st = state[cs]
+        for by in range(st["bh"]):
+            for bx in range(st["bw"]):
+                units.append([(st["coef"][by, bx], cs, td, ta)])
+
+    count = 0
+    rst = 0
+    for unit in units:
+        if ri and count and count % ri == 0:
+            r.align_and_expect_rst(rst % 8)
+            rst += 1
+            for k in preds:
+                preds[k] = 0
+            eob[0] = 0
+        for blk, cs, td, ta in unit:
+            if ss == 0:
+                _dc_unit(blk, cs, td)
+            elif ah == 0:
+                _ac_first(r, blk, ss, se, al, huff[(1, ta)], eob)
+            else:
+                _ac_refine(r, blk, ss, se, al, huff.get((1, ta)), eob)
+        count += 1
+
+
+def _ac_first(r, blk, ss, se, al, act, eob):
+    """G.1.2.2: first AC scan of a band — EOBn codes cover runs of
+    all-zero (in this band, at this precision) blocks."""
+    if eob[0] > 0:
+        eob[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huffman(r, act)
+        rr, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if rr == 15:  # ZRL
+                k += 16
+                continue
+            eob[0] = (1 << rr) - 1
+            if rr:
+                eob[0] += r.receive(rr)
+            return  # current block consumed
+        k += rr
+        if k > se:
+            raise ValueError("AC index overflow in progressive scan")
+        blk[_ZZ[k]] = _extend(r.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine(r, blk, ss, se, al, act, eob):
+    """G.1.2.3: AC refinement — newly-significant coefficients arrive
+    as ±1<<Al; every already-nonzero coefficient crossed on the way
+    carries one correction bit that moves it away from zero
+    (sign-magnitude). The EOB-run tail still reads correction bits for
+    the remaining nonzero history."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            rs = _decode_huffman(r, act)
+            rr, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if rr != 15:
+                    eob[0] = 1 << rr
+                    if rr:
+                        eob[0] += r.receive(rr)
+                    break  # tail below handles this block
+                val = 0  # ZRL: pass 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if r.read_bit() else m1
+            while k <= se:
+                z = _ZZ[k]
+                cur = int(blk[z])
+                if cur != 0:
+                    if r.read_bit() and (cur & p1) == 0:
+                        blk[z] = cur + (p1 if cur > 0 else m1)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val != 0 and k <= se:
+                blk[_ZZ[k]] = val
+            k += 1
+    if eob[0] > 0:
+        while k <= se:
+            z = _ZZ[k]
+            cur = int(blk[z])
+            if cur != 0 and r.read_bit() and (cur & p1) == 0:
+                blk[z] = cur + (p1 if cur > 0 else m1)
+            k += 1
+        eob[0] -= 1
 
 
 # ---------------------------------------------------------------- encode
@@ -630,6 +895,242 @@ def encode_jpeg_baseline(
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encode
+# Exists so the progressive decoder has a self-contained fixture
+# source (the same reason encode_jpeg_baseline exists): an independent
+# implementation of T.81 G.1.2's encoding procedures whose output any
+# conformant decoder accepts. One deliberately simple design choice: a
+# single UNIVERSAL Huffman table (255 symbols at 9 bits + 1 at 10 —
+# Kraft-valid, no all-ones code) covers every DC size and every
+# (run, size)/EOBn/ZRL symbol, so no per-scan frequency pass is needed
+# and EOB runs > 1 are expressible (the Annex-K tables lack EOBn
+# symbols above EOB0, which would leave the decoder's EOB-run path
+# untested). Fixture-grade output: ~1 bit/symbol larger than optimized
+# tables, irrelevant here.
+
+_HT_UNIV = ([0] * 8 + [255, 1] + [0] * 6, list(range(256)))
+
+
+def _flush_eobrun(bw, act, st):
+    """Emit the pending EOBn code (+ extension bits), then the
+    correction bits that belong to the deferred blocks (G.1.2.3's BE
+    buffer — the decoder reads them in its EOB-run tails)."""
+    e = st["eobrun"]
+    if e:
+        nbits = e.bit_length() - 1
+        code, n = act[nbits << 4]
+        bw.write(code, n)
+        if nbits:
+            bw.write(e - (1 << nbits), nbits)
+        st["eobrun"] = 0
+    for bit in st["be"]:
+        bw.write(bit, 1)
+    st["be"] = []
+
+
+def _emit_br(bw, st):
+    """Emit the CURRENT block's buffered correction bits — always
+    directly after the symbol (ZRL or runlength/1 code) whose decoder
+    walk crosses their positions; BE and BR are distinct buffers for
+    exactly this reason (bits deferred into an EOB run ride after the
+    EOBn code instead)."""
+    for bit in st["br"]:
+        bw.write(bit, 1)
+    st["br"] = []
+
+
+def _enc_ac_first(bw, act, zz, ss, se, al, st):
+    """Encode one block of a first AC scan (G.1.2.2): magnitudes are
+    the point-transformed abs values, EOB runs accumulate in ``st``."""
+    run = 0
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        m = (t if t >= 0 else -t) >> al
+        if m == 0:
+            run += 1
+            continue
+        _flush_eobrun(bw, act, st)
+        while run > 15:
+            code, n = act[0xF0]
+            bw.write(code, n)
+            run -= 16
+        s = m.bit_length()
+        code, n = act[(run << 4) | s]
+        bw.write(code, n)
+        bw.write(m if t > 0 else m ^ ((1 << s) - 1), s)
+        run = 0
+    if run:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, act, st)
+
+
+def _enc_ac_refine(bw, act, zz, ss, se, al, st):
+    """Encode one block of an AC refinement scan (G.1.2.3):
+    newly-significant coefficients (|coef|>>Al == 1) get (run, 1) codes
+    + a sign bit; already-nonzero history gets one buffered correction
+    bit each; trailing content defers into the shared EOB run. The ZRL
+    check runs at EVERY nonzero coefficient — significant or history —
+    and only while inside the band's significant span (``eobpos``):
+    emitting it lazily at the next significant coefficient would put
+    correction bits for positions beyond the 16-zero window on the
+    wire before the decoder's walk can reach them (the subtlety the
+    spec buries in figure G.7's flow)."""
+    vals = [int(zz[k]) for k in range(ss, se + 1)]
+    mags = [(v if v >= 0 else -v) >> al for v in vals]
+    eobpos = -1  # index of the LAST newly-significant coefficient
+    for i, m in enumerate(mags):
+        if m == 1:
+            eobpos = i
+    run = 0
+    for i, m in enumerate(mags):
+        if m == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eobpos:
+            _flush_eobrun(bw, act, st)
+            code, n = act[0xF0]
+            bw.write(code, n)
+            run -= 16
+            _emit_br(bw, st)
+        if m > 1:  # history coefficient: one correction bit
+            st["br"].append(m & 1)
+            continue
+        # newly significant at this precision
+        _flush_eobrun(bw, act, st)
+        code, n = act[(run << 4) | 1]
+        bw.write(code, n)
+        bw.write(1 if vals[i] > 0 else 0, 1)
+        _emit_br(bw, st)
+        run = 0
+    if run or st["br"]:
+        st["eobrun"] += 1
+        st["be"] += st["br"]
+        st["br"] = []
+        if st["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, act, st)
+
+
+# Default scan script: DC first at Al=1 (interleaved), split luma AC
+# bands at Al=2, chroma AC at Al=1, then the refinement ladder down to
+# Al=0 — exercises spectral selection, successive approximation, EOB
+# runs, ZRL-in-refinement, and correction bits in one file.
+_PROG_SCANS_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([0], 6, 63, 0, 2),
+    ([1], 1, 63, 0, 1),
+    ([2], 1, 63, 0, 1),
+    ([0], 1, 63, 2, 1),
+    ([0], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([0, 1, 2], 0, 0, 1, 0),
+]
+_PROG_SCANS_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 1, 63, 1, 0),
+    ([0], 0, 0, 1, 0),
+]
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85, scans: list | None = None
+) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    progressive (SOF2) JFIF JPEG, 4:4:4, same quant tables and forward
+    path as :func:`encode_jpeg_baseline` — so a baseline twin at the
+    same quality decodes to the BIT-IDENTICAL image (identical
+    quantized coefficients in, identical IDCT out; the pytest pin).
+    ``scans``: list of (component indexes, Ss, Se, Ah, Al); successive
+    approximation per component must step Al down by exactly 1 per
+    refinement and end at 0 (T.81 G.1.1.1.2), as the defaults do."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    arr = np.pad(
+        arr, [(0, ph - h), (0, pw - w)] + ([] if gray else [(0, 0)]),
+        mode="edge",
+    ).astype(np.float64)
+    if gray:
+        full = [arr - 128.0]
+    else:
+        r_, g_, b_ = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+        full = [y - 128.0, cb - 128.0, cr - 128.0]
+    ql = _quality_scale(_QL.reshape(8, 8), quality)
+    qc = _quality_scale(_QC.reshape(8, 8), quality)
+    qs = [ql] + ([qc, qc] if not gray else [])
+    coefs = [_fdct_quant(p, q) for p, q in zip(full, qs)]
+    by, bx = ph // 8, pw // 8
+    ncomp = 1 if gray else 3
+    if scans is None:
+        scans = _PROG_SCANS_GRAY if gray else _PROG_SCANS_COLOR
+
+    out = bytearray(b"\xff\xd8")
+    for tid, q in ([(0, ql)] + ([(1, qc)] if not gray else [])):
+        zzq = q.reshape(64)[_ZZ].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(zzq)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc in (0, 1):
+        bits, vals = _HT_UNIV
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    tab = _encode_codes(*_HT_UNIV)
+    for comp_ix, ss, se, ah, al in scans:
+        sos = bytes([len(comp_ix)])
+        for ci in comp_ix:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _BitWriter()
+        preds = {ci: 0 for ci in comp_ix}
+        st = {"eobrun": 0, "be": [], "br": []}
+        for yb in range(by):
+            for xb in range(bx):
+                for ci in comp_ix:
+                    blk = coefs[ci][yb, xb]
+                    zz = blk.reshape(64)[_ZZ]
+                    if ss == 0:
+                        dc = int(zz[0])
+                        if ah == 0:
+                            v = dc >> al  # arithmetic shift (G.1.2.1)
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            ssss = _magnitude(diff)
+                            code, n = tab[ssss]
+                            bw.write(code, n)
+                            if ssss:
+                                bw.write(
+                                    diff if diff > 0
+                                    else diff + (1 << ssss) - 1,
+                                    ssss,
+                                )
+                        else:
+                            bw.write((dc >> al) & 1, 1)
+                    elif ah == 0:
+                        _enc_ac_first(bw, tab, zz, ss, se, al, st)
+                    else:
+                        _enc_ac_refine(bw, tab, zz, ss, se, al, st)
+        _flush_eobrun(bw, tab, st)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 

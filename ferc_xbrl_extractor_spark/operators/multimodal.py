@@ -21,11 +21,11 @@ dispatch order inside the same Arrow-batched ``mapInPandas`` bodies:
    frame extraction, and RMS/zero-crossing audio features are numpy
    array ops with no media library at all. ``decode_stub=False``
    genuinely decodes in any environment for these formats. Baseline
-   JPEG decodes through the BUILT-IN codec even when Pillow is
-   importable, so hashes/features are environment-independent;
-   out-of-scope variants (progressive JPEG, interlaced/16-bit PNG)
-   fall through to Pillow when present and otherwise QUARANTINE to
-   NULL per the E1 contract.
+   and progressive JPEG (r10) decode through the BUILT-IN codec even
+   when Pillow is importable, so hashes/features are
+   environment-independent; out-of-scope variants (arithmetic/12-bit
+   JPEG, interlaced/16-bit PNG) fall through to Pillow when present
+   and otherwise QUARANTINE to NULL per the E1 contract.
 2. **Pillow** — layered in for every other image format when importable.
 3. Neither applies → ``decode_stub=False`` raises NotImplementedError at
    the batch level; ``decode_stub=True`` produces deterministic fake
@@ -251,8 +251,8 @@ def extract_features(
             return [float(p) / 128.0 - 1.0 for p in row]
         if _is_builtin_image(b) and _PILImage is None:
             # JPEG/PNG the built-in codecs could not decode (malformed,
-            # progressive, interlaced, 16-bit): quarantine, don't kill
-            # the job (E1)
+            # arithmetic-coded, 12-bit, interlaced, 16-bit): quarantine,
+            # don't kill the job (E1)
             return None
         if _PILImage is None:
             raise NotImplementedError(
@@ -420,7 +420,7 @@ def _decode_gray(b, width: int, height: int):
         if _PILImage is None:
             # JPEG/PNG beyond the built-in codecs, no Pillow: E1
             return None
-        # e.g. progressive JPEG / interlaced PNG falls through to Pillow
+        # e.g. arithmetic-coded JPEG / interlaced PNG falls through to Pillow
     elif _PILImage is None:
         raise NotImplementedError(
             "only the built-in PPM (P6) and baseline-JPEG codecs "

@@ -2224,13 +2224,21 @@ def test_jpeg_codec_roundtrip_and_spec_vectors():
     assert (got[..., 0] == got[..., 1]).all()
     assert np.abs(got[..., 0].astype(int) - g.astype(int)).max() <= 2
 
-    # out-of-scope variants raise (quarantinable), not crash/garbage
-    sof2 = (
+    # out-of-scope variants raise (quarantinable), not crash/garbage.
+    # r10: SOF2 is now SUPPORTED — the quarantine narrows to
+    # lossless/differential (and a frame with no scans still raises)
+    sof3 = (
+        b"\xff\xd8\xff\xc3\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+        b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="lossless|variant"):
+        decode_jpeg_baseline(sof3)
+    sof2_no_scan = (
         b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
         b"\xff\xd9"
     )
-    with pytest.raises(ValueError, match="progressive|variant"):
-        decode_jpeg_baseline(sof2)
+    with pytest.raises(ValueError, match="no SOS"):
+        decode_jpeg_baseline(sof2_no_scan)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_baseline(b"P6 1 1 255 xxx")
     with pytest.raises(ValueError):
@@ -2251,6 +2259,87 @@ def test_jpeg_codec_roundtrip_and_spec_vectors():
         pil.astype(int)
         - decode_jpeg_baseline(encode_jpeg_baseline(rgb, 90)).astype(int)
     ).max() <= 2
+
+
+def test_jpeg_progressive_decodes_bit_identical_to_baseline():
+    """G11b r10 (r9 verdict item 4): progressive (SOF2) decode. A
+    progressive stream and its baseline twin at the same quality carry
+    IDENTICAL quantized coefficients, so the decoded images must be
+    bit-identical — any drift in the spectral-selection bands, the
+    successive-approximation refinement ladder (DC two's-complement
+    OR, AC sign-magnitude corrections), or the cross-block EOB-run
+    state shows up as a pixel diff. Fixtures force each path: flat
+    fields (EOB runs spanning > 16 blocks), dense noise (ZRL inside
+    refinement + correction bits), photo-like smooth content, odd
+    sizes, grayscale, and a no-approximation custom scan script.
+    Pillow cross-checks the progressive STREAM itself where
+    importable."""
+    import numpy as np
+
+    from ferc_xbrl_extractor_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(17)
+    h, w = 41, 53
+    yy, xx = np.mgrid[0:h, 0:w]
+    photo = np.clip(
+        np.stack(
+            [
+                128 + 60 * np.sin(yy / 7.0) + 40 * np.cos(xx / 9.0),
+                100 + 80 * np.exp(-((yy - 20) ** 2 + (xx - 30) ** 2) / 200.0),
+                xx * 255.0 / w,
+            ],
+            axis=-1,
+        )
+        + rng.normal(0, 8, (h, w, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    cases = [
+        photo,
+        rng.integers(0, 256, (64, 64, 3)).astype(np.uint8),  # dense
+        np.full((24, 344, 3), 200, np.uint8),  # EOB run > 16 blocks
+        rng.integers(0, 256, (3, 5, 3)).astype(np.uint8),  # sub-block
+        rng.integers(0, 256, (33, 31)).astype(np.uint8),  # grayscale
+    ]
+    for img in cases:
+        for q in (92, 55, 20):
+            base = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=q))
+            prog_bytes = encode_jpeg_progressive(img, quality=q)
+            assert b"\xff\xc2" in prog_bytes  # really SOF2
+            prog = decode_jpeg_baseline(prog_bytes)
+            assert np.array_equal(base, prog), (img.shape, q)
+
+    # spectral selection without successive approximation
+    custom = [
+        ([0, 1, 2], 0, 0, 0, 0),
+        ([0], 1, 63, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+    ]
+    base = decode_jpeg_baseline(encode_jpeg_baseline(photo, quality=75))
+    prog = decode_jpeg_baseline(
+        encode_jpeg_progressive(photo, quality=75, scans=custom)
+    )
+    assert np.array_equal(base, prog)
+
+    # truncated progressive stream raises (E1 quarantine), no garbage
+    pb = encode_jpeg_progressive(photo, quality=75)
+    with pytest.raises(ValueError):
+        decode_jpeg_baseline(pb[: len(pb) // 2])
+
+    try:  # a FOREIGN decoder accepts our progressive stream
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError:
+        return
+    pil = np.asarray(Image.open(BytesIO(pb)).convert("RGB"))
+    ours = decode_jpeg_baseline(pb)
+    assert np.abs(pil.astype(int) - ours.astype(int)).max() <= 2
 
 
 @pytest.mark.slow
