@@ -3787,6 +3787,27 @@ def q_g65_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BFS_SEEDS = list(range(10))
+
+
+def q_g100_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G100: bounded multi-source BFS (graph.bfs_hops) — min hop count
+    from a 10-node trusted seed set over the g65 link graph, capped at
+    3 hops, unreached nodes NULL. The trust-distance complement to
+    g87's trust-mass; pure min-plus integer recurrence, oracle =
+    graph.bfs_oracle_sql's unrolled rounds."""
+    from ferc_xbrl_extractor_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem", repair=False).select(
+        (F.col("l_orderkey") % 997).alias("src"),
+        (F.col("l_partkey") % 997).alias("dst"),
+    )
+    return graph.bfs_hops(li, seeds=_BFS_SEEDS, max_hops=3).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("hops").cast("long").alias("hops"),
+    )
+
+
 _PPR_SEEDS = list(range(20))
 
 
@@ -4065,6 +4086,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g85_triangles": q_g85_triangles,
         "g86_bloom_join": q_g86_bloom_join,
         "g87_ppr": q_g87_ppr,
+        "g100_bfs_hops": q_g100_bfs_hops,
         "s9_warc_roundtrip": q_s9_warc_roundtrip,
         "g88_salted_join": q_g88_salted_join,
         "g89_collocations": q_g89_collocations,
@@ -8075,6 +8097,16 @@ def fine_oracle_sql() -> dict[str, str]:
         seeds=_PPR_SEEDS,
     )
 
+    # G100: bounded multi-source BFS — min-plus rounds unrolled by the
+    # operator's own oracle generator (the pagerank pattern)
+    from ferc_xbrl_extractor_spark.operators.graph import bfs_oracle_sql
+
+    sql["g100_bfs_hops"] = bfs_oracle_sql(
+        "SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst FROM lineitem",
+        seeds=_BFS_SEEDS,
+        max_hops=3,
+    )
+
     # G85: triangle counts — canonical undirected edges, (degree, id)
     # orientation via row-value comparisons, unordered wedges closed by
     # an EXISTS against the oriented edge set, corner explode + count.
@@ -8549,7 +8581,7 @@ _SUITES: dict[str, list[str]] = {
     "g_training_suite": [
         "g37_kmeans", "g38_bigram_lm", "g39_shuffle_order",
         "g40_repeat_mix", "g41_epoch", "g65_pagerank", "g85_triangles",
-        "g87_ppr",
+        "g87_ppr", "g100_bfs_hops",
     ],
 }
 
@@ -8580,6 +8612,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g69_image_dedup": [("id_a", "i"), ("id_b", "i"), ("hamming", "i")],
     "g94_crossdup": [("id_a", "i"), ("id_b", "i"), ("jaccard", "n")],
     "g98_bt_scores": [("player", "i"), ("n_comparisons", "i"), ("bt_micro", "i")],
+    "g100_bfs_hops": [("node", "i"), ("hops", "i")],
     "g95_kappa": [("annotator_a", "i"), ("annotator_b", "i"), ("n_items", "i"), ("n_agree", "i"), ("kappa_micro", "i")],
     "g95b_fleiss": [("n_items", "i"), ("n_raters", "i"), ("n_dropped_items", "i"), ("po_micro", "i"), ("pe_micro", "i"), ("kappa_micro", "i")],
     "g96_image_phash": [("media_id", "i"), ("phash", "i"), ("bucket", "i")],

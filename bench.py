@@ -83,6 +83,7 @@ HEADLINE = [
     "g95_kappa",
     "g95b_fleiss",
     "g98_bt_scores",
+    "g100_bfs_hops",
     "g32_corpus_report",
     "g32_stratum_report",
     "g33_strip_lines",
@@ -261,6 +262,15 @@ def main() -> None:
             con.sql(f"SELECT count(*) FROM ({oracles[name]})").fetchall()
             duck[name] = round(time.time() - t0, 3)
         full_record["duckdb"] = duck
+        # r9 verdict item 6: the caveat rides IN the record, not only
+        # in BASELINE.md — a naive reader of this map must see it.
+        full_record["duckdb_caveat"] = (
+            "count(*)-wrapped oracle timings: DuckDB prunes the final "
+            "projection under the count, so projection-heavy queries "
+            "are UNDERSTATED here. For honest same-work rows use "
+            "tools/samework.py (full materialization on both engines); "
+            "BASELINE.md's per-row table is measured that way."
+        )
 
     # Complete record to a committed file — never size-capped.
     with open(os.path.join(repo_dir, "BENCH_FULL.json"), "w") as f:

@@ -427,3 +427,122 @@ def triangle_counts(
             ),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: list,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """G100: bounded multi-source BFS — the minimum hop count from any
+    seed to every node, capped at ``max_hops``. The trust-DISTANCE
+    complement to G87's trust-MASS: personalized PageRank ranks by
+    closeness-weighted volume, this answers the sharper curation
+    question "how many links from a trusted domain is this host?"
+    (spam-distance cutoffs, crawl-frontier budgeting by depth, blast-
+    radius reports around a known-bad seed set).
+
+    Returns ``(node, hops)`` over ALL graph nodes; unreached-within-cap
+    nodes carry NULL (visible, never silently dropped). Seeds are
+    operator literals like G87's (an ``isin`` in-plan, ``IN`` in the
+    oracle); seeds absent from the graph are ignored in the output
+    domain. ``directed=False`` symmetrizes the edge relation once.
+
+    Integer-exact and oracle-replayable by :func:`bfs_oracle_sql`: the
+    recurrence is a pure min-plus unroll —
+      d₀(v)   = 0 if v ∈ seeds
+      dₜ(v)   = min(dₜ₋₁(v), 1 + min over edges u→v of dₜ₋₁(u))
+    — ``max_hops`` fixed rounds, no floats anywhere.
+
+    Scale shape (the :func:`pagerank` template): per round ONE keyed
+    join of the edge relation onto the O(|reached|) distance relation
+    (the edge side's exchange is canonically identical across rounds —
+    reused) and one map-side-combinable ``min`` aggregate; the distance
+    relation only ever carries reached nodes, so early rounds ship
+    frontier-sized relations, not graph-sized ones. Node list joined
+    back ONCE at read-off (deferred, like pagerank's). Lineage cut
+    every 8 rounds.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    if not seeds:
+        raise ValueError("seeds must be a non-empty list")
+    raw = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    if not directed:
+        raw = raw.union(
+            raw.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+        )
+    e = raw.distinct()
+    nodes = (
+        raw.select(F.explode(F.array("__s", "__d")).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = nodes.filter(F.col("node").isin(seeds)).select(
+        "node", F.lit(0).cast("long").alias("hops")
+    )
+    for t in range(1, max_hops + 1):
+        stepped = (
+            e.join(dist.withColumnRenamed("node", "__s"), "__s")
+            .select(
+                F.col("__d").alias("node"),
+                (F.col("hops") + 1).alias("hops"),
+            )
+        )
+        dist = (
+            dist.unionByName(stepped)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+        if t % 8 == 0 and t < max_hops:
+            dist = dist.localCheckpoint(eager=False)
+    return nodes.join(dist, "node", "left").select(
+        "node", F.col("hops").cast("long").alias("hops")
+    )
+
+
+def bfs_oracle_sql(
+    edges_sql: str,
+    seeds: list,
+    max_hops: int = 3,
+    directed: bool = True,
+) -> str:
+    """ANSI-SQL replay of :func:`bfs_hops` with the rounds UNROLLED
+    (the :func:`pagerank_oracle_sql` pattern — recursive CTEs cannot
+    re-aggregate the recursive term). ``edges_sql`` must yield columns
+    (src, dst)."""
+
+    def _lit(s) -> str:
+        if isinstance(s, str):
+            return "'" + s.replace("'", "''") + "'"
+        return str(s)
+
+    seed_list = ", ".join(_lit(s) for s in seeds)
+    base = f"SELECT src, dst FROM ({edges_sql})"
+    if not directed:
+        base = f"{base} UNION ALL SELECT dst, src FROM ({edges_sql})"
+    sql = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({base}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"d0 AS (SELECT node, CAST(0 AS BIGINT) AS hops FROM nodes "
+        f"WHERE node IN ({seed_list}))",
+    ]
+    prev = "d0"
+    for t in range(1, max_hops + 1):
+        sql.append(
+            f"d{t} AS (SELECT node, MIN(hops) AS hops FROM ("
+            f"SELECT node, hops FROM {prev} "
+            f"UNION ALL "
+            f"SELECT e.dst AS node, {prev}.hops + 1 AS hops "
+            f"FROM e JOIN {prev} ON e.src = {prev}.node"
+            f") GROUP BY node)"
+        )
+        prev = f"d{t}"
+    return (
+        "WITH " + ",\n".join(sql)
+        + f"\nSELECT nodes.node, CAST({prev}.hops AS BIGINT) AS hops "
+        f"FROM nodes LEFT JOIN {prev} ON nodes.node = {prev}.node"
+    )

@@ -1452,21 +1452,59 @@ def _reference_unigram(counts, vocab_size, seed_size, rounds,
     return logp, ecounts
 
 
-def test_unigram_learn_matches_reference(spark):
-    """G99: unigram-LM training (vocab.unigram_learn) equals the serial
-    reference — identical piece SET, logprobs/ecounts to 1e-9 — and the
-    Viterbi encode concatenates back to the source tokens, handles OOV
-    chars, and shares the G31 join-fallback contract."""
+_UNIGRAM_CORPUS = [
+    (1, "the thermometer theme there then the thesis"),
+    (2, "low lower lowest slow slowly the thermometer"),
+    (3, "then lowest theme slowly slowly the"),
+]
+
+
+def test_unigram_encode_semantics(spark):
+    """G99 default tier: train a small unigram model and pin the
+    encode contract — Viterbi segmentations concatenate back to the
+    source tokens, OOV characters become single-char pieces instead of
+    failing, single chars survive even a vocab_size below the char-set
+    size, and validation raises. (The serial-reference equality is the
+    slow twin.)"""
     from ferc_xbrl_extractor_spark.operators import vocab as V
 
-    corpus = [
-        (1, "the thermometer theme there then the thesis"),
-        (2, "low lower lowest slow slowly the thermometer"),
-        (3, "then lowest theme slowly slowly the"),
-    ]
-    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    df = spark.createDataFrame(_UNIGRAM_CORPUS, "doc_id long, text string")
+    kw = dict(vocab_size=30, seed_size=150, rounds=1, max_piece_len=6)
+    pieces = V.unigram_learn(df, **kw)
+    model = {r["piece"] for r in pieces.collect()}
+    enc = V.unigram_encode_documents(df, pieces)
+    for r in enc.collect():
+        text = dict(_UNIGRAM_CORPUS)[r["doc_id"]]
+        assert "".join(r["unigram_tokens"]) == text.replace(" ", "")
+        assert all(p in model for p in r["unigram_tokens"])
+
+    oov = spark.createDataFrame([(9, "thexq")], "doc_id long, text string")
+    toks = V.unigram_encode_documents(oov, pieces).first()["unigram_tokens"]
+    assert "".join(toks) == "thexq"
+    assert "q" in toks  # q never appeared in the corpus
+
+    with pytest.raises(ValueError, match="vocab_size"):
+        V.unigram_learn(df, 0)
+    with pytest.raises(ValueError, match="shrink"):
+        V.unigram_learn(df, 10, shrink=0.0)
+
+    chars = {c for _, t in _UNIGRAM_CORPUS for c in t.replace(" ", "")}
+    tiny = V.unigram_learn(df, vocab_size=3, seed_size=50, rounds=1,
+                           max_piece_len=4)
+    kept = {r["piece"] for r in tiny.collect()}
+    assert chars <= kept
+
+
+@pytest.mark.slow
+def test_unigram_learn_matches_reference(spark):
+    """G99 slow twin: unigram-LM training (vocab.unigram_learn) equals
+    the independent serial reference — identical piece SET,
+    logprobs/ecounts to 1e-9 — over two full soft-EM rounds."""
+    from ferc_xbrl_extractor_spark.operators import vocab as V
+
+    df = spark.createDataFrame(_UNIGRAM_CORPUS, "doc_id long, text string")
     counts = {}
-    for _, t in corpus:
+    for _, t in _UNIGRAM_CORPUS:
         for w in t.split():
             counts[w] = counts.get(w, 0) + 1
 
@@ -1478,33 +1516,6 @@ def test_unigram_learn_matches_reference(spark):
     for p, row in got.items():
         assert abs(row["logprob"] - ref_logp[p]) < 1e-9, p
         assert abs(row["ecount"] - ref_ec[p]) < 1e-9, p
-
-    pieces = V.unigram_learn(df, **kw)
-    enc = V.unigram_encode_documents(df, pieces)
-    for r in enc.collect():
-        text = dict(corpus)[r["doc_id"]]
-        assert "".join(r["unigram_tokens"]) == text.replace(" ", "")
-        # every emitted piece is in-model (corpus chars are force-kept)
-        assert all(p in ref_logp for p in r["unigram_tokens"])
-
-    # Viterbi prefers the higher-likelihood split and OOV chars become
-    # single-char pieces instead of failing
-    oov = spark.createDataFrame([(9, "thexq")], "doc_id long, text string")
-    toks = V.unigram_encode_documents(oov, pieces).first()["unigram_tokens"]
-    assert "".join(toks) == "thexq"
-    assert "q" in toks  # q never appeared in the corpus
-
-    # validation raises
-    with pytest.raises(ValueError, match="vocab_size"):
-        V.unigram_learn(df, 0)
-    with pytest.raises(ValueError, match="shrink"):
-        V.unigram_learn(df, 10, shrink=0.0)
-
-    # char set larger than vocab_size: singles still force-kept
-    tiny = V.unigram_learn(df, vocab_size=3, seed_size=50, rounds=1,
-                           max_piece_len=4)
-    kept = {r["piece"] for r in tiny.collect()}
-    assert {c for w in counts for c in w} <= kept
 
 
 def test_bpe_encode_join_fallback_matches_broadcast_path(spark):
@@ -2564,7 +2575,20 @@ def test_bt_scores_semantics(spark):
     assert 1 <= rows["champ"] <= U * U
     assert rows["champ"] > max(v for k, v in rows.items() if k != "champ")
 
-    # 3-round exact replay vs a Python-bigint reference
+    with pytest.raises(ValueError, match="iters"):
+        bt_scores(c, iters=0)
+    with pytest.raises(ValueError, match="prior"):
+        bt_scores(c, prior=0)
+
+
+@pytest.mark.slow
+def test_bt_scores_matches_python_replay(spark):
+    """G98 slow twin: 3-round exact equality vs a Python-bigint replay
+    of the MM recurrence on a 300-comparison random fixture (the
+    in-process mirror of the bt_oracle_sql gate check)."""
+    from ferc_xbrl_extractor_spark.operators.labels import bt_scores
+
+    U = 1_000_000
     import random
 
     rnd = random.Random(11)
@@ -2604,11 +2628,6 @@ def test_bt_scores_semantics(spark):
         }
     got = {r["player"]: r["bt_micro"] for r in bt_scores(df, tie_col="tie", iters=3).collect()}
     assert got == s
-
-    with pytest.raises(ValueError, match="iters"):
-        bt_scores(df, iters=0)
-    with pytest.raises(ValueError, match="prior"):
-        bt_scores(df, prior=0)
 
 
 @pytest.mark.slow
@@ -4916,6 +4935,51 @@ def test_pagerank_matches_python_reference(spark):
 
     with pytest.raises(ValueError):
         graph.pagerank(df, iters=0)
+
+
+def test_bfs_hops_semantics(spark):
+    """G100: bounded multi-source BFS — hand-pinned hop counts on a
+    chain + branch graph, NULL (never dropped) past the cap,
+    multi-seed minimum, hop-0 seeds, undirected symmetrization, and a
+    shorter-path-wins diamond. The cross-engine pin is the
+    g100_bfs_hops oracle (bfs_oracle_sql unroll, hash-green both
+    scales); this is the semantics tier."""
+    from ferc_xbrl_extractor_spark.operators import graph
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (2, 7), (9, 0), (10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["hops"]
+        for r in graph.bfs_hops(df, seeds=[0, 10], max_hops=3).collect()
+    }
+    assert got == {
+        0: 0, 1: 1, 2: 2, 3: 3, 7: 3, 10: 0, 11: 1,
+        4: None, 9: None,  # beyond cap / upstream of the seeds
+    }
+
+    # undirected: 9 reaches 0 in 1 hop through the reversed edge
+    ug = {
+        r["node"]: r["hops"]
+        for r in graph.bfs_hops(
+            df, seeds=[9], max_hops=2, directed=False
+        ).collect()
+    }
+    assert ug[0] == 1 and ug[1] == 2 and ug[9] == 0 and ug[3] is None
+
+    # diamond: two paths, the shorter one wins
+    dia = spark.createDataFrame(
+        [(0, 1), (1, 3), (0, 2), (2, 4), (4, 3)], "src long, dst long"
+    )
+    d = {
+        r["node"]: r["hops"]
+        for r in graph.bfs_hops(dia, seeds=[0], max_hops=4).collect()
+    }
+    assert d[3] == 2  # via 1, not via 2→4
+
+    with pytest.raises(ValueError, match="seeds"):
+        graph.bfs_hops(df, seeds=[])
+    with pytest.raises(ValueError, match="max_hops"):
+        graph.bfs_hops(df, seeds=[0], max_hops=-1)
 
 
 def test_pagerank_degree_is_aggregate_not_window(spark):
