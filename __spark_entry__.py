@@ -1015,6 +1015,20 @@ def q_g2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g101_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G101: winnowing passage-overlap candidates
+    (neardup.winnow_overlap_pairs, Schleimer et al. SIGMOD'03/MOSS) —
+    8-gram md5 hashes, window-10 minima (any shared substring ≥ 17
+    chars yields a shared fingerprint), doc-frequency cap 25 prunes
+    template boilerplate before the inverted-index join, pairs kept at
+    ≥ 5 shared fingerprints. The oracle replays grams → window minima
+    (list lambdas) → df cap → fingerprint self-join verbatim."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return neardup.winnow_overlap_pairs(
+        docs, k=8, window=10, min_shared=5, max_doc_freq=25
+    )
+
+
 def q_g94_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G94: CROSS-CORPUS MinHash-LSH near-dup join
     (neardup.minhash_lsh_join) — documents split by doc_id parity into
@@ -4064,6 +4078,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_cluster_dedup": q_g2_cluster_dedup,
         "g2_minhash_lsh": q_g2_minhash_lsh,
         "g94_crossdup": q_g94_crossdup,
+        "g101_winnow_pairs": q_g101_winnow_pairs,
         "g95_kappa": q_g95_kappa,
         "g98_bt_scores": q_g98_bt_scores,
         "g95b_fleiss": q_g95b_fleiss,
@@ -4931,6 +4946,37 @@ def fine_oracle_sql() -> dict[str, str]:
             FROM chunk WHERE length(ch) > 0
         )
     """
+    # G101: winnowing — grams, window minima, df cap, fingerprint join
+    sql["g101_winnow_pairs"] = """
+        WITH st AS (
+            SELECT doc_id, CASE WHEN length(text) >= 8 THEN
+                list_transform(range(1, length(text) - 8 + 2),
+                    i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15))
+                              AS BIGINT))
+            ELSE [] END AS h
+            FROM documents WHERE text IS NOT NULL
+        ),
+        fp AS (
+            SELECT DISTINCT doc_id, f AS fingerprint FROM (
+                SELECT doc_id, UNNEST(CASE
+                    WHEN len(h) >= 10 THEN list_transform(
+                        range(1, len(h) - 10 + 2),
+                        i -> list_min(h[i:i+9]))
+                    WHEN len(h) > 0 THEN [list_min(h)]
+                    ELSE [] END) AS f
+                FROM st) u
+        ),
+        keepfp AS (
+            SELECT fingerprint FROM fp GROUP BY 1 HAVING count(*) <= 25
+        ),
+        kept AS (SELECT fp.* FROM fp JOIN keepfp USING (fingerprint))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM kept a
+        JOIN kept b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 5
+    """
+
     sql["g97_cdc_chunks"] = f"""
         WITH {_g97_cuts}
         SELECT doc_id, chunk_idx, chunk_md5, n_chars FROM chunks
@@ -8547,7 +8593,7 @@ _SUITES: dict[str, list[str]] = {
     "g2_neardup_suite": [
         "g2_jaccard", "g2_minhash_lsh", "g2_simhash", "g52_dedup_best",
         "g2_recall_report", "g82_containment", "g84_ppjoin",
-        "g90_containment_dedup", "g94_crossdup",
+        "g90_containment_dedup", "g94_crossdup", "g101_winnow_pairs",
     ],
     "g3_ann_suite": [
         "g3_cosine_topk", "g3_lsh_topk", "g3_ivf_topk",
@@ -8613,6 +8659,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g94_crossdup": [("id_a", "i"), ("id_b", "i"), ("jaccard", "n")],
     "g98_bt_scores": [("player", "i"), ("n_comparisons", "i"), ("bt_micro", "i")],
     "g100_bfs_hops": [("node", "i"), ("hops", "i")],
+    "g101_winnow_pairs": [("id_a", "i"), ("id_b", "i"), ("n_shared", "i")],
     "g95_kappa": [("annotator_a", "i"), ("annotator_b", "i"), ("n_items", "i"), ("n_agree", "i"), ("kappa_micro", "i")],
     "g95b_fleiss": [("n_items", "i"), ("n_raters", "i"), ("n_dropped_items", "i"), ("po_micro", "i"), ("pe_micro", "i"), ("kappa_micro", "i")],
     "g96_image_phash": [("media_id", "i"), ("phash", "i"), ("bucket", "i")],

@@ -56,6 +56,7 @@ HEADLINE = [
     "g2_simhash",
     "g2_recall_report",
     "g94_crossdup",
+    "g101_winnow_pairs",
     "g97_cdc_chunks",
     "g97_cdc_report",
     "g69_image_dhash",

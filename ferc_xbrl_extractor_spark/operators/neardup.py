@@ -1508,3 +1508,121 @@ def split_leakage_report(
             4,
         ).alias("leak_ratio"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """G101: winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every ``k``-gram, then keep the
+    MINIMUM hash of every ``window`` consecutive hashes. The selection
+    is LOCAL — like G97's CDC boundaries, an edit far away cannot
+    change which fingerprints a region contributes — and it carries
+    winnowing's guarantee: any shared substring of length
+    ``window + k − 1`` or more produces at least one shared
+    fingerprint. That positions it between G2 (MinHash estimates
+    WHOLE-document similarity; localized overlap dilutes away) and G26
+    (exact span dedup, heavier): a cheap detector for documents
+    sharing substantial passages — quote chains, licence blocks,
+    template families, MOSS-style near-copies.
+
+    Hash = first 15 md5 hex chars of the gram as a 60-bit int (the G2
+    token-hash trick — content-defined AND replayable by the DuckDB
+    oracle, unlike a seeded rolling polynomial). Documents shorter
+    than ``k`` contribute nothing; documents with fewer than
+    ``window`` gram hashes contribute their single minimum, so short
+    docs still fingerprint.
+
+    Returns DISTINCT ``(id_col, fingerprint)`` rows — expected density
+    ~2/(window+1) fingerprints per character before dedup, the paper's
+    bound.
+
+    Scale shape: TWO projections and one explode — no shuffle until
+    the caller aggregates. The gram-hash array is materialized as an
+    attribute before the window pass references it (the
+    lambda-substitution trap: an inline array would re-run the O(len)
+    md5 sweep per window — the G97 lesson, documented in
+    SURVEY §2.13's r9 notes). Per-doc work is O(len·k) md5 bytes +
+    O(len·window) comparisons; row count stays O(fingerprints).
+    """
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    text = F.col(text_col)
+    n = F.length(text)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.conv(
+                F.substring(F.md5(text.substr(i, F.lit(k))), 1, 15), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    staged = df.select(F.col(id_col), grams.alias("__h"))
+    h = F.col("__h")
+    m = F.size(h)
+    mins = F.when(
+        m >= window,
+        F.transform(
+            F.sequence(F.lit(1), m - window + 1),
+            lambda i: F.array_min(F.slice(h, i, window)),
+        ),
+    ).otherwise(
+        F.when(m > 0, F.array(F.array_min(h))).otherwise(
+            F.array().cast("array<long>")
+        )
+    )
+    return staged.select(
+        id_col, F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """G101: document pairs sharing ≥ ``min_shared`` winnowing
+    fingerprints — the passage-overlap candidate generator. Inverted-
+    index join on the fingerprint (the G2/G35 shape — NEVER all-pairs):
+    fingerprints whose document frequency exceeds ``max_doc_freq``
+    are dropped first (boilerplate/licence text that would otherwise
+    quadratically explode the join — the same reason G35 strips common
+    lines; at web scale a shared footer's fingerprint joins every
+    page to every page). The pair blowup is bounded by
+    Σ_fp min(df, max_doc_freq)², and AQE's skew split handles the
+    residual heavy fingerprints under the cap.
+
+    Returns ``(id_a, id_b, n_shared)``, ``id_a < id_b``, ordered by
+    nothing (callers aggregate or verify downstream, e.g. via
+    G2's exact Jaccard or G26 span extraction on the candidates).
+    """
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    if max_doc_freq < 2:
+        raise ValueError("max_doc_freq must be >= 2 (pairs need 2 docs)")
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+    keep = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_doc_freq)
+        .select("fingerprint")
+    )
+    kept = fps.join(keep, "fingerprint")
+    a = kept.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = kept.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1452,6 +1452,77 @@ def _reference_unigram(counts, vocab_size, seed_size, rounds,
     return logp, ecounts
 
 
+def test_winnow_fingerprints_and_overlap(spark):
+    """G101: winnowing (Schleimer et al. SIGMOD'03). Pins the paper's
+    guarantee — any shared substring of length >= window + k - 1
+    yields at least one shared fingerprint — plus: unrelated docs
+    share nothing at min_shared, the doc-frequency cap prunes
+    boilerplate fingerprints before the join, sub-k docs contribute
+    nothing, sub-window docs contribute their single minimum, and
+    validation raises. Cross-engine exactness is the g101_winnow_pairs
+    oracle (hash-green both scales)."""
+    import random
+
+    from ferc_xbrl_extractor_spark.operators.neardup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    rnd = random.Random(5)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    blob = "".join(rnd.choice(alpha) for _ in range(120))
+    shared = "".join(rnd.choice(alpha) for _ in range(40))  # >= w+k-1 = 12
+    docs = spark.createDataFrame(
+        [
+            (1, blob[:60] + shared + blob[60:]),
+            (2, shared + "".join(rnd.choice(alpha) for _ in range(100))),
+            (3, "".join(rnd.choice(alpha) for _ in range(150))),
+        ],
+        "doc_id long, text string",
+    )
+    k, w = 5, 8
+    fps = winnow_fingerprints(docs, k=k, window=w)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    # the guarantee: docs 1 and 2 share the 40-char passage
+    assert by_doc[1] & by_doc[2]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_overlap_pairs(
+            docs, k=k, window=w, min_shared=1, max_doc_freq=10
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # boilerplate cap: a fingerprint in ALL docs vanishes at max_doc_freq=2
+    boiler = spark.createDataFrame(
+        [(i, shared) for i in range(5)], "doc_id long, text string"
+    )
+    assert (
+        winnow_overlap_pairs(
+            boiler, k=k, window=w, min_shared=1, max_doc_freq=2
+        ).count()
+        == 0
+    )
+
+    # sub-k docs: nothing; sub-window docs: exactly one fingerprint
+    tiny = spark.createDataFrame(
+        [(1, "abc"), (2, "abcdefg")], "doc_id long, text string"
+    )
+    got = winnow_fingerprints(tiny, k=5, window=8).collect()
+    assert {r["doc_id"] for r in got} == {2} and len(got) == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k and window"):
+        winnow_fingerprints(docs, k=0)
+    with _pytest.raises(ValueError, match="min_shared"):
+        winnow_overlap_pairs(docs, min_shared=0)
+    with _pytest.raises(ValueError, match="max_doc_freq"):
+        winnow_overlap_pairs(docs, max_doc_freq=1)
+
+
 _UNIGRAM_CORPUS = [
     (1, "the thermometer theme there then the thesis"),
     (2, "low lower lowest slow slowly the thermometer"),
