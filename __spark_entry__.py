@@ -1210,6 +1210,22 @@ def q_g97_cdc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_dedup_report(cdc_chunks(docs, window=8, divisor=64))
 
 
+def q_g102_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G102: margin-based cross-corpus pair mining
+    (similarity.margin_mine, Artetxe & Schwenk ACL'19) — embeddings
+    split by vec_id parity into two corpora, forward+backward top-4
+    candidates, per-endpoint k-NN-mean renormalization, pairs kept at
+    margin >= 1.0. Cosines ride the g3 float recipe (round 4dp) then
+    quantize to micro-units, so the margin is one exact integer
+    division and the oracle replays every step."""
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    return similarity.margin_mine(
+        left, right, k=4, threshold_micro=1_000_000
+    )
+
+
 def q_g3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: exact brute-force top-5 cosine neighbors for 20 query vectors."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -4089,6 +4105,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_simhash": q_g2_simhash,
         "g2_recall_report": q_g2_recall_report,
         "g3_cosine_topk": q_g3_cosine_topk,
+        "g102_margin_mine": q_g102_margin_mine,
         "g3_lsh_topk": q_g3_lsh_topk,
         "g3_ivf_topk": q_g3_ivf_topk,
         "g77_knn_join": q_g77_knn_join,
@@ -5052,6 +5069,51 @@ def fine_oracle_sql() -> dict[str, str]:
                                        ORDER BY sim DESC, neighbor_id) AS INT) AS rank
         FROM scored
         QUALIFY rank <= 5
+    """
+
+    # G102: margin mining — fwd/bwd top-k, micro quantization, k-NN
+    # means, one integer margin division (all longs after the round)
+    _g102_cos = (
+        "ROUND(list_inner_product(l.e, r.e) / "
+        "(sqrt(list_inner_product(l.e, l.e)) * "
+        "sqrt(list_inner_product(r.e, r.e))), 4)"
+    )
+    sql["g102_margin_mine"] = f"""
+        WITH le AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings WHERE vec_id % 2 = 0),
+        re AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id % 2 = 1),
+        fwd AS (
+            SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                   CAST(ROUND({_g102_cos} * 1000000) AS BIGINT) AS sm,
+                   row_number() OVER (PARTITION BY l.vec_id
+                       ORDER BY {_g102_cos} DESC, r.vec_id) AS rank
+            FROM le l, re r
+            QUALIFY rank <= 4
+        ),
+        bwd AS (
+            SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                   CAST(ROUND({_g102_cos} * 1000000) AS BIGINT) AS sm,
+                   row_number() OVER (PARTITION BY r.vec_id
+                       ORDER BY {_g102_cos} DESC, l.vec_id) AS rank
+            FROM le l, re r
+            QUALIFY rank <= 4
+        ),
+        ma AS (SELECT id_a, SUM(sm) // COUNT(*) AS m FROM fwd GROUP BY 1),
+        mb AS (SELECT id_b, SUM(sm) // COUNT(*) AS m FROM bwd GROUP BY 1),
+        cand AS (
+            SELECT id_a, id_b, MAX(sm) AS sim_micro FROM (
+                SELECT id_a, id_b, sm FROM fwd
+                UNION ALL SELECT id_a, id_b, sm FROM bwd
+            ) GROUP BY 1, 2
+        )
+        SELECT cand.id_a, cand.id_b, cand.sim_micro,
+               CAST((2 * cand.sim_micro * 1000000) // (ma.m + mb.m)
+                    AS BIGINT) AS margin_micro
+        FROM cand JOIN ma ON cand.id_a = ma.id_a
+        JOIN mb ON cand.id_b = mb.id_b
+        WHERE ma.m + mb.m > 0
+          AND (2 * cand.sim_micro * 1000000) // (ma.m + mb.m) >= 1000000
     """
 
     # G50: hard-negative mining — g3_cosine_topk's scored cross join with
@@ -8599,6 +8661,7 @@ _SUITES: dict[str, list[str]] = {
         "g3_cosine_topk", "g3_lsh_topk", "g3_ivf_topk",
         "g3_embedding_neardup", "g3_recall", "g44_ranking_report",
         "g50_hard_negatives", "g77_knn_join", "g80_rrf_fuse",
+        "g102_margin_mine",
     ],
     "g26_span_suite": [
         "g26_dup_spans", "g26_trim_spans", "g62_contamination",
@@ -8660,6 +8723,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g98_bt_scores": [("player", "i"), ("n_comparisons", "i"), ("bt_micro", "i")],
     "g100_bfs_hops": [("node", "i"), ("hops", "i")],
     "g101_winnow_pairs": [("id_a", "i"), ("id_b", "i"), ("n_shared", "i")],
+    "g102_margin_mine": [("id_a", "i"), ("id_b", "i"), ("sim_micro", "i"), ("margin_micro", "i")],
     "g95_kappa": [("annotator_a", "i"), ("annotator_b", "i"), ("n_items", "i"), ("n_agree", "i"), ("kappa_micro", "i")],
     "g95b_fleiss": [("n_items", "i"), ("n_raters", "i"), ("n_dropped_items", "i"), ("po_micro", "i"), ("pe_micro", "i"), ("kappa_micro", "i")],
     "g96_image_phash": [("media_id", "i"), ("phash", "i"), ("bucket", "i")],

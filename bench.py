@@ -72,6 +72,7 @@ HEADLINE = [
     "g3_ivf_topk",
     "g77_knn_join",
     "g80_rrf_fuse",
+    "g102_margin_mine",
     "g3_recall",
     "g44_ranking_report",
     "g50_hard_negatives",

@@ -1473,3 +1473,107 @@ def random_projection(
         * F.lit(scale),
     )
     return df.withColumn(out_col, proj)
+
+
+def margin_mine(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_micro: int = 1_000_000,
+    mutual_only: bool = False,
+    two_phase: bool = False,
+) -> DataFrame:
+    """G102: margin-based parallel-pair mining between two embedding
+    corpora (Artetxe & Schwenk ACL'19, the CCMatrix/LASER reduction):
+    raw cosine ranks badly across corpora because some vectors sit in
+    dense neighborhoods where EVERYTHING scores high — the margin
+    renormalizes each candidate pair's cosine by the mean cosine of
+    both endpoints' k-NN neighborhoods,
+
+      margin(x, y) = cos(x, y) / ((mean_kNN(x) + mean_kNN(y)) / 2)
+
+    keeping pairs that stand OUT of their neighborhoods. The training-
+    data uses: bitext mining for translation corpora, cross-corpus
+    semantic alignment (doc ↔ summary, code ↔ doc), and
+    candidate-pair generation for G27-style semantic dedup ACROSS
+    corpora.
+
+    Candidates are the union of forward (each left vector's top-k in
+    right) and backward top-k — a pair only needs to surface in ONE
+    direction; ``mutual_only=True`` additionally requires the pair to
+    be rank-1 in BOTH directions (the strict "max" strategy).
+
+    Returns ``(id_a, id_b, sim_micro, margin_micro)`` for pairs with
+    ``margin_micro ≥ threshold_micro`` (1_000_000 = margin 1.0). Float
+    discipline (the G93 rule): the per-pair cosine is rounded to 4 dp
+    — the same expression the g3 oracle replays — then quantized to
+    integer micro-units, so every aggregate downstream is an
+    order-free long sum and the margin is ONE exact integer division;
+    pairs whose neighborhood-mean denominator is ≤ 0 (possible with
+    adversarial negative-cosine neighborhoods) yield NULL margin and
+    are dropped by the threshold, never a divide error.
+
+    Scale shape: two brute top-k passes (G3's ``cosine_topk``; swap in
+    :func:`ivf_topk` candidates for corpora past the brute regime —
+    the margin arithmetic is agnostic to where candidates came from),
+    two O(|corpus|) keyed mean aggregates, one candidate-keyed
+    aggregate, two keyed joins. Nothing is ever all-pairs beyond the
+    scored top-k passes themselves.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    micro = lambda c: F.round(c * 1_000_000).cast("long")  # noqa: E731
+    fwd = cosine_topk(
+        right, left, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col="id_a", exclude_self=False, two_phase=two_phase,
+    ).select(
+        "id_a",
+        F.col("neighbor_id").alias("id_b"),
+        micro(F.col("sim")).alias("__sm"),
+        "rank",
+    )
+    bwd = cosine_topk(
+        left, right, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col="id_b", exclude_self=False, two_phase=two_phase,
+    ).select(
+        F.col("neighbor_id").alias("id_a"),
+        "id_b",
+        micro(F.col("sim")).alias("__sm"),
+        "rank",
+    )
+    mean_a = fwd.groupBy("id_a").agg(
+        F.expr("sum(__sm) div count(1)").alias("__ma")
+    )
+    mean_b = bwd.groupBy("id_b").agg(
+        F.expr("sum(__sm) div count(1)").alias("__mb")
+    )
+    cands = (
+        fwd.select("id_a", "id_b", "__sm")
+        .unionByName(bwd.select("id_a", "id_b", "__sm"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("__sm").alias("sim_micro"))
+    )
+    if mutual_only:
+        cands = cands.join(
+            fwd.filter(F.col("rank") == 1).select("id_a", "id_b"),
+            ["id_a", "id_b"],
+            "left_semi",
+        ).join(
+            bwd.filter(F.col("rank") == 1).select("id_a", "id_b"),
+            ["id_a", "id_b"],
+            "left_semi",
+        )
+    den = F.col("__ma") + F.col("__mb")
+    margin = F.when(
+        den > 0,
+        F.expr(f"(2 * sim_micro * {1_000_000}) div (__ma + __mb)"),
+    ).otherwise(F.lit(None))
+    return (
+        cands.join(mean_a, "id_a")
+        .join(mean_b, "id_b")
+        .withColumn("margin_micro", margin.cast("long"))
+        .filter(F.col("margin_micro") >= threshold_micro)
+        .select("id_a", "id_b", "sim_micro", "margin_micro")
+    )

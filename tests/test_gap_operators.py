@@ -1452,6 +1452,88 @@ def _reference_unigram(counts, vocab_size, seed_size, rounds,
     return logp, ecounts
 
 
+def test_margin_mine_semantics(spark):
+    """G102: margin mining renormalizes cosine by neighborhood density
+    — an isolated true pair outscores a dense-cluster pair with the
+    SAME raw cosine; mutual_only keeps only rank-1-both-ways pairs; a
+    non-positive neighborhood denominator drops (NULL margin) instead
+    of erroring; k validates. Exact integer replay vs a numpy
+    reference of the documented recipe (round-4dp → micro → one
+    integer division). Cross-engine exactness is the g102_margin_mine
+    oracle (hash-green both scales)."""
+    import numpy as np
+
+    from ferc_xbrl_extractor_spark.operators.similarity import margin_mine
+
+    rnd = np.random.default_rng(7)
+
+    def _unit(v):
+        v = np.asarray(v, dtype=float)
+        return v / np.linalg.norm(v)
+
+    # left corpus: an isolated probe (e0) + a dense clump (c1..c3)
+    # right corpus: the probe's twin + the clump's twins — every pair
+    # below has high raw cosine, but the clump pairs sit in
+    # neighborhoods where everything is close, so their margins shrink
+    e0 = _unit([1, 0, 0, 0])
+    clump = [_unit([0, 1, 0.05 * i, 0.02]) for i in range(3)]
+    left_rows = [(0, e0.tolist())] + [
+        (2 * i + 2, c.tolist()) for i, c in enumerate(clump)
+    ]
+    right_rows = [(1, _unit(e0 + 0.01 * rnd.normal(size=4)).tolist())] + [
+        (2 * i + 3, _unit(c + 0.01 * rnd.normal(size=4)).tolist())
+        for i, c in enumerate(clump)
+    ]
+    left = spark.createDataFrame(left_rows, "vec_id long, embedding array<double>")
+    right = spark.createDataFrame(right_rows, "vec_id long, embedding array<double>")
+
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in margin_mine(left, right, k=3, threshold_micro=0).collect()
+    }
+    assert (0, 1) in got
+    probe = got[(0, 1)]["margin_micro"]
+    clump_margins = [
+        got[(2 * i + 2, 2 * i + 3)]["margin_micro"] for i in range(3)
+    ]
+    assert probe > max(clump_margins)  # isolation wins renormalization
+
+    # numpy replay of the documented integer recipe for the probe pair
+    L = {i: np.array(v) for i, v in left_rows}
+    R = {j: np.array(v) for j, v in right_rows}
+    sm = {
+        (i, j): int(round(round(float(np.dot(L[i], R[j]) /
+            (np.linalg.norm(L[i]) * np.linalg.norm(R[j]))), 4) * 1e6))
+        for i in L for j in R
+    }
+    k = 3
+    top_f = {i: sorted(R, key=lambda j: (-sm[(i, j)], j))[:k] for i in L}
+    top_b = {j: sorted(L, key=lambda i: (-sm[(i, j)], i))[:k] for j in R}
+    ma = {i: sum(sm[(i, j)] for j in top_f[i]) // k for i in L}
+    mb = {j: sum(sm[(i, j)] for i in top_b[j]) // k for j in R}
+    want = (2 * sm[(0, 1)] * 1_000_000) // (ma[0] + mb[1])
+    assert probe == want
+
+    # mutual_only: every kept pair is rank-1 both directions
+    mut = margin_mine(left, right, k=3, threshold_micro=0, mutual_only=True)
+    for r in mut.collect():
+        assert top_f[r["id_a"]][0] == r["id_b"]
+        assert top_b[r["id_b"]][0] == r["id_a"]
+
+    # non-positive denominator: anti-parallel corpora — all cosines
+    # negative, means <= 0, margin NULL → dropped, no divide error
+    neg_l = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    neg_r = spark.createDataFrame(
+        [(1, [-1.0, 0.0]), (3, [0.0, -1.0])], "vec_id long, embedding array<double>"
+    )
+    assert margin_mine(neg_l, neg_r, k=2, threshold_micro=-10_000_000).count() == 0
+
+    with pytest.raises(ValueError, match="k must"):
+        margin_mine(left, right, k=0)
+
+
 def test_winnow_fingerprints_and_overlap(spark):
     """G101: winnowing (Schleimer et al. SIGMOD'03). Pins the paper's
     guarantee — any shared substring of length >= window + k - 1

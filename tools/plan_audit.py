@@ -45,6 +45,12 @@ EXECUTES_ON_CALL = {
 #   side streams, never shuffles.
 INTENTIONAL_BNLJ = {
     "g3_cosine_topk",
+    # g102_margin_mine: both top-k passes are the g3_cosine_topk
+    # broadcast-query-side brute scoring (definitionally all-pairs
+    # against the broadcast side); the margin layer itself adds only
+    # keyed aggregates and joins. Past the brute regime the candidates
+    # come from ivf_topk instead (documented on the operator).
+    "g102_margin_mine",
     "g3_ivf_topk",
     "g3_embedding_neardup",
     "g4_bm25",
