@@ -2309,6 +2309,23 @@ def q_g8_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g103_dialogues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G103: gap-sessionized dialogue assembly (packing.
+    assemble_dialogues) — events become per-(user, 30-min-session)
+    transcripts of 'event_type: props' lines in (ts, role, text)
+    total order; the oracle replays sessionization as the g8
+    lag/cumsum form and the transcript as an ORDER BY string_agg."""
+    from ferc_xbrl_extractor_spark.operators.packing import (
+        assemble_dialogues,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    return assemble_dialogues(ev)
+
+
 def q_g8_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G8: gap-based session windows (oracle = gaps-and-islands)."""
     events = _t(spark, sf_dir, "events")
@@ -4206,6 +4223,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g8_tumbling": q_g8_tumbling,
         "g8_sliding": q_g8_sliding,
         "g8_session": q_g8_session,
+        "g103_dialogues": q_g103_dialogues,
         "g13_salted_agg": q_g13_salted_agg,
         "g9_asof_join": q_g9_asof_join,
         "g19_interval_join": q_g19_interval_join,
@@ -7248,9 +7266,13 @@ def fine_oracle_sql() -> dict[str, str]:
     sql["g8_session"] = """
         WITH x AS (
             SELECT user_id, ts,
+                   -- STRICTLY greater: Spark's session_window merges an
+                   -- event landing exactly at start+gap (probed r10; the
+                   -- >= form only passed because event times never land
+                   -- on the exact boundary)
                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                                >= INTERVAL 30 MINUTE
+                                > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_s
             FROM events
         ),
@@ -7261,6 +7283,32 @@ def fine_oracle_sql() -> dict[str, str]:
             FROM x
         )
         SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n
+        FROM y GROUP BY user_id, sid
+    """
+
+    # G103: dialogue assembly — g8 sessionization + ordered string_agg
+    sql["g103_dialogues"] = """
+        WITH x AS (
+            SELECT user_id, ts, event_type AS role, props AS text,
+                   -- STRICTLY greater: Spark's session_window merges an
+                   -- event landing exactly at start+gap (probed r10)
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ),
+        y AS (
+            SELECT user_id, ts, role, text,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM x
+        )
+        SELECT user_id, min(ts) AS started_at,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               string_agg(COALESCE(role, '') || ': ' || COALESCE(text, ''),
+                          chr(10) ORDER BY ts, COALESCE(role, ''),
+                          COALESCE(text, '')) AS transcript
         FROM y GROUP BY user_id, sid
     """
 
@@ -8650,7 +8698,7 @@ _SUITES: dict[str, list[str]] = {
     ],
     "g8_event_window_suite": [
         "g8_tumbling", "g8_sliding", "g8_session", "g58_stream_quality",
-        "g75_funnel", "g92_decayed_counts",
+        "g75_funnel", "g92_decayed_counts", "g103_dialogues",
     ],
     "g2_neardup_suite": [
         "g2_jaccard", "g2_minhash_lsh", "g2_simhash", "g52_dedup_best",
@@ -8724,6 +8772,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g100_bfs_hops": [("node", "i"), ("hops", "i")],
     "g101_winnow_pairs": [("id_a", "i"), ("id_b", "i"), ("n_shared", "i")],
     "g102_margin_mine": [("id_a", "i"), ("id_b", "i"), ("sim_micro", "i"), ("margin_micro", "i")],
+    "g103_dialogues": [("user_id", "i"), ("started_at", "t"), ("n_turns", "i"), ("transcript", "s")],
     "g95_kappa": [("annotator_a", "i"), ("annotator_b", "i"), ("n_items", "i"), ("n_agree", "i"), ("kappa_micro", "i")],
     "g95b_fleiss": [("n_items", "i"), ("n_raters", "i"), ("n_dropped_items", "i"), ("po_micro", "i"), ("pe_micro", "i"), ("kappa_micro", "i")],
     "g96_image_phash": [("media_id", "i"), ("phash", "i"), ("bucket", "i")],

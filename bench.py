@@ -138,6 +138,7 @@ HEADLINE = [
     "g7_exact_quantiles",
     "g8_tumbling",
     "g8_session",
+    "g103_dialogues",
     "g75_funnel",
     "g92_decayed_counts",
     "g81_label_agg",

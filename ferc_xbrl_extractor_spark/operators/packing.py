@@ -263,3 +263,58 @@ def materialize_sequences(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min(order_col).cast("long").alias("start_offset"),
     )
+
+
+def assemble_dialogues(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    role_col: str = "role",
+    text_col: str = "text",
+    gap: str = "30 minutes",
+    sep: str = "\n",
+) -> DataFrame:
+    """G103: gap-sessionized dialogue assembly — turn event-shaped rows
+    (user, timestamp, role, text) into one ordered transcript per
+    conversation, the reduction that builds SFT/chat training sequences
+    out of raw interaction logs (support tickets, chat exports, agent
+    traces). A conversation = a G8 session with Spark's exact boundary
+    rule (probed, not assumed): a turn landing AT ``start + gap``
+    still merges — only a strictly larger gap starts a new session.
+
+    Returns one row per (user, session):
+      (user_col, started_at, n_turns, transcript)
+    transcript = ``role: text`` lines joined by ``sep``, turns ordered
+    by (ts, role, text) — a TOTAL order, so duplicate timestamps
+    cannot make the transcript engine- or partitioning-dependent.
+    NULL role/text render as empty strings (an abstain turn keeps its
+    slot; dropping it would silently reorder context).
+
+    Scale shape: Spark's native ``session_window`` aggregate — ONE
+    map-side-combinable groupBy over the event volume keyed on
+    (user, session window); the transcript builds inside the aggregate
+    via collect_list + array_sort, bounded by the session length
+    (human conversations: tens of turns), never the user's history.
+    The oracle replays sessionization as the g8 lag/cumsum form and
+    the transcript as ``string_agg(... ORDER BY ts, role, text)``.
+    """
+    role = F.coalesce(F.col(role_col).cast("string"), F.lit(""))
+    text = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    turns = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col).alias("t"), role.alias("r"), text.alias("x")))
+    )
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("__w"),
+            F.col(user_col),
+        )
+        .agg(
+            F.min(ts_col).alias("started_at"),
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.array_join(
+                F.transform(turns, lambda s: F.concat(s["r"], F.lit(": "), s["x"])),
+                sep,
+            ).alias("transcript"),
+        )
+        .select(user_col, "started_at", "n_turns", "transcript")
+    )

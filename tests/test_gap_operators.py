@@ -1452,6 +1452,49 @@ def _reference_unigram(counts, vocab_size, seed_size, rounds,
     return logp, ecounts
 
 
+def test_assemble_dialogues(spark):
+    """G103: dialogue assembly — a gap of exactly the threshold starts
+    a new conversation (the g8 session contract), turns order by the
+    (ts, role, text) total order even at duplicate timestamps, NULL
+    role/text render as empty strings keeping their slot, and the
+    transcript is the ordered 'role: text' join. Cross-engine
+    exactness is the g103_dialogues oracle (hash-green both scales)."""
+    from datetime import datetime
+
+    from ferc_xbrl_extractor_spark.operators.packing import (
+        assemble_dialogues,
+    )
+
+    t = lambda m, s=0: datetime(2024, 1, 1, 10, m, s)  # noqa: E731
+    rows = [
+        (1, t(0), "user", "hi"),
+        (1, t(1), "assistant", "hello"),
+        (1, t(1), "assistant", "and more"),  # dup ts: text breaks tie
+        (1, t(31), "user", "still here"),    # EXACTLY 30 min: merges
+        (1, t(31, 1), "user", "new session"),  # sub-gap after t(31)
+        (2, t(0), None, None),               # NULL role/text keep slot
+        (2, t(5), "user", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, role string, text string"
+    )
+    got = {
+        (r["user_id"], r["started_at"]): r
+        for r in assemble_dialogues(df).collect()
+    }
+    s1 = got[(1, t(0))]
+    # the exact-boundary turn merges (Spark session_window rule) and
+    # extends the session so the t+30:01 turn merges too
+    assert s1["n_turns"] == 5
+    assert s1["transcript"] == (
+        "user: hi\nassistant: and more\nassistant: hello"
+        "\nuser: still here\nuser: new session"
+    )
+    s3 = got[(2, t(0))]
+    assert s3["n_turns"] == 2
+    assert s3["transcript"] == ": \nuser: x"
+
+
 def test_margin_mine_semantics(spark):
     """G102: margin mining renormalizes cosine by neighborhood density
     — an isolated true pair outscores a dense-cluster pair with the
