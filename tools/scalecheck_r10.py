@@ -143,8 +143,11 @@ def main() -> None:
     out["bt"] = bt
 
     # ---- G100 BFS ----
+    # the hub IS a seed: hop 1 reaches n_edges/2 nodes, so the distance
+    # relation at tier 2 carries ~5M rows into rounds 2-3 — the frontier
+    # stress, not just the edge-scan floor
     bfs: dict = {}
-    seeds = list(range(1, 51))
+    seeds = [0] + list(range(1, 50))
     reached_prev = 0
     for n in (1_000_000, 10_000_000):
         g = hub_graph(spark, n)
