@@ -3855,6 +3855,25 @@ def q_g100_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g104_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G104: synchronous label-propagation communities
+    (graph.label_propagation) — 3 fixed rounds over the undirected g65
+    link graph; plurality vote with min-label tie-break, no-inbox nodes
+    carry their label. The spam-cluster/community-split complement to
+    g65/g87's rankings; oracle = label_propagation_oracle_sql's
+    unrolled rounds (QUALIFY argmax replay)."""
+    from ferc_xbrl_extractor_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem", repair=False).select(
+        (F.col("l_orderkey") % 997).alias("src"),
+        (F.col("l_partkey") % 997).alias("dst"),
+    )
+    return graph.label_propagation(li, rounds=3).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
 _PPR_SEEDS = list(range(20))
 
 
@@ -4136,6 +4155,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g86_bloom_join": q_g86_bloom_join,
         "g87_ppr": q_g87_ppr,
         "g100_bfs_hops": q_g100_bfs_hops,
+        "g104_communities": q_g104_communities,
         "s9_warc_roundtrip": q_s9_warc_roundtrip,
         "g88_salted_join": q_g88_salted_join,
         "g89_collocations": q_g89_collocations,
@@ -8263,6 +8283,18 @@ def fine_oracle_sql() -> dict[str, str]:
         max_hops=3,
     )
 
+    # G104: label-propagation communities — synchronous rounds unrolled
+    # by the operator's own oracle generator; the per-node plurality
+    # argmax replays as QUALIFY row_number (c DESC, lbl ASC)
+    from ferc_xbrl_extractor_spark.operators.graph import (
+        label_propagation_oracle_sql,
+    )
+
+    sql["g104_communities"] = label_propagation_oracle_sql(
+        "SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst FROM lineitem",
+        rounds=3,
+    )
+
     # G85: triangle counts — canonical undirected edges, (degree, id)
     # orientation via row-value comparisons, unordered wedges closed by
     # an EXISTS against the oriented edge set, corner explode + count.
@@ -8738,7 +8770,7 @@ _SUITES: dict[str, list[str]] = {
     "g_training_suite": [
         "g37_kmeans", "g38_bigram_lm", "g39_shuffle_order",
         "g40_repeat_mix", "g41_epoch", "g65_pagerank", "g85_triangles",
-        "g87_ppr", "g100_bfs_hops",
+        "g87_ppr", "g100_bfs_hops", "g104_communities",
     ],
 }
 
@@ -8770,6 +8802,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g94_crossdup": [("id_a", "i"), ("id_b", "i"), ("jaccard", "n")],
     "g98_bt_scores": [("player", "i"), ("n_comparisons", "i"), ("bt_micro", "i")],
     "g100_bfs_hops": [("node", "i"), ("hops", "i")],
+    "g104_communities": [("node", "i"), ("community", "i")],
     "g101_winnow_pairs": [("id_a", "i"), ("id_b", "i"), ("n_shared", "i")],
     "g102_margin_mine": [("id_a", "i"), ("id_b", "i"), ("sim_micro", "i"), ("margin_micro", "i")],
     "g103_dialogues": [("user_id", "i"), ("started_at", "t"), ("n_turns", "i"), ("transcript", "s")],

@@ -86,6 +86,7 @@ HEADLINE = [
     "g95b_fleiss",
     "g98_bt_scores",
     "g100_bfs_hops",
+    "g104_communities",
     "g32_corpus_report",
     "g32_stratum_report",
     "g33_strip_lines",

@@ -546,3 +546,128 @@ def bfs_oracle_sql(
         + f"\nSELECT nodes.node, CAST({prev}.hops AS BIGINT) AS hops "
         f"FROM nodes LEFT JOIN {prev} ON nodes.node = {prev}.node"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """G104: synchronous label-propagation communities (Raghavan et al.
+    2007) — every node starts labeled with its own id; each round every
+    node adopts the label held by the PLURALITY of its in-neighbors
+    (ties broken toward the smallest label; nodes with no in-neighbors
+    keep their label). After ``rounds`` rounds the label IS the
+    community id. The curation uses: link-farm/spam clusters on the
+    host graph (G65/G87 rank inside a cluster, this finds the cluster),
+    community-aware corpus splits (put a whole host community on one
+    side of train/eval — the G47 leakage rule lifted from near-dup
+    pairs to graph neighborhoods), and domain grouping for per-
+    community crawl quotas.
+
+    Semantics pinned for replay: SYNCHRONOUS fixed-round updates over
+    the DEDUPLICATED (simple-graph) edge relation — parallel-edge
+    multiplicities do not weight the vote, and all nodes update from
+    the same round-t snapshot, so the result is deterministic and
+    bit-replayable by :func:`label_propagation_oracle_sql`. The known
+    cost of synchronous LPA — labels can oscillate on bipartite-ish
+    structure instead of converging — is bounded here by the fixed
+    round count (the round-t relation is still exact); production runs
+    that want convergence semantics should raise ``rounds`` and
+    compare successive rounds (two calls) rather than trust a hidden
+    stop rule. ``directed=False`` (default — the usual LPA setting)
+    symmetrizes the edge relation once; ``directed=True`` propagates
+    along edge direction only.
+
+    Scale shape (the :func:`pagerank` template): per round ONE keyed
+    join of the label relation onto the edge relation (the edge side's
+    exchange is canonically identical across rounds — reused), one
+    map-side-combinable ``(node, lbl)`` count, one combinable
+    ``min_by`` argmax per node, one left join back to carry no-inbox
+    nodes. Everything is O(|E|) per round with |V|-sized label
+    relations; no floats, no windows, no driver state. Lineage cut
+    every 8 rounds (the :func:`bfs_hops` policy).
+
+    Tie-break note: the argmax is ``min_by(lbl, (-count, lbl))`` — one
+    hash aggregate, no per-node sort; struct ordering gives max count
+    then smallest label for any orderable label type.
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    raw = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    if not directed:
+        raw = raw.union(
+            raw.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+        )
+    e = raw.distinct()
+    nodes = (
+        raw.select(F.explode(F.array("__s", "__d")).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = nodes.select("node", F.col("node").alias("lbl"))
+    for t in range(1, rounds + 1):
+        msgs = e.join(lab.withColumnRenamed("node", "__s"), "__s").select(
+            F.col("__d").alias("node"), "lbl"
+        )
+        best = (
+            msgs.groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy("node")
+            .agg(
+                F.min_by(
+                    "lbl",
+                    F.struct(
+                        (-F.col("__c")).alias("__nc"), F.col("lbl").alias("__lb")
+                    ),
+                ).alias("__new")
+            )
+        )
+        lab = lab.join(best, "node", "left").select(
+            "node", F.coalesce("__new", "lbl").alias("lbl")
+        )
+        if t % 8 == 0 and t < rounds:
+            lab = lab.localCheckpoint(eager=False)
+    return lab.select("node", F.col("lbl").alias("community"))
+
+
+def label_propagation_oracle_sql(
+    edges_sql: str,
+    rounds: int = 3,
+    directed: bool = False,
+) -> str:
+    """ANSI-SQL replay of :func:`label_propagation` with the rounds
+    UNROLLED (the :func:`bfs_oracle_sql` pattern); the argmax replays
+    as ``QUALIFY row_number() ORDER BY c DESC, lbl ASC``. ``edges_sql``
+    must yield columns (src, dst)."""
+    base = f"SELECT src, dst FROM ({edges_sql})"
+    if not directed:
+        base = f"{base} UNION ALL SELECT dst, src FROM ({edges_sql})"
+    sql = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({base}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "l0 AS (SELECT node, node AS lbl FROM nodes)",
+    ]
+    prev = "l0"
+    for t in range(1, rounds + 1):
+        sql.append(
+            f"c{t} AS (SELECT e.dst AS node, {prev}.lbl AS lbl, "
+            f"COUNT(*) AS c FROM e JOIN {prev} ON e.src = {prev}.node "
+            f"GROUP BY e.dst, {prev}.lbl)"
+        )
+        sql.append(
+            f"w{t} AS (SELECT node, lbl FROM c{t} QUALIFY "
+            f"row_number() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, lbl ASC) = 1)"
+        )
+        sql.append(
+            f"l{t} AS (SELECT {prev}.node, COALESCE(w{t}.lbl, {prev}.lbl) "
+            f"AS lbl FROM {prev} LEFT JOIN w{t} ON {prev}.node = w{t}.node)"
+        )
+        prev = f"l{t}"
+    return (
+        "WITH " + ",\n".join(sql)
+        + f"\nSELECT node, lbl AS community FROM {prev}"
+    )

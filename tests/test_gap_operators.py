@@ -5178,6 +5178,59 @@ def test_bfs_hops_semantics(spark):
         graph.bfs_hops(df, seeds=[0], max_hops=-1)
 
 
+def test_label_propagation_semantics(spark):
+    """G104: synchronous LPA — two bridged triangles resolve to two
+    communities labeled by their min member; star-graph plurality ties
+    break to the smallest label with the synchronous center/leaf swap
+    preserved exactly (the documented fixed-round semantics); rounds=0
+    is the singleton identity; directed vs undirected differ on a
+    one-way bridge. The cross-engine pin is the g104_communities
+    oracle (label_propagation_oracle_sql unroll, hash-green both
+    scales); this is the semantics tier."""
+    from ferc_xbrl_extractor_spark.operators import graph
+
+    tri = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame(tri, "src long, dst long")
+    got = {
+        r["node"]: r["community"]
+        for r in graph.label_propagation(df, rounds=3).collect()
+    }
+    # bridged triangles: each settles on its own min member; the bridge
+    # 3-4 is outvoted by the 2 in-clique neighbors on both sides
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+    # star: all leaf labels tie at the center (count 1 each) -> min
+    # leaf; leaves adopt the center's label — after round 1 center=11,
+    # leaves=10; synchronous round 2 swaps back (documented oscillation)
+    star = spark.createDataFrame(
+        [(10, 11), (10, 12), (10, 13)], "src long, dst long"
+    )
+    r1 = {
+        r["node"]: r["community"]
+        for r in graph.label_propagation(star, rounds=1).collect()
+    }
+    assert r1 == {10: 11, 11: 10, 12: 10, 13: 10}
+
+    # rounds=0: identity labeling
+    r0 = {
+        r["node"]: r["community"]
+        for r in graph.label_propagation(star, rounds=0).collect()
+    }
+    assert r0 == {10: 10, 11: 11, 12: 12, 13: 13}
+
+    # directed: label flows along edge direction only — 21 hears 20,
+    # 20 hears nobody (keeps its label)
+    pair = spark.createDataFrame([(20, 21)], "src long, dst long")
+    d1 = {
+        r["node"]: r["community"]
+        for r in graph.label_propagation(pair, rounds=1, directed=True).collect()
+    }
+    assert d1 == {20: 20, 21: 20}
+
+    with pytest.raises(ValueError, match="rounds"):
+        graph.label_propagation(df, rounds=-1)
+
+
 def test_pagerank_degree_is_aggregate_not_window(spark):
     """G65 scale shape: out-degree is a map-side-combinable groupBy
     aggregate joined back — never a count window partitioned by the
