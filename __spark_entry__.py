@@ -1029,6 +1029,19 @@ def q_g101_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g106_corpus_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G106: corpus-level MinHash similarity matrix
+    (neardup.corpus_similarity) — estimated Jaccard between every pair
+    of sources' UNION shingle sets from ONE combinable k-min aggregate
+    (min over a union = min of member minima); same md5 permutation
+    family as g2, so the oracle replays bit-for-bit. The monitoring op
+    that prices a full g94 cross-corpus join before running it."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return neardup.corpus_similarity(
+        docs, stratum_col="source", n=3, num_hashes=64
+    )
+
+
 def q_g94_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G94: CROSS-CORPUS MinHash-LSH near-dup join
     (neardup.minhash_lsh_join) — documents split by doc_id parity into
@@ -4018,6 +4031,17 @@ def q_g38_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_surprisal(docs).select("doc_id", "bigram_surprisal")
 
 
+def q_g105_kn_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G105: interpolated Kneser-Ney bigram surprisal
+    (text.kneser_ney_surprisal) — the KenLM/CCNet smoothing family:
+    absolute discount D=0.75 with the CONTINUATION-probability backoff
+    (N₁₊(·,w₂)/B, α-guarded), fixing add-α's frequent-but-unversatile
+    pathology. Same integer micro-nat order-free per-doc aggregate as
+    g38; oracle replays the identical IEEE arithmetic step for step."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.kneser_ney_surprisal(docs).select("doc_id", "kn_surprisal")
+
+
 _REPEAT_RATES = {"src0": 2.5, "src1": 0.4, "src2": 3.0}
 
 
@@ -4131,6 +4155,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_minhash_lsh": q_g2_minhash_lsh,
         "g94_crossdup": q_g94_crossdup,
         "g101_winnow_pairs": q_g101_winnow_pairs,
+        "g106_corpus_sim": q_g106_corpus_sim,
         "g95_kappa": q_g95_kappa,
         "g98_bt_scores": q_g98_bt_scores,
         "g95b_fleiss": q_g95b_fleiss,
@@ -4251,6 +4276,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g10_json": q_g10_json,
         "g37_kmeans": q_g37_kmeans,
         "g38_bigram_lm": q_g38_bigram_lm,
+        "g105_kn_surprisal": q_g105_kn_surprisal,
         "g39_shuffle_order": q_g39_shuffle_order,
         "g40_repeat_mix": q_g40_repeat_mix,
         "g41_epoch": q_g41_epoch,
@@ -5001,6 +5027,39 @@ def fine_oracle_sql() -> dict[str, str]:
             FROM chunk WHERE length(ch) > 0
         )
     """
+    # G106: corpus MinHash similarity matrix — same md5 permutation
+    # family as g2; min over the union shingle set per (source, perm),
+    # position-match fraction over k=64; all-pairs over the tiny strata
+    # relation with shingle-less strata surfacing NULL
+    _g106_mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS m{i}" for i in range(64)
+    )
+    _g106_msum = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(64)
+    )
+    sql["g106_corpus_sim"] = f"""
+        WITH {_TOKENS_CTE},
+        sh AS (
+            SELECT source,
+                   w[t.i + 1] || ' ' || w[t.i + 2] || ' ' || w[t.i + 3]
+                       AS shingle
+            FROM toks, UNNEST(range(greatest(len(w) - 2, 0))) AS t(i)
+        ),
+        sig AS (SELECT source, {_g106_mins} FROM sh GROUP BY source),
+        strata AS (SELECT DISTINCT source FROM documents),
+        pr AS (
+            SELECT s1.source AS stratum_a, s2.source AS stratum_b
+            FROM strata s1 JOIN strata s2 ON s1.source < s2.source
+        )
+        SELECT pr.stratum_a, pr.stratum_b,
+               CAST(CASE WHEN a.source IS NOT NULL AND b.source IS NOT NULL
+                    THEN {_g106_msum} END AS BIGINT) AS matches,
+               CASE WHEN a.source IS NOT NULL AND b.source IS NOT NULL
+                    THEN ROUND(({_g106_msum}) / 64.0, 4) END AS est_jaccard
+        FROM pr LEFT JOIN sig a ON pr.stratum_a = a.source
+                LEFT JOIN sig b ON pr.stratum_b = b.source
+    """
+
     # G101: winnowing — grams, window minima, df cap, fingerprint join
     sql["g101_winnow_pairs"] = """
         WITH st AS (
@@ -8499,6 +8558,49 @@ def fine_oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN pd USING (doc_id)
     """
 
+    # G105: interpolated Kneser-Ney bigram surprisal — identical IEEE
+    # arithmetic shape as the operator (discount 0.75, continuation
+    # backoff (N1+(.,w2)+0.5)/(B+0.5V)); self-trained gate, so every
+    # pair hits the seen-context branch (unseen branches pytest-pinned)
+    sql["g105_kn_surprisal"] = f"""
+        WITH {_TOKENS_CTE},
+        pr AS (
+            SELECT doc_id, w[t.i] AS w1, w[t.i + 1] AS w2
+            FROM toks, UNNEST(range(1, len(w))) AS t(i)
+        ),
+        md AS (SELECT w1, w2, count(*) AS n FROM pr GROUP BY w1, w2),
+        cx AS (
+            SELECT w1, sum(n) AS cn, count(*) AS t1 FROM md GROUP BY w1
+        ),
+        ct AS (SELECT w2, count(*) AS nb1 FROM md GROUP BY w2),
+        bt AS (SELECT count(*) AS b FROM md),
+        vs AS (
+            SELECT count(DISTINCT t.tk) AS v
+            FROM toks, UNNEST(w) AS t(tk)
+        ),
+        sc AS (
+            SELECT doc_id,
+                   CAST(round(-ln(
+                       (greatest(CAST(n AS DOUBLE) - 0.75, 0.0)
+                        + 0.75 * CAST(t1 AS DOUBLE)
+                          * ((CAST(nb1 AS DOUBLE) + 0.5)
+                             / (CAST(b AS DOUBLE)
+                                + 0.5 * CAST(v AS DOUBLE))))
+                       / CAST(cn AS DOUBLE)) * 1e6)
+                        AS BIGINT) AS micro
+            FROM pr JOIN md USING (w1, w2) JOIN cx USING (w1)
+                    JOIN ct USING (w2), bt, vs
+        ),
+        pd AS (
+            SELECT doc_id, sum(micro) AS sm, count(*) AS nb
+            FROM sc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               ROUND((CAST(sm AS DOUBLE) / 1000000.0) / nb, 4)
+                   AS kn_surprisal
+        FROM documents d LEFT JOIN pd USING (doc_id)
+    """
+
     sql["g39_shuffle_order"] = """
         SELECT doc_id,
                CAST(row_number() OVER (
@@ -8704,7 +8806,7 @@ _SUITES: dict[str, list[str]] = {
         "g61_c4_clean", "g4_text_stats", "g89_collocations",
         "g91_script_profile",
     ],
-    "g4_score_suite": ["g4_bm25", "g4_surprisal"],
+    "g4_score_suite": ["g4_bm25", "g4_surprisal", "g105_kn_surprisal"],
     "g4_chunk_redact": [
         "g4_chunk", "g4_pii_redact", "g60_md_text", "g64_url_dedup",
         "g66_domain_report",
@@ -8736,6 +8838,7 @@ _SUITES: dict[str, list[str]] = {
         "g2_jaccard", "g2_minhash_lsh", "g2_simhash", "g52_dedup_best",
         "g2_recall_report", "g82_containment", "g84_ppjoin",
         "g90_containment_dedup", "g94_crossdup", "g101_winnow_pairs",
+        "g106_corpus_sim",
     ],
     "g3_ann_suite": [
         "g3_cosine_topk", "g3_lsh_topk", "g3_ivf_topk",
@@ -8804,6 +8907,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g100_bfs_hops": [("node", "i"), ("hops", "i")],
     "g104_communities": [("node", "i"), ("community", "i")],
     "g101_winnow_pairs": [("id_a", "i"), ("id_b", "i"), ("n_shared", "i")],
+    "g106_corpus_sim": [("stratum_a", "s"), ("stratum_b", "s"), ("matches", "i"), ("est_jaccard", "n")],
     "g102_margin_mine": [("id_a", "i"), ("id_b", "i"), ("sim_micro", "i"), ("margin_micro", "i")],
     "g103_dialogues": [("user_id", "i"), ("started_at", "t"), ("n_turns", "i"), ("transcript", "s")],
     "g95_kappa": [("annotator_a", "i"), ("annotator_b", "i"), ("n_items", "i"), ("n_agree", "i"), ("kappa_micro", "i")],
@@ -8931,6 +9035,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g25_zorder": [("l_orderkey", "i"), ("l_partkey", "i"), ("z", "i")],
     "g37_kmeans": [("vec_id", "i"), ("cluster", "i")],
     "g38_bigram_lm": [("doc_id", "i"), ("bigram_surprisal", "n")],
+    "g105_kn_surprisal": [("doc_id", "i"), ("kn_surprisal", "n")],
     "g39_shuffle_order": [("doc_id", "i"), ("shuffle_pos", "i")],
     "g40_repeat_mix": [("doc_id", "i"), ("source", "s"), ("epoch_copy", "i")],
     "g41_epoch": [("doc_id", "i"), ("epoch_copy", "i"), ("shuffle_pos", "i"), ("tok_offset", "i"), ("seq_id", "i"), ("n_seqs", "i")],

@@ -57,6 +57,7 @@ HEADLINE = [
     "g2_recall_report",
     "g94_crossdup",
     "g101_winnow_pairs",
+    "g106_corpus_sim",
     "g97_cdc_chunks",
     "g97_cdc_report",
     "g69_image_dhash",
@@ -151,6 +152,7 @@ HEADLINE = [
     "g9_asof_forward",
     "g37_kmeans",
     "g38_bigram_lm",
+    "g105_kn_surprisal",
     "g39_shuffle_order",
     "g40_repeat_mix",
     "g41_epoch",

@@ -1626,3 +1626,89 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def corpus_similarity(
+    df: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """G106: corpus-level MinHash similarity matrix — for every pair of
+    strata (sources, crawl dumps, train/eval splits, dataset versions),
+    the estimated Jaccard similarity of their UNION shingle sets, from
+    one pass over the corpus. The monitoring op upstream of the
+    pair-level machinery: "how much does dump N overlap dump N−1"
+    (dedup-budget planning), "is this new source actually new",
+    "are my mixture strata distinct" — answered before committing to a
+    full G94 cross-corpus pair join, which this report prices.
+
+    Math: a stratum's signature position i is
+    ``min over its shingles of md5(i:shingle)`` — the min over a UNION
+    is the min of the per-member minima, so the signature of millions of
+    documents collapses to ONE map-side-combinable aggregate over the
+    long (stratum, shingle) relation; no per-doc signatures, no pair
+    explosion. E[matching positions / k] = J(A, B) by the MinHash
+    property, with the standard ±1/√k estimator error (k=64 → ±0.125 at
+    95%; raise ``num_hashes`` for tighter bands). Same md5 permutation
+    family as :func:`minhash_signature`, so any engine reproduces it
+    bit-for-bit.
+
+    Output: ``(stratum_a, stratum_b, matches, est_jaccard)`` for every
+    unordered stratum pair (a < b lexicographically), ALL pairs present
+    — a stratum with no shingles (all-empty texts) compares as NULL
+    matches/similarity, visible rather than dropped.
+
+    Scale shape: one shingle explode + ONE combinable k-min aggregate
+    (the exchange carries |strata| rows — trivially small); the pair
+    matrix is a broadcast self-join over the |strata|-row signature
+    relation (|strata|² output — this is a REPORT over a handful of
+    strata, not a pair-mining op; the |strata|² shape is the point, use
+    G94 for document pairs).
+    """
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    st = shingle_table(df, id_col=stratum_col, text_col=text_col, n=n)
+    sig = st.groupBy(stratum_col).agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+            ).alias(f"__mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    strata = df.select(F.col(stratum_col).alias("__st")).distinct()
+    pairs = (
+        strata.select(F.col("__st").alias("stratum_a"))
+        .join(
+            F.broadcast(strata.select(F.col("__st").alias("stratum_b"))),
+            F.col("stratum_a") < F.col("stratum_b"),
+        )
+    )
+    a = sig.select(
+        F.col(stratum_col).alias("stratum_a"),
+        *[F.col(f"__mh{i}").alias(f"__a{i}") for i in range(num_hashes)],
+    )
+    b = sig.select(
+        F.col(stratum_col).alias("stratum_b"),
+        *[F.col(f"__mh{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    both = F.col("__a0").isNotNull() & F.col("__b0").isNotNull()
+    return (
+        pairs.join(F.broadcast(a), "stratum_a", "left")
+        .join(F.broadcast(b), "stratum_b", "left")
+        .select(
+            "stratum_a",
+            "stratum_b",
+            F.when(both, matches).cast("long").alias("matches"),
+            F.when(
+                both,
+                F.round(matches / F.lit(float(num_hashes)), 4),
+            ).alias("est_jaccard"),
+        )
+    )

@@ -503,6 +503,131 @@ def bigram_surprisal(
     )
 
 
+def kneser_ney_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "kn_surprisal",
+    discount: float = 0.75,
+    alpha: float = 0.5,
+    model: DataFrame | None = None,
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """G105: mean per-bigram surprisal under an interpolated KNESER-NEY
+    bigram LM (Kneser & Ney 1995; Chen & Goodman 1999) — the smoothing
+    family the KenLM models behind CCNet/CC-Net perplexity filtering
+    actually use, one order down. Against :func:`bigram_surprisal`'s
+    add-α this fixes the two known add-α pathologies that matter for
+    quality filtering: (1) frequent-but-unversatile words ("Francisco"
+    — frequent, but only ever after "San") stop looking like good
+    continuations in unseen contexts, because the unigram backoff is
+    the CONTINUATION probability N₁₊(·,w₂)/B (how many distinct
+    contexts the word completes), not raw frequency; (2) probability
+    mass moves by absolute discount D from seen bigrams instead of
+    being diluted by α·V.
+
+      p(w₂|w₁) = (max(c(w₁,w₂)−D, 0) + D·N₁₊(w₁,·)·p_c(w₂)) / c(w₁)
+      p_c(w₂)  = (N₁₊(·,w₂) + α) / (B + α·V)      [α-guarded for OOV]
+      unseen context w₁ → p(w₂|w₁) = p_c(w₂)
+
+    with B = |distinct bigrams|. All inputs are integer counts derived
+    from the MODEL relation in three combinable aggregates; the α guard
+    on the continuation distribution keeps p > 0 for OOV words so
+    scoring a crawl against a clean reference ``model`` (the CCNet
+    pattern: train clean → score crawl) is total. N₁₊(w₁,·) ≥ 1 for
+    every seen context, so the interpolation term keeps p > 0 even
+    where the discount zeroes the first term.
+
+    Determinism: the same integer micro-nat trick as
+    :func:`bigram_surprisal` — each bigram's −ln p is fixed to
+    ``round(−ln(p)·1e6)`` BEFORE the per-doc sum, so the parallel
+    aggregate is order-free and the DuckDB oracle (identical arithmetic
+    expression shape, IEEE-double step for step) hash-matches exactly.
+
+    Plan: pairs explode → model (self-trained: one combinable
+    aggregate) → THREE derived relations off the model in one pass
+    each — (c(w₁), N₁₊(w₁,·)) share one groupBy(w₁) aggregate,
+    N₁₊(·,w₂) is one groupBy(w₂), B is a 1-row total — then three
+    keyed joins back onto the pairs (bigram, context, continuation
+    keys; all Zipf-small sides, AQE-broadcast when they fit) and two
+    1-row broadcasts (B, V). No corpus re-scan beyond the pairs
+    explode; docs with <2 tokens get NULL via the final left join.
+
+    Args:
+        discount: absolute discount D ∈ (0, 1); 0.75 is the standard
+            Chen-Goodman fixed value.
+        alpha: OOV guard on the continuation distribution.
+        model: pre-trained :func:`bigram_lm` output; None trains on
+            ``df``.
+        vocab_size: V for the guard; required with an external
+            ``model`` (the scorer cannot see its training corpus).
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    pairs = _bigram_pairs(df, text_col, id_col)
+    if model is None:
+        model = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    elif vocab_size is None:
+        raise ValueError(
+            "kneser_ney_surprisal: an external model needs vocab_size (V) — "
+            "the scorer cannot derive it from the scored corpus"
+        )
+    if vocab_size is None:
+        v_df = (
+            df.select(F.explode(tokens(text_col)).alias("__tok"))
+            .agg(F.count_distinct("__tok").alias("__v"))
+        )
+    else:
+        v_df = df.sparkSession.range(1).select(
+            F.lit(int(vocab_size)).cast("long").alias("__v")
+        )
+    ctx = model.groupBy("w1").agg(
+        F.sum("n").alias("__cn"), F.count(F.lit(1)).alias("__t1")
+    )
+    cont = model.groupBy("w2").agg(F.count(F.lit(1)).alias("__nb1"))
+    b_df = model.agg(F.count(F.lit(1)).alias("__b"))
+    d = float(discount)
+    a = float(alpha)
+    pc = (
+        (F.coalesce(F.col("__nb1"), F.lit(0)).cast("double") + F.lit(a))
+        / (F.col("__b").cast("double") + F.lit(a) * F.col("__v").cast("double"))
+    )
+    p_seen = (
+        F.greatest(
+            F.coalesce(F.col("n"), F.lit(0)).cast("double") - F.lit(d),
+            F.lit(0.0),
+        )
+        + F.lit(d) * F.col("__t1").cast("double") * pc
+    ) / F.col("__cn").cast("double")
+    scored = (
+        pairs.join(model, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(b_df))
+        .crossJoin(F.broadcast(v_df))
+        .select(
+            F.col(id_col),
+            F.round(
+                -F.log(F.when(F.col("__cn").isNotNull(), p_seen).otherwise(pc))
+                * 1e6
+            )
+            .cast("long")
+            .alias("__micro"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("__micro").alias("__sm"), F.count(F.lit(1)).alias("__nb")
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(
+            out_col,
+            F.round((F.col("__sm").cast("double") / 1e6) / F.col("__nb"), 4),
+        )
+        .drop("__sm", "__nb")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

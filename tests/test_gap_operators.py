@@ -1577,6 +1577,57 @@ def test_margin_mine_semantics(spark):
         margin_mine(left, right, k=0)
 
 
+def test_corpus_similarity_matrix(spark):
+    """G106: corpus MinHash similarity — identical strata estimate
+    J = 1.0 exactly (every permutation minimum agrees), disjoint strata
+    estimate ~0, an all-empty stratum surfaces NULL (never dropped),
+    and the union-collapse identity holds: the stratum signature equals
+    the elementwise min of its documents' per-doc signatures."""
+    from ferc_xbrl_extractor_spark.operators import neardup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "完全 different words entirely unrelated corpus content here okay"
+    rows = [
+        (0, "a", base),
+        (1, "a", "some extra material beyond the shared part one two three"),
+        (2, "b", base),
+        (3, "b", "some extra material beyond the shared part one two three"),
+        (4, "c", other),
+        (5, "d", ""),  # shingle-less stratum
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["stratum_a"], r["stratum_b"]): (r["matches"], r["est_jaccard"])
+        for r in neardup.corpus_similarity(df, num_hashes=32).collect()
+    }
+    assert set(got) == {
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"),
+    }
+    assert got[("a", "b")] == (32, 1.0)  # identical union shingle sets
+    assert got[("a", "c")][0] <= 2  # disjoint: ~0 up to estimator noise
+    assert got[("a", "d")] == (None, None)  # empty stratum -> NULL, visible
+    assert got[("c", "d")] == (None, None)
+
+    # union-collapse identity: stratum sig == elementwise min of doc sigs
+    doc_sigs = (
+        df.filter(F.col("source") == "a")
+        .select(neardup.minhash_signature("text", n=3, num_hashes=8).alias("s"))
+        .collect()
+    )
+    merged = [min(r["s"][i] for r in doc_sigs) for i in range(8)]
+    st = neardup.shingle_table(
+        df.filter(F.col("source") == "a"), id_col="source"
+    )
+    strat_sig = neardup.minhash_signature_table(
+        st, id_col="source", num_hashes=8
+    ).collect()[0]
+    assert [strat_sig[f"mh{i}"] for i in range(8)] == merged
+
+    with pytest.raises(ValueError, match="num_hashes"):
+        neardup.corpus_similarity(df, num_hashes=0)
+
+
 def test_winnow_fingerprints_and_overlap(spark):
     """G101: winnowing (Schleimer et al. SIGMOD'03). Pins the paper's
     guarantee — any shared substring of length >= window + k - 1

@@ -83,6 +83,15 @@ INTENTIONAL_BNLJ = {
     # relation cross-joined into the projection (the g4_bm25 shape).
     "g29_coverage",
     "g38_bigram_lm",
+    # g105_kn_surprisal: TWO one-row relations (distinct-bigram total B,
+    # vocab size V) cross-joined into the scoring projection (the
+    # g38/g4_bm25 shape).
+    "g105_kn_surprisal",
+    # g106_corpus_sim: the |strata|-row pair matrix (inequality
+    # broadcast self-join over a handful of strata) plus |strata|-row
+    # signature attachments — the |strata|^2 output IS the report's
+    # contract; document pairs belong to g94, not here.
+    "g106_corpus_sim",
     # g3_recall / g44_ranking_report: measurement loops that EMBED the
     # brute-force cosine_topk baseline (intentional broadcast-queries
     # cross join) as the exact reference side.
