@@ -1096,6 +1096,32 @@ def q_g95b_fleiss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(ann)
 
 
+def q_g108_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G108: per-stratum KMV distinct estimates
+    (analytics.kmv_distinct_report) — k=64 minimum 60-bit md5 hashes of
+    l_partkey per l_returnflag; exact below k, (k−1)·2⁶⁰//h_k above,
+    decimal floor math replayed as HUGEINT ``//``."""
+    li = _t(spark, sf_dir, "lineitem", repair=False)
+    return analytics.kmv_distinct_report(
+        li, "l_partkey", "l_returnflag", k=64
+    ).select(
+        F.col("stratum").alias("stratum"),
+        F.col("n_sketch").cast("long").alias("n_sketch"),
+        F.col("est_distinct").cast("long").alias("est_distinct"),
+    )
+
+
+def q_g108_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G108: pairwise distinct-overlap estimates between strata
+    (analytics.kmv_intersection_report) — merged k-minima, ρ-restricted
+    intersection, est_inter = ρ·est_union//|U_k|; exact set arithmetic
+    when both sketches are complete."""
+    li = _t(spark, sf_dir, "lineitem", repair=False)
+    return analytics.kmv_intersection_report(
+        li, "l_partkey", "l_returnflag", k=64
+    )
+
+
 def q_g98_bt_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G98: Bradley-Terry preference aggregation (labels.bt_scores) —
     the RLHF/DPO comparison-pair reduction. Events recast as pairwise
@@ -2069,6 +2095,24 @@ def q_g15_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.decontaminate(
         docs, bench, id_col="doc_id", text_col="text", n=3, min_overlap=5
     ).select("doc_id", "lang", "n_chars")
+
+
+def q_g107_multi_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G107: one-pass MULTI-benchmark contamination report
+    (neardup.contamination_multi_report) — three disjoint doc slices
+    stand in for three eval suites; the tagged per-bench-distinct
+    shingle union broadcasts once, the corpus is scanned and probed
+    once, one keyed aggregate yields every (doc, bench) hit count.
+    Replaces |benchmarks| sequential g15 passes."""
+    docs = _t(spark, sf_dir, "documents")
+    benches = {
+        "b0": docs.filter(F.col("doc_id") % 17 == 3),
+        "b1": docs.filter(F.col("doc_id") % 17 == 5),
+        "b2": docs.filter(F.col("doc_id") % 17 == 11),
+    }
+    return neardup.contamination_multi_report(
+        docs, benches, id_col="doc_id", text_col="text", n=3, min_overlap=5
+    ).select("doc_id", "bench", F.col("n_hits").cast("long").alias("n_hits"))
 
 
 def q_g15_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4158,6 +4202,8 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g106_corpus_sim": q_g106_corpus_sim,
         "g95_kappa": q_g95_kappa,
         "g98_bt_scores": q_g98_bt_scores,
+        "g108_kmv_distinct": q_g108_kmv_distinct,
+        "g108_kmv_intersect": q_g108_kmv_intersect,
         "g95b_fleiss": q_g95b_fleiss,
         "g96_image_phash": q_g96_image_phash,
         "g96_phash_dedup": q_g96_phash_dedup,
@@ -4253,6 +4299,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g14_sample_rate": q_g14_sample_rate,
         "g14_sample_stratified": q_g14_sample_stratified,
         "g15_decontaminate": q_g15_decontaminate,
+        "g107_multi_decon": q_g107_multi_decon,
         "g15_bloom_decontaminate": q_g15_bloom_decontaminate,
         "g16_curate_e2e": q_g16_curate_e2e,
         "g36_curate_funnel": q_g36_curate_funnel,
@@ -4947,6 +4994,83 @@ def fine_oracle_sql() -> dict[str, str]:
         "event_id % 13 = 0 AS tie FROM events",
         iters=3,
     )
+
+    # G108: KMV sketches — per-stratum 64 smallest distinct 60-bit md5
+    # hashes; estimator (k-1)*2^60 // h_k in HUGEINT, clamp 2^62, exact
+    # below k. The intersect replay rebuilds the merged k-minima and the
+    # rho-restricted overlap with the identical integer arithmetic.
+    _KMV_SC = 16 ** 15
+    _KMV_CL = 2 ** 62
+    _kmv_base = """
+        h AS (
+            SELECT DISTINCT l_returnflag AS stratum,
+                   ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                       ::UBIGINT::HUGEINT AS hh
+            FROM lineitem WHERE l_partkey IS NOT NULL
+        ),
+        tk AS (
+            SELECT stratum, hh FROM h
+            QUALIFY row_number() OVER (
+                PARTITION BY stratum ORDER BY hh) <= 64
+        ),
+        sk AS (
+            SELECT stratum, count(*) AS n, max(hh) AS hk
+            FROM tk GROUP BY stratum
+        )
+    """
+    _kmv_est = (
+        f"CASE WHEN {{n}} < 64 THEN CAST({{n}} AS HUGEINT) "
+        f"ELSE LEAST((63::HUGEINT * {_KMV_SC}) // {{hk}}, "
+        f"{_KMV_CL}::HUGEINT) END"
+    )
+    sql["g108_kmv_distinct"] = f"""
+        WITH {_kmv_base}
+        SELECT stratum, CAST(n AS BIGINT) AS n_sketch,
+               CAST({_kmv_est.format(n='n', hk='hk')} AS BIGINT)
+                   AS est_distinct
+        FROM sk
+    """
+    sql["g108_kmv_intersect"] = f"""
+        WITH {_kmv_base},
+        pr AS (
+            SELECT s1.stratum AS sa, s2.stratum AS sb
+            FROM sk s1 JOIN sk s2 ON s1.stratum < s2.stratum
+        ),
+        uk AS (
+            SELECT sa, sb, hh FROM (
+                SELECT DISTINCT pr.sa, pr.sb, t.hh
+                FROM pr JOIN tk t
+                  ON t.stratum = pr.sa OR t.stratum = pr.sb
+            )
+            QUALIFY row_number() OVER (
+                PARTITION BY sa, sb ORDER BY hh) <= 64
+        ),
+        um AS (
+            SELECT sa, sb, count(*) AS nu, max(hh) AS hku
+            FROM uk GROUP BY sa, sb
+        ),
+        rho AS (
+            SELECT uk.sa, uk.sb, count(*) AS r
+            FROM uk
+            JOIN tk t1 ON t1.stratum = uk.sa AND t1.hh = uk.hh
+            JOIN tk t2 ON t2.stratum = uk.sb AND t2.hh = uk.hh
+            GROUP BY uk.sa, uk.sb
+        )
+        SELECT um.sa AS stratum_a, um.sb AS stratum_b,
+               CAST({_kmv_est.format(n='ska.n', hk='ska.hk')} AS BIGINT)
+                   AS d_a,
+               CAST({_kmv_est.format(n='skb.n', hk='skb.hk')} AS BIGINT)
+                   AS d_b,
+               CAST({_kmv_est.format(n='um.nu', hk='um.hku')} AS BIGINT)
+                   AS est_union,
+               CAST((COALESCE(rho.r, 0)::HUGEINT
+                     * {_kmv_est.format(n='um.nu', hk='um.hku')})
+                    // um.nu AS BIGINT) AS est_inter
+        FROM um
+        JOIN sk ska ON ska.stratum = um.sa
+        JOIN sk skb ON skb.stratum = um.sb
+        LEFT JOIN rho ON rho.sa = um.sa AND rho.sb = um.sb
+    """
 
     # G95: pairwise Cohen's kappa — one-vote collapse, item self-join,
     # joint counts, the two marginals of the SAME joint relation, one
@@ -6716,6 +6840,26 @@ def fine_oracle_sql() -> dict[str, str]:
     # The bloom path re-verifies its prefilter survivors exactly, so its
     # result is identical to the broadcast-join decontamination.
     sql["g15_bloom_decontaminate"] = sql["g15_decontaminate"]
+
+    # G107: multi-benchmark report — per-bench-distinct tagged shingle
+    # union, one probe, per-(doc, bench) counts (the g15 slices × 3)
+    sql["g107_multi_decon"] = f"""
+        WITH {_SHINGLES_CTE},
+        bs AS (
+            SELECT 'b0' AS bench, shingle
+            FROM (SELECT DISTINCT shingle FROM ds WHERE doc_id % 17 = 3)
+            UNION ALL
+            SELECT 'b1', shingle
+            FROM (SELECT DISTINCT shingle FROM ds WHERE doc_id % 17 = 5)
+            UNION ALL
+            SELECT 'b2', shingle
+            FROM (SELECT DISTINCT shingle FROM ds WHERE doc_id % 17 = 11)
+        )
+        SELECT ds.doc_id, bs.bench, count(*) AS n_hits
+        FROM ds JOIN bs USING (shingle)
+        GROUP BY ds.doc_id, bs.bench
+        HAVING count(*) >= 5
+    """
 
     # G16: the whole curation composition, mirrored stage by stage.
     # Duplicate injection (doc_id % 29 = 1 → id + 1000000), G4 stats with
@@ -8817,7 +8961,7 @@ _SUITES: dict[str, list[str]] = {
     "g15_decontaminate_suite": [
         "g15_decontaminate", "g15_bloom_decontaminate",
         "g42_semantic_decon", "g46_split_leakage", "g49_dsir_weights",
-        "g86_bloom_join",
+        "g86_bloom_join", "g107_multi_decon",
     ],
     # r6 fold: windows + as-of share the orders/events relations; one
     # suite entry instead of two (gate headroom, VERDICT r5 item #1).
@@ -8862,6 +9006,7 @@ _SUITES: dict[str, list[str]] = {
         "g21_unpivot", "g13_salted_agg", "g13b_salted_auto", "g10_json",
         "g25_zorder", "g67_skew_report", "g72_cms_topk", "g81_label_agg",
         "g88_salted_join", "g95_kappa", "g95b_fleiss", "g98_bt_scores",
+        "g108_kmv_distinct", "g108_kmv_intersect",
     ],
     "g32_report_suite": [
         "g32_corpus_report", "g32_stratum_report", "g93_calibration",
@@ -8908,6 +9053,9 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g104_communities": [("node", "i"), ("community", "i")],
     "g101_winnow_pairs": [("id_a", "i"), ("id_b", "i"), ("n_shared", "i")],
     "g106_corpus_sim": [("stratum_a", "s"), ("stratum_b", "s"), ("matches", "i"), ("est_jaccard", "n")],
+    "g107_multi_decon": [("doc_id", "i"), ("bench", "s"), ("n_hits", "i")],
+    "g108_kmv_distinct": [("stratum", "s"), ("n_sketch", "i"), ("est_distinct", "i")],
+    "g108_kmv_intersect": [("stratum_a", "s"), ("stratum_b", "s"), ("d_a", "i"), ("d_b", "i"), ("est_union", "i"), ("est_inter", "i")],
     "g102_margin_mine": [("id_a", "i"), ("id_b", "i"), ("sim_micro", "i"), ("margin_micro", "i")],
     "g103_dialogues": [("user_id", "i"), ("started_at", "t"), ("n_turns", "i"), ("transcript", "s")],
     "g95_kappa": [("annotator_a", "i"), ("annotator_b", "i"), ("n_items", "i"), ("n_agree", "i"), ("kappa_micro", "i")],

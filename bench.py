@@ -88,6 +88,8 @@ HEADLINE = [
     "g98_bt_scores",
     "g100_bfs_hops",
     "g104_communities",
+    "g108_kmv_distinct",
+    "g108_kmv_intersect",
     "g32_corpus_report",
     "g32_stratum_report",
     "g33_strip_lines",
@@ -120,6 +122,7 @@ HEADLINE = [
     "g18_quantized_topk",
     "g78_random_projection",
     "g15_decontaminate",
+    "g107_multi_decon",
     "g86_bloom_join",
     "g16_curate_e2e",
     "g36_curate_funnel",

@@ -854,3 +854,194 @@ def decayed_counts(
             ((age >= 0) & (age <= half_life_days)).cast("long")
         ).cast("long").alias("n_recent"),
     )
+
+
+_KMV_SCALE = 16 ** 15  # 60-bit hash domain: conv(md5[:15], 16, 10)
+
+
+def _kmv_hash(key: Column) -> Column:
+    """60-bit integer hash: the first 15 hex digits of md5, base-16
+    decoded — engine-portable (DuckDB: ``('0x' || substr(md5, 1, 15))
+    ::UBIGINT`` equals Spark's ``conv`` bit for bit). Keys hash via
+    their canonical string form so any engine agrees on the bytes."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch_table(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-stratum KMV (k-minimum-values) sketch: the ``k`` smallest
+    distinct 60-bit key hashes as a sorted array (Bar-Yossef et al.
+    2002). The sketch is MERGEABLE (k smallest of an array union) and
+    carries exactness for small strata: a sketch shorter than ``k`` IS
+    the stratum's complete distinct hash set.
+
+    Scale shape: one distinct over (stratum, hash) — the same exchange
+    an exact count-distinct pays — then a per-stratum ``row_number ≤
+    k`` and a k-bounded ``collect_list``. The window sorts only within
+    strata of the DISTINCT relation. For key domains where even the
+    distinct relation is huge, pre-filter by a hash threshold before
+    the window (keep hashes < c·k·SCALE/approx_distinct, the G13b
+    probe pattern) — not applied by default because the threshold
+    derives from an HLL estimate the SQL oracle cannot replay.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = (
+        df.select(
+            F.col(stratum_col).alias("stratum"),
+            _kmv_hash(F.col(key_col)).alias("__h"),
+        )
+        .filter(F.col("__h").isNotNull())  # NULL keys carry no identity
+        .distinct()
+    )
+    w = Window.partitionBy("stratum").orderBy("__h")
+    return (
+        h.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy("stratum")
+        .agg(F.sort_array(F.collect_list("__h")).alias("sketch"))
+    )
+
+
+def kmv_distinct_report(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """G108: per-stratum distinct-count estimates from KMV sketches —
+    ``(stratum, n_sketch, est_distinct)``. Exact when the stratum has
+    fewer than ``k`` distinct keys (the sketch is complete); otherwise
+    the unbiased KMV estimator ``(k−1)·SCALE // h_k`` with relative
+    error ~1/√(k−2). All arithmetic is integer (decimal(38,0) floor
+    division — ``(k−1)·2⁶⁰`` leaves int64 at k ≥ 9, and Spark's
+    decimal ``div`` silently wraps), clamped to 2⁶² like bt_scores, so
+    a SQL oracle replays it bit for bit as HUGEINT ``//``.
+
+    The HLL complement (G7 ``approx_distinct``): HLL is cheaper per
+    row, but KMV sketches MERGE exactly and support the G108
+    intersection estimator — cross-stratum distinct overlap, which HLL
+    cannot give without inclusion-exclusion error stacking.
+    """
+    from ferc_xbrl_extractor_spark.operators.labels import _dfloor_div
+
+    sk = kmv_sketch_table(df, key_col, stratum_col, k)
+    num = F.expr(  # (k-1)*2^60 leaves int64 — literal via string
+        f"CAST('{(k - 1) * _KMV_SCALE}' AS DECIMAL(38,0))"
+    )
+    est = F.when(
+        F.size("sketch") < k, F.size("sketch").cast("long")
+    ).otherwise(
+        F.least(
+            _dfloor_div(
+                num,
+                F.element_at("sketch", k).cast("decimal(38,0)"),
+            ),
+            F.lit(2 ** 62).cast("decimal(38,0)"),
+        ).cast("long")
+    )
+    return sk.select(
+        "stratum",
+        F.size("sketch").cast("long").alias("n_sketch"),
+        est.alias("est_distinct"),
+    )
+
+
+def kmv_intersection_report(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """G108: pairwise distinct-overlap estimates between strata —
+    ``(stratum_a, stratum_b, d_a, d_b, est_union, est_inter)`` for
+    every unordered stratum pair. The question G106 answers for
+    SHINGLE SIMILARITY, answered for KEY OVERLAP: how many distinct
+    URLs/users/ids do two crawl dumps share (dedup-budget and join-
+    selectivity planning before any corpus-scale join runs).
+
+    Estimator (Beyer et al. 2007): merge the two sketches (k smallest
+    of the union — exact because each side carries its k smallest),
+    ρ = |A∩B restricted to the union's k minima|, then
+    ``est_inter = ρ · est_union // |U_k|``. When both sketches are
+    complete (< k), every term is EXACT — small strata degrade to
+    set arithmetic, not noise. Integer decimal(38,0) floor math
+    throughout, same clamp and replay contract as
+    :func:`kmv_distinct_report`.
+
+    Scale shape: the sketches are |strata| rows of k longs; the pair
+    matrix is a broadcast inequality self-join (|strata|² report rows
+    — the G106 contract: strata are few, this is a report).
+    """
+    from ferc_xbrl_extractor_spark.operators.labels import _dfloor_div
+
+    sk = kmv_sketch_table(df, key_col, stratum_col, k)
+    num = F.expr(  # (k-1)*2^60 leaves int64 — literal via string
+        f"CAST('{(k - 1) * _KMV_SCALE}' AS DECIMAL(38,0))"
+    )
+    clamp = F.lit(2 ** 62).cast("decimal(38,0)")
+
+    def _est(sketch: Column) -> Column:
+        return F.when(
+            F.size(sketch) < k, F.size(sketch).cast("decimal(38,0)")
+        ).otherwise(
+            F.least(
+                _dfloor_div(num, F.element_at(sketch, k).cast("decimal(38,0)")),
+                clamp,
+            )
+        )
+
+    a = sk.select(
+        F.col("stratum").alias("stratum_a"), F.col("sketch").alias("__sa")
+    )
+    b = sk.select(
+        F.col("stratum").alias("stratum_b"), F.col("sketch").alias("__sb")
+    )
+    merged = F.slice(
+        F.array_sort(F.array_union("__sa", "__sb")), 1, k
+    )
+    pairs = (
+        a.join(
+            F.broadcast(b), F.col("stratum_a") < F.col("stratum_b")
+        )
+        .withColumn("__uk", merged)
+        .withColumn(
+            "__rho",
+            F.size(
+                F.array_intersect(F.array_intersect("__sa", "__sb"), "__uk")
+            ),
+        )
+        .withColumn(
+            "__eu",
+            F.when(
+                F.size("__uk") < k, F.size("__uk").cast("decimal(38,0)")
+            ).otherwise(
+                F.least(
+                    _dfloor_div(
+                        num, F.element_at("__uk", k).cast("decimal(38,0)")
+                    ),
+                    clamp,
+                )
+            ),
+        )
+    )
+    ei = F.when(F.size("__uk") == 0, F.lit(0).cast("decimal(38,0)")).otherwise(
+        _dfloor_div(
+            F.col("__rho").cast("decimal(38,0)") * F.col("__eu"),
+            F.size("__uk").cast("decimal(38,0)"),
+        )
+    )
+    return pairs.select(
+        "stratum_a",
+        "stratum_b",
+        _est(F.col("__sa")).cast("long").alias("d_a"),
+        _est(F.col("__sb")).cast("long").alias("d_b"),
+        F.col("__eu").cast("long").alias("est_union"),
+        ei.cast("long").alias("est_inter"),
+    )

@@ -1712,3 +1712,84 @@ def corpus_similarity(
             ).alias("est_jaccard"),
         )
     )
+
+
+def contamination_multi_report(
+    corpus: DataFrame,
+    benchmarks: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """G107: ONE-PASS contamination report against MANY benchmarks —
+    ``(id, bench, n_hits)`` for every (document, benchmark) pair
+    sharing ``min_overlap``+ distinct word n-gram shingles. Production
+    decontamination screens against dozens of eval suites (MMLU, GSM8K,
+    HumanEval, ...); running :func:`contamination_report` per suite
+    re-scans the 100-TB corpus once per benchmark. Here the benchmark
+    shingle relations are tagged with their name, per-benchmark
+    deduplicated, unioned, and broadcast ONCE — the corpus is scanned
+    once, probed map-side once, and one keyed aggregate yields every
+    per-benchmark hit count simultaneously. |benchmarks| scans → 1.
+
+    Join semantics: the tagged benchmark relation is distinct per
+    (bench, shingle), so the inner join fans a corpus shingle out at
+    most |benchmarks that contain it| times — bounded by the benchmark
+    count, never by benchmark multiplicity (the per-bench ``distinct``
+    is load-bearing here, unlike the single-benchmark semi-join where
+    the broadcast hashmap dedups for free).
+
+    Scale shape: eval suites are MBs against a 100-TB corpus, so the
+    tagged union stays broadcast-sized; the corpus is never shuffled by
+    shingle; the one exchange carries (contaminated-doc, bench) rows.
+    Same shingle family as G15, so thresholds transfer.
+    """
+    if not benchmarks:
+        raise ValueError("benchmarks must be a non-empty dict of name -> DataFrame")
+    bid = bench_id_col or id_col
+    btx = bench_text_col or text_col
+    c_sh = shingle_table(corpus, id_col, text_col, n)
+    tagged = None
+    for name, b in benchmarks.items():
+        t = (
+            shingle_table(b, bid, btx, n)
+            .select("shingle")
+            .distinct()
+            .select(F.lit(name).alias("bench"), "shingle")
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return (
+        c_sh.join(F.broadcast(tagged), "shingle")
+        .groupBy(id_col, "bench")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_overlap)
+    )
+
+
+def decontaminate_multi(
+    corpus: DataFrame,
+    benchmarks: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+    **kwargs,
+) -> DataFrame:
+    """Remove documents contaminated by ANY of the benchmarks, in one
+    corpus pass: left-anti join against the G107 multi-report's ids.
+    With a single benchmark this equals :func:`decontaminate` row for
+    row (pytest-pinned); with N benchmarks it replaces N sequential
+    anti-join passes."""
+    hits = contamination_multi_report(
+        corpus,
+        benchmarks,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        min_overlap=min_overlap,
+        **kwargs,
+    )
+    return corpus.join(hits.select(id_col), id_col, "left_anti")

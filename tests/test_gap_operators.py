@@ -385,6 +385,108 @@ def test_decontaminate_drops_overlapping_docs(spark):
     assert 3 not in report
 
 
+def test_kmv_sketch_reports(spark):
+    """G108: KMV distinct/intersection sketches — complete (< k)
+    sketches degrade to EXACT set arithmetic for distinct, union and
+    intersection; the estimator lands inside a generous error band on
+    a 1000-key stratum; NULL keys carry no identity; k < 2 raises."""
+    from ferc_xbrl_extractor_spark.operators import analytics
+
+    rows = (
+        [("big", i) for i in range(1000)]
+        + [("c", i) for i in [1, 2, 3, 4, 5]]
+        + [("d", i) for i in [4, 5, 6]]
+        + [("c", None)]
+    )
+    df = spark.createDataFrame(rows, "st string, key long")
+    d = {
+        r["stratum"]: (r["n_sketch"], r["est_distinct"])
+        for r in analytics.kmv_distinct_report(df, "key", "st", k=64).collect()
+    }
+    assert d["c"] == (5, 5)  # complete sketch: exact, NULL key ignored
+    assert d["d"] == (3, 3)
+    assert d["big"][0] == 64
+    assert 700 <= d["big"][1] <= 1400  # ~1/sqrt(62) rel. error, wide band
+
+    p = {
+        (r["stratum_a"], r["stratum_b"]): (
+            r["d_a"], r["d_b"], r["est_union"], r["est_inter"]
+        )
+        for r in analytics.kmv_intersection_report(
+            df, "key", "st", k=64
+        ).collect()
+    }
+    # both complete -> exact set arithmetic: |c|=5, |d|=3, |c∪d|=6, |c∩d|=2
+    assert p[("c", "d")] == (5, 3, 6, 2)
+    # big ⊇ c: union estimate equals big's own estimate (c's hashes do
+    # not displace big's minima unless they coincide with them)
+    assert p[("big", "c")][2] == d["big"][1]
+
+    with pytest.raises(ValueError, match="k must"):
+        analytics.kmv_sketch_table(df, "key", "st", k=1)
+
+
+def test_multi_benchmark_decontamination(spark):
+    """G107: one-pass multi-benchmark report — per-(doc, bench) hit
+    counts with benchmark-side multiplicity deduplicated; a doc
+    contaminated by two suites appears under both; the single-benchmark
+    case equals the G15 operators row for row."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "alpha beta gamma delta one two three four"),  # both
+            (4, "entirely unrelated text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    b0 = spark.createDataFrame(
+        # duplicated benchmark rows must NOT double the counts
+        [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(200, "one two three four five")], "doc_id long, text string"
+    )
+    rep = {
+        (r["doc_id"], r["bench"]): r["n_hits"]
+        for r in neardup.contamination_multi_report(
+            corpus, {"b0": b0, "b1": b1}, n=3, min_overlap=2
+        ).collect()
+    }
+    assert rep == {
+        (1, "b0"): 2,  # 'alpha beta gamma', 'beta gamma delta'
+        (2, "b1"): 3,
+        (3, "b0"): 2,
+        (3, "b1"): 2,
+    }
+    survivors = {
+        r["doc_id"]
+        for r in neardup.decontaminate_multi(
+            corpus, {"b0": b0, "b1": b1}, n=3, min_overlap=2
+        ).collect()
+    }
+    assert survivors == {4}
+
+    # single-benchmark identity with the G15 pair
+    single = sorted(
+        (r["doc_id"], r["n_hits"])
+        for r in neardup.contamination_multi_report(
+            corpus, {"only": b0}, n=3, min_overlap=1
+        ).collect()
+    )
+    g15 = sorted(
+        (r["doc_id"], r["n_hits"])
+        for r in neardup.contamination_report(
+            corpus, b0, n=3, min_overlap=1
+        ).collect()
+    )
+    assert single == g15
+
+    with pytest.raises(ValueError, match="benchmarks"):
+        neardup.contamination_multi_report(corpus, {})
+
+
 def test_curate_corpus_stages_compose(spark):
     from ferc_xbrl_extractor_spark.pipeline import curate
 

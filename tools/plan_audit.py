@@ -92,6 +92,10 @@ INTENTIONAL_BNLJ = {
     # signature attachments — the |strata|^2 output IS the report's
     # contract; document pairs belong to g94, not here.
     "g106_corpus_sim",
+    # g108_kmv_intersect: the |strata|-row sketch-pair matrix (same
+    # inequality broadcast self-join contract as g106 — strata are few,
+    # the |strata|^2 report IS the output).
+    "g108_kmv_intersect",
     # g3_recall / g44_ranking_report: measurement loops that EMBED the
     # brute-force cosine_topk baseline (intentional broadcast-queries
     # cross join) as the exact reference side.
