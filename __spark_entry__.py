@@ -3931,6 +3931,24 @@ def q_g104_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g110_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G110: integer-exact HITS hubs & authorities (graph.hits_scores)
+    — 3 rounds of the mutual-reinforcement recurrence with L∞ micro-
+    unit normalization (ordering-identical to L2, SQL-replayable) over
+    the g65 link graph; authorities rank canonical pages, hub≫auth
+    flags link farms. Gate uses normalize='final' (single Catalyst
+    plan — the g65 graph's degrees sit far inside the decimal(38,0)
+    capacity bound); the unbounded-scale 'rounds' mode is oracle-
+    matched in pytest. Oracle = hits_oracle_sql's HUGEINT unroll."""
+    from ferc_xbrl_extractor_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem", repair=False).select(
+        (F.col("l_orderkey") % 997).alias("src"),
+        (F.col("l_partkey") % 997).alias("dst"),
+    )
+    return graph.hits_scores(li, iters=3, normalize="final")
+
+
 _PPR_SEEDS = list(range(20))
 
 
@@ -4227,6 +4245,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g87_ppr": q_g87_ppr,
         "g100_bfs_hops": q_g100_bfs_hops,
         "g104_communities": q_g104_communities,
+        "g110_hits": q_g110_hits,
         "s9_warc_roundtrip": q_s9_warc_roundtrip,
         "g88_salted_join": q_g88_salted_join,
         "g89_collocations": q_g89_collocations,
@@ -8498,6 +8517,16 @@ def fine_oracle_sql() -> dict[str, str]:
         rounds=3,
     )
 
+    # G110: HITS — half-round sums + scalar-subquery max normalization
+    # unrolled in HUGEINT by the operator's own oracle generator
+    from ferc_xbrl_extractor_spark.operators.graph import hits_oracle_sql
+
+    sql["g110_hits"] = hits_oracle_sql(
+        "SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst FROM lineitem",
+        iters=3,
+        normalize="final",
+    )
+
     # G85: triangle counts — canonical undirected edges, (degree, id)
     # orientation via row-value comparisons, unordered wedges closed by
     # an EXISTS against the oriented edge set, corner explode + count.
@@ -9018,7 +9047,7 @@ _SUITES: dict[str, list[str]] = {
     "g_training_suite": [
         "g37_kmeans", "g38_bigram_lm", "g39_shuffle_order",
         "g40_repeat_mix", "g41_epoch", "g65_pagerank", "g85_triangles",
-        "g87_ppr", "g100_bfs_hops", "g104_communities",
+        "g87_ppr", "g100_bfs_hops", "g104_communities", "g110_hits",
     ],
 }
 
@@ -9051,6 +9080,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g98_bt_scores": [("player", "i"), ("n_comparisons", "i"), ("bt_micro", "i")],
     "g100_bfs_hops": [("node", "i"), ("hops", "i")],
     "g104_communities": [("node", "i"), ("community", "i")],
+    "g110_hits": [("node", "i"), ("hub_micro", "i"), ("auth_micro", "i")],
     "g101_winnow_pairs": [("id_a", "i"), ("id_b", "i"), ("n_shared", "i")],
     "g106_corpus_sim": [("stratum_a", "s"), ("stratum_b", "s"), ("matches", "i"), ("est_jaccard", "n")],
     "g107_multi_decon": [("doc_id", "i"), ("bench", "s"), ("n_hits", "i")],

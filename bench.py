@@ -88,6 +88,7 @@ HEADLINE = [
     "g98_bt_scores",
     "g100_bfs_hops",
     "g104_communities",
+    "g110_hits",
     "g108_kmv_distinct",
     "g108_kmv_intersect",
     "g32_corpus_report",

@@ -671,3 +671,210 @@ def label_propagation_oracle_sql(
         "WITH " + ",\n".join(sql)
         + f"\nSELECT node, lbl AS community FROM {prev}"
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    unit: int = 1_000_000,
+    normalize: str = "rounds",
+) -> DataFrame:
+    """G110: integer-exact HITS hubs & authorities (Kleinberg 1999) —
+    the link-graph signal PageRank doesn't give: an AUTHORITY score
+    (pointed to by good hubs — canonical content pages) and a HUB score
+    (points at good authorities — directories, link lists, sitemaps).
+    Crawl curation uses the split directly: rank fetch frontiers by
+    authority, spot link-farm hubs whose hub score dwarfs their
+    authority, and prefer authorities as canonical representatives
+    inside a dedup cluster (G52's quality key).
+
+    The recurrence with L∞ (max) normalization instead of the classical
+    L2 — normalization is a positive scalar, so the ORDERING (what HITS
+    consumers use) is unchanged, and max+floor-div stays in exact
+    integers where an L2 sqrt would leave them:
+
+      a_t(v) = Σ_{u→v} h_{t−1}(u)
+      h_t(v) = Σ_{v→w} a_t(w)
+
+    with h_0 = ``unit`` uniform (round 1's authority pass is therefore
+    the closed form ``indegree·unit`` — no join). Output scores are in
+    [0, unit]; nodes with no in-edges hold authority 0, no out-edges
+    hub 0 (final read-off coalesce, never dropped). Replayable bit for
+    bit by :func:`hits_oracle_sql` with the matching ``normalize``.
+
+    Two declared normalization modes (results differ in low-order
+    digits — the floor runs at different points — so each mode is its
+    own oracle contract):
+
+    - ``"rounds"`` (default — the unbounded-scale path): scores are
+      rescaled to [0, unit] after EVERY half-round, so intermediate
+      sums stay ≤ unit·degree regardless of iteration count — int64-
+      safe to ~9·10¹² in-links per node. Cost: each normalization's
+      max is a 1-row driver collect off a lazily checkpointed
+      node-sized relation (the G37 bounded-collect pattern — a
+      broadcast max BRANCH would re-execute its unexecuted input and
+      compound exponentially across rounds; measured 16s → 2s at
+      sf0.01), which makes 2·iters job barriers.
+    - ``"final"`` (the bounded-degree fast path): raw sums chain in
+      decimal(38,0) through ALL rounds inside ONE Catalyst plan (no
+      barriers, AQE end to end — measured 6.3s → sub-second at sf0.1
+      on the gate graph) and both scores normalize once at read-off.
+      Capacity bound (documented, ANSI-visible on breach — decimal
+      overflow is an error, never a wrap): max values grow like
+      ``unit·Π(deg_in·deg_out)`` per round, so iters=3 is safe while
+      ``unit·(d_in·d_out)³ < 10³⁸`` — e.g. average degrees to ~2·10⁵.
+      Past that regime use ``"rounds"``.
+
+    Scale shape (both modes, the :func:`pagerank` template): per
+    half-round ONE keyed join of the node-sized score relation onto
+    the edge relation (broadcast when it fits, shuffle-hash beyond) +
+    one map-side-combinable sum; node list joined back once at
+    read-off.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if normalize not in ("rounds", "final"):
+        raise ValueError(f"normalize must be 'rounds' or 'final', got {normalize!r}")
+    from ferc_xbrl_extractor_spark.operators.labels import _dfloor_div
+
+    raw = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    per_round = normalize == "rounds"
+    # the deduplicated edge relation is consumed once per half-round —
+    # and the lazy normalization cuts split the plan into segments that
+    # would each recompute the distinct — so materialize it once
+    e = raw.distinct().localCheckpoint(eager=True)
+    nodes = (
+        raw.select(F.explode(F.array("__s", "__d")).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    unit_dec = F.lit(int(unit)).cast("decimal(38,0)")
+
+    def _norm(scored: DataFrame, lazy_cut: bool) -> DataFrame:
+        if lazy_cut:
+            scored = scored.coalesce(8).localCheckpoint(eager=False)
+        mx = scored.agg(F.max("v")).collect()[0][0]
+        mx_dec = F.expr(f"CAST('{int(mx or 1)}' AS DECIMAL(38,0))")
+        return scored.select(
+            "node",
+            _dfloor_div(F.col("v").cast("decimal(38,0)") * unit_dec, mx_dec)
+            .cast("long")
+            .alias("v"),
+        )
+
+    sum_t = "decimal(38,0)" if not per_round else "long"
+    a = h = None
+    for t in range(1, iters + 1):
+        if t == 1:
+            a = e.groupBy(F.col("__d").alias("node")).agg(
+                (F.count(F.lit(1)).cast(sum_t) * F.lit(int(unit))).alias("v")
+            )
+        else:
+            a = (
+                e.join(h.withColumnRenamed("node", "__s"), "__s")
+                .groupBy(F.col("__d").alias("node"))
+                .agg(F.sum("v").alias("v"))
+            )
+        if per_round:
+            a = _norm(a, lazy_cut=True)
+        h = (
+            e.join(a.withColumnRenamed("node", "__d"), "__d")
+            .groupBy(F.col("__s").alias("node"))
+            .agg(F.sum("v").alias("v"))
+        )
+        if per_round:
+            h = _norm(h, lazy_cut=True)
+    if not per_round:
+        # one plan so far; cut ONCE so the two max collects and the two
+        # read-off branches below don't re-execute the shared chain —
+        # h's lineage contains a's, so checkpoint a first and build h's
+        # last join from the cut relation
+        a = a.coalesce(8).localCheckpoint(eager=False)
+        h = (
+            e.join(a.withColumnRenamed("node", "__d"), "__d")
+            .groupBy(F.col("__s").alias("node"))
+            .agg(F.sum("v").alias("v"))
+            .coalesce(8)
+            .localCheckpoint(eager=False)
+        )
+        a = _norm(a, lazy_cut=False)
+        h = _norm(h, lazy_cut=False)
+    return (
+        nodes.join(h.withColumnRenamed("v", "__hv"), "node", "left")
+        .join(a.withColumnRenamed("v", "__av"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("__hv", F.lit(0)).cast("long").alias("hub_micro"),
+            F.coalesce("__av", F.lit(0)).cast("long").alias("auth_micro"),
+        )
+    )
+
+
+def hits_oracle_sql(
+    edges_sql: str,
+    iters: int = 3,
+    unit: int = 1_000_000,
+    normalize: str = "rounds",
+) -> str:
+    """ANSI-SQL replay of :func:`hits_scores` with the rounds UNROLLED
+    (the :func:`bfs_oracle_sql` pattern); maxes ride as scalar
+    subqueries and all products run in HUGEINT ``//``. ``edges_sql``
+    must yield columns (src, dst); ``normalize`` must match the
+    operator call (the two modes floor at different points)."""
+    if normalize not in ("rounds", "final"):
+        raise ValueError(f"normalize must be 'rounds' or 'final', got {normalize!r}")
+    u = int(unit)
+    per_round = normalize == "rounds"
+    sql = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+    ]
+    for t in range(1, iters + 1):
+        prev_h = f"h{t-1}" if per_round else f"h{t-1}r"
+        if t == 1:
+            sql.append(
+                f"a1r AS (SELECT dst AS node, "
+                f"CAST(count(*) AS HUGEINT) * {u} AS v FROM e GROUP BY dst)"
+            )
+        else:
+            sql.append(
+                f"a{t}r AS (SELECT e.dst AS node, SUM({prev_h}.v)::HUGEINT AS v "
+                f"FROM e JOIN {prev_h} ON e.src = {prev_h}.node GROUP BY e.dst)"
+            )
+        if per_round:
+            sql.append(
+                f"a{t} AS (SELECT node, (v * {u}) // "
+                f"(SELECT max(v) FROM a{t}r) AS v FROM a{t}r)"
+            )
+        cur_a = f"a{t}" if per_round else f"a{t}r"
+        sql.append(
+            f"h{t}r AS (SELECT e.src AS node, SUM({cur_a}.v)::HUGEINT AS v "
+            f"FROM e JOIN {cur_a} ON e.dst = {cur_a}.node GROUP BY e.src)"
+        )
+        if per_round:
+            sql.append(
+                f"h{t} AS (SELECT node, (v * {u}) // "
+                f"(SELECT max(v) FROM h{t}r) AS v FROM h{t}r)"
+            )
+    if per_round:
+        hf, af = f"h{iters}", f"a{iters}"
+    else:
+        sql.append(
+            f"hf AS (SELECT node, (v * {u}) // "
+            f"(SELECT max(v) FROM h{iters}r) AS v FROM h{iters}r)"
+        )
+        sql.append(
+            f"af AS (SELECT node, (v * {u}) // "
+            f"(SELECT max(v) FROM a{iters}r) AS v FROM a{iters}r)"
+        )
+        hf, af = "hf", "af"
+    return (
+        "WITH " + ",\n".join(sql)
+        + f"\nSELECT nodes.node, "
+        f"CAST(COALESCE({hf}.v, 0) AS BIGINT) AS hub_micro, "
+        f"CAST(COALESCE({af}.v, 0) AS BIGINT) AS auth_micro "
+        f"FROM nodes LEFT JOIN {hf} ON nodes.node = {hf}.node "
+        f"LEFT JOIN {af} ON nodes.node = {af}.node"
+    )

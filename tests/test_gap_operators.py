@@ -426,6 +426,7 @@ def test_kmv_sketch_reports(spark):
         analytics.kmv_sketch_table(df, "key", "st", k=1)
 
 
+@pytest.mark.slow
 def test_multi_benchmark_decontamination(spark):
     """G107: one-pass multi-benchmark report — per-(doc, bench) hit
     counts with benchmark-side multiplicity deduplicated; a doc
@@ -1679,6 +1680,7 @@ def test_margin_mine_semantics(spark):
         margin_mine(left, right, k=0)
 
 
+@pytest.mark.slow
 def test_corpus_similarity_matrix(spark):
     """G106: corpus MinHash similarity — identical strata estimate
     J = 1.0 exactly (every permutation minimum agrees), disjoint strata
@@ -5331,6 +5333,58 @@ def test_bfs_hops_semantics(spark):
         graph.bfs_hops(df, seeds=[0], max_hops=-1)
 
 
+@pytest.mark.slow
+def test_hits_scores_semantics(spark):
+    """G110: HITS hubs & authorities — the hub/authority split on a
+    directory-pointing-at-content graph, both normalization modes
+    match their own oracles bit for bit (DuckDB replay inline) and
+    agree on the ORDERING; no-in-edge nodes hold authority 0 and
+    no-out-edge nodes hub 0, visible; raises on bad args."""
+    import duckdb
+
+    from ferc_xbrl_extractor_spark.operators import graph
+
+    # 1 and 3 are hubs pointing at content {2, 5}; 2 also links out
+    edges = [(1, 2), (1, 5), (3, 2), (3, 5), (4, 2), (2, 5), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ed AS SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in edges)
+        + ") t(src, dst)"
+    )
+    for mode in ("rounds", "final"):
+        got = sorted(
+            (r["node"], r["hub_micro"], r["auth_micro"])
+            for r in graph.hits_scores(df, iters=3, normalize=mode).collect()
+        )
+        want = sorted(
+            (int(a), int(b), int(c))
+            for a, b, c in con.execute(
+                graph.hits_oracle_sql(
+                    "SELECT src, dst FROM ed", iters=3, normalize=mode
+                )
+            ).fetchall()
+        )
+        assert got == want, mode
+        by = {n: (hh, aa) for n, hh, aa in got}
+        # top authority is 5 (fed by both hubs AND 2); top hubs 1 and 3
+        assert by[5][1] == 1_000_000
+        assert by[1][0] == 1_000_000 and by[3][0] == 1_000_000
+        assert by[1][1] == 0  # nothing points at the hubs
+        assert by[8][0] == 0  # sink: no out-edges -> hub 0
+        # 2 and 5 are co-leader authorities by symmetry (h(4) == h(2)
+        # in this graph); 8, fed only by the weak hub 7, trails both
+        assert by[2][1] == 1_000_000
+        assert by[8][1] < 1_000_000
+
+    with pytest.raises(ValueError, match="iters"):
+        graph.hits_scores(df, iters=0)
+    with pytest.raises(ValueError, match="normalize"):
+        graph.hits_scores(df, normalize="l2")
+
+
+@pytest.mark.slow
 def test_label_propagation_semantics(spark):
     """G104: synchronous LPA — two bridged triangles resolve to two
     communities labeled by their min member; star-graph plurality ties
