@@ -681,3 +681,148 @@ def stream_funnel(
     return src.groupBy("__u").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_assemble_dialogues(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    role_col: str = "role",
+    text_col: str = "text",
+    gap_ms: int = 30 * 60 * 1000,
+    sep: str = "\n",
+    watermark: str = "10 minutes",
+    max_turns_per_session: int = 10_000,
+) -> DataFrame:
+    """G109: STREAMING dialogue/session assembly — the
+    ``packing.assemble_dialogues`` (G103) reduction as a stateful
+    stream: raw interaction events become one ordered transcript per
+    conversation AS SESSIONS CLOSE, instead of in a nightly batch —
+    the continuous-SFT-feed form (support transcripts, agent traces
+    landing in a queue, chat exports).
+
+    Semantics match the batch operator's PROBED boundary rule: an event
+    landing at exactly ``last + gap`` still merges; only a strictly
+    larger gap starts a new conversation. Turn order inside a
+    transcript is the same TOTAL order (ts, role, text) — out-of-order
+    arrivals WITHIN an open session slot into place regardless of which
+    microbatch delivered them; NULL role/text render as empty strings
+    (the slot is kept). A session is emitted when (a) a later event of
+    the same user proves the gap, in whichever microbatch that
+    arrives, or (b) the event-time watermark passes ``last + gap``
+    (``GroupStateTimeout.EventTimeTimeout`` — quiet users flush
+    without needing another event).
+
+    Batch/stream divergence contract (pytest-pinned): equal to G103 on
+    any input whose cross-batch stragglers stay inside their session's
+    open window; a straggler arriving AFTER its session was emitted
+    (past the watermark) starts a fresh conversation instead of
+    retroactively merging two emitted ones — the standard streaming
+    late-data caveat, and why ``watermark`` should cover the real
+    arrival skew. No SQL oracle (timer-state class, like G56): the
+    cross-engine pin is the batch operator's oracle plus the
+    equivalence test.
+
+    State per user: the OPEN session only — three parallel arrays
+    bounded by ``max_turns_per_session`` (oldest turns beyond the cap
+    are dropped with the count preserved in ``n_turns``, so a runaway
+    bot session bounds memory but stays visible); closed sessions
+    leave the store immediately. Events shuffle once on the user key.
+
+    Output per closed session: ``(user_col, started_at, n_turns,
+    transcript)`` — the batch operator's exact schema.
+    """
+    if gap_ms <= 0:
+        raise ValueError(f"gap_ms must be > 0, got {gap_ms}")
+    if max_turns_per_session < 1:
+        raise ValueError(
+            f"max_turns_per_session must be >= 1, got {max_turns_per_session}"
+        )
+    out_schema = T.StructType(
+        [
+            events.schema[user_col],
+            T.StructField("started_at", T.TimestampType()),
+            T.StructField("n_turns", T.LongType()),
+            T.StructField("transcript", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.ArrayType(T.LongType())),
+            T.StructField("roles", T.ArrayType(T.StringType())),
+            T.StructField("texts", T.ArrayType(T.StringType())),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    gap_us = int(gap_ms) * 1000
+
+    def _assemble(user, ts_us, roles, texts, n_seen):
+        turns = sorted(zip(ts_us, roles, texts))
+        return {
+            user_col: user,
+            "started_at": pd.to_datetime(turns[0][0], unit="us"),
+            "n_turns": int(n_seen),
+            "transcript": sep.join(f"{r}: {x}" for _, r, x in turns),
+        }
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                ts_us, roles, texts, n_seen = state.get
+                yield pd.DataFrame(
+                    [_assemble(user, ts_us, roles, texts, n_seen)]
+                )
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(
+            [ts_col, role_col, text_col], kind="mergesort"
+        ).reset_index(drop=True)
+        if state.exists:
+            ts_us, roles, texts, n_seen = state.get
+            ts_us, roles, texts = list(ts_us), list(roles), list(texts)
+            n_seen = int(n_seen)
+        else:
+            ts_us, roles, texts, n_seen = [], [], [], 0
+        last = max(ts_us) if ts_us else None
+        closed = []
+        ev_us = pdf[ts_col].astype("datetime64[us]").astype("int64")
+        ev_role = pdf[role_col].astype(object)
+        ev_text = pdf[text_col].astype(object)
+        for t, r, x in zip(ev_us, ev_role, ev_text):
+            t = int(t)
+            if last is not None and t > last + gap_us:
+                closed.append(_assemble(user, ts_us, roles, texts, n_seen))
+                ts_us, roles, texts, n_seen = [], [], [], 0
+                last = None
+            ts_us.append(t)
+            roles.append("" if r is None or r is pd.NA else str(r))
+            texts.append("" if x is None or x is pd.NA else str(x))
+            n_seen += 1
+            if len(ts_us) > max_turns_per_session:
+                # drop the OLDEST turn by the total order; count stays
+                drop = min(range(len(ts_us)), key=lambda i: (ts_us[i], roles[i], texts[i]))
+                del ts_us[drop], roles[drop], texts[drop]
+            last = t if last is None else max(last, t)
+        state.update((ts_us, roles, texts, n_seen))
+        state.setTimeoutTimestamp(
+            max(last // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (
+        events.select(user_col, ts_col, role_col, text_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

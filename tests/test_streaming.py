@@ -975,3 +975,86 @@ def test_stream_funnel_single_batch_and_crossbatch(spark, tmp_path):
         stream_funnel(stream2, ["signup"])
     with pytest.raises(ValueError, match="distinct"):
         stream_funnel(stream2, ["signup", "signup"])
+
+
+@pytest.mark.slow
+def test_stream_assemble_dialogues_matches_batch(spark, tmp_path):
+    """G109: streaming dialogue assembly ≡ batch G103 on in-order
+    input — gap-closed sessions emit with identical (user, started_at,
+    n_turns, transcript) rows whether the gap is proven by a later
+    event or by the watermark timer; the exact-boundary merge rule
+    (event AT last+gap merges) carries over; NULL role keeps its slot;
+    cross-batch turns of one open session assemble in total order."""
+    from ferc_xbrl_extractor_spark.operators.packing import assemble_dialogues
+    from ferc_xbrl_extractor_spark.streaming.stateful import (
+        stream_assemble_dialogues,
+    )
+
+    path = str(tmp_path / "turns")
+    schema = "user_id long, ts_s string, role string, text string"
+
+    def _batch(rows, mode):
+        (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+            .coalesce(1)
+            .write.mode(mode)
+            .parquet(path)
+        )
+
+    # user 1: session A (3 turns, one NULL role slot), then a 31-min
+    # gap -> session B; the second microbatch delivers an out-of-order
+    # turn INSIDE session B plus the gap-prover for session A.
+    # user 2: one session whose second turn lands AT exactly start+gap
+    # (merge), flushed by the watermark timer via the far-future tick.
+    _batch(
+        [
+            (1, "2024-01-01 00:00:00", "user", "hi"),
+            (1, "2024-01-01 00:05:00", "assistant", "hello"),
+            (1, "2024-01-01 00:06:00", None, "system note"),
+            (2, "2024-01-01 00:00:00", "user", "q"),
+            (2, "2024-01-01 00:30:00", "assistant", "a"),  # == gap: merge
+        ],
+        "overwrite",
+    )
+    _batch(
+        [
+            (1, "2024-01-01 00:40:00", "user", "new topic"),  # opens B
+            (1, "2024-01-01 00:39:00", "user", "typo fix"),  # ooo inside B
+            (9, "2024-01-02 00:00:00", "user", "watermark tick"),
+        ],
+        "append",
+    )
+
+    stream = (
+        spark.readStream.schema("user_id long, role string, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_assemble_dialogues(
+        stream, gap_ms=30 * 60 * 1000, watermark="1 minute"
+    )
+    got = {
+        (r["user_id"], str(r["started_at"])): (r["n_turns"], r["transcript"])
+        for r in _drain(spark, out, "dialogues_stream").collect()
+    }
+
+    batch_df = spark.read.parquet(path)
+    want = {
+        (r["user_id"], str(r["started_at"])): (r["n_turns"], r["transcript"])
+        for r in assemble_dialogues(batch_df, gap="30 minutes").collect()
+        if r["user_id"] != 9  # the tick's own session never closes
+    }
+    # user 1 session B is closed by the watermark tick; session A by the
+    # in-stream gap; user 2 by the tick. All three match batch exactly.
+    assert got == want
+    assert len(got) == 3
+    a = got[(1, "2024-01-01 00:00:00")]
+    assert a == (3, "user: hi\nassistant: hello\n: system note")
+    b = got[(1, "2024-01-01 00:39:00")]
+    assert b == (2, "user: typo fix\nuser: new topic")
+    assert got[(2, "2024-01-01 00:00:00")][0] == 2  # boundary merged
+
+    with pytest.raises(ValueError, match="gap_ms"):
+        stream_assemble_dialogues(stream, gap_ms=0)
