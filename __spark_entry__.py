@@ -1096,6 +1096,50 @@ def q_g95b_fleiss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(ann)
 
 
+def q_g108b_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G108b: KMV sketch MERGE (analytics.kmv_merge_sketches) —
+    (returnflag, linestatus) sub-sketches merged up to returnflag; the
+    k smallest of a union equal the k smallest of the parts' k
+    smallest, so the merged report is BIT-IDENTICAL to sketching the
+    whole stratum directly — the oracle is literally g108_kmv_distinct's
+    SQL (the incremental no-rescan pitch, proved relationally)."""
+    li = _t(spark, sf_dir, "lineitem", repair=False).select(
+        F.concat("l_returnflag", F.lit("|"), "l_linestatus").alias("st"),
+        "l_partkey",
+    )
+    sub = analytics.kmv_sketch_table(li, "l_partkey", "st", k=64)
+    merged = analytics.kmv_merge_sketches(
+        sub.select(F.substring("stratum", 1, 1).alias("stratum"), "sketch"),
+        ["stratum"],
+        k=64,
+    )
+    return merged.select(
+        "stratum",
+        F.size("sketch").cast("long").alias("n_sketch"),
+        analytics.kmv_estimate_col("sketch", 64).alias("est_distinct"),
+    )
+
+
+def q_g112_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G112: href extraction (text.extract_links) — documents wrapped
+    in deterministic markup carrying a double-quoted href, a
+    single-quoted one with whitespace around '=', and a repeated link
+    (multiplicity kept); the oracle replays both regexes verbatim
+    (java.util.regex ∩ RE2, the G57 contract)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<p><a href="https://'), F.col("source"),
+            F.lit('.example.com/page">x</a><a href = \'item-'),
+            F.col("doc_id").cast("string"),
+            F.lit('\'>y</a><link href="https://'), F.col("source"),
+            F.lit('.example.com/page"></p>'),
+        ).alias("text"),
+    )
+    return text.extract_links(html)
+
+
 def q_g108_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G108: per-stratum KMV distinct estimates
     (analytics.kmv_distinct_report) — k=64 minimum 60-bit md5 hashes of
@@ -2693,6 +2737,42 @@ def q_g79_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_stream(spark, out, "g79_funnel", mode="update")
 
 
+def q_g111_lpm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G111: longest-prefix-match join (joins.lpm_join) — lineitem
+    keys hashed into a 32-bit space against a synthetic CIDR-style
+    table (2k prefixes, lengths 8..24 by p_partkey); candidates via a
+    bounded generated length list + one equi-join + one combinable
+    min_by((-len, payload)) argmax; unmatched facts keep NULL
+    (how='left'). Oracle replays candidates × distinct lengths with a
+    QUALIFY argmax."""
+    from ferc_xbrl_extractor_spark.operators.joins import lpm_join
+
+    li = _t(spark, sf_dir, "lineitem", repair=False).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.pmod(
+            F.col("l_orderkey") * F.lit(2654435761)
+            + F.col("l_linenumber") * F.lit(97),
+            F.lit(4294967296),
+        ).alias("key"),
+    )
+    pt = _t(spark, sf_dir, "part", repair=False).select(
+        (F.lit(8) + F.pmod("p_partkey", F.lit(17))).cast("int").alias("prefix_len"),
+        F.expr(
+            "shiftrightunsigned(pmod(p_partkey * 2654435761, 4294967296), "
+            "32 - (8 + pmod(p_partkey, 17)))"
+        ).cast("long").alias("prefix"),
+        F.col("p_partkey"),
+    )
+    return lpm_join(li, pt, "key", bits=32, how="left").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("key").cast("long").alias("key"),
+        F.col("matched_len").cast("long").alias("matched_len"),
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+    )
+
+
 def q_g19_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G19: bucketized point-in-interval join — each user's non-signup
     events matched to the 2-hour windows opened by that user's signup
@@ -4222,6 +4302,9 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g98_bt_scores": q_g98_bt_scores,
         "g108_kmv_distinct": q_g108_kmv_distinct,
         "g108_kmv_intersect": q_g108_kmv_intersect,
+        "g108b_kmv_merge": q_g108b_kmv_merge,
+        "g111_lpm_join": q_g111_lpm_join,
+        "g112_links": q_g112_links,
         "g95b_fleiss": q_g95b_fleiss,
         "g96_image_phash": q_g96_image_phash,
         "g96_phash_dedup": q_g96_phash_dedup,
@@ -5049,6 +5132,51 @@ def fine_oracle_sql() -> dict[str, str]:
                    AS est_distinct
         FROM sk
     """
+    # G108b: sketch merge — the k smallest of a union equal the k
+    # smallest of the parts' k smallest, so the merged report is
+    # bit-identical to the direct whole-stratum report: same oracle.
+    sql["g108b_kmv_merge"] = sql["g108_kmv_distinct"]
+
+    # G111: longest-prefix-match join — candidates = facts x distinct
+    # lengths, equi-join on (len, key >> (32-len)), QUALIFY argmax by
+    # (len DESC, payload ASC), left join back for NULL-visible misses
+    sql["g111_lpm_join"] = """
+        WITH f AS (
+            SELECT l_orderkey, l_linenumber,
+                   (l_orderkey * 2654435761 + l_linenumber * 97)
+                       % 4294967296 AS key
+            FROM lineitem
+        ),
+        p AS (
+            SELECT 8 + (p_partkey % 17) AS plen,
+                   ((p_partkey * 2654435761) % 4294967296)
+                       >> (32 - (8 + (p_partkey % 17))) AS prefix,
+                   p_partkey
+            FROM part
+        ),
+        lens AS (SELECT DISTINCT plen FROM p),
+        hit AS (
+            SELECT f.l_orderkey, f.l_linenumber, f.key,
+                   p.plen, p.p_partkey
+            FROM f CROSS JOIN lens
+            JOIN p ON p.plen = lens.plen
+                  AND p.prefix = (f.key >> (32 - lens.plen))
+        ),
+        win AS (
+            SELECT l_orderkey, l_linenumber, plen, p_partkey FROM hit
+            QUALIFY row_number() OVER (
+                PARTITION BY l_orderkey, l_linenumber
+                ORDER BY plen DESC, p_partkey ASC) = 1
+        )
+        SELECT f.l_orderkey, f.l_linenumber,
+               CAST(f.key AS BIGINT) AS key,
+               CAST(win.plen AS BIGINT) AS matched_len,
+               CAST(win.p_partkey AS BIGINT) AS p_partkey
+        FROM f LEFT JOIN win
+          ON f.l_orderkey = win.l_orderkey
+         AND f.l_linenumber = win.l_linenumber
+    """
+
     sql["g108_kmv_intersect"] = f"""
         WITH {_kmv_base},
         pr AS (
@@ -8281,6 +8409,33 @@ def fine_oracle_sql() -> dict[str, str]:
 
     # G57: the identical strip/decode/normalize chain, replayed in RE2.
     # Raw string: backslashes (\b, \t, \n) must reach the regex engine.
+    # G112: href extraction — both quote-style regexes replayed
+    # verbatim (java.util.regex and RE2 agree on every construct used);
+    # list_concat keeps the double-then-single order, hash compare is
+    # order-insensitive anyway
+    sql["g112_links"] = r"""
+        WITH html AS (
+            SELECT doc_id,
+                   '<p><a href="https://' || source
+                   || '.example.com/page">x</a><a href = ''item-'
+                   || CAST(doc_id AS VARCHAR)
+                   || '''>y</a><link href="https://' || source
+                   || '.example.com/page"></p>' AS t
+            FROM documents
+        ),
+        links AS (
+            SELECT doc_id,
+                   list_concat(
+                       regexp_extract_all(
+                           t, 'href[ \t\r\n]*=[ \t\r\n]*"([^"]*)"', 1),
+                       regexp_extract_all(
+                           t, 'href[ \t\r\n]*=[ \t\r\n]*''([^'']*)''', 1)
+                   ) AS hs
+            FROM html
+        )
+        SELECT doc_id, u.href FROM links, UNNEST(hs) AS u(href)
+    """
+
     sql["g57_html_text"] = r"""
         WITH h AS (
             SELECT doc_id,
@@ -8996,7 +9151,7 @@ _SUITES: dict[str, list[str]] = {
     # suite entry instead of two (gate headroom, VERDICT r5 item #1).
     "g_window_asof_suite": [
         "g5_window_funcs", "g5_moving_agg", "g9_asof_join",
-        "g9_asof_forward", "g83_scd2",
+        "g9_asof_forward", "g83_scd2", "g111_lpm_join",
     ],
     "g6_multidim_suite": ["g6_rollup", "g6_cube", "g6_grouping_sets"],
     "g7_quantile_suite": [
@@ -9035,14 +9190,14 @@ _SUITES: dict[str, list[str]] = {
         "g21_unpivot", "g13_salted_agg", "g13b_salted_auto", "g10_json",
         "g25_zorder", "g67_skew_report", "g72_cms_topk", "g81_label_agg",
         "g88_salted_join", "g95_kappa", "g95b_fleiss", "g98_bt_scores",
-        "g108_kmv_distinct", "g108_kmv_intersect",
+        "g108_kmv_distinct", "g108_kmv_intersect", "g108b_kmv_merge",
     ],
     "g32_report_suite": [
         "g32_corpus_report", "g32_stratum_report", "g93_calibration",
     ],
     "g_boilerplate_suite": [
         "g33_strip_lines", "g34_gopher_rules", "g35_paragraph_dedup",
-        "g36_curate_funnel", "g57_html_text",
+        "g36_curate_funnel", "g57_html_text", "g112_links",
     ],
     "g_training_suite": [
         "g37_kmeans", "g38_bigram_lm", "g39_shuffle_order",
@@ -9086,6 +9241,9 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g107_multi_decon": [("doc_id", "i"), ("bench", "s"), ("n_hits", "i")],
     "g108_kmv_distinct": [("stratum", "s"), ("n_sketch", "i"), ("est_distinct", "i")],
     "g108_kmv_intersect": [("stratum_a", "s"), ("stratum_b", "s"), ("d_a", "i"), ("d_b", "i"), ("est_union", "i"), ("est_inter", "i")],
+    "g108b_kmv_merge": [("stratum", "s"), ("n_sketch", "i"), ("est_distinct", "i")],
+    "g111_lpm_join": [("l_orderkey", "i"), ("l_linenumber", "i"), ("key", "i"), ("matched_len", "i"), ("p_partkey", "i")],
+    "g112_links": [("doc_id", "i"), ("href", "s")],
     "g102_margin_mine": [("id_a", "i"), ("id_b", "i"), ("sim_micro", "i"), ("margin_micro", "i")],
     "g103_dialogues": [("user_id", "i"), ("started_at", "t"), ("n_turns", "i"), ("transcript", "s")],
     "g95_kappa": [("annotator_a", "i"), ("annotator_b", "i"), ("n_items", "i"), ("n_agree", "i"), ("kappa_micro", "i")],

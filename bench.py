@@ -91,6 +91,7 @@ HEADLINE = [
     "g110_hits",
     "g108_kmv_distinct",
     "g108_kmv_intersect",
+    "g108b_kmv_merge",
     "g32_corpus_report",
     "g32_stratum_report",
     "g33_strip_lines",
@@ -100,6 +101,7 @@ HEADLINE = [
     "g4_surprisal",
     "g4_chunk",
     "g57_html_text",
+    "g112_links",
     "g60_md_text",
     "g64_url_dedup",
     "g66_domain_report",
@@ -152,6 +154,7 @@ HEADLINE = [
     "g76_hist_quantile",
     "g58_stream_quality",
     "g9_asof_join",
+    "g111_lpm_join",
     "g83_scd2",
     "g9_asof_forward",
     "g37_kmeans",

@@ -1045,3 +1045,54 @@ def kmv_intersection_report(
         F.col("__eu").cast("long").alias("est_union"),
         ei.cast("long").alias("est_inter"),
     )
+
+
+def kmv_merge_sketches(
+    sketches: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "sketch",
+    k: int = 64,
+) -> DataFrame:
+    """G108b: merge stored KMV sketches up to a coarser grouping — the
+    property that makes KMV the INCREMENTAL distinct stack (and what
+    HLL's opaque registers cannot give relationally): the k smallest of
+    a union equal the k smallest of the union of each part's k
+    smallest, so per-partition sketches (a crawl dump a day, a shard an
+    hour) merge to the whole-corpus sketch EXACTLY — bit-identical to
+    sketching the raw union, no rescan of history (pytest-pinned
+    identity; the G7 ``hll_partial_sketches`` pattern with exact
+    mergeability instead of register approximation).
+
+    One combinable aggregate: ``collect_list`` of the (group, k)-
+    bounded arrays, flatten, distinct, sort, slice — driver-free,
+    exchange carries |groups| rows of ≤ parts·k hashes.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(sketch_col)))),
+        1,
+        k,
+    )
+    return sketches.groupBy(*group_cols).agg(merged.alias(sketch_col))
+
+
+def kmv_estimate_col(sketch_col: str | Column, k: int) -> Column:
+    """G108: the distinct estimate of a sketch COLUMN — exact
+    ``size(sketch)`` below ``k``, else ``(k−1)·2⁶⁰ // h_k`` in
+    decimal(38,0) floor math with the 2⁶² clamp (the
+    :func:`kmv_distinct_report` estimator, reusable over merged
+    sketches)."""
+    from ferc_xbrl_extractor_spark.operators.labels import _dfloor_div
+
+    sk = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    num = F.expr(f"CAST('{(k - 1) * _KMV_SCALE}' AS DECIMAL(38,0))")
+    return (
+        F.when(F.size(sk) < k, F.size(sk).cast("long"))
+        .otherwise(
+            F.least(
+                _dfloor_div(num, F.element_at(sk, k).cast("decimal(38,0)")),
+                F.lit(2 ** 62).cast("decimal(38,0)"),
+            ).cast("long")
+        )
+    )

@@ -754,7 +754,12 @@ def hits_scores(
 
     def _norm(scored: DataFrame, lazy_cut: bool) -> DataFrame:
         if lazy_cut:
-            scored = scored.coalesce(8).localCheckpoint(eager=False)
+            # plain lazy cut — no coalesce: the relation is node-sized,
+            # which at gate scale is sub-scheduling-floor either way
+            # (measured: no win) and at 10M-edge scale a small coalesce
+            # CAPS the join parallelism of every later stage (measured
+            # 57s -> see scalecheck after removal)
+            scored = scored.localCheckpoint(eager=False)
         mx = scored.agg(F.max("v")).collect()[0][0]
         mx_dec = F.expr(f"CAST('{int(mx or 1)}' AS DECIMAL(38,0))")
         return scored.select(
@@ -791,12 +796,11 @@ def hits_scores(
         # read-off branches below don't re-execute the shared chain —
         # h's lineage contains a's, so checkpoint a first and build h's
         # last join from the cut relation
-        a = a.coalesce(8).localCheckpoint(eager=False)
+        a = a.localCheckpoint(eager=False)
         h = (
             e.join(a.withColumnRenamed("node", "__d"), "__d")
             .groupBy(F.col("__s").alias("node"))
             .agg(F.sum("v").alias("v"))
-            .coalesce(8)
             .localCheckpoint(eager=False)
         )
         a = _norm(a, lazy_cut=False)

@@ -248,3 +248,109 @@ def salted_join(
         ).alias("__salt"),
     )
     return b.join(s, [on, "__salt"]).drop("__salt")
+
+
+def lpm_join(
+    facts: DataFrame,
+    prefixes: DataFrame,
+    key_col: str,
+    prefix_col: str = "prefix",
+    length_col: str = "prefix_len",
+    bits: int = 32,
+    how: str = "left",
+) -> DataFrame:
+    """G111: LONGEST-PREFIX-MATCH join — each fact row enriched with
+    the most specific matching prefix row, the lookup semantics of
+    CIDR tables (IP → geo/ASN/datacenter tagging in crawl curation,
+    the per-request enrichment CDN/firewall logs need). Spark has no
+    native LPM; the naive form (``ON key >> (bits-len) = prefix ORDER
+    BY len DESC LIMIT 1`` per row) is a non-equi BNLJ.
+
+    Relational plan: the DISTINCT prefix lengths present in the table
+    (≤ ``bits``+1 values — a bounded driver collect, the G37 class)
+    become a generated candidate list: each fact explodes to one
+    (length, key >> (bits−length)) candidate per PRESENT length, the
+    match is a plain equi-join on (length, prefix-value), and the most
+    specific winner per fact is one ``max_by(payload-struct, length)``
+    aggregate — no windows, no inequality join. Work is
+    O(|facts|·|distinct lengths| + matches); a real CIDR table uses
+    ~8-24 distinct lengths, not 33.
+
+    Args:
+        facts: rows with an unsigned numeric ``key_col`` (an IPv4 as
+            uint32 long; parse dotted-quad upstream).
+        prefixes: (prefix value right-aligned — i.e. the network
+            address SHIFTED DOWN by bits−length — length, payload...).
+            Duplicate (prefix, length) rows: ties break toward the
+            lexicographically smallest payload struct (deterministic).
+        how: 'left' (default — unmatched facts keep NULL payloads,
+            visible) or 'inner'.
+
+    Output: every fact column + ``matched_len`` + the prefix table's
+    payload columns (NULL on no match under 'left'). The winner
+    aggregate keys on the full fact row, so duplicate fact rows
+    collapse under 'inner' (and are restored by the final join under
+    'left') — pre-attach a unique id if duplicates must survive
+    'inner'.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    if not (1 <= bits <= 63):
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
+    payload = [c for c in prefixes.columns if c not in (prefix_col, length_col)]
+    # bounded collect: a prefix table carries at most bits+1 distinct
+    # lengths (real CIDR tables: ~8-24)
+    lengths = sorted(
+        r[0]
+        for r in prefixes.select(length_col).distinct().collect()
+        if r[0] is not None and 0 <= r[0] <= bits
+    )
+    if not lengths:
+        raise ValueError("prefixes has no usable lengths in [0, bits]")
+    fact_cols = facts.columns
+    cand = (
+        facts.select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(int(ln)).cast("int") for ln in lengths])
+            ).alias("__len"),
+        )
+        .withColumn(
+            "__key", F.col(key_col).cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        )
+        .withColumn("__pfx", F.expr(f"shiftrightunsigned(__key, {bits} - __len)"))
+        .drop("__key")
+    )
+    pfx = prefixes.select(
+        F.col(prefix_col).cast("long").alias("__pfx"),
+        F.col(length_col).cast("int").alias("__len"),
+        *[F.col(c) for c in payload],
+    )
+    hit = cand.join(pfx, ["__pfx", "__len"], "inner")
+    # most specific length wins; among duplicate (prefix, length) rows
+    # the lexicographically smallest payload struct — min_by over
+    # (-len, payload) keeps it ONE combinable aggregate, no windows.
+    # NB: the aggregate is keyed on the full fact row, so duplicate
+    # fact rows collapse to one here; 'left' restores multiplicity via
+    # the final join, 'inner' returns distinct fact rows (documented —
+    # pre-attach a unique id if duplicate facts must survive 'inner').
+    best = hit.groupBy(*fact_cols).agg(
+        F.min_by(
+            F.struct(
+                F.col("__len").alias("l"),
+                *[F.col(c).alias(c) for c in payload],
+            ),
+            F.struct(
+                (-F.col("__len")).alias("nl"),
+                *[F.col(c).alias(c) for c in payload],
+            ),
+        ).alias("__win")
+    )
+    out = best.select(
+        *fact_cols,
+        F.col("__win.l").cast("int").alias("matched_len"),
+        *[F.col(f"__win.{c}").alias(c) for c in payload],
+    )
+    if how == "inner":
+        return out
+    return facts.join(out, fact_cols, "left")

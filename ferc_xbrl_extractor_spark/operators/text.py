@@ -1949,3 +1949,43 @@ def with_script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     # deterministic argmax: first class (declaration order) that is
     # >= every other class's count and > 0 — script_of
     return out.withColumn("script", script_of(text_col))
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "href",
+) -> DataFrame:
+    """G112: href extraction from raw HTML — ``(id, href)`` with one
+    row per link OCCURRENCE (multiplicity kept: repeated links carry
+    weight for graph consumers that want it; G65/G104/G110 dedup on
+    their own edge relation anyway). The missing first step of the
+    link-graph family: raw crawl HTML → `extract_links` → host edges
+    (compose with :func:`host_of_url`) → PageRank/HITS/LPA — the whole
+    chain now runs engine-resident on a crawl table.
+
+    Scope (documented): ``href`` attributes in double OR single
+    quotes, any tag (a, link, area — HTML doesn't restrict href
+    either); unquoted hrefs and srcset-style attribute soup are out of
+    scope (quoted hrefs are what real-world generators emit). Values
+    come back verbatim — relative links, fragments, javascript: etc.
+    included; filter/canonicalize downstream (G64's chain).
+
+    Plan shape: one ``regexp_extract_all`` projection per quote style,
+    concatenated, exploded — pure Catalyst, zero Python; the regexes
+    stay inside the java.util.regex ∩ RE2 intersection (explicit
+    whitespace classes, no backreferences) so the DuckDB oracle
+    replays them verbatim (the G57 contract).
+    """
+    ws = "[ \\t\\r\\n]*"
+    dq = F.regexp_extract_all(
+        F.col(html_col), F.lit(f'href{ws}={ws}"([^"]*)"'), F.lit(1)
+    )
+    sq = F.regexp_extract_all(
+        F.col(html_col), F.lit(f"href{ws}={ws}'([^']*)'"), F.lit(1)
+    )
+    return (
+        df.select(F.col(id_col), F.concat(dq, sq).alias("__hrefs"))
+        .select(F.col(id_col), F.explode("__hrefs").alias(out_col))
+    )

@@ -427,6 +427,100 @@ def test_kmv_sketch_reports(spark):
 
 
 @pytest.mark.slow
+def test_kmv_merge_identity_and_lpm_join(spark):
+    """G108b: merged per-part KMV sketches are BIT-IDENTICAL to the
+    direct whole-stratum sketch (k-min of union == k-min of parts'
+    k-mins) and the estimate column agrees. G111: longest-prefix-match
+    join goldens on a hand CIDR table — most specific wins, default
+    route catches the rest, 'left' keeps misses NULL, duplicate
+    (prefix, len) rows tie-break to the smallest payload, raises."""
+    from ferc_xbrl_extractor_spark.operators import analytics
+    from ferc_xbrl_extractor_spark.operators.joins import lpm_join
+
+    # --- G108b merge identity
+    rows = [("p1" if i % 2 else "p2", i * 31 % 500) for i in range(400)]
+    df = spark.createDataFrame(rows, "part string, key long")
+    sub = analytics.kmv_sketch_table(df, "key", "part", k=16)
+    merged = analytics.kmv_merge_sketches(
+        sub.select(F.lit("all").alias("stratum"), "sketch"), ["stratum"], k=16
+    ).collect()[0]
+    direct = analytics.kmv_sketch_table(
+        df.select(F.lit("all").alias("whole"), "key"), "key", "whole", k=16
+    ).collect()[0]
+    assert list(merged["sketch"]) == list(direct["sketch"])
+    est = (
+        spark.createDataFrame([(list(merged["sketch"]),)], "sketch array<long>")
+        .select(analytics.kmv_estimate_col("sketch", 16).alias("e"))
+        .collect()[0]["e"]
+    )
+    d = {
+        r["stratum"]: r["est_distinct"]
+        for r in analytics.kmv_distinct_report(
+            df.select(F.lit("all").alias("s"), "key"), "key", "s", k=16
+        ).collect()
+    }
+    assert est == d["all"]
+    with pytest.raises(ValueError, match="k must"):
+        analytics.kmv_merge_sketches(sub, ["stratum"], k=1)
+
+    # --- G111 LPM join (bits=8 for readable goldens)
+    facts = spark.createDataFrame(
+        [(1, 170), (2, 130), (3, 10), (4, 250)], "fid long, key long"
+    )
+    # /4 1010xxxx (160-175) inside /2 10xxxxxx (128-191); /0 default
+    # does NOT cover 192+ (no row for 11xxxxxx except the default)...
+    # default /0 covers everything, so fid 4 matches it too
+    pfx = spark.createDataFrame(
+        [(2, 2, "A"), (10, 4, "B"), (0, 0, "D"), (0, 0, "C")],
+        "prefix long, prefix_len int, tag string",
+    )
+    got = {
+        r["fid"]: (r["matched_len"], r["tag"])
+        for r in lpm_join(facts, pfx, "key", bits=8, how="left").collect()
+    }
+    assert got == {
+        1: (4, "B"),  # most specific wins over /2 and /0
+        2: (2, "A"),
+        3: (0, "C"),  # duplicate /0 rows -> smallest payload
+        4: (0, "C"),
+    }
+    inner = lpm_join(
+        facts, pfx.filter(F.col("prefix_len") > 0), "key", bits=8, how="inner"
+    ).collect()
+    assert sorted(r["fid"] for r in inner) == [1, 2]  # misses dropped
+    left = lpm_join(
+        facts, pfx.filter(F.col("prefix_len") > 0), "key", bits=8, how="left"
+    ).collect()
+    miss = {r["fid"]: r["matched_len"] for r in left}
+    assert miss[3] is None and miss[4] is None  # visible, never dropped
+    with pytest.raises(ValueError, match="how"):
+        lpm_join(facts, pfx, "key", how="full")
+    with pytest.raises(ValueError, match="usable lengths"):
+        lpm_join(facts, pfx.filter(F.col("prefix_len") > 90), "key", bits=8)
+
+
+def test_extract_links(spark):
+    """G112: href extraction — double/single quotes, whitespace around
+    '=', occurrence multiplicity kept, non-HTML rows yield nothing."""
+    from ferc_xbrl_extractor_spark.operators import text as text_ops
+
+    rows = [
+        (1, '<a href="https://a.com/x">l</a><link href = \'b.com\'>'
+            '<area href="https://a.com/x">'),
+        (2, "no markup at all"),
+        (3, "<a href=unquoted>out of scope</a>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["href"])
+        for r in text_ops.extract_links(df).collect()
+    )
+    assert got == [
+        (1, "b.com"), (1, "https://a.com/x"), (1, "https://a.com/x")
+    ]
+
+
+@pytest.mark.slow
 def test_multi_benchmark_decontamination(spark):
     """G107: one-pass multi-benchmark report — per-(doc, bench) hit
     counts with benchmark-side multiplicity deduplicated; a doc
