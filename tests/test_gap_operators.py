@@ -385,6 +385,7 @@ def test_decontaminate_drops_overlapping_docs(spark):
     assert 3 not in report
 
 
+@pytest.mark.slow
 def test_kmv_sketch_reports(spark):
     """G108: KMV distinct/intersection sketches — complete (< k)
     sketches degrade to EXACT set arithmetic for distinct, union and
@@ -1692,6 +1693,7 @@ def test_assemble_dialogues(spark):
     assert s3["transcript"] == ": \nuser: x"
 
 
+@pytest.mark.slow
 def test_margin_mine_semantics(spark):
     """G102: margin mining renormalizes cosine by neighborhood density
     — an isolated true pair outscores a dense-cluster pair with the
@@ -2974,6 +2976,7 @@ def test_annotator_agreement_past_int64_ceiling(spark):
     assert row["kappa_micro"] == (1_000_000 * 989_000) // 990_000  # 998989
 
 
+@pytest.mark.slow
 def test_bt_scores_semantics(spark):
     """G98: Bradley-Terry hand-pinned round-1 closed form, tie and
     abstention semantics, clamp finiteness for an undefeated player,
@@ -5382,6 +5385,7 @@ def test_pagerank_matches_python_reference(spark):
         graph.pagerank(df, iters=0)
 
 
+@pytest.mark.slow
 def test_bfs_hops_semantics(spark):
     """G100: bounded multi-source BFS — hand-pinned hop counts on a
     chain + branch graph, NULL (never dropped) past the cap,

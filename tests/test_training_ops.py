@@ -283,6 +283,7 @@ def _ref_kn_surprisal(
     return out
 
 
+@pytest.mark.slow
 def test_kn_surprisal_matches_reference(spark):
     """G105: self-trained KN scores match the serial reference exactly
     (the cross-engine pin is the g105_kn_surprisal oracle, hash-green
