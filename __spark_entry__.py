@@ -1140,6 +1140,30 @@ def q_g112_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.extract_links(html)
 
 
+def q_g113_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G113: crawl rows → host-graph edges (text.host_edges) — each
+    document carries a page URL plus markup with an absolute
+    cross-host link, a protocol-relative link, a path-relative link
+    (self-edge) and a mailto (dropped); the oracle replays the G112
+    extraction and the host CASE verbatim (RE2 ∩ java.util.regex)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com/d/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<a href="https://hub-'), F.col("source"),
+            F.lit('.example.net:8080/x">a</a>'
+                  "<a href='//cdn.example.org/l.css'>c</a>"
+                  '<a href="/local/page">s</a>'
+                  '<a href="mailto:x@y.z">m</a>'),
+        ).alias("text"),
+    )
+    return text.host_edges(pages)
+
+
 def q_g108_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G108: per-stratum KMV distinct estimates
     (analytics.kmv_distinct_report) — k=64 minimum 60-bit md5 hashes of
@@ -4305,6 +4329,7 @@ def fine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g108b_kmv_merge": q_g108b_kmv_merge,
         "g111_lpm_join": q_g111_lpm_join,
         "g112_links": q_g112_links,
+        "g113_host_edges": q_g113_host_edges,
         "g95b_fleiss": q_g95b_fleiss,
         "g96_image_phash": q_g96_image_phash,
         "g96_phash_dedup": q_g96_phash_dedup,
@@ -8436,6 +8461,58 @@ def fine_oracle_sql() -> dict[str, str]:
         SELECT doc_id, u.href FROM links, UNNEST(hs) AS u(href)
     """
 
+    # G113: host edges — the G112 extraction + the host-resolution CASE
+    # replayed verbatim; self-edges for path-relative, non-web schemes
+    # dropped, :port stripped by the host replay
+    def _g113_host(expr: str) -> str:
+        return (
+            f"regexp_replace(lower(regexp_extract({expr}, "
+            f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), "
+            f"':[0-9]+$', '', 'g')"
+        )
+
+    sql["g113_host_edges"] = rf"""
+        WITH pg AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/d/'
+                       || CAST(doc_id AS VARCHAR) AS u,
+                   '<a href="https://hub-' || source
+                   || '.example.net:8080/x">a</a>'
+                   || '<a href=''//cdn.example.org/l.css''>c</a>'
+                   || '<a href="/local/page">s</a>'
+                   || '<a href="mailto:x@y.z">m</a>' AS t
+            FROM documents
+        ),
+        l AS (
+            SELECT doc_id, uu.href FROM (
+                SELECT doc_id,
+                       list_concat(
+                           regexp_extract_all(
+                               t, 'href[ \t\r\n]*=[ \t\r\n]*"([^"]*)"', 1),
+                           regexp_extract_all(
+                               t, 'href[ \t\r\n]*=[ \t\r\n]*''([^'']*)''', 1)
+                       ) AS hs
+                FROM pg
+            ), UNNEST(hs) AS uu(href)
+        ),
+        s AS (SELECT doc_id, {_g113_host('u')} AS src FROM pg),
+        e AS (
+            SELECT l.doc_id, s.src,
+                   CASE
+                     WHEN regexp_matches(href, '^[Hh][Tt][Tt][Pp][Ss]?://')
+                     THEN {_g113_host('href')}
+                     WHEN regexp_matches(href, '^//')
+                     THEN {_g113_host("'http:' || href")}
+                     WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+                     THEN ''
+                     ELSE s.src
+                   END AS dst
+            FROM l JOIN s USING (doc_id)
+        )
+        SELECT doc_id, src AS src_host, dst AS dst_host
+        FROM e WHERE src <> '' AND dst <> ''
+    """
+
     sql["g57_html_text"] = r"""
         WITH h AS (
             SELECT doc_id,
@@ -9198,6 +9275,7 @@ _SUITES: dict[str, list[str]] = {
     "g_boilerplate_suite": [
         "g33_strip_lines", "g34_gopher_rules", "g35_paragraph_dedup",
         "g36_curate_funnel", "g57_html_text", "g112_links",
+        "g113_host_edges",
     ],
     "g_training_suite": [
         "g37_kmeans", "g38_bigram_lm", "g39_shuffle_order",
@@ -9244,6 +9322,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "g108b_kmv_merge": [("stratum", "s"), ("n_sketch", "i"), ("est_distinct", "i")],
     "g111_lpm_join": [("l_orderkey", "i"), ("l_linenumber", "i"), ("key", "i"), ("matched_len", "i"), ("p_partkey", "i")],
     "g112_links": [("doc_id", "i"), ("href", "s")],
+    "g113_host_edges": [("doc_id", "i"), ("src_host", "s"), ("dst_host", "s")],
     "g102_margin_mine": [("id_a", "i"), ("id_b", "i"), ("sim_micro", "i"), ("margin_micro", "i")],
     "g103_dialogues": [("user_id", "i"), ("started_at", "t"), ("n_turns", "i"), ("transcript", "s")],
     "g95_kappa": [("annotator_a", "i"), ("annotator_b", "i"), ("n_items", "i"), ("n_agree", "i"), ("kappa_micro", "i")],

@@ -102,6 +102,7 @@ HEADLINE = [
     "g4_chunk",
     "g57_html_text",
     "g112_links",
+    "g113_host_edges",
     "g60_md_text",
     "g64_url_dedup",
     "g66_domain_report",

@@ -1989,3 +1989,72 @@ def extract_links(
         df.select(F.col(id_col), F.concat(dq, sq).alias("__hrefs"))
         .select(F.col(id_col), F.explode("__hrefs").alias(out_col))
     )
+
+
+def host_edges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "text",
+) -> DataFrame:
+    """G113: raw crawl rows → HOST-GRAPH edges — the composition that
+    makes the whole link-graph family run end-to-end engine-resident:
+    ``(page url, page html)`` → :func:`extract_links` hrefs → per-link
+    destination host → ``(id, src_host, dst_host)`` edges feeding
+    G65 PageRank / G87 PPR / G100 BFS / G104 LPA / G110 HITS directly.
+
+    Resolution rules (documented, RE2-replayable — no URL library):
+    absolute ``http(s)://`` hrefs resolve to their own host (via
+    :func:`host_of_url`: lowercased, port stripped);
+    protocol-relative ``//host/...`` hrefs take the href's host;
+    path-relative hrefs (``/x``, ``x/y``, ``#f``, ``?q``) resolve to
+    the PAGE's host (a self-edge — real: nav links dominate crawl
+    HTML); non-web schemes (``mailto:``, ``javascript:``, ``ftp:``,
+    ``data:``) are dropped, as are links on pages whose own URL
+    yields no host. Occurrence multiplicity is kept (G112's
+    contract); graph consumers dedup on their own edge relation.
+
+    Plan shape: the G112 extraction plus one CASE of two regexes —
+    still a pure projection pipeline, zero Python, zero shuffle; the
+    edge relation lands partitioned however the crawl scan was.
+    """
+    links = extract_links(df, html_col=html_col, id_col=id_col)
+    pages = df.select(
+        F.col(id_col), host_of_url(url_col).alias("__src")
+    )
+    href = F.col("href")
+    is_abs = href.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://")
+    is_proto_rel = href.rlike(r"^//")
+    has_scheme = href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+    dst = (
+        F.when(is_abs, host_of_url(href))
+        .when(is_proto_rel, host_of_url(F.concat(F.lit("http:"), href)))
+        .when(has_scheme, F.lit(""))  # mailto:, javascript:, data:, ...
+        .otherwise(F.col("__src"))  # path-relative -> self-edge
+    )
+    return (
+        links.join(pages, id_col)
+        .select(F.col(id_col), F.col("__src").alias("src_host"), dst.alias("dst_host"))
+        .filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    )
+
+
+def ip_to_long(ip_col: str | Column) -> Column:
+    """G111 companion: dotted-quad IPv4 text → uint32 long (the
+    ``key_col`` :func:`~ferc_xbrl_extractor_spark.operators.joins.
+    lpm_join` consumes), NULL for anything that is not four octets in
+    [0, 255]. Pure split/cast arithmetic — map-side, no UDF; the SQL
+    replay is the same split expression."""
+    col = F.col(ip_col) if isinstance(ip_col, str) else ip_col
+    parts = F.split(col, r"\.")
+    oct_ok = F.forall(
+        parts, lambda p: p.rlike("^[0-9]{1,3}$") & (p.cast("long") <= 255)
+    )
+    valid = (F.size(parts) == 4) & oct_ok
+    val = (
+        F.element_at(parts, 1).cast("long") * F.lit(16777216)
+        + F.element_at(parts, 2).cast("long") * F.lit(65536)
+        + F.element_at(parts, 3).cast("long") * F.lit(256)
+        + F.element_at(parts, 4).cast("long")
+    )
+    return F.when(valid, val)

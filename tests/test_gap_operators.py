@@ -521,6 +521,46 @@ def test_extract_links(spark):
     ]
 
 
+def test_host_edges_and_ip_to_long(spark):
+    """G113: crawl rows → host edges — absolute links take their own
+    host (lowercased, port stripped), protocol-relative take the
+    href's host, path-relative self-edge, non-web schemes dropped,
+    pages without a resolvable URL dropped. G111 companion: dotted-
+    quad parsing with NULL for malformed input."""
+    from ferc_xbrl_extractor_spark.operators import text as text_ops
+
+    rows = [
+        (1, "https://www.a.com/p",
+         '<a href="HTTPS://B.com:443/x">b</a>'
+         "<a href='//c.org/y'>c</a>"
+         '<a href="/rel">r</a>'
+         '<a href="mailto:z@q.r">m</a>'
+         '<a href="javascript:void(0)">j</a>'),
+        (2, "not a url", '<a href="https://d.net/z">d</a>'),  # src dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = sorted(
+        (r["doc_id"], r["src_host"], r["dst_host"])
+        for r in text_ops.host_edges(df).collect()
+    )
+    assert got == [
+        (1, "www.a.com", "b.com"),     # scheme case-insensitive, :443 gone
+        (1, "www.a.com", "c.org"),     # protocol-relative
+        (1, "www.a.com", "www.a.com"), # path-relative self-edge
+    ]
+
+    ips = spark.createDataFrame(
+        [("1.2.3.4",), ("255.255.255.255",), ("1.2.3.256",), ("1.2.3",),
+         ("a.b.c.d",), (None,)],
+        "ip string",
+    )
+    vals = [
+        r["v"]
+        for r in ips.select(text_ops.ip_to_long("ip").alias("v")).collect()
+    ]
+    assert vals == [16909060, 4294967295, None, None, None, None]
+
+
 @pytest.mark.slow
 def test_multi_benchmark_decontamination(spark):
     """G107: one-pass multi-benchmark report — per-(doc, bench) hit
