@@ -2087,8 +2087,15 @@ def q_g48_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     the straddling doc. The oracle replays the same selection with one
     QUALIFY running-sum window ordered (ratio desc nulls last, doc_id)."""
     docs = _t(spark, sf_dir, "documents")
-    stats = text.with_text_stats(docs).select(
-        "doc_id", "n_tokens", "stopword_ratio"
+    # one tokenization pass, not four: the budget aggregate, the
+    # operator's quantile probe, its bucket-totals pass and the final
+    # selection each consume this relation — the lazy cut materializes
+    # the 3-column stats once (the operator's own docstring asks the
+    # caller to persist an expensive upstream; guide §2.4/§5)
+    stats = (
+        text.with_text_stats(docs)
+        .select("doc_id", "n_tokens", "stopword_ratio")
+        .localCheckpoint(eager=False)
     )
     budget = int(stats.agg(F.sum("n_tokens")).first()[0]) * 2 // 5
     return sampling.select_to_token_budget(

@@ -893,11 +893,17 @@ def kmv_sketch_table(
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     h = (
-        df.select(
+        # filter on the RAW key, not on the hash: _kmv_hash is NULL iff
+        # its input is NULL (md5/conv of a non-null string never null),
+        # and filtering on the derived column made the planner evaluate
+        # the md5+conv chain TWICE per row (once in the pushed filter,
+        # once in the projection — the guide §4.4 duplication, in pure
+        # Catalyst form)
+        df.filter(F.col(key_col).isNotNull())  # NULL keys carry no identity
+        .select(
             F.col(stratum_col).alias("stratum"),
             _kmv_hash(F.col(key_col)).alias("__h"),
         )
-        .filter(F.col("__h").isNotNull())  # NULL keys carry no identity
         .distinct()
     )
     w = Window.partitionBy("stratum").orderBy("__h")
@@ -981,7 +987,14 @@ def kmv_intersection_report(
     """
     from ferc_xbrl_extractor_spark.operators.labels import _dfloor_div
 
-    sk = kmv_sketch_table(df, key_col, stratum_col, k)
+    # the sketch table feeds BOTH sides of the pair self-join below —
+    # uncut, each side re-runs the full distinct + window over the raw
+    # relation (2 source scans, 2 big exchanges for a |strata|-row
+    # result); the lazy cut materializes the k-longs-per-stratum table
+    # once (guide §2.4)
+    sk = kmv_sketch_table(df, key_col, stratum_col, k).localCheckpoint(
+        eager=False
+    )
     num = F.expr(  # (k-1)*2^60 leaves int64 — literal via string
         f"CAST('{(k - 1) * _KMV_SCALE}' AS DECIMAL(38,0))"
     )

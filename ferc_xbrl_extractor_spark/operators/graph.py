@@ -745,10 +745,15 @@ def hits_scores(
     # and the lazy normalization cuts split the plan into segments that
     # would each recompute the distinct — so materialize it once
     e = raw.distinct().localCheckpoint(eager=True)
+    # node list from the CHECKPOINTED deduplicated edges, not from a
+    # second scan of the raw relation: distinct nodes of distinct edges
+    # == distinct nodes of raw, and this saves one full source scan +
+    # exchange per call (lazy cut — it materializes inside the first
+    # read-off join instead of paying its own up-front job)
     nodes = (
-        raw.select(F.explode(F.array("__s", "__d")).alias("node"))
+        e.select(F.explode(F.array("__s", "__d")).alias("node"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     unit_dec = F.lit(int(unit)).cast("decimal(38,0)")
 
@@ -803,8 +808,29 @@ def hits_scores(
             .agg(F.sum("v").alias("v"))
             .localCheckpoint(eager=False)
         )
-        a = _norm(a, lazy_cut=False)
-        h = _norm(h, lazy_cut=False)
+        # ONE collect for both normalization maxes (1-row × 1-row cross
+        # join of the two aggregates) instead of one job per relation —
+        # h's lineage includes a's checkpoint, so the single job
+        # materializes both
+        mrow = (
+            a.agg(F.max("v").alias("__ma"))
+            .crossJoin(h.agg(F.max("v").alias("__mh")))
+            .collect()[0]
+        )
+
+        def _scale(scored: DataFrame, mx) -> DataFrame:
+            mx_dec = F.expr(f"CAST('{int(mx or 1)}' AS DECIMAL(38,0))")
+            return scored.select(
+                "node",
+                _dfloor_div(
+                    F.col("v").cast("decimal(38,0)") * unit_dec, mx_dec
+                )
+                .cast("long")
+                .alias("v"),
+            )
+
+        a = _scale(a, mrow["__ma"])
+        h = _scale(h, mrow["__mh"])
     return (
         nodes.join(h.withColumnRenamed("v", "__hv"), "node", "left")
         .join(a.withColumnRenamed("v", "__av"), "node", "left")

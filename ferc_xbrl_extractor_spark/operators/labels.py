@@ -208,6 +208,11 @@ def annotator_agreement(
         .filter(F.col("annotator_a") < F.col("annotator_b"))
         .groupBy("annotator_a", "annotator_b", "__la", "__lb")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        # three consumers below (totals, both marginals) — one lazy cut
+        # keeps the |items|·d² self-join from re-running per consumer
+        # (measured: 44 Exchanges / 6 source scans in the uncut plan);
+        # the checkpointed relation is |pairs|·|labels|² bounded
+        .localCheckpoint(eager=False)
     )
     # pair totals + agreements, and the Σ_k n_a(k)·n_b(k) chance term
     # from the two marginals of the SAME joint relation
@@ -302,6 +307,11 @@ def fleiss_kappa(
         annotations.filter(F.col(label_col).isNotNull())
         .groupBy(item_col, annotator_col)
         .agg(F.min(label_col).alias("__l"))
+        # consumed by the modal-count probe (a separate driver action)
+        # AND the n_ic aggregate — the lazy cut materializes the vote
+        # relation during the probe job instead of re-aggregating the
+        # annotation volume once per consumer
+        .localCheckpoint(eager=False)
     )
     n_of_item = one_vote.groupBy(item_col).agg(
         F.count(F.lit(1)).cast("long").alias("__n")
@@ -327,6 +337,9 @@ def fleiss_kappa(
         one_vote.join(kept, item_col)
         .groupBy(item_col, "__l")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        # two consumers (S2/N aggregate and the T_c² aggregate) under
+        # one crossJoin-collect — cut so the join runs once
+        .localCheckpoint(eager=False)
     )
     s2_n = nic.agg(
         F.sum(F.col("__c") * F.col("__c")).cast("long").alias("s2"),
@@ -438,8 +451,10 @@ def bt_scores(
     players²); per round, two keyed joins of pairs onto the O(|players|)
     score relation and one map-side-combinable groupBy(i). Round 1 is
     join-free (all scores start at ``unit``: T₁ = (N2_i div 2 + 2p)·unit
-    in closed form). The comparison relation itself is touched once.
-    Lineage is cut every 8 rounds like :func:`~..graph.pagerank`.
+    in closed form). The comparison relation itself is touched once:
+    the pair relation is lazily checkpointed (every round and the player
+    marginals consume it), and the score relation is cut every round —
+    each round reads it twice, so uncut lineage doubles per round.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -474,10 +489,17 @@ def bt_scores(
             )
         ).alias("r")
     ).select("r.*")
+    # The pair relation is consumed by every MM round AND by the player
+    # marginals — without a lineage cut each consumer re-derives the
+    # explode + groupBy over the full comparison relation, and the score
+    # recurrence then COMPOUNDS those subtrees exponentially (measured:
+    # the 3-round plan carried 86 Exchanges / 11 scans of the source; one
+    # lazy cut makes every round linear over |pairs| rows). Results are
+    # unchanged — checkpoint only truncates lineage.
     pairs = d.groupBy("__i", "__j").agg(
         F.sum("__w2").cast(d38).alias("__w2"),
         (F.count(F.lit(1)) * 2).cast(d38).alias("__n2"),
-    )
+    ).localCheckpoint(eager=False)
     players = pairs.groupBy("__i").agg(
         F.sum("__w2").cast(d38).alias("__W2"),
         F.sum("__n2").cast(d38).alias("__N2"),
@@ -532,7 +554,11 @@ def bt_scores(
             F.lit(1).cast(d38),
         )
         scores = players.join(tt, "__i").select("__i", s_next.alias("__s"))
-        if t % 8 == 0 and t < iters:
+        if t < iters:
+            # cut EVERY round, not every 8: the next round consumes this
+            # relation twice (si and sj), so an uncut lineage doubles per
+            # round — the O(|players|) checkpoint is far cheaper than the
+            # 2^rounds subtree blowup it prevents
             scores = scores.localCheckpoint(eager=False)
     return players.join(scores, "__i").select(
         F.col("__i").alias("player"),

@@ -1670,6 +1670,11 @@ def corpus_similarity(
     if num_hashes < 1:
         raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     st = shingle_table(df, id_col=stratum_col, text_col=text_col, n=n)
+    # the signature relation feeds BOTH sides of the pair join below —
+    # uncut, each side re-runs the shingle explode + k-min aggregate
+    # over the whole corpus (measured: 2 full corpus scans + Generates
+    # in plans/r10/g106_corpus_sim_before.txt). The lazy cut
+    # materializes the |strata|-row signature table once (guide §2.4).
     sig = st.groupBy(stratum_col).agg(
         *[
             F.min(
@@ -1677,8 +1682,15 @@ def corpus_similarity(
             ).alias(f"__mh{i}")
             for i in range(num_hashes)
         ]
+    ).localCheckpoint(eager=False)
+    # also consumed twice (both pair-matrix sides); |strata| rows.
+    # NOT derivable from sig: an all-empty-text stratum has no shingles,
+    # hence no sig row, but must still appear in the report as NULLs.
+    strata = (
+        df.select(F.col(stratum_col).alias("__st"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    strata = df.select(F.col(stratum_col).alias("__st")).distinct()
     pairs = (
         strata.select(F.col("__st").alias("stratum_a"))
         .join(

@@ -677,7 +677,7 @@ def stratified_sample_n(
     key_col: str,
     n: int,
     id_col: str = "doc_id",
-    two_phase: bool = True,
+    two_phase: bool = False,
     salt: str = "",
 ) -> DataFrame:
     """Exact-size per-stratum sample: the ``n`` rows of each ``key_col``
@@ -685,11 +685,15 @@ def stratified_sample_n(
     deterministic and engine-portable: md5 hex compares identically
     everywhere).
 
-    ``two_phase`` pre-prunes each input partition to its local top-n
-    before the keyed shuffle, so the exchange carries at most
-    n × partitions rows per stratum regardless of stratum size — the
-    scale path for heavily skewed strata. Output = input columns (no
-    rank artifacts).
+    Default (single window): Spark ≥3.5 already prunes each map
+    partition to its local top-n before the shuffle via the partial
+    ``WindowGroupLimit`` it plans for ``row_number() ≤ n``
+    (SPARK-37099), so the exchange carries at most n × partitions rows
+    per stratum natively. The manual ``two_phase`` form predates that
+    and now costs an extra exchange + sort (the planner
+    hash-partitions on (key, spark_partition_id()) for the "local"
+    window); kept as an A/B hook — output identical (the md5+id order
+    is total). Output = input columns (no rank artifacts).
     """
     h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     order = [h.asc(), F.col(id_col).asc()]

@@ -53,14 +53,21 @@ def topk_per_key(
     keys: list[str],
     order_cols: list,
     k: int,
-    two_phase: bool = True,
+    two_phase: bool = False,
 ) -> DataFrame:
     """Generic distributed top-k per key.
 
-    With ``two_phase`` the first window partitions by (keys, physical
-    partition id) so each task pre-prunes to k rows before the single keyed
-    shuffle — the standard scalable top-k; without it, one window, one
-    shuffle, fine for small inputs.
+    Default (single window): Spark ≥3.5 plans ``row_number() ≤ k`` as a
+    map-side partial ``WindowGroupLimit`` BEFORE the exchange plus a
+    final one after it (SPARK-37099) — the two-phase scalable top-k,
+    natively, with ONE shuffle. The manual ``two_phase`` form (a first
+    window keyed on (keys, spark_partition_id())) predates that
+    optimization and now costs an ENTIRE EXTRA exchange + sort: the
+    planner hash-partitions on (keys, pid) for the "local" window
+    (measured in plans/r10/g3_ivf_topk_before.txt: two Exchanges where
+    the single-window form has one, both with WindowGroupLimit anyway).
+    Kept only as an A/B hook; output is identical for any total
+    ``order_cols`` (every caller breaks ties on a unique id).
     """
     if two_phase:
         local = Window.partitionBy(*keys, F.spark_partition_id()).orderBy(*order_cols)

@@ -1829,18 +1829,17 @@ def collocations(
             ).alias("lift"),
         )
     )
-    # two-phase top-k (the cosine_topk shape): per-partition prune cuts
-    # the unpartitioned final rank's input to <= top_k rows per task
+    # single rank window: Spark ≥3.5 plans row_number() ≤ k with a
+    # partial WindowGroupLimit on each map task BEFORE the single-
+    # partition exchange (SPARK-37099), so the global rank only ever
+    # sees ≤ top_k rows per upstream task — the manual
+    # partitionBy(spark_partition_id()) pre-prune this replaced cost an
+    # extra full exchange (the planner hash-partitions on the pid
+    # column). Order is total (w1, w2 unique), so output is identical.
     order = [F.col("lift").desc(), F.col("n_pair").desc(), "w1", "w2"]
-    wp = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
-    pruned = (
-        scored.withColumn("__r", F.row_number().over(wp))
-        .filter(F.col("__r") <= top_k)
-        .drop("__r")
-    )
     ww = Window.orderBy(*order)
     return (
-        pruned.withColumn("rank", F.row_number().over(ww).cast("int"))
+        scored.withColumn("rank", F.row_number().over(ww).cast("int"))
         .filter(F.col("rank") <= top_k)
     )
 

@@ -84,6 +84,20 @@ def get_spark(
         # 16g — that refuses to launch on hosts with less RAM); override
         # exactly with SPARK_GRAFT_DRIVER_XMS.
         .config("spark.driver.extraJavaOptions", f"-Xms{_driver_xms()}")
+        # The janino generated-class cache defaults to 100 entries; a
+        # session that cycles through 100+ distinct plans (the bench, the
+        # selfcheck, any multi-query ETL driver) evicts and recompiles
+        # codegen fragments continuously — single-threaded driver work
+        # that stalls every executor. Sized for a many-plan session;
+        # cluster-safe (driver-memory-bounded, a few KB per entry).
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
+        # ContextCleaner only learns an RDD/broadcast is dead when the
+        # JVM GCs its reference; with a large pinned heap (Xms above)
+        # old-gen collections are rare, so localCheckpoint blocks from
+        # completed queries accumulate for the default 30min interval
+        # (measured: +4GB driver RSS across one bench run). 5min bounds
+        # the block backlog on any long-lived session, local or cluster.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
     for k, v in (extra_conf or {}).items():
