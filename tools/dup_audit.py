@@ -39,6 +39,9 @@ def main() -> int:
     if args and os.path.isdir(args[0]):
         sf_dir, args = args[0], args[1:]
 
+    execute = "--exec" in args
+    args = [a for a in args if a != "--exec"]
+
     import __spark_entry__ as entrymod
     from ferc_xbrl_extractor_spark.session import get_spark
 
@@ -51,6 +54,11 @@ def main() -> int:
     for name in names:
         try:
             df = qs[name](spark, sf_dir)
+            if execute:
+                # post-execution FINAL adaptive plan: static counts
+                # overstate duplication when (Reused)Exchange/AQE stage
+                # reuse dedupes identical subtrees at runtime
+                df.count()
             txt = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
