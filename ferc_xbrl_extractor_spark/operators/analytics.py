@@ -987,14 +987,12 @@ def kmv_intersection_report(
     """
     from ferc_xbrl_extractor_spark.operators.labels import _dfloor_div
 
-    # the sketch table feeds BOTH sides of the pair self-join below —
-    # uncut, each side re-runs the full distinct + window over the raw
-    # relation (2 source scans, 2 big exchanges for a |strata|-row
-    # result); the lazy cut materializes the k-longs-per-stratum table
-    # once (guide §2.4)
-    sk = kmv_sketch_table(df, key_col, stratum_col, k).localCheckpoint(
-        eager=False
-    )
+    # the sketch table feeds both sides of the pair self-join below —
+    # IDENTICAL subtrees, which AQE's runtime exchange/stage reuse
+    # executes once already; an explicit cut was A/B'd and reverted
+    # (same-sitting min-of-N: the eager materialization cost more than
+    # the healed duplication). Left uncut deliberately.
+    sk = kmv_sketch_table(df, key_col, stratum_col, k)
     num = F.expr(  # (k-1)*2^60 leaves int64 — literal via string
         f"CAST('{(k - 1) * _KMV_SCALE}' AS DECIMAL(38,0))"
     )

@@ -101,10 +101,7 @@ def pagerank(
     if seeds is not None and len(seeds) == 0:
         raise ValueError("seeds must be a non-empty list (or None)")
     raw = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-    # consumed twice inside e2 (edge rows + the degree aggregate) — the
-    # lazy cut bounds the source to ONE scan, materialized inside e2's
-    # own materialization (guide §2.4)
-    e = raw.distinct().localCheckpoint(eager=False)
+    e = raw.distinct()
     # nodes is consumed twice (count, final read-off); an EAGER
     # localCheckpoint materializes the O(|nodes|) relation once and lets
     # ContextCleaner reclaim the blocks when the result is dropped —
@@ -153,15 +150,11 @@ def pagerank(
     # combinable and AQE-skew-splittable — NOT a count window: a window
     # partitioned by __s would serialize a hub source's entire out-edge
     # list (10⁷ links for an index page in a crawl graph) through one
-    # task at this one-time materialization. e2 is lazily checkpointed:
-    # the hoped-for canonical exchange reuse across iteration references
-    # does NOT fire under AQE (measured: the 3-iter executed plan
-    # carried 6 source scans / 3 degree joins, zero ReusedExchange —
-    # plans/r10/g65_pagerank_before.txt), so without the cut every
-    # round re-derives the distinct + degree join from the source. The
-    # lazy cut materializes the O(|E|) relation inside the first
-    # consumer job — no up-front barrier, no cache registration to leak.
-    e2 = _edges_with_outdegree(e).localCheckpoint(eager=False)
+    # task at this one-time materialization. e2 stays LAZY: its keyed
+    # exchange is canonically identical across the iteration references,
+    # so exchange reuse shuffles the edge relation once per action — no
+    # cache registration to leak.
+    e2 = _edges_with_outdegree(e)
     # Personalized (seeded) teleport is FOLDED into the edge relation
     # ONCE (r8 verdict #4): the seed-membership CASE-over-IN used to
     # ride the coalesce of every round's join (per edge per round) and
@@ -371,13 +364,6 @@ def triangle_counts(
     set to close wedges — semi, so closing rows never duplicate. The
     corner explode + count is an |triangles|-row aggregate.
     """
-    # Three consumer tiers below (e -> deg x2 + ed; deg -> ed x2 + node
-    # list; oriented -> wedge both sides + closing), and an uncut
-    # relation re-executes its whole lineage per consumer — the final
-    # plan carried 17 scans of the raw relation with zero runtime reuse
-    # (plans/r10/g85_triangles_before.txt). One lazy cut per tier makes
-    # the chain linear: canonical edges are computed once, degrees once,
-    # the oriented relation once (guide §2.4).
     e = (
         edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
         .filter(F.col("__a") != F.col("__b"))
@@ -386,14 +372,12 @@ def triangle_counts(
             F.greatest("__a", "__b").alias("__b"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("__a").alias("__n"))
         .union(e.select(F.col("__b").alias("__n")))
         .groupBy("__n")
         .agg(F.count(F.lit(1)).alias("__deg"))
-        .localCheckpoint(eager=False)
     )
     ed = (
         e.join(deg.withColumnRenamed("__n", "__a")
@@ -408,7 +392,7 @@ def triangle_counts(
         F.when(a_first, F.col("__a")).otherwise(F.col("__b")).alias("__u"),
         F.when(a_first, F.col("__b")).otherwise(F.col("__a")).alias("__v"),
         F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias("__dv"),
-    ).localCheckpoint(eager=False)
+    )
     e1 = oriented.select(
         F.col("__u"), F.col("__v").alias("__v1"), F.col("__dv").alias("__d1")
     )
@@ -474,14 +458,13 @@ def bfs_hops(
     — ``max_hops`` fixed rounds, no floats anywhere.
 
     Scale shape (the :func:`pagerank` template): per round ONE keyed
-    join of the ONCE-materialized edge relation onto the O(|reached|)
-    distance relation and one map-side-combinable ``min`` aggregate;
-    the distance relation only ever carries reached nodes, so early
-    rounds ship frontier-sized relations, not graph-sized ones. Node
-    list joined back ONCE at read-off (deferred, like pagerank's). The
-    distance relation's lineage is cut every round — each round
-    consumes it twice (step + union), so uncut lineage doubles per
-    round.
+    join of the edge relation onto the O(|reached|) distance relation
+    (the edge side's exchange is canonically identical across rounds —
+    reused) and one map-side-combinable ``min`` aggregate; the distance
+    relation only ever carries reached nodes, so early rounds ship
+    frontier-sized relations, not graph-sized ones. Node list joined
+    back ONCE at read-off (deferred, like pagerank's). Lineage cut
+    every 8 rounds.
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
@@ -492,16 +475,11 @@ def bfs_hops(
         raw = raw.union(
             raw.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
         )
-    # every round joins `e`; the canonical-exchange reuse claimed here
-    # before does NOT fire (measured: 7 source scans, 0 ReusedExchange
-    # in the executed 3-hop plan) — one lazy cut materializes the edge
-    # relation inside the first round instead
-    e = raw.distinct().localCheckpoint(eager=False)
-    # distinct nodes of distinct edges == distinct nodes of raw (G110)
+    e = raw.distinct()
     nodes = (
-        e.select(F.explode(F.array("__s", "__d")).alias("node"))
+        raw.select(F.explode(F.array("__s", "__d")).alias("node"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     dist = nodes.filter(F.col("node").isin(seeds)).select(
         "node", F.lit(0).cast("long").alias("hops")
@@ -519,10 +497,7 @@ def bfs_hops(
             .groupBy("node")
             .agg(F.min("hops").alias("hops"))
         )
-        if t < max_hops:
-            # cut EVERY round: each round consumes `dist` twice (the
-            # step join + the union), so uncut lineage doubles per round
-            # (the bt_scores 2^rounds blowup)
+        if t % 8 == 0 and t < max_hops:
             dist = dist.localCheckpoint(eager=False)
     return nodes.join(dist, "node", "left").select(
         "node", F.col("hops").cast("long").alias("hops")
@@ -607,13 +582,13 @@ def label_propagation(
     along edge direction only.
 
     Scale shape (the :func:`pagerank` template): per round ONE keyed
-    join of the label relation onto the ONCE-materialized edge relation,
-    one map-side-combinable ``(node, lbl)`` count, one combinable
+    join of the label relation onto the edge relation (the edge side's
+    exchange is canonically identical across rounds — reused), one
+    map-side-combinable ``(node, lbl)`` count, one combinable
     ``min_by`` argmax per node, one left join back to carry no-inbox
     nodes. Everything is O(|E|) per round with |V|-sized label
-    relations; no floats, no windows, no driver state. The label
-    relation's lineage is cut every round — the next round consumes it
-    twice, so uncut lineage doubles per round.
+    relations; no floats, no windows, no driver state. Lineage cut
+    every 8 rounds (the :func:`bfs_hops` policy).
 
     Tie-break note: the argmax is ``min_by(lbl, (-count, lbl))`` — one
     hash aggregate, no per-node sort; struct ordering gives max count
@@ -626,17 +601,11 @@ def label_propagation(
         raw = raw.union(
             raw.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
         )
-    # every round joins `e` — uncut, each round re-derives the distinct
-    # over the raw relation (the claimed canonical-exchange reuse does
-    # NOT fire: the measured 3-round plan carried 14 source scans with
-    # zero ReusedExchange, plans/r10/g104_communities_before.txt)
-    e = raw.distinct().localCheckpoint(eager=False)
-    # distinct nodes of distinct edges == distinct nodes of raw; reading
-    # off the checkpointed edges saves the second raw scan (the G110 fix)
+    e = raw.distinct()
     nodes = (
-        e.select(F.explode(F.array("__s", "__d")).alias("node"))
+        raw.select(F.explode(F.array("__s", "__d")).alias("node"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     lab = nodes.select("node", F.col("node").alias("lbl"))
     for t in range(1, rounds + 1):
@@ -659,11 +628,7 @@ def label_propagation(
         lab = lab.join(best, "node", "left").select(
             "node", F.coalesce("__new", "lbl").alias("lbl")
         )
-        if t < rounds:
-            # cut EVERY round, not every 8: the next round consumes this
-            # relation twice (msgs + the carry join), so uncut lineage
-            # doubles per round — the bt_scores 2^rounds blowup, measured
-            # here as the 14-scan plan above
+        if t % 8 == 0 and t < rounds:
             lab = lab.localCheckpoint(eager=False)
     return lab.select("node", F.col("lbl").alias("community"))
 

@@ -457,6 +457,12 @@ def dedup_by_containment(
     relation (|pairs| rows — the near-dup regime, tiny next to the
     corpus) + a left-anti against the corpus scan.
     """
+    # The directed pair relation is consumed twice below (p + rev) over
+    # IDENTICAL subtrees — AQE's runtime exchange/stage reuse dedupes
+    # that execution already (measured: an explicit lazy cut here was
+    # wall-clock-neutral-to-worse, min-of-2 same-sitting A/B, despite
+    # the static plan showing 18 corpus scans; the adaptive final plan
+    # heals them). Left uncut deliberately.
     p = (
         pairs
         if pairs is not None
@@ -1357,6 +1363,11 @@ def dedup_by_pairs_best(
     """
     labels = _cc_labels(pairs, cc)
     members = labels.withColumnsRenamed({"id": id_col, "label": "__cc"})
+    # `scored` feeds two consumers (winners + losers) over IDENTICAL
+    # subtrees — AQE's runtime exchange/stage reuse dedupes that
+    # execution already (measured: an explicit lazy cut here ran 3.57s
+    # → 6.77s, min-of-2 same-sitting — the materialization overhead
+    # exceeds the healed duplication). Left uncut deliberately.
     scored = df.select(
         id_col, F.col(keep_by).cast("double").alias("__score")
     ).join(members, id_col)
@@ -1470,14 +1481,19 @@ def split_leakage_report(
     ).agg(F.count(F.lit(1)).alias("n_leaky_docs"))
     # NULL-split rows cannot belong to any pair (NULL != x is NULL in
     # the probe filter too) — excluded loudly rather than silently.
-    sizes = {
-        r["split_a"]: int(r["n"])
-        for r in df.filter(F.col(split_col).isNotNull())
-        .groupBy(F.col(split_col).alias("split_a"))
+    # ONE grouped collect carries both the per-split sizes and the
+    # NULL-row presence probe: the former separate `limit(1).count()`
+    # null probe scanned the whole corpus when no NULL exists
+    # (guide §2.4 — don't pay a full pass for a boolean).
+    size_rows = (
+        df.groupBy(F.col(split_col).alias("split_a"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
+    )
+    sizes = {
+        r["split_a"]: int(r["n"]) for r in size_rows if r["split_a"] is not None
     }
-    n_null = df.filter(F.col(split_col).isNull()).limit(1).count()
+    n_null = sum(int(r["n"]) for r in size_rows if r["split_a"] is None)
     if n_null:
         import warnings
 
@@ -1670,11 +1686,12 @@ def corpus_similarity(
     if num_hashes < 1:
         raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     st = shingle_table(df, id_col=stratum_col, text_col=text_col, n=n)
-    # the signature relation feeds BOTH sides of the pair join below —
-    # uncut, each side re-runs the shingle explode + k-min aggregate
-    # over the whole corpus (measured: 2 full corpus scans + Generates
-    # in plans/r10/g106_corpus_sim_before.txt). The lazy cut
-    # materializes the |strata|-row signature table once (guide §2.4).
+    # the signature relation feeds both sides of the pair self-join
+    # below over IDENTICAL subtrees — AQE's runtime exchange/stage
+    # reuse dedupes that execution already (measured: an explicit lazy
+    # cut here ran 2.7-4.8s → 4.5-31s construct, min-of-3 same-sitting
+    # A/B — the eager stage materialization costs more than the healed
+    # duplication). Left uncut deliberately.
     sig = st.groupBy(stratum_col).agg(
         *[
             F.min(
@@ -1682,15 +1699,12 @@ def corpus_similarity(
             ).alias(f"__mh{i}")
             for i in range(num_hashes)
         ]
-    ).localCheckpoint(eager=False)
-    # also consumed twice (both pair-matrix sides); |strata| rows.
+    )
+    # also consumed twice (both pair-matrix sides) — identical
+    # subtrees, healed by runtime exchange reuse like `sig`.
     # NOT derivable from sig: an all-empty-text stratum has no shingles,
     # hence no sig row, but must still appear in the report as NULLs.
-    strata = (
-        df.select(F.col(stratum_col).alias("__st"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    strata = df.select(F.col(stratum_col).alias("__st")).distinct()
     pairs = (
         strata.select(F.col("__st").alias("stratum_a"))
         .join(

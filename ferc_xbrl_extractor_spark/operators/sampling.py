@@ -923,18 +923,11 @@ def mixture_allocation(
     avail = F.coalesce(F.col(avail_col).cast("long"), F.lit(0))
     w = F.col(weight_col).cast("long")
 
-    # four two-consumer tiers below (base -> live/dead, blocks ->
-    # local/btot, btot -> bases/totals, sat -> rem/filled) — uncut, each
-    # consumer re-executes the upstream lineage including the caller's
-    # supply aggregate (measured: 7 source scans / 64 Exchanges in the
-    # g73 plan, zero runtime reuse). One lazy cut per tier keeps the
-    # chain linear; every cut relation is |domains| rows or smaller
-    # (guide §2.4).
     base = df.select(
         dom.alias(domain_col),
         avail.alias("__avail"),
         w.alias("__w"),
-    ).localCheckpoint(eager=False)
+    )
     live = base.filter(F.col("__w") > 0)
     # NULL weight must land here too: `~(NULL > 0)` is NULL (dropped by
     # filter), so spell the complement null-safely
@@ -944,9 +937,7 @@ def mixture_allocation(
     order = [F.col("__ratio").asc(), F.col(domain_col).asc()]
     blocks = live.select("*", ratio).repartitionByRange(
         num_blocks, *order
-    ).withColumn("__blk", F.spark_partition_id()).localCheckpoint(
-        eager=False
-    )
+    ).withColumn("__blk", F.spark_partition_id())
     w_local = (
         Window.partitionBy("__blk")
         .orderBy(*order)
@@ -959,7 +950,7 @@ def mixture_allocation(
     )
     btot = blocks.groupBy("__blk").agg(
         F.sum("__avail").alias("__ta"), F.sum("__w").alias("__tw")
-    ).localCheckpoint(eager=False)
+    )
     w_base = (
         Window.partitionBy()
         .orderBy("__blk")
@@ -990,7 +981,7 @@ def mixture_allocation(
         "__sat",
         F.col("__avail") * (F.col("__totw") - F.col("__cumw"))
         <= F.col("__w") * (F.lit(budget) - F.col("__cuma")),
-    ).localCheckpoint(eager=False)
+    )
     rem = sat.agg(
         (
             F.lit(budget)

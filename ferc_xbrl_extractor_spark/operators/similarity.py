@@ -1532,11 +1532,6 @@ def margin_mine(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     micro = lambda c: F.round(c * 1_000_000).cast("long")  # noqa: E731
-    # fwd/bwd each have 2-3 consumers below (neighborhood mean,
-    # candidate union, optional mutual rank-1 filter) and each uncut
-    # consumption re-runs the ENTIRE brute-force top-k scoring pass —
-    # the measured plan scanned the embedding source 8x (guide §2.4).
-    # The cut relations are |corpus|·k rows, tiny next to the scoring.
     fwd = cosine_topk(
         right, left, k=k, id_col=id_col, vec_col=vec_col,
         query_id_col="id_a", exclude_self=False, two_phase=two_phase,
@@ -1545,7 +1540,7 @@ def margin_mine(
         F.col("neighbor_id").alias("id_b"),
         micro(F.col("sim")).alias("__sm"),
         "rank",
-    ).localCheckpoint(eager=False)
+    )
     bwd = cosine_topk(
         left, right, k=k, id_col=id_col, vec_col=vec_col,
         query_id_col="id_b", exclude_self=False, two_phase=two_phase,
@@ -1554,7 +1549,7 @@ def margin_mine(
         "id_b",
         micro(F.col("sim")).alias("__sm"),
         "rank",
-    ).localCheckpoint(eager=False)
+    )
     mean_a = fwd.groupBy("id_a").agg(
         F.expr("sum(__sm) div count(1)").alias("__ma")
     )

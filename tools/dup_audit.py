@@ -57,8 +57,11 @@ def main() -> int:
             if execute:
                 # post-execution FINAL adaptive plan: static counts
                 # overstate duplication when (Reused)Exchange/AQE stage
-                # reuse dedupes identical subtrees at runtime
-                df.count()
+                # reuse dedupes identical subtrees at runtime. Must be
+                # collect() (the df's OWN queryExecution) — count()
+                # spawns a separate execution and leaves this plan
+                # un-finalized (isFinalPlan=false, zero ReusedExchange).
+                df.collect()
             txt = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
@@ -67,17 +70,29 @@ def main() -> int:
         except Exception as exc:  # audit must cover the rest regardless
             print(f"ERR {name}: {exc}")
             continue
-        exch = len(re.findall(r"\bExchange\b", txt))
+        # In an executed adaptive plan the text carries BOTH the final
+        # and the initial plan trees; count tree nodes from the final
+        # tree only. The "Location:" details section lists each unique
+        # operator id once, so it already excludes ReusedExchange'd
+        # subtrees and the initial-plan re-listing shares scan ids.
+        tree = txt.split("== Initial Plan ==")[0]
+        exch = len(re.findall(r"\bExchange\b", tree))
+        reused = tree.count("ReusedExchange")
         locs = re.findall(r"Location: \S+ \[([^\]]*)\]", txt)
         from collections import Counter
 
         c = Counter(os.path.basename(l.rstrip("/")) for l in locs)
         rep = {f: n for f, n in c.items() if n > 1}
-        rows.append((max(rep.values(), default=1), exch, name, sum(c.values()), rep))
+        rows.append(
+            (max(rep.values(), default=1), exch, name, sum(c.values()), reused, rep)
+        )
     rows.sort(reverse=True)
-    for mx, exch, name, scans, rep in rows:
+    for mx, exch, name, scans, reused, rep in rows:
         extra = f"  repeated={rep}" if rep else ""
-        print(f"{name}: exch={exch} scans={scans} max_rescan={mx}{extra}")
+        print(
+            f"{name}: exch={exch} reused={reused} scans={scans} "
+            f"max_rescan={mx}{extra}"
+        )
     return 0
 
 
