@@ -91,14 +91,15 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     exclude_self: bool = True,
-    two_phase: bool = True,
+    two_phase: bool = False,
 ) -> DataFrame:
     """Brute-force exact top-k cosine neighbors for each query vector.
 
-    ``two_phase=False`` drops the per-partition pre-prune window — one
-    less pass when the corpus is small enough that the single keyed
-    window dominates; keep the default for any corpus that doesn't fit a
-    handful of partitions.
+    ``two_phase`` defaults False like :func:`topk_per_key` (Spark ≥3.5
+    already plans the single window as a map-side partial
+    ``WindowGroupLimit`` before the exchange; the manual pre-prune costs
+    a whole extra exchange+sort). Output is identical either way — the
+    order is total (sim desc, neighbor_id).
 
     Output: (query_id, neighbor_id, sim, rank) with sim rounded to 4
     decimals and rank ties broken by neighbor id (deterministic across
@@ -790,7 +791,7 @@ def quantized_cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     exclude_self: bool = True,
-    two_phase: bool = True,
+    two_phase: bool = False,
 ) -> DataFrame:
     """Top-k neighbors scored on int8-quantized vectors — the
     memory-bound ANN pattern (4× less candidate bandwidth than float32;
@@ -805,7 +806,8 @@ def quantized_cosine_topk(
     the md5-seeded LSH family).
 
     Same plan shape as ``cosine_topk``: quantize map-side, broadcast the
-    quantized queries, integer fold per pair, two-phase top-k.
+    quantized queries, integer fold per pair, single-window top-k (the
+    planner's own WindowGroupLimit two-phases it — see topk_per_key).
     """
     qc = quantize_int8(corpus, vec_col, out_col="__q", scale_col="__s")
     qq = quantize_int8(queries, vec_col, out_col="__q", scale_col="__s")
@@ -1083,7 +1085,7 @@ def hard_negative_pairs(
     label_col: str = "label",
     anchor_id_col: str = "anchor_id",
     candidates: DataFrame | None = None,
-    two_phase: bool = True,
+    two_phase: bool = False,
 ) -> DataFrame:
     """Contrastive training-pair mining (the DPR/SimCSE data-prep step):
     for each anchor vector, the ``n_pos`` most-similar SAME-label vectors
@@ -1098,7 +1100,7 @@ def hard_negative_pairs(
 
     Scale shape: anchors are the query side of the G3 brute-force scorer
     — explicitly broadcast, corpus scanned once, then ONE top-k per
-    (anchor, role) with the two-phase partition-local pre-prune (the
+    (anchor, role) via the planner's own map-side WindowGroupLimit (the
     exchange carries ≤ (k·partitions) rows per anchor-role, never the
     scored cross product). For corpora where even one scan per mining
     round is too much, pass ``candidates`` (anchor_id, neighbor_id) from

@@ -89,7 +89,11 @@ def get_spark(
         # selfcheck, any multi-query ETL driver) evicts and recompiles
         # codegen fragments continuously — single-threaded driver work
         # that stalls every executor. Sized for a many-plan session;
-        # cluster-safe (driver-memory-bounded, a few KB per entry).
+        # driver-metaspace-bounded (generated classes, not heap). NOTE:
+        # this is a STATIC conf — it only takes effect when this call
+        # creates the first SparkSession in the JVM; getOrCreate against
+        # a pre-built session silently ignores it (same caveat as
+        # driver-memory below).
         .config("spark.sql.codegen.cache.maxEntries", "4096")
         # ContextCleaner only learns an RDD/broadcast is dead when the
         # JVM GCs its reference; with a large pinned heap (Xms above)
@@ -97,6 +101,9 @@ def get_spark(
         # completed queries accumulate for the default 30min interval
         # (measured: +4GB driver RSS across one bench run). 5min bounds
         # the block backlog on any long-lived session, local or cluster.
+        # This injects a driver System.gc() every 5min — on very large
+        # heaps or latency-sensitive sessions override it back via
+        # extra_conf={"spark.cleaner.periodicGC.interval": "30min"}.
         .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )

@@ -51,7 +51,6 @@ def main() -> int:
             df = fn(spark, sf_dir)
             t1 = time.time()
             j1 = job_hwm()
-            df.queryExecution if hasattr(df, "queryExecution") else None
             _ = df._jdf.queryExecution().executedPlan()
             t2 = time.time()
             j2 = job_hwm()
