@@ -286,15 +286,63 @@ def main() -> None:
             "BASELINE.md's per-row table is measured that way."
         )
 
+    # Drift control (r10 verdict item 1): before overwriting, compare this
+    # sitting against the previous BENCH_FULL.json on common queries. The
+    # box shows 4-10x sitting-level degradation episodes; a median ratio
+    # far from 1.0 flags that cross-record comparisons measure the box,
+    # not the code. (Cross-round the ratio also folds in code changes —
+    # per-change evidence lives in same-sitting A/Bs, see OPTIMIZATION_*.md.)
+    try:
+        with open(os.path.join(repo_dir, "BENCH_FULL.json")) as f:
+            prev_q = (json.load(f) or {}).get("queries") or {}
+        ratios = sorted(
+            timings[n] / prev_q[n]
+            for n in timings
+            if n in prev_q and prev_q[n] > 0
+        )
+        if ratios:
+            full_record["drift_control"] = {
+                "vs": "previous BENCH_FULL.json on disk",
+                "n_common": len(ratios),
+                "median_ratio": round(ratios[len(ratios) // 2], 3),
+                "p90_ratio": round(ratios[int(len(ratios) * 0.9)], 3),
+            }
+    except Exception:
+        pass
+
     # Complete record to a committed file — never size-capped.
     with open(os.path.join(repo_dir, "BENCH_FULL.json"), "w") as f:
         json.dump(full_record, f, indent=1)
 
     # Headline record LAST and compact, so the driver's tail capture always
     # holds one complete parseable JSON line. The queries map is PACKED
-    # slowest-first under a hard byte budget: whatever the roster size, the
-    # line parses; anything shed inline is in BENCH_FULL.json.
-    budget = int(os.environ.get("BENCH_TAIL_BYTES", "1800"))
+    # under a hard byte budget: whatever the roster size, the line parses;
+    # anything shed inline is in BENCH_FULL.json. r11 measurement-reporting
+    # fix (timing loop untouched): (a) the tail capture is exactly 2000
+    # bytes in every driver record, so the budget rises 1800 -> 1950;
+    # (b) inline times carry 1 decimal (full 3-decimal precision stays in
+    # BENCH_FULL.json); (c) queries inline in the LATEST committed bench
+    # record pack FIRST, then the rest slowest-first — a query reported
+    # inline once must never vanish from the stdout map just because the
+    # suite got faster around it (r10's PERF marked 13 live queries
+    # "dropped" from exactly that reshuffle).
+    budget = int(os.environ.get("BENCH_TAIL_BYTES", "1950"))
+    prior_inline: set[str] = set()
+    try:
+        import glob
+        import re
+
+        by_round: dict[int, list[str]] = {}
+        for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+            m = re.match(r"BENCH_r(\d+)", os.path.basename(p))
+            if m:
+                by_round.setdefault(int(m.group(1)), []).append(p)
+        for p in by_round.get(max(by_round, default=0), []):
+            with open(p) as f:
+                rec = json.load(f) or {}
+            prior_inline |= set(((rec.get("parsed") or {}).get("queries") or {}))
+    except Exception:
+        prior_inline = set()
     out = {
         "metric": full_record["metric"],
         "value": full_record["value"],
@@ -305,12 +353,14 @@ def main() -> None:
         "full": "BENCH_FULL.json",
         "queries": {},
     }
-    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    by_cost = sorted(
+        timings.items(),
+        key=lambda kv: (kv[0] not in prior_inline, -kv[1]),
+    )
     for name, t in by_cost:
-        out["queries"][name] = round(t, 2)
+        out["queries"][name] = round(t, 1)
         if len(json.dumps(out, separators=(",", ":"))) > budget:
             del out["queries"][name]
-            break
     out["queries_inline"] = len(out["queries"])
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > budget + 32:
