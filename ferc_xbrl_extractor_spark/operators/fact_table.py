@@ -45,6 +45,16 @@ NUMBER_TYPES = {"number"}
 INTEGER_TYPES = {"integer", "year"}
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for SQL text (`` escapes a backtick)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sq(s: str) -> str:
+    """Escape a string literal's single quotes for SQL text."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
 @dataclass
 class TableResult:
     """One output table plus its quarantined dedup conflicts (A3 errors:
@@ -171,30 +181,42 @@ def construct_table_with_errors(
     # A1: long -> wide, grouped on (filing, c_id) exactly like the
     # reference's unstack-on-c_id (datapackage.py:427-441) — context PK
     # fields are functions of the context, so first() is constant per
-    # group, and max(when(name=c)) sees at most one non-null value per
+    # group, and max(CASE WHEN name=c) sees at most one non-null value per
     # group post-fuzzy (deterministic). Narrow grouping key = reuses the
     # pipeline's one clustering, no extra sort columns.
+    #
+    # The per-column expressions are built as SQL TEXT, one F.expr per
+    # aggregate column and ONE selectExpr for the cast/reindex projection:
+    # the Column-API form (max(when(..)).alias(..) etc.) cost ~6 py4j
+    # round-trips per data column — ~2,400 driver⇄JVM socket crossings
+    # (~1.1s, cProfile'd in r10) to CONSTRUCT a 255-column table plan.
+    # The parsed expression trees are identical (same plan, pinned by
+    # tests/test_plans.py), only the construction path changes.
     keyed = resolved
     pk_cols = [c for c in keyed.columns if c not in ("filing_name", "c_id", "name", "value")]
     wide = keyed.groupBy("filing_name", "c_id").agg(
-        *[F.first(c).alias(c) for c in pk_cols],
+        *[F.expr(f"first({_bq(c)}) AS {_bq(c)}") for c in pk_cols],
         *[
-            F.max(F.when(F.col("name") == c, F.col("value"))).alias(c)
+            F.expr(
+                f"max(CASE WHEN name = '{_sq(c)}' THEN value END) AS {_bq(c)}"
+            )
             for c in spec.data_columns
         ],
     )
 
-    # F9 casts + P5 reindex to the declared column order.
-    out_cols = []
+    # F9 casts + P5 reindex to the declared column order (one selectExpr).
+    out_exprs = []
     for pk in spec.primary_key:
-        col = F.col(pk)
         if typed_dates and pk in ("date", "start_date", "end_date"):
-            col = col.cast("date")
-        out_cols.append(col.alias(pk))
+            out_exprs.append(f"CAST({_bq(pk)} AS DATE) AS {_bq(pk)}")
+        else:
+            out_exprs.append(_bq(pk))
     for name in spec.data_columns:
         target = spark_type_for(spec.columns[name], typed_dates)
-        out_cols.append(F.col(name).try_cast(target).alias(name))
-    result = wide.select(*out_cols)
+        out_exprs.append(
+            f"TRY_CAST({_bq(name)} AS {target.simpleString()}) AS {_bq(name)}"
+        )
+    result = wide.selectExpr(*out_exprs)
 
     # P6: drop rows where every data column is null.
     result = filters.at_least_one_non_null(result, spec.data_columns)

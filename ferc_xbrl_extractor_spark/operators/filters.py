@@ -45,13 +45,15 @@ def dims_fit_table(df: DataFrame, pk_axes: list[str]) -> DataFrame:
 
 
 def at_least_one_non_null(df: DataFrame, data_columns: list[str]) -> DataFrame:
-    """P6: drop rows where every data column is null (datapackage.py:458)."""
+    """P6: drop rows where every data column is null (datapackage.py:458).
+
+    Built as ONE SQL text filter, not a Column-API OR fold: the fold cost
+    2 py4j round-trips per column (~500 driver⇄JVM crossings on a
+    255-column table) to construct the same expression tree."""
     if not data_columns:
         return df
-    pred = F.lit(False)
-    for c in data_columns:
-        pred = pred | F.col(c).isNotNull()
-    return df.filter(pred)
+    quoted = ("`" + c.replace("`", "``") + "`" for c in data_columns)
+    return df.filter(" OR ".join(f"{q} IS NOT NULL" for q in quoted))
 
 
 def axis_with_total(dims_col: str, axis: str) -> Column:
