@@ -92,12 +92,11 @@ def kmeans_assign(
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
-def _seed_centroids(
-    df: DataFrame, ivec: Column, id_col: str, k: int
-) -> list[list[int]]:
+def _seed_centroids(base: DataFrame, k: int) -> list[list[int]]:
+    """k hash-ordered seed vectors from the quantized base (__id, __iv)."""
     rows = (
-        df.select(ivec.alias("__iv"), F.col(id_col))
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        base.select("__iv", "__id")
+        .orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
         .limit(k)
         .collect()
     )
@@ -123,11 +122,22 @@ def kmeans_train(
     ``iters`` Lloyd updates after hash-ordered seeding. Each update is one
     aggregate job: ``groupBy(cluster).agg(Σ v_i per dim, count)`` —
     map-side combined, k·(d+1) cells shuffled, k rows collected. Empty
-    clusters carry their previous centroid."""
-    ivec = quantize_vec(vec_col, scale)
-    dim = len(df.select(ivec.alias("v")).first()["v"])
-    cents = _seed_centroids(df, ivec, id_col, k)
-    base = df.select(ivec.alias("__iv"))
+    clusters carry their previous centroid.
+
+    Driver-action shape (r11): the quantized base is materialized ONCE
+    (``localCheckpoint``) and every training action — the seed collect
+    plus one collect per iteration — reads the blocks. These are
+    SEPARATE driver actions, the class runtime exchange reuse can never
+    heal: the uncut form re-scanned and re-quantized the corpus
+    ``iters``+1 times (MLlib's KMeans carries the same cache-your-input
+    contract). The vector dimension rides the seed rows — the former
+    standalone ``first()`` dimension probe was a whole extra corpus
+    action."""
+    base = df.select(
+        F.col(id_col).alias("__id"), quantize_vec(vec_col, scale).alias("__iv")
+    ).localCheckpoint()
+    cents = _seed_centroids(base, k)
+    dim = len(cents[0])
     for _ in range(iters):
         assigned = base.select(
             kmeans_assign("__iv", cents).alias("__cl"), "__iv"

@@ -95,9 +95,11 @@ def test_kmeans_empty_cluster_carries_previous_centroid(spark):
         (i, [100.0, 100.0]) for i in range(5, 10)
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    cents0 = clustering._seed_centroids(
-        df, clustering.quantize_vec("embedding"), "vec_id", 3
+    base = df.select(
+        F.col("vec_id").alias("__id"),
+        clustering.quantize_vec("embedding").alias("__iv"),
     )
+    cents0 = clustering._seed_centroids(base, 3)
     cents = clustering.kmeans_train(df, k=3, iters=2)
     seeded_vals = {tuple(c) for c in cents0}
     # every centroid is either a group mean or an untouched seed
