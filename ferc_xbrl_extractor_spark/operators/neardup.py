@@ -321,6 +321,56 @@ def ppjoin_pairs(
     )
 
 
+def _containment_unordered(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """The shared containment core: one shingle-keyed self-join + one
+    pair aggregate, yielding UNORDERED ``(id_a < id_b, n_common, n_a,
+    n_b)`` rows. :func:`containment_pairs` derives the directed view by
+    explode; :func:`dedup_by_containment` applies its drop rule here
+    directly (no directed explode, no pair self-join)."""
+    st = (
+        doc_shingle_arrays(df, id_col, text_col, n)
+        .select(
+            F.col(id_col),
+            F.size("__sh").alias("n_sh"),
+            F.explode_outer("__sh").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
+    if max_shingle_df is not None:
+        freq = st.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        st = st.join(
+            F.broadcast(freq.filter(F.col("df_") > max_shingle_df)),
+            "shingle",
+            "left_anti",
+        )
+    st = st.repartition("shingle")
+    j = st.alias("a").join(
+        st.alias("b").hint("shuffle_hash"),
+        F.col("a.shingle") == F.col("b.shingle"),
+    )
+    return (
+        j.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -352,42 +402,7 @@ def containment_pairs(
     ``max_shingle_df`` is the same stop-shingle cap (dropping shingles
     only lowers measured containment).
     """
-    st = (
-        doc_shingle_arrays(df, id_col, text_col, n)
-        .select(
-            F.col(id_col),
-            F.size("__sh").alias("n_sh"),
-            F.explode_outer("__sh").alias("shingle"),
-        )
-        .filter(F.col("shingle").isNotNull())
-    )
-    if max_shingle_df is not None:
-        freq = st.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        st = st.join(
-            F.broadcast(freq.filter(F.col("df_") > max_shingle_df)),
-            "shingle",
-            "left_anti",
-        )
-    st = st.repartition("shingle")
-    j = st.alias("a").join(
-        st.alias("b").hint("shuffle_hash"),
-        F.col("a.shingle") == F.col("b.shingle"),
-    )
-    pairs = (
-        j.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
-        )
-    )
+    pairs = _containment_unordered(df, id_col, text_col, n, max_shingle_df)
     directed = pairs.select(
         F.explode(
             F.array(
@@ -452,31 +467,47 @@ def dedup_by_containment(
     iterate drops against the survivor set) when chained partial
     excerpts matter more than the one-pass cost.
 
-    Scale shape: rides :func:`containment_pairs` (ONE shingle-keyed
-    self-join); the drop rule is one self-join of the DIRECTED pair
-    relation (|pairs| rows — the near-dup regime, tiny next to the
-    corpus) + a left-anti against the corpus scan.
+    Scale shape: rides the :func:`containment_pairs` core (ONE
+    shingle-keyed self-join); the drop rule is evaluated directly on
+    the UNORDERED pair aggregate — with ``id_a < id_b`` fixed by the
+    aggregate, "drop src iff directed(src→dst) ∧ (¬directed(dst→src) ∨
+    src>dst)" reduces algebraically to *drop id_a iff c(a→b) ≥ t ∧
+    ¬(c(b→a) ≥ t)* and *drop id_b iff c(b→a) ≥ t* — so neither the
+    directed explode nor the directed-relation self-join (which forced
+    the whole pair lineage to execute twice, 18 corpus scans in the
+    executed sf0.1 plan) exists in the plan. One left-anti against the
+    corpus scan closes it.
     """
-    # The directed pair relation is consumed twice below (p + rev) over
-    # IDENTICAL subtrees — AQE's runtime exchange/stage reuse dedupes
-    # that execution already (measured: an explicit lazy cut here was
-    # wall-clock-neutral-to-worse, min-of-2 same-sitting A/B, despite
-    # the static plan showing 18 corpus scans; the adaptive final plan
-    # heals them). Left uncut deliberately.
-    p = (
-        pairs
-        if pairs is not None
-        else containment_pairs(df, id_col, text_col, n, threshold)
-    ).select("id_a", "id_b")
-    rev = p.select(
-        F.col("id_a").alias("id_b"), F.col("id_b").alias("id_a")
-    ).withColumn("__mutual", F.lit(True))
-    drops = (
-        p.join(rev, ["id_a", "id_b"], "left")
-        .filter(
-            F.col("__mutual").isNull() | (F.col("id_a") > F.col("id_b"))
+    if pairs is not None:
+        # caller-supplied DIRECTED pairs: the original rule, verbatim
+        p = pairs.select("id_a", "id_b")
+        rev = p.select(
+            F.col("id_a").alias("id_b"), F.col("id_b").alias("id_a")
+        ).withColumn("__mutual", F.lit(True))
+        drops = (
+            p.join(rev, ["id_a", "id_b"], "left")
+            .filter(
+                F.col("__mutual").isNull() | (F.col("id_a") > F.col("id_b"))
+            )
+            .select(F.col("id_a").alias(id_col))
+            .distinct()
         )
-        .select(F.col("id_a").alias(id_col))
+        return df.join(drops, id_col, "left_anti")
+    unordered = _containment_unordered(df, id_col, text_col, n, None)
+    # same float comparisons as containment_pairs' directed filter:
+    # c = n_common / cast(n as double) >= threshold
+    da = (F.col("n_common") / F.col("n_a").cast("double")) >= threshold
+    db = (F.col("n_common") / F.col("n_b").cast("double")) >= threshold
+    drops = (
+        unordered.select(
+            F.explode(
+                F.array(
+                    F.when(da & ~db, F.col("id_a")),
+                    F.when(db, F.col("id_b")),
+                )
+            ).alias(id_col)
+        )
+        .filter(F.col(id_col).isNotNull())
         .distinct()
     )
     return df.join(drops, id_col, "left_anti")
@@ -1692,11 +1723,17 @@ def corpus_similarity(
     # cut here ran 2.7-4.8s → 4.5-31s construct, min-of-3 same-sitting
     # A/B — the eager stage materialization costs more than the healed
     # duplication). Left uncut deliberately.
+    # Expression trees built as SQL TEXT, one parse each (the
+    # fact_table/r11 py4j-batching fix): the Column-API form of the
+    # 64-hash signature aggregate + per-side aliases + the 64-term match
+    # sum cost ~10,600 py4j round-trips (~2.7s of driver-side
+    # construction per invocation, cProfiled at sf0.1). Identical parsed
+    # expressions, identical plan.
     sig = st.groupBy(stratum_col).agg(
         *[
-            F.min(
-                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
-            ).alias(f"__mh{i}")
+            F.expr(
+                f"min(md5(concat('{i}:', shingle))) AS `__mh{i}`"
+            )
             for i in range(num_hashes)
         ]
     )
@@ -1712,30 +1749,30 @@ def corpus_similarity(
             F.col("stratum_a") < F.col("stratum_b"),
         )
     )
-    a = sig.select(
-        F.col(stratum_col).alias("stratum_a"),
-        *[F.col(f"__mh{i}").alias(f"__a{i}") for i in range(num_hashes)],
+    a = sig.selectExpr(
+        f"`{stratum_col}` AS stratum_a",
+        *[f"`__mh{i}` AS `__a{i}`" for i in range(num_hashes)],
     )
-    b = sig.select(
-        F.col(stratum_col).alias("stratum_b"),
-        *[F.col(f"__mh{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    b = sig.selectExpr(
+        f"`{stratum_col}` AS stratum_b",
+        *[f"`__mh{i}` AS `__b{i}`" for i in range(num_hashes)],
     )
-    matches = sum(
-        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+    matches_sql = " + ".join(
+        f"(CASE WHEN `__a{i}` = `__b{i}` THEN 1 ELSE 0 END)"
         for i in range(num_hashes)
     )
-    both = F.col("__a0").isNotNull() & F.col("__b0").isNotNull()
+    both_sql = "`__a0` IS NOT NULL AND `__b0` IS NOT NULL"
     return (
         pairs.join(F.broadcast(a), "stratum_a", "left")
         .join(F.broadcast(b), "stratum_b", "left")
-        .select(
+        .selectExpr(
             "stratum_a",
             "stratum_b",
-            F.when(both, matches).cast("long").alias("matches"),
-            F.when(
-                both,
-                F.round(matches / F.lit(float(num_hashes)), 4),
-            ).alias("est_jaccard"),
+            f"CAST(CASE WHEN {both_sql} THEN ({matches_sql}) END AS BIGINT)"
+            " AS matches",
+            f"CASE WHEN {both_sql} THEN "
+            f"round(({matches_sql}) / CAST({float(num_hashes)} AS DOUBLE), 4)"
+            " END AS est_jaccard",
         )
     )
 
