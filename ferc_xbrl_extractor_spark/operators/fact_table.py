@@ -196,12 +196,14 @@ def construct_table_with_errors(
     pk_cols = [c for c in keyed.columns if c not in ("filing_name", "c_id", "name", "value")]
     wide = keyed.groupBy("filing_name", "c_id").agg(
         *[F.expr(f"first({_bq(c)}) AS {_bq(c)}") for c in pk_cols],
-        *[
-            F.expr(
-                f"max(CASE WHEN name = '{_sq(c)}' THEN value END) AS {_bq(c)}"
-            )
-            for c in spec.data_columns
-        ],
+        F.expr(
+            "map_from_entries(collect_list(struct(name, value))) AS __m"
+        ),
+    ).selectExpr(
+        "filing_name",
+        "c_id",
+        *[_bq(c) for c in pk_cols],
+        *[f"__m['{_sq(c)}'] AS {_bq(c)}" for c in spec.data_columns],
     )
 
     # F9 casts + P5 reindex to the declared column order (one selectExpr).

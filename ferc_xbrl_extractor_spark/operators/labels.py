@@ -92,7 +92,30 @@ def aggregate_labels(
     ann = annotations.select(item_col, annotator_col, label_col).filter(
         F.col(label_col).isNotNull()
     )
-    counts = _vote_counts(ann, item_col, label_col, F.lit(0).cast("long"))
+    if reweight:
+        # ONE raw shuffle total (guide §2.4): the per-row form shuffled
+        # the annotation volume three times (counts partial-agg, raw
+        # ann ⋈ maj for the accuracy score, weighted-counts partial-agg
+        # — 4 source scans / 8 Exchanges in the executed sf0.1 plan).
+        # Everything the refinement reads is derivable from one
+        # (item, annotator, label) → n base aggregate: n_votes = Σn,
+        # accuracy = Σ n·[label=maj] div Σn, weighted vote = Σ n·w.
+        # The explicit repartition(item) makes the base aggregate's
+        # clustering the plan's only annotation-sized exchange — every
+        # downstream groupBy/window/join keys on item or an
+        # item-superset, so HashPartitioning(item) satisfies them all
+        # (the fact_table single-shuffle pattern); only the
+        # |annotators|-row accuracy aggregate pays its own tiny one.
+        base = (
+            ann.repartition(F.col(item_col))
+            .groupBy(item_col, annotator_col, label_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        )
+        counts = base.groupBy(item_col, label_col).agg(
+            F.sum("__n").cast("long").alias("n_votes")
+        )
+    else:
+        counts = _vote_counts(ann, item_col, label_col, F.lit(0).cast("long"))
     w_item = Window.partitionBy(item_col)
     counts = counts.select(
         item_col,
@@ -115,22 +138,26 @@ def aggregate_labels(
         return maj
 
     # Round-1 accuracy per annotator, scored against the majority —
-    # |annotators| rows, broadcast back onto the annotations.
-    scored = ann.join(
+    # |annotators| rows, broadcast back onto the base aggregate. Exact
+    # integers identical to the per-annotation-row form: each base row
+    # contributes its multiplicity __n to both sum and count.
+    scored = base.join(
         maj.select(item_col, F.col("label").alias("__maj")), item_col
     )
     # integer floor division, not float: exact on both engines
     acc = scored.groupBy(annotator_col).agg(
         F.expr(
-            f"(sum(cast({label_col} = __maj as long)) * {ACC_MICRO}L) "
-            f"div count(1) + 1L"
+            f"(sum(cast({label_col} = __maj as long) * __n) * {ACC_MICRO}L) "
+            f"div sum(__n) + 1L"
         ).alias("__w")
     )
-    wcounts = _vote_counts(
-        ann.join(F.broadcast(acc), annotator_col),
-        item_col,
-        label_col,
-        F.col("__w"),
+    wcounts = (
+        base.join(F.broadcast(acc), annotator_col)
+        .groupBy(item_col, label_col)
+        .agg(
+            F.sum("__n").cast("long").alias("n_votes"),
+            F.sum(F.expr("__n * __w")).cast("long").alias("w_micro"),
+        )
     )
     wwin = _winner(wcounts, item_col, label_col, "w_micro").select(
         item_col,
